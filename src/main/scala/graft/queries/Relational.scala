@@ -1,0 +1,236 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, TimestampType}
+
+/** Relational analytic core (SURVEY.md §2a) — TPC-H-shaped queries over
+  * the testdata star schema.
+  *
+  * Determinism contract with the DuckDB oracle: monetary doubles are
+  * clean 2-dp values, so we cast operands to DECIMAL before aggregating
+  * (exact decimal arithmetic in both engines) and cast the final
+  * aggregate to double. Divisions happen after the cast, in double, so
+  * both engines divide identical IEEE values. This makes sums
+  * bit-identical regardless of partial-aggregation order.
+  */
+object Relational {
+
+  /** Exact-sum helper: SUM(CAST(c AS DECIMAL(12,2))) cast back to double. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(12, 2))).cast("double")
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def ts(s: String): Column = lit(s).cast(TimestampType)
+
+  /** Pricing summary: scan → filter → hash-agg with map-side partials.
+    * Shape of TPC-H Q1 (public spec). Scales: single shuffle on the
+    * 6-value grouping key; partial agg collapses ~all rows map-side.
+    */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" <= ts("1998-09-02 00:00:00"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        sum(dec($"l_extendedprice") * (dec(lit(1)) - dec($"l_discount")))
+          .cast("double").as("sum_disc_price"),
+        sum(dec($"l_extendedprice") * (dec(lit(1)) - dec($"l_discount"))
+          * (dec(lit(1)) + dec($"l_tax"))).cast("double").as("sum_charge"),
+        (dsum($"l_quantity") / count(lit(1))).as("avg_qty"),
+        (dsum($"l_extendedprice") / count(lit(1))).as("avg_price"),
+        (dsum($"l_discount") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Shipping priority: customer ⋈ orders ⋈ lineitem, top-10 revenue.
+    * customer is small → broadcast; orders⋈lineitem shuffles on the
+    * order key; final global top-10 is TakeOrderedAndProject (no full
+    * sort at scale).
+    */
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+    val ord = Tables.orders(s, dir).filter($"o_orderdate" < ts("1998-01-01 00:00:00"))
+    val li = Tables.lineitem(s, dir).filter($"l_shipdate" > ts("1998-01-01 00:00:00"))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(sum(dec($"l_extendedprice") * (dec(lit(1)) - dec($"l_discount")))
+        .cast("double").as("revenue"))
+      .select($"l_orderkey", $"revenue",
+        $"o_orderdate".cast("date").as("o_orderdate"), $"o_orderpriority")
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  /** Order priority check: EXISTS → left_semi join, then count by
+    * priority. Semi join shuffles both sides on the order key but never
+    * materializes the pair blowup.
+    */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= ts("1996-01-01 00:00:00") &&
+        $"o_orderdate" < ts("1997-01-01 00:00:00"))
+    val bigLines = Tables.lineitem(s, dir).filter($"l_quantity" > 45)
+    ord.join(bigLines, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Local supplier volume: 6-way join with broadcast dimension chain
+    * (region→nation→{customer,supplier}); only orders⋈lineitem shuffles.
+    */
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val region = Tables.region(s, dir).filter($"r_name" === "ASIA")
+    val nation = Tables.nation(s, dir)
+    val cust = Tables.customer(s, dir)
+    val supp = Tables.supplier(s, dir)
+    val ord = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= ts("1996-01-01 00:00:00") &&
+        $"o_orderdate" < ts("1998-01-01 00:00:00"))
+    val li = Tables.lineitem(s, dir)
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(sum(dec($"l_extendedprice") * (dec(lit(1)) - dec($"l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** Forecast revenue change: tight range filter + scalar aggregate.
+    * All three predicates push into the parquet scan.
+    */
+  def q6RevenueForecast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= ts("1996-01-01 00:00:00") &&
+        $"l_shipdate" < ts("1997-01-01 00:00:00") &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+        $"l_quantity" < 24)
+      .agg(sum(dec($"l_extendedprice") * dec($"l_discount"))
+        .cast("double").as("revenue"))
+  }
+
+  /** NOT EXISTS → left_anti join: customers with no 1996 orders. */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord96 = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= ts("1996-01-01 00:00:00") &&
+        $"o_orderdate" < ts("1997-01-01 00:00:00"))
+    Tables.customer(s, dir)
+      .join(ord96, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** ROLLUP over nation→segment: grouping-sets expand before the single
+    * shuffle; partial aggregation still applies.
+    */
+  def qRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .rollup($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"), dsum($"c_acctbal").as("sum_bal"))
+      .orderBy($"c_nationkey".asc_nulls_first, $"c_mktsegment".asc_nulls_first)
+  }
+
+  /** Exact + approximate distinct aggregation over the fact table. */
+  def qDistinctAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_orderkey").as("n_orders"),
+        countDistinct($"l_partkey").as("n_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Window: running revenue + row_number per supplier by ship date. */
+  def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"l_suppkey").orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+    Tables.lineitem(s, dir)
+      .filter($"l_suppkey" <= 10)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("running_qty",
+        sum(dec($"l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double"))
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+        $"l_shipdate".cast("date").as("ship_date"), $"rn", $"running_qty")
+      .orderBy($"l_suppkey", $"rn")
+  }
+
+  /** Top-3 orders by value per priority: rank + filter — the scalable
+    * top-k-per-group shape (no global sort).
+    */
+  def qTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(s, dir)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"o_orderpriority", $"rk", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_orderpriority", $"rk")
+  }
+
+  /** Global order + limit → TakeOrderedAndProject (per-partition top-k
+    * then merge; never a full sort at scale).
+    */
+  def qSortLimit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(25)
+  }
+
+  /** Scalar aggregate subquery in a predicate: customers above the
+    * global average balance. The subquery is a one-row broadcast.
+    */
+  def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+    val avgBal = cust.agg((dsum($"c_acctbal") / count(lit(1))).as("a"))
+    cust.join(broadcast(avgBal))
+      .filter($"c_acctbal" > $"a")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+
+  /** UNION + DISTINCT: nation keys present on either side of trading. */
+  def qUnionDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val custNations = Tables.customer(s, dir).select($"c_nationkey".cast("int").as("nationkey"))
+    val suppNations = Tables.supplier(s, dir).select($"s_nationkey".cast("int").as("nationkey"))
+    custNations.union(suppNations).distinct().orderBy($"nationkey")
+  }
+
+  /** Window lag/lead: per-customer order value deltas over time. */
+  def qLagLead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(s, dir)
+      .filter($"o_custkey" <= 50)
+      .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+      .withColumn("next_price", lead($"o_totalprice", 1).over(w))
+      .select($"o_custkey", $"o_orderkey",
+        $"o_orderdate".cast("date").as("order_date"),
+        $"o_totalprice", $"prev_price", $"next_price")
+      .orderBy($"o_custkey", $"order_date", $"o_orderkey")
+  }
+}
