@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Relational
+import graft.queries.{Etl, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -33,6 +33,8 @@ object SparkEntry {
     "q_scalar_subquery" -> (Relational.qScalarSubquery _),
     "q_union_dedup" -> (Relational.qUnionDedup _),
     "q_lag_lead" -> (Relational.qLagLead _),
+    "etl_json_extract" -> (Etl.jsonExtract _),
+    "etl_dedup_append" -> (Etl.dedupAppend _),
   )
 
   /** DuckDB-dialect oracle for each key in `queries`. */
@@ -162,5 +164,18 @@ object SparkEntry {
         |WHERE o_custkey <= 50
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin,
+    "etl_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+        |  event_type, value
+        |FROM events
+        |WHERE CAST(json_extract(props, '$.k') AS INTEGER) >= 50
+        |ORDER BY event_id""".stripMargin,
+    "etl_dedup_append" ->
+      """SELECT doc_id, source, n_chars
+        |FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM documents e
+        |                  WHERE e.doc_id = d.doc_id AND e.doc_id % 10 = 0)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

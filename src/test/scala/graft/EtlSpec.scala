@@ -1,0 +1,108 @@
+package graft
+
+import graft.etl._
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** End-to-end coverage of the reference ETL surface: multiline JSON →
+  * flatten → tag → cast → versioned dedup-append table, plus time
+  * travel and schema enforcement.
+  */
+class EtlSpec extends SparkSpec {
+
+  // A payload with the reference's API-response shape (nested structs +
+  // an items array), authored here — not fetched.
+  private val payload =
+    """{
+      |  "etag": "abc123",
+      |  "nextPageToken": "CAUQAA",
+      |  "items": [
+      |    {"id": {"videoId": "v1"},
+      |     "snippet": {"title": "t1", "description": "d1",
+      |                 "channelTitle": "c1",
+      |                 "publishedAt": "2024-01-01T10:00:00Z"}},
+      |    {"id": {"videoId": "v2"},
+      |     "snippet": {"title": "t2", "description": "d2",
+      |                 "channelTitle": "c2",
+      |                 "publishedAt": "2024-01-02T11:30:00Z"}}
+      |  ]
+      |}""".stripMargin
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("multiline JSON read + recursive flatten + tag + timestamp cast") {
+    val dir = tmp("graft-json")
+    Files.writeString(java.nio.file.Paths.get(dir, "r.json"), payload)
+    val raw = JsonIngest.readMultiline(spark, s"$dir/r.json")
+    val flat = JsonIngest.castTimestamps(
+      JsonIngest.flatten(JsonIngest.tag(raw, "keyword", "Iceland")),
+      "items_snippet_publishedAt")
+    val rows = flat.orderBy("items_id_videoId").collect()
+    assert(rows.length == 2)
+    val cols = flat.columns.toSet
+    assert(Set("keyword", "etag", "nextPageToken", "items_id_videoId",
+      "items_snippet_title", "items_snippet_publishedAt").subsetOf(cols))
+    assert(rows(0).getAs[String]("items_id_videoId") == "v1")
+    assert(rows(0).getAs[String]("keyword") == "Iceland")
+    assert(flat.schema("items_snippet_publishedAt").dataType.typeName == "timestamp")
+  }
+
+  test("DeltaLite: append, dedup-append, time travel, overwrite") {
+    import spark.implicits._
+    val t = DeltaLite(spark, tmp("graft-table"))
+    val b1 = Seq(("v1", "t1"), ("v2", "t2")).toDF("videoId", "title")
+    val b2 = Seq(("v2", "t2x"), ("v3", "t3")).toDF("videoId", "title")
+
+    assert(t.append(b1) == 0)
+    assert(t.dedupAppend(b2, "videoId") == 1)
+    // v2 was a duplicate — only v3 appended
+    assert(t.read().count() == 3)
+    assert(t.read().filter($"videoId" === "v2").count() == 1)
+    // time travel to v0
+    assert(t.readAsOf(0).count() == 2)
+    // overwrite resets
+    t.overwrite(Seq(("v9", "t9")).toDF("videoId", "title"))
+    assert(t.read().count() == 1)
+    assert(t.readAsOf(1).count() == 3)
+  }
+
+  test("DeltaLite: schema enforcement rejects drifted batch") {
+    import spark.implicits._
+    val t = DeltaLite(spark, tmp("graft-schema"))
+    t.append(Seq(("v1", 1L)).toDF("videoId", "n"))
+    val drifted = Seq(("v2", "oops")).toDF("videoId", "n")
+    val e = intercept[IllegalArgumentException](t.append(drifted))
+    assert(e.getMessage.contains("schema mismatch"))
+  }
+
+  test("Pipeline.run: reference job loop is idempotent on the key") {
+    val raw = tmp("graft-raw")
+    val t = DeltaLite(spark, tmp("graft-pipe"))
+    val keyword = Countries.pick(seed = 42L)._2
+    val pipe = new Pipeline(spark, () => payload, raw,
+      df => JsonIngest.castTimestamps(
+        JsonIngest.flatten(JsonIngest.tag(df, "keyword", keyword)),
+        "items_snippet_publishedAt"),
+      t, dedupKey = "items_id_videoId")
+    val (_, v1) = pipe.run("search_1")
+    assert(v1 == 0 && t.read().count() == 2)
+    val (_, v2) = pipe.run("search_2") // same payload again
+    assert(v2 == 1 && t.read().count() == 2) // no duplicates appended
+  }
+
+  test("Countries: deterministic pick from ISO data") {
+    assert(Countries.all.size > 200)
+    assert(Countries.pick(42L) == Countries.pick(42L))
+    assert(Countries.all.exists(_._1 == "IS"))
+  }
+
+  test("etl queries: json extract and dedup append invariants") {
+    val je = queries.Etl.jsonExtract(spark, sf).collect()
+    assert(je.nonEmpty && je.forall(_.getAs[Int]("k") >= 50))
+    val da = queries.Etl.dedupAppend(spark, sf)
+    assert(da.filter(col("doc_id") % 10 === 0).count() == 0)
+    assert(da.count() > 0)
+  }
+}

@@ -9,7 +9,7 @@ object SharedSpark {
 }
 
 trait SparkSpec extends AnyFunSuite {
-  def spark: SparkSession = SharedSpark.spark
+  lazy val spark: SparkSession = SharedSpark.spark
   /** Small SF for specs; the driver's DuckDB gate runs sf0.01. */
   val sf: String = "/root/testdata/sf0.001"
   val sf01: String = "/root/testdata/sf0.01"
