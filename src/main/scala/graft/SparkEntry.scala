@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Etl, Relational}
+import graft.queries.{Etl, Relational, Text, Vectors}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -35,6 +35,17 @@ object SparkEntry {
     "q_lag_lead" -> (Relational.qLagLead _),
     "etl_json_extract" -> (Etl.jsonExtract _),
     "etl_dedup_append" -> (Etl.dedupAppend _),
+    "text_token_count" -> (Text.tokenCount _),
+    "text_quality" -> (Text.quality _),
+    "text_langid" -> (Text.langid _),
+    "text_fingerprint" -> (Text.fingerprint _),
+    "dedup_exact" -> (Text.dedupExact _),
+    "dedup_minhash_lsh" -> (Text.dedupMinhash _),
+    "dedup_simhash" -> (Text.dedupSimhash _),
+    "dedup_ngram_jaccard" -> (Text.dedupNgramJaccard _),
+    "dedup_embedding" -> (Text.dedupEmbedding _),
+    "ann_bruteforce_topk" -> (Vectors.annBruteForce _),
+    "ann_lsh_topk" -> (Vectors.annLsh _),
   )
 
   /** DuckDB-dialect oracle for each key in `queries`. */
@@ -177,5 +188,73 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM documents e
         |                  WHERE e.doc_id = d.doc_id AND e.doc_id % 10 = 0)
         |ORDER BY doc_id""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS bpe_tokens,
+        |  n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |  0.4 * (CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE) / CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT))
+        |  + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / n_chars)
+        |  + 0.2 * least(1.0, CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0)
+        |  + 0.1 * (1.0 - CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) / n_chars) AS quality
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','and','of','to','in'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('el','la','los','de','que'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('der','die','und','das','ist'))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('le','les','et','dans','est'))) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('de5','shi4','le5','zai4','he2'))) AS BIGINT) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+        |       WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+        |       WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+        |       WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+        |       WHEN s_zh = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'zh'
+        |       ELSE 'und' END AS pred,
+        |  s_en, s_es, s_de, s_fr, s_zh
+        |FROM scored
+        |ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """WITH input AS (
+        |  SELECT doc_id, text, lang, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text, lang, source
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |keyed AS (
+        |  SELECT doc_id, lang, source,
+        |    MIN(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS keep
+        |  FROM input)
+        |SELECT doc_id, lang, source FROM keyed WHERE doc_id = keep
+        |ORDER BY doc_id""".stripMargin,
+    "ann_bruteforce_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(qv, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM q, embeddings e
+        |  WHERE e.vec_id <> query_id)
+        |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM s) t
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
   )
 }

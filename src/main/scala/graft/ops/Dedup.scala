@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus deduplication operators (SURVEY.md §2d).
+  *
+  * Scale posture: every near-dup method is bucketed — candidates come
+  * from equality joins on band/bucket keys (shuffle on the key, linear
+  * in corpus size for bounded bucket sizes), never from an O(n²) cross
+  * join. Exact verification happens only within candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content fingerprint, keep the smallest id.
+    * One shuffle on the 128-bit fingerprint.
+    */
+  def exactSurvivors(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val w = Window.partitionBy(fp)
+    docs.withColumn("__keep", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("__keep"))
+      .drop("__keep")
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** Deterministic universal-hash parameters for MinHash permutations:
+    * h_i(x) = (a_i * x + b_i) mod P over a 31-bit prime. Seeded, so
+    * signatures are stable across runs/executors.
+    */
+  private val Prime = 2147483647L // 2^31 - 1
+  private def perms(numPerm: Int, seed: Long): Seq[(Long, Long)] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(numPerm)((1L + r.nextInt(Int.MaxValue - 1).toLong,
+      r.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** (id, signature array<long>) — one row per doc. The explode is the
+    * only row blowup (docs × shingles) and collapses immediately in the
+    * per-doc min-aggregate (map-side partial).
+    */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+      nGram: Int = 3, numPerm: Int = 64, seed: Long = 7L): DataFrame = {
+    val shingled = docs.select(col(idCol),
+      explode(array_distinct(TextAnalysis.wordNgrams(col(textCol), nGram)))
+        .as("__sh"))
+      // 31-bit positive shingle hash feeding the permutation family
+      .withColumn("__h", pmod(xxhash64(col("__sh")), lit(Prime)))
+    val mins = perms(numPerm, seed).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("__h") * a + b, lit(Prime))).as(s"__s$i")
+    }
+    shingled.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numPerm).map(i => col(s"__s$i")): _*).as("signature"))
+  }
+
+  /** LSH banding: signature → (band, bandHash) keys; docs sharing any
+    * band bucket become candidate pairs; pairs are scored by estimated
+    * Jaccard (fraction of matching signature components) and filtered.
+    * Returns (id_a, id_b, est_jaccard), id_a < id_b.
+    */
+  def minhashPairs(docs: DataFrame, textCol: String, idCol: String,
+      nGram: Int = 3, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, seed: Long = 7L): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val rowsPerBand = numPerm / bands
+    val sigs = minhashSignatures(docs, textCol, idCol, nGram, numPerm, seed)
+
+    val bandKeys = (0 until bands).map { b =>
+      xxhash64(concat_ws(",",
+        (0 until rowsPerBand).map(r => col("signature")(b * rowsPerBand + r)): _*))
+    }
+    val banded = sigs.select(col(idCol).as("id"), col("signature"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bandkey")))
+
+    val a = banded.select(col("band"), col("bandkey"),
+      col("id").as("id_a"), col("signature").as("sig_a"))
+    val b = banded.select(col("band"), col("bandkey"),
+      col("id").as("id_b"), col("signature").as("sig_b"))
+    val cand = a.join(b, Seq("band", "bandkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .dropDuplicates("id_a", "id_b")
+
+    cand.withColumn("est_jaccard",
+      aggregate(zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / numPerm)
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash per doc: per-feature 64-bit hashes vote on each bit;
+    * the sign of the vote sets the bit. Features are word 3-gram
+    * shingles — unigrams don't discriminate on small shared
+    * vocabularies. One explode + one 64-column aggregate — a single
+    * shuffle on the doc id.
+    */
+  def simhash(docs: DataFrame, textCol: String, idCol: String,
+      nGram: Int = 3): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(array_distinct(TextAnalysis.wordNgrams(col(textCol), nGram)))
+        .as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"__v$i")
+    }
+    val bits = (0 until 64).map { i =>
+      when(col(s"__v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }
+    toks.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), bits.reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** Candidate pairs within Hamming distance `hamMax`, found by chunk
+    * banding (a pair within distance d must agree on ≥1 of d+1 chunks —
+    * 8 × 8-bit chunks guarantees d ≤ 7), verified with bit_count(xor).
+    */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
+      hamMax: Int = 7, nGram: Int = 3): DataFrame = {
+    require(hamMax <= 7, "8-chunk banding only guarantees hamming ≤ 7")
+    val sigs = simhash(docs, textCol, idCol, nGram)
+    val chunks = (0 until 8).map(j =>
+      shiftrightunsigned(col("simhash"), j * 8).bitwiseAND(0xFFL))
+    val banded = sigs.select(col(idCol).as("id"), col("simhash"),
+      posexplode(array(chunks: _*)).as(Seq("chunk", "chunkval")))
+    val a = banded.select(col("chunk"), col("chunkval"),
+      col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("chunk"), col("chunkval"),
+      col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("chunk", "chunkval"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= hamMax)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+  }
+
+  // ----------------------------------------------------- exact n-gram Jaccard
+
+  /** Exact n-gram Jaccard for given candidate pairs (id_a, id_b):
+    * set-intersection via an equality join on the shingle, never a
+    * per-pair recomputation of full sets.
+    */
+  def ngramJaccard(docs: DataFrame, candidates: DataFrame, textCol: String,
+      idCol: String, nGram: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(array_distinct(TextAnalysis.wordNgrams(col(textCol), nGram)))
+        .as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val common = candidates
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .filter(col("sh_a") === col("sh_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ------------------------------------------------------- embedding near-dup
+
+  /** Near-duplicate pairs by embedding cosine ≥ threshold. Candidates
+    * from multi-table random-hyperplane LSH (union over tables →
+    * near-certain recall for genuinely close vectors); exact cosine
+    * verified per candidate pair only.
+    */
+  def embeddingPairs(emb: DataFrame, vecCol: String, idCol: String,
+      threshold: Double = 0.9, planes: Int = 8, tables: Int = 4,
+      seed: Long = 11L): DataFrame = {
+    val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      posexplode(Similarity.hyperplaneTables(col(vecCol), planes, tables, seed))
+        .as(Seq("table", "bucket")))
+    val a = bucketed.select(col("table"), col("bucket"),
+      col("id").as("id_a"), col("v").as("v_a"))
+    val b = bucketed.select(col("table"), col("bucket"),
+      col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

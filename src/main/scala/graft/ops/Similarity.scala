@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search (SURVEY.md §2e).
+  *
+  * Vector math is built from `zip_with`/`aggregate` higher-order
+  * expressions — codegen'd columnar math, no UDF, so a scan computing a
+  * million cosines stays in WholeStageCodegen. Elements are cast to
+  * double before multiply so results match any engine doing double
+  * arithmetic (floats widen exactly).
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random hyperplanes for sign-LSH. */
+  private[ops] def planeVectors(planes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)(r.nextGaussian()))
+  }
+
+  /** Random-hyperplane LSH bucket id: bit j = sign(v · plane_j). Two
+    * vectors at cosine angle θ collide with prob (1 - θ/π)^planes —
+    * bucket count tunes recall vs. candidate volume.
+    */
+  def hyperplaneBucket(vec: Column, planes: Int = 12, seed: Long = 11L,
+      dim: Int = 64): Column = {
+    val pvs = planeVectors(planes, dim, seed)
+    pvs.zipWithIndex.map { case (p, j) =>
+      when(dot(vec, typedlit(p)) > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Multi-table LSH: one bucket id per table (each table = `planes`
+    * hyperplanes under a salted seed). Candidates are unioned across
+    * tables, driving miss probability down exponentially in the table
+    * count: P(miss) = (1 - (1-θ/π)^planes)^tables.
+    */
+  def hyperplaneTables(vec: Column, planes: Int, tables: Int,
+      seed: Long = 11L, dim: Int = 64): Column =
+    array((0 until tables).map(t =>
+      hyperplaneBucket(vec, planes, seed + 1000L * t, dim)): _*)
+
+  /** Exact brute-force cosine top-k: broadcast the (small) query set,
+    * one pass over candidates computing cosine map-side, then rank.
+    * The only shuffle is the final per-query top-k (tiny).
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.join(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Multi-table LSH approximate top-k: queries probe their bucket in
+    * each table; candidates are unioned and deduped before exact
+    * scoring. The scale path — per-query candidate volume is
+    * tables × bucket size, not the corpus. Recall vs. bruteForceTopK
+    * is asserted in specs.
+    */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, vecCol: String,
+      idCol: String, k: Int, planes: Int = 5, tables: Int = 6,
+      seed: Long = 11L): DataFrame = {
+    def banded(df: DataFrame, id: String, v: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(v),
+        posexplode(hyperplaneTables(col(vecCol), planes, tables, seed))
+          .as(Seq("table", "bucket")))
+    val q = banded(queries, "query_id", "qv")
+    val c = banded(candidates, "neighbor_id", "cv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("table", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders (SURVEY.md §2f). Everything here is a
+  * plain Catalyst expression tree — codegen'd, no UDFs — so the whole
+  * document pipeline stays inside WholeStageCodegen and scales linearly
+  * over a 100 TB corpus scan.
+  *
+  * Determinism contract: each builder has an exact DuckDB translation
+  * (see SparkEntry.oracleSql) — same regex semantics (ASCII classes),
+  * same parse-tree shape for float arithmetic.
+  */
+object TextAnalysis {
+
+  /** lower + trim + collapse runs of whitespace — the canonical form
+    * shared by fingerprinting and dedup.
+    */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+")).cast("long")
+
+  /** BPE-ish token count: word runs + single non-word-non-space chars —
+    * the pre-merge token stream a byte-pair encoder would start from.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0))).cast("long")
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\p{Punct}"), lit(0))).cast("long")
+
+  def upperCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Z]"), lit(0))).cast("long")
+
+  /** Count of tokens present in `words` (lower-cased token match). */
+  def markerCount(text: Column, words: Seq[String]): Column =
+    size(filter(split(lower(text), " "),
+      x => x.isin(words.map(_.asInstanceOf[Any]): _*))).cast("long")
+
+  /** Composite quality score in [0,1]: stopword share up, punctuation
+    * and shouting down, mild length prior. The exact formula matters
+    * less than that it's cheap, monotone in the obvious signals, and
+    * reproducible in SQL.
+    */
+  def qualityScore(text: Column, nChars: Column): Column = {
+    val nTok = wsTokenCount(text)
+    val stopRatio = markerCount(text, QualityStopwords).cast("double") / nTok
+    val punctRatio = punctCount(text).cast("double") / nChars
+    val upperRatio = upperCount(text).cast("double") / nChars
+    lit(0.4) * stopRatio + lit(0.3) * (lit(1.0) - punctRatio) +
+      lit(0.2) * least(lit(1.0), nTok.cast("double") / lit(100.0)) +
+      lit(0.1) * (lit(1.0) - upperRatio)
+  }
+
+  val QualityStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  /** Stopword-profile language ID. Returns (scores per lang, argmax with
+    * fixed precedence order). Synthetic corpora won't make this accurate
+    * — the operator demonstrates the scalable shape: per-language marker
+    * counts in one pass, argmax as a case-chain.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "es" -> Seq("el", "la", "los", "de", "que"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "et", "dans", "est"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    LangMarkers.map { case (l, ws) => l -> markerCount(text, ws) }
+
+  def langPredict(text: Column): Column = {
+    val scores = langScores(text)
+    // first maximum in declaration order (deterministic tie-break)
+    val best = scores.tail.foldLeft(scores.head._2)((m, s) => greatest(m, s._2))
+    scores.foldRight(lit("und")) { case ((l, s), els) =>
+      when(s === best, lit(l)).otherwise(els)
+    }
+  }
+
+  /** 128-bit content fingerprint of the normalized text. */
+  def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
+
+  /** Word n-gram shingles of the normalized text (array column). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = split(normalize(text), " ")
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Dedup, TextAnalysis => TA}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis + dedup queries over `documents` (SURVEY.md §2d/2f).
+  *
+  * The synthetic corpus carries natural near-duplicate document pairs
+  * (word-3-gram Jaccard ≥ 0.95), so the text near-dup operators run on
+  * the raw table and must surface them. Embeddings have no natural
+  * near-dups (max cosine ≈ 0.48), so the embedding query plants
+  * perturbed copies inside the plan and must find exactly those.
+  */
+object Text {
+
+  def tokenCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        TA.wsTokenCount($"text").as("ws_tokens"),
+        TA.bpeTokenCount($"text").as("bpe_tokens"),
+        $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", TA.wsTokenCount($"text").as("ws_tokens"),
+        TA.qualityScore($"text", $"n_chars").as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  def langid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scores = TA.langScores($"text")
+    Tables.documents(s, dir)
+      .select(Seq($"doc_id", $"lang", TA.langPredict($"text").as("pred")) ++
+        scores.map { case (l, c) => c.as(s"s_$l") }: _*)
+      .orderBy($"doc_id")
+  }
+
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", TA.fingerprint($"text").as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  /** documents ∪ planted exact copies (doc_id+10000 for doc_id ≡ 0 mod
+    * 25) → exact dedup keeps precisely the originals.
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val planted = docs.filter($"doc_id" % 25 === 0)
+      .withColumn("doc_id", $"doc_id" + 10000)
+    Dedup.exactSurvivors(docs.unionAll(planted), "text", "doc_id")
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.minhashPairs(Tables.documents(s, dir), "text", "doc_id",
+      threshold = 0.5)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.simhashPairs(Tables.documents(s, dir), "text", "doc_id",
+      hamMax = 7)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val input = Tables.documents(s, dir)
+    val candidates = Dedup.minhashPairs(input, "text", "doc_id",
+      threshold = 0.3).select("id_a", "id_b")
+    Dedup.ngramJaccard(input, candidates, "text", "doc_id")
+      .filter($"jaccard" >= 0.8)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    // additive perturbation — multiplicative would be cosine-invariant
+    val planted = emb.filter($"vec_id" % 50 === 0)
+      .withColumn("vec_id", $"vec_id" + 10000)
+      .withColumn("embedding", transform($"embedding",
+        (x, i) => x.cast("double") +
+          when(i % 7 === 0, lit(0.05)).otherwise(lit(-0.01))))
+    val base = emb.withColumn("embedding",
+      transform($"embedding", x => x.cast("double")))
+    Dedup.embeddingPairs(base.unionAll(planted), "embedding", "vec_id",
+      threshold = 0.95)
+      .select($"id_a", $"id_b", round($"cosine", 6).as("cosine"))
+      .orderBy($"id_a", $"id_b")
+  }
+}

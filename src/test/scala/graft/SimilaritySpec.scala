@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.Similarity
+import graft.queries.Vectors
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine column math: unit vectors, self-similarity 1") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0)),
+      (3L, Seq(1.0, 1.0, 0.0)))
+      .toDF("id", "v")
+    val m = df.select($"id", Similarity.cosine($"v", $"v").as("self")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    m.values.foreach(v => assert(math.abs(v - 1.0) < 1e-12))
+    val cross = df.as("a").join(df.as("b"), $"a.id" < $"b.id")
+      .select($"a.id", $"b.id", Similarity.cosine($"a.v", $"b.v").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(cross((1L, 2L))) < 1e-12) // orthogonal
+    assert(math.abs(cross((1L, 3L)) - math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("brute force topk: ranks dense 1..k, cosine descending per query") {
+    val rows = Vectors.annBruteForce(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val ranked = rs.sortBy(_.getAs[Long]("rank"))
+      assert(ranked.map(_.getAs[Long]("rank")).toSeq == (1L to ranked.length))
+      val cos = ranked.map(_.getAs[Double]("cosine")).toSeq
+      assert(cos == cos.sortBy(-_))
+      assert(ranked.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
+    }
+  }
+
+  test("LSH topk: recall@10 vs brute force is nontrivial, plan broadcasts") {
+    val bf = Vectors.annBruteForce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val lsh = Vectors.annLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(lsh.nonEmpty)
+    // uniform random 64-dim corpus = worst case for LSH (no genuinely
+    // close neighbors); multi-table union still has to beat chance.
+    // Deterministic (fixed seeds + data) — calibrated from a measured run.
+    val recall = bf.intersect(lsh).size.toDouble / bf.size
+    info(s"recall@10 = $recall")
+    assert(recall > 0.25, s"recall@10 = $recall")
+    val plan = physicalPlan(Vectors.annBruteForce(spark, sf))
+    assert(plan.contains("Broadcast"))
+  }
+
+  test("hyperplane bucket is deterministic across invocations") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf).limit(50)
+      .withColumn("embedding", transform($"embedding", x => x.cast("double")))
+    val b1 = emb.select($"vec_id", Similarity.hyperplaneBucket($"embedding").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = emb.select($"vec_id", Similarity.hyperplaneBucket($"embedding").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 == b2)
+  }
+}
