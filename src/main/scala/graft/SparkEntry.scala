@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Etl, Relational, Text, Vectors}
+import graft.queries.{Etl, Events, Relational, Text, Vectors}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -46,6 +46,19 @@ object SparkEntry {
     "dedup_embedding" -> (Text.dedupEmbedding _),
     "ann_bruteforce_topk" -> (Vectors.annBruteForce _),
     "ann_lsh_topk" -> (Vectors.annLsh _),
+    "q_events_tumbling" -> (Events.tumbling _),
+    "q_events_sessionize" -> (Events.sessionize _),
+    "q_events_user_stats" -> (Events.userStats _),
+    "q_pivot_events" -> (Events.pivotDaily _),
+    "mm_binary_meta" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.Multimodal.decodeFeatures(
+        graft.ops.Multimodal.fromDocuments(graft.Tables.documents(s, dir)))
+        .groupBy(col("modality"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("n_bytes")).as("total_bytes"))
+        .orderBy(col("modality"))
+    }),
   )
 
   /** DuckDB-dialect oracle for each key in `queries`. */
@@ -256,5 +269,59 @@ object SparkEntry {
         |  FROM s) t
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    "q_events_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "q_events_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS t_start, MAX(ts) AS t_end,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM sessions
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q_events_user_stats" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q_pivot_events" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT CASE CAST(doc_id % 3 AS INTEGER)
+        |         WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
   )
 }

@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Time-series queries over `events` (SURVEY.md §2c). Batch shapes here;
+  * the incremental/streaming equivalents live in graft.streaming.
+  */
+object Events {
+
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(12, 2))).cast("double")
+
+  /** Tumbling 1-hour windows: the batch twin of the streaming windowed
+    * aggregation (single shuffle on the truncated hour).
+    */
+  def tumbling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .orderBy($"hour")
+  }
+
+  /** Sessionization as gaps-and-islands: one shuffle on user_id, then
+    * window functions — no iterative driver logic. 30-minute gap.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapUs = 1800L * 1000000L
+    Tables.events(s, dir)
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+      .withColumn("new_sess",
+        when($"prev_us".isNull || unix_micros($"ts") - $"prev_us" > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts").as("t_start"), max($"ts").as("t_end"),
+        dsum($"value").as("sum_value"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  /** Per-user stats with per-type conditional counts — the
+    * high-cardinality groupBy shape (AQE handles user skew at scale).
+    */
+  def userStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val typeCounts = types.map(t =>
+      count(when($"event_type" === t, 1)).as(s"n_$t"))
+    val aggs = count(lit(1)).as("n_events") +: typeCounts :+
+      dsum($"value").as("sum_value")
+    Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy($"user_id")
+  }
+
+  /** Day × event-type pivot via the DataFrame pivot API (explicit value
+    * list keeps the plan static — required for a deterministic schema
+    * at scale; nulls from absent combos filled to 0).
+    */
+  def pivotDaily(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    Tables.events(s, dir)
+      .groupBy(date_trunc("day", $"ts").cast("date").as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy($"day")
+  }
+}

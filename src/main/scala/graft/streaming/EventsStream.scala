@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+import scala.collection.mutable.ArrayBuffer
+
+/** Structured Streaming over the events stream (SURVEY.md §2c):
+  * watermarked windowed aggregation and stateful sessionization. The
+  * reference automates its batch pipeline with a job scheduler; the
+  * streaming expression of the same logic is incremental state instead
+  * of re-runs.
+  */
+case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+case class SessionAcc(start: Long, end: Long, n: Long, sum: Double)
+
+case class SessionOut(user_id: Long, t_start: Timestamp, t_end: Timestamp,
+    n_events: Long, sum_value: Double)
+
+object EventsStream {
+
+  /** Watermarked tumbling-window counts per event type. Late data beyond
+    * the watermark is dropped; state is bounded by (watermark horizon /
+    * window) × |types|.
+    */
+  def windowedCounts(events: DataFrame, watermark: String = "30 minutes",
+      win: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+  /** Stateful sessionization with `flatMapGroupsWithState`: per-user
+    * session state, closed either by a gap-exceeding event or by event-
+    * time timeout at (session end + gap) past the watermark. Emits only
+    * closed sessions (append mode).
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+      watermark: String = "30 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        updateSessions(gapMs))
+  }
+
+  private[streaming] def updateSessions(gapMs: Long)(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[SessionAcc]): Iterator[SessionOut] = {
+    val out = ArrayBuffer.empty[SessionOut]
+    def close(s: SessionAcc): Unit =
+      out += SessionOut(userId, new Timestamp(s.start), new Timestamp(s.end),
+        s.n, s.sum)
+
+    if (state.hasTimedOut) {
+      state.getOption.foreach(close)
+      state.remove()
+    } else {
+      var cur = state.getOption
+      // micro-batch iterators are not time-ordered — sort before folding
+      events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.end <= gapMs =>
+            cur = Some(SessionAcc(s.start, math.max(s.end, t), s.n + 1,
+              s.sum + e.value))
+          case Some(s) =>
+            close(s)
+            cur = Some(SessionAcc(t, t, 1L, e.value))
+          case None =>
+            cur = Some(SessionAcc(t, t, 1L, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.end + gapMs)
+      }
+    }
+    out.iterator
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.streaming.{Event, EventsStream}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowed counts with watermark over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventsStream.windowedCounts(input.toDF(), "10 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 2.0),
+        Event(3, ts(31), 2, "view", 3.0))
+      query.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+      val byType = rows.map(r => r.getAs[String]("event_type") ->
+        r.getAs[Long]("n_events")).toMap
+      assert(byType == Map("click" -> 2L, "view" -> 1L))
+    } finally query.stop()
+  }
+
+  test("stateful sessionization: sessions close on gap and on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventsStream.sessionize(input.toDS(), gapMinutes = 30,
+      watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then 40-min gap
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "view", 2.0))
+      query.processAllAvailable()
+      // next batch advances watermark past 10:35 → closes session on gap
+      input.addData(Event(3, ts(50), 1, "click", 4.0))
+      query.processAllAvailable()
+      // advance event time far enough that the 10:50 session times out
+      input.addData(Event(4, Timestamp.valueOf("2024-01-01 12:30:00"), 2, "view", 1.0))
+      query.processAllAvailable()
+      input.addData(Event(5, Timestamp.valueOf("2024-01-01 14:00:00"), 2, "view", 1.0))
+      query.processAllAvailable()
+
+      val rows = spark.table("sessions").collect()
+      val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+        .map(r => (r.getAs[Timestamp]("t_start"), r.getAs[Timestamp]("t_end"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+      assert(u1.contains((ts(0), ts(5), 2L, 3.0)), s"got $u1")
+      assert(u1.exists(s => s._1 == ts(50) && s._3 == 1L), s"got $u1")
+    } finally query.stop()
+  }
+}
