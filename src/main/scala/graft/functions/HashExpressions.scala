@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Custom Catalyst expressions for the sketch hot path (SURVEY.md §2d).
+  *
+  * Spark's higher-order array functions (`transform`/`aggregate`) are
+  * interpreted per element — a 64-permutation MinHash over ~60 shingles
+  * costs ~4k boxed lambda evaluations per row. These expressions do the
+  * same math as one `eval` per row with tight primitive loops (JIT'd),
+  * keeping signature generation map-only (no explode, no shuffle):
+  * the shape that scans a 100 TB corpus embarrassingly parallel.
+  */
+
+/** 64-permutation MinHash signature from an array of 31-bit positive
+  * shingle hashes: sig[i] = min over h of (h·a_i + b_i) mod P.
+  */
+case class MinHashSignature(child: Expression, numPerm: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  private val P = 2147483647L // 2^31 - 1
+
+  // same parameter stream as a seeded Random drawing (a, b) pairs
+  @transient private lazy val (as, bs): (Array[Long], Array[Long]) = {
+    val r = new scala.util.Random(seed)
+    val a = new Array[Long](numPerm)
+    val b = new Array[Long](numPerm)
+    var i = 0
+    while (i < numPerm) {
+      a(i) = 1L + r.nextInt(Int.MaxValue - 1).toLong
+      b(i) = r.nextInt(Int.MaxValue).toLong
+      i += 1
+    }
+    (a, b)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = Array.fill(numPerm)(P)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < numPerm) {
+        val v = (h * as(i) + bs(i)) % P
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash from an array of 64-bit feature hashes: bit i is set
+  * iff Σ over hashes of (bit i set ? +1 : −1) is positive.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) sig |= (1L << i)
+      i += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct hashed word n-gram shingles from a token array — skips
+  * materializing shingle strings entirely: each token is XXH64-hashed
+  * once, n-gram hashes chain the token hashes, and dedup happens on the
+  * hash values. `mod31` folds results into [0, 2^31) for the MinHash
+  * permutation family; otherwise full 64-bit (SimHash / set joins).
+  * Fewer than n tokens → one shingle over all tokens (matches
+  * TextAnalysis.wordNgrams semantics).
+  */
+case class NgramHashes(child: Expression, n: Int, mod31: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+  private val P = 2147483647L
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = input.asInstanceOf[ArrayData]
+    val numTok = arr.numElements()
+    val tokHash = new Array[Long](numTok)
+    var i = 0
+    while (i < numTok) {
+      val s = arr.getUTF8String(i)
+      tokHash(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+        s.numBytes, 42L)
+      i += 1
+    }
+    val win = math.min(n, math.max(numTok, 1))
+    val m = math.max(numTok - win + 1, if (numTok == 0) 0 else 1)
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var c = 42L
+      var j = 0
+      while (j < win && i + j < numTok) {
+        c = XXH64.hashLong(tokHash(i + j), c)
+        j += 1
+      }
+      out(i) = if (mod31) ((c % P) + P) % P else c
+      i += 1
+    }
+    // distinct by hash value
+    java.util.Arrays.sort(out)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashFunctions {
+  /** Column API for [[MinHashSignature]]; input: array<long> of 31-bit
+    * positive shingle hashes.
+    */
+  def minhash_signature(hashes: Column, numPerm: Int = 64,
+      seed: Long = 7L): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(hashes), numPerm, seed))
+
+  /** Column API for [[SimHash64]]; input: array<long> of feature hashes. */
+  def simhash64(hashes: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(hashes)))
+
+  /** Column API for [[NgramHashes]]; input: array<string> tokens. */
+  def ngram_hashes(tokens: Column, n: Int, mod31: Boolean): Column =
+    Bridge.column(NgramHashes(Bridge.expression(tokens), n, mod31))
+}

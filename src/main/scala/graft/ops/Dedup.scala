@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Corpus deduplication operators (SURVEY.md §2d).
   *
@@ -26,35 +27,31 @@ object Dedup {
 
   // ---------------------------------------------------------------- MinHash
 
-  /** Deterministic universal-hash parameters for MinHash permutations:
-    * h_i(x) = (a_i * x + b_i) mod P over a 31-bit prime. Seeded, so
-    * signatures are stable across runs/executors.
+  /** MinHash permutation family h_i(x) = (a_i·x + b_i) mod P lives in
+    * [[graft.functions.MinHashSignature]] (seeded → stable across
+    * runs/executors); P is shared here for the shingle pre-hash.
     */
   private val Prime = 2147483647L // 2^31 - 1
-  private def perms(numPerm: Int, seed: Long): Seq[(Long, Long)] = {
-    val r = new scala.util.Random(seed)
-    Seq.fill(numPerm)((1L + r.nextInt(Int.MaxValue - 1).toLong,
-      r.nextInt(Int.MaxValue).toLong))
-  }
 
-  /** (id, signature array<long>) — one row per doc. The explode is the
-    * only row blowup (docs × shingles) and collapses immediately in the
-    * per-doc min-aggregate (map-side partial).
+  /** (id, signature array<long>) — one row per doc, computed entirely
+    * per-row (shingles → hashes → per-permutation array_min as nested
+    * array expressions). NO explode, NO groupBy, NO shuffle: signature
+    * generation over a 100 TB corpus is a map-only scan. Each
+    * intermediate is projected to its own column so Catalyst keeps it
+    * materialized once per row (multi-referenced aliases don't
+    * collapse).
     */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
       nGram: Int = 3, numPerm: Int = 64, seed: Long = 7L): DataFrame = {
-    val shingled = docs.select(col(idCol),
-      explode(array_distinct(TextAnalysis.wordNgrams(col(textCol), nGram)))
-        .as("__sh"))
-      // 31-bit positive shingle hash feeding the permutation family
-      .withColumn("__h", pmod(xxhash64(col("__sh")), lit(Prime)))
-    val mins = perms(numPerm, seed).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("__h") * a + b, lit(Prime))).as(s"__s$i")
-    }
-    shingled.groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
+    docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      // distinct 31-bit shingle hashes, no string materialization
       .select(col(idCol),
-        array((0 until numPerm).map(i => col(s"__s$i")): _*).as("signature"))
+        graft.functions.HashFunctions.ngram_hashes(col("__toks"), nGram,
+          mod31 = true).as("__h"))
+      .select(col(idCol),
+        graft.functions.HashFunctions.minhash_signature(col("__h"), numPerm, seed)
+          .as("signature"))
   }
 
   /** LSH banding: signature → (band, bandHash) keys; docs sharing any
@@ -67,7 +64,12 @@ object Dedup {
       threshold: Double = 0.5, seed: Long = 7L): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val rowsPerBand = numPerm / bands
+    // The signature table feeds both sides of the bucket self-join (and
+    // the verify stage). Without persisting, Catalyst re-executes the
+    // full shingle→hash→64-min-agg subtree once per reference — the
+    // standard LSH pattern (cf. Spark MLlib LSH) is to materialize it.
     val sigs = minhashSignatures(docs, textCol, idCol, nGram, numPerm, seed)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val bandKeys = (0 until bands).map { b =>
       xxhash64(concat_ws(",",
@@ -75,6 +77,7 @@ object Dedup {
     }
     val banded = sigs.select(col(idCol).as("id"), col("signature"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bandkey")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val a = banded.select(col("band"), col("bandkey"),
       col("id").as("id_a"), col("signature").as("sig_a"))
@@ -98,25 +101,18 @@ object Dedup {
   /** 64-bit SimHash per doc: per-feature 64-bit hashes vote on each bit;
     * the sign of the vote sets the bit. Features are word 3-gram
     * shingles — unigrams don't discriminate on small shared
-    * vocabularies. One explode + one 64-column aggregate — a single
-    * shuffle on the doc id.
+    * vocabularies. Computed per-row with array expressions (vote vector
+    * folded over the shingle hashes) — map-only, no shuffle.
     */
   def simhash(docs: DataFrame, textCol: String, idCol: String,
       nGram: Int = 3): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(array_distinct(TextAnalysis.wordNgrams(col(textCol), nGram)))
-        .as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
-    val votes = (0 until 64).map { i =>
-      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"__v$i")
-    }
-    val bits = (0 until 64).map { i =>
-      when(col(s"__v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }
-    toks.groupBy(col(idCol))
-      .agg(votes.head, votes.tail: _*)
-      .select(col(idCol), bits.reduce(_.bitwiseOR(_)).as("simhash"))
+    docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        graft.functions.HashFunctions.ngram_hashes(col("__toks"), nGram,
+          mod31 = false).as("__h"))
+      .select(col(idCol),
+        graft.functions.HashFunctions.simhash64(col("__h")).as("simhash"))
   }
 
   /** Candidate pairs within Hamming distance `hamMax`, found by chunk
@@ -129,8 +125,10 @@ object Dedup {
     val sigs = simhash(docs, textCol, idCol, nGram)
     val chunks = (0 until 8).map(j =>
       shiftrightunsigned(col("simhash"), j * 8).bitwiseAND(0xFFL))
+    // both sides of the self-join read this — materialize once
     val banded = sigs.select(col(idCol).as("id"), col("simhash"),
       posexplode(array(chunks: _*)).as(Seq("chunk", "chunkval")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("chunk"), col("chunkval"),
       col("id").as("id_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("chunk"), col("chunkval"),
@@ -151,11 +149,18 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, candidates: DataFrame, textCol: String,
       idCol: String, nGram: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      explode(array_distinct(TextAnalysis.wordNgrams(col(textCol), nGram)))
-        .as("sh"))
+    // shingle table is read 3× (two pair sides + sizes) and the
+    // candidate set twice — materialize both, or the upstream LSH DAG
+    // re-executes once per reference
+    val sh = docs
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        explode(graft.functions.HashFunctions.ngram_hashes(col("__toks"), nGram,
+          mod31 = false)).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = candidates.persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val common = candidates
+    val common = cand
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
       .filter(col("sh_a") === col("sh_b"))
@@ -182,6 +187,7 @@ object Dedup {
     val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       posexplode(Similarity.hyperplaneTables(col(vecCol), planes, tables, seed))
         .as(Seq("table", "bucket")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = bucketed.select(col("table"), col("bucket"),
       col("id").as("id_a"), col("v").as("v_a"))
     val b = bucketed.select(col("table"), col("bucket"),

@@ -14,13 +14,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** HOF fallback forms — kept for composability with arbitrary array
+    * expressions; hot paths use the native expressions below.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Native single-pass cosine (graft.functions.CosineSimilarity) —
+    * bit-identical to dot/(norm·norm) with sequential folds.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.vector_cosine(a, b)
 
   /** Deterministic pseudo-random hyperplanes for sign-LSH. */
   private[ops] def planeVectors(planes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
@@ -33,22 +40,19 @@ object Similarity {
     * bucket count tunes recall vs. candidate volume.
     */
   def hyperplaneBucket(vec: Column, planes: Int = 12, seed: Long = 11L,
-      dim: Int = 64): Column = {
-    val pvs = planeVectors(planes, dim, seed)
-    pvs.zipWithIndex.map { case (p, j) =>
-      when(dot(vec, typedlit(p)) > 0, shiftleft(lit(1L), j)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
-  }
+      dim: Int = 64): Column =
+    element_at(hyperplaneTables(vec, planes, 1, seed, dim), 1)
 
   /** Multi-table LSH: one bucket id per table (each table = `planes`
     * hyperplanes under a salted seed). Candidates are unioned across
     * tables, driving miss probability down exponentially in the table
-    * count: P(miss) = (1 - (1-θ/π)^planes)^tables.
+    * count: P(miss) = (1 - (1-θ/π)^planes)^tables. Native expression —
+    * one pass over the vector per (table, plane).
     */
   def hyperplaneTables(vec: Column, planes: Int, tables: Int,
       seed: Long = 11L, dim: Int = 64): Column =
-    array((0 until tables).map(t =>
-      hyperplaneBucket(vec, planes, seed + 1000L * t, dim)): _*)
+    graft.functions.VectorFunctions.hyperplane_buckets(vec, planes, tables,
+      seed, dim)
 
   /** Exact brute-force cosine top-k: broadcast the (small) query set,
     * one pass over candidates computing cosine map-side, then rank.

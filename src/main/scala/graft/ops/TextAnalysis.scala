@@ -86,11 +86,22 @@ object TextAnalysis {
   /** 128-bit content fingerprint of the normalized text. */
   def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
 
-  /** Word n-gram shingles of the normalized text (array column). */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = split(normalize(text), " ")
+  /** Normalized whitespace tokens. Project this to its own column
+    * before feeding `ngramsFromTokens` — a multiply-referenced alias is
+    * NOT collapsed by Catalyst, so the regex normalize+split runs once
+    * per row instead of once per n-gram element.
+    */
+  def tokens(text: Column): Column = split(normalize(text), " ")
+
+  /** Word n-grams from a (materialized) token array column. */
+  def ngramsFromTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+
+  /** Word n-gram shingles of the normalized text (array column).
+    * Column-level convenience; hot paths should project `tokens` first.
+    */
+  def wordNgrams(text: Column, n: Int): Column =
+    ngramsFromTokens(tokens(text), n)
 }

@@ -95,8 +95,7 @@ object Text {
       .withColumn("embedding", transform($"embedding",
         (x, i) => x.cast("double") +
           when(i % 7 === 0, lit(0.05)).otherwise(lit(-0.01))))
-    val base = emb.withColumn("embedding",
-      transform($"embedding", x => x.cast("double")))
+    val base = emb.withColumn("embedding", $"embedding".cast("array<double>"))
     Dedup.embeddingPairs(base.unionAll(planted), "embedding", "vec_id",
       threshold = 0.95)
       .select($"id_a", $"id_b", round($"cosine", 6).as("cosine"))
