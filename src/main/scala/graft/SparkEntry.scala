@@ -29,6 +29,7 @@ object SparkEntry {
     "q_distinct_agg" -> (Relational.qDistinctAgg _),
     "q_window_running" -> (Relational.qWindowRunning _),
     "q_topk_per_group" -> (Relational.qTopkPerGroup _),
+    "q_topk_custom" -> (Relational.qTopkCustom _),
     "q_sort_limit" -> (Relational.qSortLimit _),
     "q_scalar_subquery" -> (Relational.qScalarSubquery _),
     "q_union_dedup" -> (Relational.qUnionDedup _),
@@ -163,6 +164,14 @@ object SparkEntry {
         |  FROM orders) t
         |WHERE rk <= 3
         |ORDER BY o_orderpriority, rk""".stripMargin,
+    "q_topk_custom" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
     "q_sort_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders

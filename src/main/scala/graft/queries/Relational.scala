@@ -187,6 +187,21 @@ object Relational {
       .orderBy($"o_orderpriority", $"rk")
   }
 
+  /** Same top-3-per-priority result through the custom whole-operator
+    * plan (graft.plans.TopKPerGroup: bounded per-group heaps instead of
+    * a window sort — see its scaladoc for the O(n log k) argument).
+    */
+  def qTopkCustom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.plans.TopK.perGroup(
+      Tables.orders(s, dir),
+      groupCols = Seq($"o_orderpriority"),
+      orderBy = Seq($"o_totalprice".desc, $"o_orderkey"),
+      k = 3)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_orderpriority", $"o_totalprice".desc, $"o_orderkey")
+  }
+
   /** Global order + limit → TakeOrderedAndProject (per-partition top-k
     * then merge; never a full sort at scale).
     */

@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface (SURVEY.md §3). The reference lands multiline
+  * JSON and serves queries from parquet-backed tables; Graft exposes the
+  * same formats plus the write-side layout controls that matter at
+  * 100 TB: partitioned directories for pruning and bucketed tables for
+  * shuffle-free joins.
+  */
+object Sources {
+
+  /** Parquet read with an enforced schema (skips footer inference and
+    * fails loudly on drift — the scan still prunes columns/filters).
+    */
+  def parquet(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame =
+    schema.fold(spark.read.parquet(path))(s =>
+      spark.read.schema(s).parquet(path))
+
+  /** Multiline ("pretty-printed API response") JSON, as the reference
+    * ingests; schema optional to skip the expensive inference pass.
+    */
+  def multilineJson(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("multiline", "true")
+    schema.fold(r.json(path))(s => r.schema(s).json(path))
+  }
+
+  /** Line-delimited JSON — the streaming/scale-friendly JSON layout
+    * (splittable, unlike multiline).
+    */
+  def jsonLines(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r.json(path))(s => r.schema(s).json(path))
+  }
+
+  def csv(spark: SparkSession, path: String, header: Boolean = true,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("header", header.toString)
+    schema.fold(r.option("inferSchema", "true").csv(path))(s =>
+      r.schema(s).csv(path))
+  }
+
+  /** Hive-style partitioned parquet: directory per partition value →
+    * partition pruning turns predicate-on-partition-col queries into
+    * partial scans. Keep partition cardinality bounded (a date or a
+    * small enum, not a user id).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed + sorted managed table: joins/aggregations on the bucket
+    * key skip the shuffle entirely when both sides share the layout.
+    * (Bucketing requires saveAsTable — path-only parquet has no bucket
+    * metadata.)
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+}
