@@ -26,6 +26,7 @@ object SparkEntry {
     "q6_revenue_forecast" -> (Relational.q6RevenueForecast _),
     "q_anti_join" -> (Relational.qAntiJoin _),
     "q_rollup" -> (Relational.qRollup _),
+    "q_cube" -> (Relational.qCube _),
     "q_distinct_agg" -> (Relational.qDistinctAgg _),
     "q_window_running" -> (Relational.qWindowRunning _),
     "q_topk_per_group" -> (Relational.qTopkPerGroup _),
@@ -47,6 +48,7 @@ object SparkEntry {
     "dedup_embedding" -> (Text.dedupEmbedding _),
     "ann_bruteforce_topk" -> (Vectors.annBruteForce _),
     "ann_lsh_topk" -> (Vectors.annLsh _),
+    "ann_ivf_topk" -> (Vectors.annIvf _),
     "q_events_tumbling" -> (Events.tumbling _),
     "q_events_sessionize" -> (Events.sessionize _),
     "q_events_user_stats" -> (Events.userStats _),
@@ -134,6 +136,12 @@ object SparkEntry {
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
         |FROM customer
         |GROUP BY ROLLUP(c_nationkey, c_mktsegment)
+        |ORDER BY c_nationkey NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |GROUP BY CUBE(c_nationkey, c_mktsegment)
         |ORDER BY c_nationkey NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
     "q_distinct_agg" ->
       """SELECT l_returnflag,

@@ -106,6 +106,18 @@ class DeltaLite(spark: SparkSession, root: String) {
     commit(fresh, "append")
   }
 
+  /** Merge/upsert: batch rows replace same-key rows, new keys append —
+    * the UPSERT half of a MERGE INTO. One anti-join + an overwrite
+    * commit; old versions stay readable via time travel.
+    */
+  def upsert(df: DataFrame, key: String): Int = {
+    enforceSchema(df)
+    val merged = if (latestVersion.isDefined)
+      read().join(df.select(key), Seq(key), "left_anti").unionByName(df)
+    else df
+    commit(merged, "overwrite")
+  }
+
   /** Current snapshot. */
   def read(): DataFrame = readAsOf(Int.MaxValue)
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Vector math as native Catalyst expressions (SURVEY.md §2e).
   *
@@ -98,9 +98,48 @@ case class HyperplaneBuckets(child: Expression, planes: Int, tables: Int,
     copy(child = newChild)
 }
 
+/** Ids of the `nprobe` nearest centroids by cosine, nearest first —
+  * the IVF assignment/probe kernel. Centroids ride along as literal
+  * model state inside the expression (k × dim doubles).
+  */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
+    nprobe: Int) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val getV = VecRead.get(child.dataType)
+  @transient private lazy val centroidNorms: Array[Double] =
+    centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val sims = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val m = math.min(n, cent.length)
+      var dot = 0.0; var nv = 0.0
+      var i = 0
+      while (i < m) { val x = getV(v, i); dot += x * cent(i); nv += x * x; i += 1 }
+      sims(c) = dot / (math.sqrt(nv) * centroidNorms(c))
+      c += 1
+    }
+    val order = sims.indices.sortBy(i => (-sims(i), i)).take(nprobe)
+    new GenericArrayData(order.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   def vector_cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  def nearest_centroids(vec: Column, centroids: Array[Array[Double]],
+      nprobe: Int): Column =
+    Bridge.column(NearestCentroids(Bridge.expression(vec), centroids, nprobe))
 
   def hyperplane_buckets(vec: Column, planes: Int, tables: Int,
       seed: Long = 11L, dim: Int = 64): Column =

@@ -72,6 +72,66 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  // ----------------------------------------------------------------- IVF
+
+  /** Train an IVF coarse quantizer: deterministic seeded init (corpus
+    * rows in hash order) + `iters` Lloyd steps, all as Spark plans; the
+    * centroid matrix itself is tiny model state (k × dim) held on the
+    * driver, as any learned model is.
+    */
+  def trainIvfCentroids(corpus: DataFrame, vecCol: String, k: Int = 16,
+      iters: Int = 2): Array[Array[Double]] = {
+    var centroids = corpus
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .orderBy(hash(col("v")))
+      .limit(k)
+      .collect().map(_.getSeq[Double](0).toArray)
+    for (_ <- 0 until iters) {
+      val assigned = corpus.select(col(vecCol).as("v"),
+        element_at(graft.functions.VectorFunctions.nearest_centroids(
+          col(vecCol), centroids, 1), 1).as("cluster"))
+      // mean per (cluster, dim): k×dim cells — trivially collectable
+      val means = assigned
+        .select(col("cluster"), posexplode(col("v").cast("array<double>"))
+          .as(Seq("pos", "x")))
+        .groupBy("cluster", "pos").agg(avg("x").as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getAs[Int]("cluster"))
+      centroids = centroids.indices.map { c =>
+        byCluster.get(c) match {
+          case Some(rows) => rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toArray
+          case None => centroids(c) // empty cluster keeps its centroid
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  /** IVF approximate top-k: corpus rows live in their nearest-centroid
+    * cell; queries probe the `nprobe` nearest cells. Candidate volume
+    * per query ≈ nprobe/k of the corpus — the inverted-file scale path,
+    * complementary to LSH (data-adaptive cells vs oblivious planes).
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, vecCol: String,
+      idCol: String, k: Int, centroids: Array[Array[Double]],
+      nprobe: Int = 3): DataFrame = {
+    import graft.functions.VectorFunctions.nearest_centroids
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      element_at(nearest_centroids(col(vecCol), centroids, 1), 1).as("cluster"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      posexplode(nearest_centroids(col(vecCol), centroids, nprobe))
+        .as(Seq("probe", "cluster")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** Multi-table LSH approximate top-k: queries probe their bucket in
     * each table; candidates are unioned and deduped before exact
     * scoring. The scale path — per-query candidate volume is

@@ -144,6 +144,15 @@ object Relational {
       .orderBy($"c_nationkey".asc_nulls_first, $"c_mktsegment".asc_nulls_first)
   }
 
+  /** CUBE over nation×segment: all four grouping sets in one pass. */
+  def qCube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .cube($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"), dsum($"c_acctbal").as("sum_bal"))
+      .orderBy($"c_nationkey".asc_nulls_first, $"c_mktsegment".asc_nulls_first)
+  }
+
   /** Exact + approximate distinct aggregation over the fact table. */
   def qDistinctAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -21,6 +21,21 @@ object Vectors {
       .orderBy($"query_id", $"rank")
   }
 
+  /** IVF approximate top-10: data-adaptive coarse quantizer (seeded
+    * k-means-lite) with nprobe cells per query — the inverted-file
+    * scale path; recall vs brute force asserted in specs.
+    */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val centroids = Similarity.trainIvfCentroids(emb, "embedding", k = 16, iters = 2)
+    Similarity.ivfTopK(
+      emb.filter($"vec_id" < 8), emb, "embedding", "vec_id", k = 10,
+      centroids, nprobe = 4)
+      .select($"query_id", $"rank", $"neighbor_id", round($"cosine", 6).as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
   /** LSH-bucketed approximate top-10 — the 100 TB path; recall vs the
     * brute force baseline is asserted in specs.
     */

@@ -68,6 +68,18 @@ class EtlSpec extends SparkSpec {
     assert(t.readAsOf(1).count() == 3)
   }
 
+  test("DeltaLite: upsert replaces matched keys, appends new, keeps history") {
+    import spark.implicits._
+    val t = DeltaLite(spark, tmp("graft-upsert"))
+    t.append(Seq(("v1", "old1"), ("v2", "old2")).toDF("videoId", "title"))
+    t.upsert(Seq(("v2", "new2"), ("v3", "new3")).toDF("videoId", "title"), "videoId")
+    val now = t.read().collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(now == Map("v1" -> "old1", "v2" -> "new2", "v3" -> "new3"))
+    // pre-upsert state still readable
+    val before = t.readAsOf(0).collect().map(_.getString(1)).toSet
+    assert(before == Set("old1", "old2"))
+  }
+
   test("DeltaLite: schema enforcement rejects drifted batch") {
     import spark.implicits._
     val t = DeltaLite(spark, tmp("graft-schema"))

@@ -75,6 +75,17 @@ class RelationalSpec extends SparkSpec {
     assert(total.getAs[Long]("n_cust") == Tables.customer(spark, sf).count())
   }
 
+  test("cube: contains rollup's sets plus segment-only margins") {
+    val cube = Relational.qCube(spark, sf).collect()
+    val rollup = Relational.qRollup(spark, sf).collect()
+    assert(cube.length > rollup.length)
+    val total = cube.find(r => r.isNullAt(0) && r.isNullAt(1)).get
+    assert(total.getAs[Long]("n_cust") == Tables.customer(spark, sf).count())
+    // segment-only margin rows exist in cube but not rollup
+    assert(cube.exists(r => r.isNullAt(0) && !r.isNullAt(1)))
+    assert(!rollup.exists(r => r.isNullAt(0) && !r.isNullAt(1)))
+  }
+
   test("window running: per-partition running sum is monotone") {
     val rows = Relational.qWindowRunning(spark, sf).collect()
     rows.groupBy(_.getAs[Long]("l_suppkey")).foreach { case (_, rs) =>

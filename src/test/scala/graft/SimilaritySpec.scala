@@ -51,6 +51,24 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("Broadcast"))
   }
 
+  test("IVF topk: trained centroids, recall vs brute force, probe bound") {
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = Similarity.trainIvfCentroids(emb, "embedding", k = 16, iters = 2)
+    assert(centroids.length == 16 && centroids.forall(_.length == 64))
+    // training is deterministic
+    val again = Similarity.trainIvfCentroids(emb, "embedding", k = 16, iters = 2)
+    assert(centroids.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    val bf = Vectors.annBruteForce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Vectors.annIvf(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(ivf.nonEmpty)
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    info(s"IVF recall@10 = $recall")
+    assert(recall > 0.25, s"recall@10 = $recall")
+  }
+
   test("hyperplane bucket is deterministic across invocations") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf).limit(50)
