@@ -220,17 +220,17 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
-        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS bpe_tokens,
         |  n_chars
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
-        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
-        |  0.4 * (CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE) / CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT))
+        |  CAST(len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS BIGINT) AS ws_tokens,
+        |  0.4 * (CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE) / CAST(len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS BIGINT))
         |  + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / n_chars)
-        |  + 0.2 * least(1.0, CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0)
+        |  + 0.2 * least(1.0, CAST(len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS DOUBLE) / 100.0)
         |  + 0.1 * (1.0 - CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) / n_chars) AS quality
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
@@ -255,7 +255,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
-        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
@@ -266,7 +266,7 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 25 = 0),
         |keyed AS (
         |  SELECT doc_id, lang, source,
-        |    MIN(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS keep
+        |    MIN(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS keep
         |  FROM input)
         |SELECT doc_id, lang, source FROM keyed WHERE doc_id = keep
         |ORDER BY doc_id""".stripMargin,

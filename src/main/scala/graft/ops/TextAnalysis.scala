@@ -14,15 +14,19 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** lower + trim + collapse runs of whitespace — the canonical form
-    * shared by fingerprinting and dedup.
+  /** lower + collapse runs of whitespace + trim — the canonical form
+    * shared by fingerprinting and dedup. Collapse happens BEFORE the
+    * trim: `trim` only strips spaces, so a leading tab would otherwise
+    * survive as a leading space (found by PropertySpec).
     */
   def normalize(text: Column): Column =
-    regexp_replace(lower(trim(text)), "\\s+", " ")
+    trim(regexp_replace(lower(text), "\\s+", " "))
 
-  /** Whitespace token count. */
+  /** Whitespace token count (regex-trimmed so tabs/newlines at the
+    * edges don't produce phantom empty tokens).
+    */
   def wsTokenCount(text: Column): Column =
-    size(split(trim(text), "\\s+")).cast("long")
+    size(split(regexp_replace(text, "^\\s+|\\s+$", ""), "\\s+")).cast("long")
 
   /** BPE-ish token count: word runs + single non-word-non-space chars —
     * the pre-merge token stream a byte-pair encoder would start from.

@@ -16,7 +16,7 @@ import scala.collection.mutable.ArrayBuffer
 case class Event(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
-case class SessionAcc(start: Long, end: Long, n: Long, sum: Double)
+case class SessionAcc(start: Timestamp, end: Timestamp, n: Long, sum: Double)
 
 case class SessionOut(user_id: Long, t_start: Timestamp, t_end: Timestamp,
     n_events: Long, sum_value: Double)
@@ -48,13 +48,19 @@ object EventsStream {
         updateSessions(gapMs))
   }
 
+  /** Microsecond-precision epoch value — Timestamp.getTime is only ms
+    * and would silently truncate against the batch sessionizer.
+    */
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
   private[streaming] def updateSessions(gapMs: Long)(
       userId: Long, events: Iterator[Event],
       state: GroupState[SessionAcc]): Iterator[SessionOut] = {
+    val gapUs = gapMs * 1000L
     val out = ArrayBuffer.empty[SessionOut]
     def close(s: SessionAcc): Unit =
-      out += SessionOut(userId, new Timestamp(s.start), new Timestamp(s.end),
-        s.n, s.sum)
+      out += SessionOut(userId, s.start, s.end, s.n, s.sum)
 
     if (state.hasTimedOut) {
       state.getOption.foreach(close)
@@ -62,22 +68,21 @@ object EventsStream {
     } else {
       var cur = state.getOption
       // micro-batch iterators are not time-ordered — sort before folding
-      events.toSeq.sortBy(_.ts.getTime).foreach { e =>
-        val t = e.ts.getTime
+      events.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
         cur match {
-          case Some(s) if t - s.end <= gapMs =>
-            cur = Some(SessionAcc(s.start, math.max(s.end, t), s.n + 1,
-              s.sum + e.value))
+          case Some(s) if micros(e.ts) - micros(s.end) <= gapUs =>
+            val end = if (micros(e.ts) > micros(s.end)) e.ts else s.end
+            cur = Some(SessionAcc(s.start, end, s.n + 1, s.sum + e.value))
           case Some(s) =>
             close(s)
-            cur = Some(SessionAcc(t, t, 1L, e.value))
+            cur = Some(SessionAcc(e.ts, e.ts, 1L, e.value))
           case None =>
-            cur = Some(SessionAcc(t, t, 1L, e.value))
+            cur = Some(SessionAcc(e.ts, e.ts, 1L, e.value))
         }
       }
       cur.foreach { s =>
         state.update(s)
-        state.setTimeoutTimestamp(s.end + gapMs)
+        state.setTimeoutTimestamp(s.end.getTime + gapMs)
       }
     }
     out.iterator

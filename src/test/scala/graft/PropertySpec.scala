@@ -1,0 +1,74 @@
+package graft
+
+import graft.ops.{TextAnalysis => TA}
+import graft.plans.TopK
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-style tests: ScalaCheck generators (fixed seed → no flake),
+  * evaluated through the real Spark expressions in one batch per
+  * property.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val messyText: Gen[String] = for {
+    words <- Gen.listOfN(12, Gen.oneOf(
+      "the", "Cat", "DOG", "a", "an", "run!", "x,y", "zebra", "", " ", "\t"))
+    sep <- Gen.oneOf(" ", "  ", " \t ")
+  } yield words.mkString(sep)
+
+  test("property: normalize is idempotent and case/whitespace canonical") {
+    import spark.implicits._
+    val df = samples(messyText, 200).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val rows = df.select($"id", TA.normalize($"text").as("n1"),
+      TA.normalize(TA.normalize($"text")).as("n2")).collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2)) // idempotent
+      val n = r.getString(1)
+      assert(!n.contains("  ") && n == n.toLowerCase) // canonical
+    }
+  }
+
+  test("property: fingerprint invariant under whitespace/case noise") {
+    import spark.implicits._
+    val base = samples(Gen.listOfN(8, Gen.alphaStr.suchThat(_.nonEmpty)), 100)
+      .map(_.mkString(" "))
+    val df = base.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "  " + t.toUpperCase.replace(" ", "   ") + " ")
+    }.toDF("id", "clean", "noisy")
+    val rows = df.select(TA.fingerprint($"clean").as("a"),
+      TA.fingerprint($"noisy").as("b")).collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("property: ws tokens never exceed bpe tokens on nonempty text") {
+    import spark.implicits._
+    val df = samples(messyText.suchThat(_.trim.nonEmpty), 200).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val rows = df.select(TA.wsTokenCount($"text").as("ws"),
+      TA.bpeTokenCount($"text").as("bpe")).collect()
+    rows.foreach(r => assert(r.getLong(0) <= r.getLong(1) || r.getLong(1) == 0))
+  }
+
+  test("property: TopK.perGroup equals per-group sort-take on random data") {
+    import spark.implicits._
+    val gen = for {
+      g <- Gen.choose(0, 5)
+      v <- Gen.choose(-1000, 1000)
+    } yield (g, v)
+    val data = samples(gen, 400).zipWithIndex
+      .map { case ((g, v), i) => (i.toLong, g, v) }
+    val df = data.toDF("id", "grp", "v")
+    val got = TopK.perGroup(df, Seq($"grp"), Seq($"v".desc, $"id"), k = 5)
+      .collect().map(r => (r.getAs[Int]("grp"), r.getAs[Long]("id"))).toSet
+    val want = data.groupBy(_._2).toSeq.flatMap { case (g, rows) =>
+      rows.sortBy(t => (-t._3, t._1)).take(5).map(t => (g, t._1))
+    }.toSet
+    assert(got == want)
+  }
+}
