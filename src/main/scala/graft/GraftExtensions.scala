@@ -1,13 +1,53 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** `spark.sql.extensions=graft.GraftExtensions` injects the engine's
-  * custom planner strategies into any session at build time; the
-  * programmatic path (`graft.plans.TopK.register`) does the same on a
-  * live session.
+  * custom planner strategies and SQL functions into any session at
+  * build time; the programmatic path (`graft.plans.TopK.register`,
+  * `GraftExtensions.registerFunctions`) does the same on a live
+  * session.
+  *
+  * SQL surface: `graft_minhash(hashes)`, `graft_simhash(hashes)`,
+  * `graft_ngram_hashes(tokens, n)`, `graft_cosine(a, b)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  import GraftExtensions._
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    functions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+  }
+}
+
+object GraftExtensions {
+  import graft.functions._
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_minhash",
+      info("graft_minhash", "graft_minhash(hashes) - 64-perm MinHash signature"),
+      (args: Seq[Expression]) => MinHashSignature(args.head, 64, 7L)),
+    ("graft_simhash",
+      info("graft_simhash", "graft_simhash(hashes) - 64-bit SimHash"),
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    ("graft_ngram_hashes",
+      info("graft_ngram_hashes", "graft_ngram_hashes(tokens, n) - distinct hashed word n-grams"),
+      (args: Seq[Expression]) => NgramHashes(args.head,
+        args(1).eval().asInstanceOf[Int], mod31 = false)),
+    ("graft_cosine",
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two vectors"),
+      (args: Seq[Expression]) => CosineSimilarity(args.head, args(1))))
+
+  /** Register the SQL functions on a live session (idempotent). */
+  def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
 }

@@ -27,6 +27,7 @@ object SparkEntry {
     "q_anti_join" -> (Relational.qAntiJoin _),
     "q_rollup" -> (Relational.qRollup _),
     "q_cube" -> (Relational.qCube _),
+    "q_having" -> (Relational.qHaving _),
     "q_distinct_agg" -> (Relational.qDistinctAgg _),
     "q_window_running" -> (Relational.qWindowRunning _),
     "q_topk_per_group" -> (Relational.qTopkPerGroup _),
@@ -143,6 +144,13 @@ object SparkEntry {
         |FROM customer
         |GROUP BY CUBE(c_nationkey, c_mktsegment)
         |ORDER BY c_nationkey NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+    "q_having" ->
+      """SELECT l_suppkey, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem
+        |GROUP BY l_suppkey
+        |HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 1500.0
+        |ORDER BY l_suppkey""".stripMargin,
     "q_distinct_agg" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,

@@ -144,6 +144,19 @@ object Relational {
       .orderBy($"c_nationkey".asc_nulls_first, $"c_mktsegment".asc_nulls_first)
   }
 
+  /** GROUP BY + HAVING: post-aggregation predicate (suppliers whose
+    * shipped volume clears a floor). HAVING is just a filter above the
+    * aggregate — Catalyst keeps the partial-agg pipeline intact.
+    */
+  def qHaving(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n_lines"), dsum($"l_quantity").as("total_qty"))
+      .filter($"total_qty" > 1500.0)
+      .orderBy($"l_suppkey")
+  }
+
   /** CUBE over nation×segment: all four grouping sets in one pass. */
   def qCube(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The custom expressions exposed through plain SQL — the warehouse
+  * user's path (reference README's "data analysts just write SQL").
+  */
+class SqlFunctionsSpec extends SparkSpec {
+
+  test("graft_* functions callable from spark.sql") {
+    GraftExtensions.registerFunctions(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_v")
+    val row = spark.sql(
+      """SELECT doc_id,
+        |  graft_simhash(graft_ngram_hashes(split(lower(text), ' '), 3)) AS sh,
+        |  size(graft_minhash(graft_ngram_hashes(split(lower(text), ' '), 3))) AS sig_len
+        |FROM docs_v ORDER BY doc_id LIMIT 1""".stripMargin).collect().head
+    assert(row.getAs[Long]("sh") != 0L)
+    assert(row.getAs[Int]("sig_len") == 64)
+
+    val cos = spark.sql(
+      "SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .collect().head.getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+  }
+
+  test("sql functions agree with the column API") {
+    GraftExtensions.registerFunctions(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_v2")
+    import graft.ops.Dedup
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_simhash(graft_ngram_hashes(
+        |  split(trim(regexp_replace(lower(text), '\\s+', ' ')), ' '), 3)) AS simhash
+        |FROM docs_v2""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaApi = Dedup.simhash(Tables.documents(spark, sf), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaApi)
+  }
+}
