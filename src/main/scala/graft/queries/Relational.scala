@@ -144,6 +144,50 @@ object Relational {
       .orderBy($"c_nationkey".asc_nulls_first, $"c_mktsegment".asc_nulls_first)
   }
 
+  /** Volume shipping between two nations (TPC-H Q7 shape, public spec):
+    * fact joins shuffle on the order key; both nation dims broadcast;
+    * year extraction groups the revenue.
+    */
+  def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n1 = Tables.nation(s, dir)
+      .select($"n_nationkey".as("s_nkey"), $"n_name".as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select($"n_nationkey".as("c_nkey"), $"n_name".as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n1), $"s_nationkey" === $"s_nkey")
+      .join(broadcast(n2), $"c_nationkey" === $"c_nkey")
+      .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
+        ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").as("l_year"))
+      .agg(sum(dec($"l_extendedprice") * (dec(lit(1)) - dec($"l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  /** Returned-item reporting (TPC-H Q10 shape): top 20 customers by
+    * revenue lost to returns in a quarter.
+    */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_returnflag" === "R")
+      .join(Tables.orders(s, dir)
+        .filter($"o_orderdate" >= ts("1997-01-01 00:00:00") &&
+          $"o_orderdate" < ts("1997-04-01 00:00:00")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey", $"c_name", $"c_mktsegment", $"c_acctbal")
+      .agg(sum(dec($"l_extendedprice") * (dec(lit(1)) - dec($"l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
   /** GROUP BY + HAVING: post-aggregation predicate (suppliers whose
     * shipped volume clears a floor). HAVING is just a filter above the
     * aggregate — Catalyst keeps the partial-agg pipeline intact.

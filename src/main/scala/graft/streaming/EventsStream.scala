@@ -23,6 +23,23 @@ case class SessionOut(user_id: Long, t_start: Timestamp, t_end: Timestamp,
 
 object EventsStream {
 
+  /** File-source stream over the events table: new parquet files landing
+    * in `dir` become micro-batches (the streaming twin of
+    * Tables.events, including the nano→micro timestamp conversion).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Watermarked tumbling-window counts per event type. Late data beyond
     * the watermark is dropped; state is bounded by (watermark horizon /
     * window) × |types|.

@@ -31,6 +31,19 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("file-source stream over events.parquet: totals match batch") {
+    val query = EventsStream.windowedCounts(
+      EventsStream.readEvents(spark, sf), "1 hour", "1 day")
+      .writeStream.format("memory").queryName("file_counts")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("file_counts").collect()
+        .map(_.getAs[Long]("n_events")).sum
+      assert(streamed == Tables.events(spark, sf).count())
+    } finally query.stop()
+  }
+
   test("stateful sessionization: sessions close on gap and on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
