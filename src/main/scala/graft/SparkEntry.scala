@@ -306,6 +306,55 @@ object SparkEntry {
         |  FROM input)
         |SELECT doc_id, lang, source FROM keyed WHERE doc_id = keep
         |ORDER BY doc_id""".stripMargin,
+    // Exact n-gram Jaccard is deterministic math: the LSH stage only
+    // proposes candidates, and at threshold 0.3 / 16 bands its miss
+    // probability for a true j>=0.8 pair is ~2e-4 (the corpus's natural
+    // near-dups are j>=0.95, miss ~2e-12) — so all-pairs DuckDB ground
+    // truth and the Spark plan agree on this data.
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(generate_series(1, len(t) - 2),
+        |                i -> array_to_string(t[i:i+2], ' ')) END)) AS sh
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(common AS DOUBLE) / (na.n + nb.n - common) AS jaccard
+        |FROM pairs
+        |JOIN sizes na ON na.doc_id = id_a
+        |JOIN sizes nb ON nb.doc_id = id_b
+        |WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    // Exact cosine over planted perturbations (natural max cosine ~0.48,
+    // planted ~1.0 — nothing near the 0.95 boundary); DuckDB lambda index
+    // is 1-based where Spark's transform index is 0-based, hence (i-1).
+    "dedup_embedding" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000 AS vec_id,
+        |    list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) +
+        |      CASE WHEN (i - 1) % 7 = 0 THEN 0.05 ELSE -0.01 END) AS v
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+        |    / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cosine
+        |  FROM base a, base b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cosine, 6) AS cosine FROM pairs
+        |WHERE cosine >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin,
     "ann_bruteforce_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
