@@ -40,7 +40,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated subset for local profiling runs
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.contains(n))
+    }
+    val results = selected.map { case (name, fn) =>
       name -> (0 until iters).map(_ => timeOnce(name, fn)).min
     }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")

@@ -2,7 +2,13 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Session factory with the engine's standard configuration.
+/** Session factory with the engine's standard configuration, plus the
+  * analyst-facing SQL catalog surface: the reference's users query
+  * Delta tables by name from a SQL warehouse
+  * (/root/reference/README.md "Using Delta Tables for Queries"); Graft
+  * re-expresses that as temp views over the testdata star schema plus
+  * the graft_* SQL functions, so `spark.sql("SELECT … FROM lineitem")`
+  * works end-to-end on any session.
   *
   * Local testing runs `local[N]` in one JVM; on a real cluster the same
   * configs apply per-executor. AQE is on so skewed shuffles re-plan at
@@ -32,6 +38,24 @@ object GraftSession {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark
+  }
+
+  val TableNames: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  /** Register every testdata table as a temp view (events with the
+    * nanos→micros ts conversion applied, like Tables.events) and the
+    * graft_* SQL functions. Idempotent; returns the session for
+    * chaining.
+    */
+  def withTables(spark: SparkSession, dir: String): SparkSession = {
+    TableNames.foreach {
+      case "events" => Tables.events(spark, dir).createOrReplaceTempView("events")
+      case n => Tables.table(spark, dir, n).createOrReplaceTempView(n)
+    }
+    GraftExtensions.registerFunctions(spark)
     spark
   }
 }

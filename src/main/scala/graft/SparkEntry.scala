@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Etl, Events, Relational, Text, Vectors}
+import graft.queries.{Etl, Events, Relational, Temporal, Text, Vectors}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -38,6 +38,9 @@ object SparkEntry {
     "q_scalar_subquery" -> (Relational.qScalarSubquery _),
     "q_union_dedup" -> (Relational.qUnionDedup _),
     "q_lag_lead" -> (Relational.qLagLead _),
+    // the analyst path: SQL text against the registered view catalog
+    "q_sql_catalog" -> ((s: SparkSession, dir: String) =>
+      GraftSession.withTables(s, dir).sql(SqlCatalogQuery)),
     "etl_json_extract" -> (Etl.jsonExtract _),
     "etl_dedup_append" -> (Etl.dedupAppend _),
     "text_token_count" -> (Text.tokenCount _),
@@ -54,8 +57,19 @@ object SparkEntry {
     "ann_ivf_topk" -> (Vectors.annIvf _),
     "q_events_tumbling" -> (Events.tumbling _),
     "q_events_sessionize" -> (Events.sessionize _),
+    "q_asof_join" -> (Temporal.qAsofJoin _),
+    "q_range_join" -> (Temporal.qRangeJoin _),
     "q_events_user_stats" -> (Events.userStats _),
     "q_pivot_events" -> (Events.pivotDaily _),
+    "mm_image_decode" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.Multimodal.decodeImages(
+        graft.ops.Multimodal.syntheticImages(s, n = 24))
+        .toDF()
+        .select(col("id"), col("width"), col("height"), col("n_pixels"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy(col("id"))
+    }),
     "mm_binary_meta" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       graft.ops.Multimodal.decodeFeatures(
@@ -67,8 +81,19 @@ object SparkEntry {
     }),
   )
 
+  /** Runs verbatim in Spark SQL (via GraftSession.withTables views) and
+    * in DuckDB — one string, two engines, same answer.
+    */
+  private val SqlCatalogQuery =
+    """SELECT n_name, COUNT(*) AS n_supp,
+      |  CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   /** DuckDB-dialect oracle for each key in `queries`. */
   def oracleSql: Map[String, String] = Map(
+    "q_sql_catalog" -> SqlCatalogQuery,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -371,6 +396,31 @@ object SparkEntry {
         |  FROM s) t
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // rank-then-filter formulation — O(events × orders-per-user) in the
+    // oracle is fine at sf0.01; the Spark side is the union-window plan
+    "q_asof_join" ->
+      """WITH cand AS (
+        |  SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |SELECT e.event_id, e.user_id,
+        |  c.o_orderkey AS asof_orderkey, c.o_totalprice AS asof_totalprice
+        |FROM events e LEFT JOIN cand c ON c.event_id = e.event_id AND c.rn = 1
+        |ORDER BY e.event_id""".stripMargin,
+    // plain inequality join in the oracle; the Spark side buckets it
+    "q_range_join" ->
+      """WITH iv AS (
+        |  SELECT range AS interval_id,
+        |    TIMESTAMP '2024-01-01 00:00:00' + range * 3 * INTERVAL 1 DAY AS lo,
+        |    TIMESTAMP '2024-01-01 00:00:00' + (range * 3 + 2) * INTERVAL 1 DAY AS hi
+        |  FROM range(10))
+        |SELECT iv.interval_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN iv ON e.ts >= iv.lo AND e.ts < iv.hi
+        |GROUP BY iv.interval_id
+        |ORDER BY iv.interval_id""".stripMargin,
     "q_events_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
@@ -417,6 +467,27 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+    // The Spark side DECODES real PNG bytes (javax.imageio) that were
+    // rendered from this arithmetic gradient; the oracle recomputes the
+    // same stats from the formula without any codec — agreement proves
+    // the decode path end-to-end (sums are exact integers, one double
+    // division on each side).
+    "mm_image_decode" ->
+      """WITH ids AS (SELECT CAST(range AS BIGINT) AS id FROM range(24)),
+        |xs AS (SELECT range AS x FROM range(16)),
+        |ys AS (SELECT range AS y FROM range(12)),
+        |pix AS (
+        |  SELECT id,
+        |    (id * 37 + x * 16) % 256 AS r,
+        |    (id * 11 + y * 21) % 256 AS g,
+        |    (id * 53 + x + y) % 256 AS b
+        |  FROM ids, xs, ys)
+        |SELECT id, CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
+        |  CAST(192 AS BIGINT) AS n_pixels,
+        |  CAST(SUM(r) AS DOUBLE) / 192 AS mean_r,
+        |  CAST(SUM(g) AS DOUBLE) / 192 AS mean_g,
+        |  CAST(SUM(b) AS DOUBLE) / 192 AS mean_b
+        |FROM pix GROUP BY id ORDER BY id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT CASE CAST(doc_id % 3 AS INTEGER)
         |         WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,

@@ -1,35 +1,48 @@
 package graft.etl
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, input_file_name, max => fmax, min => fmin}
+import org.apache.spark.sql.types._
 
 import java.nio.charset.StandardCharsets
 
 /** A minimal versioned table format with the Delta-table properties the
   * reference relies on (/root/reference/README.md:237-248): atomic
-  * committed versions, schema enforcement, time travel, and
-  * dedup-on-append — on plain parquet + a JSON commit log.
+  * committed versions, schema enforcement, time travel, dedup-on-append
+  * and file-granular MERGE — on plain parquet + a JSON commit log.
   *
-  * Layout: `<root>/v=<n>/part-*.parquet` snapshot-data per commit and
+  * Layout: `<root>/v=<n>/part-*.parquet` data files per commit and
   * `<root>/_log/<n>.json` commit records. A commit is visible only once
   * its log file exists; the log file is written via temp-file + atomic
   * rename, so concurrent readers never see a half commit (single-writer
   * like the reference's scheduled job). All IO goes through the Hadoop
   * FileSystem API, so the same code addresses HDFS/S3A/local.
   *
-  * Reads replay the log: `append` commits add their files to the
-  * snapshot, `overwrite` commits reset it. Time travel = replay up to
-  * the requested version.
+  * The commit record tracks individual data FILES (with min/max stats
+  * of `statsKey` when configured), not whole snapshots:
+  *  - `append`    adds its files to the live set
+  *  - `overwrite` resets the live set to its files
+  *  - `rewrite`   removes the listed files, then adds its own —
+  *    the copy-on-write primitive behind file-granular [[upsert]]
+  * Reads replay the log; time travel = replay up to the requested
+  * version (removed files stay on disk, so history stays readable).
   */
-class DeltaLite(spark: SparkSession, root: String) {
+class DeltaLite(spark: SparkSession, root: String,
+    val statsKey: Option[String] = None) {
   private val rootPath = new Path(root)
   private val logDir = new Path(rootPath, "_log")
   private def fs: FileSystem =
     rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private case class Commit(version: Int, mode: String, dir: String,
-      schemaJson: String)
+  private case class FileEntry(path: String, min: Option[String],
+      max: Option[String])
+  private case class Commit(version: Int, mode: String, schemaJson: String,
+      removed: Seq[String], files: Seq[FileEntry],
+      txnApp: Option[String] = None, txnId: Option[Long] = None)
+
+  /** Scheme-independent path identity (file:/x vs file:///x vs /x). */
+  private def norm(p: String): String = new Path(p).toUri.getPath
 
   private def commits(): Seq[Commit] = {
     if (!fs.exists(logDir)) return Nil
@@ -44,20 +57,46 @@ class DeltaLite(spark: SparkSession, root: String) {
       .sortBy(_.version)
   }
 
-  // hand-rolled (de)serialization — the commit record is 4 flat fields
+  // ---- hand-rolled (de)serialization of the commit record ----
+  private def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+
   private def parseCommit(json: String): Commit = {
-    def field(k: String): String = {
+    def optField(k: String): Option[String] = {
       val m = ("\"" + k + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
-      m.findFirstMatchIn(json)
-        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
-        .getOrElse(sys.error(s"corrupt commit: missing $k in $json"))
+      m.findFirstMatchIn(json).map(m => unesc(m.group(1)))
     }
-    Commit(field("version").toInt, field("mode"), field("dir"), field("schema"))
+    def field(k: String): String = optField(k)
+      .getOrElse(sys.error(s"corrupt commit: missing $k in $json"))
+    val removed = "\"removed\":\\[(.*?)\\],\"files\"".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    val removedPaths = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findAllMatchIn(removed).map(m => unesc(m.group(1))).toSeq
+    val filesBody = "\"files\":\\[(.*)\\]\\}\\s*$".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    val fileRe = ("\\{\"path\":\"((?:[^\"\\\\]|\\\\.)*)\"," +
+      "\"min\":(null|\"(?:[^\"\\\\]|\\\\.)*\")," +
+      "\"max\":(null|\"(?:[^\"\\\\]|\\\\.)*\")\\}").r
+    def opt(s: String): Option[String] =
+      if (s == "null") None else Some(unesc(s.substring(1, s.length - 1)))
+    val files = fileRe.findAllMatchIn(filesBody).map { m =>
+      FileEntry(unesc(m.group(1)), opt(m.group(2)), opt(m.group(3)))
+    }.toSeq
+    Commit(field("version").toInt, field("mode"), field("schema"),
+      removedPaths, files, optField("txnApp"), optField("txnId").map(_.toLong))
   }
 
   private def renderCommit(c: Commit): String = {
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    s"""{"version":"${c.version}","mode":"${c.mode}","dir":"${esc(c.dir)}","schema":"${esc(c.schemaJson)}"}"""
+    def optJson(o: Option[String]) = o.map(v => "\"" + esc(v) + "\"").getOrElse("null")
+    val removed = c.removed.map(p => "\"" + esc(p) + "\"").mkString("[", ",", "]")
+    val files = c.files.map { f =>
+      s"""{"path":"${esc(f.path)}","min":${optJson(f.min)},"max":${optJson(f.max)}}"""
+    }.mkString("[", ",", "]")
+    val txn = (c.txnApp, c.txnId) match {
+      case (Some(app), Some(id)) => s""""txnApp":"${esc(app)}","txnId":"$id","""
+      case _ => ""
+    }
+    s"""{"version":"${c.version}","mode":"${c.mode}",$txn"schema":"${esc(c.schemaJson)}","removed":$removed,"files":$files}"""
   }
 
   def latestVersion: Option[Int] = commits().lastOption.map(_.version)
@@ -75,11 +114,34 @@ class DeltaLite(spark: SparkSession, root: String) {
       s"schema mismatch: table has ${a.mkString(",")} but batch has ${b.mkString(",")}")
   }
 
-  private def commit(df: DataFrame, mode: String): Int = {
+  private def commit(df: DataFrame, mode: String,
+      removed: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Int = {
     val version = latestVersion.map(_ + 1).getOrElse(0)
     val dataDir = new Path(rootPath, s"v=$version")
     df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
-    val record = Commit(version, mode, dataDir.toString, df.schema.json)
+    val dataFiles = fs.listStatus(dataDir).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    // per-file min/max of the stats key: one column-pruned pass over the
+    // just-written batch (O(batch), not O(table))
+    val stats: Map[String, (Option[String], Option[String])] = statsKey match {
+      case Some(k) if df.schema.fieldNames.contains(k) && dataFiles.nonEmpty =>
+        spark.read.schema(df.schema).parquet(dataDir.toString)
+          .select(col(k).cast("string").as("__k"), input_file_name().as("__f"))
+          .groupBy("__f").agg(fmin("__k").as("mn"), fmax("__k").as("mx"))
+          .collect()
+          .map(r => norm(r.getString(0)) ->
+            (Option(r.getString(1)), Option(r.getString(2))))
+          .toMap
+      case _ => Map.empty
+    }
+    val entries = dataFiles.map { p =>
+      val s = stats.getOrElse(norm(p.toString), (None, None))
+      FileEntry(p.toString, s._1, s._2)
+    }
+    val record = Commit(version, mode, df.schema.json, removed, entries,
+      txn.map(_._1), txn.map(_._2))
     val tmp = new Path(logDir, s".$version.json.tmp")
     val fin = new Path(logDir, s"$version.json")
     val out = fs.create(tmp, true)
@@ -106,16 +168,102 @@ class DeltaLite(spark: SparkSession, root: String) {
     commit(fresh, "append")
   }
 
+  /** Highest transaction id committed by `appId`, if any — the
+    * replay-detection half of exactly-once streaming loads.
+    */
+  def lastTxn(appId: String): Option[Long] =
+    commits().filter(_.txnApp.contains(appId)).flatMap(_.txnId).maxOption
+
+  /** Transactional append for streaming micro-batches: the commit
+    * records (appId, txnId); a replayed batch (same appId, txnId ≤ the
+    * last committed) is skipped entirely, so a foreachBatch retry after
+    * a crash-between-write-and-checkpoint cannot double-append. Returns
+    * the committed version, or None when the batch was already applied.
+    * `dedupKey` additionally drops rows whose key already exists (the
+    * reference's dedup-on-append load, streaming edition).
+    */
+  def txnAppend(df: DataFrame, appId: String, txnId: Long,
+      dedupKey: Option[String] = None): Option[Int] = {
+    enforceSchema(df)
+    if (lastTxn(appId).exists(_ >= txnId)) None
+    else {
+      val fresh = dedupKey match {
+        case Some(k) if latestVersion.isDefined =>
+          DedupAppend.newRows(df, read(), k)
+        case _ => df
+      }
+      Some(commit(fresh, "append", txn = Some((appId, txnId))))
+    }
+  }
+
   /** Merge/upsert: batch rows replace same-key rows, new keys append —
-    * the UPSERT half of a MERGE INTO. One anti-join + an overwrite
-    * commit; old versions stay readable via time travel.
+    * the UPSERT half of a MERGE INTO, file-granular: only live files
+    * whose [min,max] range of `statsKey` intersects the batch's key
+    * range are rewritten (anti-join + re-append); every other file is
+    * carried forward untouched. Write amplification is O(files that can
+    * contain matches), not O(table). Without stats (or on a different
+    * key) every file is conservatively a candidate — still correct.
+    * Old versions stay readable via time travel.
     */
   def upsert(df: DataFrame, key: String): Int = {
     enforceSchema(df)
-    val merged = if (latestVersion.isDefined)
-      read().join(df.select(key), Seq(key), "left_anti").unionByName(df)
-    else df
-    commit(merged, "overwrite")
+    if (latestVersion.isEmpty) return commit(df, "append")
+    val sch = schema.get
+    val entries = liveEntries(commits())
+    val keyType = sch(key).dataType
+    val bounds = df.agg(fmin(col(key)).cast("string"),
+      fmax(col(key)).cast("string")).collect()(0)
+    val canPrune = statsKey.contains(key) && !bounds.isNullAt(0)
+    val (touched, untouched) = entries.partition { f =>
+      !canPrune || f.min.isEmpty || f.max.isEmpty ||
+        rangesOverlap(keyType, f.min.get, f.max.get,
+          bounds.getString(0), bounds.getString(1))
+    }
+    val _ = untouched // carried forward implicitly by the replay
+    if (touched.isEmpty) commit(df, "rewrite")
+    else {
+      val existing = spark.read.schema(sch).parquet(touched.map(_.path): _*)
+      val merged = existing.join(df.select(key), Seq(key), "left_anti")
+        .unionByName(df)
+      commit(merged, "rewrite", removed = touched.map(_.path))
+    }
+  }
+
+  /** Typed interval intersection over the stringified stats. */
+  private def rangesOverlap(dt: DataType, fMin: String, fMax: String,
+      bMin: String, bMax: String): Boolean = {
+    def cmp(a: String, b: String): Int = dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        java.lang.Long.compare(a.toLong, b.toLong)
+      case FloatType | DoubleType =>
+        java.lang.Double.compare(a.toDouble, b.toDouble)
+      case _: DecimalType => BigDecimal(a).compare(BigDecimal(b))
+      // strings compare lexically; timestamps/dates cast to string in a
+      // fixed sortable format, so lexical compare is order-preserving
+      case _ => a.compareTo(b)
+    }
+    cmp(fMax, bMin) >= 0 && cmp(fMin, bMax) <= 0
+  }
+
+  private def liveEntries(upTo: Seq[Commit]): Seq[FileEntry] =
+    upTo.foldLeft(Seq.empty[FileEntry]) { (acc, c) =>
+      c.mode match {
+        case "overwrite" => c.files
+        case "rewrite" =>
+          val gone = c.removed.map(norm).toSet
+          acc.filterNot(f => gone(norm(f.path))) ++ c.files
+        case _ => acc ++ c.files
+      }
+    }
+
+  /** Live data-file paths of the current snapshot (test/introspection). */
+  def liveFiles(): Seq[String] = liveEntries(commits()).map(_.path)
+
+  /** (mode, added files, removed files) of a commit (test/introspection). */
+  def commitInfo(version: Int): (String, Seq[String], Seq[String]) = {
+    val c = commits().find(_.version == version)
+      .getOrElse(sys.error(s"no commit $version"))
+    (c.mode, c.files.map(_.path), c.removed)
   }
 
   /** Current snapshot. */
@@ -125,16 +273,21 @@ class DeltaLite(spark: SparkSession, root: String) {
   def readAsOf(version: Int): DataFrame = {
     val upTo = commits().filter(_.version <= version)
     require(upTo.nonEmpty, s"no commits at or before version $version in $root")
-    val live = upTo.foldLeft(Seq.empty[Commit]) {
-      case (_, c) if c.mode == "overwrite" => Seq(c)
-      case (acc, c) => acc :+ c
-    }
-    val sch = DataType.fromJson(live.last.schemaJson).asInstanceOf[StructType]
-    live.map(c => spark.read.schema(sch).parquet(c.dir)).reduce(_ unionAll _)
+    val sch = DataType.fromJson(upTo.last.schemaJson).asInstanceOf[StructType]
+    val live = liveEntries(upTo)
+    if (live.isEmpty)
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), sch)
+    else spark.read.schema(sch).parquet(live.map(_.path): _*)
   }
 }
 
 object DeltaLite {
   def apply(spark: SparkSession, root: String): DeltaLite =
     new DeltaLite(spark, root)
+
+  /** Table with per-file min/max stats on `statsKey` — enables
+    * file-granular upsert pruning on that key.
+    */
+  def apply(spark: SparkSession, root: String, statsKey: String): DeltaLite =
+    new DeltaLite(spark, root, Some(statsKey))
 }

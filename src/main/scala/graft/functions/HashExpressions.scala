@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -12,16 +12,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Spark's higher-order array functions (`transform`/`aggregate`) are
   * interpreted per element — a 64-permutation MinHash over ~60 shingles
   * costs ~4k boxed lambda evaluations per row. These expressions do the
-  * same math as one `eval` per row with tight primitive loops (JIT'd),
+  * same math as one call per row into a tight primitive loop (JIT'd),
   * keeping signature generation map-only (no explode, no shuffle):
   * the shape that scans a 100 TB corpus embarrassingly parallel.
+  *
+  * Each expression implements `doGenCode` (NOT CodegenFallback — that
+  * would exclude its whole operator from WholeStageCodegen): the
+  * generated code calls the expression's `compute` method through a
+  * codegen reference, so the surrounding stage stays fused and the
+  * per-row cost is one monomorphic call, no row boxing.
   */
 
 /** 64-permutation MinHash signature from an array of 31-bit positive
   * shingle hashes: sig[i] = min over h of (h·a_i + b_i) mod P.
   */
 case class MinHashSignature(child: Expression, numPerm: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   private val P = 2147483647L // 2^31 - 1
 
@@ -41,8 +47,7 @@ case class MinHashSignature(child: Expression, numPerm: Int, seed: Long)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val out = Array.fill(numPerm)(P)
     var j = 0
@@ -59,6 +64,14 @@ case class MinHashSignature(child: Expression, numPerm: Int, seed: Long)
     new GenericArrayData(out)
   }
 
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashSignature].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -66,13 +79,11 @@ case class MinHashSignature(child: Expression, numPerm: Int, seed: Long)
 /** 64-bit SimHash from an array of 64-bit feature hashes: bit i is set
   * iff Σ over hashes of (bit i set ? +1 : −1) is positive.
   */
-case class SimHash64(child: Expression) extends UnaryExpression
-    with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     val votes = new Array[Int](64)
     var j = 0
@@ -91,7 +102,15 @@ case class SimHash64(child: Expression) extends UnaryExpression
       if (votes(i) > 0) sig |= (1L << i)
       i += 1
     }
-    java.lang.Long.valueOf(sig)
+    sig
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -107,16 +126,14 @@ case class SimHash64(child: Expression) extends UnaryExpression
   * TextAnalysis.wordNgrams semantics).
   */
 case class NgramHashes(child: Expression, n: Int, mod31: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   private val P = 2147483647L
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
+  def compute(arr: ArrayData): ArrayData = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
-    import org.apache.spark.unsafe.types.UTF8String
-    val arr = input.asInstanceOf[ArrayData]
     val numTok = arr.numElements()
     val tokHash = new Array[Long](numTok)
     var i = 0
@@ -149,6 +166,14 @@ case class NgramHashes(child: Expression, n: Int, mod31: Boolean)
       i += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngram", this, classOf[NgramHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
@@ -26,18 +26,19 @@ private object VecRead {
   }
 }
 
-/** cosine(a, b) = Σaᵢbᵢ / (√Σaᵢ² · √Σbᵢ²), sequential fold order. */
+/** cosine(a, b) = Σaᵢbᵢ / (√Σaᵢ² · √Σbᵢ²), sequential fold order.
+  * `doGenCode` keeps the surrounding stage in WholeStageCodegen (one
+  * monomorphic `compute` call per row — see HashExpressions scaladoc).
+  */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
   @transient private lazy val getL = VecRead.get(left.dataType)
   @transient private lazy val getR = VecRead.get(right.dataType)
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  def compute(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -46,7 +47,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(
+      compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosine", this, classOf[CosineSimilarity].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -59,7 +69,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * table.
   */
 case class HyperplaneBuckets(child: Expression, planes: Int, tables: Int,
-    seed: Long, dim: Int) extends UnaryExpression with CodegenFallback {
+    seed: Long, dim: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -72,8 +82,7 @@ case class HyperplaneBuckets(child: Expression, planes: Int, tables: Int,
       Array.fill(planes)(Array.fill(dim)(r.nextGaussian()))
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  def compute(v: ArrayData): ArrayData = {
     val n = math.min(v.numElements(), dim)
     val out = new Array[Long](tables)
     var t = 0
@@ -94,6 +103,14 @@ case class HyperplaneBuckets(child: Expression, planes: Int, tables: Int,
     new GenericArrayData(out)
   }
 
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplane", this, classOf[HyperplaneBuckets].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -103,7 +120,7 @@ case class HyperplaneBuckets(child: Expression, planes: Int, tables: Int,
   * model state inside the expression (k × dim doubles).
   */
 case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
-    nprobe: Int) extends UnaryExpression with CodegenFallback {
+    nprobe: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -111,8 +128,7 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
   @transient private lazy val centroidNorms: Array[Double] =
     centroids.map(c => math.sqrt(c.map(x => x * x).sum))
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  def compute(v: ArrayData): ArrayData = {
     val n = v.numElements()
     val sims = new Array[Double](centroids.length)
     var c = 0
@@ -129,7 +145,75 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
     new GenericArrayData(order.toArray)
   }
 
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroids", this, classOf[NearestCentroids].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Elementwise vector-sum aggregate: Σ over rows of array<float|double>
+  * columns, one buffer add per ROW (not per element — the posexplode
+  * alternative shuffles corpus×dim rows). TypedImperativeAggregate →
+  * ObjectHashAggregate with map-side partials: k×dim doubles cross the
+  * wire per partition, independent of corpus size. The centroid/mean
+  * kernel for IVF training and embedding averaging.
+  */
+case class VectorSumAgg(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Double]]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+
+  @transient private lazy val getV = VecRead.get(child.dataType)
+
+  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+
+  override def update(buffer: Array[Double],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) return buffer
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val buf = if (buffer.length >= n) buffer else
+      java.util.Arrays.copyOf(buffer, n)
+    var i = 0
+    while (i < n) { buf(i) += getV(arr, i); i += 1 }
+    buf
+  }
+
+  override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+    val (big, small) = if (b1.length >= b2.length) (b1, b2) else (b2, b1)
+    var i = 0
+    while (i < small.length) { big(i) += small(i); i += 1 }
+    big
+  }
+
+  override def eval(buffer: Array[Double]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.length * 8)
+    buffer.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getDouble)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VectorSumAgg =
     copy(child = newChild)
 }
 
@@ -145,4 +229,8 @@ object VectorFunctions {
       seed: Long = 11L, dim: Int = 64): Column =
     Bridge.column(HyperplaneBuckets(Bridge.expression(vec), planes, tables,
       seed, dim))
+
+  /** Aggregate: elementwise sum of vector rows (see [[VectorSumAgg]]). */
+  def vector_sum(vec: Column): Column =
+    Bridge.column(VectorSumAgg(Bridge.expression(vec)).toAggregateExpression())
 }

@@ -7,18 +7,24 @@ import org.apache.spark.sql.functions._
   * typed metadata, with decode/feature-extraction as per-partition
   * batch transforms.
   *
-  * The decode step is a clearly-marked deterministic STUB — the
-  * image/audio codecs aren't available in this environment — but the
-  * Spark-side shape is real: binary columns survive parquet round
-  * trips, the transform is a `mapPartitions` over a typed Dataset
-  * (per-partition batching, no per-row JNI churn at scale), and the
-  * output schema is fixed and columnar.
+  * Images decode for REAL via `javax.imageio` ([[Multimodal.decodeImages]]
+  * — in-JDK PNG/BMP/JPEG codecs, genuine bytes in, pixel stats out).
+  * Audio/video codecs aren't available in this environment, so the
+  * generic [[Multimodal.decodeFeatures]] remains a clearly-marked
+  * deterministic STUB for those modalities. Either way the Spark-side
+  * shape is real: binary columns survive parquet round trips, the
+  * transform is a `mapPartitions` over a typed Dataset (per-partition
+  * batching — codec setup amortizes across the batch, no per-row JNI
+  * churn at scale), and the output schema is fixed and columnar.
   */
 case class MMRecord(id: Long, modality: String, payload: Array[Byte],
     meta_format: String)
 
 case class MMFeature(id: Long, modality: String, n_bytes: Int,
     checksum: Long, features: Array[Double])
+
+case class ImageFeature(id: Long, width: Int, height: Int, n_pixels: Long,
+    mean_r: Double, mean_g: Double, mean_b: Double, thumb: Array[Double])
 
 object Multimodal {
 
@@ -58,6 +64,87 @@ object Multimodal {
           else (r.payload(i % r.payload.length) & 0xFF) / 255.0
         }
         MMFeature(r.id, r.modality, r.payload.length, crc.getValue, feats)
+      }
+    }
+  }
+
+  /** Synthesize REAL PNG payloads on the executors: a deterministic
+    * per-id color gradient rendered into a BufferedImage and encoded
+    * with `javax.imageio` (in-JDK codec — no external deps). These are
+    * genuine image bytes: any PNG decoder reads them back.
+    */
+  def syntheticImages(spark: SparkSession, n: Int, w: Int = 16,
+      h: Int = 12): Dataset[MMRecord] = {
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = ((id * 37 + x * 16) % 256).toInt
+            val g = ((id * 11 + y * 21) % 256).toInt
+            val b = ((id * 53 + x + y) % 256).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MMRecord(id, "image", bos.toByteArray, "image/png")
+      }
+    }
+  }
+
+  /** REAL image decode: `javax.imageio.ImageIO.read` per payload inside
+    * a `mapPartitions` batch (decoder dispatch tables warm once per
+    * partition, not per row). Emits the typed metadata a training
+    * pipeline filters on (dimensions, channel means) plus a
+    * `thumbW`×`thumbH` average-pooled grayscale thumbnail — the
+    * resize/feature-extract step, done with exact integer pooling so
+    * results are bit-deterministic across JVMs.
+    */
+  def decodeImages(records: Dataset[MMRecord], thumbW: Int = 4,
+      thumbH: Int = 4): Dataset[ImageFeature] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.filter(_.modality == "image").mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable image payload for id=${r.id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        val pool = Array.ofDim[Long](thumbH, thumbW)
+        val cnt = Array.ofDim[Long](thumbH, thumbW)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val cr = (rgb >> 16) & 0xFF
+            val cg = (rgb >> 8) & 0xFF
+            val cb = rgb & 0xFF
+            sr += cr; sg += cg; sb += cb
+            val py = y * thumbH / h
+            val px = x * thumbW / w
+            pool(py)(px) += (cr + cg + cb) / 3
+            cnt(py)(px) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        val thumb = Array.tabulate(thumbH * thumbW) { i =>
+          val (py, px) = (i / thumbW, i % thumbW)
+          if (cnt(py)(px) == 0) 0.0
+          else pool(py)(px).toDouble / cnt(py)(px) / 255.0
+        }
+        ImageFeature(r.id, w, h, n, sr.toDouble / n, sg.toDouble / n,
+          sb.toDouble / n, thumb)
       }
     }
   }

@@ -74,36 +74,55 @@ object Similarity {
 
   // ----------------------------------------------------------------- IVF
 
-  /** Train an IVF coarse quantizer: deterministic seeded init (corpus
-    * rows in hash order) + `iters` Lloyd steps, all as Spark plans; the
+  /** Train an IVF coarse quantizer: deterministic seeded init + `iters`
+    * Lloyd steps over a BOUNDED training slice (standard IVF practice —
+    * the quantizer needs a representative sample, not the corpus). The
+    * slice is a deterministic hash-threshold sample: one metadata-only
+    * `count()` sizes the fraction, then a map-only
+    * `pmod(hash(v), M) < frac·M` filter keeps ≈maxTrain rows — no
+    * shuffle, no global sort, no driver round trip of the slice (an
+    * `orderBy(hash).limit(n)` would fall back to a full sort once n
+    * exceeds the top-K threshold). Each Lloyd step aggregates one row
+    * per vector through [[graft.functions.VectorSumAgg]] (map-side
+    * partials; k×dim doubles per partition cross the wire — NOT the
+    * corpus×dim posexplode that would shuffle petabytes at 100 TB). The
     * centroid matrix itself is tiny model state (k × dim) held on the
     * driver, as any learned model is.
     */
   def trainIvfCentroids(corpus: DataFrame, vecCol: String, k: Int = 16,
-      iters: Int = 2): Array[Array[Double]] = {
-    var centroids = corpus
-      .select(col(vecCol).cast("array<double>").as("v"))
-      .orderBy(hash(col("v")))
-      .limit(k)
+      iters: Int = 2, maxTrain: Int = 20000): Array[Array[Double]] = {
+    import org.apache.spark.storage.StorageLevel
+    val vecs = corpus.select(col(vecCol).cast("array<double>").as("v"))
+    val n = vecs.count()
+    val M = 1000000L
+    val keep = if (n <= maxTrain) M
+      else math.max(1L, (maxTrain.toDouble / n * M).toLong)
+    val sample = vecs
+      .filter(pmod(hash(col("v")), lit(M)) < lit(keep))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var centroids = sample
+      .orderBy(hash(col("v"))).limit(k)
       .collect().map(_.getSeq[Double](0).toArray)
     for (_ <- 0 until iters) {
-      val assigned = corpus.select(col(vecCol).as("v"),
+      val assigned = sample.select(col("v"),
         element_at(graft.functions.VectorFunctions.nearest_centroids(
-          col(vecCol), centroids, 1), 1).as("cluster"))
-      // mean per (cluster, dim): k×dim cells — trivially collectable
-      val means = assigned
-        .select(col("cluster"), posexplode(col("v").cast("array<double>"))
-          .as(Seq("pos", "x")))
-        .groupBy("cluster", "pos").agg(avg("x").as("m"))
+          col("v"), centroids, 1), 1).as("cluster"))
+      // k rows of (cluster, Σv, n) — the whole reduction is one
+      // ObjectHashAggregate, one input row per vector
+      val stats = assigned.groupBy("cluster")
+        .agg(graft.functions.VectorFunctions.vector_sum(col("v")).as("vsum"),
+          count(lit(1)).as("n"))
         .collect()
-      val byCluster = means.groupBy(_.getAs[Int]("cluster"))
+      val byCluster = stats.map(r => r.getAs[Int]("cluster") ->
+        (r.getSeq[Double](1).toArray, r.getAs[Long]("n"))).toMap
       centroids = centroids.indices.map { c =>
         byCluster.get(c) match {
-          case Some(rows) => rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toArray
+          case Some((s, n)) => s.map(_ / n)
           case None => centroids(c) // empty cluster keeps its centroid
         }
       }.toArray
     }
+    sample.unpersist()
     centroids
   }
 

@@ -20,6 +20,13 @@ import scala.collection.mutable
   * group: O(n log k), constant memory per group, one shuffle on the
   * group key. At 100 TB with millions of groups, that's the difference
   * between a sort-spill pipeline and a streaming fold.
+  *
+  * Top-k is a monoid (the global top-k of a union is the top-k of the
+  * per-part top-ks), so the strategy plans it like an aggregate:
+  * PARTIAL pass on the map side (no distribution requirement — reduces
+  * every partition to ≤ k rows per group before the exchange) then a
+  * FINAL pass after the shuffle. Shuffle volume is min(input,
+  * groups × partitions × k) rows, not the input.
   */
 case class TopKPerGroup(groupExprs: Seq[Expression], order: Seq[SortOrder],
     k: Int, child: LogicalPlan) extends UnaryNode {
@@ -29,14 +36,23 @@ case class TopKPerGroup(groupExprs: Seq[Expression], order: Seq[SortOrder],
 }
 
 case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
-    k: Int, child: SparkPlan) extends UnaryExecNode {
+    k: Int, child: SparkPlan, partial: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
+  /** The partial pass folds whatever partitioning the child has; only
+    * the final pass needs the groups co-located (EnsureRequirements
+    * inserts the hash exchange between the two).
+    */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groupExprs) :: Nil
+    if (partial)
+      org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroupFinal"
 
   protected override def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
@@ -73,7 +89,8 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(group, order, k, child) =>
-      TopKPerGroupExec(group, order, k, planLater(child)) :: Nil
+      TopKPerGroupExec(group, order, k,
+        TopKPerGroupExec(group, order, k, planLater(child), partial = true)) :: Nil
     case _ => Nil
   }
 }

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import graft.etl.DeltaLite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming load into a [[graft.etl.DeltaLite]] table — the streaming
+  * expression of the reference's scheduled incremental job
+  * (/root/reference/ETL_pipeline_countries.py:144-147): instead of a
+  * cron re-run, each micro-batch lands as one table commit.
+  *
+  * Exactly-once: Structured Streaming's foreachBatch gives at-least-once
+  * delivery (a batch is replayed if the job dies between the write and
+  * the checkpoint advance). The writer closes the gap by recording
+  * (appId, batchId) in the commit log via [[DeltaLite.txnAppend]] — a
+  * replayed batchId is detected against the log and skipped, making the
+  * write path idempotent regardless of where the retry interleaves.
+  */
+object DeltaSink {
+
+  /** The foreachBatch function: idempotent transactional append, with
+    * optional dedup-on-append on `dedupKey` (the reference's load
+    * semantics). Exposed separately from [[start]] so batch retries can
+    * be driven directly in tests.
+    */
+  def batchWriter(table: DeltaLite, appId: String,
+      dedupKey: Option[String] = None): (DataFrame, Long) => Unit =
+    (batch, batchId) => table.txnAppend(batch, appId, batchId, dedupKey)
+
+  /** Start the stream → table load. `checkpoint` carries the source
+    * offsets; the table's commit log carries the (appId, batchId)
+    * watermark — together they give end-to-end exactly-once.
+    */
+  def start(stream: DataFrame, table: DeltaLite, appId: String,
+      checkpoint: String, dedupKey: Option[String] = None): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch(batchWriter(table, appId, dedupKey))
+      .start()
+}

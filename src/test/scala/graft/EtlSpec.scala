@@ -80,6 +80,40 @@ class EtlSpec extends SparkSpec {
     assert(before == Set("old1", "old2"))
   }
 
+  test("DeltaLite: file-granular upsert rewrites only files containing matched keys") {
+    import spark.implicits._
+    val t = DeltaLite(spark, tmp("graft-cow"), statsKey = "id")
+    // two appends with disjoint key ranges -> two live files with
+    // disjoint [min,max] stats
+    t.append(Seq((1L, "a1"), (2L, "a2"), (3L, "a3")).toDF("id", "v").coalesce(1))
+    t.append(Seq((100L, "b1"), (101L, "b2")).toDF("id", "v").coalesce(1))
+    val before = t.liveFiles()
+    assert(before.size == 2)
+    val lowFile = t.commitInfo(0)._2.head
+    val highFile = t.commitInfo(1)._2.head
+
+    // 1-row upsert hits only the low-range file
+    val v = t.upsert(Seq((2L, "a2x")).toDF("id", "v").coalesce(1), "id")
+    val (mode, added, removed) = t.commitInfo(v)
+    assert(mode == "rewrite")
+    assert(removed == Seq(lowFile), s"should remove only the low file, got $removed")
+    val after = t.liveFiles()
+    assert(after.contains(highFile), "untouched file must survive as-is")
+    assert(!after.contains(lowFile) && added.forall(after.contains))
+    val now = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(now == Map(1L -> "a1", 2L -> "a2x", 3L -> "a3",
+      100L -> "b1", 101L -> "b2"))
+
+    // upsert entirely outside every file range: pure append, zero rewrites
+    val v2 = t.upsert(Seq((500L, "c1")).toDF("id", "v").coalesce(1), "id")
+    val (_, _, removed2) = t.commitInfo(v2)
+    assert(removed2.isEmpty, "out-of-range upsert must not rewrite any file")
+    assert(t.read().count() == 6)
+    // history is intact
+    assert(t.readAsOf(1).count() == 5)
+    assert(t.readAsOf(1).filter($"id" === 2L).select("v").head().getString(0) == "a2")
+  }
+
   test("DeltaLite: schema enforcement rejects drifted batch") {
     import spark.implicits._
     val t = DeltaLite(spark, tmp("graft-schema"))

@@ -29,6 +29,38 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.filter(f => f.n_bytes <= 0).isEmpty)
   }
 
+  test("real PNG decode: dimensions, channel means, thumbnail vs ground truth") {
+    import spark.implicits._
+    val imgs = Multimodal.syntheticImages(spark, n = 12, w = 16, h = 12)
+    val feats = Multimodal.decodeImages(imgs, thumbW = 4, thumbH = 4)
+      .collect().map(f => f.id -> f).toMap
+    assert(feats.size == 12)
+    // ground truth recomputed from the generator formula, driver-side
+    for (id <- 0L until 12L) {
+      val f = feats(id)
+      assert(f.width == 16 && f.height == 12 && f.n_pixels == 192)
+      val pix = for (y <- 0 until 12; x <- 0 until 16) yield (
+        ((id * 37 + x * 16) % 256).toInt,
+        ((id * 11 + y * 21) % 256).toInt,
+        ((id * 53 + x + y) % 256).toInt)
+      assert(math.abs(f.mean_r - pix.map(_._1).sum / 192.0) < 1e-9)
+      assert(math.abs(f.mean_g - pix.map(_._2).sum / 192.0) < 1e-9)
+      assert(math.abs(f.mean_b - pix.map(_._3).sum / 192.0) < 1e-9)
+      assert(f.thumb.length == 16 && f.thumb.forall(v => v >= 0.0 && v <= 1.0))
+    }
+  }
+
+  test("real PNG payloads survive a parquet round trip and still decode") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-png").toString
+    Multimodal.syntheticImages(spark, n = 5).toDF()
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).as[graft.ops.MMRecord]
+    val decoded = Multimodal.decodeImages(back).collect()
+    assert(decoded.length == 5)
+    assert(decoded.forall(f => f.width == 16 && f.height == 12))
+  }
+
   test("frame sampling explodes video payloads only") {
     val frames = Multimodal.frameSample(records, frames = 4).collect()
     val videoIds = records.filter(_.modality == "video").collect().map(_.id).toSet

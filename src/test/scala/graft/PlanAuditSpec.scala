@@ -48,6 +48,60 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
   }
 
+  test("ivf training reduction: one row per vector, no per-element explode") {
+    import graft.functions.VectorFunctions
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = Array.fill(4)(Array.fill(64)(0.1))
+    val assigned = emb.select(col("embedding").cast("array<double>").as("v"),
+      element_at(VectorFunctions.nearest_centroids(
+        col("embedding"), centroids, 1), 1).as("cluster"))
+    val stats = assigned.groupBy("cluster")
+      .agg(VectorFunctions.vector_sum(col("v")).as("vsum"),
+        count(lit(1)).as("n"))
+    stats.collect()
+    val plan = stats.queryExecution.executedPlan.toString()
+    // vector-sum aggregates whole rows: no Generate (posexplode) stage,
+    // and the TypedImperativeAggregate runs with map-side partials
+    assert(!plan.contains("Generate"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
+      "expected partial + final aggregation:\n" + plan)
+  }
+
+  test("custom expressions run inside WholeStageCodegen, not as fallbacks") {
+    import graft.functions.{HashFunctions, VectorFunctions}
+    import spark.implicits._
+    // one projection exercising every converted expression family
+    val docs = Tables.documents(spark, sf).limit(100)
+      .select(split(lower(col("text")), "\\s+").as("toks"))
+      .select(HashFunctions.ngram_hashes(col("toks"), 3, mod31 = true).as("sh"))
+      .select(HashFunctions.minhash_signature(col("sh")).as("mh"),
+        HashFunctions.simhash64(col("sh")).as("simh"))
+    docs.collect()
+    val docPlan = docs.queryExecution.executedPlan.toString()
+    // the Project containing the expressions is a codegen stage ("*(n)")
+    val projLine = docPlan.linesIterator
+      .find(l => l.contains("minhashsignature") || l.contains("MinHashSignature"))
+      .getOrElse(fail(s"no MinHashSignature node in plan:\n$docPlan"))
+    // codegen stages print as "*(n) Project ..." (tree prefix may precede)
+    assert(projLine.contains("*("),
+      s"sketch projection not in a WholeStageCodegen span: $projLine")
+
+    val emb = Tables.embeddings(spark, sf).limit(100)
+      .select(col("embedding").as("v"))
+    val cos = emb.as("a").crossJoin(emb.as("b").limit(1))
+      .select(VectorFunctions.vector_cosine(
+        col("a.v"), col("b.v")).as("c"))
+      .filter(col("c") > -2.0)
+    cos.collect()
+    val cosPlan = cos.queryExecution.executedPlan.toString()
+    val cosLine = cosPlan.linesIterator
+      .find(l => l.toLowerCase.contains("cosinesimilarity"))
+      .getOrElse(fail(s"no CosineSimilarity node in plan:\n$cosPlan"))
+    assert(cosLine.contains("*("),
+      s"cosine projection not in a WholeStageCodegen span: $cosLine")
+  }
+
   test("salted join: spreads a hot key and preserves join semantics") {
     import spark.implicits._
     val li = Tables.lineitem(spark, sf)

@@ -44,6 +44,58 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("delta sink: exactly-once across a simulated batch retry") {
+    import spark.implicits._
+    val t = graft.etl.DeltaLite(spark,
+      java.nio.file.Files.createTempDirectory("graft-sink").toString)
+    val writer = graft.streaming.DeltaSink.batchWriter(t, "app1",
+      dedupKey = Some("event_id"))
+    val b0 = Seq((1L, 1.0), (2L, 2.0)).toDF("event_id", "value")
+    val b1 = Seq((2L, 2.0), (3L, 3.0)).toDF("event_id", "value")
+
+    writer(b0, 0L)
+    assert(t.read().count() == 2)
+    val vAfterB0 = t.latestVersion
+    // the crash-replay case: same batchId arrives again
+    writer(b0, 0L)
+    assert(t.latestVersion == vAfterB0, "replayed batch must not commit")
+    assert(t.read().count() == 2)
+    // next batch overlaps on the key — dedup-on-append drops the overlap
+    writer(b1, 1L)
+    assert(t.read().count() == 3)
+    assert(t.lastTxn("app1").contains(1L))
+    // and a late replay of an OLD batch after newer commits is also a no-op
+    writer(b0, 0L)
+    assert(t.read().count() == 3)
+
+    // end state identical to the batch pipeline over the same batches
+    val batchTable = graft.etl.DeltaLite(spark,
+      java.nio.file.Files.createTempDirectory("graft-sink-batch").toString)
+    batchTable.append(b0)
+    batchTable.dedupAppend(b1, "event_id")
+    val a = t.read().orderBy("event_id").collect().toSeq
+    val b = batchTable.read().orderBy("event_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("delta sink: file-source stream lands the full events table exactly once") {
+    import spark.implicits._
+    val t = graft.etl.DeltaLite(spark,
+      java.nio.file.Files.createTempDirectory("graft-sink-file").toString)
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-sink-ckpt").toString
+    val stream = EventsStream.readEvents(spark, sf)
+      .select($"event_id", $"user_id", $"value")
+    val q = graft.streaming.DeltaSink.start(stream, t, "events_load",
+      checkpoint, dedupKey = Some("event_id"))
+    try q.processAllAvailable() finally q.stop()
+    assert(t.read().count() == Tables.events(spark, sf).count())
+    // restart from the same checkpoint: nothing new to process, no dupes
+    val q2 = graft.streaming.DeltaSink.start(stream, t, "events_load",
+      checkpoint, dedupKey = Some("event_id"))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(t.read().count() == Tables.events(spark, sf).count())
+  }
+
   test("stateful sessionization: sessions close on gap and on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

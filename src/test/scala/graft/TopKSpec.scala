@@ -24,6 +24,41 @@ class TopKSpec extends SparkSpec {
     assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window "))
   }
 
+  test("partial pass bounds shuffle volume to groups × partitions × k") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val n = 10000
+      val parts = 8
+      val input = spark.range(n).repartition(parts)
+        .select(($"id" % 5).as("grp"), $"id".as("v"))
+      val df = TopK.perGroup(input, Seq($"grp"), Seq($"v".desc), k = 3)
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      val planStr = plan.toString()
+      assert(planStr.contains("TopKPerGroupPartial") &&
+        planStr.contains("TopKPerGroupFinal"), planStr)
+      // the partial exec sits below the exchange: what crosses the wire
+      // is its bounded output, not the input
+      val topKShuffle = plan.collect {
+        case e: ShuffleExchangeExec
+          if e.child.toString().contains("TopKPerGroupPartial") => e
+      }
+      assert(topKShuffle.nonEmpty, planStr)
+      val written = topKShuffle.head.metrics("shuffleRecordsWritten").value
+      assert(written <= 5L * parts * 3,
+        s"shuffled $written rows, expected <= ${5 * parts * 3}")
+      assert(written < n, s"shuffled $written rows — no reduction vs input $n")
+      // and the answer is still exact
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (0 until 5).flatMap(g =>
+        (0 until n).filter(_ % 5 == g).sorted.reverse.take(3)
+          .map(v => (g.toLong, v.toLong))).toSet
+      assert(got == want)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("arbitrary k and ascending order through the public API") {
     import spark.implicits._
     val cheapest2 = TopK.perGroup(Tables.orders(spark, sf),
