@@ -58,6 +58,7 @@ object SparkEntry {
     "q_events_tumbling" -> (Events.tumbling _),
     "q_events_sessionize" -> (Events.sessionize _),
     "q_asof_join" -> (Temporal.qAsofJoin _),
+    "q_heavy_hitters" -> (Events.heavyHitters _),
     "q_range_join" -> (Temporal.qRangeJoin _),
     "q_events_user_stats" -> (Events.userStats _),
     "q_pivot_events" -> (Events.pivotDaily _),
@@ -409,6 +410,14 @@ object SparkEntry {
         |  c.o_orderkey AS asof_orderkey, c.o_totalprice AS asof_totalprice
         |FROM events e LEFT JOIN cand c ON c.event_id = e.event_id AND c.rn = 1
         |ORDER BY e.event_id""".stripMargin,
+    // the sketch is exact here (distinct items per group < k), so the
+    // exact GROUP BY is a legitimate oracle; see Events.heavyHitters
+    "q_heavy_hitters" ->
+      """SELECT CAST(user_id % 10 AS BIGINT) AS segment,
+        |  event_type AS item, COUNT(*) AS cnt
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY segment, item""".stripMargin,
     // plain inequality join in the oracle; the Spark side buckets it
     "q_range_join" ->
       """WITH iv AS (

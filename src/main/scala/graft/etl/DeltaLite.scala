@@ -259,6 +259,53 @@ class DeltaLite(spark: SparkSession, root: String,
   /** Live data-file paths of the current snapshot (test/introspection). */
   def liveFiles(): Seq[String] = liveEntries(commits()).map(_.path)
 
+  /** Bin-pack small live files (< `targetBytes`) into ~targetBytes
+    * outputs via one rewrite commit — the OPTIMIZE/compaction half of
+    * the maintenance cycle that file-granular upsert makes necessary
+    * (every merge adds a small delta file). Contents are untouched:
+    * the same rows, fewer files. Returns the commit version, or None
+    * when there's nothing worth packing (fewer than `minFiles` small
+    * files). I/O is O(small files), not O(table).
+    */
+  def compact(targetBytes: Long = 128L * 1024 * 1024,
+      minFiles: Int = 2): Option[Int] = {
+    val sized = liveEntries(commits()).map { f =>
+      f -> fs.getFileStatus(new Path(f.path)).getLen
+    }
+    val small = sized.filter(_._2 < targetBytes).map(_._1)
+    if (small.size < minFiles) None
+    else {
+      val totalBytes = sized.filter(s => small.contains(s._1)).map(_._2).sum
+      val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+      val packed = spark.read.schema(schema.get)
+        .parquet(small.map(_.path): _*)
+        .repartition(nOut)
+      Some(commit(packed, "rewrite", removed = small.map(_.path)))
+    }
+  }
+
+  /** Delete data files not referenced by the live set of any of the
+    * last `retainVersions` versions — the storage-reclaim half of the
+    * maintenance cycle. Time travel to a vacuumed version no longer
+    * works (its files are gone); the commit log itself is kept so
+    * version history/metadata stays inspectable. Returns the deleted
+    * paths.
+    */
+  def vacuum(retainVersions: Int = 1): Seq[String] = {
+    require(retainVersions >= 1, "must retain at least the current version")
+    val all = commits()
+    if (all.isEmpty) return Nil
+    val latest = all.last.version
+    val cutoff = latest - retainVersions + 1
+    val retained: Set[String] = (cutoff to latest)
+      .flatMap(v => liveEntries(all.filter(_.version <= v)).map(f => norm(f.path)))
+      .toSet
+    val doomed = all.flatMap(_.files.map(_.path)).distinct
+      .filterNot(p => retained(norm(p)))
+    doomed.foreach(p => fs.delete(new Path(p), false))
+    doomed
+  }
+
   /** (mode, added files, removed files) of a commit (test/introspection). */
   def commitInfo(version: Int): (String, Seq[String], Seq[String]) = {
     val c = commits().find(_.version == version)

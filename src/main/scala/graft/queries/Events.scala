@@ -25,6 +25,25 @@ object Events {
       .orderBy($"hour")
   }
 
+  /** Heavy hitters per user segment via the Misra–Gries sketch
+    * aggregate ([[graft.functions.FreqItemsSketch]]): state is ≤ k
+    * counters per group however many rows stream through, with
+    * map-side partials. Here the per-segment cardinality (5 event
+    * types) is below k=8, so the sketch counts are exact and the
+    * DuckDB GROUP BY oracle matches bit-for-bit; at real cardinality
+    * the same plan degrades gracefully to the MG guarantee instead of
+    * blowing up the shuffle.
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(($"user_id" % 10).as("segment"))
+      .agg(graft.functions.SketchFunctions.freq_items($"event_type", 8).as("sk"))
+      .select($"segment", explode($"sk").as("e"))
+      .select($"segment", $"e.item".as("item"), $"e.cnt".as("cnt"))
+      .orderBy($"segment", $"item")
+  }
+
   /** Sessionization as gaps-and-islands: one shuffle on user_id, then
     * window functions — no iterative driver logic. 30-minute gap.
     */

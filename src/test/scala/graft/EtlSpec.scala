@@ -114,6 +114,34 @@ class EtlSpec extends SparkSpec {
     assert(t.readAsOf(1).filter($"id" === 2L).select("v").head().getString(0) == "a2")
   }
 
+  test("DeltaLite: compact bin-packs small files; vacuum reclaims unreferenced ones") {
+    import spark.implicits._
+    val t = DeltaLite(spark, tmp("graft-compact"), statsKey = "id")
+    // four tiny appends -> four small live files
+    for (i <- 0 until 4)
+      t.append(Seq((i * 10L, s"v$i")).toDF("id", "v").coalesce(1))
+    assert(t.liveFiles().size == 4)
+    val before = t.read().orderBy("id").collect().toSeq
+
+    val v = t.compact(targetBytes = 1024 * 1024).get
+    assert(t.commitInfo(v)._1 == "rewrite")
+    assert(t.liveFiles().size < 4, s"expected fewer files, got ${t.liveFiles()}")
+    assert(t.read().orderBy("id").collect().toSeq == before)
+    // nothing left to pack -> no-op
+    assert(t.compact(targetBytes = 1024 * 1024, minFiles = 2).isEmpty ||
+      t.liveFiles().size == 1)
+
+    // pre-compaction files still on disk (time travel works) until vacuum
+    assert(t.readAsOf(3).count() == 4)
+    val deleted = t.vacuum(retainVersions = 1)
+    assert(deleted.nonEmpty, "vacuum should delete the four packed-away files")
+    // current snapshot unaffected; live files never deleted
+    assert(t.read().orderBy("id").collect().toSeq == before)
+    assert(t.liveFiles().forall(p => !deleted.contains(p)))
+    // time travel to a vacuumed version now fails (files are gone)
+    intercept[Exception] { t.readAsOf(0).collect() }
+  }
+
   test("DeltaLite: schema enforcement rejects drifted batch") {
     import spark.implicits._
     val t = DeltaLite(spark, tmp("graft-schema"))

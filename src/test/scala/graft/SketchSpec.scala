@@ -1,0 +1,58 @@
+package graft
+
+import graft.functions.SketchFunctions
+import org.apache.spark.sql.functions._
+
+class SketchSpec extends SparkSpec {
+
+  private def sketchCounts(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.agg(SketchFunctions.freq_items(col("item"), k).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item"), col("e.cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("freq_items is exact when distinct items fit in k") {
+    import spark.implicits._
+    val data = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(5)("c")
+    val df = scala.util.Random.shuffle(data).toDF("item").repartition(8)
+    val got = sketchCounts(df, k = 4)
+    assert(got == Map("a" -> 40L, "b" -> 25L, "c" -> 5L))
+  }
+
+  test("freq_items honors the Misra-Gries guarantee past capacity, across partitions") {
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    // 3 planted heavy hitters + a long tail of 200 distinct light items
+    val heavy = Seq.fill(500)("hot1") ++ Seq.fill(400)("hot2") ++ Seq.fill(300)("hot3")
+    val tail = Seq.fill(800)(s"cold${r.nextInt(200)}")
+    val data = r.shuffle(heavy ++ tail)
+    val n = data.size
+    val k = 16
+    val df = data.toDF("item").repartition(8)
+    val got = sketchCounts(df, k)
+    val exact = data.groupBy(identity).map { case (i, xs) => i -> xs.size.toLong }
+    assert(got.size <= k, s"sketch kept ${got.size} > k=$k counters")
+    // every item above the n/(k+1) threshold must be present
+    val threshold = n.toDouble / (k + 1)
+    for ((item, c) <- exact if c > threshold)
+      assert(got.contains(item), s"$item (count $c > $threshold) missing from sketch")
+    // estimates never exceed the true count and err at most n/(k+1)
+    for ((item, est) <- got) {
+      val truth = exact(item)
+      assert(est <= truth, s"$item overestimated: $est > $truth")
+      assert(est >= truth - threshold - 1,
+        s"$item underestimated beyond the bound: $est vs $truth")
+    }
+  }
+
+  test("q_heavy_hitters matches the exact per-segment counts") {
+    import spark.implicits._
+    val got = graft.queries.Events.heavyHitters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy(($"user_id" % 10).as("segment"), $"event_type")
+      .count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == exact)
+  }
+}
