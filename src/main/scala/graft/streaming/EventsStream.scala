@@ -50,6 +50,32 @@ object EventsStream {
       .groupBy(window(col("ts"), win), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
 
+  /** Watermarked stream–stream interval join: each purchase joins the
+    * clicks the same user made in the preceding `horizonMinutes` —
+    * last-touch-style attribution. Both sides carry a watermark and the
+    * join condition bounds event-time distance, so the state store
+    * retains only `horizon + watermark` of each stream per key — the
+    * ONLY formulation of a stream-stream join whose state doesn't grow
+    * without bound.
+    */
+  def clickAttribution(events: DataFrame, horizonMinutes: Int = 60,
+      watermark: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("amount"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+      col("c_user") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("purchase_ts"), col("amount"), col("click_id"), col("click_ts"))
+  }
+
   /** Stateful sessionization with `flatMapGroupsWithState`: per-user
     * session state, closed either by a gap-exceeding event or by event-
     * time timeout at (session end + gap) past the watermark. Emits only

@@ -96,6 +96,33 @@ class StreamingSpec extends SparkSpec {
     assert(t.read().count() == Tables.events(spark, sf).count())
   }
 
+  test("stream-stream interval join matches the batch join exactly") {
+    import spark.implicits._
+    val streamed = EventsStream.clickAttribution(
+      EventsStream.readEvents(spark, sf), horizonMinutes = 60)
+    val q = streamed.writeStream.format("memory")
+      .queryName("attribution").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("attribution")
+      .select($"purchase_id", $"click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("click_ts"),
+        $"event_id".as("click_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("purchase_ts"),
+        $"event_id".as("purchase_id"))
+    val want = purchases.join(clicks,
+        $"c_user" === $"p_user" && $"click_ts" <= $"purchase_ts" &&
+          $"click_ts" >= $"purchase_ts" - expr("INTERVAL 60 MINUTES"))
+      .select($"purchase_id", $"click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "batch reference join produced no pairs — bad fixture")
+    assert(got == want)
+  }
+
   test("stateful sessionization: sessions close on gap and on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

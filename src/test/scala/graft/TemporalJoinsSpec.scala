@@ -79,6 +79,19 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(overlap == Seq(1L, 2L))
   }
 
+  test("asof join plans one shuffle, no join operator at all") {
+    val df = graft.queries.Temporal.qAsofJoin(spark, sf)
+    df.collect()
+    // AQE prints "Final Plan" then "Initial Plan" — audit the final only
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    // the union-window formulation: no join node, and the only
+    // exchanges are the key shuffle + the final presentation sort
+    assert(!plan.contains("Join"), plan)
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected <=2 exchanges (key + final sort):\n$plan")
+  }
+
   test("range join plans as an equality join on the bucket, not a nested loop") {
     val df = graft.queries.Temporal.qRangeJoin(spark, sf)
     df.collect()
