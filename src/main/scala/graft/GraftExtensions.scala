@@ -11,7 +11,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * session.
   *
   * SQL surface: `graft_minhash(hashes)`, `graft_simhash(hashes)`,
-  * `graft_ngram_hashes(tokens, n)`, `graft_cosine(a, b)`.
+  * `graft_ngram_hashes(tokens, n)`, `graft_cosine(a, b)`,
+  * `graft_freq_items(item, k)` (aggregate).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
@@ -42,7 +43,12 @@ object GraftExtensions {
         args(1).eval().asInstanceOf[Int], mod31 = false)),
     ("graft_cosine",
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two vectors"),
-      (args: Seq[Expression]) => CosineSimilarity(args.head, args(1))))
+      (args: Seq[Expression]) => CosineSimilarity(args.head, args(1))),
+    ("graft_freq_items",
+      info("graft_freq_items",
+        "graft_freq_items(item, k) - Misra-Gries top-items sketch aggregate"),
+      (args: Seq[Expression]) => FreqItemsSketch(args.head,
+        args(1).eval().asInstanceOf[Int]).toAggregateExpression()))
 
   /** Register the SQL functions on a live session (idempotent). */
   def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit =

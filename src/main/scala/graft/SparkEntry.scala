@@ -59,6 +59,18 @@ object SparkEntry {
     "q_events_sessionize" -> (Events.sessionize _),
     "q_asof_join" -> (Temporal.qAsofJoin _),
     "q_heavy_hitters" -> (Events.heavyHitters _),
+    // flagship composition: annotate -> filter -> exact dedup -> LSH
+    // near-dedup, all library operators; rows-only (near-dup survivor
+    // set is not SQL-expressible), semantics spec'd in CurationSpec
+    "pipeline_curate" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.Curation.curate(graft.Tables.documents(s, dir),
+        "text", "doc_id", minQuality = 0.3,
+        langs = Seq("en", "de", "fr", "es"), jaccard = 0.8)
+        .select(col("doc_id"), col("lang_pred"), col("quality"),
+          col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
     "q_range_join" -> (Temporal.qRangeJoin _),
     "q_events_user_stats" -> (Events.userStats _),
     "q_pivot_events" -> (Events.pivotDaily _),

@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.{Curation, Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  private val docs = Tables.documents(spark, sf)
+
+  test("curate: every survivor passes the filters; no exact or verified near-dups remain") {
+    import spark.implicits._
+    val curated = Curation.curate(docs, "text", "doc_id",
+      minQuality = 0.3, langs = Seq("en", "de", "fr", "es"), jaccard = 0.8)
+      .persist()
+    val survivors = curated.select("doc_id").as[Long].collect().toSet
+    assert(survivors.nonEmpty)
+
+    // filters hold on every survivor
+    val bad = curated.filter(!$"lang_pred".isin("en", "de", "fr", "es") ||
+      $"quality" < 0.3)
+    assert(bad.isEmpty, "survivor violating filter predicate")
+
+    // no two survivors share a fingerprint
+    val n = curated.count()
+    val distinctFp = curated
+      .select(TextAnalysis.fingerprint($"text").as("fp")).distinct().count()
+    assert(distinctFp == n, s"exact dups survived: $n rows, $distinctFp fingerprints")
+
+    // no verified near-dup pair has both endpoints alive
+    val cands = Dedup.minhashPairs(curated, "text", "doc_id", threshold = 0.5)
+    val verified = Dedup.ngramJaccard(curated, cands, "text", "doc_id")
+      .filter($"jaccard" >= 0.8)
+    assert(verified.isEmpty,
+      "verified near-dup pair with both endpoints surviving")
+    curated.unpersist()
+  }
+
+  test("curate: stage counters are monotone and near-dedup actually fires") {
+    val r = Curation.report(docs, "text", "doc_id",
+      minQuality = 0.3, langs = Seq("en", "de", "fr", "es"), jaccard = 0.8)
+    assert(r.input >= r.afterFilter)
+    assert(r.afterFilter >= r.afterExact)
+    assert(r.afterExact >= r.afterNear)
+    // the corpus carries planted near-dups (TextDedupSpec ground truth),
+    // so the near-dedup stage must remove at least one doc
+    assert(r.afterNear < r.afterExact,
+      s"near-dedup removed nothing: $r")
+    assert(r.afterNear > 0)
+  }
+}
