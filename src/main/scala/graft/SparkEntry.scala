@@ -38,6 +38,7 @@ object SparkEntry {
     "q_scalar_subquery" -> (Relational.qScalarSubquery _),
     "q_union_dedup" -> (Relational.qUnionDedup _),
     "q_lag_lead" -> (Relational.qLagLead _),
+    "q_skew_salted_join" -> (Relational.qSkewSaltedJoin _),
     // the analyst path: SQL text against the registered view catalog
     "q_sql_catalog" -> ((s: SparkSession, dir: String) =>
       GraftSession.withTables(s, dir).sql(SqlCatalogQuery)),
@@ -422,6 +423,14 @@ object SparkEntry {
         |  c.o_orderkey AS asof_orderkey, c.o_totalprice AS asof_totalprice
         |FROM events e LEFT JOIN cand c ON c.event_id = e.event_id AND c.rn = 1
         |ORDER BY e.event_id""".stripMargin,
+    // the oracle computes the PLAIN join: the salted plan must agree
+    "q_skew_salted_join" ->
+      """SELECT p_brand, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
     // the sketch is exact here (distinct items per group < k), so the
     // exact GROUP BY is a legitimate oracle; see Events.heavyHitters
     "q_heavy_hitters" ->

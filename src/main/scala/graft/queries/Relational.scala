@@ -312,6 +312,26 @@ object Relational {
     custNations.union(suppNations).distinct().orderBy($"nationkey")
   }
 
+  /** Revenue per brand through [[graft.ops.Skew.saltedJoin]]: the salted
+    * plan (hot side salted on (key, rowid), dim replicated ×salts) must
+    * produce exactly the plain-join answer — which is what the DuckDB
+    * oracle computes. Exercises the skew tool under the correctness
+    * gate, not just a spec.
+    */
+  def qSkewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .withColumnRenamed("l_partkey", "p_partkey")
+    val parts = Tables.part(s, dir).select($"p_partkey", $"p_brand")
+    graft.ops.Skew.saltedJoin(li, parts, key = "p_partkey",
+        rowDisambiguator = "l_orderkey", salts = 8)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(12, 2)) - dec($"l_discount")))
+          .cast("double").as("revenue"))
+      .orderBy($"p_brand")
+  }
+
   /** Window lag/lead: per-customer order value deltas over time. */
   def qLagLead(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
