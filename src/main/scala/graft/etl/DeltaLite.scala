@@ -124,12 +124,16 @@ class DeltaLite(spark: SparkSession, root: String,
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .sortBy(_.getName)
     // per-file min/max of the stats key: one column-pruned pass over the
-    // just-written batch (O(batch), not O(table))
+    // just-written batch (O(batch), not O(table)). Aggregate on the
+    // TYPED key and stringify the result — stringify-then-min would
+    // order lexicographically ("9" > "49") and record ranges the typed
+    // pruning compare in rangesOverlap would misjudge (lost updates).
     val stats: Map[String, (Option[String], Option[String])] = statsKey match {
       case Some(k) if df.schema.fieldNames.contains(k) && dataFiles.nonEmpty =>
         spark.read.schema(df.schema).parquet(dataDir.toString)
-          .select(col(k).cast("string").as("__k"), input_file_name().as("__f"))
-          .groupBy("__f").agg(fmin("__k").as("mn"), fmax("__k").as("mx"))
+          .select(col(k).as("__k"), input_file_name().as("__f"))
+          .groupBy("__f").agg(fmin("__k").cast("string").as("mn"),
+            fmax("__k").cast("string").as("mx"))
           .collect()
           .map(r => norm(r.getString(0)) ->
             (Option(r.getString(1)), Option(r.getString(2))))
@@ -153,6 +157,44 @@ class DeltaLite(spark: SparkSession, root: String,
 
   /** Append a batch (schema-enforced). Returns the committed version. */
   def append(df: DataFrame): Int = { enforceSchema(df); commit(df, "append") }
+
+  /** Append with range-clustering on `statsKey`: the batch is
+    * range-repartitioned on the key before writing, so each data file
+    * covers a narrow, near-disjoint [min,max] slice. That tightens the
+    * per-file stats the file-granular [[upsert]] prunes with — a
+    * point-keyed merge then touches ~one file instead of every file
+    * whose range happens to straddle the batch (the same reason Delta
+    * tables Z-ORDER on merge keys).
+    */
+  def appendClustered(df: DataFrame, numFiles: Int): Int = {
+    enforceSchema(df)
+    val key = statsKey.getOrElse(
+      sys.error("appendClustered needs a table statsKey"))
+    commit(df.repartitionByRange(numFiles, col(key)), "append")
+  }
+
+  /** Incremental change feed: rows landed by `append`-mode commits
+    * (incl. [[txnAppend]]) with version > `sinceVersion`, tagged with
+    * `_commit_version` — what a downstream incremental job reads
+    * instead of re-scanning the table (the reference's scheduled
+    * incremental load, consumer side). Rewrite commits (upsert/compact)
+    * reorganize existing rows and are by design not row-level change
+    * events in an append-oriented feed.
+    */
+  def readAppendsSince(sinceVersion: Int): DataFrame = {
+    val sch = schema.getOrElse(sys.error(s"empty table at $root"))
+    val appends = commits()
+      .filter(c => c.version > sinceVersion && c.mode == "append" &&
+        c.files.nonEmpty)
+    val out = StructType(sch.fields :+
+      StructField("_commit_version", IntegerType, nullable = false))
+    if (appends.isEmpty)
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), out)
+    else appends.map { c =>
+      spark.read.schema(sch).parquet(c.files.map(_.path): _*)
+        .withColumn("_commit_version", org.apache.spark.sql.functions.lit(c.version))
+    }.reduce(_ unionByName _)
+  }
 
   /** Replace table contents (schema may change). */
   def overwrite(df: DataFrame): Int = commit(df, "overwrite")

@@ -114,6 +114,38 @@ class EtlSpec extends SparkSpec {
     assert(t.readAsOf(1).filter($"id" === 2L).select("v").head().getString(0) == "a2")
   }
 
+  test("DeltaLite: change feed returns exactly the appended rows per version") {
+    import spark.implicits._
+    val t = DeltaLite(spark, tmp("graft-cdc"), statsKey = "id")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))            // v0
+    t.append(Seq((3L, "c")).toDF("id", "v"))                       // v1
+    t.upsert(Seq((2L, "b2")).toDF("id", "v"), "id")                // v2 rewrite
+    t.append(Seq((4L, "d")).toDF("id", "v"))                       // v3
+    val changes = t.readAppendsSince(0)
+      .select($"id", $"v", $"_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    // v1 and v3 appends only; the v2 rewrite is not a change event
+    assert(changes == Set((3L, "c", 1), (4L, "d", 3)))
+    assert(t.readAppendsSince(3).collect().isEmpty)
+  }
+
+  test("DeltaLite: clustered appends give disjoint file ranges that upsert prunes") {
+    import spark.implicits._
+    val t = DeltaLite(spark, tmp("graft-cluster"), statsKey = "id")
+    // one batch, 200 keys, range-clustered into 4 files
+    val v = t.appendClustered(
+      spark.range(200).select($"id", ($"id" % 7).cast("string").as("v")), 4)
+    val files = t.commitInfo(v)._2
+    assert(files.size == 4, s"expected 4 clustered files, got ${files.size}")
+    // point upsert: only the file covering key 42 rewrites
+    val v2 = t.upsert(Seq((42L, "x")).toDF("id", "v"), "id")
+    val (_, _, removed) = t.commitInfo(v2)
+    assert(removed.size == 1,
+      s"clustered upsert should touch exactly one file, rewrote ${removed.size}")
+    assert(t.read().filter($"id" === 42L).select("v").head().getString(0) == "x")
+    assert(t.read().count() == 200)
+  }
+
   test("DeltaLite: compact bin-packs small files; vacuum reclaims unreferenced ones") {
     import spark.implicits._
     val t = DeltaLite(spark, tmp("graft-compact"), statsKey = "id")
