@@ -39,6 +39,7 @@ object SparkEntry {
     "q_union_dedup" -> (Relational.qUnionDedup _),
     "q_lag_lead" -> (Relational.qLagLead _),
     "q_skew_salted_join" -> (Relational.qSkewSaltedJoin _),
+    "q_percentiles" -> (Relational.qPercentiles _),
     // the analyst path: SQL text against the registered view catalog
     "q_sql_catalog" -> ((s: SparkSession, dir: String) =>
       GraftSession.withTables(s, dir).sql(SqlCatalogQuery)),
@@ -423,6 +424,14 @@ object SparkEntry {
         |  c.o_orderkey AS asof_orderkey, c.o_totalprice AS asof_totalprice
         |FROM events e LEFT JOIN cand c ON c.event_id = e.event_id AND c.rn = 1
         |ORDER BY e.event_id""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // the oracle computes the PLAIN join: the salted plan must agree
     "q_skew_salted_join" ->
       """SELECT p_brand, COUNT(*) AS n_items,

@@ -33,14 +33,22 @@ object TemporalJoins {
     *
     * Payload columns are taken atomically from the winning right row
     * (they travel as one struct), and must be non-null there.
+    *
+    * `tolerance` bounds the lookback: a match older than `leftTime −
+    * tolerance` is nulled out (the "as-of within t" variant every
+    * feature store offers — stale state is worse than no state). Same
+    * single-shuffle plan; the bound is a residual condition on the
+    * winning row's own time, which rides along inside the payload
+    * struct.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       payload: Seq[String], tieBreak: String,
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_",
+      tolerance: Option[Column] = None): DataFrame = {
     val leftCols = left.columns.toSeq
-    val pay = struct(payload.map(col): _*)
+    val pay = struct((payload :+ rightTime).distinct.map(col): _*)
     val payType = right.select(pay).schema.head.dataType
     val tieType = right.schema(tieBreak).dataType
     // common shape: key, time, side (right sorts before left at equal
@@ -60,9 +68,14 @@ object TemporalJoins {
     val joined = l.unionByName(r)
       .withColumn("__best", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+    val bounded = tolerance match {
+      case Some(t) => joined.withColumn("__best",
+        when(col(s"__best.$rightTime") >= col("__t") - t, col("__best")))
+      case None => joined
+    }
     val out = leftCols.map(col) ++
       payload.map(p => col(s"__best.$p").as(s"$prefix$p"))
-    joined.select(out: _*)
+    bounded.select(out: _*)
   }
 
   /** Range (point-in-interval) join: inner-join `points` rows to every

@@ -332,6 +332,20 @@ object Relational {
       .orderBy($"p_brand")
   }
 
+  /** Exact percentiles (linear interpolation) per return flag — the
+    * ordered-statistic aggregate; both engines implement the standard
+    * (n−1)·p interpolation, so results compare exactly on this data.
+    */
+  def qPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Window lag/lead: per-customer order value deltas over time. */
   def qLagLead(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

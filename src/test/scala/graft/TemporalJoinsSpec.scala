@@ -31,6 +31,20 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got(3) == ((4L, None, None)))           // no right rows
   }
 
+  test("asof join with tolerance nulls out stale matches") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 300L)).toDF("event_id", "k", "t")
+    val right = Seq((10L, 90L, 11L)).toDF("k", "t", "okey")
+    val got = TemporalJoins.asofJoin(left, right,
+        "k", "k", "t", "t", Seq("okey"), tieBreak = "okey",
+        tolerance = Some(lit(50L)))
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(3))))
+    // t=100: match at 90 is within 50 back; t=300: 90 is stale
+    assert(got(0) == ((1L, Some(11L))))
+    assert(got(1) == ((2L, None)))
+  }
+
   test("asof join matches the brute-force definition on real tables") {
     import spark.implicits._
     val events = Tables.events(spark, sf).select($"event_id", $"user_id", $"ts")
