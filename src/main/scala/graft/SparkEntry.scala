@@ -40,6 +40,7 @@ object SparkEntry {
     "q_lag_lead" -> (Relational.qLagLead _),
     "q_skew_salted_join" -> (Relational.qSkewSaltedJoin _),
     "q_percentiles" -> (Relational.qPercentiles _),
+    "q_full_outer" -> (Relational.qFullOuter _),
     // the analyst path: SQL text against the registered view catalog
     "q_sql_catalog" -> ((s: SparkSession, dir: String) =>
       GraftSession.withTables(s, dir).sql(SqlCatalogQuery)),
@@ -424,6 +425,15 @@ object SparkEntry {
         |  c.o_orderkey AS asof_orderkey, c.o_totalprice AS asof_totalprice
         |FROM events e LEFT JOIN cand c ON c.event_id = e.event_id AND c.rn = 1
         |ORDER BY e.event_id""".stripMargin,
+    "q_full_outer" ->
+      """SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey, c.c_name,
+        |  o.n_orders, o.total_spend
+        |FROM customer c FULL OUTER JOIN (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+        |  FROM orders GROUP BY o_custkey) o
+        |ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS p50,

@@ -332,6 +332,21 @@ object Relational {
       .orderBy($"p_brand")
   }
 
+  /** FULL OUTER join: every customer and every order-aggregate row
+    * survives — customers with no orders carry null aggregates (the
+    * join-type completeness case q_anti_join's left_anti doesn't cover).
+    */
+  def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir).select($"c_custkey", $"c_name")
+    val o = Tables.orders(s, dir).groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total_spend"))
+    c.join(o, $"c_custkey" === $"o_custkey", "full_outer")
+      .select(coalesce($"c_custkey", $"o_custkey").as("custkey"),
+        $"c_name", $"n_orders", $"total_spend")
+      .orderBy($"custkey")
+  }
+
   /** Exact percentiles (linear interpolation) per return flag — the
     * ordered-statistic aggregate; both engines implement the standard
     * (n−1)·p interpolation, so results compare exactly on this data.

@@ -96,6 +96,27 @@ class StreamingSpec extends SparkSpec {
     assert(t.read().count() == Tables.events(spark, sf).count())
   }
 
+  test("streaming dedup drops replayed events across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ev(id: Long, plusMin: Int) = Event(id,
+      new java.sql.Timestamp(t0.getTime + plusMin * 60000L), 1L, "click", 1.0)
+    val q = EventsStream.dedupStream(in.toDF(), "event_id")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, 0), ev(1, 0), ev(2, 1)) // dup within batch
+      q.processAllAvailable()
+      in.addData(ev(2, 1), ev(3, 2))           // replay across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select($"event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join exactly") {
     import spark.implicits._
     val streamed = EventsStream.clickAttribution(
