@@ -41,6 +41,7 @@ object SparkEntry {
     "q_skew_salted_join" -> (Relational.qSkewSaltedJoin _),
     "q_percentiles" -> (Relational.qPercentiles _),
     "q_full_outer" -> (Relational.qFullOuter _),
+    "q_intersect_except" -> (Relational.qIntersectExcept _),
     // the analyst path: SQL text against the registered view catalog
     "q_sql_catalog" -> ((s: SparkSession, dir: String) =>
       GraftSession.withTables(s, dir).sql(SqlCatalogQuery)),
@@ -425,6 +426,19 @@ object SparkEntry {
         |  c.o_orderkey AS asof_orderkey, c.o_totalprice AS asof_totalprice
         |FROM events e LEFT JOIN cand c ON c.event_id = e.event_id AND c.rn = 1
         |ORDER BY e.event_id""".stripMargin,
+    "q_intersect_except" ->
+      """WITH y95 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+        |y96 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+        |cohorts AS (
+        |  SELECT 'both' AS cohort, o_custkey FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+        |  UNION ALL
+        |  SELECT 'only_1995' AS cohort, o_custkey FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96))
+        |SELECT cohort, COUNT(*) AS n_customers
+        |FROM cohorts GROUP BY cohort ORDER BY cohort""".stripMargin,
     "q_full_outer" ->
       """SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey, c.c_name,
         |  o.n_orders, o.total_spend

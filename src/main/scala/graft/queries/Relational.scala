@@ -332,6 +332,25 @@ object Relational {
       .orderBy($"p_brand")
   }
 
+  /** INTERSECT / EXCEPT set operations: customers active in both 1995
+    * and 1996, and 1995-only customers. Spark plans these as
+    * aggregate+semi/anti joins — no materialized distinct union.
+    */
+  def qIntersectExcept(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def activeIn(year: Int) = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= ts(s"$year-01-01 00:00:00") &&
+        $"o_orderdate" < ts(s"${year + 1}-01-01 00:00:00"))
+      .select($"o_custkey")
+    val both = activeIn(1995).intersect(activeIn(1996))
+      .withColumn("cohort", lit("both"))
+    val only95 = activeIn(1995).except(activeIn(1996))
+      .withColumn("cohort", lit("only_1995"))
+    both.unionByName(only95)
+      .groupBy($"cohort").agg(count(lit(1)).as("n_customers"))
+      .orderBy($"cohort")
+  }
+
   /** FULL OUTER join: every customer and every order-aggregate row
     * survives — customers with no orders carry null aggregates (the
     * join-type completeness case q_anti_join's left_anti doesn't cover).
