@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -143,6 +143,67 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     c.join(broadcast(q), Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Materialized IVF index: the trained centroid model + the corpus
+    * with its cell assignment written once as cell-partitioned parquet.
+    * Build once, probe many — probing reads ONLY the nprobe cell
+    * directories per query batch (partition pruning on `cluster`),
+    * instead of re-assigning the whole corpus per search like the
+    * ad-hoc [[ivfTopK]] path does.
+    */
+  def buildIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
+      path: String, k: Int = 16, iters: Int = 2): Array[Array[Double]] = {
+    import graft.functions.VectorFunctions.nearest_centroids
+    val centroids = trainIvfCentroids(corpus, vecCol, k, iters)
+    corpus.select(col(idCol), col(vecCol),
+        element_at(nearest_centroids(col(vecCol), centroids, 1), 1).as("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/cells")
+    // centroid model: one row per (cluster, dim) — tiny, plain parquet
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex
+      .flatMap { case (v, c) => v.zipWithIndex.map { case (x, d) => (c, d, x) } }
+      .toSeq.toDF("cluster", "dim", "x")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    centroids
+  }
+
+  /** Load the centroid model back (k × dim, driver-side model state). */
+  def loadIvfCentroids(spark: SparkSession, path: String): Array[Array[Double]] = {
+    val rows = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getAs[Int]("cluster"), r.getAs[Int]("dim"),
+        r.getAs[Double]("x")))
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, vs) =>
+      vs.sortBy(_._2).map(_._3)
+    }.toArray
+  }
+
+  /** Probe a built index: same semantics as [[ivfTopK]], but candidates
+    * come from the cell-partitioned store — the scan plans with
+    * PartitionFilters on `cluster`, reading nprobe cells, not the
+    * corpus.
+    */
+  def probeIvfIndex(spark: SparkSession, queries: DataFrame, vecCol: String,
+      idCol: String, path: String, k: Int,
+      nprobe: Int = 3): DataFrame = {
+    import graft.functions.VectorFunctions.nearest_centroids
+    val centroids = loadIvfCentroids(spark, path)
+    val cells = spark.read.parquet(s"$path/cells")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      posexplode(nearest_centroids(col(vecCol), centroids, nprobe))
+        .as(Seq("probe", "cluster")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cells.withColumnRenamed(idCol, "neighbor_id")
+      .withColumnRenamed(vecCol, "cv")
+      .join(broadcast(q), Seq("cluster"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", cosine(col("qv"), col("cv")))

@@ -69,6 +69,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.25, s"recall@10 = $recall")
   }
 
+  test("IVF index: build once, probe with partition pruning, same answer as ad-hoc") {
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val centroids = Similarity.buildIvfIndex(emb, "embedding", "vec_id", dir,
+      k = 16, iters = 2)
+    // model round-trips exactly
+    val loaded = Similarity.loadIvfCentroids(spark, dir)
+    assert(loaded.map(_.toSeq).toSeq == centroids.map(_.toSeq).toSeq)
+
+    val queries = emb.orderBy("vec_id").limit(8)
+    val probed = Similarity.probeIvfIndex(spark, queries, "embedding",
+      "vec_id", dir, k = 10, nprobe = 3)
+    val got = probed.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val adhoc = Similarity.ivfTopK(queries, emb, "embedding", "vec_id",
+      k = 10, centroids, nprobe = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(got == adhoc, "index probe differs from ad-hoc IVF")
+
+    // the cell scan prunes on the cluster partition column
+    val plan = probed.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      plan.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+  }
+
   test("hyperplane bucket is deterministic across invocations") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf).limit(50)
