@@ -58,6 +58,30 @@ object Curation {
     exact.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[curate]] plus a semantic (embedding-cosine) near-dup stage: after
+    * the text passes, survivors whose embeddings sit within `cosine` of
+    * a smaller-id survivor are dropped too — catches paraphrase-level
+    * duplicates that shingle overlap can't see. `emb` joins on
+    * (`embIdCol` = curated `idCol`); candidate pairs come from the
+    * hyperplane-LSH buckets, so this stage is bucket-bounded like the
+    * text one.
+    */
+  def curateWithEmbeddings(docs: DataFrame, textCol: String, idCol: String,
+      emb: DataFrame, vecCol: String, embIdCol: String,
+      cosine: Double = 0.95, minQuality: Double = 0.5,
+      langs: Seq[String] = Seq("en"), jaccard: Double = 0.8,
+      lshThreshold: Double = 0.5): DataFrame = {
+    val textClean = curate(docs, textCol, idCol, minQuality, langs, jaccard,
+      lshThreshold)
+    // only surviving docs' embeddings participate
+    val survEmb = emb.join(textClean.select(col(idCol).as(embIdCol)),
+      Seq(embIdCol), "left_semi")
+    val pairs = Dedup.embeddingPairs(survEmb, vecCol, embIdCol,
+      threshold = cosine)
+    val losers = pairs.select(col("id_b").as(idCol)).distinct()
+    textClean.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Per-stage row counts for the same parameters (runs the pipeline's
     * counting twin; small results, driver-safe).
     */

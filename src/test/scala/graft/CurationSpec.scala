@@ -35,6 +35,30 @@ class CurationSpec extends SparkSpec {
     curated.unpersist()
   }
 
+  test("curateWithEmbeddings additionally drops semantic near-dups") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+      .withColumnRenamed("vec_id", "doc_id")
+    val textOnly = Curation.curate(docs, "text", "doc_id",
+      minQuality = 0.3, langs = Seq("en", "de", "fr", "es"), jaccard = 0.8)
+    val withEmb = Curation.curateWithEmbeddings(docs, "text", "doc_id",
+      emb, "embedding", "doc_id", cosine = 0.95,
+      minQuality = 0.3, langs = Seq("en", "de", "fr", "es"), jaccard = 0.8)
+    val tSet = textOnly.select("doc_id").as[Long].collect().toSet
+    val eSet = withEmb.select("doc_id").as[Long].collect().toSet
+    assert(eSet.subsetOf(tSet), "embedding stage must only remove docs")
+    // no embedding near-dup pair survives among the final set
+    val survEmb = emb.join(withEmb.select($"doc_id"), Seq("doc_id"), "left_semi")
+    val remaining = graft.ops.Dedup.embeddingPairs(survEmb, "embedding",
+      "doc_id", threshold = 0.95)
+    assert(remaining.isEmpty)
+    // the corpus plants embedding perturbation dups — the stage fires
+    // when any planted pair survived the text passes; tolerate zero
+    // only if the text stages already removed every such doc
+    if (eSet == tSet)
+      info("embedding stage removed nothing (text passes caught all)")
+  }
+
   test("curate: stage counters are monotone and near-dedup actually fires") {
     val r = Curation.report(docs, "text", "doc_id",
       minQuality = 0.3, langs = Seq("en", "de", "fr", "es"), jaccard = 0.8)
