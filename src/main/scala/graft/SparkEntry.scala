@@ -87,6 +87,15 @@ object SparkEntry {
           col("mean_r"), col("mean_g"), col("mean_b"))
         .orderBy(col("id"))
     }),
+    "mm_audio_decode" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.Multimodal.decodeAudio(
+        graft.ops.Multimodal.syntheticAudio(s, n = 24))
+        .toDF()
+        .select(col("id"), col("sample_rate"), col("n_samples"),
+          col("mean_amp"), col("peak"), col("rms"))
+        .orderBy(col("id"))
+    }),
     "mm_binary_meta" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       graft.ops.Multimodal.decodeFeatures(
@@ -551,6 +560,20 @@ object SparkEntry {
         |  CAST(SUM(g) AS DOUBLE) / 192 AS mean_g,
         |  CAST(SUM(b) AS DOUBLE) / 192 AS mean_b
         |FROM pix GROUP BY id ORDER BY id""".stripMargin,
+    // Spark decodes REAL WAV bytes (javax.sound.sampled) synthesized
+    // from this integer waveform; the oracle recomputes the stats from
+    // the formula with no codec (integer sums exact, one division +
+    // sqrt of identical doubles on each side).
+    "mm_audio_decode" ->
+      """WITH ids AS (SELECT CAST(range AS BIGINT) AS id FROM range(24)),
+        |smp AS (SELECT range AS i FROM range(1600)),
+        |s AS (SELECT id, ((id * 31 + i * 7) % 2001) - 1000 AS v FROM ids, smp)
+        |SELECT id, CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(1600 AS BIGINT) AS n_samples,
+        |  CAST(SUM(v) AS DOUBLE) / 1600 AS mean_amp,
+        |  CAST(MAX(ABS(v)) AS INTEGER) AS peak,
+        |  SQRT(CAST(SUM(v * v) AS DOUBLE) / 1600) AS rms
+        |FROM s GROUP BY id ORDER BY id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT CASE CAST(doc_id % 3 AS INTEGER)
         |         WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,

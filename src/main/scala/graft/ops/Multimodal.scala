@@ -8,14 +8,17 @@ import org.apache.spark.sql.functions._
   * batch transforms.
   *
   * Images decode for REAL via `javax.imageio` ([[Multimodal.decodeImages]]
-  * — in-JDK PNG/BMP/JPEG codecs, genuine bytes in, pixel stats out).
-  * Audio/video codecs aren't available in this environment, so the
-  * generic [[Multimodal.decodeFeatures]] remains a clearly-marked
-  * deterministic STUB for those modalities. Either way the Spark-side
-  * shape is real: binary columns survive parquet round trips, the
-  * transform is a `mapPartitions` over a typed Dataset (per-partition
-  * batching — codec setup amortizes across the batch, no per-row JNI
-  * churn at scale), and the output schema is fixed and columnar.
+  * — in-JDK PNG/BMP/JPEG codecs, genuine bytes in, pixel stats out),
+  * and audio decodes for REAL via `javax.sound.sampled`
+  * ([[Multimodal.decodeAudio]] — in-JDK WAV/PCM codec: RIFF header
+  * parsing, frame extraction, amplitude stats). Video codecs aren't
+  * available in this environment, so the generic
+  * [[Multimodal.decodeFeatures]] remains a clearly-marked deterministic
+  * STUB for that modality. Either way the Spark-side shape is real:
+  * binary columns survive parquet round trips, the transform is a
+  * `mapPartitions` over a typed Dataset (per-partition batching — codec
+  * setup amortizes across the batch, no per-row JNI churn at scale),
+  * and the output schema is fixed and columnar.
   */
 case class MMRecord(id: Long, modality: String, payload: Array[Byte],
     meta_format: String)
@@ -25,6 +28,9 @@ case class MMFeature(id: Long, modality: String, n_bytes: Int,
 
 case class ImageFeature(id: Long, width: Int, height: Int, n_pixels: Long,
     mean_r: Double, mean_g: Double, mean_b: Double, thumb: Array[Double])
+
+case class AudioFeature(id: Long, sample_rate: Int, n_samples: Long,
+    mean_amp: Double, peak: Int, rms: Double)
 
 object Multimodal {
 
@@ -145,6 +151,75 @@ object Multimodal {
         }
         ImageFeature(r.id, w, h, n, sr.toDouble / n, sg.toDouble / n,
           sb.toDouble / n, thumb)
+      }
+    }
+  }
+
+  /** Synthesize REAL WAV payloads on the executors: a deterministic
+    * integer pseudo-noise waveform (PCM16 mono) wrapped in a standard
+    * 44-byte RIFF/WAVE header. Integer samples make every downstream
+    * stat exactly recomputable without the codec — which is what the
+    * `mm_audio_decode` oracle does.
+    */
+  def syntheticAudio(spark: SparkSession, n: Int, sampleRate: Int = 8000,
+      numSamples: Int = 1600): Dataset[MMRecord] = {
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val bb = java.nio.ByteBuffer.allocate(44 + numSamples * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val dataLen = numSamples * 2
+        bb.put("RIFF".getBytes); bb.putInt(36 + dataLen)
+        bb.put("WAVE".getBytes)
+        bb.put("fmt ".getBytes); bb.putInt(16)
+        bb.putShort(1)                       // PCM
+        bb.putShort(1)                       // mono
+        bb.putInt(sampleRate)
+        bb.putInt(sampleRate * 2)            // byte rate
+        bb.putShort(2)                       // block align
+        bb.putShort(16)                      // bits per sample
+        bb.put("data".getBytes); bb.putInt(dataLen)
+        var i = 0
+        while (i < numSamples) {
+          bb.putShort((((id * 31 + i * 7) % 2001) - 1000).toShort)
+          i += 1
+        }
+        MMRecord(id, "audio", bb.array(), "audio/wav")
+      }
+    }
+  }
+
+  /** REAL audio decode: `javax.sound.sampled.AudioSystem` parses the
+    * container and format per payload inside a `mapPartitions` batch;
+    * PCM16 frames become amplitude stats (mean/peak/RMS) — the
+    * loudness/clipping features an audio-corpus filter runs on.
+    */
+  def decodeAudio(records: Dataset[MMRecord]): Dataset[AudioFeature] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.filter(_.modality == "audio").mapPartitions { it =>
+      it.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"expected PCM16 mono for id=${r.id}, got $fmt")
+        val bytes = ais.readAllBytes()
+        ais.close()
+        val n = bytes.length / 2
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        var sum = 0L; var sumSq = 0L; var peak = 0
+        var i = 0
+        while (i < n) {
+          val s = bb.getShort(i * 2).toInt
+          sum += s; sumSq += s.toLong * s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          i += 1
+        }
+        AudioFeature(r.id, fmt.getSampleRate.toInt, n,
+          sum.toDouble / n, peak, math.sqrt(sumSq.toDouble / n))
       }
     }
   }

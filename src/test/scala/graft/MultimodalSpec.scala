@@ -61,6 +61,28 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded.forall(f => f.width == 16 && f.height == 12))
   }
 
+  test("real WAV decode: format, amplitude stats vs ground truth; parquet round trip") {
+    import spark.implicits._
+    val n = 6
+    val feats = Multimodal.decodeAudio(Multimodal.syntheticAudio(spark, n))
+      .collect().map(f => f.id -> f).toMap
+    assert(feats.size == n)
+    for (id <- 0L until n.toLong) {
+      val f = feats(id)
+      assert(f.sample_rate == 8000 && f.n_samples == 1600)
+      val v = (0 until 1600).map(i => ((id * 31 + i * 7) % 2001 - 1000).toInt)
+      assert(f.mean_amp == v.sum.toDouble / 1600)
+      assert(f.peak == v.map(math.abs).max)
+      assert(f.rms == math.sqrt(v.map(x => x.toLong * x).sum.toDouble / 1600))
+    }
+    // payloads survive parquet and still decode through the codec
+    val dir = java.nio.file.Files.createTempDirectory("graft-wav").toString
+    Multimodal.syntheticAudio(spark, 4).toDF().write.mode("overwrite").parquet(dir)
+    val back = Multimodal.decodeAudio(
+      spark.read.parquet(dir).as[graft.ops.MMRecord]).collect()
+    assert(back.length == 4 && back.forall(_.n_samples == 1600))
+  }
+
   test("frame sampling explodes video payloads only") {
     val frames = Multimodal.frameSample(records, frames = 4).collect()
     val videoIds = records.filter(_.modality == "video").collect().map(_.id).toSet
