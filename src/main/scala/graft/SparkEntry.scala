@@ -87,6 +87,15 @@ object SparkEntry {
           col("mean_r"), col("mean_g"), col("mean_b"))
         .orderBy(col("id"))
     }),
+    "mm_video_decode" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.Multimodal.decodeVideo(
+        graft.ops.Multimodal.syntheticVideo(s, n = 12), sampleEvery = 2)
+        .toDF()
+        .select(col("id"), col("frame"), col("n_frames"), col("width"),
+          col("height"), col("mean_gray"))
+        .orderBy(col("id"), col("frame"))
+    }),
     "mm_audio_decode" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       graft.ops.Multimodal.decodeAudio(
@@ -560,6 +569,21 @@ object SparkEntry {
         |  CAST(SUM(g) AS DOUBLE) / 192 AS mean_g,
         |  CAST(SUM(b) AS DOUBLE) / 192 AS mean_b
         |FROM pix GROUP BY id ORDER BY id""".stripMargin,
+    // Spark decodes REAL multi-frame GIF videos (ImageIO sequence
+    // reader, every 2nd frame); the oracle recomputes per-frame
+    // luminance from the gradient formula with no codec.
+    "mm_video_decode" ->
+      """WITH ids AS (SELECT CAST(range AS BIGINT) AS id FROM range(12)),
+        |fr AS (SELECT CAST(range AS INTEGER) AS frame FROM range(0, 8, 2)),
+        |xs AS (SELECT range AS x FROM range(16)),
+        |ys AS (SELECT range AS y FROM range(12)),
+        |pix AS (SELECT id, frame,
+        |    (id * 13 + frame * 29 + x * 3 + y * 5) % 256 AS g
+        |  FROM ids, fr, xs, ys)
+        |SELECT id, frame, CAST(8 AS INTEGER) AS n_frames,
+        |  CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
+        |  CAST(SUM(g) AS DOUBLE) / 192 AS mean_gray
+        |FROM pix GROUP BY id, frame ORDER BY id, frame""".stripMargin,
     // Spark decodes REAL WAV bytes (javax.sound.sampled) synthesized
     // from this integer waveform; the oracle recomputes the stats from
     // the formula with no codec (integer sums exact, one division +

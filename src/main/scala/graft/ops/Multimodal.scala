@@ -7,18 +7,20 @@ import org.apache.spark.sql.functions._
   * typed metadata, with decode/feature-extraction as per-partition
   * batch transforms.
   *
-  * Images decode for REAL via `javax.imageio` ([[Multimodal.decodeImages]]
-  * — in-JDK PNG/BMP/JPEG codecs, genuine bytes in, pixel stats out),
-  * and audio decodes for REAL via `javax.sound.sampled`
-  * ([[Multimodal.decodeAudio]] — in-JDK WAV/PCM codec: RIFF header
-  * parsing, frame extraction, amplitude stats). Video codecs aren't
-  * available in this environment, so the generic
-  * [[Multimodal.decodeFeatures]] remains a clearly-marked deterministic
-  * STUB for that modality. Either way the Spark-side shape is real:
-  * binary columns survive parquet round trips, the transform is a
-  * `mapPartitions` over a typed Dataset (per-partition batching — codec
+  * All three modalities decode REAL bytes with in-JDK codecs:
+  *  - images via `javax.imageio` ([[Multimodal.decodeImages]] —
+  *    PNG/BMP/JPEG, pixel stats out);
+  *  - audio via `javax.sound.sampled` ([[Multimodal.decodeAudio]] —
+  *    WAV/PCM container + frames, amplitude stats);
+  *  - video via the ImageIO multi-frame GIF sequence reader
+  *    ([[Multimodal.decodeVideo]] — container parse, frame sampling,
+  *    per-frame luminance).
+  * The generic [[Multimodal.decodeFeatures]] keeps a deterministic
+  * fallback codec for arbitrary payloads. The Spark-side shape is the
+  * point: binary columns survive parquet round trips, transforms are
+  * `mapPartitions` over typed Datasets (per-partition batching — codec
   * setup amortizes across the batch, no per-row JNI churn at scale),
-  * and the output schema is fixed and columnar.
+  * and output schemas are fixed and columnar.
   */
 case class MMRecord(id: Long, modality: String, payload: Array[Byte],
     meta_format: String)
@@ -31,6 +33,9 @@ case class ImageFeature(id: Long, width: Int, height: Int, n_pixels: Long,
 
 case class AudioFeature(id: Long, sample_rate: Int, n_samples: Long,
     mean_amp: Double, peak: Int, rms: Double)
+
+case class VideoFrame(id: Long, frame: Int, n_frames: Int, width: Int,
+    height: Int, mean_gray: Double)
 
 object Multimodal {
 
@@ -221,6 +226,84 @@ object Multimodal {
         AudioFeature(r.id, fmt.getSampleRate.toInt, n,
           sum.toDouble / n, peak, math.sqrt(sumSq.toDouble / n))
       }
+    }
+  }
+
+  /** Synthesize REAL video payloads: multi-frame animated GIFs (the one
+    * multi-frame container the JDK can both write and read) with an
+    * explicit 256-gray palette, which round-trips pixel values
+    * losslessly. Frame pixels follow a per-(id, frame) gradient formula
+    * so decoded stats are exactly recomputable without the codec.
+    */
+  def syntheticVideo(spark: SparkSession, n: Int, w: Int = 16, h: Int = 12,
+      frames: Int = 8): Dataset[MMRecord] = {
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions { ids =>
+      // palette + writer warm once per partition (the batch-amortized
+      // codec-setup shape a real encoder farm needs)
+      val grays = Array.tabulate(256)(_.toByte)
+      val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+      ids.map { id =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < frames) {
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0,
+                ((id * 13 + f * 29 + x * 3 + y * 5) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence(); writer.dispose(); ios.close()
+        MMRecord(id, "video", bos.toByteArray, "image/gif")
+      }
+    }
+  }
+
+  /** REAL video frame sampling + decode: the GIF container is parsed
+    * per payload (`ImageIO` multi-frame reader), every `sampleEvery`-th
+    * frame is decoded, and per-frame luminance stats come out — the
+    * decode/frame-sample/feature-extract step of a video corpus
+    * pipeline, one output row per sampled frame.
+    */
+  def decodeVideo(records: Dataset[MMRecord],
+      sampleEvery: Int = 2): Dataset[VideoFrame] = {
+    require(sampleEvery >= 1)
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.filter(_.modality == "video").flatMap { r =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.payload)))
+      val n = reader.getNumImages(true)
+      val out = (0 until n by sampleEvery).map { f =>
+        val img = reader.read(f)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += (img.getRGB(x, y) & 0xFF); x += 1 }
+          y += 1
+        }
+        VideoFrame(r.id, f, n, w, h, sum.toDouble / (w.toLong * h))
+      }
+      reader.dispose()
+      out
     }
   }
 

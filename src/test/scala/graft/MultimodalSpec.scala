@@ -83,6 +83,25 @@ class MultimodalSpec extends SparkSpec {
     assert(back.length == 4 && back.forall(_.n_samples == 1600))
   }
 
+  test("real GIF video decode: frame sampling + per-frame stats vs ground truth") {
+    import spark.implicits._
+    val vids = Multimodal.syntheticVideo(spark, n = 4, frames = 8)
+    val frames = Multimodal.decodeVideo(vids, sampleEvery = 2).collect()
+    assert(frames.length == 4 * 4) // frames 0,2,4,6 per video
+    for (f <- frames) {
+      assert(f.n_frames == 8 && f.width == 16 && f.height == 12)
+      val expect = (for (y <- 0 until 12; x <- 0 until 16)
+        yield (f.id * 13 + f.frame * 29 + x * 3 + y * 5) % 256).sum.toDouble / 192
+      assert(f.mean_gray == expect, s"id=${f.id} frame=${f.frame}")
+    }
+    // container bytes survive parquet and still decode
+    val dir = java.nio.file.Files.createTempDirectory("graft-gif").toString
+    vids.toDF().write.mode("overwrite").parquet(dir)
+    val back = Multimodal.decodeVideo(
+      spark.read.parquet(dir).as[graft.ops.MMRecord], sampleEvery = 4)
+    assert(back.count() == 4 * 2) // frames 0,4
+  }
+
   test("frame sampling explodes video payloads only") {
     val frames = Multimodal.frameSample(records, frames = 4).collect()
     val videoIds = records.filter(_.modality == "video").collect().map(_.id).toSet
