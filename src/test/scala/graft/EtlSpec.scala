@@ -174,6 +174,23 @@ class EtlSpec extends SparkSpec {
     intercept[Exception] { t.readAsOf(0).collect() }
   }
 
+  test("DeltaLite edge cases: vacuum beyond history, upsert without stats") {
+    import spark.implicits._
+    // vacuum with retainVersions > history: nothing deleted
+    val t = DeltaLite(spark, tmp("graft-edge"), statsKey = "id")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    assert(t.vacuum(retainVersions = 10).isEmpty)
+    // upsert on a table WITHOUT statsKey: every file is conservatively
+    // a rewrite candidate — still correct, just unpruned
+    val u = DeltaLite(spark, tmp("graft-nostats"))
+    u.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    u.append(Seq((3L, "c")).toDF("id", "v").coalesce(1))
+    val v = u.upsert(Seq((2L, "b2")).toDF("id", "v"), "id")
+    assert(u.commitInfo(v)._3.size == 2, "no stats -> all files rewritten")
+    assert(u.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
+
   test("DeltaLite: schema enforcement rejects drifted batch") {
     import spark.implicits._
     val t = DeltaLite(spark, tmp("graft-schema"))

@@ -45,6 +45,15 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("freq_items: nulls skipped, empty input yields empty sketch") {
+    import spark.implicits._
+    val df = Seq(Some("a"), None, Some("a"), None).toDF("item")
+    val got = sketchCounts(df, k = 4)
+    assert(got == Map("a" -> 2L))
+    val empty = sketchCounts(Seq.empty[String].toDF("item"), k = 4)
+    assert(empty.isEmpty)
+  }
+
   test("q_heavy_hitters matches the exact per-segment counts") {
     import spark.implicits._
     val got = graft.queries.Events.heavyHitters(spark, sf)

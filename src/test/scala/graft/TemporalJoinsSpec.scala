@@ -106,6 +106,24 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected <=2 exchanges (key + final sort):\n$plan")
   }
 
+  test("edge cases: empty right side; negative-value range buckets") {
+    import spark.implicits._
+    // as-of with no right rows at all: every left row keeps null payload
+    val left = Seq((1L, 5L, 100L)).toDF("event_id", "k", "t")
+    val right = Seq.empty[(Long, Long, Long)].toDF("k", "t", "okey")
+    val r = TemporalJoins.asofJoin(left, right, "k", "k", "t", "t",
+      Seq("okey"), tieBreak = "okey").collect()
+    assert(r.length == 1 && r(0).isNullAt(3))
+    // negative coordinates: floor-division bucketing must stay correct
+    val iv = Seq((0L, -120L, -20L), (1L, -50L, 60L)).toDF("iid", "lo", "hi")
+    val pts = (-130L to 70L by 10L).toDF("p").withColumn("pid", col("p"))
+    val got = TemporalJoins.pointInInterval(pts, "p", iv, "lo", "hi", 50L)
+      .select($"pid", $"iid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val brute = pts.crossJoin(iv).filter($"p" >= $"lo" && $"p" < $"hi")
+      .select($"pid", $"iid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == brute)
+  }
+
   test("range join plans as an equality join on the bucket, not a nested loop") {
     val df = graft.queries.Temporal.qRangeJoin(spark, sf)
     df.collect()
