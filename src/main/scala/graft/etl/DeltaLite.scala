@@ -35,8 +35,13 @@ class DeltaLite(spark: SparkSession, root: String,
   private def fs: FileSystem =
     rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** `keyCol` is the column the file's min/max stats describe (the
+    * writer's statsKey at commit time) — pruning must check it matches
+    * the merge key, or stats computed on column A would wrongly prune
+    * an upsert on column B.
+    */
   private case class FileEntry(path: String, min: Option[String],
-      max: Option[String])
+      max: Option[String], keyCol: Option[String] = None)
   private case class Commit(version: Int, mode: String, schemaJson: String,
       removed: Seq[String], files: Seq[FileEntry],
       txnApp: Option[String] = None, txnId: Option[Long] = None)
@@ -44,15 +49,25 @@ class DeltaLite(spark: SparkSession, root: String,
   /** Scheme-independent path identity (file:/x vs file:///x vs /x). */
   private def norm(p: String): String = new Path(p).toUri.getPath
 
+  // Published log files are immutable (temp-file + atomic rename), so
+  // parsed commits cache forever by file name — commits() lists the
+  // directory but re-parses only unseen files. Without this, every
+  // table operation re-reads+parses the whole log and a long-lived
+  // streaming sink degrades quadratically with version count.
+  private val parsedLog =
+    scala.collection.concurrent.TrieMap.empty[String, Commit]
+
   private def commits(): Seq[Commit] = {
     if (!fs.exists(logDir)) return Nil
     fs.listStatus(logDir).toSeq
       .filter(_.getPath.getName.endsWith(".json"))
       .map { st =>
-        val in = fs.open(st.getPath)
-        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        parseCommit(body)
+        parsedLog.getOrElseUpdate(st.getPath.getName, {
+          val in = fs.open(st.getPath)
+          val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          parseCommit(body)
+        })
       }
       .sortBy(_.version)
   }
@@ -79,8 +94,11 @@ class DeltaLite(spark: SparkSession, root: String,
       "\"max\":(null|\"(?:[^\"\\\\]|\\\\.)*\")\\}").r
     def opt(s: String): Option[String] =
       if (s == "null") None else Some(unesc(s.substring(1, s.length - 1)))
+    // pre-statsCol logs parse with keyCol=None → pruning stays off
+    // for those files (conservative)
+    val statsCol = optField("statsCol")
     val files = fileRe.findAllMatchIn(filesBody).map { m =>
-      FileEntry(unesc(m.group(1)), opt(m.group(2)), opt(m.group(3)))
+      FileEntry(unesc(m.group(1)), opt(m.group(2)), opt(m.group(3)), statsCol)
     }.toSeq
     Commit(field("version").toInt, field("mode"), field("schema"),
       removedPaths, files, optField("txnApp"), optField("txnId").map(_.toLong))
@@ -96,7 +114,9 @@ class DeltaLite(spark: SparkSession, root: String,
       case (Some(app), Some(id)) => s""""txnApp":"${esc(app)}","txnId":"$id","""
       case _ => ""
     }
-    s"""{"version":"${c.version}","mode":"${c.mode}",$txn"schema":"${esc(c.schemaJson)}","removed":$removed,"files":$files}"""
+    val statsCol = c.files.flatMap(_.keyCol).headOption
+      .map(k => s""""statsCol":"${esc(k)}",""").getOrElse("")
+    s"""{"version":"${c.version}","mode":"${c.mode}",$txn$statsCol"schema":"${esc(c.schemaJson)}","removed":$removed,"files":$files}"""
   }
 
   def latestVersion: Option[Int] = commits().lastOption.map(_.version)
@@ -119,6 +139,13 @@ class DeltaLite(spark: SparkSession, root: String,
       txn: Option[(String, Long)] = None): Int = {
     val version = latestVersion.map(_ + 1).getOrElse(0)
     val dataDir = new Path(rootPath, s"v=$version")
+    // a v=N directory without N.json is an orphan from a crash between
+    // the data write and the log publish — the commit never became
+    // visible, so its data is dead. Clear it rather than wedging every
+    // subsequent commit (and every replay of this one) on
+    // ErrorIfExists forever.
+    if (fs.exists(dataDir) && !fs.exists(new Path(logDir, s"$version.json")))
+      fs.delete(dataDir, true)
     df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
     val dataFiles = fs.listStatus(dataDir).toSeq.map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
@@ -140,9 +167,11 @@ class DeltaLite(spark: SparkSession, root: String,
           .toMap
       case _ => Map.empty
     }
+    val statsColUsed = statsKey.filter(k =>
+      df.schema.fieldNames.contains(k) && stats.nonEmpty)
     val entries = dataFiles.map { p =>
       val s = stats.getOrElse(norm(p.toString), (None, None))
-      FileEntry(p.toString, s._1, s._2)
+      FileEntry(p.toString, s._1, s._2, statsColUsed)
     }
     val record = Commit(version, mode, df.schema.json, removed, entries,
       txn.map(_._1), txn.map(_._2))
@@ -191,9 +220,14 @@ class DeltaLite(spark: SparkSession, root: String,
     if (appends.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[Row](), out)
     else appends.map { c =>
-      spark.read.schema(sch).parquet(c.files.map(_.path): _*)
+      // each commit reads with ITS OWN recorded schema — decoding old
+      // files with the latest schema would fabricate nulls (or fail)
+      // for columns added/retyped by a later overwrite. Name-based
+      // union aligns the epochs; a missing column is explicitly null.
+      val commitSch = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+      spark.read.schema(commitSch).parquet(c.files.map(_.path): _*)
         .withColumn("_commit_version", org.apache.spark.sql.functions.lit(c.version))
-    }.reduce(_ unionByName _)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Replace table contents (schema may change). */
@@ -243,9 +277,11 @@ class DeltaLite(spark: SparkSession, root: String,
     * whose [min,max] range of `statsKey` intersects the batch's key
     * range are rewritten (anti-join + re-append); every other file is
     * carried forward untouched. Write amplification is O(files that can
-    * contain matches), not O(table). Without stats (or on a different
-    * key) every file is conservatively a candidate — still correct.
-    * Old versions stay readable via time travel.
+    * contain matches), not O(table). A file participates in pruning
+    * only when its recorded stats describe THIS key (`FileEntry.keyCol
+    * == key`) — stats computed on another column, or absent, make the
+    * file a conservative rewrite candidate. Still correct without any
+    * stats. Old versions stay readable via time travel.
     */
   def upsert(df: DataFrame, key: String): Int = {
     enforceSchema(df)
@@ -255,9 +291,9 @@ class DeltaLite(spark: SparkSession, root: String,
     val keyType = sch(key).dataType
     val bounds = df.agg(fmin(col(key)).cast("string"),
       fmax(col(key)).cast("string")).collect()(0)
-    val canPrune = statsKey.contains(key) && !bounds.isNullAt(0)
+    val canPrune = !bounds.isNullAt(0)
     val (touched, untouched) = entries.partition { f =>
-      !canPrune || f.min.isEmpty || f.max.isEmpty ||
+      !canPrune || !f.keyCol.contains(key) || f.min.isEmpty || f.max.isEmpty ||
         rangesOverlap(keyType, f.min.get, f.max.get,
           bounds.getString(0), bounds.getString(1))
     }
@@ -265,8 +301,11 @@ class DeltaLite(spark: SparkSession, root: String,
     if (touched.isEmpty) commit(df, "rewrite")
     else {
       val existing = spark.read.schema(sch).parquet(touched.map(_.path): _*)
+      // the key join would reorder columns (key first) and silently
+      // drift the committed schema — restore the table's column order
       val merged = existing.join(df.select(key), Seq(key), "left_anti")
         .unionByName(df)
+        .select(sch.fieldNames.map(col).toSeq: _*)
       commit(merged, "rewrite", removed = touched.map(_.path))
     }
   }

@@ -38,6 +38,16 @@ object Curation {
   def curate(docs: DataFrame, textCol: String, idCol: String,
       minQuality: Double = 0.5, langs: Seq[String] = Seq("en"),
       jaccard: Double = 0.8, lshThreshold: Double = 0.5): DataFrame = {
+    val (_, exact) = textStages(docs, textCol, idCol, minQuality, langs)
+    nearDedup(exact, textCol, idCol, jaccard, lshThreshold)
+  }
+
+  /** Stages 1–3 (annotate → filter → exact dedup) as plans, shared by
+    * [[curate]] and [[report]] so the counting twin doesn't re-derive
+    * — and re-execute — the expensive scans.
+    */
+  private def textStages(docs: DataFrame, textCol: String, idCol: String,
+      minQuality: Double, langs: Seq[String]): (DataFrame, DataFrame) = {
     val annotated = docs
       .withColumn("lang_pred", TextAnalysis.langPredict(col(textCol)))
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol),
@@ -45,15 +55,18 @@ object Curation {
       .withColumn("n_tokens", TextAnalysis.wsTokenCount(col(textCol)))
     val filtered = annotated
       .filter(col("lang_pred").isin(langs: _*) && col("quality") >= minQuality)
-    val exact = Dedup.exactSurvivors(filtered, textCol, idCol)
+    (filtered, Dedup.exactSurvivors(filtered, textCol, idCol))
+  }
 
-    // near-dup pass runs on the already-thinned corpus
+  /** Stage 4: MinHash/LSH candidates → exact Jaccard verify → drop the
+    * larger id of every verified pair (survivors never appear as id_b).
+    */
+  private def nearDedup(exact: DataFrame, textCol: String, idCol: String,
+      jaccard: Double, lshThreshold: Double): DataFrame = {
     val cands = Dedup.minhashPairs(exact, textCol, idCol,
       threshold = lshThreshold)
     val verified = Dedup.ngramJaccard(exact, cands, textCol, idCol)
       .filter(col("jaccard") >= jaccard)
-    // drop the larger id of every verified pair: survivors are docs that
-    // never appear as id_b (left_anti on a smaller-keyed dup list)
     val losers = verified.select(col("id_b").as(idCol)).distinct()
     exact.join(losers, Seq(idCol), "left_anti")
   }
@@ -88,16 +101,15 @@ object Curation {
   def report(docs: DataFrame, textCol: String, idCol: String,
       minQuality: Double = 0.5, langs: Seq[String] = Seq("en"),
       jaccard: Double = 0.8, lshThreshold: Double = 0.5): CurationReport = {
-    val annotated = docs
-      .withColumn("lang_pred", TextAnalysis.langPredict(col(textCol)))
-      .withColumn("quality", TextAnalysis.qualityScore(col(textCol),
-        length(col(textCol)).cast("long")))
-    val filtered = annotated
-      .filter(col("lang_pred").isin(langs: _*) && col("quality") >= minQuality)
-    val exact = Dedup.exactSurvivors(filtered, textCol, idCol)
-    val curated = curate(docs, textCol, idCol, minQuality, langs, jaccard,
-      lshThreshold)
-    CurationReport(docs.count(), filtered.count(), exact.count(),
-      curated.count())
+    import org.apache.spark.storage.StorageLevel
+    val (filtered, exactPlan) = textStages(docs, textCol, idCol, minQuality,
+      langs)
+    // the exact-dedup output feeds three consumers (its count, the LSH
+    // pass, the survivor anti-join) — materialize it once instead of
+    // re-running the annotate/filter scans per consumer
+    val exact = exactPlan.persist(StorageLevel.MEMORY_AND_DISK)
+    try CurationReport(docs.count(), filtered.count(), exact.count(),
+      nearDedup(exact, textCol, idCol, jaccard, lshThreshold).count())
+    finally { exact.unpersist(false); () }
   }
 }

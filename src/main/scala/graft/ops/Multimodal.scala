@@ -240,14 +240,15 @@ object Multimodal {
     import spark.implicits._
     spark.range(n).as[Long].mapPartitions { ids =>
       // palette + writer warm once per partition (the batch-amortized
-      // codec-setup shape a real encoder farm needs)
+      // codec-setup shape a real encoder farm needs); only the output
+      // stream is per-record
       val grays = Array.tabulate(256)(_.toByte)
       val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
       ids.map { id =>
         val bos = new java.io.ByteArrayOutputStream()
         val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-        val writer = javax.imageio.ImageIO
-          .getImageWritersByFormatName("gif").next()
         writer.setOutput(ios)
         writer.prepareWriteSequence(null)
         var f = 0
@@ -268,7 +269,7 @@ object Multimodal {
           writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
           f += 1
         }
-        writer.endWriteSequence(); writer.dispose(); ios.close()
+        writer.endWriteSequence(); ios.close()
         MMRecord(id, "video", bos.toByteArray, "image/gif")
       }
     }
@@ -285,25 +286,29 @@ object Multimodal {
     require(sampleEvery >= 1)
     val spark = records.sparkSession
     import spark.implicits._
-    records.filter(_.modality == "video").flatMap { r =>
+    records.filter(_.modality == "video").mapPartitions { it =>
+      // reader registry lookup once per partition, not per record
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
-      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(r.payload)))
-      val n = reader.getNumImages(true)
-      val out = (0 until n by sampleEvery).map { f =>
-        val img = reader.read(f)
-        val (w, h) = (img.getWidth, img.getHeight)
-        var sum = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { sum += (img.getRGB(x, y) & 0xFF); x += 1 }
-          y += 1
+      it.flatMap { r =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        val out = (0 until n by sampleEvery).map { f =>
+          val img = reader.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += (img.getRGB(x, y) & 0xFF); x += 1 }
+            y += 1
+          }
+          VideoFrame(r.id, f, n, w, h, sum.toDouble / (w.toLong * h))
         }
-        VideoFrame(r.id, f, n, w, h, sum.toDouble / (w.toLong * h))
+        iis.close()
+        out
       }
-      reader.dispose()
-      out
     }
   }
 

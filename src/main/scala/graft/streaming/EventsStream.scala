@@ -50,17 +50,19 @@ object EventsStream {
       .groupBy(window(col("ts"), win), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
 
-  /** Streaming exact dedup on `key`: watermarked `dropDuplicates` — the
-    * state store keeps keys only inside the watermark horizon, so state
-    * is bounded by arrival rate × horizon, not stream length. The
-    * streaming twin of the reference's dedup-on-append load (which
-    * [[DeltaSink]] applies cross-batch against the table; this dedupes
-    * in-flight, within the horizon).
+  /** Streaming exact dedup on `key` ALONE:
+    * `dropDuplicatesWithinWatermark` keys state by `key` (not the
+    * (key, ts) pair — a retried event re-stamped with a new arrival
+    * time is still a duplicate) and expires it at the watermark
+    * horizon, so state is bounded by arrival rate × horizon, not
+    * stream length. The streaming twin of the reference's
+    * dedup-on-append load (which [[DeltaSink]] applies cross-batch
+    * against the table; this dedupes in-flight, within the horizon).
     */
   def dedupStream(events: DataFrame, key: String, tsCol: String = "ts",
       watermark: String = "30 minutes"): DataFrame =
     events.withWatermark(tsCol, watermark)
-      .dropDuplicates(key, tsCol)
+      .dropDuplicatesWithinWatermark(key)
 
   /** Watermarked stream–stream interval join: each purchase joins the
     * clicks the same user made in the preceding `horizonMinutes` —

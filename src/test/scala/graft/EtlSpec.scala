@@ -174,6 +174,54 @@ class EtlSpec extends SparkSpec {
     intercept[Exception] { t.readAsOf(0).collect() }
   }
 
+  test("DeltaLite: upsert on a different key than the stats column never prunes wrongly") {
+    import spark.implicits._
+    // writer recorded stats on `a`; a second handle upserts on `b`
+    val dir = tmp("graft-keymix")
+    val wA = DeltaLite(spark, dir, statsKey = "a")
+    wA.append(Seq((1L, 100L, "x"), (2L, 200L, "y")).toDF("a", "b", "v").coalesce(1))
+    val wB = new DeltaLite(spark, dir, statsKey = Some("b"))
+    // b=200 lives in the only file; a-range [1,2] would NOT overlap a
+    // naive compare against b-bounds — the keyCol check must force the
+    // rewrite anyway
+    val v = wB.upsert(Seq((2L, 200L, "y2")).toDF("a", "b", "v"), "b")
+    assert(wB.commitInfo(v)._3.nonEmpty, "file with matching b must be rewritten")
+    val rows = wB.read().collect()
+      .map(r => r.getAs[Long]("b") -> r.getAs[String]("v")).toMap
+    assert(rows == Map(100L -> "x", 200L -> "y2"), s"got $rows")
+    // and the upsert did not reorder the committed schema
+    assert(wB.read().columns.toSeq == Seq("a", "b", "v"))
+    // a follow-up append in the original column order still passes
+    wB.append(Seq((3L, 300L, "z")).toDF("a", "b", "v"))
+  }
+
+  test("DeltaLite: an orphan data dir from a crashed commit does not wedge the table") {
+    import spark.implicits._
+    val dir = tmp("graft-orphan")
+    val t = DeltaLite(spark, dir)
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    // simulate a crash between data write and log publish for v1
+    Seq((99L, "dead")).toDF("id", "v").write.parquet(s"$dir/v=1")
+    // next commit must clear the orphan and succeed at v1
+    val v = t.append(Seq((2L, "b")).toDF("id", "v"))
+    assert(v == 1)
+    assert(t.read().collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+      "orphan rows must not appear")
+  }
+
+  test("DeltaLite: change feed decodes each commit with its own schema") {
+    import spark.implicits._
+    val t = DeltaLite(spark, tmp("graft-cdc-schema"))
+    t.append(Seq((1L, "a")).toDF("id", "v"))            // v0: (id, v)
+    t.overwrite(Seq((1L, "a", 1.5)).toDF("id", "v", "w")) // v1: schema widens
+    t.append(Seq((2L, "b", 2.5)).toDF("id", "v", "w"))  // v2
+    val feed = t.readAppendsSince(-1).orderBy("_commit_version")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("v"),
+        Option(r.getAs[Any]("w")), r.getAs[Int]("_commit_version")))
+    // v0 rows align by name: w is explicitly null, not fabricated
+    assert(feed.toSeq == Seq((1L, "a", None, 0), (2L, "b", Some(2.5), 2)))
+  }
+
   test("DeltaLite edge cases: vacuum beyond history, upsert without stats") {
     import spark.implicits._
     // vacuum with retainVersions > history: nothing deleted

@@ -109,7 +109,9 @@ class StreamingSpec extends SparkSpec {
     try {
       in.addData(ev(1, 0), ev(1, 0), ev(2, 1)) // dup within batch
       q.processAllAvailable()
-      in.addData(ev(2, 1), ev(3, 2))           // replay across batches
+      // replay across batches, incl. a RE-STAMPED retry of event 2
+      // (same key, shifted ts) — still a duplicate on the key contract
+      in.addData(ev(2, 5), ev(3, 2))
       q.processAllAvailable()
       val ids = spark.table("dedup_stream").select($"event_id")
         .collect().map(_.getLong(0)).sorted.toSeq
