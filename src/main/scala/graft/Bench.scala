@@ -37,7 +37,11 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .linesIterator.take(1).mkString.take(200)
       }
-      (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // release dedup-pass caches so iterations measure cold plans and
+      // cached blocks don't accumulate across the run
+      graft.ops.Dedup.releaseCaches()
+      elapsed
     }
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     // optional comma-separated subset for local profiling runs

@@ -316,31 +316,45 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
-        |  CAST(len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+        |       ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS bpe_tokens,
         |  n_chars
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "text_quality" ->
-      """SELECT doc_id,
-        |  CAST(len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS BIGINT) AS ws_tokens,
-        |  0.4 * (CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE) / CAST(len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS BIGINT))
-        |  + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / n_chars)
-        |  + 0.2 * least(1.0, CAST(len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS DOUBLE) / 100.0)
-        |  + 0.1 * (1.0 - CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) / n_chars) AS quality
-        |FROM documents
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+        |         ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS ntok,
+        |    len(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |        x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS nstop,
+        |    len(regexp_extract_all(text, '[[:punct:]]')) AS npunct,
+        |    len(regexp_extract_all(text, '[A-Z]')) AS nupper
+        |  FROM documents)
+        |SELECT doc_id, CAST(ntok AS BIGINT) AS ws_tokens,
+        |  0.4 * (CASE WHEN ntok = 0 THEN 0.0 ELSE CAST(nstop AS DOUBLE) / ntok END)
+        |  + 0.3 * (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(npunct AS DOUBLE) / n_chars END)
+        |  + 0.2 * least(1.0, CAST(ntok AS DOUBLE) / 100.0)
+        |  + 0.1 * (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(nupper AS DOUBLE) / n_chars END) AS quality
+        |FROM t
         |ORDER BY doc_id""".stripMargin,
     "text_langid" ->
-      """WITH scored AS (
+      """WITH toks AS (
         |  SELECT doc_id, lang,
-        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','and','of','to','in'))) AS BIGINT) AS s_en,
-        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('el','la','los','de','que'))) AS BIGINT) AS s_es,
-        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('der','die','und','das','ist'))) AS BIGINT) AS s_de,
-        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('le','les','et','dans','est'))) AS BIGINT) AS s_fr,
-        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('de5','shi4','le5','zai4','he2'))) AS BIGINT) AS s_zh
-        |  FROM documents)
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(tk, x -> x IN ('the','and','of','to','in'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(tk, x -> x IN ('el','la','los','de','que'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(tk, x -> x IN ('der','die','und','das','ist'))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(tk, x -> x IN ('le','les','et','dans','est'))) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(tk, x -> x IN ('de5','shi4','le5','zai4','he2'))) AS BIGINT) AS s_zh
+        |  FROM toks)
         |SELECT doc_id, lang,
-        |  CASE WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+        |  CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
         |       WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
         |       WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
         |       WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'

@@ -30,6 +30,11 @@ object JsonIngest {
     * structs → `explode_outer` (one row per element, null-safe). Arrays
     * of scalars are left as-is. NOTE: multiple sibling struct-arrays
     * explode sequentially → cross product, as in any SQL UNNEST chain.
+    *
+    * A generated name that collides with an existing column (JSON like
+    * `{"a": {"b": 1}, "a_b": 2}`) gets `<sep>` suffixes appended until
+    * unique — duplicate column names would make the frame unusable by
+    * name (AMBIGUOUS_REFERENCE) and a later pass would drop both.
     */
   def flatten(df: DataFrame, sep: String = "_"): DataFrame = {
     var cur = df
@@ -47,8 +52,14 @@ object JsonIngest {
           val st = f.dataType.asInstanceOf[StructType]
           val others = fields.filterNot(_.name == f.name)
             .map(o => col(s"`${o.name}`"))
-          val unnested = st.fields.map(c =>
-            col(s"`${f.name}`.`${c.name}`").as(s"${f.name}$sep${c.name}"))
+          val taken = scala.collection.mutable.Set(
+            fields.filterNot(_.name == f.name).map(_.name): _*)
+          val unnested = st.fields.map { c =>
+            var name = s"${f.name}$sep${c.name}"
+            while (taken(name)) name += sep
+            taken += name
+            col(s"`${f.name}`.`${c.name}`").as(name)
+          }
           cur = cur.select(others ++ unnested: _*)
         case (None, Some(f)) =>
           cur = cur.withColumn(f.name, explode_outer(col(s"`${f.name}`")))

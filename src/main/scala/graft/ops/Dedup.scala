@@ -11,8 +11,30 @@ import org.apache.spark.storage.StorageLevel
   * from equality joins on band/bucket keys (shuffle on the key, linear
   * in corpus size for bounded bucket sizes), never from an O(n²) cross
   * join. Exact verification happens only within candidate pairs.
+  *
+  * Caching: signature/bucket tables are persisted (self-joins would
+  * otherwise re-execute the sketch subtree per reference) and tracked;
+  * call [[Dedup.releaseCaches]] after consuming a pass's output to
+  * return the executor storage — a long-lived driver that never
+  * releases would pin every pass's blocks until LRU eviction.
   */
 object Dedup {
+
+  private val trackedCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def tracked(df: DataFrame): DataFrame = {
+    trackedCaches.add(df)
+    df
+  }
+
+  /** Unpersist every DataFrame cached by dedup passes so far (safe to
+    * call once their outputs have been consumed).
+    */
+  def releaseCaches(): Unit = {
+    var d = trackedCaches.poll()
+    while (d != null) { d.unpersist(false); d = trackedCaches.poll() }
+  }
 
   /** Exact dedup: group by content fingerprint, keep the smallest id.
     * One shuffle on the 128-bit fingerprint.
@@ -68,16 +90,18 @@ object Dedup {
     // the verify stage). Without persisting, Catalyst re-executes the
     // full shingle→hash→64-min-agg subtree once per reference — the
     // standard LSH pattern (cf. Spark MLlib LSH) is to materialize it.
-    val sigs = minhashSignatures(docs, textCol, idCol, nGram, numPerm, seed)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = tracked(
+      minhashSignatures(docs, textCol, idCol, nGram, numPerm, seed)
+        .persist(StorageLevel.MEMORY_AND_DISK))
 
     val bandKeys = (0 until bands).map { b =>
       xxhash64(concat_ws(",",
         (0 until rowsPerBand).map(r => col("signature")(b * rowsPerBand + r)): _*))
     }
-    val banded = sigs.select(col(idCol).as("id"), col("signature"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "bandkey")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = tracked(
+      sigs.select(col(idCol).as("id"), col("signature"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "bandkey")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
 
     val a = banded.select(col("band"), col("bandkey"),
       col("id").as("id_a"), col("signature").as("sig_a"))
@@ -126,9 +150,10 @@ object Dedup {
     val chunks = (0 until 8).map(j =>
       shiftrightunsigned(col("simhash"), j * 8).bitwiseAND(0xFFL))
     // both sides of the self-join read this — materialize once
-    val banded = sigs.select(col(idCol).as("id"), col("simhash"),
-      posexplode(array(chunks: _*)).as(Seq("chunk", "chunkval")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = tracked(
+      sigs.select(col(idCol).as("id"), col("simhash"),
+        posexplode(array(chunks: _*)).as(Seq("chunk", "chunkval")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val a = banded.select(col("chunk"), col("chunkval"),
       col("id").as("id_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("chunk"), col("chunkval"),
@@ -152,13 +177,13 @@ object Dedup {
     // shingle table is read 3× (two pair sides + sizes) and the
     // candidate set twice — materialize both, or the upstream LSH DAG
     // re-executes once per reference
-    val sh = docs
+    val sh = tracked(docs
       .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col("id"),
         explode(graft.functions.HashFunctions.ngram_hashes(col("__toks"), nGram,
           mod31 = false)).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val cand = candidates.persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val cand = tracked(candidates.persist(StorageLevel.MEMORY_AND_DISK))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val common = cand
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
@@ -184,10 +209,11 @@ object Dedup {
   def embeddingPairs(emb: DataFrame, vecCol: String, idCol: String,
       threshold: Double = 0.9, planes: Int = 8, tables: Int = 4,
       seed: Long = 11L): DataFrame = {
-    val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      posexplode(Similarity.hyperplaneTables(col(vecCol), planes, tables, seed))
-        .as(Seq("table", "bucket")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bucketed = tracked(
+      emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        posexplode(Similarity.hyperplaneTables(col(vecCol), planes, tables, seed))
+          .as(Seq("table", "bucket")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val a = bucketed.select(col("table"), col("bucket"),
       col("id").as("id_a"), col("v").as("v_a"))
     val b = bucketed.select(col("table"), col("bucket"),

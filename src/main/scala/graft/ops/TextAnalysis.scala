@@ -23,10 +23,14 @@ object TextAnalysis {
     trim(regexp_replace(lower(text), "\\s+", " "))
 
   /** Whitespace token count (regex-trimmed so tabs/newlines at the
-    * edges don't produce phantom empty tokens).
+    * edges don't produce phantom empty tokens; empty or whitespace-only
+    * text counts 0, not the 1 that `split("")` = `[""]` would give).
     */
-  def wsTokenCount(text: Column): Column =
-    size(split(regexp_replace(text, "^\\s+|\\s+$", ""), "\\s+")).cast("long")
+  def wsTokenCount(text: Column): Column = {
+    val stripped = regexp_replace(text, "^\\s+|\\s+$", "")
+    when(stripped === "", lit(0L))
+      .otherwise(size(split(stripped, "\\s+")).cast("long"))
+  }
 
   /** BPE-ish token count: word runs + single non-word-non-space chars —
     * the pre-merge token stream a byte-pair encoder would start from.
@@ -40,21 +44,30 @@ object TextAnalysis {
   def upperCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Z]"), lit(0))).cast("long")
 
-  /** Count of tokens present in `words` (lower-cased token match). */
+  /** Count of tokens present in `words`. Tokenizes via [[normalize]]
+    * (collapse ALL whitespace runs, then split) so the numerator uses
+    * the same token stream as [[wsTokenCount]] — a plain
+    * `split(text, " ")` would miss tab/newline-separated tokens and
+    * skew every marker-based ratio.
+    */
   def markerCount(text: Column, words: Seq[String]): Column =
-    size(filter(split(lower(text), " "),
+    size(filter(split(normalize(text), " "),
       x => x.isin(words.map(_.asInstanceOf[Any]): _*))).cast("long")
 
   /** Composite quality score in [0,1]: stopword share up, punctuation
     * and shouting down, mild length prior. The exact formula matters
-    * less than that it's cheap, monotone in the obvious signals, and
-    * reproducible in SQL.
+    * less than that it's cheap, monotone in the obvious signals, total
+    * (zero-token / zero-char documents score their ratios as 0 instead
+    * of propagating a divide-by-zero null), and reproducible in SQL.
     */
   def qualityScore(text: Column, nChars: Column): Column = {
     val nTok = wsTokenCount(text)
-    val stopRatio = markerCount(text, QualityStopwords).cast("double") / nTok
-    val punctRatio = punctCount(text).cast("double") / nChars
-    val upperRatio = upperCount(text).cast("double") / nChars
+    val stopRatio = when(nTok === 0, lit(0.0))
+      .otherwise(markerCount(text, QualityStopwords).cast("double") / nTok)
+    val punctRatio = when(nChars === 0, lit(0.0))
+      .otherwise(punctCount(text).cast("double") / nChars)
+    val upperRatio = when(nChars === 0, lit(0.0))
+      .otherwise(upperCount(text).cast("double") / nChars)
     lit(0.4) * stopRatio + lit(0.3) * (lit(1.0) - punctRatio) +
       lit(0.2) * least(lit(1.0), nTok.cast("double") / lit(100.0)) +
       lit(0.1) * (lit(1.0) - upperRatio)
@@ -80,11 +93,13 @@ object TextAnalysis {
 
   def langPredict(text: Column): Column = {
     val scores = langScores(text)
-    // first maximum in declaration order (deterministic tie-break)
+    // first maximum in declaration order (deterministic tie-break);
+    // all-zero scores mean "no evidence" -> "und", not the first lang
     val best = scores.tail.foldLeft(scores.head._2)((m, s) => greatest(m, s._2))
-    scores.foldRight(lit("und")) { case ((l, s), els) =>
+    val argmax = scores.foldRight(lit("und")) { case ((l, s), els) =>
       when(s === best, lit(l)).otherwise(els)
     }
+    when(best === 0, lit("und")).otherwise(argmax)
   }
 
   /** 128-bit content fingerprint of the normalized text. */

@@ -126,10 +126,24 @@ object EventsStream {
       var cur = state.getOption
       // micro-batch iterators are not time-ordered — sort before folding
       events.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+        val eUs = micros(e.ts)
         cur match {
-          case Some(s) if micros(e.ts) - micros(s.end) <= gapUs =>
-            val end = if (micros(e.ts) > micros(s.end)) e.ts else s.end
-            cur = Some(SessionAcc(s.start, end, s.n + 1, s.sum + e.value))
+          // event belongs to the open session if it lands within the
+          // gap of the session INTERVAL — a cross-batch straggler
+          // earlier than the stored start extends the session BACKWARD
+          // (a naive `e.ts - end <= gap` test is true for every earlier
+          // event and would silently absorb hours-older stragglers
+          // without moving t_start, diverging from the batch sessionizer)
+          case Some(s) if eUs >= micros(s.start) - gapUs &&
+              eUs - micros(s.end) <= gapUs =>
+            val start = if (eUs < micros(s.start)) e.ts else s.start
+            val end = if (eUs > micros(s.end)) e.ts else s.end
+            cur = Some(SessionAcc(start, end, s.n + 1, s.sum + e.value))
+          // straggler more than a gap BEFORE the open session: it is
+          // its own already-closed session (the gap to s.start closes
+          // it); emit immediately, keep the open session
+          case Some(s) if eUs < micros(s.start) =>
+            out += SessionOut(userId, e.ts, e.ts, 1L, e.value)
           case Some(s) =>
             close(s)
             cur = Some(SessionAcc(e.ts, e.ts, 1L, e.value))
@@ -139,7 +153,10 @@ object EventsStream {
       }
       cur.foreach { s =>
         state.update(s)
-        state.setTimeoutTimestamp(s.end.getTime + gapMs)
+        // round the microsecond end UP to ms — truncation would let the
+        // state time out just before the gap boundary and split a
+        // boundary event into a spurious new session
+        state.setTimeoutTimestamp((micros(s.end) + 999L) / 1000L + gapMs)
       }
     }
     out.iterator

@@ -174,6 +174,15 @@ class EtlSpec extends SparkSpec {
     intercept[Exception] { t.readAsOf(0).collect() }
   }
 
+  test("flatten: generated names that collide with existing columns get suffixed") {
+    import spark.implicits._
+    val df = spark.read.json(Seq("""{"a": {"b": 1}, "a_b": 2}""").toDS())
+    val flat = JsonIngest.flatten(df)
+    assert(flat.columns.sorted.toSeq == Seq("a_b", "a_b_"))
+    val row = flat.select($"a_b", $"a_b_").head()
+    assert(row.getLong(0) == 2L && row.getLong(1) == 1L)
+  }
+
   test("DeltaLite: upsert on a different key than the stats column never prunes wrongly") {
     import spark.implicits._
     // writer recorded stats on `a`; a second handle upserts on `b`

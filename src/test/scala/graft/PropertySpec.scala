@@ -46,6 +46,26 @@ class PropertySpec extends SparkSpec {
     rows.foreach(r => assert(r.getString(0) == r.getString(1)))
   }
 
+  test("degenerate text: zero tokens, total quality, und language") {
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    val df = Seq("", "   ", "\t \n", "xyzzy qwerty 12345").toDF("text")
+      .select($"text",
+        TextAnalysis.wsTokenCount($"text").as("ntok"),
+        TextAnalysis.qualityScore($"text", length($"text").cast("long")).as("q"),
+        TextAnalysis.langPredict($"text").as("lang"))
+      .collect()
+    // empty / whitespace-only: 0 tokens (not split("") = [""] = 1)
+    assert(df(0).getLong(1) == 0 && df(1).getLong(1) == 0 && df(2).getLong(1) == 0)
+    // quality is total: a real number in [0,1], never null
+    df.foreach { r =>
+      assert(!r.isNullAt(2), s"null quality for ${r.getString(0)}")
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+    // marker-free text is 'und', not the first language in the list
+    assert(df.forall(_.getString(3) == "und"))
+  }
+
   test("property: ws tokens never exceed bpe tokens on nonempty text") {
     import spark.implicits._
     val df = samples(messyText.suchThat(_.trim.nonEmpty), 200).zipWithIndex

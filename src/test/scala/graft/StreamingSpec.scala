@@ -146,6 +146,43 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("sessionize: cross-batch stragglers extend backward or emit separately") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    def ev(id: Long, user: Long, hm: String) = Event(id,
+      java.sql.Timestamp.valueOf(s"2024-01-01 $hm:00"), user, "click", 1.0)
+    val q = EventsStream.sessionize(in.toDS(), gapMinutes = 30,
+        watermark = "2 hours")
+      .writeStream.format("memory").queryName("straggler_sessions")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, 1, "10:00"), ev(2, 2, "10:00"))
+      q.processAllAvailable()
+      // user 1: straggler 10 min BEFORE the stored start, within gap →
+      // session extends backward. user 2: straggler 90 min before
+      // (inside the watermark horizon, beyond the gap) → its own
+      // immediately-emitted single-event session.
+      in.addData(ev(3, 1, "09:50"), ev(4, 2, "08:30"))
+      q.processAllAvailable()
+      // advance the watermark past end+gap, then once more so timeouts fire
+      in.addData(ev(5, 99, "13:30"))
+      q.processAllAvailable()
+      in.addData(ev(6, 98, "13:31"))
+      q.processAllAvailable()
+      val got = spark.table("straggler_sessions")
+        .select($"user_id", $"t_start", $"t_end", $"n_events")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3))).toSet
+      assert(got.contains((1L, "2024-01-01 09:50:00.0", "2024-01-01 10:00:00.0", 2L)),
+        s"user 1 session should extend backward, got $got")
+      assert(got.contains((2L, "2024-01-01 08:30:00.0", "2024-01-01 08:30:00.0", 1L)),
+        s"user 2 straggler should emit as its own session, got $got")
+      assert(got.contains((2L, "2024-01-01 10:00:00.0", "2024-01-01 10:00:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization: sessions close on gap and on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
