@@ -42,6 +42,8 @@ object SparkEntry {
     "q_percentiles" -> (Relational.qPercentiles _),
     "q_full_outer" -> (Relational.qFullOuter _),
     "q_intersect_except" -> (Relational.qIntersectExcept _),
+    "q_grouping_sets" -> (Relational.qGroupingSets _),
+    "q_window_range_frame" -> (Relational.qWindowRangeFrame _),
     // the analyst path: SQL text against the registered view catalog
     "q_sql_catalog" -> ((s: SparkSession, dir: String) =>
       GraftSession.withTables(s, dir).sql(SqlCatalogQuery)),
@@ -458,6 +460,16 @@ object SparkEntry {
         |  c.o_orderkey AS asof_orderkey, c.o_totalprice AS asof_totalprice
         |FROM events e LEFT JOIN cand c ON c.event_id = e.event_id AND c.rn = 1
         |ORDER BY e.event_id""".stripMargin,
+    // one SQL string, two engines (like q_sql_catalog)
+    "q_grouping_sets" -> Relational.GroupingSetsSql,
+    "q_window_range_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate
+        |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_30d
+        |FROM lineitem
+        |WHERE l_suppkey <= 20
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
     "q_intersect_except" ->
       """WITH y95 AS (SELECT o_custkey FROM orders
         |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'

@@ -332,6 +332,41 @@ object Relational {
       .orderBy($"p_brand")
   }
 
+  /** Explicit GROUPING SETS (beyond rollup/cube's fixed lattices): the
+    * two marginals without the cross cells, one pass. Runs as SQL text
+    * so the same string drives both engines.
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.withTables(s, dir).sql(GroupingSetsSql)
+  }
+
+  val GroupingSetsSql: String =
+    """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+      |FROM customer
+      |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+      |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin
+
+  /** RANGE-frame window: revenue in the trailing 30-day interval per
+    * supplier — a value-based frame (RANGE BETWEEN), not a row count;
+    * frame bounds follow the ORDER BY value.
+    */
+  def qWindowRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val days30 = 30L * 86400L
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy(unix_timestamp($"l_shipdate"))
+      .rangeBetween(-days30, 0)
+    Tables.lineitem(s, dir)
+      .filter($"l_suppkey" <= 20)
+      .withColumn("rev_30d",
+        sum(dec($"l_extendedprice")).over(w).cast("double"))
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+        $"l_shipdate", $"rev_30d")
+      .orderBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
+  }
+
   /** INTERSECT / EXCEPT set operations: customers active in both 1995
     * and 1996, and 1995-only customers. Spark plans these as
     * aggregate+semi/anti joins — no materialized distinct union.
