@@ -38,7 +38,13 @@ object Curation {
   def curate(docs: DataFrame, textCol: String, idCol: String,
       minQuality: Double = 0.5, langs: Seq[String] = Seq("en"),
       jaccard: Double = 0.8, lshThreshold: Double = 0.5): DataFrame = {
-    val (_, exact) = textStages(docs, textCol, idCol, minQuality, langs)
+    import org.apache.spark.storage.StorageLevel
+    val (_, exactPlan) = textStages(docs, textCol, idCol, minQuality, langs)
+    // the exact-dedup output feeds three consumers (LSH signatures, the
+    // Jaccard-verify shingles, the final anti-join) — materialize it
+    // once instead of re-running annotate/filter/window-dedup per
+    // consumer; released with the pass caches via Dedup.releaseCaches
+    val exact = Dedup.tracked(exactPlan.persist(StorageLevel.MEMORY_AND_DISK))
     nearDedup(exact, textCol, idCol, jaccard, lshThreshold)
   }
 

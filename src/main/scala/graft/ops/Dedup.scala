@@ -23,7 +23,7 @@ object Dedup {
   private val trackedCaches =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  private def tracked(df: DataFrame): DataFrame = {
+  private[ops] def tracked(df: DataFrame): DataFrame = {
     trackedCaches.add(df)
     df
   }
@@ -174,16 +174,25 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, candidates: DataFrame, textCol: String,
       idCol: String, nGram: Int = 3): DataFrame = {
+    val cand = tracked(candidates.persist(StorageLevel.MEMORY_AND_DISK))
+    // Only docs that appear in some candidate pair need shingles: the
+    // candidate set is a near-dup fraction of the corpus, so pruning
+    // here shrinks the explode+shuffle from O(corpus × shingles) to
+    // O(candidates × shingles). Left unhinted so AQE broadcasts the id
+    // list when it is small and falls back to a shuffle join when a
+    // dup-heavy corpus makes it large.
+    val candIds = cand.select(col("id_a").as("__cid"))
+      .union(cand.select(col("id_b").as("__cid"))).distinct()
     // shingle table is read 3× (two pair sides + sizes) and the
     // candidate set twice — materialize both, or the upstream LSH DAG
     // re-executes once per reference
     val sh = tracked(docs
+      .join(candIds, col(idCol) === col("__cid"), "left_semi")
       .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col("id"),
         explode(graft.functions.HashFunctions.ngram_hashes(col("__toks"), nGram,
           mod31 = false)).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK))
-    val cand = tracked(candidates.persist(StorageLevel.MEMORY_AND_DISK))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val common = cand
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
