@@ -51,7 +51,17 @@ object Bench {
       only.forall(_.contains(n))
     }
     val results = selected.map { case (name, fn) =>
-      name -> (0 until iters).map(_ => timeOnce(name, fn)).min
+      var times = (0 until iters).map(_ => timeOnce(name, fn)).toVector
+      // The VM's page-fault/GC episodes last seconds and cluster — they
+      // can poison every base iteration of one query. A slow min gets
+      // up to two extra chances so the reported figure reflects the
+      // plan, not the episode (genuinely slow queries just confirm).
+      var extra = 0
+      while (times.min > 4.0 && extra < 2 && !errors.contains(name)) {
+        times = times :+ timeOnce(name, fn)
+        extra += 1
+      }
+      name -> times.min
     }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -44,6 +44,14 @@ object SparkEntry {
     "q_intersect_except" -> (Relational.qIntersectExcept _),
     "q_grouping_sets" -> (Relational.qGroupingSets _),
     "q_window_range_frame" -> (Relational.qWindowRangeFrame _),
+    "q14_promo_revenue" -> (Relational.q14PromoRevenue _),
+    "q_disjunctive_join" -> (Relational.qDisjunctiveJoin _),
+    "q_unpivot" -> (Relational.qUnpivot _),
+    "q_ntile" -> (Relational.qNtile _),
+    "q_not_in" -> (Relational.qNotIn _),
+    "q_bloom_pruned_join" -> (Relational.qBloomPrunedJoin _),
+    "q_string_funcs" -> (Text.stringFuncs _),
+    "q_higher_order" -> (Text.higherOrder _),
     // the analyst path: SQL text against the registered view catalog
     "q_sql_catalog" -> ((s: SparkSession, dir: String) =>
       GraftSession.withTables(s, dir).sql(SqlCatalogQuery)),
@@ -131,6 +139,58 @@ object SparkEntry {
   /** DuckDB-dialect oracle for each key in `queries`. */
   def oracleSql: Map[String, String] = Map(
     "q_sql_catalog" -> SqlCatalogQuery,
+    "q_not_in" -> Relational.NotInSql,
+    "q14_promo_revenue" ->
+      """SELECT CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY l_year
+        |ORDER BY l_year""".stripMargin,
+    "q_disjunctive_join" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_type = 'PROMO' AND l_quantity >= 40)""".stripMargin,
+    "q_unpivot" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+        |SELECT l_returnflag, measure, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM m GROUP BY l_returnflag, measure
+        |ORDER BY l_returnflag, measure""".stripMargin,
+    "q_ntile" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  CAST(NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile,
+        |  PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS pct_rank,
+        |  CUME_DIST() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS cume
+        |FROM customer
+        |ORDER BY c_nationkey, c_acctbal, c_custkey""".stripMargin,
+    "q_bloom_pruned_join" ->
+      """SELECT s_suppkey, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey = 3
+        |GROUP BY s_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT doc_id, upper(split_part(text, ' ', 1)) AS first_word,
+        |  CAST(length(text) - length(replace(text, 'the', '')) AS BIGINT) AS the_chars,
+        |  substr(text, 1, 12) AS head12
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_higher_order" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 4)) AS BIGINT) AS n_long,
+        |  CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS sum_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

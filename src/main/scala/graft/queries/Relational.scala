@@ -415,6 +415,111 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Promo revenue share (TPC-H Q14 shape, public spec): lineitem ⋈
+    * part with a conditional aggregate ratio per ship year. part is
+    * dim-scale → broadcast; the fact shuffles once on the year key
+    * after map-side partials.
+    */
+  def q14PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = dec($"l_extendedprice") * (dec(lit(1)) - dec($"l_discount"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+      .groupBy(year($"l_shipdate").cast("int").as("l_year"))
+      .agg((lit(100.0) * sum(when($"p_type" === "PROMO", rev)
+          .otherwise(lit(0).cast(DecimalType(12, 2)))).cast("double")
+        / sum(rev).cast("double")).as("promo_pct"))
+      .orderBy($"l_year")
+  }
+
+  /** Disjunctive join filter (TPC-H Q19 shape): OR-of-ANDs spanning
+    * both join sides. Unlike q7's nation pairs, the brand/type arms
+    * are NOT independently pushable — the disjunction must evaluate
+    * post-join; the plan's job is to keep it a single pass with the
+    * quantity range condition pre-pruning the fact scan.
+    */
+  def qDisjunctiveJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // every arm requires l_quantity >= 1 — hoist the common bound so
+    // the scan prunes before the join even though the OR itself can't
+    Tables.lineitem(s, dir).filter($"l_quantity" >= 1)
+      .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+      .filter(($"p_brand" === "Brand#1" && $"l_quantity".between(1, 20)) ||
+        ($"p_brand" === "Brand#2" && $"l_quantity".between(10, 30)) ||
+        ($"p_type" === "PROMO" && $"l_quantity" >= 40))
+      .agg(sum(dec($"l_extendedprice") * (dec(lit(1)) - dec($"l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** UNPIVOT (wide → long melt): the four lineitem measures become
+    * (measure, value) rows, then a per-measure aggregate. Spark's
+    * `unpivot` expands map-side (no shuffle until the agg), like the
+    * oracle's UNION ALL but in one scan of the input.
+    */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_returnflag", $"l_quantity", $"l_extendedprice",
+        $"l_discount", $"l_tax")
+      .unpivot(Array($"l_returnflag"),
+        Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+        "measure", "value")
+      .groupBy($"l_returnflag", $"measure")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total"))
+      .orderBy($"l_returnflag", $"measure")
+  }
+
+  /** Distribution windows: ntile quartiles, percent_rank, cume_dist of
+    * customer balances within each nation. The unique (acctbal,
+    * custkey) sort key makes ranks tie-free, so the rank-derived
+    * doubles are exact in both engines.
+    */
+  def qNtile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal", $"c_custkey")
+    Tables.customer(s, dir)
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal",
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy($"c_nationkey", $"c_acctbal", $"c_custkey")
+  }
+
+  /** NOT IN (subquery) through the SQL surface: Spark must plan the
+    * null-aware anti join (a plain anti join would be wrong if the
+    * subquery could yield nulls — the planner can't prove it can't
+    * from the parquet schema). One string, two engines.
+    */
+  def qNotIn(s: SparkSession, dir: String): DataFrame =
+    graft.GraftSession.withTables(s, dir).sql(NotInSql)
+
+  val NotInSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                        WHERE o_orderpriority = '1-URGENT'
+      |                          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Bloom-pruned join ([[graft.ops.RuntimeFilter]]): revenue for the
+    * suppliers of one nation. The dim's keys build a Bloom filter that
+    * prunes the lineitem scan map-side before the join shuffle; the
+    * oracle computes the plain join — results must be identical
+    * (false positives die in the real join).
+    */
+  def qBloomPrunedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = Tables.supplier(s, dir).filter($"s_nationkey" === 3)
+      .select($"s_suppkey", $"s_nationkey")
+    graft.ops.RuntimeFilter.bloomPrunedJoin(
+        Tables.lineitem(s, dir), dim, "l_suppkey", "s_suppkey",
+        expectedItems = 10000L)
+      .groupBy($"s_suppkey")
+      .agg(count(lit(1)).as("n_lines"), dsum($"l_extendedprice").as("revenue"))
+      .orderBy($"s_suppkey")
+  }
+
   /** Window lag/lead: per-customer order value deltas over time. */
   def qLagLead(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

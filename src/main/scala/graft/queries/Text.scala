@@ -86,6 +86,38 @@ object Text {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** String-function pipeline: per-doc first word, substring head, and
+    * substring-occurrence count via length arithmetic — all
+    * codegen-resident builtins, no UDF. (Oracle uses the DuckDB
+    * spellings; only the values must agree.)
+    */
+  def stringFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        upper(element_at(split($"text", " "), 1)).as("first_word"),
+        (length($"text") - length(regexp_replace($"text", "the", "")))
+          .cast("long").as("the_chars"),
+        substring($"text", 1, 12).as("head12"))
+      .orderBy($"doc_id")
+  }
+
+  /** Higher-order array functions over tokenized text: size / filter /
+    * transform+aggregate on the token array, entirely per-row (the
+    * lambda forms Spark evaluates without any explode or shuffle).
+    */
+  def higherOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = split($"text", " ")
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        size(toks).cast("long").as("n_words"),
+        size(filter(toks, t => length(t) > 4)).cast("long").as("n_long"),
+        aggregate(transform(toks, t => length(t).cast("long")), lit(0L),
+          (acc, v) => acc + v).as("sum_len"))
+      .orderBy($"doc_id")
+  }
+
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
