@@ -52,6 +52,11 @@ object SparkEntry {
     "q_bloom_pruned_join" -> (Relational.qBloomPrunedJoin _),
     "q_string_funcs" -> (Text.stringFuncs _),
     "q_higher_order" -> (Text.higherOrder _),
+    "q_quantile_sketch" -> (Relational.qQuantileSketch _),
+    "q_hash_split" -> (Text.hashSplit _),
+    "q_token_freq" -> (Text.tokenFreq _),
+    "q_length_histogram" -> (Text.lengthHistogram _),
+    "dedup_clusters" -> (Text.dedupClusters _),
     // the analyst path: SQL text against the registered view catalog
     "q_sql_catalog" -> ((s: SparkSession, dir: String) =>
       GraftSession.withTables(s, dir).sql(SqlCatalogQuery)),
@@ -191,6 +196,64 @@ object SparkEntry {
         |  CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 4)) AS BIGINT) AS n_long,
         |  CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS sum_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quantile_sketch" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  quantile_cont(l_quantity, 0.9) AS p90,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_hash_split" ->
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' THEN 'test'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '1' THEN 'val'
+        |            ELSE 'train' END AS split,
+        |  lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |GROUP BY split, lang
+        |ORDER BY split, lang""".stripMargin,
+    "q_token_freq" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 20""".stripMargin,
+    "q_length_histogram" ->
+      """SELECT (n_chars // 100) * 100 AS bucket_lo, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM documents
+        |GROUP BY bucket_lo
+        |ORDER BY bucket_lo""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(generate_series(1, len(t) - 2),
+        |                i -> array_to_string(t[i:i+2], ' ')) END)) AS sh
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |cpairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jpairs AS (
+        |  SELECT id_a, id_b FROM cpairs
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM jpairs
+        |  UNION SELECT id_b, id_a FROM jpairs),
+        |walk(v, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.v = e.dst)
+        |SELECT v AS vertex, MIN(label) AS component
+        |FROM walk GROUP BY v ORDER BY vertex""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

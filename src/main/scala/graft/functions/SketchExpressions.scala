@@ -117,9 +117,151 @@ case class FreqItemsSketch(child: Expression, k: Int,
     copy(child = newChild)
 }
 
+/** Mergeable quantile sketch (single-level KLL-style compactor,
+  * cf. Karnin/Lang/Liberty "Optimal Quantile Approximation in
+  * Streams" — public literature): a capacity-bounded (value, weight)
+  * buffer; on overflow the sorted buffer is pair-compacted (drop one
+  * of each neighbor pair, double the survivor's weight), halving size
+  * for a bounded rank error.
+  *
+  * The [[FreqItemsSketch]] contract, for quantiles:
+  *  - while total input ≤ `capacity`, no compaction fires, weights
+  *    stay 1, and eval is the EXACT (n−1)·p interpolated percentile —
+  *    bit-identical to `percentile()` / DuckDB `quantile_cont` (what
+  *    the `q_quantile_sketch` oracle checks at the gate's SF);
+  *  - past capacity, state stays O(capacity) with mergeable map-side
+  *    partials (rank-error bound asserted empirically in SketchSpec).
+  *
+  * Output: array<double>, one entry per requested percentile.
+  */
+case class QuantileSketch(child: Expression, percentiles: Seq[Double],
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.ArrayBuffer[(Double, Long)]]
+    with UnaryLike[Expression] {
+
+  require(capacity >= 8, s"quantile sketch needs capacity >= 8, got $capacity")
+  require(percentiles.nonEmpty && percentiles.forall(p => p >= 0 && p <= 1),
+    s"percentiles must be in [0,1], got $percentiles")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): mutable.ArrayBuffer[(Double, Long)] =
+    mutable.ArrayBuffer.empty
+
+  /** Sorted pair-compaction: halves the buffer. Each adjacent pair
+    * collapses to its upper value carrying the PAIR'S TOTAL weight —
+    * mass-preserving, so a rank query only errs at the one pair that
+    * straddles it (≤ that pair's lower weight), the property the KLL
+    * analysis needs. (Doubling the survivor instead would lose the
+    * dropped element's weight whenever pair weights differ — merged
+    * buffers mix weights — and the estimates drift unboundedly.)
+    * Deterministic phase; an odd-sized buffer keeps its first element
+    * unpaired.
+    */
+  private def compact(buf: mutable.ArrayBuffer[(Double, Long)]): Unit = {
+    val sorted = buf.sortBy(x => (x._1, x._2))
+    buf.clear()
+    var start = 0
+    if (sorted.length % 2 == 1) { buf += sorted(0); start = 1 }
+    var i = start
+    while (i + 1 < sorted.length) {
+      val (_, w1) = sorted(i)
+      val (v2, w2) = sorted(i + 1)
+      buf += ((v2, w1 + w2))
+      i += 2
+    }
+  }
+
+  private def add(buf: mutable.ArrayBuffer[(Double, Long)], v: Double,
+      w: Long): Unit = {
+    buf += ((v, w))
+    if (buf.length > capacity) compact(buf)
+  }
+
+  override def update(buf: mutable.ArrayBuffer[(Double, Long)],
+      input: InternalRow): mutable.ArrayBuffer[(Double, Long)] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Number].doubleValue(), 1L)
+    buf
+  }
+
+  override def merge(b1: mutable.ArrayBuffer[(Double, Long)],
+      b2: mutable.ArrayBuffer[(Double, Long)]): mutable.ArrayBuffer[(Double, Long)] = {
+    b2.foreach { case (v, w) => add(b1, v, w) }
+    b1
+  }
+
+  /** Weighted interpolated quantile: with all weights 1 this is the
+    * standard (n−1)·p rule; with weights it interpolates between the
+    * representative values on the cumulative-weight scale.
+    */
+  override def eval(buf: mutable.ArrayBuffer[(Double, Long)]): Any = {
+    if (buf.isEmpty)
+      return new GenericArrayData(percentiles.map(_ => Double.NaN).toArray[Any])
+    val sorted = buf.sortBy(x => (x._1, x._2)).toArray
+    val total = sorted.iterator.map(_._2).sum
+    // expand ranks: element j (0-based over total weight) for weight w
+    // occupies ranks [cum, cum+w)
+    val out = percentiles.map { p =>
+      val target = p * (total - 1)
+      val lo = math.floor(target).toLong
+      val frac = target - lo
+      def valueAt(rank: Long): Double = {
+        var cum = 0L
+        var i = 0
+        while (i < sorted.length) {
+          cum += sorted(i)._2
+          if (rank < cum) return sorted(i)._1
+          i += 1
+        }
+        sorted(sorted.length - 1)._1
+      }
+      val vLo = valueAt(lo)
+      // lo + (hi − lo)·frac, NOT lo·(1−f)+hi·f: algebraically equal but
+      // IEEE-different — this is the form percentile()/quantile_cont use
+      if (frac == 0.0) vLo else vLo + (valueAt(lo + 1) - vLo) * frac
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override def serialize(buf: mutable.ArrayBuffer[(Double, Long)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.length)
+    buf.foreach { case (v, w) => out.writeDouble(v); out.writeLong(w) }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[(Double, Long)] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.ArrayBuffer.empty[(Double, Long)]
+    var i = 0
+    while (i < n) { buf += ((in.readDouble(), in.readLong())); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): QuantileSketch =
+    copy(child = newChild)
+}
+
 object SketchFunctions {
   /** Aggregate: Misra–Gries top-items sketch over a string column. */
   def freq_items(item: Column, k: Int): Column =
     Bridge.column(FreqItemsSketch(Bridge.expression(item), k)
+      .toAggregateExpression())
+
+  /** Aggregate: mergeable quantile sketch over a numeric column —
+    * exact interpolated percentiles while input ≤ capacity.
+    */
+  def quantile_sketch(value: Column, percentiles: Seq[Double],
+      capacity: Int = 1 << 17): Column =
+    Bridge.column(QuantileSketch(Bridge.expression(value), percentiles, capacity)
       .toAggregateExpression())
 }

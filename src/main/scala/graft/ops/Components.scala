@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over a pair list — the transitive-closure step
+  * of near-dedup: LSH/verify emits PAIRS (a≈b, b≈c), but survivor
+  * selection needs CLUSTERS ({a,b,c} → keep min id), or chained
+  * duplicates each keep a copy.
+  *
+  * Algorithm: iterative min-label propagation (the "large-star" half of
+  * the MapReduce CC algorithm of Kiveris et al., "Connected Components
+  * in MapReduce and Beyond" — public literature). Each round every
+  * vertex adopts the smallest label in its neighborhood (including its
+  * own); converges in O(diameter) rounds, and near-dup clusters have
+  * tiny diameters (they're quasi-cliques from bucket joins).
+  *
+  * Scale posture: each round is one groupBy(vertex) → min(label)
+  * shuffle of the edge list — no driver-side graph, no all-pairs. The
+  * convergence check is a count of changed labels (an aggregate, not a
+  * collect of data rows). Label tables persist between rounds and are
+  * released on convergence; `maxRounds` bounds the worst case (a path
+  * graph), which dedup workloads don't produce.
+  */
+object Components {
+
+  /** Cluster assignment for every vertex appearing in `pairs`:
+    * (vertex, component) where component = min vertex id reachable.
+    *
+    * @param pairs two-column DataFrame of undirected edges
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Labels start as self. Each round MUST truncate lineage (eager
+    // localCheckpoint): the round's plan references the previous
+    // round's several times, so without truncation the logical plan
+    // grows ~3^rounds and analysis alone kills the driver — the
+    // standard iterative-DataFrame failure mode (GraphX/GraphFrames
+    // checkpoint for the same reason). Blocks are freed by the
+    // context cleaner when the previous round's DF goes out of scope.
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint(true)
+
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // neighborhood minimum: min over (own label, neighbors' labels)
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("v", "dst")
+          .withColumnRenamed("label", "dst_label"), Seq("dst"))
+        .groupBy(col("src").as("v"))
+        .agg(min(col("dst_label")).as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("v"))
+        .filter(col("label") < col("old")).count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    edges.unpersist(false)
+    labels.select(col("v").as("vertex"), col("label").as("component"))
+  }
+
+  /** One survivor per duplicate cluster: every vertex of each component
+    * except its minimum id is a loser. Input pairs, output (loser,
+    * kept) — the anti-join feed for the final dedup.
+    */
+  def clusterLosers(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .filter(col("vertex") =!= col("component"))
+      .select(col("vertex").as("loser"), col("component").as("kept"))
+}

@@ -520,6 +520,25 @@ object Relational {
       .orderBy($"s_suppkey")
   }
 
+  /** Mergeable quantile sketch ([[graft.functions.QuantileSketch]]):
+    * per-group percentiles with O(capacity) state and map-side partial
+    * merges. At the gate's SF the groups are under capacity, so the
+    * sketch's answer is the exact interpolated percentile the oracle
+    * computes; past capacity it degrades to a bounded-rank-error
+    * estimate (SketchSpec asserts the bound).
+    */
+  def qQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = graft.functions.SketchFunctions.quantile_sketch(
+      $"l_quantity", Seq(0.25, 0.5, 0.75, 0.9), capacity = 1 << 17)
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(qs.as("q"), count(lit(1)).as("n"))
+      .select($"l_returnflag", $"q"(0).as("p25"), $"q"(1).as("p50"),
+        $"q"(2).as("p75"), $"q"(3).as("p90"), $"n")
+      .orderBy($"l_returnflag")
+  }
+
   /** Window lag/lead: per-customer order value deltas over time. */
   def qLagLead(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -118,6 +118,69 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic train/val/test split by content-independent hash of
+    * the id — the reproducible split a training pipeline needs (same
+    * doc lands in the same split on any cluster, any run, any engine:
+    * both engines compute the identical md5 hex). Map-only assignment;
+    * one shuffle for the audit counts.
+    */
+  def hashSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = substring(md5($"doc_id".cast("string")), 1, 1)
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(h === "0", "test").when(h === "1", "val").otherwise("train"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+      .orderBy($"split", $"lang")
+  }
+
+  /** Vocabulary building: corpus-wide token frequencies, top 20. The
+    * explode feeds a partial (map-side) count, so the shuffle carries
+    * one row per distinct token per partition — not one per token
+    * occurrence; the global top-k is a TakeOrdered, not a full sort.
+    */
+  def tokenFreq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token")
+      .limit(20)
+  }
+
+  /** Document-length histogram in 100-char buckets — the corpus-shape
+    * profile run before choosing filter thresholds. Integer `div`
+    * keeps bucket edges exact in both engines.
+    */
+  def lengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("bucket_lo", expr("(n_chars div 100) * 100"))
+      .groupBy($"bucket_lo")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum($"n_chars").cast("double") / count(lit(1))).as("avg_chars"))
+      .orderBy($"bucket_lo")
+  }
+
+  /** Near-dup clusters: verified pairs (exact Jaccard ≥ 0.8 on LSH
+    * candidates) → connected components → (vertex, component). The
+    * pipeline-complete form of pair dedup: chained duplicates
+    * (a≈b≈c with a,c dissimilar) collapse to ONE cluster, so survivor
+    * selection keeps exactly one copy. Oracle recomputes the closure
+    * with a recursive CTE over the exact pair set.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val input = Tables.documents(s, dir)
+    val candidates = Dedup.minhashPairs(input, "text", "doc_id",
+      threshold = 0.3).select("id_a", "id_b")
+    val pairs = Dedup.ngramJaccard(input, candidates, "text", "doc_id")
+      .filter($"jaccard" >= 0.8)
+    graft.ops.Components.connectedComponents(pairs, "id_a", "id_b")
+      .orderBy($"vertex")
+  }
+
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)

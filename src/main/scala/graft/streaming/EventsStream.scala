@@ -90,6 +90,18 @@ object EventsStream {
         col("purchase_ts"), col("amount"), col("click_id"), col("click_ts"))
   }
 
+  /** Stream–static enrichment join: each micro-batch joins the static
+    * dimension as of that batch (re-planned per batch, so a broadcast-
+    * able dim stays a broadcast; no state store involved — the static
+    * side is not watermarked and never expires). The third join mode
+    * after stream-stream ([[clickAttribution]]) and batch-batch: the
+    * shape a pipeline uses to tag a live event stream with slowly-
+    * changing reference data.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String, joinType: String = "left"): DataFrame =
+    events.join(dim, col(eventKey) === col(dimKey), joinType)
+
   /** Stateful sessionization with `flatMapGroupsWithState`: per-user
     * session state, closed either by a gap-exceeding event or by event-
     * time timeout at (session end + gap) past the watermark. Emits only

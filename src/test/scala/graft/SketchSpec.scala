@@ -64,4 +64,38 @@ class SketchSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got == exact)
   }
+
+  private def sketchQuantiles(df: org.apache.spark.sql.DataFrame,
+      ps: Seq[Double], cap: Int): Seq[Double] =
+    df.agg(SketchFunctions.quantile_sketch(col("v"), ps, cap).as("q"))
+      .collect()(0).getSeq[Double](0)
+
+  test("quantile_sketch is exact (percentile-identical) under capacity") {
+    import spark.implicits._
+    val r = new scala.util.Random(11)
+    val vals = Seq.fill(5000)(r.nextInt(1000).toDouble)
+    val df = vals.toDF("v").repartition(8) // partials must merge losslessly
+    val ps = Seq(0.25, 0.5, 0.75, 0.9)
+    val got = sketchQuantiles(df, ps, cap = 1 << 13)
+    val exact = df.agg(expr("percentile(v, array(0.25, 0.5, 0.75, 0.9))"))
+      .collect()(0).getSeq[Double](0)
+    assert(got == exact, s"$got vs $exact")
+  }
+
+  test("quantile_sketch rank error bounded past capacity") {
+    import spark.implicits._
+    val n = 100000
+    val r = new scala.util.Random(13)
+    val vals = Array.fill(n)(r.nextDouble() * 1e6)
+    val df = vals.toSeq.toDF("v").repartition(16)
+    val ps = Seq(0.1, 0.5, 0.9)
+    val got = sketchQuantiles(df, ps, cap = 4096)
+    val sorted = vals.sorted
+    ps.zip(got).foreach { case (p, est) =>
+      // empirical rank of the estimate vs target rank
+      val rank = sorted.count(_ <= est)
+      val err = math.abs(rank - p * n) / n.toDouble
+      assert(err < 0.03, s"p=$p est=$est rank error $err")
+    }
+  }
 }

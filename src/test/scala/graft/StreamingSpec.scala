@@ -119,6 +119,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join matches the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("dim_user", "tier")
+    val input = MemoryStream[Event]
+    val query = EventsStream.enrich(input.toDF(), dim, "user_id", "dim_user")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 2, "view", 2.0),
+        Event(3, ts(2), 9, "click", 3.0)) // no dim row → null tier
+      query.processAllAvailable()
+      val got = spark.table("enriched")
+        .select($"event_id", $"tier").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got == Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
+    } finally query.stop()
+  }
+
   test("stream-stream interval join matches the batch join exactly") {
     import spark.implicits._
     val streamed = EventsStream.clickAttribution(
