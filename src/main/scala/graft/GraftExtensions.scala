@@ -12,7 +12,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * SQL surface: `graft_minhash(hashes)`, `graft_simhash(hashes)`,
   * `graft_ngram_hashes(tokens, n)`, `graft_cosine(a, b)`,
-  * `graft_freq_items(item, k)` (aggregate).
+  * `graft_freq_items(item, k)` and `graft_quantiles(value, p, cap)`
+  * (aggregates).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
@@ -48,7 +49,19 @@ object GraftExtensions {
       info("graft_freq_items",
         "graft_freq_items(item, k) - Misra-Gries top-items sketch aggregate"),
       (args: Seq[Expression]) => FreqItemsSketch(args.head,
-        args(1).eval().asInstanceOf[Int]).toAggregateExpression()))
+        args(1).eval().asInstanceOf[Int]).toAggregateExpression()),
+    ("graft_quantiles",
+      info("graft_quantiles",
+        "graft_quantiles(value, p, capacity) - mergeable quantile-sketch aggregate (exact under capacity)"),
+      (args: Seq[Expression]) => {
+        // SQL numeric literals arrive as Decimal, not java.lang.Number
+        def toD(a: Any): Double = a match {
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case n: Number => n.doubleValue()
+        }
+        QuantileSketch(args.head, Seq(toD(args(1).eval())),
+          toD(args(2).eval()).toInt).toAggregateExpression()
+      }))
 
   /** Register the SQL functions on a live session (idempotent). */
   def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit =

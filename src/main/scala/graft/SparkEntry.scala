@@ -44,6 +44,10 @@ object SparkEntry {
     "q_intersect_except" -> (Relational.qIntersectExcept _),
     "q_grouping_sets" -> (Relational.qGroupingSets _),
     "q_window_range_frame" -> (Relational.qWindowRangeFrame _),
+    "q8_market_share" -> (Relational.q8MarketShare _),
+    "q13_order_dist" -> (Relational.q13OrderDist _),
+    "q17_small_qty" -> (Relational.q17SmallQty _),
+    "q18_large_volume" -> (Relational.q18LargeVolume _),
     "q14_promo_revenue" -> (Relational.q14PromoRevenue _),
     "q_disjunctive_join" -> (Relational.qDisjunctiveJoin _),
     "q_unpivot" -> (Relational.qUnpivot _),
@@ -145,6 +149,55 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_sql_catalog" -> SqlCatalogQuery,
     "q_not_in" -> Relational.NotInSql,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+        |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
+    "q13_order_dist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q17_small_qty" ->
+      """WITH avg_qty AS (
+        |  SELECT l_partkey AS p_key,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) * 0.4 AS qty_limit
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN avg_qty ON l_partkey = p_key
+        |WHERE p_brand = 'Brand#3' AND l_quantity < qty_limit""".stripMargin,
+    "q18_large_volume" ->
+      """SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  o_totalprice, total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey AS big_okey,
+        |        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 150.0) b
+        |  ON o_orderkey = big_okey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 50""".stripMargin,
     "q14_promo_revenue" ->
       """SELECT CAST(year(l_shipdate) AS INTEGER) AS l_year,
         |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'

@@ -539,6 +539,95 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Market share (TPC-H Q8 shape): a region's customers' spend, split
+    * by whether the supplying nation is the target nation — conditional
+    * agg over the largest join tree in the suite (6 tables, all dims
+    * broadcast, single fact shuffle).
+    */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = (dec($"l_extendedprice") * (dec(lit(1)) - dec($"l_discount")))
+    val nations = Tables.nation(s, dir)
+    val custSide = Tables.customer(s, dir)
+      .join(nations.select($"n_nationkey".as("cn_key"), $"n_regionkey"),
+        $"c_nationkey" === $"cn_key")
+      .join(Tables.region(s, dir).filter($"r_name" === "ASIA"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey")
+    val suppSide = Tables.supplier(s, dir)
+      .join(nations.select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation")),
+        $"s_nationkey" === $"sn_key")
+      .select($"s_suppkey", $"supp_nation")
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).filter(
+          $"o_orderdate" >= ts("1996-01-01 00:00:00") &&
+          $"o_orderdate" < ts("1998-01-01 00:00:00")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(custSide), $"o_custkey" === $"c_custkey")
+      .join(broadcast(suppSide), $"l_suppkey" === $"s_suppkey")
+      .groupBy(year($"o_orderdate").cast("int").as("o_year"))
+      .agg((sum(when($"supp_nation" === "NATION_3", rev)
+          .otherwise(lit(0).cast(DecimalType(12, 2)))).cast("double")
+        / sum(rev).cast("double")).as("mkt_share"))
+      .orderBy($"o_year")
+  }
+
+  /** Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER
+    * join so zero-order customers survive, then a histogram of the
+    * per-customer counts — two aggregations back to back, the second
+    * over the first's (much smaller) output.
+    */
+  def q13OrderDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perCust = Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter($"o_orderpriority" =!= "1-URGENT"),
+        $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count")) // count(col): nulls don't count
+    perCust.groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  /** Small-quantity-order revenue (TPC-H Q17 shape): lineitems under
+    * 40% of their part's average quantity. The per-part average is a
+    * self-aggregation joined back to the fact — the correlated-scalar-
+    * subquery decorrelation pattern, written directly as the plan
+    * Catalyst would decorrelate to.
+    */
+  def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val avgQty = li.groupBy($"l_partkey".as("p_key"))
+      .agg(((dsum($"l_quantity") / count(lit(1))) * 0.4).as("qty_limit"))
+    li.join(broadcast(Tables.part(s, dir).filter($"p_brand" === "Brand#3")),
+        $"l_partkey" === $"p_partkey")
+      .join(avgQty, $"l_partkey" === $"p_key")
+      .filter($"l_quantity" < $"qty_limit")
+      .agg((dsum($"l_extendedprice") / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Large-volume customers (TPC-H Q18 shape): orders whose total
+    * quantity exceeds a threshold — aggregate, HAVING-filter, then
+    * join back to the dimensions for reporting.
+    */
+  def q18LargeVolume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bigOrders = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey".as("big_okey"))
+      .agg(dsum($"l_quantity").as("total_qty"))
+      .filter($"total_qty" > 150.0)
+    Tables.orders(s, dir)
+      .join(bigOrders, $"o_orderkey" === $"big_okey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey",
+        $"o_orderdate".cast("date").as("order_date"),
+        $"o_totalprice", $"total_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(50)
+  }
+
   /** Window lag/lead: per-customer order value deltas over time. */
   def qLagLead(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -22,6 +22,15 @@ class SqlFunctionsSpec extends SparkSpec {
       "SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
       .collect().head.getDouble(0)
     assert(math.abs(cos - 1.0) < 1e-12)
+
+    // aggregate path: exact median under capacity
+    val med = spark.sql(
+      "SELECT graft_quantiles(n_chars, 0.5, 65536)[0] AS m FROM docs_v")
+      .collect().head.getDouble(0)
+    val exact = spark.sql(
+      "SELECT percentile(n_chars, 0.5) AS m FROM docs_v")
+      .collect().head.getDouble(0)
+    assert(med == exact, s"$med vs $exact")
   }
 
   test("sql functions agree with the column API") {
