@@ -79,6 +79,8 @@ object SparkEntry {
     "ann_lsh_topk" -> (Vectors.annLsh _),
     "ann_ivf_topk" -> (Vectors.annIvf _),
     "q_events_tumbling" -> (Events.tumbling _),
+    "q_retention" -> (Events.retention _),
+    "q_funnel" -> (Events.funnel _),
     "q_events_sessionize" -> (Events.sessionize _),
     "q_asof_join" -> (Temporal.qAsofJoin _),
     "q_heavy_hitters" -> (Events.heavyHitters _),
@@ -149,6 +151,29 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_sql_catalog" -> SqlCatalogQuery,
     "q_not_in" -> Relational.NotInSql,
+    "q_retention" ->
+      """SELECT CAST(date_diff('day', d0, d) AS INTEGER) AS day_offset,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM (SELECT user_id, CAST(ts AS DATE) AS d FROM events) e
+        |JOIN (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id) f
+        |  USING (user_id)
+        |GROUP BY day_offset
+        |ORDER BY day_offset""".stripMargin,
+    "q_funnel" ->
+      """WITH s AS (SELECT user_id, MIN(ts) AS t_signup FROM events
+        |           WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
+        |      JOIN s ON e.user_id = s.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= s.t_signup
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        |      GROUP BY e.user_id)
+        |SELECT COUNT(s.t_signup) AS n_signup, COUNT(c.t_click) AS n_click,
+        |  COUNT(p.t_purchase) AS n_purchase
+        |FROM s LEFT JOIN c ON s.user_id = c.user_id
+        |LEFT JOIN p ON p.user_id = c.user_id""".stripMargin,
     "q8_market_share" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
         |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'

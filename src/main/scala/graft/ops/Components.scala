@@ -32,9 +32,10 @@ object Components {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 20): DataFrame = {
+    // no distinct: min() tolerates duplicate edges, and the dedup
+    // shuffle would cost more than the duplicates do
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Labels start as self. Each round MUST truncate lineage (eager
     // localCheckpoint): the round's plan references the previous
@@ -56,14 +57,17 @@ object Components {
           .withColumnRenamed("label", "dst_label"), Seq("dst"))
         .groupBy(col("src").as("v"))
         .agg(min(col("dst_label")).as("nbr_label"))
+      // carry the changed flag inside the round's output so convergence
+      // is a filter-count on the checkpointed table, not an extra join
       val next = labels.join(nbrMin, Seq("v"), "left")
         .select(col("v"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"))
+            .as("next_label"),
+          (coalesce(col("nbr_label"), col("label")) < col("label"))
+            .as("changed"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("v"))
-        .filter(col("label") < col("old")).count()
-      labels = next
+      val changed = next.filter(col("changed")).count()
+      labels = next.select(col("v"), col("next_label").as("label"))
       converged = changed == 0
       round += 1
     }

@@ -14,6 +14,47 @@ object Events {
   private def dsum(c: Column): Column =
     sum(c.cast(DecimalType(12, 2))).cast("double")
 
+  /** Cohort retention: users bucketed by days since their own first
+    * event. Two aggregations — per-user first date, then distinct
+    * users per offset; the self-join back to events shuffles on
+    * user_id once (the firsts table is per-user and AQE-broadcastable
+    * when small).
+    */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"ts".cast("date").as("d"))
+    val firsts = ev.groupBy($"user_id").agg(min($"d").as("d0"))
+    ev.join(firsts, "user_id")
+      .groupBy(datediff($"d", $"d0").as("day_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"day_offset")
+  }
+
+  /** Ordered funnel: signup → first click at-or-after it → first
+    * purchase at-or-after that click, per user; stage populations are
+    * counts over left joins of the per-user stage tables (each stage's
+    * users are a subset of the previous — no cross join needed for the
+    * single summary row).
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val sgn = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("t_signup"))
+    val clk = ev.filter($"event_type" === "click")
+      .join(sgn, "user_id").filter($"ts" >= $"t_signup")
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val pur = ev.filter($"event_type" === "purchase")
+      .join(clk, "user_id").filter($"ts" >= $"t_click")
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    sgn.join(clk, Seq("user_id"), "left")
+      .join(pur, Seq("user_id"), "left")
+      .agg(count($"t_signup").as("n_signup"),
+        count($"t_click").as("n_click"),
+        count($"t_purchase").as("n_purchase"))
+  }
+
   /** Tumbling 1-hour windows: the batch twin of the streaming windowed
     * aggregation (single shuffle on the truncated hour).
     */
