@@ -58,7 +58,10 @@ object Bench {
       // plan, not the episode (genuinely slow queries just confirm).
       var extra = 0
       while (times.min > 4.0 && extra < 2 && !errors.contains(name)) {
-        times = times :+ timeOnce(name, fn)
+        val t = timeOnce(name, fn)
+        // a retry that FAILED measured time-to-error, not the query —
+        // it must not become the reported min
+        if (!errors.contains(name)) times = times :+ t
         extra += 1
       }
       name -> times.min

@@ -117,12 +117,21 @@ case class FreqItemsSketch(child: Expression, k: Int,
     copy(child = newChild)
 }
 
+/** Quantile-sketch aggregation buffer: bounded (value, weight) items
+  * plus the compaction phase bit (survivors alternate between the
+  * upper and lower element of each pair across compactions, so the
+  * per-compaction rank shift cancels instead of accumulating
+  * one-sidedly — the deterministic stand-in for KLL's random coin).
+  */
+final class QSketchBuf(var phase: Boolean,
+    val items: mutable.ArrayBuffer[(Double, Long)])
+
 /** Mergeable quantile sketch (single-level KLL-style compactor,
   * cf. Karnin/Lang/Liberty "Optimal Quantile Approximation in
   * Streams" — public literature): a capacity-bounded (value, weight)
-  * buffer; on overflow the sorted buffer is pair-compacted (drop one
-  * of each neighbor pair, double the survivor's weight), halving size
-  * for a bounded rank error.
+  * buffer; on overflow the sorted buffer is pair-compacted (one
+  * survivor per neighbor pair carrying the pair's total weight),
+  * halving size for a bounded rank error.
   *
   * The [[FreqItemsSketch]] contract, for quantiles:
   *  - while total input ≤ `capacity`, no compaction fires, weights
@@ -137,7 +146,7 @@ case class FreqItemsSketch(child: Expression, k: Int,
 case class QuantileSketch(child: Expression, percentiles: Seq[Double],
     capacity: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.ArrayBuffer[(Double, Long)]]
+    extends TypedImperativeAggregate[QSketchBuf]
     with UnaryLike[Expression] {
 
   require(capacity >= 8, s"quantile sketch needs capacity >= 8, got $capacity")
@@ -147,49 +156,53 @@ case class QuantileSketch(child: Expression, percentiles: Seq[Double],
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = false
 
-  override def createAggregationBuffer(): mutable.ArrayBuffer[(Double, Long)] =
-    mutable.ArrayBuffer.empty
+  override def createAggregationBuffer(): QSketchBuf =
+    new QSketchBuf(false, mutable.ArrayBuffer.empty)
 
   /** Sorted pair-compaction: halves the buffer. Each adjacent pair
-    * collapses to its upper value carrying the PAIR'S TOTAL weight —
-    * mass-preserving, so a rank query only errs at the one pair that
-    * straddles it (≤ that pair's lower weight), the property the KLL
-    * analysis needs. (Doubling the survivor instead would lose the
-    * dropped element's weight whenever pair weights differ — merged
-    * buffers mix weights — and the estimates drift unboundedly.)
-    * Deterministic phase; an odd-sized buffer keeps its first element
+    * collapses to ONE of its elements carrying the PAIR'S TOTAL
+    * weight — mass-preserving, so a rank query only errs at the one
+    * pair that straddles it (≤ that pair's dropped weight), the
+    * property the KLL analysis needs. (Doubling the survivor instead
+    * would lose the dropped element's weight whenever pair weights
+    * differ — merged buffers mix weights — and the estimates drift
+    * unboundedly.) The survivor side alternates per compaction via the
+    * buffer's phase bit: always keeping the upper element biases every
+    * estimate upward by ~one pair-weight per compaction, which
+    * accumulates linearly in n/capacity; alternating cancels it
+    * (deterministically — no RNG, results stay reproducible for a
+    * given merge order). An odd-sized buffer keeps its first element
     * unpaired.
     */
-  private def compact(buf: mutable.ArrayBuffer[(Double, Long)]): Unit = {
-    val sorted = buf.sortBy(x => (x._1, x._2))
-    buf.clear()
+  private def compact(buf: QSketchBuf): Unit = {
+    val sorted = buf.items.sortBy(x => (x._1, x._2))
+    val keepUpper = buf.phase
+    buf.phase = !buf.phase
+    buf.items.clear()
     var start = 0
-    if (sorted.length % 2 == 1) { buf += sorted(0); start = 1 }
+    if (sorted.length % 2 == 1) { buf.items += sorted(0); start = 1 }
     var i = start
     while (i + 1 < sorted.length) {
-      val (_, w1) = sorted(i)
+      val (v1, w1) = sorted(i)
       val (v2, w2) = sorted(i + 1)
-      buf += ((v2, w1 + w2))
+      buf.items += (((if (keepUpper) v2 else v1), w1 + w2))
       i += 2
     }
   }
 
-  private def add(buf: mutable.ArrayBuffer[(Double, Long)], v: Double,
-      w: Long): Unit = {
-    buf += ((v, w))
-    if (buf.length > capacity) compact(buf)
+  private[graft] def add(buf: QSketchBuf, v: Double, w: Long): Unit = {
+    buf.items += ((v, w))
+    if (buf.items.length > capacity) compact(buf)
   }
 
-  override def update(buf: mutable.ArrayBuffer[(Double, Long)],
-      input: InternalRow): mutable.ArrayBuffer[(Double, Long)] = {
+  override def update(buf: QSketchBuf, input: InternalRow): QSketchBuf = {
     val v = child.eval(input)
     if (v != null) add(buf, v.asInstanceOf[Number].doubleValue(), 1L)
     buf
   }
 
-  override def merge(b1: mutable.ArrayBuffer[(Double, Long)],
-      b2: mutable.ArrayBuffer[(Double, Long)]): mutable.ArrayBuffer[(Double, Long)] = {
-    b2.foreach { case (v, w) => add(b1, v, w) }
+  override def merge(b1: QSketchBuf, b2: QSketchBuf): QSketchBuf = {
+    b2.items.foreach { case (v, w) => add(b1, v, w) }
     b1
   }
 
@@ -197,10 +210,10 @@ case class QuantileSketch(child: Expression, percentiles: Seq[Double],
     * standard (n−1)·p rule; with weights it interpolates between the
     * representative values on the cumulative-weight scale.
     */
-  override def eval(buf: mutable.ArrayBuffer[(Double, Long)]): Any = {
-    if (buf.isEmpty)
+  override def eval(buf: QSketchBuf): Any = {
+    if (buf.items.isEmpty)
       return new GenericArrayData(percentiles.map(_ => Double.NaN).toArray[Any])
-    val sorted = buf.sortBy(x => (x._1, x._2)).toArray
+    val sorted = buf.items.sortBy(x => (x._1, x._2)).toArray
     val total = sorted.iterator.map(_._2).sum
     // expand ranks: element j (0-based over total weight) for weight w
     // occupies ranks [cum, cum+w)
@@ -226,21 +239,23 @@ case class QuantileSketch(child: Expression, percentiles: Seq[Double],
     new GenericArrayData(out.toArray[Any])
   }
 
-  override def serialize(buf: mutable.ArrayBuffer[(Double, Long)]): Array[Byte] = {
+  override def serialize(buf: QSketchBuf): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
-    out.writeInt(buf.length)
-    buf.foreach { case (v, w) => out.writeDouble(v); out.writeLong(w) }
+    out.writeBoolean(buf.phase)
+    out.writeInt(buf.items.length)
+    buf.items.foreach { case (v, w) => out.writeDouble(v); out.writeLong(w) }
     out.flush(); bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[(Double, Long)] = {
+  override def deserialize(bytes: Array[Byte]): QSketchBuf = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val phase = in.readBoolean()
     val n = in.readInt()
-    val buf = mutable.ArrayBuffer.empty[(Double, Long)]
+    val items = mutable.ArrayBuffer.empty[(Double, Long)]
     var i = 0
-    while (i < n) { buf += ((in.readDouble(), in.readLong())); i += 1 }
-    buf
+    while (i < n) { items += ((in.readDouble(), in.readLong())); i += 1 }
+    new QSketchBuf(phase, items)
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketch =

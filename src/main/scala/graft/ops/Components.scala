@@ -72,6 +72,12 @@ object Components {
       round += 1
     }
     edges.unpersist(false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds — " +
+          "the graph's diameter exceeds the bound (near-dup clusters " +
+          "never do; for long-path graphs raise maxRounds). Returning " +
+          "partial labels would silently split components.")
     labels.select(col("v").as("vertex"), col("label").as("component"))
   }
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Connected components vs driver-side union-find ground truth. */
 class ComponentsSpec extends SparkSpec {
 
-  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       val p = parent.getOrElse(x, x)
@@ -27,7 +27,7 @@ class ComponentsSpec extends SparkSpec {
         edges.toDF("a", "b"), "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     Dedup.releaseCaches()
-    val expect = unionFind(0, edges)
+    val expect = unionFind(edges)
     assert(got == expect)
   }
 
@@ -47,6 +47,16 @@ class ComponentsSpec extends SparkSpec {
     val clique = (lo: Long) =>
       for (i <- lo until lo + 4; j <- i + 1 until lo + 4) yield (i, j)
     check(clique(0) ++ clique(100) ++ clique(200))
+  }
+
+  test("refuses to return unconverged labels when diameter exceeds maxRounds") {
+    import spark.implicits._
+    val path = (0L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Components.connectedComponents(path, "a", "b", maxRounds = 4).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    Dedup.releaseCaches()
   }
 
   test("clusterLosers keeps exactly one survivor per cluster") {

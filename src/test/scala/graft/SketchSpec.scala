@@ -82,6 +82,35 @@ class SketchSpec extends SparkSpec {
     assert(got == exact, s"$got vs $exact")
   }
 
+  test("quantile_sketch error stays bounded at large n/capacity (direct drive)") {
+    // n/capacity ≈ 244 — the regime where a fixed keep-upper compaction
+    // phase drifts past 3% rank error (review finding); the alternating
+    // phase must hold the line. Driven without Spark: the aggregate's
+    // buffer ops are plain JVM calls, so 1M updates are fast.
+    import graft.functions.QuantileSketch
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val n = 1000000
+    val cap = 4096
+    val qs = QuantileSketch(Literal(0.0), Seq(0.1, 0.5, 0.9), cap)
+    val r = new scala.util.Random(17)
+    val vals = Array.fill(n)(r.nextDouble())
+    // simulate 16 map-side partials merged like Spark would
+    val parts = vals.grouped(n / 16).map { chunk =>
+      val b = qs.createAggregationBuffer()
+      chunk.foreach(v => qs.add(b, v, 1L))
+      b
+    }.toSeq
+    val merged = parts.reduce((a, b) => qs.merge(a, b))
+    val est = qs.eval(merged)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+    val sorted = vals.sorted
+    Seq(0.1, 0.5, 0.9).zip(est).foreach { case (p, e) =>
+      val rank = sorted.count(_ <= e)
+      val err = math.abs(rank - p * n) / n.toDouble
+      assert(err < 0.02, s"p=$p est=$e rank error $err")
+    }
+  }
+
   test("quantile_sketch rank error bounded past capacity") {
     import spark.implicits._
     val n = 100000
