@@ -597,12 +597,18 @@ object Relational {
     */
   def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = Tables.lineitem(s, dir)
-    val avgQty = li.groupBy($"l_partkey".as("p_key"))
-      .agg(((dsum($"l_quantity") / count(lit(1))) * 0.4).as("qty_limit"))
-    li.join(broadcast(Tables.part(s, dir).filter($"p_brand" === "Brand#3")),
+    // prune by PART before the self-aggregation: the per-part average
+    // only matters for the filtered brand's parts, and restricting by
+    // part key (not by lineitem attributes) keeps every lineitem of a
+    // surviving part, so each part's average is unchanged — the
+    // aggregate runs over brand-selectivity × |lineitem| rows instead
+    // of all of them (the classic Q17 rewrite)
+    val liBrand = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter($"p_brand" === "Brand#3")),
         $"l_partkey" === $"p_partkey")
-      .join(avgQty, $"l_partkey" === $"p_key")
+    val avgQty = liBrand.groupBy($"l_partkey".as("p_key"))
+      .agg(((dsum($"l_quantity") / count(lit(1))) * 0.4).as("qty_limit"))
+    liBrand.join(avgQty, $"l_partkey" === $"p_key")
       .filter($"l_quantity" < $"qty_limit")
       .agg((dsum($"l_extendedprice") / 7.0).as("avg_yearly"),
         count(lit(1)).as("n_lines"))

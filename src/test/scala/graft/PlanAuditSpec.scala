@@ -102,6 +102,29 @@ class PlanAuditSpec extends SparkSpec {
       s"cosine projection not in a WholeStageCodegen span: $cosLine")
   }
 
+  test("q_token_freq: partial agg collapses the explode map-side; top-k is TakeOrdered") {
+    val plan = physicalPlan(graft.queries.Text.tokenFreq(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val exchangeIdx = plan.indexOf("Exchange")
+    // a partial HashAggregate must sit below the exchange, so only one
+    // row per distinct token per partition crosses the shuffle
+    assert(exchangeIdx >= 0 && plan.lastIndexOf("HashAggregate") > exchangeIdx, plan)
+  }
+
+  test("q8: every dimension side joins as broadcast") {
+    val plan = physicalPlan(Relational.q8MarketShare(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts\n$plan")
+  }
+
+  test("q_hash_split is map-only up to its single aggregation exchange") {
+    val plan = physicalPlan(graft.queries.Text.hashSplit(spark, sf))
+    // one exchange for the groupBy, one for the final order — the md5
+    // split assignment itself must not shuffle
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges\n$plan")
+  }
+
   test("salted join: spreads a hot key and preserves join semantics") {
     import spark.implicits._
     val li = Tables.lineitem(spark, sf)
