@@ -230,6 +230,38 @@ class DeltaLite(spark: SparkSession, root: String,
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Append with ADDITIVE schema evolution (Delta's mergeSchema): the
+    * batch may introduce NEW columns; columns both sides share must
+    * keep name+type. The commit records the widened schema (table
+    * columns first, new columns appended) — earlier files are NOT
+    * rewritten: the snapshot read supplies the widened schema, and
+    * parquet files that lack a column read it as null. Time travel to
+    * a pre-evolution version still reads with that version's narrower
+    * schema.
+    */
+  def appendEvolve(df: DataFrame): Int = schema match {
+    case None => commit(df, "append")
+    case Some(committed) =>
+      val existing = committed.fields.map(f => f.name -> f.dataType).toMap
+      df.schema.fields.foreach { f =>
+        existing.get(f.name).foreach { t =>
+          require(t == f.dataType,
+            s"column ${f.name}: table has $t, batch has ${f.dataType} — " +
+              "evolution is additive, not type-changing")
+        }
+      }
+      val newCols = df.schema.fields.filterNot(f => existing.contains(f.name))
+      val widened = StructType(committed.fields ++ newCols)
+      // align the batch to the widened layout; table columns the batch
+      // lacks become nulls (same rule the old files follow at read)
+      val aligned = df.select(widened.fieldNames.toSeq.map { n =>
+        if (df.schema.fieldNames.contains(n)) col(n)
+        else org.apache.spark.sql.functions.lit(null)
+          .cast(widened(n).dataType).as(n)
+      }: _*)
+      commit(aligned, "append")
+  }
+
   /** Replace table contents (schema may change). */
   def overwrite(df: DataFrame): Int = commit(df, "overwrite")
 

@@ -248,6 +248,29 @@ class EtlSpec extends SparkSpec {
       Map(1L -> "a", 2L -> "b2", 3L -> "c"))
   }
 
+  test("DeltaLite: additive schema evolution widens without rewriting history") {
+    import spark.implicits._
+    val t = DeltaLite(spark, Files.createTempDirectory("graft-evolve").toString)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    val v1 = t.appendEvolve(Seq((3L, "c", 0.9)).toDF("id", "name", "score"))
+    // snapshot carries the widened schema; pre-evolution rows read null
+    val snap = t.read().orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(snap.toSeq == Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(0.9))))
+    // time travel to before the evolution keeps the narrow schema
+    assert(t.readAsOf(v1 - 1).columns.toSeq == Seq("id", "name"))
+    // a batch missing a table column aligns to null, not an error
+    t.appendEvolve(Seq((4L, 0.5)).toDF("id", "score"))
+    val r4 = t.read().filter($"id" === 4L).collect().head
+    assert(r4.isNullAt(1) && r4.getDouble(2) == 0.5)
+    // type changes stay rejected
+    val e = intercept[IllegalArgumentException] {
+      t.appendEvolve(Seq((5L, 7)).toDF("id", "score"))
+    }
+    assert(e.getMessage.contains("additive"))
+  }
+
   test("DeltaLite: schema enforcement rejects drifted batch") {
     import spark.implicits._
     val t = DeltaLite(spark, tmp("graft-schema"))
