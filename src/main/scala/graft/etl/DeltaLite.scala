@@ -136,7 +136,8 @@ class DeltaLite(spark: SparkSession, root: String,
 
   private def commit(df: DataFrame, mode: String,
       removed: Seq[String] = Nil,
-      txn: Option[(String, Long)] = None): Int = {
+      txn: Option[(String, Long)] = None,
+      schemaOverride: Option[StructType] = None): Int = {
     val version = latestVersion.map(_ + 1).getOrElse(0)
     val dataDir = new Path(rootPath, s"v=$version")
     // a v=N directory without N.json is an orphan from a crash between
@@ -173,8 +174,8 @@ class DeltaLite(spark: SparkSession, root: String,
       val s = stats.getOrElse(norm(p.toString), (None, None))
       FileEntry(p.toString, s._1, s._2, statsColUsed)
     }
-    val record = Commit(version, mode, df.schema.json, removed, entries,
-      txn.map(_._1), txn.map(_._2))
+    val record = Commit(version, mode, schemaOverride.getOrElse(df.schema).json,
+      removed, entries, txn.map(_._1), txn.map(_._2))
     val tmp = new Path(logDir, s".$version.json.tmp")
     val fin = new Path(logDir, s"$version.json")
     val out = fs.create(tmp, true)
@@ -242,24 +243,53 @@ class DeltaLite(spark: SparkSession, root: String,
   def appendEvolve(df: DataFrame): Int = schema match {
     case None => commit(df, "append")
     case Some(committed) =>
-      val existing = committed.fields.map(f => f.name -> f.dataType).toMap
+      // nullability (incl. nested struct/array/map flags) is not
+      // load-bearing for parquet round trips — normalize before the
+      // type-equality check, matching enforceSchema's rule
+      def normType(dt: DataType): DataType = dt match {
+        case s: StructType => StructType(s.fields.map(f =>
+          f.copy(dataType = normType(f.dataType), nullable = true)))
+        case a: ArrayType =>
+          a.copy(elementType = normType(a.elementType), containsNull = true)
+        case m: MapType => m.copy(keyType = normType(m.keyType),
+          valueType = normType(m.valueType), valueContainsNull = true)
+        case other => other
+      }
+      // resolve case-insensitively (Spark's default analysis rule);
+      // the table's casing wins for shared columns
+      val tableByLower = committed.fields.map(f => f.name.toLowerCase -> f).toMap
+      val batchByLower = collection.mutable.LinkedHashMap[String, StructField]()
       df.schema.fields.foreach { f =>
-        existing.get(f.name).foreach { t =>
-          require(t == f.dataType,
-            s"column ${f.name}: table has $t, batch has ${f.dataType} — " +
-              "evolution is additive, not type-changing")
+        require(!batchByLower.contains(f.name.toLowerCase),
+          s"batch columns differ only in case at ${f.name}")
+        batchByLower(f.name.toLowerCase) = f
+      }
+      batchByLower.values.foreach { f =>
+        tableByLower.get(f.name.toLowerCase).foreach { tf =>
+          require(normType(tf.dataType) == normType(f.dataType),
+            s"column ${f.name}: table has ${tf.dataType}, batch has " +
+              s"${f.dataType} — evolution is additive, not type-changing")
         }
       }
-      val newCols = df.schema.fields.filterNot(f => existing.contains(f.name))
-      val widened = StructType(committed.fields ++ newCols)
-      // align the batch to the widened layout; table columns the batch
-      // lacks become nulls (same rule the old files follow at read)
-      val aligned = df.select(widened.fieldNames.toSeq.map { n =>
-        if (df.schema.fieldNames.contains(n)) col(n)
-        else org.apache.spark.sql.functions.lit(null)
-          .cast(widened(n).dataType).as(n)
+      // every file the new columns don't exist in reads them as null,
+      // and a table column the batch lacks is written as null — both
+      // must be RECORDED nullable or IS NULL predicates on the
+      // snapshot get constant-folded to false
+      val newCols = batchByLower.collect {
+        case (k, f) if !tableByLower.contains(k) => f.copy(nullable = true)
+      }
+      val widened = StructType(committed.fields.map { tf =>
+        if (batchByLower.contains(tf.name.toLowerCase)) tf
+        else tf.copy(nullable = true)
+      } ++ newCols)
+      val aligned = df.select(widened.fields.toSeq.map { wf =>
+        batchByLower.get(wf.name.toLowerCase) match {
+          case Some(bf) => col(bf.name).as(wf.name)
+          case None => org.apache.spark.sql.functions.lit(null)
+            .cast(wf.dataType).as(wf.name)
+        }
       }: _*)
-      commit(aligned, "append")
+      commit(aligned, "append", schemaOverride = Some(widened))
   }
 
   /** Replace table contents (schema may change). */

@@ -250,7 +250,7 @@ class EtlSpec extends SparkSpec {
 
   test("DeltaLite: additive schema evolution widens without rewriting history") {
     import spark.implicits._
-    val t = DeltaLite(spark, Files.createTempDirectory("graft-evolve").toString)
+    val t = DeltaLite(spark, tmp("graft-evolve"))
     t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
     val v1 = t.appendEvolve(Seq((3L, "c", 0.9)).toDF("id", "name", "score"))
     // snapshot carries the widened schema; pre-evolution rows read null
@@ -258,15 +258,29 @@ class EtlSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1),
         if (r.isNullAt(2)) None else Some(r.getDouble(2))))
     assert(snap.toSeq == Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(0.9))))
+    // the recorded schema must mark the evolved column NULLABLE even
+    // though the batch frame's was not (toDF on Double gives
+    // nullable=false) — otherwise NullPropagation folds IS NULL on the
+    // snapshot to false and the pre-evolution rows silently vanish
+    assert(t.schema.get("score").nullable)
+    assert(t.read().filter($"score".isNull).count() == 2)
+    assert(t.read().filter($"score".isNotNull).count() == 1)
     // time travel to before the evolution keeps the narrow schema
     assert(t.readAsOf(v1 - 1).columns.toSeq == Seq("id", "name"))
-    // a batch missing a table column aligns to null, not an error
+    // a batch missing a table column aligns to null, not an error —
+    // and that column's recorded nullability widens with it
     t.appendEvolve(Seq((4L, 0.5)).toDF("id", "score"))
     val r4 = t.read().filter($"id" === 4L).collect().head
     assert(r4.isNullAt(1) && r4.getDouble(2) == 0.5)
+    assert(t.read().filter($"name".isNull).count() == 1)
+    // a batch column differing only in case resolves to the table's
+    // column (Spark's default case-insensitive analysis), not a new one
+    t.appendEvolve(Seq((5L, "e")).toDF("ID", "Name"))
+    assert(t.schema.get.fieldNames.toSeq == Seq("id", "name", "score"))
+    assert(t.read().filter($"id" === 5L).select("name").head.getString(0) == "e")
     // type changes stay rejected
     val e = intercept[IllegalArgumentException] {
-      t.appendEvolve(Seq((5L, 7)).toDF("id", "score"))
+      t.appendEvolve(Seq((6L, 7)).toDF("id", "score"))
     }
     assert(e.getMessage.contains("additive"))
   }
