@@ -49,6 +49,10 @@ object SparkEntry {
     "q17_small_qty" -> (Relational.q17SmallQty _),
     "q18_large_volume" -> (Relational.q18LargeVolume _),
     "q14_promo_revenue" -> (Relational.q14PromoRevenue _),
+    "q2_min_cost_supplier" -> (Relational.q2MinCostSupplier _),
+    "q9_product_profit" -> (Relational.q9ProductProfit _),
+    "q15_top_supplier" -> (Relational.q15TopSupplier _),
+    "q22_global_sales" -> (Relational.q22GlobalSales _),
     "q_disjunctive_join" -> (Relational.qDisjunctiveJoin _),
     "q_unpivot" -> (Relational.qUnpivot _),
     "q_ntile" -> (Relational.qNtile _),
@@ -232,6 +236,61 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY l_year
         |ORDER BY l_year""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH offers AS (
+        |  SELECT l_partkey, l_suppkey, s_name, n_name, p_name,
+        |    MIN(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS cost_dec
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'SMALL'
+        |  GROUP BY l_partkey, l_suppkey, s_name, n_name, p_name),
+        |min_cost AS (
+        |  SELECT l_partkey AS mc_partkey, MIN(cost_dec) AS mc
+        |  FROM offers GROUP BY l_partkey)
+        |SELECT l_partkey AS p_partkey, p_name, s_name, n_name,
+        |  CAST(cost_dec AS DOUBLE) AS min_cost
+        |FROM offers JOIN min_cost ON l_partkey = mc_partkey AND cost_dec = mc
+        |ORDER BY p_partkey, s_name
+        |LIMIT 100""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |    - CAST(l_quantity AS DECIMAL(12,2)) * CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.1 AS DECIMAL(12,2))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+        |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_dec = (SELECT MAX(rev_dec) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q22_global_sales" ->
+      """WITH coded AS (
+        |  SELECT *, substring(c_name, 17, 2) AS cntrycode FROM customer
+        |  WHERE substring(c_name, 17, 2) IN ('01','06','13','17','23','29','31','42','55','64','78','83','90','97'))
+        |SELECT cntrycode, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM coded
+        |WHERE c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        |    FROM coded WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderpriority = '1-URGENT')
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin,
     "q_disjunctive_join" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_lines

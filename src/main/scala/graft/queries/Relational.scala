@@ -634,6 +634,115 @@ object Relational {
       .limit(50)
   }
 
+  /** Minimum-cost supplier (TPC-H Q2 shape): for each SMALL-type part,
+    * the EUROPE supplier(s) selling it cheapest. The correlated MIN
+    * subquery is decorrelated the way Catalyst would: aggregate
+    * per (part, supplier), re-aggregate per part, join back on
+    * (part, min-value). The join-back equality runs on exact DECIMAL
+    * (a double would tie-break differently per engine); only the
+    * reported column is cast to double. Scales: both aggregations
+    * share the l_partkey shuffle key, dims broadcast.
+    */
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val eurSupp = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), $"s_nationkey" === $"n_nationkey")
+      .join(Tables.region(s, dir).filter($"r_name" === "EUROPE"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"s_name", $"n_name")
+    val smallParts = Tables.part(s, dir).filter($"p_type" === "SMALL")
+      .select($"p_partkey", $"p_name")
+    // offers from European suppliers for SMALL parts only — prune both
+    // dims BEFORE the per-(part,supplier) aggregation
+    val offers = Tables.lineitem(s, dir)
+      .join(broadcast(eurSupp), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(smallParts), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_partkey", $"l_suppkey", $"s_name", $"n_name", $"p_name")
+      .agg(min(dec($"l_extendedprice") * (dec(lit(1)) - dec($"l_discount")))
+        .as("cost_dec"))
+    val minCost = offers.groupBy($"l_partkey".as("mc_partkey"))
+      .agg(min($"cost_dec").as("min_cost"))
+    offers.join(minCost,
+        $"l_partkey" === $"mc_partkey" && $"cost_dec" === $"min_cost")
+      .select($"l_partkey".as("p_partkey"), $"p_name", $"s_name", $"n_name",
+        $"cost_dec".cast("double").as("min_cost"))
+      .orderBy($"p_partkey", $"s_name")
+      .limit(100)
+  }
+
+  /** Product-type profit (TPC-H Q9 shape): nation × year profit for
+    * parts matching a name pattern. LIKE filter prunes part before the
+    * fact joins (broadcast); profit mixes two exact-decimal terms of
+    * different scales (revenue minus imputed cost) so partial-agg order
+    * can't perturb the double. Five-way join: lineitem shuffles once on
+    * l_orderkey for orders; part/supplier/nation broadcast.
+    */
+  def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val redParts = Tables.part(s, dir).filter($"p_name".like("%red%"))
+      .select($"p_partkey", $"p_retailprice")
+    val suppNation = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("nation"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(redParts), $"l_partkey" === $"p_partkey")
+      .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"nation", year($"o_orderdate").cast("int").as("o_year"))
+      .agg(sum(dec($"l_extendedprice") * (dec(lit(1)) - dec($"l_discount"))
+          - dec($"l_quantity") * dec($"p_retailprice") * dec(lit(0.1)))
+        .cast("double").as("profit"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
+  /** Top supplier (TPC-H Q15 shape): supplier(s) whose quarterly
+    * revenue equals the maximum — a scalar subquery OVER an aggregated
+    * view. The revenue view aggregates once; its 1-row max broadcasts
+    * back as an equi-join on the exact DECIMAL value (ties keep every
+    * maximal supplier, same rule both engines apply).
+    */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val revenue = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= ts("1996-01-01 00:00:00") &&
+        $"l_shipdate" < ts("1996-04-01 00:00:00"))
+      .groupBy($"l_suppkey")
+      .agg(sum(dec($"l_extendedprice") * (dec(lit(1)) - dec($"l_discount")))
+        .as("rev_dec"))
+    val maxRev = revenue.agg(max($"rev_dec").as("max_rev"))
+    revenue.join(broadcast(maxRev), $"rev_dec" === $"max_rev")
+      .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name",
+        $"rev_dec".cast("double").as("total_revenue"))
+      .orderBy($"s_suppkey")
+  }
+
+  /** Global sales opportunity (TPC-H Q22 shape): well-funded customers
+    * in target country codes with no urgent orders. Combines a
+    * substring-derived grouping key, a scalar AVG subquery as the
+    * balance threshold, and a null-safe anti join to the fact. The
+    * customer table is filtered map-side by code before either the
+    * 1-row threshold broadcast or the anti join touch it.
+    */
+  def q22GlobalSales(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // last two digits of the zero-padded customer number play the role
+    // of Q22's phone country code
+    val coded = Tables.customer(s, dir)
+      .withColumn("cntrycode", substring($"c_name", 17, 2))
+      .filter($"cntrycode".isin("01", "06", "13", "17", "23", "29", "31",
+        "42", "55", "64", "78", "83", "90", "97"))
+    val threshold = coded.filter($"c_acctbal" > 0.0)
+      .agg((dsum($"c_acctbal") / count(lit(1))).as("avg_bal"))
+    coded.join(broadcast(threshold))
+      .filter($"c_acctbal" > $"avg_bal")
+      .join(Tables.orders(s, dir).filter($"o_orderpriority" === "1-URGENT"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"cntrycode")
+      .agg(count(lit(1)).as("numcust"), dsum($"c_acctbal").as("totacctbal"))
+      .orderBy($"cntrycode")
+  }
+
   /** Window lag/lead: per-customer order value deltas over time. */
   def qLagLead(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
