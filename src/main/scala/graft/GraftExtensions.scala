@@ -61,7 +61,13 @@ object GraftExtensions {
         }
         QuantileSketch(args.head, Seq(toD(args(1).eval())),
           toD(args(2).eval()).toInt).toAggregateExpression()
-      }))
+      }),
+    ("graft_distinct",
+      info("graft_distinct",
+        "graft_distinct(item, threshold) - mergeable distinct-count sketch (exact below threshold, HLL beyond)"),
+      (args: Seq[Expression]) => DistinctSketch(args.head,
+        exactThreshold = args(1).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()))
 
   /** Register the SQL functions on a live session (idempotent). */
   def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -88,6 +88,7 @@ object SparkEntry {
     "q_events_sessionize" -> (Events.sessionize _),
     "q_asof_join" -> (Temporal.qAsofJoin _),
     "q_heavy_hitters" -> (Events.heavyHitters _),
+    "q_distinct_sketch" -> (Events.distinctSketch _),
     // flagship composition: annotate -> filter -> exact dedup -> LSH
     // near-dedup, all library operators; rows-only (near-dup survivor
     // set is not SQL-expressible), semantics spec'd in CurationSpec
@@ -770,6 +771,11 @@ object SparkEntry {
         |ORDER BY p_brand""".stripMargin,
     // the sketch is exact here (distinct items per group < k), so the
     // exact GROUP BY is a legitimate oracle; see Events.heavyHitters
+    "q_distinct_sketch" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY event_type""".stripMargin,
     "q_heavy_hitters" ->
       """SELECT CAST(user_id % 10 AS BIGINT) AS segment,
         |  event_type AS item, COUNT(*) AS cnt

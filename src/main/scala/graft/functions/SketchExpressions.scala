@@ -266,6 +266,180 @@ case class QuantileSketch(child: Expression, percentiles: Seq[Double],
     copy(child = newChild)
 }
 
+/** Distinct-count buffer: an exact value set while small, dense HLL
+  * registers after. `sparse == null` marks dense mode.
+  */
+final class DSketchBuf(var sparse: mutable.HashSet[String],
+    var dense: Array[Byte])
+
+/** Mergeable distinct-count sketch (HyperLogLog, cf. Flajolet et al.
+  * 2007 — public literature) with an exact sparse mode, completing the
+  * engine's mergeable-summary triad (frequent items, quantiles,
+  * distinct counts). At 100 TB an exact COUNT(DISTINCT) shuffles every
+  * distinct value; this aggregate ships ≤ max(threshold, 2^p) bytes of
+  * state per partition and never re-shuffles rows.
+  *
+  * The family contract:
+  *  - while a group's distinct count ≤ `exactThreshold`, the buffer is
+  *    an exact set of the VALUES (not hashes — no collision caveat) and
+  *    eval equals COUNT(DISTINCT) bit-for-bit (what the
+  *    `q_distinct_sketch` DuckDB oracle checks at the gate SF);
+  *  - past the threshold the buffer densifies to 2^p one-byte HLL
+  *    registers: estimate within ~1.04/√(2^p) relative error (p=12 →
+  *    ~1.6% σ, spec-checked at 200k distinct), linear-counting
+  *    correction for the low range;
+  *  - register max-merge is associative AND commutative, so unlike the
+  *    MG/KLL cousins the dense estimate is merge-order-INDEPENDENT —
+  *    the same number on every cluster layout (spec-asserted).
+  */
+case class DistinctSketch(child: Expression, p: Int = 12,
+    exactThreshold: Int = 4096,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[DSketchBuf]
+    with UnaryLike[Expression] {
+
+  require(p >= 4 && p <= 18, s"distinct sketch needs 4 <= p <= 18, got $p")
+  require(exactThreshold >= 0, s"negative exactThreshold: $exactThreshold")
+
+  private def m = 1 << p
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): DSketchBuf =
+    new DSketchBuf(mutable.HashSet.empty, null)
+
+  /** FNV-1a 64 over UTF-8 bytes + a SplitMix64 finalizer: FNV alone
+    * mixes low bits poorly and HLL reads the TOP p bits for the
+    * register index — the finalizer's avalanche fixes that.
+    */
+  private def hash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    var z = h
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def offerDense(reg: Array[Byte], v: String): Unit = {
+    val h = hash64(v)
+    val idx = (h >>> (64 - p)).toInt
+    val w = h << p
+    // rank of the first 1-bit in the remaining 64−p bits, 1-based;
+    // all-zero suffix takes the max rank 64−p+1
+    val rho = (if (w == 0L) 64 - p + 1
+               else math.min(java.lang.Long.numberOfLeadingZeros(w) + 1,
+                 64 - p + 1)).toByte
+    if (rho > reg(idx)) reg(idx) = rho
+  }
+
+  private def densify(buf: DSketchBuf): Unit = {
+    val reg = new Array[Byte](m)
+    buf.sparse.foreach(offerDense(reg, _))
+    buf.sparse = null
+    buf.dense = reg
+  }
+
+  private def offer(buf: DSketchBuf, v: String): Unit =
+    if (buf.sparse != null) {
+      buf.sparse += v
+      if (buf.sparse.size > exactThreshold) densify(buf)
+    } else offerDense(buf.dense, v)
+
+  /** Test hook: offer a single already-stringified value. */
+  private[graft] def offerValue(buf: DSketchBuf, v: String): Unit = offer(buf, v)
+
+  override def update(buf: DSketchBuf, input: InternalRow): DSketchBuf = {
+    val v = child.eval(input)
+    if (v != null) offer(buf, v.toString)
+    buf
+  }
+
+  override def merge(b1: DSketchBuf, b2: DSketchBuf): DSketchBuf = {
+    if (b2.sparse != null) b2.sparse.foreach(offer(b1, _))
+    else {
+      if (b1.sparse != null) densify(b1)
+      val r1 = b1.dense; val r2 = b2.dense
+      var i = 0
+      while (i < m) { if (r2(i) > r1(i)) r1(i) = r2(i); i += 1 }
+    }
+    b1
+  }
+
+  override def eval(buf: DSketchBuf): Any =
+    if (buf.sparse != null) buf.sparse.size.toLong
+    else {
+      val reg = buf.dense
+      var invSum = 0.0
+      var zeros = 0
+      var i = 0
+      while (i < m) {
+        invSum += java.lang.Double.longBitsToDouble(
+          (1023L - (reg(i) & 0xffL)) << 52) // 2^{-reg(i)} exactly
+        if (reg(i) == 0) zeros += 1
+        i += 1
+      }
+      val alpha = m match {
+        case 16 => 0.673
+        case 32 => 0.697
+        case 64 => 0.709
+        case _ => 0.7213 / (1.0 + 1.079 / m)
+      }
+      val raw = alpha * m * m.toDouble / invSum
+      // small-range (linear counting) correction; the 64-bit hash makes
+      // the classic large-range correction unreachable
+      val est = if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+                else raw
+      math.rint(est).toLong
+    }
+
+  override def serialize(buf: DSketchBuf): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    if (buf.sparse != null) {
+      out.writeBoolean(true)
+      out.writeInt(buf.sparse.size)
+      buf.sparse.foreach { s =>
+        val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.writeInt(b.length); out.write(b)
+      }
+    } else {
+      out.writeBoolean(false)
+      out.write(buf.dense)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): DSketchBuf = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    if (in.readBoolean()) {
+      val n = in.readInt()
+      val set = mutable.HashSet.empty[String]
+      var i = 0
+      while (i < n) {
+        val len = in.readInt()
+        val b = new Array[Byte](len); in.readFully(b)
+        set += new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        i += 1
+      }
+      new DSketchBuf(set, null)
+    } else {
+      val reg = new Array[Byte](m); in.readFully(reg)
+      new DSketchBuf(null, reg)
+    }
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): DistinctSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): DistinctSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): DistinctSketch =
+    copy(child = newChild)
+}
+
 object SketchFunctions {
   /** Aggregate: Misra–Gries top-items sketch over a string column. */
   def freq_items(item: Column, k: Int): Column =
@@ -278,5 +452,13 @@ object SketchFunctions {
   def quantile_sketch(value: Column, percentiles: Seq[Double],
       capacity: Int = 1 << 17): Column =
     Bridge.column(QuantileSketch(Bridge.expression(value), percentiles, capacity)
+      .toAggregateExpression())
+
+  /** Aggregate: mergeable distinct-count sketch — exact while the
+    * group's cardinality stays ≤ exactThreshold, HLL beyond.
+    */
+  def distinct_sketch(item: Column, p: Int = 12,
+      exactThreshold: Int = 4096): Column =
+    Bridge.column(DistinctSketch(Bridge.expression(item), p, exactThreshold)
       .toAggregateExpression())
 }

@@ -85,6 +85,21 @@ object Events {
       .orderBy($"segment", $"item")
   }
 
+  /** Distinct users per event type via the mergeable distinct-count
+    * sketch (exact at this cardinality; HLL registers past the
+    * threshold). At 100 TB this replaces COUNT(DISTINCT)'s
+    * shuffle-every-distinct-value plan with ≤ max(threshold, 2^p)
+    * bytes of partial state per partition.
+    */
+  def distinctSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(graft.functions.SketchFunctions
+        .distinct_sketch($"user_id", exactThreshold = 8192).as("n_users"))
+      .orderBy($"event_type")
+  }
+
   /** Sessionization as gaps-and-islands: one shuffle on user_id, then
     * window functions — no iterative driver logic. 30-minute gap.
     */

@@ -127,4 +127,79 @@ class SketchSpec extends SparkSpec {
       assert(err < 0.03, s"p=$p est=$est rank error $err")
     }
   }
+
+  test("distinct_sketch is exact below the threshold, across partitions") {
+    import spark.implicits._
+    val r = new scala.util.Random(23)
+    // 1200 distinct values with heavy duplication, split over 2 groups
+    val data = Seq.fill(20000)((r.nextInt(2), s"u${r.nextInt(1200)}"))
+    val df = data.toDF("g", "item").repartition(16)
+    val got = df.groupBy("g")
+      .agg(SketchFunctions.distinct_sketch(col("item"), exactThreshold = 4096)
+        .as("d"))
+      .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+    val exact = data.groupBy(_._1).map { case (g, xs) =>
+      g -> xs.map(_._2).distinct.size.toLong
+    }
+    assert(got == exact)
+    // nulls skipped; empty group absent, all-null group counts 0
+    val withNull = Seq((1, Some("a")), (1, None), (2, None)).toDF("g", "item")
+    val nd = withNull.groupBy("g")
+      .agg(SketchFunctions.distinct_sketch(col("item")).as("d"))
+      .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+    assert(nd == Map(1 -> 1L, 2 -> 0L))
+  }
+
+  test("distinct_sketch HLL error bounded at 200k distinct (direct drive)") {
+    import graft.functions.DistinctSketch
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val ds = DistinctSketch(Literal(""), p = 12, exactThreshold = 1024)
+    val n = 200000
+    val parts = (0 until 16).map { shard =>
+      val b = ds.createAggregationBuffer()
+      var i = shard
+      while (i < n) { ds.merge(b, serde(ds, s"user-$i")); i += 16 }
+      b
+    }
+    // merge-order independence: register max is associative+commutative
+    val fwd = parts.reduce((a, b) => ds.merge(a, b))
+    val est = ds.eval(fwd).asInstanceOf[Long]
+    val rel = math.abs(est - n).toDouble / n
+    // sigma ≈ 1.04/sqrt(4096) ≈ 1.6%; allow 3 sigma
+    assert(rel < 0.05, s"estimate $est vs $n: relative error $rel")
+  }
+
+  test("distinct_sketch dense estimate is merge-order independent") {
+    import graft.functions.DistinctSketch
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val ds = DistinctSketch(Literal(""), p = 12, exactThreshold = 64)
+    def shard(lo: Int, hi: Int) = {
+      val b = ds.createAggregationBuffer()
+      (lo until hi).foreach(i => ds.merge(b, serde(ds, s"v$i")))
+      b
+    }
+    val a = () => shard(0, 5000); val b = () => shard(3000, 9000)
+    val c = () => shard(8000, 12000)
+    val e1 = ds.eval(ds.merge(ds.merge(a(), b()), c())).asInstanceOf[Long]
+    val e2 = ds.eval(ds.merge(ds.merge(c(), a()), b())).asInstanceOf[Long]
+    assert(e1 == e2, s"merge order changed the estimate: $e1 vs $e2")
+    // and a sparse shard folds into a dense one on either side
+    val sparse = {
+      val bb = ds.createAggregationBuffer()
+      (0 until 10).foreach(i => ds.merge(bb, serde(ds, s"v$i")))
+      bb
+    }
+    val e3 = ds.eval(ds.merge(shard(0, 5000), sparse)).asInstanceOf[Long]
+    assert(e3 == ds.eval(shard(0, 5000)).asInstanceOf[Long],
+      "duplicate sparse values must not move a dense estimate")
+  }
+
+  /** One-value buffer, round-tripped through serialize/deserialize the
+    * way Spark ships map-side partials.
+    */
+  private def serde(ds: graft.functions.DistinctSketch, v: String) = {
+    val b = ds.createAggregationBuffer()
+    ds.offerValue(b, v)
+    ds.deserialize(ds.serialize(b))
+  }
 }

@@ -31,6 +31,15 @@ class SqlFunctionsSpec extends SparkSpec {
       "SELECT percentile(n_chars, 0.5) AS m FROM docs_v")
       .collect().head.getDouble(0)
     assert(med == exact, s"$med vs $exact")
+
+    // distinct-count sketch: exact below its threshold
+    val dd = spark.sql(
+      "SELECT graft_distinct(source, 4096) AS d FROM docs_v")
+      .collect().head.getLong(0)
+    val dexact = spark.sql(
+      "SELECT COUNT(DISTINCT source) AS d FROM docs_v")
+      .collect().head.getLong(0)
+    assert(dd == dexact, s"$dd vs $dexact")
   }
 
   test("sql functions agree with the column API") {
