@@ -53,11 +53,19 @@ object SparkEntry {
     "q9_product_profit" -> (Relational.q9ProductProfit _),
     "q15_top_supplier" -> (Relational.q15TopSupplier _),
     "q22_global_sales" -> (Relational.q22GlobalSales _),
+    "q12_late_lines" -> (Relational.q12LateLines _),
+    "q16_supplier_variety" -> (Relational.q16SupplierVariety _),
+    "q20_excess_stock" -> (Relational.q20ExcessStock _),
+    "q21_waiting_supplier" -> (Relational.q21WaitingSupplier _),
+    "q_stratified_sample" -> (Events.stratifiedSample _),
+    "text_tfidf" -> (Text.tfidf _),
     "q_disjunctive_join" -> (Relational.qDisjunctiveJoin _),
     "q_unpivot" -> (Relational.qUnpivot _),
     "q_ntile" -> (Relational.qNtile _),
     "q_not_in" -> (Relational.qNotIn _),
     "q_bloom_pruned_join" -> (Relational.qBloomPrunedJoin _),
+    "q_bucketed_join" -> (Relational.qBucketedJoin _),
+    "q_partition_pruned" -> (Events.partitionPruned _),
     "q_string_funcs" -> (Text.stringFuncs _),
     "q_higher_order" -> (Text.higherOrder _),
     "q_quantile_sketch" -> (Relational.qQuantileSketch _),
@@ -769,6 +777,90 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand
         |ORDER BY p_brand""".stripMargin,
+    "q12_late_lines" ->
+      """SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+        |  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+        |  COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY ship_year
+        |ORDER BY ship_year""".stripMargin,
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size <= 20
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+    "q20_excess_stock" ->
+      """WITH sp AS (
+        |  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS q
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey, SUM(q) AS tot, COUNT(*) AS n_supp FROM sp GROUP BY 1)
+        |SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT sp.l_suppkey FROM sp JOIN pt USING (l_partkey)
+        |  WHERE pt.n_supp >= 2 AND sp.q * 10 > pt.tot * 9)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q21_waiting_supplier" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT event_type, COUNT(*) AS n_sampled,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <
+        |  CASE event_type WHEN 'view' THEN '20' WHEN 'click' THEN '40' ELSE 'zz' END
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "text_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents WHERE doc_id < 200) t
+        |  GROUP BY doc_id, token),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token)
+        |SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |  round(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)), 6) AS tfidf
+        |FROM tf JOIN df USING (token) CROSS JOIN n
+        |WHERE tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)) > 1.5
+        |ORDER BY doc_id, token""".stripMargin,
+    // the bucketed layout changes the plan (no exchange), not the
+    // result: the oracle is the plain join
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // partition pruning changes what's scanned, not the result: the
+    // oracle filters the flat table
+    "q_partition_pruned" ->
+      """SELECT user_id, COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |GROUP BY user_id
+        |HAVING COUNT(*) >= 3
+        |ORDER BY user_id""".stripMargin,
     // the sketch is exact here (distinct items per group < k), so the
     // exact GROUP BY is a legitimate oracle; see Events.heavyHitters
     "q_distinct_sketch" ->

@@ -100,6 +100,49 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** Partition-pruned scan: events land as hive-partitioned parquet on
+    * event_type; the purchase-only aggregate then reads ONE directory
+    * of five — at 100 TB the difference between scanning the lake and
+    * scanning the slice (PlanAuditSpec asserts the PartitionFilters).
+    * The one-time partitioned write is measured with the query, same
+    * honesty rule as the bucketed join.
+    */
+  def partitionPruned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = s"${sys.props("java.io.tmpdir")}/graft-partitioned/" +
+      s"events_${dir.hashCode & 0x7fffffff}"
+    graft.sources.Sources.writePartitioned(
+      Tables.events(s, dir), out, Seq("event_type"))
+    s.read.parquet(out)
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_purchases"), dsum($"value").as("sum_value"))
+      .filter($"n_purchases" >= 3)
+      .orderBy($"user_id")
+  }
+
+  /** Deterministic stratified sampling: per-class rates (downsample
+    * the dominant classes, keep the rare ones) decided by a
+    * content-independent md5 of the event id — the reproducible,
+    * engine-portable rebalancing pass a training pipeline runs before
+    * export. Map-only membership (no shuffle until the audit counts),
+    * same event sampled on any cluster, any run, any engine.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // first two md5 hex chars = uniform bucket in [0, 256); lowercase
+    // hex sorts lexicographically = numerically, so a string compare
+    // is the engine-portable threshold (no base conversion needed)
+    val bucket = substring(md5($"event_id".cast("string")), 1, 2)
+    val keep = bucket < when($"event_type" === "view", "20")
+      .when($"event_type" === "click", "40")
+      .otherwise("zz")
+    Tables.events(s, dir).filter(keep)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_sampled"), dsum($"value").as("sum_value"))
+      .orderBy($"event_type")
+  }
+
   /** Sessionization as gaps-and-islands: one shuffle on user_id, then
     * window functions — no iterative driver logic. 30-minute gap.
     */

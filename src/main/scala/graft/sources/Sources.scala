@@ -53,16 +53,25 @@ object Sources {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 
-  /** Bucketed + sorted managed table: joins/aggregations on the bucket
-    * key skip the shuffle entirely when both sides share the layout.
+  /** Bucketed + sorted table: joins/aggregations on the bucket key
+    * skip the shuffle entirely when both sides share the layout.
     * (Bucketing requires saveAsTable — path-only parquet has no bucket
-    * metadata.)
+    * metadata.) `path` makes it an EXTERNAL table at that location
+    * (managed-in-warehouse otherwise). The pre-repartition on the
+    * bucket column uses the same murmur3 hash as the bucket spec, so
+    * each write task holds exactly one bucket → ONE file per bucket,
+    * which keeps the per-bucket sort usable at read (many files per
+    * bucket would force a merge sort back into the plan).
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.mode(mode)
+      buckets: Int, mode: SaveMode = SaveMode.Overwrite,
+      path: Option[String] = None): Unit = {
+    val w = df.repartition(buckets, df(bucketCol)).write.mode(mode)
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w.saveAsTable(table)) { p =>
+      w.option("path", p).saveAsTable(table)
+    }
+  }
 }

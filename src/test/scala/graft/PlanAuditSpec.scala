@@ -125,6 +125,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges\n$plan")
   }
 
+  test("bucketed join: fact-fact join subtree runs with zero exchange") {
+    val plan = physicalPlan(Relational.qBucketedJoin(spark, sf))
+    val smjIdx = plan.indexOf("SortMergeJoin")
+    assert(smjIdx >= 0, s"expected a sort-merge join\n$plan")
+    // tree print lists children below their parent: any Exchange after
+    // the join node would be a shuffle feeding it — bucketing must
+    // have eliminated both
+    assert(plan.indexOf("Exchange", smjIdx) < 0,
+      s"exchange below the bucketed join\n$plan")
+    assert("Bucketed: true".r.findAllIn(plan).length == 2,
+      s"expected both scans bucketed\n$plan")
+  }
+
+  test("partition-pruned scan reads one partition directory, not the lake") {
+    val plan = physicalPlan(graft.queries.Events.partitionPruned(spark, sf))
+    val pf = "PartitionFilters: \\[[^\\]]*".r.findFirstIn(plan).getOrElse("")
+    assert(pf.contains("event_type"), s"no partition filter pushed\n$plan")
+    // the pruning column must NOT appear as a data filter on the scan
+    val readSchema = "ReadSchema:.*".r.findFirstIn(plan).getOrElse("")
+    assert(!readSchema.contains("event_type"), readSchema)
+  }
+
   test("salted join: spreads a hot key and preserves join semantics") {
     import spark.implicits._
     val li = Tables.lineitem(spark, sf)
