@@ -58,6 +58,18 @@ object SparkEntry {
     "q20_excess_stock" -> (Relational.q20ExcessStock _),
     "q21_waiting_supplier" -> (Relational.q21WaitingSupplier _),
     "q_stratified_sample" -> (Events.stratifiedSample _),
+    "q11_important_stock" -> (Relational.q11ImportantStock _),
+    "q_profile" -> (Relational.qProfile _),
+    "q_session_window" -> (Events.sessionWindow _),
+    "q_gap_fill" -> (Events.gapFill _),
+    "q_transition_matrix" -> (Events.transitionMatrix _),
+    "q_outliers" -> (Events.outliers _),
+    "q_zorder_pruned" -> (Events.zorderPruned _),
+    "text_pii_redact" -> (Text.piiRedact _),
+    "emb_centroids" -> (Vectors.embCentroids _),
+    "emb_quantize" -> (Vectors.embQuantize _),
+    "dedup_lines" -> (Text.dedupLines _),
+    "q_group_cap" -> (Text.groupCap _),
     "text_tfidf" -> (Text.tfidf _),
     "q_disjunctive_join" -> (Relational.qDisjunctiveJoin _),
     "q_unpivot" -> (Relational.qUnpivot _),
@@ -163,6 +175,145 @@ object SparkEntry {
   /** DuckDB-dialect oracle for each key in `queries`. */
   def oracleSql: Map[String, String] = Map(
     "q_sql_catalog" -> SqlCatalogQuery,
+    "q11_important_stock" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS val_dec
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_nationkey < 8
+        |  GROUP BY l_partkey),
+        |tot AS (SELECT SUM(val_dec) AS total_dec, COUNT(*) AS n_parts FROM pp)
+        |SELECT l_partkey, CAST(val_dec AS DOUBLE) AS part_value
+        |FROM pp, tot
+        |WHERE CAST(val_dec AS DOUBLE) > CAST(total_dec AS DOUBLE) / n_parts * 2
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    "q_profile" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+        |  COUNT(CASE WHEN l_returnflag IS NULL THEN 1 END) AS n_null_flag,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  MIN(CAST(l_shipdate AS DATE)) AS min_shipdate,
+        |  MAX(CAST(l_shipdate AS DATE)) AS max_shipdate
+        |FROM lineitem""".stripMargin,
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, CAST(value AS DECIMAL(12,2)) AS v,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, v,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM e)
+        |SELECT user_id, MIN(ts) AS t_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS t_end,
+        |  COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, t_start""".stripMargin,
+    "q_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1),
+        |cal AS (SELECT user_id,
+        |  CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d FROM span)
+        |SELECT c.user_id, c.d, COALESCE(n, 0) AS n_events,
+        |  last_value(sv IGNORE NULLS) OVER (PARTITION BY c.user_id ORDER BY c.d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+        |FROM cal c LEFT JOIN daily USING (user_id, d)
+        |ORDER BY user_id, d""".stripMargin,
+    "q_transition_matrix" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type, COUNT(*) AS n
+        |FROM t WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type
+        |ORDER BY prev_type, event_type""".stripMargin,
+    "q_outliers" ->
+      """WITH stats AS (
+        |  SELECT event_type AS t, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS m2
+        |  FROM events GROUP BY event_type),
+        |st AS (
+        |  SELECT t, n, mean, sqrt((m2 - n * mean * mean) / (n - 1)) AS sd
+        |  FROM (SELECT t, n, sv / n AS mean, m2 FROM stats))
+        |SELECT event_type, COUNT(*) AS n_outliers, MIN(value) AS min_v,
+        |  MAX(value) AS max_v,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_v
+        |FROM events JOIN st ON event_type = t
+        |WHERE abs(value - mean) > sd * 2
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_zorder_pruned" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN 40 AND 80
+        |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-15'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "dedup_lines" ->
+      """WITH lines AS (
+        |  SELECT doc_id, unnest(string_split(text, '. ')) AS line,
+        |         generate_subscripts(string_split(text, '. '), 1) AS pos
+        |  FROM documents),
+        |counts AS (SELECT line, COUNT(DISTINCT doc_id) AS n_docs
+        |           FROM lines GROUP BY line)
+        |SELECT doc_id, COUNT(*) AS n_kept,
+        |  string_agg(line, '. ' ORDER BY pos) AS cleaned
+        |FROM lines JOIN counts USING (line)
+        |WHERE n_docs <= 2
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_group_cap" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY md5(CAST(event_id AS VARCHAR))) AS rn
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_sampled,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM r WHERE rn <= 100
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "text_pii_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(customer|supplier|key)\b')) AS BIGINT) AS n_redacted,
+        |  substring(regexp_replace(text, '\b(customer|supplier|key)\b', '<ENT>', 'g'), 1, 60) AS head60
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "emb_centroids" ->
+      """WITH q AS (
+        |  SELECT d.lang, t.i AS dim,
+        |    SUM(FLOOR(CAST(e.embedding[t.i + 1] AS DOUBLE) * 1e6)) AS s,
+        |    COUNT(*) AS n_vecs
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id, range(64) t(i)
+        |  GROUP BY d.lang, t.i)
+        |SELECT lang, n_vecs, CAST(dim AS INTEGER) AS dim, s / (n_vecs * 1e6) AS centroid
+        |FROM q WHERE dim < 8 ORDER BY lang, dim""".stripMargin,
+    "emb_quantize" ->
+      """WITH b AS (
+        |  SELECT vec_id,
+        |    list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS amax
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT e.vec_id, b.amax / 127 AS scale,
+        |    list_transform(e.embedding, x ->
+        |      least(127.0, greatest(-127.0, FLOOR(CAST(x AS DOUBLE) / (b.amax / 127) + 0.5)))) AS qv,
+        |    e.embedding AS emb
+        |  FROM embeddings e JOIN b ON e.vec_id = b.vec_id)
+        |SELECT vec_id, round(scale, 9) AS scale9,
+        |  round(sqrt(list_sum(list_transform(list_zip(emb, qv), p ->
+        |    (CAST(p[1] AS DOUBLE) - p[2] * scale) * (CAST(p[1] AS DOUBLE) - p[2] * scale))) / 64), 9) AS rmse9,
+        |  CAST(len(list_filter(qv, v -> abs(v) = 127.0)) AS BIGINT) AS n_sat
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q_not_in" -> Relational.NotInSql,
     "q_retention" ->
       """SELECT CAST(date_diff('day', d0, d) AS INTEGER) AS day_offset,

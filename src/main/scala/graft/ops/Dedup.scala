@@ -23,7 +23,7 @@ object Dedup {
   private val trackedCaches =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  private[ops] def tracked(df: DataFrame): DataFrame = {
+  private[graft] def tracked(df: DataFrame): DataFrame = {
     trackedCaches.add(df)
     df
   }

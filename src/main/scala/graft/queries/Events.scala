@@ -121,6 +121,31 @@ object Events {
       .orderBy($"user_id")
   }
 
+  /** Z-order-clustered scan: events written Morton-interleaved on
+    * (user_id, day), then a 2-D box predicate (user range × day range)
+    * reads only the files/row-groups whose bounding box intersects it
+    * — multi-dimensional data skipping, where a linear sort would
+    * cover one dimension only (ZOrderSpec audits the layout's overlap
+    * counts). The one-time clustered write is measured with the
+    * query, same honesty rule as the bucketed join; results ≡ the
+    * flat-table filter, which is what the oracle computes.
+    */
+  def zorderPruned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = s"${sys.props("java.io.tmpdir")}/graft-zorder/" +
+      s"events_${dir.hashCode & 0x7fffffff}"
+    val ev = Tables.events(s, dir)
+      .withColumn("day_idx", datediff($"ts".cast("date"), lit("2024-01-01").cast("date")))
+    graft.ops.ZOrder.clusterWrite(ev, out, $"user_id", $"day_idx",
+      numFiles = 16, bits = 12)
+    s.read.parquet(out)
+      .filter($"user_id".between(40, 80) &&
+        $"day_idx".between(9, 14))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .orderBy($"event_type")
+  }
+
   /** Deterministic stratified sampling: per-class rates (downsample
     * the dominant classes, keep the rare ones) decided by a
     * content-independent md5 of the event id — the reproducible,
@@ -162,6 +187,94 @@ object Events {
         min($"ts").as("t_start"), max($"ts").as("t_end"),
         dsum($"value").as("sum_value"))
       .orderBy($"user_id", $"session_id")
+  }
+
+  /** Sessionization via the built-in `session_window` aggregate — the
+    * same 30-minute-gap semantics as [[sessionize]] but expressed as a
+    * native windowed groupBy (one shuffle on (user, merged window);
+    * Spark merges overlapping per-event [ts, ts+gap) windows, so a gap
+    * of exactly 30:00 starts a NEW session — the oracle's
+    * microsecond-diff `>= gap` flag reproduces that boundary exactly).
+    * Streaming-transferable: the identical expression runs under
+    * `readStream` with a watermark.
+    */
+  def sessionWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .select($"user_id", $"w.start".as("t_start"), $"w.end".as("t_end"),
+        $"n_events", $"sum_value")
+      .orderBy($"user_id", $"t_start")
+  }
+
+  /** Time-series resampling: each user's daily activity gap-filled to a
+    * dense calendar (zero-filled counts, last-observation-carried-
+    * forward daily value). The calendar is generated per user from the
+    * aggregated span — `sequence` + `explode` over ALREADY-AGGREGATED
+    * per-user rows, so the expansion never touches the raw fact scan;
+    * the LOCF is one window pass over the dense frame.
+    */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy($"user_id", $"ts".cast("date").as("d"))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sv"))
+    val cal = daily.groupBy($"user_id")
+      .agg(min($"d").as("d0"), max($"d").as("d1"))
+      .select($"user_id", explode(sequence($"d0", $"d1")).as("d"))
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cal.join(daily, Seq("user_id", "d"), "left")
+      .select($"user_id", $"d",
+        coalesce($"n", lit(0L)).as("n_events"),
+        last($"sv", ignoreNulls = true).over(w).as("locf_value"))
+      .orderBy($"user_id", $"d")
+  }
+
+  /** Event transition matrix: per-user consecutive event-type bigrams
+    * (the path-analysis primitive behind "what do users do next").
+    * One shuffle on user_id for the lag window, then a tiny
+    * #types² aggregate with map-side partials.
+    */
+  def transitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"prev_type", $"event_type")
+  }
+
+  /** Per-group outlier detection: events beyond 2σ of their type's
+    * mean. Mean and variance come from exact decimal sums (Σv, Σv² —
+    * both order-independent), so the double threshold is bit-identical
+    * across engines and partitionings; the per-type stats are a tiny
+    * broadcast joined back map-side — the fact scans twice but never
+    * shuffles full rows.
+    */
+  def outliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec2 = (c: Column) => c.cast(DecimalType(12, 2))
+    val stats = Tables.events(s, dir)
+      .groupBy($"event_type".as("t"))
+      .agg(count(lit(1)).as("n"),
+        dsum($"value").as("sv"),
+        sum(dec2($"value") * dec2($"value")).cast("double").as("m2"))
+      .withColumn("mean", $"sv" / $"n")
+      .withColumn("sd", sqrt(($"m2" - $"n" * $"mean" * $"mean") / ($"n" - 1)))
+    Tables.events(s, dir)
+      .join(broadcast(stats), $"event_type" === $"t")
+      .filter(abs($"value" - $"mean") > $"sd" * 2)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_outliers"),
+        min($"value").as("min_v"), max($"value").as("max_v"),
+        dsum($"value").as("sum_v"))
+      .orderBy($"event_type")
   }
 
   /** Per-user stats with per-type conditional counts — the

@@ -880,6 +880,65 @@ object Relational {
       .orderBy($"numwait".desc, $"s_name")
   }
 
+  /** Important stock (TPC-H Q11 shape, partsupp played by lineitem):
+    * per-part value of the lines supplied by one nation's suppliers,
+    * kept only where the part's share exceeds a fraction of the
+    * nation-wide total. The supplier dim filters map-side via
+    * broadcast; the per-part aggregate is computed ONCE and reused for
+    * both the scalar total (1-row broadcast) and the threshold filter —
+    * at 100 TB the fact is scanned a single time, and the second pass
+    * runs over the already-aggregated per-part rows only.
+    */
+  def q11ImportantStock(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // a key-range "region" of nations rather than one name: present at
+    // every SF (sf0.001 has only 10 suppliers over sparse nations)
+    val natSupp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter($"n_nationkey" < 8)),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey")
+    // persisted: the per-part aggregate feeds both the scalar threshold
+    // and the filter — without it the fact scan would run twice
+    val perPart = graft.ops.Dedup.tracked(Tables.lineitem(s, dir)
+      .join(broadcast(natSupp), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"l_partkey")
+      .agg(sum(dec($"l_extendedprice") * (dec(lit(1)) - dec($"l_discount")))
+        .as("val_dec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // TPC-H Q11 scales its share threshold inversely with table size;
+    // the equivalent here: parts above 2× the MEAN part value, which
+    // stays meaningful (and non-empty) at every SF
+    val total = perPart.agg(sum($"val_dec").as("total_dec"),
+      count(lit(1)).as("n_parts"))
+    perPart.join(broadcast(total))
+      .filter($"val_dec".cast("double") >
+        $"total_dec".cast("double") / $"n_parts" * 2)
+      .select($"l_partkey", $"val_dec".cast("double").as("part_value"))
+      .orderBy($"part_value".desc, $"l_partkey")
+  }
+
+  /** One-pass data profiling: the table-shape summary (row counts,
+    * cardinalities, null counts, ranges) a pipeline runs before
+    * choosing partitioning and filter thresholds. Everything folds
+    * into a single aggregate over one scan — no per-column passes; the
+    * distinct counts are the only shuffle-expensive part and they
+    * share the same scan.
+    */
+  def qProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct($"l_orderkey").as("n_orders"),
+      countDistinct($"l_partkey").as("n_parts"),
+      countDistinct($"l_suppkey").as("n_suppliers"),
+      sum(when($"l_returnflag".isNull, 1L).otherwise(0L)).as("n_null_flag"),
+      min($"l_quantity").as("min_qty"),
+      max($"l_quantity").as("max_qty"),
+      (dsum($"l_quantity") / count(lit(1))).as("avg_qty"),
+      min($"l_shipdate").cast("date").as("min_shipdate"),
+      max($"l_shipdate").cast("date").as("max_shipdate"))
+  }
+
   /** Window lag/lead: per-customer order value deltas over time. */
   def qLagLead(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

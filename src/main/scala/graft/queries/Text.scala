@@ -197,6 +197,73 @@ object Text {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Entity/PII-style scrubbing: regex-redact a sensitive term class
+    * and count what was removed — the masking pass a training pipeline
+    * runs before export (same shape as email/phone redaction; the
+    * synthetic corpus has no digits, so the "entities" here are the
+    * business nouns). Pure regexp expressions — map-only, codegen-
+    * resident, no shuffle until the audit ordering.
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pat = "\\b(customer|supplier|key)\\b"
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        size(regexp_extract_all($"text", lit(pat), lit(0))).cast("long")
+          .as("n_redacted"),
+        substring(regexp_replace($"text", pat, "<ENT>"), 1, 60).as("head60"))
+      .orderBy($"doc_id")
+  }
+
+  /** Line-level corpus dedup (the C4/RefinedWeb-style boilerplate
+    * pass): split documents into sentences, drop every sentence that
+    * occurs in more than `maxDocs` distinct documents (navigation
+    * chrome, licence blurbs, near-dup leakage), reassemble the
+    * survivors in original order. One explode scan, one count shuffle
+    * on the sentence, one groupBy(doc) to reassemble — at 100 TB each
+    * stage is a single hash shuffle; the per-sentence counts are the
+    * only global state and they aggregate map-side first. Documents
+    * whose every sentence is boilerplate drop out entirely (inner
+    * join), same as the oracle.
+    */
+  def dedupLines(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lines = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(split($"text", "\\. ")).as(Seq("pos", "line")))
+    val counts = lines.groupBy($"line")
+      .agg(countDistinct($"doc_id").as("n_docs"))
+    lines.join(counts, "line")
+      .filter($"n_docs" <= 2)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(". ", transform(
+          sort_array(collect_list(struct($"pos", $"line"))),
+          x => x.getField("line"))).as("cleaned"))
+      .orderBy($"doc_id")
+  }
+
+  /** Deterministic per-class cap: keep at most K events of each type,
+    * chosen by content-independent hash order (the same K on any
+    * engine, any run, any cluster) — the hard-cap complement of rate
+    * sampling (`q_stratified_sample`) for capping dominant classes at
+    * a fixed budget. One window shuffle on the class key; the audit
+    * aggregate confirms the cap.
+    */
+  def groupCap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"event_type")
+      .orderBy(md5($"event_id".cast("string")))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 100)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum($"value".cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .cast("double").as("sum_value"))
+      .orderBy($"event_type")
+  }
+
   /** TF-IDF term weighting: the canonical feature transform a training
     * pipeline runs over the corpus. tf is per-(doc, token), df and the
     * corpus size N are tiny broadcast aggregates joined back map-side,

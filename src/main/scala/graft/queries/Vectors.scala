@@ -36,6 +36,62 @@ object Vectors {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Per-language embedding centroids via the [[graft.functions.VectorSumAgg]]
+    * vector-sum aggregate: ONE row per vector crosses the aggregation
+    * (the elementwise sum lives in the agg buffer), never a
+    * posexplode of corpus×dim. Elements are pre-quantized to integer
+    * micro-units so the cross-row summation is exact integer math —
+    * order-independent, hence bit-identical to the oracle regardless
+    * of partitioning. The explode to (lang, dim) rows happens on the
+    * k aggregated centroids only.
+    */
+  def embCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"lang")
+    val quantized = Tables.embeddings(s, dir)
+      .join(docs, $"vec_id" === $"doc_id")
+      .select($"lang", transform($"embedding",
+        x => floor(x.cast("double") * 1e6).cast("double")).as("qv"))
+    quantized.groupBy($"lang")
+      .agg(graft.functions.VectorFunctions.vector_sum($"qv").as("sums"),
+        count(lit(1)).as("n_vecs"))
+      .select($"lang", $"n_vecs", posexplode($"sums").as(Seq("dim", "s")))
+      .select($"lang", $"n_vecs", $"dim",
+        ($"s" / ($"n_vecs" * 1e6)).as("centroid"))
+      .filter($"dim" < 8)
+      .orderBy($"lang", $"dim")
+  }
+
+  /** Int8 symmetric quantization round-trip: per-vector scale
+    * (max|x|/127), quantize with floor(x/scale + .5) clamped to
+    * [-127,127], reconstruct, and report RMSE + saturation count —
+    * the compression/quality audit a vector store runs before
+    * switching storage to int8 (4× smaller, SIMD-friendly). Entirely
+    * per-row double math (no cross-row accumulation), so every value
+    * is deterministic on both engines; floor(x+.5) instead of round()
+    * dodges the engines' different half-rounding modes.
+    */
+  def embQuantize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val xd = (x: org.apache.spark.sql.Column) => x.cast("double")
+    Tables.embeddings(s, dir)
+      .withColumn("amax", array_max(transform($"embedding", x => abs(xd(x)))))
+      .withColumn("scale", $"amax" / 127)
+      .withColumn("q", transform($"embedding", x =>
+        least(lit(127.0), greatest(lit(-127.0), floor(xd(x) / $"scale" + 0.5)
+          .cast("double")))))
+      .withColumn("err2", aggregate(
+        zip_with($"embedding", $"q", (x, q) => {
+          val d = xd(x) - q * $"scale"; d * d
+        }),
+        lit(0.0), (acc, v) => acc + v))
+      .select($"vec_id",
+        round($"scale", 9).as("scale9"),
+        round(sqrt($"err2" / 64), 9).as("rmse9"),
+        size(filter($"q", q => abs(q) === 127.0)).cast("long").as("n_sat"))
+      .orderBy($"vec_id")
+  }
+
   /** LSH-bucketed approximate top-10 — the 100 TB path; recall vs the
     * brute force baseline is asserted in specs.
     */

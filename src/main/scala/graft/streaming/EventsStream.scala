@@ -107,6 +107,23 @@ object EventsStream {
     * time timeout at (session end + gap) past the watermark. Emits only
     * closed sessions (append mode).
     */
+  /** Built-in `session_window` sessionization for streams: the SAME
+    * expression as the batch `queries.Events.sessionWindow`, run
+    * incrementally — Spark merges per-event [ts, ts+gap) windows in
+    * state and emits a session once the watermark passes its end.
+    * Next to [[sessionize]] (custom flatMapGroupsWithState) this is
+    * the declarative tier: no user state code, same gap semantics.
+    */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "30 minutes"): DataFrame = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupBy($"user_id", session_window($"ts", s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"w.start".as("t_start"), $"w.end".as("t_end"),
+        $"n_events")
+  }
+
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
       watermark: String = "30 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._

@@ -36,6 +36,71 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("session_window: partitions all events into non-overlapping gap sessions") {
+    import spark.implicits._
+    val rows = Events.sessionWindow(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum ==
+      Tables.events(spark, sf).count())
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[java.sql.Timestamp]("t_start").getTime)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // merged session windows are separated by at least the gap:
+          // next start >= previous end (end already includes +30 min)
+          assert(!b.getAs[java.sql.Timestamp]("t_start")
+            .before(a.getAs[java.sql.Timestamp]("t_end")))
+        case _ =>
+      }
+    }
+    // same session count as the gaps-and-islands formulation (the two
+    // differ only on a gap of exactly 30:00, absent in the data)
+    assert(rows.length == Events.sessionize(spark, sf).count())
+  }
+
+  test("gap_fill: dense per-user calendar, zero-filled, LOCF total-preserving") {
+    import spark.implicits._
+    val rows = Events.gapFill(spark, sf).collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (_, rs) =>
+      val days = rs.map(_.getAs[java.sql.Date]("d").toLocalDate).sorted
+      // no holes: every day between the user's first and last is present
+      assert(days.length ==
+        java.time.temporal.ChronoUnit.DAYS.between(days.head, days.last) + 1)
+      // LOCF never null (first day always has activity by construction)
+      rs.foreach(r => assert(!r.isNullAt(r.fieldIndex("locf_value"))))
+    }
+    assert(rows.map(_.getAs[Long]("n_events")).sum ==
+      Tables.events(spark, sf).count())
+  }
+
+  test("transition matrix: bigram total = events - users") {
+    import spark.implicits._
+    val rows = Events.transitionMatrix(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      ev.count() - ev.select($"user_id").distinct().count())
+  }
+
+  test("outliers: matches driver-side 2-sigma recomputation") {
+    import spark.implicits._
+    val got = Events.outliers(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_outliers"))
+      .toMap
+    val raw = Tables.events(spark, sf)
+      .select($"event_type", $"value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val want = raw.groupBy(_._1).flatMap { case (t, vs) =>
+      val xs = vs.map(x => BigDecimal(x._2).setScale(2).toDouble)
+      val n = xs.length
+      val mean = xs.map(BigDecimal(_)).sum.toDouble / n
+      val m2 = xs.map(x => BigDecimal(x) * BigDecimal(x)).sum.toDouble
+      val sd = math.sqrt((m2 - n * mean * mean) / (n - 1))
+      val k = vs.count(x => math.abs(x._2 - mean) > 2 * sd).toLong
+      if (k > 0) Some(t -> k) else None
+    }
+    assert(got == want)
+  }
+
   test("user stats: conditional counts sum to total") {
     val rows = Events.userStats(spark, sf).collect()
     rows.foreach { r =>

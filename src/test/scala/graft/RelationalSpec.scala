@@ -140,4 +140,43 @@ class RelationalSpec extends SparkSpec {
       }
     }
   }
+
+  test("q11 important stock: share threshold holds, dims broadcast") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Relational.q11ImportantStock(spark, sf)
+    val plan = physicalPlan(df)
+    assert(plan.contains("BroadcastHashJoin"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val vals = rows.map(_.getAs[Double]("part_value")).toSeq
+    assert(vals == vals.sortBy(-_))
+    // every reported part really exceeds 2× the mean part value
+    val perPart = Tables.lineitem(spark, sf)
+      .join(Tables.supplier(spark, sf), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.nation(spark, sf).filter($"n_nationkey" < 8),
+        $"s_nationkey" === $"n_nationkey")
+      .groupBy($"l_partkey")
+      .agg(sum(($"l_extendedprice".cast("decimal(12,2)") *
+        (lit(1).cast("decimal(12,2)") - $"l_discount".cast("decimal(12,2)"))))
+        .as("v"))
+      .select($"v".cast("double")).collect().map(_.getDouble(0))
+    val threshold = perPart.sum / perPart.length * 2
+    vals.foreach(v => assert(v > threshold * 0.999))
+    assert(rows.length ==
+      perPart.count(_ > perPart.sum / perPart.length * 2))
+  }
+
+  test("q_profile: one-pass stats agree with direct counts") {
+    import spark.implicits._
+    val r = Relational.qProfile(spark, sf).collect()(0)
+    val li = Tables.lineitem(spark, sf)
+    assert(r.getAs[Long]("n_rows") == li.count())
+    assert(r.getAs[Long]("n_orders") ==
+      li.select($"l_orderkey").distinct().count())
+    assert(r.getAs[Long]("n_null_flag") == 0L)
+    assert(r.getAs[Double]("min_qty") <= r.getAs[Double]("max_qty"))
+    val avg = r.getAs[Double]("avg_qty")
+    assert(avg >= r.getAs[Double]("min_qty") && avg <= r.getAs[Double]("max_qty"))
+  }
 }

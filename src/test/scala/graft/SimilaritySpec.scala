@@ -95,6 +95,41 @@ class SimilaritySpec extends SparkSpec {
       plan.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
   }
 
+  test("emb centroids: quantized integer means match a driver recomputation") {
+    import spark.implicits._
+    val got = graft.queries.Vectors.embCentroids(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("dim")) ->
+        r.getAs[Double]("centroid")).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")))
+      .filter(kv => docs.contains(kv._1))
+    val want = vecs.groupBy(kv => docs(kv._1)).flatMap { case (lang, vs) =>
+      (0 until 8).map { d =>
+        val s = vs.map(v => math.floor(v._2(d).toDouble * 1e6)).sum
+        (lang, d) -> s / (vs.length * 1e6)
+      }
+    }
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(v == want(k), s"$k: $v != ${want(k)}") }
+  }
+
+  test("emb quantize: rmse bounded by half-step, extremes saturate") {
+    val rows = graft.queries.Vectors.embQuantize(spark, sf).collect()
+    assert(rows.length == Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale9")
+      val rmse = r.getAs[Double]("rmse9")
+      assert(scale > 0)
+      // per-element error ≤ scale/2 (floor(x+.5) rounds to nearest)
+      assert(rmse >= 0 && rmse <= scale / 2 + 1e-9, s"rmse $rmse scale $scale")
+      // the max-|x| element maps to exactly ±127
+      assert(r.getAs[Long]("n_sat") >= 1)
+    }
+  }
+
   test("hyperplane bucket is deterministic across invocations") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf).limit(50)

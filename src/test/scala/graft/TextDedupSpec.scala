@@ -158,4 +158,56 @@ class TextDedupSpec extends SparkSpec {
       s"missing=${expected -- pairs} extra=${pairs -- expected}")
     rows.foreach(r => assert(r.getAs[Double]("cosine") >= 0.95))
   }
+
+  test("dedup_lines: boilerplate sentences removed, order preserved") {
+    val rows = graft.queries.Text.dedupLines(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val raw = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // driver-side ground truth: sentence -> distinct doc count
+    val counts = raw.toSeq
+      .flatMap { case (id, t) => t.split("\\. ", -1).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct.size }
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val want = raw(id).split("\\. ", -1).filter(counts(_) <= 2)
+      assert(r.getAs[Long]("n_kept") == want.length)
+      assert(r.getAs[String]("cleaned") == want.mkString(". "))
+    }
+    // docs with zero surviving sentences drop out of the result
+    val survivors = rows.map(_.getAs[Long]("doc_id")).toSet
+    val expectedDocs = raw.collect {
+      case (id, t) if t.split("\\. ", -1).exists(counts(_) <= 2) => id
+    }.toSet
+    assert(survivors == expectedDocs)
+  }
+
+  test("group cap: at most 100 per class, deterministic across runs") {
+    val a = graft.queries.Text.groupCap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_sampled"),
+        r.getAs[Double]("sum_value")))
+    a.foreach { case (_, n, _) => assert(n <= 100) }
+    val b = graft.queries.Text.groupCap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_sampled"),
+        r.getAs[Double]("sum_value")))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("pii redact: counts match driver regex, redacted head is clean") {
+    val rows = graft.queries.Text.piiRedact(spark, sf).collect()
+    val raw = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pat = "\\b(customer|supplier|key)\\b".r
+    assert(rows.exists(_.getAs[Long]("n_redacted") > 0))
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_redacted") ==
+        pat.findAllIn(raw(id)).length.toLong)
+      val head = r.getAs[String]("head60")
+      assert(head.length <= 60)
+      // no sensitive word survives redaction; ignore the last 8 chars,
+      // where the 60-char cut could fabricate a word-final boundary
+      assert(!pat.findAllIn(head.dropRight(8)).hasNext)
+    }
+  }
 }
