@@ -70,6 +70,8 @@ object SparkEntry {
     "emb_quantize" -> (Vectors.embQuantize _),
     "dedup_lines" -> (Text.dedupLines _),
     "q_group_cap" -> (Text.groupCap _),
+    "text_unigram_logprob" -> (Text.unigramLogprob _),
+    "q_window_firsts" -> (Relational.qWindowFirsts _),
     "text_tfidf" -> (Text.tfidf _),
     "q_disjunctive_join" -> (Relational.qDisjunctiveJoin _),
     "q_unpivot" -> (Relational.qUnpivot _),
@@ -262,6 +264,28 @@ object SparkEntry {
         |WHERE user_id BETWEEN 40 AND 80
         |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-15'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "text_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |freq AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+        |tot AS (SELECT SUM(cnt) AS total FROM freq),
+        |lm AS (SELECT token,
+        |  CAST(FLOOR(ln(CAST(cnt AS DOUBLE) / total) * 1e6) AS BIGINT) AS lp_micro
+        |  FROM freq, tot)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  (0 - SUM(lp_micro)) / (COUNT(*) * 1e6) AS avg_nll
+        |FROM toks JOIN lm USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_window_firsts" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  o_totalprice,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER w AS last_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders WHERE o_custkey <= 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin,
     "dedup_lines" ->
       """WITH lines AS (
         |  SELECT doc_id, unnest(string_split(text, '. ')) AS line,

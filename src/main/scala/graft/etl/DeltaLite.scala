@@ -345,9 +345,25 @@ class DeltaLite(spark: SparkSession, root: String,
     * file a conservative rewrite candidate. Still correct without any
     * stats. Old versions stay readable via time travel.
     */
-  def upsert(df: DataFrame, key: String): Int = {
+  def upsert(df: DataFrame, key: String): Int = upsertImpl(df, key, None)
+
+  /** Transactional upsert for streaming micro-batches: same merge as
+    * [[upsert]], but the commit records (appId, txnId) so a replayed
+    * batch is detected and skipped — the exactly-once primitive behind
+    * incrementally-maintained aggregates ([[graft.streaming.DeltaSink
+    * .aggregateWriter]]), where re-applying a replay would double-count
+    * instead of merely re-writing the same rows. Returns None when the
+    * batch was already applied.
+    */
+  def txnUpsert(df: DataFrame, key: String, appId: String,
+      txnId: Long): Option[Int] =
+    if (lastTxn(appId).exists(_ >= txnId)) None
+    else Some(upsertImpl(df, key, Some((appId, txnId))))
+
+  private def upsertImpl(df: DataFrame, key: String,
+      txn: Option[(String, Long)]): Int = {
     enforceSchema(df)
-    if (latestVersion.isEmpty) return commit(df, "append")
+    if (latestVersion.isEmpty) return commit(df, "append", txn = txn)
     val sch = schema.get
     val entries = liveEntries(commits())
     val keyType = sch(key).dataType
@@ -360,7 +376,7 @@ class DeltaLite(spark: SparkSession, root: String,
           bounds.getString(0), bounds.getString(1))
     }
     val _ = untouched // carried forward implicitly by the replay
-    if (touched.isEmpty) commit(df, "rewrite")
+    if (touched.isEmpty) commit(df, "rewrite", txn = txn)
     else {
       val existing = spark.read.schema(sch).parquet(touched.map(_.path): _*)
       // the key join would reorder columns (key first) and silently
@@ -368,7 +384,7 @@ class DeltaLite(spark: SparkSession, root: String,
       val merged = existing.join(df.select(key), Seq(key), "left_anti")
         .unionByName(df)
         .select(sch.fieldNames.map(col).toSeq: _*)
-      commit(merged, "rewrite", removed = touched.map(_.path))
+      commit(merged, "rewrite", removed = touched.map(_.path), txn = txn)
     }
   }
 

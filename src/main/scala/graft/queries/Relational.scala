@@ -939,6 +939,26 @@ object Relational {
       max($"l_shipdate").cast("date").as("max_shipdate"))
   }
 
+  /** Navigation windows: first/last/nth order value per customer over
+    * the full partition frame — the "compare each row to its group's
+    * anchor rows" shape (no self-join; one window shuffle).
+    */
+  def qWindowFirsts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .filter($"o_custkey" <= 50)
+      .select($"o_custkey", $"o_orderkey",
+        $"o_orderdate".cast("date").as("order_date"), $"o_totalprice",
+        first($"o_totalprice").over(w).as("first_price"),
+        last($"o_totalprice").over(w).as("last_price"),
+        nth_value($"o_totalprice", 2).over(w).as("second_price"))
+      .orderBy($"o_custkey", $"order_date", $"o_orderkey")
+  }
+
   /** Window lag/lead: per-customer order value deltas over time. */
   def qLagLead(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

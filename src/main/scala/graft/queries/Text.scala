@@ -264,6 +264,34 @@ object Text {
       .orderBy($"event_type")
   }
 
+  /** Unigram LM quality scoring (the CCNet/Gopher-style perplexity
+    * filter, with the corpus itself as the LM): per-document mean
+    * negative log-probability of its tokens under the corpus unigram
+    * distribution. The LM is a tiny broadcast (distinct tokens), so
+    * scoring is map-side; per-token logs are floor-quantized to
+    * integer micro-nats BEFORE the per-doc sum, making the cross-row
+    * accumulation exact integer math — order-independent and
+    * bit-identical to the oracle (a raw double Σlog would drift with
+    * partial-agg order). High avg_nll = rare-token-heavy = candidate
+    * for quality filtering.
+    */
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+    val freq = toks.groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum($"cnt").as("total"))
+    val lm = freq.join(broadcast(tot))
+      .select($"token",
+        floor(log($"cnt".cast("double") / $"total") * 1e6).as("lp_micro"))
+    toks.join(broadcast(lm), "token")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"lp_micro").as("s"))
+      .select($"doc_id", $"n_tokens",
+        ((lit(0L) - $"s") / ($"n_tokens" * 1e6)).as("avg_nll"))
+      .orderBy($"doc_id")
+  }
+
   /** TF-IDF term weighting: the canonical feature transform a training
     * pipeline runs over the corpus. tf is per-(doc, token), df and the
     * corpus size N are tiny broadcast aggregates joined back map-side,

@@ -27,6 +27,40 @@ object DeltaSink {
       dedupKey: Option[String] = None): (DataFrame, Long) => Unit =
     (batch, batchId) => table.txnAppend(batch, appId, batchId, dedupKey)
 
+  /** Incrementally-maintained aggregate (a streaming materialized
+    * view): each micro-batch's per-key deltas are merged into the
+    * table — existing keys accumulate, new keys appear — via the
+    * file-granular [[DeltaLite.txnUpsert]], so only files containing
+    * batch keys rewrite and a replayed batch cannot double-count.
+    * The batch is aggregated BEFORE touching the table: the merge
+    * reads/writes O(batch keys), never O(stream history).
+    *
+    * `aggSpec` maps a raw batch to one row per key with the additive
+    * measures; `combine` adds an old and a new measures row (both
+    * non-null). Column sets of table and aggSpec output must match.
+    */
+  def aggregateWriter(table: DeltaLite, appId: String, key: String,
+      aggSpec: DataFrame => DataFrame,
+      combine: Seq[(String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column)])
+      : (DataFrame, Long) => Unit = (batch, batchId) => {
+    import org.apache.spark.sql.functions._
+    if (!table.lastTxn(appId).exists(_ >= batchId)) {
+      val delta = aggSpec(batch)
+      val merged = if (table.latestVersion.isEmpty) delta
+      else {
+        val cur = table.read()
+        val curKeys = combine.map { case (c, _) => cur(c).as(s"__cur_$c") }
+        delta.join(cur.select((col(key) +: curKeys): _*), Seq(key), "left")
+          .select(col(key) +: combine.map { case (c, f) =>
+            when(col(s"__cur_$c").isNull, col(c))
+              .otherwise(f(col(s"__cur_$c"), col(c))).as(c)
+          }: _*)
+      }
+      table.txnUpsert(merged, key, appId, batchId)
+      ()
+    }
+  }
+
   /** Start the stream → table load. `checkpoint` carries the source
     * offsets; the table's commit log carries the (appId, batchId)
     * watermark — together they give end-to-end exactly-once.

@@ -147,6 +147,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(!readSchema.contains("event_type"), readSchema)
   }
 
+  test("q11: per-part aggregate cached and reused, threshold broadcast") {
+    val df = Relational.q11ImportantStock(spark, sf)
+    val plan = physicalPlan(df)
+    // both consumers (scalar total and the filter) read the SAME
+    // persisted per-part aggregate — no second fact scan
+    assert("InMemoryTableScan".r.findAllIn(plan).length >= 2,
+      s"per-part aggregate not reused from cache\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    df.collect()
+    graft.ops.Dedup.releaseCaches()
+  }
+
+  test("outliers: per-type stats broadcast back, no fact-fact shuffle join") {
+    val plan = physicalPlan(graft.queries.Events.outliers(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("unigram logprob: LM and total are broadcast, scoring is map-side") {
+    val plan = physicalPlan(graft.queries.Text.unigramLogprob(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 1, plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      "BroadcastHashJoin".r.findAllIn(plan).length >= 2, plan)
+  }
+
+  test("zorder query: both box predicates pushed to the clustered scan") {
+    val df = graft.queries.Events.zorderPruned(spark, sf)
+    val plan = physicalPlan(df)
+    val pushed = "PushedFilters: \\[[^\\]]*".r.findFirstIn(plan).getOrElse("")
+    assert(pushed.contains("user_id") && pushed.contains("day_idx"),
+      s"box predicates not pushed: $pushed")
+  }
+
   test("salted join: spreads a hot key and preserves join semantics") {
     import spark.implicits._
     val li = Tables.lineitem(spark, sf)

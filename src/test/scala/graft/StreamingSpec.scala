@@ -78,6 +78,47 @@ class StreamingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("incremental aggregate MV: accumulates across batches, replay-safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val t = graft.etl.DeltaLite(spark,
+      java.nio.file.Files.createTempDirectory("graft-mv").toString, "user_id")
+    val aggSpec = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"value".cast("decimal(12,2)")).cast("decimal(22,2)")
+            .as("sum_value"))
+    val writer = graft.streaming.DeltaSink.aggregateWriter(t, "mv1", "user_id",
+      aggSpec, Seq(
+        "n_events" -> ((a, b) => a + b),
+        // re-pin the decimal: + widens (22,2)+(22,2) -> (23,2), which
+        // schema enforcement would reject
+        "sum_value" -> ((a, b) => (a + b).cast("decimal(22,2)"))))
+
+    val all = Tables.events(spark, sf).select($"user_id", $"value")
+    val b0 = all.filter($"user_id" % 3 === 0)
+    val b1 = all.filter($"user_id" % 3 === 1)
+    // a batch of NEW events that all land on existing keys — the
+    // accumulate path (vs b1's new-key path)
+    val b2 = all.filter($"user_id" % 3 =!= 2)
+    writer(b0, 0L)
+    writer(b0, 0L)            // immediate replay: must not double-count
+    writer(b1, 1L)
+    writer(b0, 0L)            // late replay after a newer commit: no-op
+    writer(b2, 2L)            // keys from both earlier batches accumulate
+
+    val want = b0.unionAll(b1).unionAll(b2)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(12,2)")).as("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).doubleValue())).toSet
+    val got = t.read().collect().map(r => (r.getAs[Long]("user_id"),
+      r.getAs[Long]("n_events"),
+      r.getAs[java.math.BigDecimal]("sum_value").doubleValue())).toSet
+    assert(got == want)
+  }
+
   test("delta sink: file-source stream lands the full events table exactly once") {
     import spark.implicits._
     val t = graft.etl.DeltaLite(spark,
