@@ -84,6 +84,11 @@ object SparkEntry {
     "q_higher_order" -> (Text.higherOrder _),
     "q_quantile_sketch" -> (Relational.qQuantileSketch _),
     "q_hash_split" -> (Text.hashSplit _),
+    "q_decontaminate" -> (Text.decontaminate _),
+    "q_gopher_repetition" -> (Text.gopherRepetition _),
+    "q_inverted_index" -> (Text.invertedIndex _),
+    "q_bm25" -> (Text.bm25 _),
+    "q_pack_sequences" -> (Text.packSequences _),
     "q_token_freq" -> (Text.tokenFreq _),
     "q_length_histogram" -> (Text.lengthHistogram _),
     "dedup_clusters" -> (Text.dedupClusters _),
@@ -264,6 +269,83 @@ object SparkEntry {
         |WHERE user_id BETWEEN 40 AND 80
         |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-15'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams0 AS (
+        |  SELECT doc_id, array_to_string(list_slice(t, i, i + 7), ' ') AS g
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |grams AS (SELECT DISTINCT doc_id, g FROM grams0),
+        |ev AS (SELECT doc_id AS eval_id, g FROM grams WHERE doc_id % 10 = 0)
+        |SELECT tr.doc_id, COUNT(DISTINCT tr.g) AS n_shared,
+        |  COUNT(DISTINCT ev.eval_id) AS n_eval_docs
+        |FROM grams tr JOIN ev USING (g)
+        |WHERE tr.doc_id % 10 <> 0
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    "q_gopher_repetition" ->
+      """WITH lines AS (
+        |  SELECT doc_id, unnest(string_split(text, '. ')) AS line FROM documents),
+        |ls AS (SELECT doc_id, COUNT(*) AS n_lines, COUNT(DISTINCT line) AS n_uniq
+        |  FROM lines GROUP BY doc_id),
+        |words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT doc_id, w, COUNT(*) AS cnt FROM words GROUP BY doc_id, w),
+        |ws AS (SELECT doc_id, MAX(cnt) AS top_cnt,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_words FROM wc GROUP BY doc_id)
+        |SELECT ls.doc_id, n_lines,
+        |  CAST(n_lines - n_uniq AS DOUBLE) / n_lines AS dup_line_frac,
+        |  CAST(top_cnt AS DOUBLE) / n_words AS top_word_ratio
+        |FROM ls JOIN ws USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |dt AS (SELECT DISTINCT doc_id, token FROM toks)
+        |SELECT token, COUNT(*) AS df,
+        |  array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings
+        |FROM dt GROUP BY token ORDER BY token""".stripMargin,
+    "q_bm25" ->
+      """WITH dl AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE term IN ('spark', 'vector', 'merge')
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |partial AS (
+        |  SELECT tf.doc_id,
+    -- exponent literals (5e-1 …) are DOUBLE in DuckDB; bare decimals
+    -- would be DECIMAL and diverge from Spark's double parse tree
+        |    CAST(FLOOR(
+        |      ln((n_docs - df.df + 5e-1) / (df.df + 5e-1) + 1e0) *
+        |        (tf.tf * 22e-1) /
+        |        (tf.tf + 12e-1 * (25e-2 + 75e-2 * dl.dl / avgdl)) * 1e6
+        |    ) AS BIGINT) AS sc_micro
+        |  FROM tf JOIN df USING (term) CROSS JOIN stats
+        |  JOIN dl ON tf.doc_id = dl.doc_id)
+        |SELECT doc_id, SUM(sc_micro) / 1e6 AS bm25
+        |FROM partial GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, dl,
+        |    SUM(dl) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT lang, CAST((cum - dl) // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(dl) AS BIGINT) AS total_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY lang, bin
+        |ORDER BY lang, bin""".stripMargin,
     "text_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

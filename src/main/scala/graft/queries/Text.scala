@@ -292,6 +292,142 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** Benchmark decontamination: flag training documents that share any
+    * word-8-gram with the held-out eval set (doc_id ≡ 0 mod 10) — the
+    * n-gram-overlap pass every LLM corpus runs before training so eval
+    * answers don't leak into the training split. Plan shape at 100 TB:
+    * the eval side is small by construction, so its distinct grams
+    * BROADCAST; the train side is one explode scan with a map-side
+    * semi-ish hash join — no shuffle of the corpus, no all-pairs
+    * comparison. Gram generation runs on a materialized token-array
+    * column (one split per row, not per gram).
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 8)
+    val grams = docs.select($"doc_id", explode(
+        transform(sequence(lit(0), size($"toks") - 8),
+          i => concat_ws(" ", slice($"toks", i + 1, lit(8))))).as("g"))
+      .distinct()
+    val eval_ = grams.filter($"doc_id" % 10 === 0)
+      .withColumnRenamed("doc_id", "eval_id")
+    grams.filter($"doc_id" % 10 =!= 0)
+      .join(broadcast(eval_), "g")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"g").as("n_shared"),
+        countDistinct($"eval_id").as("n_eval_docs"))
+      .orderBy($"doc_id")
+  }
+
+  /** Gopher-style repetition filters: per-document duplicate-line
+    * fraction and most-frequent-word share — the two cheapest signals
+    * for machine-generated/boilerplate text. Two explode scans feeding
+    * map-side partial counts, joined on doc_id; ratios are
+    * int/int double divisions (exact and order-independent), so the
+    * output is engine-exact with no quantization.
+    */
+  def gopherRepetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val lineStats = docs
+      .select($"doc_id", explode(split($"text", "\\. ")).as("line"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct($"line").as("n_uniq_lines"))
+    val wordStats = docs
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(max($"cnt").as("top_cnt"), sum($"cnt").as("n_words"))
+    lineStats.join(wordStats, "doc_id")
+      .select($"doc_id", $"n_lines",
+        (($"n_lines" - $"n_uniq_lines").cast("double") / $"n_lines")
+          .as("dup_line_frac"),
+        ($"top_cnt".cast("double") / $"n_words").as("top_word_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  /** Inverted index build: token → document frequency + the first 10
+    * postings in doc order — the retrieval-side structure of the
+    * corpus. One explode scan, per-(doc,token) dedup, then a single
+    * groupBy(token); collect_set is bounded by the true posting list
+    * (and the output by the slice), never by corpus size — at 100 TB
+    * this is built per index shard, with the same plan per shard.
+    */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .distinct()
+      .groupBy($"token")
+      .agg(count(lit(1)).as("df"),
+        array_join(transform(slice(sort_array(collect_set($"doc_id")), 1, 10),
+          x => x.cast("string")), ",").as("postings"))
+      .orderBy($"token")
+  }
+
+  /** BM25 keyword scoring (k1=1.2, b=0.75) for a fixed query over the
+    * corpus — the classic retrieval ranking, all from one explode scan:
+    * tf per (doc, term); df/N/avgdl are tiny broadcast aggregates. Each
+    * per-term partial score is floor-quantized to integer micro-units
+    * BEFORE the per-doc sum so the cross-row accumulation is exact
+    * integer math (a raw double Σ would drift with partial-agg order).
+    */
+  def bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = Seq("spark", "vector", "merge")
+    val docs = Tables.documents(s, dir)
+    val dl = docs.select($"doc_id", size(split($"text", " ")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum($"dl").cast("double") / count(lit(1))).as("avgdl"))
+    // dl rides along the explode (first() per doc-term group), so no
+    // doc-keyed self-join of two corpus-derived tables is needed — the
+    // only shuffles are the (doc,term) partial-agg and two broadcasts
+    val tf = docs
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("dl0"),
+        explode(split($"text", " ")).as("term"))
+      .filter($"term".isin(terms: _*))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"), first($"dl0").as("dl"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val partial = tf.join(broadcast(df), "term")
+      .join(broadcast(stats))
+      .select($"doc_id",
+        floor(
+          log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) *
+            ($"tf" * 2.2) /
+            ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")) * 1e6
+        ).cast("long").as("sc_micro"))
+    partial.groupBy($"doc_id")
+      .agg((sum($"sc_micro") / 1e6).as("bm25"))
+      .orderBy($"bm25".desc, $"doc_id")
+      .limit(50)
+  }
+
+  /** Sequence packing (concat-and-chunk): assign documents, in stable
+    * doc order within each language shard, to fixed 2048-token context
+    * windows by running-cumsum bin index — the packing pass that turns
+    * a curated corpus into training batches. One window shuffle per
+    * shard key (lang here; a production run uses a finer shard hash so
+    * each partition's running sum stays independent), integer-exact.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", size(split($"text", " ")).cast("long").as("dl"))
+      .withColumn("cum", sum($"dl").over(w))
+      .withColumn("bin", expr("(cum - dl) div 2048"))
+      .groupBy($"lang", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"dl").as("total_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"lang", $"bin")
+  }
+
   /** TF-IDF term weighting: the canonical feature transform a training
     * pipeline runs over the corpus. tf is per-(doc, token), df and the
     * corpus size N are tiny broadcast aggregates joined back map-side,
