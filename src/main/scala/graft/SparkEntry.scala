@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Etl, Events, Relational, Temporal, Text, Vectors}
+import graft.queries.{Etl, Events, Graph, Relational, Temporal, Text, Vectors}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -92,6 +92,16 @@ object SparkEntry {
     "q_token_freq" -> (Text.tokenFreq _),
     "q_length_histogram" -> (Text.lengthHistogram _),
     "dedup_clusters" -> (Text.dedupClusters _),
+    "q_expectations" -> (Etl.expectations _),
+    "q_scd2" -> (Etl.scd2 _),
+    "q_pagerank" -> (Graph.qPagerank _),
+    "q_domain_mix" -> (Text.domainMix _),
+    "q_label_encode" -> (Text.labelEncode _),
+    "q_chunk" -> (Text.chunk _),
+    // recursive CTE through the same verbatim-SQL catalog path as
+    // q_sql_catalog: one string, both engines
+    "q_recursive_cte" -> ((s: SparkSession, dir: String) =>
+      GraftSession.withTables(s, dir).sql(RecursiveCteQuery)),
     // the analyst path: SQL text against the registered view catalog
     "q_sql_catalog" -> ((s: SparkSession, dir: String) =>
       GraftSession.withTables(s, dir).sql(SqlCatalogQuery)),
@@ -158,6 +168,22 @@ object SparkEntry {
           col("mean_amp"), col("peak"), col("rms"))
         .orderBy(col("id"))
     }),
+    // image near-dup detection: planted byte-identical copies (ids
+    // k+100 for k ≡ 0 mod 6) must land in the same perceptual-hash
+    // bucket as their originals — the multimodal dedup pass
+    "mm_image_phash" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val base = graft.ops.Multimodal.syntheticImages(s, n = 24)
+      val copies = base.filter(_.id % 6 == 0)
+        .map(r => r.copy(id = r.id + 100))
+      graft.ops.Multimodal.imagePhash(base.union(copies))
+        .toDF()
+        .groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_images"),
+          concat_ws(",", sort_array(collect_list(col("id")))).as("ids"))
+        .orderBy(col("phash"))
+    }),
     "mm_binary_meta" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       graft.ops.Multimodal.decodeFeatures(
@@ -179,9 +205,140 @@ object SparkEntry {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** Recursive CTE (Spark 4's UnionLoop): nation keys as a binary-tree
+    * hierarchy (parent of k = floor((k-1)/2)), walked root→leaf with
+    * depth and materialized path. Runs verbatim in both engines.
+    */
+  private val RecursiveCteQuery =
+    """WITH RECURSIVE hier(node, parent, depth, path) AS (
+      |  SELECT n_nationkey, CAST(NULL AS INTEGER), CAST(0 AS INTEGER),
+      |    CAST(n_nationkey AS STRING)
+      |  FROM nation WHERE n_nationkey = 0
+      |  UNION ALL
+      |  SELECT c.n_nationkey, h.node, h.depth + 1,
+      |    h.path || '/' || CAST(c.n_nationkey AS STRING)
+      |  FROM nation c JOIN hier h
+      |    ON CAST(floor((c.n_nationkey - 1) / 2.0) AS INTEGER) = h.node
+      |  WHERE c.n_nationkey > 0)
+      |SELECT node, parent, depth, path FROM hier ORDER BY node""".stripMargin
+
   /** DuckDB-dialect oracle for each key in `queries`. */
   def oracleSql: Map[String, String] = Map(
     "q_sql_catalog" -> SqlCatalogQuery,
+    "q_recursive_cte" -> RecursiveCteQuery,
+    "q_expectations" ->
+      """WITH m AS (
+        |  SELECT
+        |    SUM(CASE WHEN l_discount <= 0.08 THEN 1 ELSE 0 END) AS p1,
+        |    SUM(CASE WHEN l_extendedprice >= 5000.0 THEN 1 ELSE 0 END) AS p2,
+        |    SUM(CASE WHEN l_quantity > 0.0 THEN 1 ELSE 0 END) AS p3,
+        |    SUM(CASE WHEN l_quantity <= 45.0 THEN 1 ELSE 0 END) AS p4,
+        |    SUM(CASE WHEN l_tax < 0.06 THEN 1 ELSE 0 END) AS p5,
+        |    COUNT(*) AS n
+        |  FROM lineitem)
+        |SELECT 'discount_capped' AS rule, CAST(p1 AS BIGINT) AS n_pass,
+        |  CAST(n - p1 AS BIGINT) AS n_fail FROM m
+        |UNION ALL SELECT 'price_floor', CAST(p2 AS BIGINT), CAST(n - p2 AS BIGINT) FROM m
+        |UNION ALL SELECT 'qty_positive', CAST(p3 AS BIGINT), CAST(n - p3 AS BIGINT) FROM m
+        |UNION ALL SELECT 'qty_under_46', CAST(p4 AS BIGINT), CAST(n - p4 AS BIGINT) FROM m
+        |UNION ALL SELECT 'tax_under_6pct', CAST(p5 AS BIGINT), CAST(n - p5 AS BIGINT) FROM m
+        |ORDER BY rule""".stripMargin,
+    "q_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |k AS (SELECT user_id, ts, event_id, event_type FROM o
+        |      WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+        |  lead(ts) OVER w IS NULL AS is_current,
+        |  event_type
+        |FROM k
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from""".stripMargin,
+    "q_pagerank" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT l_suppkey AS src, o_custkey + 100000 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        |c AS (SELECT COUNT(*) AS n FROM nodes),
+        |pr0 AS (SELECT node, 1000000000000 // n AS pr FROM nodes, c),
+        |i1 AS (SELECT dst AS node, CAST(SUM(pr // outdeg) AS BIGINT) AS f
+        |       FROM edges JOIN deg USING (src) JOIN pr0 ON pr0.node = edges.src
+        |       GROUP BY dst),
+        |pr1 AS (SELECT nodes.node,
+        |         1000000000000 * 15 // 100 // n + COALESCE(f, 0) * 85 // 100 AS pr
+        |        FROM nodes CROSS JOIN c LEFT JOIN i1 ON i1.node = nodes.node),
+        |i2 AS (SELECT dst AS node, CAST(SUM(pr // outdeg) AS BIGINT) AS f
+        |       FROM edges JOIN deg USING (src) JOIN pr1 ON pr1.node = edges.src
+        |       GROUP BY dst),
+        |pr2 AS (SELECT nodes.node,
+        |         1000000000000 * 15 // 100 // n + COALESCE(f, 0) * 85 // 100 AS pr
+        |        FROM nodes CROSS JOIN c LEFT JOIN i2 ON i2.node = nodes.node),
+        |i3 AS (SELECT dst AS node, CAST(SUM(pr // outdeg) AS BIGINT) AS f
+        |       FROM edges JOIN deg USING (src) JOIN pr2 ON pr2.node = edges.src
+        |       GROUP BY dst),
+        |pr3 AS (SELECT nodes.node,
+        |         1000000000000 * 15 // 100 // n + COALESCE(f, 0) * 85 // 100 AS pr
+        |        FROM nodes CROSS JOIN c LEFT JOIN i3 ON i3.node = nodes.node)
+        |SELECT node, pr FROM pr3 ORDER BY pr DESC, node LIMIT 100""".stripMargin,
+    "q_domain_mix" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |cw AS (
+        |  SELECT source, dl,
+        |    SUM(dl) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT source, COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS n_tokens,
+        |  CAST(MAX(cum) AS BIGINT) AS cum_at_stop
+        |FROM cw WHERE cum - dl < 800
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q_chunk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |c AS (SELECT doc_id, len(t) AS n, t,
+        |        UNNEST(generate_series(0, len(t) - 1, 12)) AS start
+        |      FROM d)
+        |SELECT doc_id, CAST(start // 12 AS BIGINT) AS chunk_idx,
+        |  CAST(LEAST(16, n - start) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(t[start + 1:start + 16], ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Spark decodes REAL PNG bytes and pools luminance into a 4×4
+    // aHash; the oracle recomputes the same integer hash from the
+    // generator formula (16×12 → 4×3-pixel cells, cross-multiplied
+    // mean compare) with no codec.
+    "mm_image_phash" ->
+      """WITH imgs AS (
+        |  SELECT CAST(range AS BIGINT) AS id, CAST(range AS BIGINT) AS f FROM range(24)
+        |  UNION ALL
+        |  SELECT CAST(range + 100 AS BIGINT), CAST(range AS BIGINT) FROM range(0, 24, 6)),
+        |xs AS (SELECT range AS x FROM range(16)),
+        |ys AS (SELECT range AS y FROM range(12)),
+        |pix AS (SELECT id, (y // 3) * 4 + (x // 4) AS c,
+        |    (f * 37 + x * 16) % 256 + (f * 11 + y * 21) % 256
+        |      + (f * 53 + x + y) % 256 AS lum
+        |  FROM imgs, xs, ys),
+        |cells AS (SELECT id, c, CAST(SUM(lum) AS BIGINT) AS s
+        |          FROM pix GROUP BY id, c),
+        |tot AS (SELECT id, CAST(SUM(s) AS BIGINT) AS t FROM cells GROUP BY id),
+        |bits AS (SELECT cells.id,
+        |    CAST(SUM(CASE WHEN s * 16 > t THEN (CAST(1 AS BIGINT) << c)
+        |             ELSE 0 END) AS BIGINT) AS phash
+        |  FROM cells JOIN tot USING (id) GROUP BY cells.id)
+        |SELECT phash, COUNT(*) AS n_images,
+        |  array_to_string(list_sort(list(id)), ',') AS ids
+        |FROM bits GROUP BY phash ORDER BY phash""".stripMargin,
+    "q_label_encode" ->
+      """SELECT doc_id, lang,
+        |  CAST(dense_rank() OVER (ORDER BY lang) AS BIGINT) AS lang_id,
+        |  source,
+        |  CAST(dense_rank() OVER (ORDER BY source) AS BIGINT) AS source_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q11_important_stock" ->
       """WITH pp AS (
         |  SELECT l_partkey,

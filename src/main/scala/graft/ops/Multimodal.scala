@@ -37,6 +37,8 @@ case class AudioFeature(id: Long, sample_rate: Int, n_samples: Long,
 case class VideoFrame(id: Long, frame: Int, n_frames: Int, width: Int,
     height: Int, mean_gray: Double)
 
+case class ImagePHash(id: Long, phash: Long, n_bits: Int)
+
 object Multimodal {
 
   val Modalities = Seq("image", "audio", "video")
@@ -166,6 +168,59 @@ object Multimodal {
     * stat exactly recomputable without the codec — which is what the
     * `mm_audio_decode` oracle does.
     */
+  /** Perceptual average-hash (aHash) over REAL decoded pixels: the
+    * image is pooled onto a `grid`×`grid` luminance map and each cell
+    * contributes a 1-bit "brighter than the image mean" — the standard
+    * near-duplicate-image fingerprint (identical/re-encoded images
+    * collide; unrelated images don't). All-integer comparison
+    * (cellSum·nPixels > total·cellCount avoids any division), so the
+    * hash is exact and engine-independent — the multimodal counterpart
+    * of the text SimHash dedup pass.
+    */
+  def imagePhash(records: Dataset[MMRecord], grid: Int = 4)
+      : Dataset[ImagePHash] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    require(grid * grid <= 63, "phash must fit one long")
+    records.filter(_.modality == "image").mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable image payload for id=${r.id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val sums = Array.ofDim[Long](grid * grid)
+        val cnts = Array.ofDim[Long](grid * grid)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            val c = (y * grid / h) * grid + (x * grid / w)
+            sums(c) += lum
+            cnts(c) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        val total = sums.sum
+        var hash = 0L
+        var bits = 0
+        var c = 0
+        while (c < grid * grid) {
+          // cell mean > image mean, cross-multiplied to stay integer
+          if (sums(c) * n > total * cnts(c)) {
+            hash |= 1L << c
+            bits += 1
+          }
+          c += 1
+        }
+        ImagePHash(r.id, hash, bits)
+      }
+    }
+  }
+
   def syntheticAudio(spark: SparkSession, n: Int, sampleRate: Int = 8000,
       numSamples: Int = 1600): Dataset[MMRecord] = {
     import spark.implicits._

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** PageRank over an edge list — the graph-centrality pass a web-scale
+  * corpus pipeline runs to weight crawl domains (harmonic/PageRank
+  * centrality is a standard crawl-quality prior; the algorithm is
+  * Brin & Page 1998, public literature).
+  *
+  * Fixed-point INTEGER arithmetic throughout: ranks live in units of
+  * 1e-12 (`Scale`), every division is integer division, and each
+  * iteration's inflow is an integer sum — so the result is
+  * order-independent and bit-identical across engines and partition
+  * counts (a double-valued PageRank drifts with partial-agg order and
+  * can never hash-match an oracle).
+  *
+  * Semantics: pr⁰(v) = Scale/N; prⁱ(v) = (Scale·15/100)/N +
+  * (Σ_{u→v} prⁱ⁻¹(u) div outdeg(u))·85 div 100. Dangling-node mass
+  * (and integer-division remainders) dissipate — total mass is not
+  * conserved, which is fine for ranking (relative order is what the
+  * downstream weighting consumes).
+  *
+  * Scale posture: one groupBy(dst) shuffle per iteration over the
+  * edge list; the static edge⋈outdeg side is computed once and
+  * persisted; rank tables are localCheckpoint'd each round so the
+  * plan stays O(1) deep (the Components.scala lesson). No driver-side
+  * graph — the only driver value is N (one scalar).
+  */
+object PageRank {
+
+  val Scale: Long = 1000000000000L // 1e12 fixed-point units
+
+  /** Ranks for every node of `edges` after `iters` iterations:
+    * (node, pr) with pr in Scale units.
+    *
+    * @param edges DataFrame with `src` and `dst` columns (directed)
+    */
+  def run(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count() // bounded model state: one scalar
+    require(n > 0, "PageRank needs a non-empty graph")
+    val outdeg = e.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg"))
+    // static per-edge side: (dst, src, outdeg) — reused every round
+    val eo = e.join(outdeg, Seq("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    eo.count() // materialize before the loop reuses it
+
+    val base = Scale * 15 / 100 / n
+    var pr = nodes.withColumn("pr", lit(Scale / n))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val inflow = eo
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("pr div outdeg").as("contrib"))
+        .groupBy(col("node"))
+        .agg(sum(col("contrib")).as("inflow"))
+      pr = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("coalesce(inflow, 0L) * 85 div 100"))
+            .as("pr"))
+        .localCheckpoint(true)
+    }
+    e.unpersist(false)
+    eo.unpersist(false)
+    nodes.unpersist(false)
+    pr
+  }
+}

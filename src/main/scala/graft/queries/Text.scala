@@ -451,4 +451,64 @@ object Text {
       .select($"doc_id", $"token", $"tf", $"df", round($"tfidf", 6).as("tfidf"))
       .orderBy($"doc_id", $"token")
   }
+
+  /** Token-budget domain mixing: each source contributes documents in
+    * content-independent md5(doc_id) order until its token budget is
+    * spent (the doc crossing the boundary is included) — the
+    * deterministic "data mixture" pass that rebalances a corpus to
+    * per-domain token targets. One window shuffle on source; exact
+    * integer token arithmetic both engines.
+    */
+  def domainMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select($"source", $"doc_id", size(split($"text", " ")).cast("long").as("dl"))
+      .withColumn("cum", sum($"dl").over(w))
+      .filter($"cum" - $"dl" < 800)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"dl").as("n_tokens"),
+        max($"cum").as("cum_at_stop"))
+      .orderBy($"source")
+  }
+
+  /** Overlapping-window document chunking (the RAG / context-window
+    * prep pass): token windows of 16 with stride 12 (4-token overlap),
+    * one row per chunk. Map-side only — `sequence` + `explode` over
+    * per-row token counts, no shuffle at all until the output sort;
+    * at 100 TB this is embarrassingly parallel.
+    */
+  def chunk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .withColumn("n", size($"t").cast("long"))
+      .withColumn("start", explode(sequence(lit(0L), $"n" - 1, lit(12L))))
+      .select($"doc_id",
+        expr("start div 12").as("chunk_idx"),
+        least(lit(16L), $"n" - $"start").as("n_chunk_tokens"),
+        array_join(slice($"t", ($"start" + 1).cast("int"), lit(16)), " ").as("chunk"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** Categorical dictionary encoding: distinct values of each label
+    * column get dense ids in lexicographic order (a tiny sorted
+    * dictionary), broadcast-joined back map-side — the string→id
+    * transform feeding embedding tables. The fact scan never
+    * shuffles; only the few-row dictionaries do.
+    */
+  def labelEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    def dict(c: String, id: String) = docs.select(col(c)).distinct()
+      .withColumn(id, row_number().over(Window.orderBy(col(c))).cast("long"))
+    docs.join(broadcast(dict("lang", "lang_id")), Seq("lang"))
+      .join(broadcast(dict("source", "source_id")), Seq("source"))
+      .select($"doc_id", $"lang", $"lang_id", $"source", $"source_id")
+      .orderBy($"doc_id")
+  }
 }

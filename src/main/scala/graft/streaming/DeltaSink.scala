@@ -61,6 +61,32 @@ object DeltaSink {
     }
   }
 
+  /** Streaming SCD2 load: each micro-batch of change rows is merged
+    * into a versioned dimension via [[graft.etl.Scd2.mergeSlice]] —
+    * only the batch's keys rewrite (file-granular [[DeltaLite
+    * .txnUpsert]] on the key), history stays untouched on disk, and
+    * the (appId, batchId) transaction makes replays no-ops. The
+    * streaming expression of warehouse dimension maintenance: the
+    * reference's scheduled merge keeps latest-state only; this keeps
+    * every state queryable as-of any time.
+    *
+    * Batch timestamps must advance per key across batches (late rows
+    * are dropped by [[graft.etl.Scd2.merge]]'s contract).
+    */
+  def scd2Writer(table: DeltaLite, appId: String, key: String,
+      ts: String, attrs: Seq[String]): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      if (!table.lastTxn(appId).exists(_ >= batchId)) {
+        val slice =
+          if (table.latestVersion.isEmpty)
+            graft.etl.Scd2.build(batch, key, ts, attrs)
+          else
+            graft.etl.Scd2.mergeSlice(table.read(), batch, key, ts, attrs)
+        table.txnUpsert(slice, key, appId, batchId)
+        ()
+      }
+    }
+
   /** Start the stream → table load. `checkpoint` carries the source
     * offsets; the table's commit log carries the (appId, batchId)
     * watermark — together they give end-to-end exactly-once.

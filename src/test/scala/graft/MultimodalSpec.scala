@@ -111,4 +111,37 @@ class MultimodalSpec extends SparkSpec {
       fs.foreach(f => assert(f.getAs[Array[Byte]]("frame_bytes").nonEmpty))
     }
   }
+
+  /** Ground-truth aHash straight from the generator formula — no codec. */
+  private def phashOf(f: Long, w: Int = 16, h: Int = 12, grid: Int = 4): Long = {
+    val sums = Array.ofDim[Long](grid * grid)
+    val cnts = Array.ofDim[Long](grid * grid)
+    for (y <- 0 until h; x <- 0 until w) {
+      val lum = (f * 37 + x * 16) % 256 + (f * 11 + y * 21) % 256 +
+        (f * 53 + x + y) % 256
+      val c = (y * grid / h) * grid + (x * grid / w)
+      sums(c) += lum; cnts(c) += 1
+    }
+    val n = w.toLong * h
+    val total = sums.sum
+    (0 until grid * grid).foldLeft(0L) { (acc, c) =>
+      if (sums(c) * n > total * cnts(c)) acc | (1L << c) else acc
+    }
+  }
+
+  test("imagePhash: decoded hash equals formula ground truth; copies collide") {
+    import spark.implicits._
+    val base = Multimodal.syntheticImages(spark, n = 24)
+    val copies = base.filter(_.id % 6 == 0).map(r => r.copy(id = r.id + 100))
+    val got = Multimodal.imagePhash(base.union(copies)).collect()
+      .map(p => p.id -> p.phash).toMap
+    assert(got.size == 28)
+    (0L until 24L).foreach(id => assert(got(id) == phashOf(id)))
+    // planted byte-identical copies hash with their originals
+    Seq(0L, 6L, 12L, 18L).foreach(k => assert(got(k + 100) == got(k)))
+    // the hash separates MOST distinct gradient images (aHash is a
+    // bucketing fingerprint, not a cryptographic one)
+    val distinctHashes = (0L until 24L).map(got).distinct.size
+    assert(distinctHashes >= 12, s"only $distinctHashes distinct hashes")
+  }
 }
