@@ -98,6 +98,8 @@ object SparkEntry {
     "q_domain_mix" -> (Text.domainMix _),
     "q_label_encode" -> (Text.labelEncode _),
     "q_chunk" -> (Text.chunk _),
+    "q_quality_band" -> (Text.qualityBand _),
+    "q_domain_upsample" -> (Text.domainUpsample _),
     // recursive CTE through the same verbatim-SQL catalog path as
     // q_sql_catalog: one string, both engines
     "q_recursive_cte" -> ((s: SparkSession, dir: String) =>
@@ -299,6 +301,36 @@ object SparkEntry {
         |  CAST(MAX(cum) AS BIGINT) AS cum_at_stop
         |FROM cw WHERE cum - dl < 800
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q_quality_band" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+        |         ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS ntok,
+        |    len(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |        x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS nstop,
+        |    len(regexp_extract_all(text, '[[:punct:]]')) AS npunct,
+        |    len(regexp_extract_all(text, '[A-Z]')) AS nupper
+        |  FROM documents),
+        |q AS (SELECT doc_id, lang,
+        |  0.4 * (CASE WHEN ntok = 0 THEN 0.0 ELSE CAST(nstop AS DOUBLE) / ntok END)
+        |  + 0.3 * (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(npunct AS DOUBLE) / n_chars END)
+        |  + 0.2 * least(1.0, CAST(ntok AS DOUBLE) / 100.0)
+        |  + 0.1 * (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(nupper AS DOUBLE) / n_chars END) AS q
+        |  FROM t),
+        |band AS (SELECT quantile_cont(q, 0.05) AS lo, quantile_cont(q, 0.95) AS hi FROM q)
+        |SELECT lang, COUNT(*) AS n_kept, MIN(q) AS min_q, MAX(q) AS max_q
+        |FROM q, band WHERE q >= lo AND q <= hi
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_domain_upsample" ->
+      """WITH d AS (
+        |  SELECT source, CAST(substr(source, 4) AS INTEGER) % 3 + 1 AS rep,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |e AS (SELECT source, rep, dl,
+        |        UNNEST(generate_series(1, rep)) AS epoch FROM d)
+        |SELECT source, MAX(rep) AS repeats, COUNT(*) AS n_rows,
+        |  CAST(SUM(dl) AS BIGINT) AS total_tokens
+        |FROM e GROUP BY source ORDER BY source""".stripMargin,
     "q_chunk" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |c AS (SELECT doc_id, len(t) AS n, t,

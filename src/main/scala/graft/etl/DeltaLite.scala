@@ -174,8 +174,12 @@ class DeltaLite(spark: SparkSession, root: String,
       val s = stats.getOrElse(norm(p.toString), (None, None))
       FileEntry(p.toString, s._1, s._2, statsColUsed)
     }
-    val record = Commit(version, mode, schemaOverride.getOrElse(df.schema).json,
-      removed, entries, txn.map(_._1), txn.map(_._2))
+    publish(Commit(version, mode, schemaOverride.getOrElse(df.schema).json,
+      removed, entries, txn.map(_._1), txn.map(_._2)))
+  }
+
+  private def publish(record: Commit): Int = {
+    val version = record.version
     val tmp = new Path(logDir, s".$version.json.tmp")
     val fin = new Path(logDir, s"$version.json")
     val out = fs.create(tmp, true)
@@ -441,6 +445,49 @@ class DeltaLite(spark: SparkSession, root: String,
         .repartition(nOut)
       Some(commit(packed, "rewrite", removed = small.map(_.path)))
     }
+  }
+
+  /** RESTORE to an earlier version as a NEW commit: the restored
+    * snapshot's files (and schema) are re-referenced in the log —
+    * ZERO data I/O, unlike a rewrite — and later reads see the old
+    * state while the full history (including the undone versions)
+    * stays time-travelable. The accidental-bad-load undo button.
+    * Requires the target version's files to still exist (not
+    * [[vacuum]]ed).
+    */
+  def restore(version: Int): Int = {
+    val all = commits()
+    val upTo = all.filter(_.version <= version)
+    require(upTo.exists(_.version == version), s"no version $version at $root")
+    val snapFiles = liveEntries(upTo)
+    snapFiles.foreach { f =>
+      require(fs.exists(new Path(f.path)),
+        s"cannot restore v$version: ${f.path} was vacuumed")
+    }
+    val cur = liveEntries(all).map(_.path)
+    publish(Commit(latestVersion.get + 1, "rewrite", upTo.last.schemaJson,
+      removed = cur, files = snapFiles, None, None))
+  }
+
+  /** OPTIMIZE ZORDER BY (colA, colB): rewrite the live data Z-clustered
+    * on the two dimensions (`graft.ops.ZOrder` Morton interleave +
+    * one repartitionByRange shuffle) so every file carries a tight
+    * min/max bounding box on BOTH columns — 2-D box predicates then
+    * skip most files/row-groups where a linear sort bounds one
+    * dimension only. Same rows, new layout, one rewrite commit; old
+    * versions stay time-travelable.
+    */
+  def optimizeZOrder(colA: String, colB: String, numFiles: Int,
+      bits: Int = 16): Int = {
+    val live = liveFiles()
+    require(live.nonEmpty, s"empty table at $root")
+    val z = graft.ops.ZOrder.interleave(col(colA), col(colB), bits)
+    val clustered = read()
+      .withColumn("__zorder", z)
+      .repartitionByRange(numFiles, col("__zorder"))
+      .sortWithinPartitions(col("__zorder"))
+      .drop("__zorder")
+    commit(clustered, "rewrite", removed = live)
   }
 
   /** Delete data files not referenced by the live set of any of the

@@ -475,6 +475,46 @@ object Text {
       .orderBy($"source")
   }
 
+  /** Percentile-band quality gating: keep documents whose quality
+    * score lies inside the corpus's [P5, P95] — the distribution-aware
+    * filter pass (fixed thresholds drift as the corpus shifts; band
+    * thresholds self-calibrate). The two thresholds are ONE tiny
+    * aggregate broadcast back map-side; the fact scan never shuffles.
+    */
+  def qualityBand(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        TA.qualityScore($"text", $"n_chars").as("q"))
+    val band = docs.agg(
+      expr("percentile(q, 0.05)").as("lo"),
+      expr("percentile(q, 0.95)").as("hi"))
+    docs.join(broadcast(band))
+      .filter($"q" >= $"lo" && $"q" <= $"hi")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"),
+        min($"q").as("min_q"), max($"q").as("max_q"))
+      .orderBy($"lang")
+  }
+
+  /** Deterministic domain upsampling (epochs-per-domain): each source
+    * is replicated `1 + (suffix mod 3)` times via `sequence`+`explode`
+    * — the repeat-factor half of data mixing (complementing the
+    * budget-capped [[domainMix]]). Map-side row generation; the only
+    * shuffle is the final per-source count.
+    */
+  def domainUpsample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"source", size(split($"text", " ")).cast("long").as("dl"),
+        (expr("substring(source, 4)").cast("int") % 3 + 1).as("rep"))
+      .withColumn("epoch", explode(sequence(lit(1), $"rep")))
+      .groupBy($"source")
+      .agg(max($"rep").as("repeats"), count(lit(1)).as("n_rows"),
+        sum($"dl").as("total_tokens"))
+      .orderBy($"source")
+  }
+
   /** Overlapping-window document chunking (the RAG / context-window
     * prep pass): token windows of 16 with stride 12 (4-token overlap),
     * one row per chunk. Map-side only — `sequence` + `explode` over

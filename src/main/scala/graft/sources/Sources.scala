@@ -44,6 +44,23 @@ object Sources {
       r.schema(s).csv(path))
   }
 
+  /** ORC — the other columnar lake format Spark reads natively
+    * (predicate pushdown + column pruning work the same as parquet).
+    */
+  def orc(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame =
+    schema.fold(spark.read.orc(path))(s => spark.read.schema(s).orc(path))
+
+  def writeOrc(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
+  /** Raw text: one row per line (`value` column) — the entry format
+    * for unstructured corpora before any parsing.
+    */
+  def textLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
   /** Hive-style partitioned parquet: directory per partition value →
     * partition pruning turns predicate-on-partition-col queries into
     * partial scans. Keep partition cardinality bounded (a date or a

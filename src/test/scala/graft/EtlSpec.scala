@@ -285,6 +285,60 @@ class EtlSpec extends SparkSpec {
     assert(e.getMessage.contains("additive"))
   }
 
+  test("DeltaLite: restore re-references an old snapshot with zero data I/O") {
+    import spark.implicits._
+    val t = DeltaLite(spark, tmp("graft-restore"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))          // v0
+    t.append(Seq((3L, "c")).toDF("k", "v"))                     // v1
+    t.overwrite(Seq((9L, "bad")).toDF("k", "v"))                // v2: bad load
+    val v = t.restore(1)                                        // v3
+    assert(v == 3)
+    assert(t.read().orderBy("k").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3L))
+    // log-only: the restore commit added no new data files
+    val (mode, added, removed) = t.commitInfo(3)
+    assert(mode == "rewrite")
+    val v1Files = t.commitInfo(0)._2 ++ t.commitInfo(1)._2
+    assert(added.toSet == v1Files.toSet, "restore must re-reference old files")
+    assert(removed.toSet == t.commitInfo(2)._2.toSet)
+    // the undone version is still time-travelable
+    assert(t.readAsOf(2).collect().map(_.getLong(0)).toSeq == Seq(9L))
+    // restore to a vacuumed version refuses loudly
+    t.overwrite(Seq((10L, "z")).toDF("k", "v"))
+    t.vacuum(retainVersions = 1)
+    assertThrows[IllegalArgumentException](t.restore(2))
+  }
+
+  test("DeltaLite: optimizeZOrder tightens 2-D file bounding boxes") {
+    import spark.implicits._
+    val n = 4096
+    val rows = (0 until n).map { i =>
+      // row-major order: a linear layout is tight on `a`, loose on `b`
+      (i.toLong, (i % 64).toLong, (i / 64).toLong)
+    }
+    val t = DeltaLite(spark, tmp("graft-zopt"))
+    t.append(rows.toDF("id", "a", "b").repartitionByRange(8, col("a")))
+    // how many live files could contain rows with b < 8 — the
+    // dimension the linear (a-range) layout leaves unbounded
+    def bHits(): Int = spark.read.parquet(t.liveFiles(): _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"b").as("b0"))
+      .collect()
+      .count(_.getAs[Long]("b0") < 8)
+    val before = bHits()
+    val pre = t.read().orderBy("id").collect().toSeq
+    t.optimizeZOrder("a", "b", numFiles = 8)
+    val after = bHits()
+    // same rows, new layout
+    assert(t.read().orderBy("id").collect().toSeq == pre)
+    // linear: every a-slice file spans all of b → all files hit;
+    // Z-order: low-b cells concentrate in few z-ranges
+    assert(before == 8, s"linear layout should hit all 8 files, got $before")
+    assert(after <= before / 2,
+      s"b-slab file hits should drop: before=$before after=$after")
+    assert(t.readAsOf(0).count() == n)
+  }
+
   test("DeltaLite: schema enforcement rejects drifted batch") {
     import spark.implicits._
     val t = DeltaLite(spark, tmp("graft-schema"))

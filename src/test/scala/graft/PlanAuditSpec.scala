@@ -180,6 +180,46 @@ class PlanAuditSpec extends SparkSpec {
       s"box predicates not pushed: $pushed")
   }
 
+  test("expectations metrics: ONE scan, one aggregate pair, #rules output rows") {
+    val df = graft.queries.Etl.expectations(spark, sf)
+    val plan = physicalPlan(df)
+    val scans = "FileScan parquet".r.findAllIn(plan).length +
+      "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 2, s"quality report must not rescan per rule:\n$plan")
+    // the only exchange is the single-row aggregate's (plus the sort)
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"too many exchanges ($exchanges):\n$plan")
+  }
+
+  test("label encode: dictionaries broadcast, fact scan never shuffles") {
+    val df = graft.queries.Text.labelEncode(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("chunking is map-side: no exchange below the output sort") {
+    val df = graft.queries.Text.chunk(spark, sf)
+    val plan = physicalPlan(df)
+    // exactly the rangepartitioning exchange of the final orderBy
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"chunking must not shuffle data:\n$plan")
+    assert(plan.contains("rangepartitioning"), plan)
+  }
+
+  test("pagerank: per-iteration plans stay O(1) deep via checkpoints") {
+    import spark.implicits._
+    val edges = Seq.tabulate(200)(i => (i.toLong % 40, (i * 7 % 40).toLong))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val pr = graft.ops.PageRank.run(edges, iters = 5)
+    // after 5 rounds the plan must reference the checkpointed RDD, not
+    // 5 nested joins — lineage truncation is what survives iteration
+    val plan = pr.queryExecution.optimizedPlan.toString()
+    assert(plan.contains("LogicalRDD"), plan)
+    assert(!plan.contains("Join"), s"unchecked lineage growth:\n$plan")
+  }
+
   test("salted join: spreads a hot key and preserves join semantics") {
     import spark.implicits._
     val li = Tables.lineitem(spark, sf)

@@ -10,6 +10,27 @@ class SourcesSpec extends SparkSpec {
 
   private def tmp(p: String): String = Files.createTempDirectory(p).toString
 
+  test("orc round trip preserves schema and rows; raw text reads lines") {
+    import spark.implicits._
+    val dir = tmp("graft-orc")
+    val df = Tables.documents(spark, sf).select("doc_id", "lang", "n_chars")
+    Sources.writeOrc(df, s"$dir/orc")
+    val back = Sources.orc(spark, s"$dir/orc")
+    assert(back.schema == df.schema)
+    assert(back.orderBy("doc_id").collect().toSeq ==
+      df.orderBy("doc_id").collect().toSeq)
+    // predicate pushdown reaches the ORC scan like parquet
+    val plan = physicalPlan(Sources.orc(spark, s"$dir/orc")
+      .filter(col("doc_id") === 7L))
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)"),
+      s"no pushdown in:\n$plan")
+
+    Seq("alpha", "beta").toDF("value").write.mode(SaveMode.Overwrite)
+      .text(s"$dir/txt")
+    assert(Sources.textLines(spark, s"$dir/txt").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("alpha", "beta"))
+  }
+
   test("partitioned parquet write → partition pruning in the scan") {
     import spark.implicits._
     val out = tmp("graft-part") + "/events_by_type"
