@@ -99,6 +99,9 @@ object SparkEntry {
     "q_label_encode" -> (Text.labelEncode _),
     "q_chunk" -> (Text.chunk _),
     "q_quality_band" -> (Text.qualityBand _),
+    // rows-only: the BPE merge loop is not SQL-expressible; exact
+    // segmentation semantics are spec'd in BpeSpec
+    "q_bpe" -> (Text.bpe _),
     "q_domain_upsample" -> (Text.domainUpsample _),
     // recursive CTE through the same verbatim-SQL catalog path as
     // q_sql_catalog: one string, both engines
@@ -121,6 +124,9 @@ object SparkEntry {
     "ann_bruteforce_topk" -> (Vectors.annBruteForce _),
     "ann_lsh_topk" -> (Vectors.annLsh _),
     "ann_ivf_topk" -> (Vectors.annIvf _),
+    // rows-only: approximate neighbor sets aren't SQL-expressible;
+    // recall + twin semantics spec'd in SimilaritySpec
+    "knn_graph" -> (Vectors.knnGraph _),
     "q_events_tumbling" -> (Events.tumbling _),
     "q_retention" -> (Events.retention _),
     "q_funnel" -> (Events.funnel _),

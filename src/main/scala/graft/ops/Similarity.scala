@@ -218,6 +218,38 @@ object Similarity {
     * tables × bucket size, not the corpus. Recall vs. bruteForceTopK
     * is asserted in specs.
     */
+  /** Approximate kNN GRAPH over the whole corpus — every vector's
+    * top-k neighbors, the all-to-all companion of [[lshTopK]] (whose
+    * broadcast query set cannot be the corpus itself). Both sides of
+    * the multi-table LSH bucket SELF-join shuffle on (table, bucket),
+    * so per-vector candidate volume stays tables × bucket size — never
+    * all-pairs, never a corpus broadcast. The banded table persists
+    * once (self-joins would otherwise recompute the signatures twice);
+    * release via [[Dedup.releaseCaches]].
+    */
+  def knnGraph(corpus: DataFrame, vecCol: String, idCol: String, k: Int,
+      planes: Int = 5, tables: Int = 6, seed: Long = 11L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val banded = Dedup.tracked(corpus
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        posexplode(hyperplaneTables(col(vecCol), planes, tables, seed))
+          .as(Seq("table", "bucket")))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val a = banded.select(col("table"), col("bucket"),
+      col("__id").as("query_id"), col("__v").as("qv"))
+    val b = banded.select(col("table"), col("bucket"),
+      col("__id").as("neighbor_id"), col("__v").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   def lshTopK(queries: DataFrame, candidates: DataFrame, vecCol: String,
       idCol: String, k: Int, planes: Int = 5, tables: Int = 6,
       seed: Long = 11L): DataFrame = {

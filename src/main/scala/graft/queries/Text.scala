@@ -475,6 +475,25 @@ object Text {
       .orderBy($"source")
   }
 
+  /** End-to-end BPE tokenization: learn a 40-merge table from the
+    * corpus (ONE distributed word count; driver loop over the bounded
+    * word-frequency model — `ops.Bpe`), then encode every document
+    * map-side through the codegen'd `BpeEncode` expression. Rows-only
+    * (the merge loop is not SQL-expressible); exact segmentation
+    * semantics spec'd in BpeSpec against an independent reference.
+    */
+  def bpe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val merges = graft.ops.Bpe.learn(docs, "text", nMerges = 40)
+    docs
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_words"),
+        graft.functions.BpeFunctions.bpe_tokens($"text", merges).as("toks"))
+      .select($"doc_id", $"n_words", size($"toks").cast("long").as("n_bpe"),
+        array_join(slice($"toks", 1, 8), "|").as("head_tokens"))
+      .orderBy($"doc_id")
+  }
+
   /** Percentile-band quality gating: keep documents whose quality
     * score lies inside the corpus's [P5, P95] — the distribution-aware
     * filter pass (fixed thresholds drift as the corpus shifts; band

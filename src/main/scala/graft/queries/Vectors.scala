@@ -104,4 +104,17 @@ object Vectors {
       .select($"query_id", $"rank", $"neighbor_id", round($"cosine", 6).as("cosine"))
       .orderBy($"query_id", $"rank")
   }
+
+  /** Approximate kNN graph over the full embedding corpus (top-3
+    * neighbors per vector, LSH bucket self-join) — rows-only; recall
+    * vs brute force is spec'd in SimilaritySpec.
+    */
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.knnGraph(Tables.embeddings(s, dir), "embedding", "vec_id",
+      k = 3, planes = 5, tables = 8)
+      .select($"query_id", $"rank", $"neighbor_id",
+        round($"cosine", 6).as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
 }

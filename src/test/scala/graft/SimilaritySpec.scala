@@ -51,6 +51,52 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("Broadcast"))
   }
 
+  test("knn graph: planted twins are top-1, recall vs brute force, no corpus broadcast") {
+    import graft.ops.{Dedup, Similarity}
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    // plant a near-identical twin of every 10th vector: the graph's
+    // strongest edge for both endpoints must be each other
+    val twins = emb.filter($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding", x => x * 1.0001f).as("embedding"),
+        $"label")
+    val corpus = emb.unionByName(twins)
+    val g = Similarity.knnGraph(corpus, "embedding", "vec_id", k = 3,
+      planes = 5, tables = 8)
+    val top1 = g.filter($"rank" === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    Dedup.releaseCaches()
+    val twinIds = emb.filter($"vec_id" % 10 === 0).collect()
+      .map(_.getAs[Long]("vec_id"))
+    twinIds.foreach { id =>
+      assert(top1(id) == id + 100000L, s"twin of $id not its top-1")
+      assert(top1(id + 100000L) == id, s"$id not its twin's top-1")
+    }
+    // recall@3 vs exact graph on the un-planted corpus
+    val bf = Similarity.bruteForceTopK(emb, emb, "embedding", "vec_id", k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.knnGraph(emb, "embedding", "vec_id", k = 3,
+      planes = 5, tables = 8).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    Dedup.releaseCaches()
+    val recall = bf.intersect(approx).size.toDouble / bf.size
+    info(s"knn-graph recall@3 = $recall")
+    assert(recall > 0.25, s"recall@3 = $recall")
+    // the self-join must be keyed on (table, bucket) — candidate volume
+    // bucket-bounded, never all-pairs. (At this tiny SF Spark may still
+    // SIZE-broadcast one side; the design constraint is the join key,
+    // not the physical strategy, which AQE picks from stats.)
+    val plan = physicalPlan(Similarity.knnGraph(emb, "embedding", "vec_id", 3))
+    Dedup.releaseCaches()
+    val joinLine = plan.linesIterator.find(_.contains("HashJoin")).getOrElse("")
+    assert(joinLine.contains("bucket"),
+      s"self-join not bucket-keyed: $joinLine")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+  }
+
   test("IVF topk: trained centroids, recall vs brute force, probe bound") {
     import graft.ops.Similarity
     val emb = Tables.embeddings(spark, sf)
