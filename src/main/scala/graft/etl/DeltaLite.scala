@@ -519,6 +519,32 @@ class DeltaLite(spark: SparkSession, root: String,
     (c.mode, c.files.map(_.path), c.removed)
   }
 
+  /** (path, min, max) of the live files — stats present only when
+    * recorded for THIS table's statsKey (metadata for scan
+    * integration and layout audits).
+    */
+  def liveFileStats(): Seq[(String, Option[String], Option[String])] =
+    liveEntries(commits()).map { f =>
+      val ok = statsKey.exists(k => f.keyCol.contains(k))
+      (f.path, if (ok) f.min else None, if (ok) f.max else None)
+    }
+
+  /** Scan-integrated read: the live files served through a custom
+    * [[org.apache.spark.sql.graftbridge.DeltaLiteFileIndex]], so the
+    * commit log's per-file [min,max] stats skip files DURING scan
+    * planning, driven by the query's own pushed-down filters on the
+    * stats key — `readIndexed().filter(col(key) === x)` plans a scan
+    * of ~one file with no manual pruning (the Delta-connector
+    * integration shape; FileSourceScan's numFiles metric shows it).
+    */
+  def readIndexed(): DataFrame = {
+    val all = commits()
+    require(all.nonEmpty, s"empty table at $root")
+    val sch = DataType.fromJson(all.last.schemaJson).asInstanceOf[StructType]
+    org.apache.spark.sql.graftbridge.DeltaLiteScan.relation(
+      spark, rootPath, liveFileStats(), statsKey, sch)
+  }
+
   /** Current snapshot. */
   def read(): DataFrame = readAsOf(Int.MaxValue)
 

@@ -339,6 +339,54 @@ class EtlSpec extends SparkSpec {
     assert(t.readAsOf(0).count() == n)
   }
 
+  test("DeltaLite: readIndexed skips files during scan planning") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThanOrEqual, LessThan, Literal}
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.graftbridge.DeltaLiteFileIndex
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val dir = tmp("graft-idx")
+    val t = DeltaLite(spark, dir, statsKey = "k")
+    t.appendClustered((0L until 400L).map(k => (k, s"v$k")).toDF("k", "v"),
+      numFiles = 8)
+
+    // planning-level skip: drive the index with pushed-filter shapes
+    val idx = new DeltaLiteFileIndex(spark,
+      new org.apache.hadoop.fs.Path(dir), t.liveFileStats(), Some("k"),
+      t.read().schema)
+    val k = AttributeReference("k", LongType)()
+    def filesFor(preds: Expression*): Int =
+      idx.listFiles(Nil, preds).head.files.size
+    assert(idx.listFiles(Nil, Nil).head.files.size == 8)
+    assert(filesFor(EqualTo(k, Literal(257L))) == 1,
+      "point lookup should plan exactly one file")
+    val rangeFiles = filesFor(And(GreaterThanOrEqual(k, Literal(100L)),
+      LessThan(k, Literal(200L))))
+    assert(rangeFiles >= 2 && rangeFiles <= 3, s"range planned $rangeFiles")
+    // predicates on a non-stats column must not skip anything
+    assert(filesFor(EqualTo(AttributeReference("v", StringType)(),
+      Literal("v7"))) == 8)
+
+    // end-to-end: the integrated scan reads ONE file's rows for the
+    // point lookup (50 of 400), and results match the plain read
+    def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
+      df.collect()
+      def find(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(find)
+      }
+      find(df.queryExecution.executedPlan).head
+    }
+    val q = t.readIndexed().filter($"k" === 257L)
+    assert(q.collect().map(_.getString(1)).toSeq == Seq("v257"))
+    assert(scanOf(q).metrics("numOutputRows").value == 50,
+      "the executed scan should read exactly one 50-row file")
+    assert(t.readIndexed().orderBy("k").collect().toSeq ==
+      t.read().orderBy("k").collect().toSeq)
+  }
+
   test("DeltaLite: schema enforcement rejects drifted batch") {
     import spark.implicits._
     val t = DeltaLite(spark, tmp("graft-schema"))
