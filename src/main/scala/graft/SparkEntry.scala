@@ -148,6 +148,7 @@ object SparkEntry {
     }),
     "q_range_join" -> (Temporal.qRangeJoin _),
     "q_events_user_stats" -> (Events.userStats _),
+    "q_latest_per_key" -> (Events.latestPerKey _),
     "q_pivot_events" -> (Events.pivotDaily _),
     "mm_image_decode" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
@@ -1363,6 +1364,16 @@ object SparkEntry {
         |FROM sessions
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q_latest_per_key" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, ts AS last_ts, event_type AS last_type,
+        |  value AS last_value
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
     "q_events_user_stats" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,

@@ -293,6 +293,25 @@ object Events {
       .orderBy($"user_id")
   }
 
+  /** Latest state per key — the CDC "current snapshot" read over a
+    * change stream (the batch twin of what a MERGE-maintained dim
+    * serves): one window shuffle, rank-1 row per user, deterministic
+    * tie-break on event_id. WindowGroupLimit pushes the rank-1 cut
+    * below the sort, so at scale only each partition's candidate rows
+    * reach the final window.
+    */
+  def latestPerKey(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"ts".as("last_ts"),
+        $"event_type".as("last_type"), $"value".as("last_value"))
+      .orderBy($"user_id")
+  }
+
   /** Day × event-type pivot via the DataFrame pivot API (explicit value
     * list keeps the plan static — required for a deterministic schema
     * at scale; nulls from absent combos filled to 0).

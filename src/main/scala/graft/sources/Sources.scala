@@ -61,6 +61,24 @@ object Sources {
   def textLines(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
 
+  /** Fault-tolerant line-JSON ingest: malformed lines don't kill the
+    * load (a 100 TB crawl ALWAYS has some) — they surface whole in the
+    * `_corrupt_record` column with every data field null, so the
+    * caller splits good rows from a quarantine (pair with
+    * [[graft.ops.Expectations]] for the metrics). PERMISSIVE is
+    * Spark's default mode; declaring the corrupt column in the schema
+    * is what makes the bad rows observable instead of silently null.
+    */
+  def jsonLinesPermissive(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
+
   /** Hive-style partitioned parquet: directory per partition value →
     * partition pruning turns predicate-on-partition-col queries into
     * partial scans. Keep partition cardinality bounded (a date or a

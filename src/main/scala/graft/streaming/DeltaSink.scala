@@ -61,6 +61,25 @@ object DeltaSink {
     }
   }
 
+  /** [[batchWriter]] plus table maintenance on a cadence: every
+    * `compactEvery` batches the small live files bin-pack into one
+    * rewrite commit — the auto-OPTIMIZE half of a production streaming
+    * load (a micro-batch stream otherwise accretes one small file per
+    * batch forever, and 100k tiny files kill scan planning long before
+    * they kill storage). Compaction I/O is O(small files); replayed
+    * batches skip the append but a re-compact is harmless (below
+    * `minFiles` it's a no-op).
+    */
+  def compactingWriter(table: DeltaLite, appId: String, compactEvery: Int,
+      targetBytes: Long = 128L * 1024 * 1024,
+      dedupKey: Option[String] = None): (DataFrame, Long) => Unit = {
+    require(compactEvery >= 1, "compactEvery must be >= 1")
+    (batch, batchId) => {
+      table.txnAppend(batch, appId, batchId, dedupKey)
+      if ((batchId + 1) % compactEvery == 0) { table.compact(targetBytes); () }
+    }
+  }
+
   /** Streaming SCD2 load: each micro-batch of change rows is merged
     * into a versioned dimension via [[graft.etl.Scd2.mergeSlice]] —
     * only the batch's keys rewrite (file-granular [[DeltaLite

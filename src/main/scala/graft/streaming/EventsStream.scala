@@ -50,6 +50,19 @@ object EventsStream {
       .groupBy(window(col("ts"), win), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
 
+  /** Sliding (hopping) windows: each event lands in window-length ÷
+    * hop overlapping windows (here 1 h windows every 15 min — the
+    * trailing-hour dashboard refreshed per quarter hour). Same
+    * watermark-bounded state as [[windowedCounts]]; Spark expands the
+    * event into its windows map-side, so the shuffle carries
+    * (window, type) partials, not raw events × windows.
+    */
+  def slidingCounts(events: DataFrame, watermark: String = "30 minutes",
+      win: String = "1 hour", hop: String = "15 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win, hop), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
   /** Streaming exact dedup on `key` ALONE:
     * `dropDuplicatesWithinWatermark` keys state by `key` (not the
     * (key, ts) pair — a retried event re-stamped with a new arrival

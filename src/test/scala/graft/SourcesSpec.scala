@@ -31,6 +31,31 @@ class SourcesSpec extends SparkSpec {
       .map(_.getString(0)).sorted.toSeq == Seq("alpha", "beta"))
   }
 
+  test("permissive json ingest: malformed lines quarantine, good rows parse") {
+    import spark.implicits._
+    val dir = tmp("graft-permissive")
+    val lines = Seq(
+      """{"id": 1, "name": "ok"}""",
+      """{"id": 2 "name": "missing comma"}""", // malformed
+      """{"id": 3, "name": "fine"}""",
+      """not json at all""")
+    Seq(lines.mkString("\n")).toDF("value").write.mode(SaveMode.Overwrite)
+      .text(dir + "/in")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, name STRING")
+    val df = Sources.jsonLinesPermissive(spark, dir + "/in", schema).cache()
+    val good = df.filter(col("_corrupt_record").isNull)
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    assert(good.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((1L, "ok"), (3L, "fine")).sorted)
+    // the corrupt rows carry the whole offending line, data fields null
+    val badRows = bad.collect()
+    assert(badRows.length == 2)
+    assert(badRows.forall(_.isNullAt(0)))
+    assert(badRows.map(_.getAs[String]("_corrupt_record")).exists(_.contains("missing comma")))
+    df.unpersist()
+  }
+
   test("partitioned parquet write → partition pruning in the scan") {
     import spark.implicits._
     val out = tmp("graft-part") + "/events_by_type"

@@ -31,6 +31,49 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sliding windows: streamed hops equal the batch computation") {
+    val events = EventsStream.readEvents(spark, sf)
+    val query = EventsStream.slidingCounts(events, "1 hour", "1 hour", "15 minutes")
+      .writeStream.format("memory").queryName("slide_counts")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("slide_counts")
+        .select(col("window.start"), col("event_type"), col("n_events"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val batch = Tables.events(spark, sf)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("window.start"), col("event_type"), col("n_events"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(streamed == batch)
+      // every event lands in window/hop = 4 overlapping windows
+      val total = streamed.toSeq.map(_._3).sum
+      assert(total == Tables.events(spark, sf).count() * 4)
+    } finally query.stop()
+  }
+
+  test("compacting writer: bounded file count, rows intact, replay-safe") {
+    import spark.implicits._
+    val t = graft.etl.DeltaLite(spark,
+      java.nio.file.Files.createTempDirectory("graft-compact-sink").toString)
+    val writer = graft.streaming.DeltaSink.compactingWriter(
+      t, "cw", compactEvery = 3)
+    (0L until 9L).foreach { id =>
+      writer(Seq((id, s"b$id")).toDF("event_id", "payload"), id)
+      if (id == 4) writer(Seq((4L, "b4")).toDF("event_id", "payload"), 4L) // replay
+    }
+    assert(t.read().count() == 9)
+    assert(t.read().select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      == (0L until 9L))
+    // 9 one-file appends would leave 9 live files; compaction every 3
+    // batches keeps the live set small
+    assert(t.liveFiles().size <= 3,
+      s"live files not bounded: ${t.liveFiles().size}")
+  }
+
   test("file-source stream over events.parquet: totals match batch") {
     val query = EventsStream.windowedCounts(
       EventsStream.readEvents(spark, sf), "1 hour", "1 day")
