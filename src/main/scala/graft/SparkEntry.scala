@@ -34,6 +34,7 @@ object SparkEntry {
     "q_window_running" -> (Relational.qWindowRunning _),
     "q_topk_per_group" -> (Relational.qTopkPerGroup _),
     "q_topk_custom" -> (Relational.qTopkCustom _),
+    "q_topk_rewritten" -> (Relational.qTopkRewritten _),
     "q_sort_limit" -> (Relational.qSortLimit _),
     "q_scalar_subquery" -> (Relational.qScalarSubquery _),
     "q_union_dedup" -> (Relational.qUnionDedup _),
@@ -993,6 +994,16 @@ object SparkEntry {
         |WHERE rk <= 3
         |ORDER BY o_orderpriority, rk""".stripMargin,
     "q_topk_custom" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
+    // same answer as q_topk_custom — the point is the PLAN: the window
+    // idiom auto-rewritten to the heap operator by TopKRewrite
+    "q_topk_rewritten" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
         |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority

@@ -48,10 +48,10 @@ object PageRank {
     require(n > 0, "PageRank needs a non-empty graph")
     val outdeg = e.groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg"))
-    // static per-edge side: (dst, src, outdeg) — reused every round
+    // static per-edge side: (dst, src, outdeg) — computed once, cached
+    // at first use (iteration 1), reused by every later round
     val eo = e.join(outdeg, Seq("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    eo.count() // materialize before the loop reuses it
 
     val base = Scale * 15 / 100 / n
     var pr = nodes.withColumn("pr", lit(Scale / n))

@@ -103,6 +103,9 @@ object TopK {
     val strategies = spark.experimental.extraStrategies
     if (!strategies.contains(TopKStrategy))
       spark.experimental.extraStrategies = strategies :+ TopKStrategy
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(TopKRewrite))
+      spark.experimental.extraOptimizations = opts :+ TopKRewrite
   }
 
   /** Top `k` rows per group under `orderBy` (ascending unless the Column

@@ -1,0 +1,73 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Optimizer rule: rewrite the composed top-k-per-group idiom —
+  *
+  *   Project(fields,                         -- rank column dropped
+  *     Filter(row_number <= k,
+  *       Window(row_number over (partition ... order ...))))
+  *
+  * — into the whole-operator [[TopKPerGroup]] plan (bounded per-group
+  * heaps, partial pass before the shuffle) whenever the rank column is
+  * not referenced above the filter. Users keep writing the standard
+  * window idiom (DataFrame or SQL) and get the O(n log k) streaming
+  * fold instead of a full per-group sort: the measured gap is ~7× at
+  * sf0.1 (q_topk_per_group vs q_topk_custom).
+  *
+  * Conservative by construction: only a lone rank predicate with an
+  * integer-literal bound, only `row_number` (rank/dense_rank admit
+  * ties the heap would cut), only k ≤ `MaxK` (a giant k wants the
+  * sort), and only when dropping the rank column preserves the schema.
+  * A [[WindowGroupLimit]] Spark already inserted below the Window is
+  * stripped — the TopK operator subsumes it.
+  */
+object TopKRewrite extends Rule[LogicalPlan] {
+
+  private val MaxK = 1024
+
+  /** (bound k) when `cond` is exactly one predicate on the rank attr. */
+  private def rankBound(cond: Expression, rankId: ExprId): Option[Int] = {
+    def isRank(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.exprId == rankId
+      case c: Cast => isRank(c.child)
+      case _ => false
+    }
+    def lit(e: Expression): Option[Long] = e match {
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case Literal(v: Long, LongType) => Some(v)
+      case _ => None
+    }
+    cond match {
+      case LessThanOrEqual(l, r) if isRank(l) => lit(r).map(_.toInt)
+      case LessThan(l, r) if isRank(l) => lit(r).map(v => v.toInt - 1)
+      case GreaterThanOrEqual(l, r) if isRank(r) => lit(l).map(_.toInt)
+      case GreaterThan(l, r) if isRank(r) => lit(l).map(v => v.toInt - 1)
+      case EqualTo(l, r) if isRank(l) && lit(r).contains(1L) => Some(1)
+      case EqualTo(l, r) if isRank(r) && lit(l).contains(1L) => Some(1)
+      case _ => None
+    }
+  }
+
+  private def stripGroupLimit(plan: LogicalPlan): LogicalPlan = plan match {
+    case WindowGroupLimit(_, _, _, _, child) => child
+    case other => other
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(fields,
+        Filter(cond, Window(Seq(alias @ Alias(we: WindowExpression, _)),
+          parts, order, child, _)))
+        if we.windowFunction.isInstanceOf[RowNumber] &&
+          parts.nonEmpty && order.nonEmpty =>
+      rankBound(cond, alias.exprId) match {
+        case Some(k) if k >= 1 && k <= MaxK &&
+            !fields.exists(_.references.exists(_.exprId == alias.exprId)) =>
+          Project(fields, TopKPerGroup(parts, order, k, stripGroupLimit(child)))
+        case _ => p
+      }
+  }
+}

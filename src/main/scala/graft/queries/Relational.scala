@@ -280,6 +280,25 @@ object Relational {
       .orderBy($"o_orderpriority", $"o_totalprice".desc, $"o_orderkey")
   }
 
+  /** The SAME window idiom as [[qTopkPerGroup]] but with the rank
+    * column dropped — which lets the injected optimizer rule
+    * (`graft.plans.TopKRewrite`) replace the window sort with the
+    * whole-operator heap plan automatically. The user writes standard
+    * code; the engine picks the O(n log k) operator.
+    */
+  def qTopkRewritten(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.TopK.register(s)
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_orderpriority", $"o_totalprice".desc, $"o_orderkey")
+  }
+
   /** Global order + limit → TakeOrderedAndProject (per-partition top-k
     * then merge; never a full sort at scale).
     */

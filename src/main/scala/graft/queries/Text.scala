@@ -502,9 +502,13 @@ object Text {
     */
   def qualityBand(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir)
+    // scored once for both consumers (threshold agg + band filter):
+    // the regex-heavy quality expression is the dominant cost, not the
+    // scan; released by the harness's releaseCaches call
+    val docs = Dedup.tracked(Tables.documents(s, dir)
       .select($"doc_id", $"lang",
         TA.qualityScore($"text", $"n_chars").as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val band = docs.agg(
       expr("percentile(q, 0.05)").as("lo"),
       expr("percentile(q, 0.95)").as("hi"))

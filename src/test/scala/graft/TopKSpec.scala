@@ -59,6 +59,35 @@ class TopKSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("optimizer rule rewrites the window idiom to the heap operator") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    TopK.register(spark)
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+    def idiom() = Tables.lineitem(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+    // rank dropped above the filter → rewritten
+    val rewritten = idiom().select("l_returnflag", "l_orderkey", "l_extendedprice")
+    assert(rewritten.queryExecution.optimizedPlan.collect {
+      case t: graft.plans.TopKPerGroup => t
+    }.nonEmpty, rewritten.queryExecution.optimizedPlan.toString)
+    // rank kept in the output → NOT rewritten (schema must survive)
+    val keepsRank = idiom().select("l_returnflag", "l_orderkey", "rn")
+    assert(keepsRank.queryExecution.optimizedPlan.collect {
+      case t: graft.plans.TopKPerGroup => t
+    }.isEmpty)
+    // identical rows to the unrewritten computation
+    val got = rewritten.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = keepsRank.select("l_returnflag", "l_orderkey").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got.map(t => (t._1, t._2)) == want)
+    assert(got.size == want.size)
+  }
+
   test("arbitrary k and ascending order through the public API") {
     import spark.implicits._
     val cheapest2 = TopK.perGroup(Tables.orders(spark, sf),
