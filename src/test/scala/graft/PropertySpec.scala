@@ -75,6 +75,50 @@ class PropertySpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) <= r.getLong(1) || r.getLong(1) == 0))
   }
 
+  test("property: SCD2 merge(prefix, suffix) == build(all) on random change logs") {
+    import graft.etl.Scd2
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // per-key strictly increasing timestamps, random states
+    val changes = (0 until 40).flatMap { key =>
+      val n = 1 + rnd.nextInt(8)
+      var t = rnd.nextInt(1000)
+      (0 until n).map { _ =>
+        t += 1 + rnd.nextInt(500)
+        (key.toLong,
+          java.sql.Timestamp.valueOf(f"2024-01-01 00:00:00").toInstant
+            .plusSeconds(t * 60L),
+          s"state${rnd.nextInt(3)}")
+      }
+    }.map { case (k, i, v) => (k, java.sql.Timestamp.from(i), v) }
+    // split at a global time: every suffix row is later than every
+    // prefix row of its key — the merge contract
+    val cut = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val df = changes.toDF("k", "ts", "status")
+    val prefix = df.filter($"ts" < cut)
+    val suffix = df.filter($"ts" >= cut)
+    assert(prefix.count() > 0 && suffix.count() > 0)
+    val merged = Scd2.merge(Scd2.build(prefix, "k", "ts", Seq("status")),
+      suffix, "k", "ts", Seq("status"))
+    val rebuilt = Scd2.build(df, "k", "ts", Seq("status"))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+    assert(rows(merged) == rows(rebuilt))
+  }
+
+  test("property: PageRank identical across partition counts") {
+    import graft.ops.PageRank
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val edges = Seq.fill(300)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }
+    def run(parts: Int) = PageRank.run(
+      edges.toDF("src", "dst").repartition(parts), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // integer fixed-point arithmetic ⇒ bit-identical under any layout
+    assert(run(1) == run(7))
+  }
+
   test("property: TopK.perGroup equals per-group sort-take on random data") {
     import spark.implicits._
     val gen = for {
