@@ -459,7 +459,15 @@ class DeltaLite(spark: SparkSession, root: String,
     val all = commits()
     val upTo = all.filter(_.version <= version)
     require(upTo.exists(_.version == version), s"no version $version at $root")
-    val snapFiles = liveEntries(upTo)
+    // the restore commit serializes ONE statsCol for all re-referenced
+    // entries; files whose stats were recorded for a different key
+    // (the table was opened with another statsKey historically) must
+    // lose their stats rather than have them relabeled — an upsert
+    // pruning on mislabeled ranges would silently keep stale rows
+    val snapFiles = liveEntries(upTo).map { f =>
+      if (statsKey.isDefined && f.keyCol == statsKey) f
+      else FileEntry(f.path, None, None, None)
+    }
     snapFiles.foreach { f =>
       require(fs.exists(new Path(f.path)),
         s"cannot restore v$version: ${f.path} was vacuumed")

@@ -28,6 +28,13 @@ object Expectations {
     */
   def annotate(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "expectations need at least one rule")
+    // rule names become column names and appear inside a selectExpr in
+    // `metrics` — identifiers only, so a name can never break (or
+    // inject into) the generated SQL
+    rules.foreach { case (name, _) =>
+      require(name.matches("[A-Za-z0-9_]+"),
+        s"rule name must be an identifier ([A-Za-z0-9_]+): '$name'")
+    }
     val flagged = rules.foldLeft(df) { case (d, (name, pred)) =>
       d.withColumn(flag(name), coalesce(pred, lit(false)))
     }

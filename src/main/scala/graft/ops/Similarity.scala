@@ -239,9 +239,17 @@ object Similarity {
       col("__id").as("query_id"), col("__v").as("qv"))
     val b = banded.select(col("table"), col("bucket"),
       col("__id").as("neighbor_id"), col("__v").as("cv"))
+    rankCandidates(a.join(b, Seq("table", "bucket")), k)
+  }
+
+  /** Shared tail of the LSH paths: dedupe (query, neighbor) candidates
+    * arriving from multiple tables, score exact cosine, keep top-k per
+    * query. Expects columns query_id/qv/neighbor_id/cv.
+    */
+  private def rankCandidates(joined: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    a.join(b, Seq("table", "bucket"))
+    joined
       .filter(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", cosine(col("qv"), col("cv")))
@@ -259,14 +267,6 @@ object Similarity {
           .as(Seq("table", "bucket")))
     val q = banded(queries, "query_id", "qv")
     val c = banded(candidates, "neighbor_id", "cv")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    c.join(broadcast(q), Seq("table", "bucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+    rankCandidates(c.join(broadcast(q), Seq("table", "bucket")), k)
   }
 }

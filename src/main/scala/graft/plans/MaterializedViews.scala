@@ -50,6 +50,21 @@ object MaterializedViews {
   /** Drop every registered view (tests / teardown). */
   def clear(): Unit = registry.clear()
 
+  /** Run `body` with substitution disabled — REQUIRED around any full
+    * recompute that refreshes the view itself: a refresh job
+    * re-evaluating the registered definition would otherwise be
+    * substituted too, silently writing the view's own stale contents
+    * back into it. (The incremental path —
+    * [[graft.streaming.DeltaSink.aggregateWriter]] merging per-batch
+    * deltas — never re-evaluates the definition and needs no bypass.)
+    */
+  def withoutRewrite[T](spark: SparkSession)(body: => T): T = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = saved.filterNot(_ == Rewrite)
+    try body
+    finally spark.experimental.extraOptimizations = saved
+  }
+
   object Rewrite extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = {
       if (registry.isEmpty) return plan

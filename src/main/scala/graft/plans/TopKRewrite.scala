@@ -41,11 +41,16 @@ object TopKRewrite extends Rule[LogicalPlan] {
       case Literal(v: Long, LongType) => Some(v)
       case _ => None
     }
+    // bound-check in Long BEFORE narrowing: a bound above 2^31 must
+    // disable the rewrite (the filter keeps everything — row_number
+    // never exceeds Int.MaxValue), not wrap into a tiny k
+    def k(v: Long): Option[Int] =
+      if (v >= 1 && v <= MaxK) Some(v.toInt) else None
     cond match {
-      case LessThanOrEqual(l, r) if isRank(l) => lit(r).map(_.toInt)
-      case LessThan(l, r) if isRank(l) => lit(r).map(v => v.toInt - 1)
-      case GreaterThanOrEqual(l, r) if isRank(r) => lit(l).map(_.toInt)
-      case GreaterThan(l, r) if isRank(r) => lit(l).map(v => v.toInt - 1)
+      case LessThanOrEqual(l, r) if isRank(l) => lit(r).flatMap(k)
+      case LessThan(l, r) if isRank(l) => lit(r).flatMap(v => k(v - 1))
+      case GreaterThanOrEqual(l, r) if isRank(r) => lit(l).flatMap(k)
+      case GreaterThan(l, r) if isRank(r) => lit(l).flatMap(v => k(v - 1))
       case EqualTo(l, r) if isRank(l) && lit(r).contains(1L) => Some(1)
       case EqualTo(l, r) if isRank(r) && lit(l).contains(1L) => Some(1)
       case _ => None
@@ -64,8 +69,8 @@ object TopKRewrite extends Rule[LogicalPlan] {
         if we.windowFunction.isInstanceOf[RowNumber] &&
           parts.nonEmpty && order.nonEmpty =>
       rankBound(cond, alias.exprId) match {
-        case Some(k) if k >= 1 && k <= MaxK &&
-            !fields.exists(_.references.exists(_.exprId == alias.exprId)) =>
+        case Some(k)
+            if !fields.exists(_.references.exists(_.exprId == alias.exprId)) =>
           Project(fields, TopKPerGroup(parts, order, k, stripGroupLimit(child)))
         case _ => p
       }

@@ -79,6 +79,21 @@ object Sources {
       .json(path)
   }
 
+  /** (parsed rows, quarantine rows) from a permissive JSON read. Spark
+    * rejects queries whose only referenced column is the internal
+    * corrupt-record column unless the parsed batch is materialized
+    * first, so the split caches the read — call `.unpersist()` on
+    * either half when done.
+    */
+  def jsonLinesQuarantine(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val df = jsonLinesPermissive(spark, path, schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (df.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      df.filter(col("_corrupt_record").isNotNull))
+  }
+
   /** Hive-style partitioned parquet: directory per partition value →
     * partition pruning turns predicate-on-partition-col queries into
     * partial scans. Keep partition cardinality bounded (a date or a

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graftbridge
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types._
@@ -61,8 +61,16 @@ class DeltaLiteFileIndex(
     */
   private def survives(mn: Option[String], mx: Option[String],
       filter: Expression, key: String, dt: DataType): Boolean = {
-    // a null literal is conservative-kept (forall over None is true)
-    def litv(l: Literal): Option[String] = Option(l.value).map(_.toString)
+    // The literal must reach the SAME string form the stats were
+    // recorded in (a Spark string cast at commit time): a raw
+    // Literal.value.toString would render dates/timestamps in Catalyst
+    // internal form (days-int / micros-long) and the lexical fallback
+    // would silently prune files that contain matching rows. A null
+    // literal is conservative-kept (forall over None is true).
+    def litv(l: Literal): Option[String] =
+      Option(Cast(l, org.apache.spark.sql.types.StringType,
+        Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null))
+        .map(_.toString)
     (mn, mx) match {
       case (Some(lo), Some(hi)) => filter match {
         case And(l, r) =>

@@ -387,6 +387,32 @@ class EtlSpec extends SparkSpec {
       t.read().orderBy("k").collect().toSeq)
   }
 
+  test("DeltaLite: readIndexed prunes on date-typed stats without losing rows") {
+    import spark.implicits._
+    // dates push down as Catalyst internal days-since-epoch literals;
+    // the index must compare them in the stats' string form, or every
+    // file is mispruned and the query silently returns nothing
+    val t = DeltaLite(spark, tmp("graft-idx-date"), statsKey = "d")
+    val rows = (0 until 120).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), i)
+    }
+    t.appendClustered(rows.toDF("d", "v"), numFiles = 4)
+    val probe = java.sql.Date.valueOf("2024-03-15")
+    val q = t.readIndexed().filter($"d" === probe)
+    assert(q.collect().map(_.getInt(1)).toSeq == Seq(74))
+    // and the skip actually happened: a 30-day slab plans < 4 files
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, AttributeReference, Literal}
+    import org.apache.spark.sql.graftbridge.DeltaLiteFileIndex
+    val idx = new DeltaLiteFileIndex(spark,
+      new org.apache.hadoop.fs.Path(t.liveFiles().head).getParent,
+      t.liveFileStats(), Some("d"), t.read().schema)
+    val kept = idx.listFiles(Nil, Seq(EqualTo(
+      AttributeReference("d", org.apache.spark.sql.types.DateType)(),
+      Literal.create(probe, org.apache.spark.sql.types.DateType))))
+      .head.files.size
+    assert(kept == 1, s"date point lookup planned $kept files")
+  }
+
   test("DeltaLite: schema enforcement rejects drifted batch") {
     import spark.implicits._
     val t = DeltaLite(spark, tmp("graft-schema"))

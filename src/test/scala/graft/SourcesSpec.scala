@@ -43,9 +43,8 @@ class SourcesSpec extends SparkSpec {
       .text(dir + "/in")
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "id BIGINT, name STRING")
-    val df = Sources.jsonLinesPermissive(spark, dir + "/in", schema).cache()
-    val good = df.filter(col("_corrupt_record").isNull)
-    val bad = df.filter(col("_corrupt_record").isNotNull)
+    val (good, bad) = Sources.jsonLinesQuarantine(spark, dir + "/in", schema)
+    assert(good.columns.toSeq == Seq("id", "name"))
     assert(good.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
       Seq((1L, "ok"), (3L, "fine")).sorted)
     // the corrupt rows carry the whole offending line, data fields null
@@ -53,7 +52,7 @@ class SourcesSpec extends SparkSpec {
     assert(badRows.length == 2)
     assert(badRows.forall(_.isNullAt(0)))
     assert(badRows.map(_.getAs[String]("_corrupt_record")).exists(_.contains("missing comma")))
-    df.unpersist()
+    bad.unpersist()
   }
 
   test("partitioned parquet write → partition pruning in the scan") {
