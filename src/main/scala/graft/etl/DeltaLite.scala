@@ -28,7 +28,7 @@ import java.nio.charset.StandardCharsets
   * Reads replay the log; time travel = replay up to the requested
   * version (removed files stay on disk, so history stays readable).
   */
-class DeltaLite(spark: SparkSession, root: String,
+class DeltaLite(spark: SparkSession, val root: String,
     val statsKey: Option[String] = None) {
   private val rootPath = new Path(root)
   private val logDir = new Path(rootPath, "_log")
@@ -476,6 +476,41 @@ class DeltaLite(spark: SparkSession, root: String,
     publish(Commit(latestVersion.get + 1, "rewrite", upTo.last.schemaJson,
       removed = cur, files = snapFiles, None, None))
   }
+
+  /** Shallow CLONE: a new table at `targetRoot` whose first commit
+    * re-references THIS table's current live files — zero data copy,
+    * metadata-only, independent history from then on (clone writes
+    * never touch source files). Same caveat as Delta shallow clones:
+    * [[vacuum]] on the SOURCE deletes files the clone still
+    * references, so vacuum only after the clone rewrites or is
+    * dropped. The dev/test-sandbox primitive: fork a 100 TB table in
+    * milliseconds.
+    */
+  def shallowCloneTo(targetRoot: String): DeltaLite = {
+    val all = commits()
+    require(all.nonEmpty, s"empty table at $root")
+    val target = new DeltaLite(spark, targetRoot, statsKey)
+    require(target.latestVersion.isEmpty,
+      s"clone target $targetRoot is not empty")
+    // same stats hygiene as restore: never relabel another key's stats
+    val entries = liveEntries(all).map { f =>
+      if (statsKey.isDefined && f.keyCol == statsKey)
+        (f.path, f.min, f.max, f.keyCol)
+      else (f.path, None, None, None)
+    }
+    target.adoptSnapshot(all.last.schemaJson, entries)
+    target
+  }
+
+  /** First commit of a clone: re-reference the given files (inner
+    * Commit/FileEntry are instance-typed, so the TARGET builds them).
+    */
+  private def adoptSnapshot(schemaJson: String,
+      entries: Seq[(String, Option[String], Option[String], Option[String])])
+      : Int =
+    publish(Commit(0, "append", schemaJson, removed = Nil,
+      files = entries.map { case (p, mn, mx, kc) => FileEntry(p, mn, mx, kc) },
+      None, None))
 
   /** OPTIMIZE ZORDER BY (colA, colB): rewrite the live data Z-clustered
     * on the two dimensions (`graft.ops.ZOrder` Morton interleave +

@@ -387,6 +387,29 @@ class EtlSpec extends SparkSpec {
       t.read().orderBy("k").collect().toSeq)
   }
 
+  test("DeltaLite: shallow clone re-references files, then diverges") {
+    import spark.implicits._
+    val src = DeltaLite(spark, tmp("graft-clone-src"), statsKey = "k")
+    src.appendClustered((0L until 100L).map(k => (k, s"v$k")).toDF("k", "v"),
+      numFiles = 4)
+    val clone = src.shallowCloneTo(tmp("graft-clone-dst") + "/t")
+    // metadata-only: the clone's first commit lists the SOURCE's files
+    assert(clone.commitInfo(0)._2.toSet == src.liveFiles().toSet)
+    assert(clone.read().orderBy("k").collect().toSeq ==
+      src.read().orderBy("k").collect().toSeq)
+    // divergence: writes to the clone never touch the source
+    clone.upsert(Seq((7L, "patched")).toDF("k", "v"), "k")
+    assert(clone.read().filter($"k" === 7L).head.getString(1) == "patched")
+    assert(src.read().filter($"k" === 7L).head.getString(1) == "v7")
+    assert(src.liveFiles().forall(f => new java.io.File(
+      new org.apache.hadoop.fs.Path(f).toUri.getPath).exists))
+    // stats survive the clone: a point upsert rewrites ~1 source file
+    val (_, added, removed) = clone.commitInfo(clone.latestVersion.get)
+    assert(removed.size <= 2, s"stats should prune the clone upsert: $removed")
+    // cloning into a non-empty table refuses
+    assertThrows[IllegalArgumentException](src.shallowCloneTo(clone.root))
+  }
+
   test("DeltaLite: readIndexed prunes on date-typed stats without losing rows") {
     import spark.implicits._
     // dates push down as Catalyst internal days-since-epoch literals;
