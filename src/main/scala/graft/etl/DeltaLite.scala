@@ -192,6 +192,19 @@ class DeltaLite(spark: SparkSession, val root: String,
   /** Append a batch (schema-enforced). Returns the committed version. */
   def append(df: DataFrame): Int = { enforceSchema(df); commit(df, "append") }
 
+  /** Append gated by CHECK constraints (the Delta table-constraint
+    * surface): every rule must hold on every batch row or the load
+    * throws with per-rule violation counts and NOTHING commits — the
+    * table never holds rows that violate its contract. One extra
+    * aggregate pass over the batch (O(batch), map-side combined).
+    */
+  def appendChecked(df: DataFrame,
+      constraints: Seq[(String, org.apache.spark.sql.Column)]): Int = {
+    enforceSchema(df)
+    graft.ops.Expectations.enforce(df, constraints)
+    commit(df, "append")
+  }
+
   /** Append with range-clustering on `statsKey`: the batch is
     * range-repartitioned on the key before writing, so each data file
     * covers a narrow, near-disjoint [min,max] slice. That tightens the

@@ -37,6 +37,26 @@ object ZOrder {
     }
   }
 
+  /** N-column Morton interleave: bit i of column j lands at position
+    * i·n + j, so every dimension gets equal stat tightness. Two
+    * columns reproduce [[interleave]]'s layout class (bit order
+    * differs, locality properties identical). Total bits must fit a
+    * long: n·bits ≤ 63.
+    */
+  def interleaveN(cols: Seq[Column], bits: Int = 16): Column = {
+    val n = cols.size
+    require(n >= 2, s"need at least 2 columns, got $n")
+    require(bits >= 1 && n * bits <= 63, s"$n cols × $bits bits exceeds a long")
+    val cap = (1L << bits) - 1
+    val clamped = cols.map(c =>
+      least(greatest(c.cast("long"), lit(0L)), lit(cap)))
+    clamped.zipWithIndex.foldLeft(lit(0L)) { case (acc, (c, j)) =>
+      (0 until bits).foldLeft(acc) { (a, i) =>
+        a.bitwiseOR(shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j))
+      }
+    }
+  }
+
   /** Write `df` as parquet Z-clustered on (`colA`, `colB`): global
     * range partition on the Morton key into `numFiles` files, rows
     * sorted by the key within each file (tight row-group stats for

@@ -387,6 +387,22 @@ class EtlSpec extends SparkSpec {
       t.read().orderBy("k").collect().toSeq)
   }
 
+  test("DeltaLite: appendChecked enforces CHECK constraints atomically") {
+    import spark.implicits._
+    val t = DeltaLite(spark, tmp("graft-check"))
+    val rules = Seq("positive" -> (col("v") > 0.0))
+    t.appendChecked(Seq((1L, 2.0), (2L, 3.0)).toDF("k", "v"), rules)
+    assert(t.read().count() == 2)
+    val before = t.latestVersion
+    val e = intercept[IllegalStateException] {
+      t.appendChecked(Seq((3L, 4.0), (4L, -1.0)).toDF("k", "v"), rules)
+    }
+    assert(e.getMessage.contains("positive"))
+    // nothing committed: the violating batch is rejected whole
+    assert(t.latestVersion == before)
+    assert(t.read().count() == 2)
+  }
+
   test("DeltaLite: shallow clone re-references files, then diverges") {
     import spark.implicits._
     val src = DeltaLite(spark, tmp("graft-clone-src"), statsKey = "k")

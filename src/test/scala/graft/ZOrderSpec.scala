@@ -73,4 +73,31 @@ class ZOrderSpec extends SparkSpec {
       .sortBy(_._1)
     assert(got.toSeq == want.toSeq)
   }
+
+  test("3-D interleave: every dimension's slab predicate skips files") {
+    import spark.implicits._
+    import graft.ops.ZOrder
+    val n = 8192
+    val dir = java.nio.file.Files.createTempDirectory("graft-z3").toString
+    // row-major cube: linear layouts bound one dimension only
+    val df = (0 until n).map { i =>
+      ((i % 16).toLong, (i / 16 % 16).toLong, (i / 256).toLong)
+    }.toDF("a", "b", "c")
+    df.withColumn("_z", ZOrder.interleaveN(Seq($"a", $"b", $"c"), bits = 6))
+      .repartitionByRange(16, col("_z")).sortWithinPartitions(col("_z"))
+      .drop("_z").write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == n)
+    def slabHits(c: String): Long = back
+      .groupBy(input_file_name()).agg(min(col(c)).as("lo"))
+      .filter(col("lo") < 4).count()
+    // a quarter-range slab on EACH dimension skips files (a linear
+    // sort would leave two of the three dimensions at 16/16); bound
+    // is looser for the lowest-significance interleave position
+    val hits = Seq("a", "b", "c").map(c => c -> slabHits(c)).toMap
+    hits.foreach { case (c, h) =>
+      assert(h <= 12, s"slab on $c hit $h of 16 files")
+    }
+    assert(hits.values.sum <= 24, s"total slab hits ${hits.values.sum}")
+  }
 }
