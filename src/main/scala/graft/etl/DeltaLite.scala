@@ -201,8 +201,14 @@ class DeltaLite(spark: SparkSession, val root: String,
   def appendChecked(df: DataFrame,
       constraints: Seq[(String, org.apache.spark.sql.Column)]): Int = {
     enforceSchema(df)
-    graft.ops.Expectations.enforce(df, constraints)
-    commit(df, "append")
+    // pin the batch: the check and the write must see the SAME rows —
+    // an unpersisted plan re-executes between them, and a moving or
+    // nondeterministic source could commit rows the check never saw
+    val batch = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.ops.Expectations.enforce(batch, constraints)
+      commit(batch, "append")
+    } finally { batch.unpersist(false); () }
   }
 
   /** Append with range-clustering on `statsKey`: the batch is
@@ -562,8 +568,13 @@ class DeltaLite(spark: SparkSession, val root: String,
     val retained: Set[String] = (cutoff to latest)
       .flatMap(v => liveEntries(all.filter(_.version <= v)).map(f => norm(f.path)))
       .toSet
+    // only ever delete files under THIS table's root: a shallow clone
+    // re-references the source's files, and a vacuum that trusted the
+    // log blindly would reach across and destroy the source table
+    val ownPrefix = norm(rootPath.toString) + "/"
     val doomed = all.flatMap(_.files.map(_.path)).distinct
       .filterNot(p => retained(norm(p)))
+      .filter(p => norm(p).startsWith(ownPrefix))
     doomed.foreach(p => fs.delete(new Path(p), false))
     doomed
   }

@@ -27,21 +27,13 @@ object ZOrder {
     */
   def interleave(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    val cap = (1L << bits) - 1
-    val ca = least(greatest(a.cast("long"), lit(0L)), lit(cap))
-    val cb = least(greatest(b.cast("long"), lit(0L)), lit(cap))
-    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(ca, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(cb, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }
+    interleaveN(Seq(a, b), bits)
   }
 
   /** N-column Morton interleave: bit i of column j lands at position
-    * i·n + j, so every dimension gets equal stat tightness. Two
-    * columns reproduce [[interleave]]'s layout class (bit order
-    * differs, locality properties identical). Total bits must fit a
-    * long: n·bits ≤ 63.
+    * i·n + j — for n = 2 that is exactly [[interleave]]'s placement
+    * (bit-for-bit identical keys, so the 2-column API simply
+    * delegates here). Total bits must fit a long: n·bits ≤ 63.
     */
   def interleaveN(cols: Seq[Column], bits: Int = 16): Column = {
     val n = cols.size

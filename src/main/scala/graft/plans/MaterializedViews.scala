@@ -54,9 +54,14 @@ object MaterializedViews {
     * recompute that refreshes the view itself: a refresh job
     * re-evaluating the registered definition would otherwise be
     * substituted too, silently writing the view's own stale contents
-    * back into it. (The incremental path —
-    * [[graft.streaming.DeltaSink.aggregateWriter]] merging per-batch
-    * deltas — never re-evaluates the definition and needs no bypass.)
+    * back into it. The refresh ACTION (the `.write`/`.collect`, not
+    * just the DataFrame construction) must execute INSIDE `body` —
+    * optimization happens at action time, and a lazily returned
+    * DataFrame acted on later is substituted again. Swaps
+    * session-global optimizer state: single-threaded use only. (The
+    * incremental path — [[graft.streaming.DeltaSink.aggregateWriter]]
+    * merging per-batch deltas — never re-evaluates the definition and
+    * needs no bypass.)
     */
   def withoutRewrite[T](spark: SparkSession)(body: => T): T = {
     val saved = spark.experimental.extraOptimizations

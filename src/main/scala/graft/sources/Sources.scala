@@ -82,14 +82,18 @@ object Sources {
   /** (parsed rows, quarantine rows) from a permissive JSON read. Spark
     * rejects queries whose only referenced column is the internal
     * corrupt-record column unless the parsed batch is materialized
-    * first, so the split caches the read — call `.unpersist()` on
-    * either half when done.
+    * first, so the split caches the underlying read. The cache is
+    * registered with the engine's shared release hook — call
+    * `graft.ops.Dedup.releaseCaches()` once both halves are consumed
+    * (an `.unpersist()` on the returned halves would be a no-op: they
+    * are derived plans, not the cached parent).
     */
   def jsonLinesQuarantine(spark: SparkSession, path: String,
       schema: StructType): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions.col
-    val df = jsonLinesPermissive(spark, path, schema)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = graft.ops.Dedup.tracked(
+      jsonLinesPermissive(spark, path, schema)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     (df.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
       df.filter(col("_corrupt_record").isNotNull))
   }

@@ -424,6 +424,13 @@ class EtlSpec extends SparkSpec {
     assert(removed.size <= 2, s"stats should prune the clone upsert: $removed")
     // cloning into a non-empty table refuses
     assertThrows[IllegalArgumentException](src.shallowCloneTo(clone.root))
+
+    // vacuum on the clone must NEVER reach across and delete the
+    // source's files, even though its log references them
+    val cloneDeleted = clone.vacuum(retainVersions = 1)
+    assert(cloneDeleted.forall(_.contains("graft-clone-dst")),
+      s"clone vacuum deleted foreign files: $cloneDeleted")
+    assert(src.read().count() == 100, "source corrupted by clone vacuum")
   }
 
   test("DeltaLite: readIndexed prunes on date-typed stats without losing rows") {

@@ -49,6 +49,30 @@ class MaterializedViewSpec extends SparkSpec {
     } finally MaterializedViews.clear()
   }
 
+  test("withoutRewrite: a full-recompute refresh reads the raw source") {
+    import spark.implicits._
+    MaterializedViews.clear()
+    Seq((1L, 1.0), (1L, 2.0), (2L, 5.0)).toDF("k", "v")
+      .createOrReplaceTempView("mvr_src")
+    def defn = spark.table("mvr_src").groupBy($"k")
+      .agg(count(lit(1)).as("n"))
+    val t = DeltaLite(spark,
+      java.nio.file.Files.createTempDirectory("graft-mv3").toString)
+    // deliberately STALE view contents
+    t.append(Seq((1L, 99L), (2L, 99L)).toDF("k", "n"))
+    MaterializedViews.register(spark, defn, () => t.read())
+    try {
+      // substituted path serves the (stale) view…
+      assert(defn.collect().map(_.getLong(1)).toSet == Set(99L))
+      // …the bypass recomputes from the raw source (action INSIDE body)
+      val fresh = MaterializedViews.withoutRewrite(spark) { defn.collect() }
+      assert(fresh.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((1L, 2L), (2L, 1L)))
+      // and the rule is restored afterwards
+      assert(defn.collect().map(_.getLong(1)).toSet == Set(99L))
+    } finally MaterializedViews.clear()
+  }
+
   test("stream-maintained view serves fresh results through the rewrite") {
     import spark.implicits._
     MaterializedViews.clear()

@@ -220,6 +220,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"unchecked lineage growth:\n$plan")
   }
 
+  test("readIndexed composes with column pruning and filter pushdown") {
+    import spark.implicits._
+    val t = graft.etl.DeltaLite(spark,
+      java.nio.file.Files.createTempDirectory("graft-idx-plan").toString,
+      statsKey = "k")
+    t.appendClustered((0L until 100L).map(k => (k, s"v$k", k * 2))
+      .toDF("k", "v", "w"), numFiles = 4)
+    val q = t.readIndexed().filter($"k" >= 50L).select($"k", $"v")
+    val plan = physicalPlan(q)
+    val readSchema = "ReadSchema:.*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("k") && readSchema.contains("v") &&
+      !readSchema.contains("w"), s"column pruning lost: $readSchema")
+    val pushed = "PushedFilters: \\[[^\\]]*".r.findFirstIn(plan).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(k,50)"),
+      s"filter not pushed: $pushed")
+  }
+
   test("salted join: spreads a hot key and preserves join semantics") {
     import spark.implicits._
     val li = Tables.lineitem(spark, sf)

@@ -52,7 +52,7 @@ class SourcesSpec extends SparkSpec {
     assert(badRows.length == 2)
     assert(badRows.forall(_.isNullAt(0)))
     assert(badRows.map(_.getAs[String]("_corrupt_record")).exists(_.contains("missing comma")))
-    bad.unpersist()
+    graft.ops.Dedup.releaseCaches()
   }
 
   test("partitioned parquet write → partition pruning in the scan") {
