@@ -45,6 +45,7 @@ object SparkEntry {
     "q_intersect_except" -> (Relational.qIntersectExcept _),
     "q_grouping_sets" -> (Relational.qGroupingSets _),
     "q_window_range_frame" -> (Relational.qWindowRangeFrame _),
+    "q_moving_avg" -> (Relational.qMovingAvg _),
     "q8_market_share" -> (Relational.q8MarketShare _),
     "q13_order_dist" -> (Relational.q13OrderDist _),
     "q17_small_qty" -> (Relational.q17SmallQty _),
@@ -618,6 +619,16 @@ object SparkEntry {
         |  CAST(len(list_filter(qv, v -> abs(v) = 127.0)) AS BIGINT) AS n_sat
         |FROM q ORDER BY vec_id""".stripMargin,
     "q_not_in" -> Relational.NotInSql,
+    "q_moving_avg" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT day, CAST(rev AS DOUBLE) AS daily_rev,
+        |  CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w AS ma7
+        |FROM d
+        |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
     "q_retention" ->
       """SELECT CAST(date_diff('day', d0, d) AS INTEGER) AS day_offset,
         |  COUNT(DISTINCT user_id) AS n_users
