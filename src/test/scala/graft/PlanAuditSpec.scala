@@ -220,6 +220,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"unchecked lineage growth:\n$plan")
   }
 
+  test("PlanAudit API: clean plans report clean, smells surface as warnings") {
+    import graft.tools.PlanAudit
+    val good = PlanAudit.audit(Relational.q5LocalSupplier(spark, sf))
+    assert(good.broadcastJoins >= 4)
+    assert(good.scans.nonEmpty && good.clean, good.render)
+    val pushed = PlanAudit.audit(Relational.q6RevenueForecast(spark, sf))
+    assert(pushed.scans.head.pushedFilters.contains("l_shipdate") ||
+      pushed.scans.head.pushedFilters.contains("GreaterThanOrEqual"),
+      pushed.render)
+    // a deliberate cartesian must be flagged
+    val bad = PlanAudit.audit(
+      Tables.nation(spark, sf).crossJoin(Tables.region(spark, sf)))
+    assert(bad.warnings.exists(_.contains("all-pairs")) ||
+      bad.warnings.exists(_.contains("BroadcastNestedLoopJoin")), bad.render)
+  }
+
   test("readIndexed composes with column pruning and filter pushdown") {
     import spark.implicits._
     val t = graft.etl.DeltaLite(spark,
