@@ -63,9 +63,13 @@ object Expectations {
     */
   def metrics(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     val a = annotate(df, rules)
+    // coalesce: an EMPTY batch aggregates to null sums — the report
+    // must read (0, 0), not (null, null)
     val aggs = rules.flatMap { case (name, _) =>
-      Seq(sum(when(col(flag(name)), 1L).otherwise(0L)).as(s"__p_$name"),
-        sum(when(col(flag(name)), 0L).otherwise(1L)).as(s"__f_$name"))
+      Seq(coalesce(sum(when(col(flag(name)), 1L).otherwise(0L)), lit(0L))
+          .as(s"__p_$name"),
+        coalesce(sum(when(col(flag(name)), 0L).otherwise(1L)), lit(0L))
+          .as(s"__f_$name"))
     }
     val wide = a.agg(aggs.head, aggs.tail: _*)
     // unpivot the single wide row into (rule, n_pass, n_fail)
