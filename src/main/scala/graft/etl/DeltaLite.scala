@@ -612,6 +612,25 @@ class DeltaLite(spark: SparkSession, val root: String,
       spark, rootPath, liveFileStats(), statsKey, sch)
   }
 
+  /** TIMESTAMP AS OF time travel: the snapshot as of wall-clock `ts`
+    * — the latest version whose commit was PUBLISHED at or before it.
+    * Publish time is the log file's modification time (the same
+    * source Delta's timestamp travel reads); version travel
+    * ([[readAsOf]]) stays the precise API, this is the "what did the
+    * dashboard show yesterday 09:00" convenience.
+    */
+  def readAsOfTime(ts: java.sql.Timestamp): DataFrame = {
+    val all = commits()
+    require(all.nonEmpty, s"empty table at $root")
+    val eligible = all.filter { c =>
+      fs.getFileStatus(new Path(logDir, s"${c.version}.json"))
+        .getModificationTime <= ts.getTime
+    }
+    require(eligible.nonEmpty,
+      s"no commit at or before $ts in $root (table is younger)")
+    readAsOf(eligible.map(_.version).max)
+  }
+
   /** Current snapshot. */
   def read(): DataFrame = readAsOf(Int.MaxValue)
 

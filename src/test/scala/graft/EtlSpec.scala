@@ -387,6 +387,27 @@ class EtlSpec extends SparkSpec {
       t.read().orderBy("k").collect().toSeq)
   }
 
+  test("DeltaLite: TIMESTAMP AS OF reads the version published by then") {
+    import spark.implicits._
+    val dir = tmp("graft-asof-ts")
+    val t = DeltaLite(spark, dir)
+    t.append(Seq((1L, "a")).toDF("k", "v")) // v0
+    t.append(Seq((2L, "b")).toDF("k", "v")) // v1
+    // pin publish times a minute apart (mtime is the publish clock)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val base = 1700000000000L
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$dir/_log/0.json"), base, -1)
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$dir/_log/1.json"),
+      base + 60000, -1)
+    def at(ms: Long) = t.readAsOfTime(new java.sql.Timestamp(ms)).count()
+    assert(at(base) == 1)              // exactly at v0's publish
+    assert(at(base + 30000) == 1)      // between the commits
+    assert(at(base + 60000) == 2)      // v1 visible from its publish
+    assert(at(base + 999999) == 2)
+    assertThrows[IllegalArgumentException](at(base - 1))
+  }
+
   test("DeltaLite: appendChecked enforces CHECK constraints atomically") {
     import spark.implicits._
     val t = DeltaLite(spark, tmp("graft-check"))

@@ -73,6 +73,44 @@ class MaterializedViewSpec extends SparkSpec {
     } finally MaterializedViews.clear()
   }
 
+  test("end-to-end: writeStream-maintained view answers substituted queries") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    MaterializedViews.clear()
+    val input = MemoryStream[(Long, Double)]
+    val t = DeltaLite(spark,
+      java.nio.file.Files.createTempDirectory("graft-mv-stream").toString,
+      statsKey = "k")
+    def aggSpec(d: org.apache.spark.sql.DataFrame) =
+      d.toDF("k", "v").groupBy($"k")
+        .agg(count(lit(1)).as("n"), sum($"v".cast("decimal(22,2)")).as("s"))
+    val q = input.toDF().writeStream
+      .outputMode("append")
+      .foreachBatch(graft.streaming.DeltaSink.aggregateWriter(t, "mvs", "k",
+        aggSpec, Seq("n" -> ((a, b) => a + b),
+          "s" -> ((a, b) => (a + b).cast("decimal(22,2)")))))
+      .start()
+    try {
+      input.addData((1L, 1.0), (1L, 2.0), (2L, 4.0))
+      q.processAllAvailable()
+      // register the view against a stable definition
+      Seq((0L, 0.0)).toDF("k", "v").limit(0).createOrReplaceTempView("mvs_def")
+      val definition = aggSpec(spark.table("mvs_def"))
+      MaterializedViews.register(spark, definition, () => t.read())
+      val sub = aggSpec(spark.table("mvs_def"))
+      assert(sub.inputFiles.exists(_.contains("graft-mv-stream")))
+      assert(sub.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((1L, 2L), (2L, 1L)))
+      // more stream data lands; the substituted query sees it
+      input.addData((2L, 9.0), (3L, 5.0))
+      q.processAllAvailable()
+      assert(aggSpec(spark.table("mvs_def")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((1L, 2L), (2L, 2L), (3L, 1L)))
+    } finally { q.stop(); MaterializedViews.clear() }
+  }
+
   test("stream-maintained view serves fresh results through the rewrite") {
     import spark.implicits._
     MaterializedViews.clear()
