@@ -101,6 +101,8 @@ object SparkEntry {
     "q_label_encode" -> (Text.labelEncode _),
     "q_chunk" -> (Text.chunk _),
     "q_quality_band" -> (Text.qualityBand _),
+    "q_self_dedup_lines" -> (Text.selfDedupLines _),
+    "q_feature_hash" -> (Text.featureHash _),
     // rows-only: the BPE merge loop is not SQL-expressible; exact
     // segmentation semantics are spec'd in BpeSpec
     "q_bpe" -> (Text.bpe _),
@@ -310,6 +312,24 @@ object SparkEntry {
         |  CAST(MAX(cum) AS BIGINT) AS cum_at_stop
         |FROM cw WHERE cum - dl < 800
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q_self_dedup_lines" ->
+      """WITH s AS (SELECT doc_id, string_split(text, '. ') AS lines FROM documents),
+        |l AS (SELECT doc_id, unnest(lines) AS line,
+        |        generate_subscripts(lines, 1) AS pos FROM s),
+        |f AS (SELECT doc_id, line, MIN(pos) AS p FROM l GROUP BY doc_id, line),
+        |nl AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines FROM s)
+        |SELECT f.doc_id, nl.n_lines, COUNT(*) AS n_kept,
+        |  string_agg(f.line, '. ' ORDER BY f.p) AS cleaned
+        |FROM f JOIN nl ON f.doc_id = nl.doc_id
+        |GROUP BY f.doc_id, nl.n_lines
+        |ORDER BY f.doc_id""".stripMargin,
+    "q_feature_hash" ->
+      """SELECT doc_id,
+        |  CAST(list_sum(list_transform(string_split(token, ''), c -> ascii(c))) % 64 AS BIGINT) AS bucket,
+        |  COUNT(*) AS n
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+        |GROUP BY doc_id, bucket
+        |ORDER BY doc_id, bucket""".stripMargin,
     "q_quality_band" ->
       """WITH t AS (
         |  SELECT doc_id, lang, n_chars,

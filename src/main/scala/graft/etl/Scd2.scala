@@ -109,6 +109,6 @@ object Scd2 {
     val closedHistory = dim.join(keys, Seq(key), "left_semi")
       .filter(!col("is_current"))
     closedHistory
-      .unionByName(rebuilt.select(dim.columns.map(col): _*))
+      .unionByName(rebuilt.select(dim.columns.toIndexedSeq.map(col): _*))
   }
 }

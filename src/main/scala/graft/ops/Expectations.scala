@@ -48,13 +48,14 @@ object Expectations {
   def split(df: DataFrame, rules: Seq[(String, Column)])
       : (DataFrame, DataFrame) = {
     val a = annotate(df, rules)
-    val valid = a.filter(col("__valid")).select(df.columns.map(col): _*)
+    val valid = a.filter(col("__valid"))
+      .select(df.columns.toIndexedSeq.map(col): _*)
     val failedList = array(rules.map { case (name, _) =>
       when(!col(flag(name)), lit(name))
     }: _*)
     val quarantine = a.filter(!col("__valid"))
       .withColumn("failed_rules", filter(failedList, _.isNotNull))
-      .select(df.columns.map(col) :+ col("failed_rules"): _*)
+      .select(df.columns.toIndexedSeq.map(col) :+ col("failed_rules"): _*)
     (valid, quarantine)
   }
 

@@ -494,6 +494,44 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** Intra-document line dedup (the WITHIN-doc half of the
+    * boilerplate pass, next to the cross-doc [[dedupLines]]): each
+    * document keeps only the FIRST occurrence of every repeated
+    * sentence, order preserved. Pure per-row array work — zero
+    * shuffles before the output sort, embarrassingly parallel.
+    */
+  def selfDedupLines(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", split($"text", "\\. ").as("lines"))
+      .select($"doc_id", size($"lines").cast("long").as("n_lines"),
+        array_distinct($"lines").as("kept"))
+      .select($"doc_id", $"n_lines",
+        size($"kept").cast("long").as("n_kept"),
+        array_join($"kept", ". ").as("cleaned"))
+      .orderBy($"doc_id")
+  }
+
+  /** Hashing-trick feature vectors: tokens land in `D` buckets by a
+    * content-deterministic hash and per-(doc, bucket) counts form the
+    * sparse features (the classic fixed-width text featurizer — no
+    * vocabulary pass at all, so it needs zero global state at 100 TB).
+    * The bucket hash here is an ascii-sum mod D both engines compute
+    * identically; a production run would swap in murmur3 with the
+    * same plan shape.
+    */
+  def featureHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = expr(
+      "aggregate(transform(split(token, ''), c -> ascii(c)), 0, (a, x) -> a + x) % 64")
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .withColumn("bucket", bucket.cast("long"))
+      .groupBy($"doc_id", $"bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"doc_id", $"bucket")
+  }
+
   /** Percentile-band quality gating: keep documents whose quality
     * score lies inside the corpus's [P5, P95] — the distribution-aware
     * filter pass (fixed thresholds drift as the corpus shifts; band
