@@ -43,6 +43,8 @@ object SparkEntry {
     "q_percentiles" -> (Relational.qPercentiles _),
     "q_full_outer" -> (Relational.qFullOuter _),
     "q_intersect_except" -> (Relational.qIntersectExcept _),
+    "q_null_safe_join" -> (Relational.qNullSafeJoin _),
+    "q_intersect_all" -> (Relational.qIntersectAll _),
     "q_grouping_sets" -> (Relational.qGroupingSets _),
     "q_window_range_frame" -> (Relational.qWindowRangeFrame _),
     "q_moving_avg" -> (Relational.qMovingAvg _),
@@ -639,6 +641,23 @@ object SparkEntry {
         |  CAST(len(list_filter(qv, v -> abs(v) = 127.0)) AS BIGINT) AS n_sat
         |FROM q ORDER BY vec_id""".stripMargin,
     "q_not_in" -> Relational.NotInSql,
+    "q_null_safe_join" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_nationkey % 5 = 0 THEN NULL
+        |         ELSE c_nationkey % 5 END AS seg
+        |  FROM customer),
+        |d AS (SELECT DISTINCT seg FROM c)
+        |SELECT COALESCE(CAST(d.seg AS VARCHAR), 'null') AS seg_label,
+        |  COUNT(*) AS n
+        |FROM c JOIN d ON c.seg IS NOT DISTINCT FROM d.seg
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_intersect_all" ->
+      """SELECT bucket, COUNT(*) AS multiplicity FROM (
+        |  SELECT CAST(c_nationkey % 7 AS INTEGER) AS bucket FROM customer
+        |  INTERSECT ALL
+        |  SELECT CAST(s_nationkey % 7 AS INTEGER) FROM supplier) t
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_moving_avg" ->
       """WITH d AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,

@@ -344,6 +344,40 @@ object Relational {
       .orderBy($"c_custkey")
   }
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): nullable
+    * derived keys still match their null dimension row instead of
+    * silently dropping — the semantics plain `=` gets wrong on
+    * null-carrying keys. Planned as a regular hash join (null-safe
+    * equality is a valid hash key), not a nested loop.
+    */
+  def qNullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seg = when($"c_nationkey" % 5 === 0, lit(null))
+      .otherwise($"c_nationkey" % 5)
+    val c = Tables.customer(s, dir).select($"c_custkey", seg.as("seg"))
+    val d = c.select($"seg").distinct().withColumnRenamed("seg", "d_seg")
+    c.join(broadcast(d), $"seg" <=> $"d_seg")
+      .groupBy(coalesce($"d_seg".cast("string"), lit("null")).as("seg_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"seg_label")
+  }
+
+  /** INTERSECT ALL — multiset intersection (each key survives
+    * min(left count, right count) times), vs the distinct-set
+    * [[qIntersectExcept]]. Planned as a partial-count join, no
+    * explode of duplicates.
+    */
+  def qIntersectAll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+      .select(($"c_nationkey" % 7).cast("int").as("bucket"))
+    val sup = Tables.supplier(s, dir)
+      .select(($"s_nationkey" % 7).cast("int").as("bucket"))
+    c.intersectAll(sup)
+      .groupBy($"bucket").agg(count(lit(1)).as("multiplicity"))
+      .orderBy($"bucket")
+  }
+
   /** UNION + DISTINCT: nation keys present on either side of trading. */
   def qUnionDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
