@@ -155,6 +155,7 @@ object SparkEntry {
     "q_range_join" -> (Temporal.qRangeJoin _),
     "q_events_user_stats" -> (Events.userStats _),
     "q_latest_per_key" -> (Events.latestPerKey _),
+    "q_modern_aggs" -> (Events.modernAggs _),
     "q_pivot_events" -> (Events.pivotDaily _),
     "mm_image_decode" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
@@ -1425,6 +1426,16 @@ object SparkEntry {
         |FROM sessions
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q_modern_aggs" ->
+      """SELECT event_type,
+        |  CAST(count_if(value > 400.0) AS BIGINT) AS n_big,
+        |  bool_and(value >= 0.0) AS all_nonneg,
+        |  bool_or(value > 499.0) AS any_huge,
+        |  max_by(user_id, event_id) AS latest_writer,
+        |  min_by(user_id, event_id) AS first_writer
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_latest_per_key" ->
       """WITH r AS (
         |  SELECT user_id, ts, event_type, value,

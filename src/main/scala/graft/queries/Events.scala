@@ -293,6 +293,24 @@ object Events {
       .orderBy($"user_id")
   }
 
+  /** Modern aggregate-function surface in one pass: conditional count
+    * (`count_if`), boolean all/any reductions, and arg-min/arg-max
+    * (`min_by`/`max_by`, keyed on the globally-unique event id so the
+    * answer is tie-free). All map-side combinable.
+    */
+  def modernAggs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        expr("count_if(value > 400.0)").as("n_big"),
+        expr("bool_and(value >= 0.0)").as("all_nonneg"),
+        expr("bool_or(value > 499.0)").as("any_huge"),
+        expr("max_by(user_id, event_id)").as("latest_writer"),
+        expr("min_by(user_id, event_id)").as("first_writer"))
+      .orderBy($"event_type")
+  }
+
   /** Latest state per key — the CDC "current snapshot" read over a
     * change stream (the batch twin of what a MERGE-maintained dim
     * serves): one window shuffle, rank-1 row per user, deterministic
