@@ -622,10 +622,12 @@ class DeltaLite(spark: SparkSession, val root: String,
   def readAsOfTime(ts: java.sql.Timestamp): DataFrame = {
     val all = commits()
     require(all.nonEmpty, s"empty table at $root")
-    val eligible = all.filter { c =>
-      fs.getFileStatus(new Path(logDir, s"${c.version}.json"))
-        .getModificationTime <= ts.getTime
-    }
+    // ONE listing serves every commit's mtime — per-commit
+    // getFileStatus would be O(versions) round-trips on a remote FS
+    val mtimes = fs.listStatus(logDir)
+      .map(s => s.getPath.getName -> s.getModificationTime).toMap
+    val eligible = all.filter(c =>
+      mtimes.get(s"${c.version}.json").exists(_ <= ts.getTime))
     require(eligible.nonEmpty,
       s"no commit at or before $ts in $root (table is younger)")
     readAsOf(eligible.map(_.version).max)

@@ -299,19 +299,20 @@ object Relational {
       .orderBy($"o_orderpriority", $"o_totalprice".desc, $"o_orderkey")
   }
 
-  /** Trailing 7-day moving average over the daily revenue series —
-    * the ROWS-frame companion of the RANGE-frame window. The window
-    * runs over the ALREADY-aggregated daily table (one row per day),
-    * so the partitionless frame is a few hundred rows, not the fact
-    * scan; sums stay DECIMAL through the frame so the trailing mean
-    * is engine-exact.
+  /** Trailing 7-ROW moving average over the daily revenue series —
+    * the ROWS-frame companion of the RANGE-frame window (a row frame
+    * spans 7 table rows; only the RANGE sibling tracks calendar days
+    * across gaps). The window runs over the ALREADY-aggregated daily
+    * table (one row per day), so the partitionless frame is a few
+    * hundred rows, not the fact scan; sums stay DECIMAL through the
+    * frame so the trailing mean is engine-exact.
     */
   def qMovingAvg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val daily = Tables.orders(s, dir)
       .groupBy($"o_orderdate".cast("date").as("day"))
-      .agg(sum($"o_totalprice".cast(DecimalType(12, 2))).as("rev"))
+      .agg(sum(dec($"o_totalprice")).as("rev"))
     val w = Window.orderBy($"day").rowsBetween(-6, 0)
     daily
       .select($"day", $"rev".cast("double").as("daily_rev"),

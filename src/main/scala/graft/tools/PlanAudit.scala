@@ -41,12 +41,17 @@ object PlanAudit {
     val scans = "FileScan (\\w+)[^\\n]*".r.findAllIn(plan).matchData.map { m =>
       val line = m.matched
       // no closing-bracket anchor: Spark truncates long field lists
-      // with "..." before the bracket ever closes
+      // with "..." before the bracket ever closes; capture the VALUE,
+      // not the labeled fragment
       ScanInfo(m.group(1),
-        "PushedFilters: \\[[^\\]]*".r.findFirstIn(line).getOrElse("-"),
-        "ReadSchema: [^\\n]*".r.findFirstIn(line).getOrElse("-"))
+        "PushedFilters: \\[([^\\]]*)".r.findFirstMatchIn(line)
+          .map(_.group(1)).getOrElse("-"),
+        "ReadSchema: (\\S+)".r.findFirstMatchIn(line)
+          .map(_.group(1)).getOrElse("-"))
     }.toSeq
-    val exchanges = count("Exchange (hash|range|Single)")
+    // every shuffle flavor counts (hash/range/single/round-robin);
+    // BroadcastExchange is not a shuffle and is reported via the join
+    val exchanges = count("Exchange (hash|range|Single|RoundRobin)")
     val bhj = count("BroadcastHashJoin")
     val smj = count("SortMergeJoin")
     val codegen = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan)
@@ -56,11 +61,12 @@ object PlanAudit {
         "CartesianProduct: all-pairs join — never survives scale"),
       Option.when(plan.contains("BroadcastNestedLoopJoin"))(
         "BroadcastNestedLoopJoin: non-equi join fallback — check the join keys"),
-      Option.when(plan.contains("BatchEvalPython") || plan.contains("ScalaUDF"))(
-        "UDF in the plan — breaks codegen and pushdown around it"),
-      Option.when(scans.exists(s => s.pushedFilters.trim.endsWith("[") &&
-          plan.contains("Filter ")))(
-        "a scan has an empty PushedFilters under a Filter — predicate not reaching the format")
+      // anonymous Scala UDFs render as `UDF(...)`; a NAMED udf renders
+      // under its registered name and is not detectable from the plan
+      // string — this flags the common case, not every case
+      Option.when(plan.contains("BatchEvalPython") ||
+          "\\bUDF\\(".r.findFirstIn(plan).isDefined)(
+        "UDF in the plan — breaks codegen and pushdown around it")
     ).flatten
     Report(scans, exchanges, bhj, smj, codegen, warnings)
   }
