@@ -215,8 +215,17 @@ object Dedup {
     * near-certain recall for genuinely close vectors); exact cosine
     * verified per candidate pair only.
     */
+  /** Recall calibration: a pair at cosine c collides in one table with
+    * probability (1 − θ/π)^planes, θ = arccos(c); missing every table
+    * is (1 − p)^tables. At the c = 0.95 decision boundary the defaults
+    * give p ≈ 0.53 per table → miss ≈ 1.2e-4 over 12 tables, so even
+    * hundreds of boundary pairs survive with near-certainty (8 planes
+    * × 4 tables missed ~11% of boundary pairs — observed as 37/40 at
+    * sf0.1). Fewer planes = wider buckets = more exact-cosine work;
+    * raise `planes` with corpus size to keep buckets bounded.
+    */
   def embeddingPairs(emb: DataFrame, vecCol: String, idCol: String,
-      threshold: Double = 0.9, planes: Int = 8, tables: Int = 4,
+      threshold: Double = 0.9, planes: Int = 6, tables: Int = 12,
       seed: Long = 11L): DataFrame = {
     val bucketed = tracked(
       emb.select(col(idCol).as("id"), col(vecCol).as("v"),
