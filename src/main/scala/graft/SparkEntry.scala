@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Etl, Events, Graph, Relational, Temporal, Text, Vectors}
+import graft.queries.{Etl, Events, Graph, Relational, Stats, Temporal, Text, Vectors}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -99,6 +99,13 @@ object SparkEntry {
     "q_expectations" -> (Etl.expectations _),
     "q_scd2" -> (Etl.scd2 _),
     "q_pagerank" -> (Graph.qPagerank _),
+    "q_triangles" -> (Graph.qTriangles _),
+    "q_bfs_levels" -> (Graph.qBfsLevels _),
+    "q_corr_stats" -> (Stats.qCorrStats _),
+    "q_entropy" -> (Stats.qEntropy _),
+    "q_skyline" -> (Stats.qSkyline _),
+    "q_interval_overlap" -> (Stats.qIntervalOverlap _),
+    "q_rolling_distinct" -> (Stats.qRollingDistinct _),
     "q_domain_mix" -> (Text.domainMix _),
     "q_label_encode" -> (Text.labelEncode _),
     "q_chunk" -> (Text.chunk _),
@@ -274,6 +281,89 @@ object SparkEntry {
         |FROM k
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, valid_from""".stripMargin,
+    "q_corr_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr,
+        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+        |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_entropy" ->
+      """WITH cl AS (
+        |  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY source, lang),
+        |t AS (SELECT source, c, SUM(c) OVER (PARTITION BY source) AS n FROM cl),
+        |q AS (SELECT source, n,
+        |        c * CAST(floor(ln(CAST(n AS DOUBLE) / c) * 1e6) AS BIGINT) AS term
+        |      FROM t)
+        |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs, COUNT(*) AS n_langs,
+        |  CAST(SUM(term) AS DOUBLE) / (CAST(MAX(n) AS BIGINT) * 1e6) AS entropy_nats
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "q_skyline" ->
+      """WITH p AS (SELECT DISTINCT CAST(p_retailprice AS DECIMAL(12,2)) AS x,
+        |             CAST(p_size AS BIGINT) AS y FROM part)
+        |SELECT CAST(x AS DOUBLE) AS price, y AS size FROM p a
+        |WHERE NOT EXISTS (SELECT 1 FROM p b
+        |  WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y))
+        |ORDER BY price, size""".stripMargin,
+    "q_interval_overlap" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority AS prio, o_orderdate AS t, 1 AS d FROM orders
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_orderdate + INTERVAL '30' DAY, -1 FROM orders),
+        |n AS (SELECT prio, t, SUM(d) AS net FROM b GROUP BY prio, t),
+        |seg AS (SELECT prio, t, SUM(net) OVER (PARTITION BY prio ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM n),
+        |pk AS (SELECT prio, t, cum, MAX(cum) OVER (PARTITION BY prio) AS peak FROM seg)
+        |SELECT prio, CAST(MAX(peak) AS BIGINT) AS peak, MIN(t) AS peak_from
+        |FROM pk WHERE cum = peak GROUP BY prio ORDER BY prio""".stripMargin,
+    "q_rolling_distinct" ->
+      """WITH ud AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+        |c AS (SELECT ud.day + g.o * INTERVAL '1' DAY AS day, ud.user_id
+        |      FROM ud CROSS JOIN generate_series(0, 6) AS g(o)),
+        |wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau FROM c GROUP BY day)
+        |SELECT dau.day AS day, dau, wau,
+        |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day ORDER BY day""".stripMargin,
+    "q_triangles" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+        |       FROM ps a JOIN ps b ON a.p = b.p AND a.sk < b.sk),
+        |e AS (SELECT u, v FROM e0 WHERE substring(md5(
+        |        CAST(u AS VARCHAR) || ',' || CAST(v AS VARCHAR)), 1, 2) < '10'),
+        |und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT u AS n, COUNT(*) AS d FROM und GROUP BY u),
+        |tri AS (SELECT COUNT(*) AS n_triangles FROM e e1
+        |        JOIN e e2 ON e2.u = e1.v
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |sh AS (SELECT COUNT(*) AS n_nodes,
+        |         CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+        |ec AS (SELECT COUNT(*) AS n_edges FROM e)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  (3.0 * n_triangles) / n_wedges AS gcc
+        |FROM sh, ec, tri""".stripMargin,
+    "q_bfs_levels" ->
+      """WITH RECURSIVE
+        |ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+        |       FROM ps a JOIN ps b ON a.p = b.p AND a.sk < b.sk),
+        |e AS (SELECT u, v FROM e0 WHERE substring(md5(
+        |        CAST(u AS VARCHAR) || ',' || CAST(v AS VARCHAR)), 1, 2) < '10'),
+        |und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |walk(node, lvl) AS (
+        |  SELECT (SELECT MIN(u) FROM e), 0
+        |  UNION
+        |  SELECT und.v, walk.lvl + 1 FROM walk JOIN und ON und.u = walk.node
+        |  WHERE walk.lvl < 6)
+        |SELECT node, CAST(MIN(lvl) AS BIGINT) AS lvl FROM walk
+        |GROUP BY node ORDER BY node""".stripMargin,
     "q_pagerank" ->
       """WITH edges AS (
         |  SELECT DISTINCT l_suppkey AS src, o_custkey + 100000 AS dst

@@ -1,9 +1,10 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.PageRank
+import graft.ops.{Bfs, PageRank}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Graph queries over edge lists derived from the star schema
   * (SURVEY.md §2 — iterative operators next to connected components).
@@ -28,5 +29,80 @@ object Graph {
     PageRank.run(edges, iters = 3)
       .orderBy($"pr".desc, $"node")
       .limit(100)
+  }
+
+  /** Hash-sparsified co-supply graph: an undirected edge links two
+    * suppliers that ship the same part (canonical u < v), thinned to a
+    * deterministic 1/16 by md5 edge hash — both the content-hash
+    * subgraph-sampling idiom and a density control (the full co-supply
+    * graph tends toward a clique as SF grows). Derivation is two
+    * shuffles: distinct (part, supplier), then the per-part pair
+    * self-join — per-part supplier lists are dim-bounded so the pair
+    * expansion is, too.
+    */
+  private[queries] def coSupplyEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ps = Tables.lineitem(s, dir)
+      .select($"l_partkey".as("p"), $"l_suppkey".as("sk")).distinct()
+    ps.as("a").join(ps.as("b"), $"a.p" === $"b.p" && $"a.sk" < $"b.sk")
+      .select($"a.sk".as("u"), $"b.sk".as("v")).distinct()
+      .filter(substring(md5(concat_ws(",", $"u", $"v")), 1, 2) < "10")
+  }
+
+  /** Triangle census of the co-supply graph: node/edge counts, wedge
+    * (open-triple) count, triangle count, global clustering
+    * coefficient. Engine plan is the degree-ordered orientation
+    * algorithm (each undirected edge directed from its lower-(degree,
+    * id) endpoint): wedge generation at each vertex is bounded by its
+    * OUT-degree ≤ √(2m), so the candidate join stays near-linear where
+    * the naive three-way join explodes on hubs — the standard
+    * MapReduce triangle scheme. Each triangle is counted exactly once,
+    * at its minimum-rank vertex; the oracle counts the same set via the
+    * a<b<c canonical join.
+    */
+  def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = coSupplyEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val und = e.select($"u", $"v").unionAll(e.select($"v".as("u"), $"u".as("v")))
+    val deg = und.groupBy($"u".as("n")).agg(count(lit(1)).as("d"))
+    val ranked = e
+      .join(deg.select($"n".as("n1"), $"d".as("d1")), $"u" === $"n1")
+      .join(deg.select($"n".as("n2"), $"d".as("d2")), $"v" === $"n2")
+    val oriented = ranked.select(
+        when($"d1" < $"d2" || ($"d1" === $"d2" && $"u" < $"v"), $"u")
+          .otherwise($"v").as("s"),
+        when($"d1" < $"d2" || ($"d1" === $"d2" && $"u" < $"v"), $"v")
+          .otherwise($"u").as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        $"x.s" === $"y.s" && $"x.t" < $"y.t")
+      .select($"x.t".as("a"), $"y.t".as("b"))
+    val tri = wedges.join(e,
+        least($"a", $"b") === $"u" && greatest($"a", $"b") === $"v")
+      .agg(count(lit(1)).as("n_triangles")).withColumn("k", lit(1))
+    val shape = deg.agg(count(lit(1)).as("n_nodes"),
+        expr("sum(d * (d - 1) div 2)").as("n_wedges")).withColumn("k", lit(1))
+    val edges = e.agg(count(lit(1)).as("n_edges")).withColumn("k", lit(1))
+    shape.join(edges, "k").join(tri, "k")
+      .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
+        ((lit(3.0) * $"n_triangles") / $"n_wedges").as("gcc"))
+  }
+
+  /** BFS hop-distance over the co-supply graph from its minimum
+    * supplier id, depth-capped at 6 (`ops.Bfs` frontier expansion —
+    * one frontier⋈adjacency shuffle per level, lineage truncated per
+    * round). The oracle walks the same graph with a recursive CTE and
+    * takes MIN(level) per node.
+    */
+  def qBfsLevels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = coSupplyEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val src = e.agg(min($"u")).as[Option[Long]].head()
+    val out = src match {
+      case Some(v) => Bfs.levels(e, "u", "v", v, maxDepth = 6)
+      case None => Seq.empty[(Long, Long)].toDF("node", "lvl")
+    }
+    e.unpersist(false)
+    out.orderBy($"node")
   }
 }
