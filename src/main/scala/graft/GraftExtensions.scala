@@ -68,7 +68,20 @@ object GraftExtensions {
         "graft_distinct(item, threshold) - mergeable distinct-count sketch (exact below threshold, HLL beyond)"),
       (args: Seq[Expression]) => DistinctSketch(args.head,
         exactThreshold = args(1).eval().asInstanceOf[Number].intValue())
-        .toAggregateExpression()))
+        .toAggregateExpression()),
+    ("graft_cms",
+      info("graft_cms",
+        "graft_cms(item, depth, width) - count-min frequency sketch aggregate"),
+      (args: Seq[Expression]) => CountMinAgg(args.head,
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()),
+    ("graft_cms_est",
+      info("graft_cms_est",
+        "graft_cms_est(sketch, item, depth, width) - count-min point estimate"),
+      (args: Seq[Expression]) => CmsEstimate(args.head, args(1),
+        args(2).eval().asInstanceOf[Number].intValue(),
+        args(3).eval().asInstanceOf[Number].intValue())))
 
   /** Register the SQL functions on a live session (idempotent). */
   def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -147,6 +147,7 @@ object SparkEntry {
     "q_asof_join" -> (Temporal.qAsofJoin _),
     "q_heavy_hitters" -> (Events.heavyHitters _),
     "q_distinct_sketch" -> (Events.distinctSketch _),
+    "q_countmin" -> (Events.countMin _),
     // flagship composition: annotate -> filter -> exact dedup -> LSH
     // near-dedup, all library operators; rows-only (near-dup survivor
     // set is not SQL-expressible), semantics spec'd in CurationSpec
@@ -1473,6 +1474,9 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1
         |ORDER BY event_type""".stripMargin,
+    "q_countmin" ->
+      """SELECT event_type, COUNT(*) AS est
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_heavy_hitters" ->
       """SELECT CAST(user_id % 10 AS BIGINT) AS segment,
         |  event_type AS item, COUNT(*) AS cnt

@@ -2,7 +2,7 @@ package graft.etl
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, input_file_name, max => fmax, min => fmin}
+import org.apache.spark.sql.functions.{broadcast, col, input_file_name, max => fmax, min => fmin}
 import org.apache.spark.sql.types._
 
 import java.nio.charset.StandardCharsets
@@ -401,7 +401,9 @@ class DeltaLite(spark: SparkSession, val root: String,
     val _ = untouched // carried forward implicitly by the replay
     if (touched.isEmpty) commit(df, "rewrite", txn = txn)
     else {
-      val existing = spark.read.schema(sch).parquet(touched.map(_.path): _*)
+      // DV-aware read: rows deleted merge-on-read must not resurrect
+      // through the rewrite of their file
+      val existing = readFiles(touched.map(_.path), sch, liveDvFiles(commits()))
       // the key join would reorder columns (key first) and silently
       // drift the committed schema — restore the table's column order
       val merged = existing.join(df.select(key), Seq(key), "left_anti")
@@ -434,9 +436,122 @@ class DeltaLite(spark: SparkSession, val root: String,
         case "rewrite" =>
           val gone = c.removed.map(norm).toSet
           acc.filterNot(f => gone(norm(f.path))) ++ c.files
+        // delete commits carry DELETION-VECTOR sidecars, dvclear drops
+        // them — neither touches the data-file set
+        case "delete" | "dvclear" => acc
         case _ => acc ++ c.files
       }
     }
+
+  // ---- deletion vectors (merge-on-read DELETE) ----
+
+  /** DV sidecar rows: (file URI as the scan reports it, row position
+    * within that file). Positions come from parquet's row index — the
+    * same physical addressing Delta's deletion vectors use.
+    */
+  private val DvSchema = StructType(Seq(
+    StructField("__file", StringType, nullable = false),
+    StructField("__pos", LongType, nullable = false)))
+
+  /** Live DV sidecar files at a snapshot. `delete` adds, `dvclear`
+    * (published after [[materializeDeletes]]) and `overwrite`/restore
+    * reset — a data-file path never recurs across commits (each commit
+    * writes under its own v=N dir), so DV rows referencing REMOVED
+    * files are stale-but-harmless: the anti-join key they name no
+    * longer exists.
+    */
+  private def liveDvFiles(upTo: Seq[Commit]): Seq[String] =
+    upTo.foldLeft(Seq.empty[String]) { (acc, c) =>
+      c.mode match {
+        case "delete" => acc ++ c.files.map(_.path)
+        case "overwrite" | "dvclear" => Nil
+        case _ => acc
+      }
+    }
+
+  private def dvDf(dvFiles: Seq[String]): DataFrame =
+    spark.read.schema(DvSchema).parquet(dvFiles: _*)
+
+  /** Read `paths` with live deletion vectors applied: each row is
+    * addressed as (_metadata.file_path, _metadata.row_index) and
+    * anti-joined against the (broadcast, O(deleted)) DV set — the
+    * merge-on-read half of DELETE. With no DVs this is a plain scan.
+    */
+  private def readFiles(paths: Seq[String], sch: StructType,
+      dvFiles: Seq[String]): DataFrame = {
+    val base = spark.read.schema(sch).parquet(paths: _*)
+    if (dvFiles.isEmpty) base
+    else base
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(broadcast(dvDf(dvFiles)), Seq("__file", "__pos"), "left_anti")
+      .select(sch.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Merge-on-read DELETE: rows matching `cond` stop appearing in
+    * reads, but NO data file is rewritten — the commit records a
+    * deletion-vector sidecar of (file, row-position) pairs, written
+    * with O(matched) I/O. The read path anti-joins the (small,
+    * broadcast) DV set; [[materializeDeletes]]/[[compact]] fold DVs
+    * into real rewrites later; time travel before the delete still
+    * sees the rows. At 100 TB this is the difference between a
+    * milliseconds-of-metadata delete and rewriting every touched
+    * file inline (what copy-on-write [[upsert]] does — by design, for
+    * updates). Returns None when nothing matched.
+    */
+  def deleteWhere(cond: org.apache.spark.sql.Column): Option[Int] = {
+    val all = commits()
+    require(all.nonEmpty, s"empty table at $root")
+    val sch = DataType.fromJson(all.last.schemaJson).asInstanceOf[StructType]
+    val live = liveEntries(all)
+    if (live.isEmpty) return None
+    val dvs = liveDvFiles(all)
+    val base = spark.read.schema(sch).parquet(live.map(_.path): _*)
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val visible =
+      if (dvs.isEmpty) base
+      else base.join(broadcast(dvDf(dvs)), Seq("__file", "__pos"), "left_anti")
+    // repartition on the file column: per-file DV locality, and AQE
+    // collapses the shuffle to few partitions when matches are few
+    val m = visible.filter(cond).select(col("__file"), col("__pos"))
+      .repartition(col("__file"))
+      .persist()
+    try {
+      if (m.isEmpty) None
+      else Some(commit(m, "delete", schemaOverride = Some(sch)))
+    } finally m.unpersist(false)
+  }
+
+  /** Fold live deletion vectors into the data files: every file with
+    * deleted rows is rewritten WITHOUT them (file-granular — untouched
+    * files stay), then a `dvclear` commit retires the DV set. I/O is
+    * O(affected files), the eventual-consistency half of the
+    * merge-on-read bargain. Returns None when no DVs are live.
+    */
+  def materializeDeletes(): Option[Int] = {
+    val all = commits()
+    if (all.isEmpty) return None
+    val dvs = liveDvFiles(all)
+    if (dvs.isEmpty) return None
+    val sch = DataType.fromJson(all.last.schemaJson).asInstanceOf[StructType]
+    val live = liveEntries(all)
+    // bounded by file count — metadata, not data
+    val referenced = dvDf(dvs).select(col("__file")).distinct()
+      .collect().map(r => norm(r.getString(0))).toSet
+    val affected = live.filter(f => referenced(norm(f.path)))
+    val v =
+      if (affected.isEmpty) None
+      else {
+        val cleaned = readFiles(affected.map(_.path), sch, dvs)
+        Some(commit(cleaned, "rewrite", removed = affected.map(_.path)))
+      }
+    // all live DV rows now reference rewritten-away or already-dead
+    // files; retire them so reads stop anti-joining
+    publish(Commit(latestVersion.get + 1, "dvclear", all.last.schemaJson,
+      Nil, Nil, None, None))
+    v
+  }
 
   /** Live data-file paths of the current snapshot (test/introspection). */
   def liveFiles(): Seq[String] = liveEntries(commits()).map(_.path)
@@ -459,8 +574,10 @@ class DeltaLite(spark: SparkSession, val root: String,
     else {
       val totalBytes = sized.filter(s => small.contains(s._1)).map(_._2).sum
       val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-      val packed = spark.read.schema(schema.get)
-        .parquet(small.map(_.path): _*)
+      // DV-aware: packing a file folds its deletions in (the rewrite
+      // removes the file, so its DV rows go stale-harmless)
+      val packed = readFiles(small.map(_.path), schema.get,
+          liveDvFiles(commits()))
         .repartition(nOut)
       Some(commit(packed, "rewrite", removed = small.map(_.path)))
     }
@@ -491,9 +608,22 @@ class DeltaLite(spark: SparkSession, val root: String,
       require(fs.exists(new Path(f.path)),
         s"cannot restore v$version: ${f.path} was vacuumed")
     }
+    val dvSnap = liveDvFiles(upTo)
+    dvSnap.foreach { p =>
+      require(fs.exists(new Path(p)),
+        s"cannot restore v$version: deletion vector $p was vacuumed")
+    }
     val cur = liveEntries(all).map(_.path)
-    publish(Commit(latestVersion.get + 1, "rewrite", upTo.last.schemaJson,
-      removed = cur, files = snapFiles, None, None))
+    // `overwrite` (not `rewrite`): the restored snapshot REPLACES the
+    // live set, and the DV replay resets with it — deletion vectors
+    // published AFTER the restore point must not re-apply to the
+    // resurrected files. The target snapshot's own DVs are re-published
+    // in a follow-up delete commit.
+    val v = publish(Commit(latestVersion.get + 1, "overwrite",
+      upTo.last.schemaJson, removed = cur, files = snapFiles, None, None))
+    if (dvSnap.isEmpty) v
+    else publish(Commit(v + 1, "delete", upTo.last.schemaJson, Nil,
+      dvSnap.map(p => FileEntry(p, None, None, None)), None, None))
   }
 
   /** Shallow CLONE: a new table at `targetRoot` whose first commit
@@ -518,8 +648,17 @@ class DeltaLite(spark: SparkSession, val root: String,
       else (f.path, None, None, None)
     }
     target.adoptSnapshot(all.last.schemaJson, entries)
+    // carry live deletion vectors — without them the clone would
+    // resurrect merge-on-read-deleted rows
+    val dvs = liveDvFiles(all)
+    if (dvs.nonEmpty) target.adoptDvs(all.last.schemaJson, dvs)
     target
   }
+
+  /** Clone-side re-reference of the source's live DV sidecars. */
+  private def adoptDvs(schemaJson: String, dvPaths: Seq[String]): Int =
+    publish(Commit(latestVersion.get + 1, "delete", schemaJson, Nil,
+      dvPaths.map(p => FileEntry(p, None, None, None)), None, None))
 
   /** First commit of a clone: re-reference the given files (inner
     * Commit/FileEntry are instance-typed, so the TARGET builds them).
@@ -566,7 +705,12 @@ class DeltaLite(spark: SparkSession, val root: String,
     val latest = all.last.version
     val cutoff = latest - retainVersions + 1
     val retained: Set[String] = (cutoff to latest)
-      .flatMap(v => liveEntries(all.filter(_.version <= v)).map(f => norm(f.path)))
+      .flatMap { v =>
+        val upTo = all.filter(_.version <= v)
+        // retained versions keep their deletion vectors too — vacuuming
+        // a live DV would silently resurrect its deleted rows
+        liveEntries(upTo).map(f => norm(f.path)) ++ liveDvFiles(upTo).map(norm)
+      }
       .toSet
     // only ever delete files under THIS table's root: a shallow clone
     // re-references the source's files, and a vacuum that trusted the
@@ -608,8 +752,15 @@ class DeltaLite(spark: SparkSession, val root: String,
     val all = commits()
     require(all.nonEmpty, s"empty table at $root")
     val sch = DataType.fromJson(all.last.schemaJson).asInstanceOf[StructType]
-    org.apache.spark.sql.graftbridge.DeltaLiteScan.relation(
+    val rel = org.apache.spark.sql.graftbridge.DeltaLiteScan.relation(
       spark, rootPath, liveFileStats(), statsKey, sch)
+    val dvs = liveDvFiles(all)
+    if (dvs.isEmpty) rel
+    else rel
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(broadcast(dvDf(dvs)), Seq("__file", "__pos"), "left_anti")
+      .select(sch.fieldNames.map(col).toIndexedSeq: _*)
   }
 
   /** TIMESTAMP AS OF time travel: the snapshot as of wall-clock `ts`
@@ -644,7 +795,7 @@ class DeltaLite(spark: SparkSession, val root: String,
     val live = liveEntries(upTo)
     if (live.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[Row](), sch)
-    else spark.read.schema(sch).parquet(live.map(_.path): _*)
+    else readFiles(live.map(_.path), sch, liveDvFiles(upTo))
   }
 }
 

@@ -440,6 +440,163 @@ case class DistinctSketch(child: Expression, p: Int = 12,
     copy(child = newChild)
 }
 
+/** Shared hashing for the count-min family: one 64-bit content hash
+  * split into two halves drives all `depth` rows via Kirsch–
+  * Mitzenmacher double hashing (h1 + j·h2), the standard trick that
+  * makes d independent-enough row hashes from one evaluation.
+  */
+object Cms {
+  def hash64(b: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    var z = h
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def index(h: Long, row: Int, width: Int): Int = {
+    val h1 = h & 0xffffffffL
+    val h2 = (h >>> 32) | 1L // odd, so rows differ even for h2 = 0
+    (((h1 + row.toLong * h2) & Long.MaxValue) % width).toInt
+  }
+
+  /** Point estimate = min over rows — called from both interpreted and
+    * generated code (static, so codegen can reference it by name).
+    */
+  def estimate(sketch: org.apache.spark.sql.catalyst.util.ArrayData,
+      item: UTF8String, depth: Int, width: Int): Long = {
+    val h = hash64(item.getBytes)
+    var best = Long.MaxValue
+    var j = 0
+    while (j < depth) {
+      val c = sketch.getLong(j * width + index(h, j, width))
+      if (c < best) best = c
+      j += 1
+    }
+    best
+  }
+}
+
+/** Count-min sketch aggregate (Cormode & Muthukrishnan 2005 — public
+  * literature): a depth×width grid of counters; every item increments
+  * one counter per row, a point query reads the MINIMUM. The
+  * frequency-table member of the mergeable-summary family (next to
+  * MG top-items, KLL quantiles, HLL distinct): fixed O(depth·width)
+  * state per group, and the merge is plain element-wise ADDITION —
+  * associative, commutative, merge-order-INDEPENDENT, so the sketch is
+  * bit-identical on every cluster layout (unlike MG/KLL whose state
+  * depends on merge order).
+  *
+  * Guarantees: estimates never undercount; overcount ≤ e/width · N
+  * with probability 1 − e^−depth per query (spec-checked past
+  * capacity). When the distinct items hash collision-free — guaranteed
+  * whenever distinct ≪ width and checked by the oracle at the gate SF —
+  * every estimate is EXACT.
+  *
+  * Output: array<long> of depth·width counters, row-major.
+  */
+case class CountMinAgg(child: Expression, depth: Int, width: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with UnaryLike[Expression] {
+
+  require(depth >= 1 && depth <= 16, s"cms depth must be in [1,16], got $depth")
+  require(width >= 2, s"cms width must be >= 2, got $width")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = Cms.hash64(
+        v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var j = 0
+      while (j < depth) {
+        buf(j * width + Cms.index(h, j, width)) += 1L
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(buf.map(x => x: Any))
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    var i = 0
+    while (i < buf.length) { out.writeLong(buf(i)); i += 1 }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val buf = new Array[Long](depth * width)
+    var i = 0
+    while (i < buf.length) { buf(i) = in.readLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CountMinAgg =
+    copy(child = newChild)
+}
+
+/** Point lookup into a [[CountMinAgg]] sketch: min over the depth rows.
+  * Codegen-resident — the generated code calls the static
+  * [[Cms.estimate]], so probing a broadcast sketch inside a scan stays
+  * in the WholeStageCodegen span.
+  */
+case class CmsEstimate(sketch: Expression, item: Expression,
+    depth: Int, width: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = sketch
+  override def right: Expression = item
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    (sketch.dataType, item.dataType) match {
+      case (ArrayType(LongType, _), StringType) => TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"cms_estimate requires (array<long>, string), got $other")
+    }
+  }
+
+  override protected def nullSafeEval(sk: Any, it: Any): Any =
+    Cms.estimate(sk.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      it.asInstanceOf[UTF8String], depth, width)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (sk, it) =>
+      s"graft.functions.Cms.estimate($sk, $it, $depth, $width)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CmsEstimate =
+    copy(sketch = newLeft, item = newRight)
+}
+
 object SketchFunctions {
   /** Aggregate: Misra–Gries top-items sketch over a string column. */
   def freq_items(item: Column, k: Int): Column =
@@ -461,4 +618,17 @@ object SketchFunctions {
       exactThreshold: Int = 4096): Column =
     Bridge.column(DistinctSketch(Bridge.expression(item), p, exactThreshold)
       .toAggregateExpression())
+
+  /** Aggregate: count-min frequency sketch over a string column —
+    * depth×width counters, merge-order-independent.
+    */
+  def count_min(item: Column, depth: Int = 4, width: Int = 1024): Column =
+    Bridge.column(CountMinAgg(Bridge.expression(item), depth, width)
+      .toAggregateExpression())
+
+  /** Point estimate from a [[count_min]] sketch (never undercounts). */
+  def cms_estimate(sketch: Column, item: Column, depth: Int = 4,
+      width: Int = 1024): Column =
+    Bridge.column(CmsEstimate(Bridge.expression(sketch),
+      Bridge.expression(item), depth, width))
 }

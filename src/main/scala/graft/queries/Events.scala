@@ -85,6 +85,32 @@ object Events {
       .orderBy($"segment", $"item")
   }
 
+  /** Frequency estimates from ONE count-min sketch of the whole events
+    * stream: the sketch is a single depth×width counter grid built in
+    * one map-side-combinable aggregate (merge = element-wise add, so
+    * the state is merge-order-independent — bit-identical on any
+    * cluster layout), then each event type probes it via the
+    * codegen-resident `cms_estimate`. At this distinct count (5 types,
+    * width 1024) the fixed hash family is collision-free, so every
+    * estimate is EXACT and the oracle is a plain GROUP BY count — the
+    * same estimate-vs-exact contract as the heavy-hitters and distinct
+    * sketches. At 100 TB the sketch replaces a full frequency-table
+    * shuffle with 32 KB of state per partition.
+    */
+  def countMin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.SketchFunctions._
+    val sk = Tables.events(s, dir)
+      .agg(count_min($"event_type", depth = 4, width = 1024).as("sk"))
+      .withColumn("k", lit(1))
+    val types = Tables.events(s, dir).select($"event_type").distinct()
+      .withColumn("k", lit(1))
+    types.join(broadcast(sk), "k")
+      .select($"event_type",
+        cms_estimate($"sk", $"event_type", depth = 4, width = 1024).as("est"))
+      .orderBy($"event_type")
+  }
+
   /** Distinct users per event type via the mergeable distinct-count
     * sketch (exact at this cardinality; HLL registers past the
     * threshold). At 100 TB this replaces COUNT(DISTINCT)'s

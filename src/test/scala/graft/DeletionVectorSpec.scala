@@ -1,0 +1,108 @@
+package graft
+
+import graft.etl.DeltaLite
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Merge-on-read DELETE via deletion-vector sidecars: O(matched) write
+  * cost, no data-file rewrite, read-path anti-join, materialization,
+  * and the interplay with upsert / restore / clone / compact / vacuum.
+  */
+class DeletionVectorSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def mkTable(root: String): DeltaLite = {
+    import spark.implicits._
+    val t = DeltaLite(spark, root, "k")
+    t.append((1L to 100L).map(k => (k, s"row$k")).toDF("k", "v"))
+    t.append((101L to 200L).map(k => (k, s"row$k")).toDF("k", "v"))
+    t
+  }
+
+  test("deleteWhere hides rows without rewriting any data file") {
+    val t = mkTable(tmp("graft-dv"))
+    val filesBefore = t.liveFiles().toSet
+    val v = t.deleteWhere(col("k") % 10 === 0).get
+    val (mode, added, removed) = t.commitInfo(v)
+    assert(mode == "delete")
+    assert(removed.isEmpty, "merge-on-read must not remove data files")
+    assert(t.liveFiles().toSet == filesBefore, "data live-set unchanged")
+    assert(added.nonEmpty, "the commit must reference DV sidecars")
+    val got = t.read().select("k").collect().map(_.getLong(0)).sorted
+    assert(got.length == 180 && got.forall(_ % 10 != 0))
+    // time travel BEFORE the delete still sees every row
+    assert(t.readAsOf(v - 1).count() == 200)
+    // deleting the same rows again matches nothing
+    assert(t.deleteWhere(col("k") % 10 === 0).isEmpty)
+  }
+
+  test("upsert after delete: deleted rows do not resurrect through the rewrite") {
+    import spark.implicits._
+    val t = mkTable(tmp("graft-dv-up"))
+    t.deleteWhere(col("k") === 5L)
+    // upsert a batch whose key range touches the file containing k=5
+    t.upsert(Seq((6L, "updated")).toDF("k", "v"), "k")
+    val ks = t.read().select("k").collect().map(_.getLong(0)).toSet
+    assert(!ks.contains(5L), "k=5 resurrected through the upsert rewrite")
+    assert(t.read().filter(col("k") === 6L).head().getString(1) == "updated")
+    assert(t.read().count() == 199)
+  }
+
+  test("materializeDeletes folds DVs into file-granular rewrites and retires them") {
+    val t = mkTable(tmp("graft-dv-mat"))
+    t.deleteWhere(col("k") <= 3L) // touches only the first append's range
+    val before = t.read().select("k").collect().map(_.getLong(0)).sorted
+    val v = t.materializeDeletes().get
+    val (_, _, removed) = t.commitInfo(v)
+    assert(removed.nonEmpty, "affected files must be rewritten")
+    val after = t.read().select("k").collect().map(_.getLong(0)).sorted
+    assert(before.sameElements(after), "materialization must not change reads")
+    assert(t.read().count() == 197)
+    // second file (101..200) untouched: its original path survives
+    val live = t.liveFiles().toSet
+    assert(t.commitInfo(1)._2.exists(live), "untouched file must not rewrite")
+    assert(t.materializeDeletes().isEmpty, "no DVs left to materialize")
+  }
+
+  test("restore across a delete resurrects; restore after keeps the DVs") {
+    val t = mkTable(tmp("graft-dv-rst")) // v0, v1
+    val dv = t.deleteWhere(col("k") === 42L).get // v2
+    t.restore(1) // back before the delete
+    assert(t.read().filter(col("k") === 42L).count() == 1, "restore must undo the delete")
+    t.restore(dv) // forward again to the deleted state (DVs re-referenced)
+    assert(t.read().filter(col("k") === 42L).count() == 0, "restore must carry DVs")
+    assert(t.read().count() == 199)
+  }
+
+  test("shallow clone carries deletion vectors; compact folds them in") {
+    import spark.implicits._
+    val t = mkTable(tmp("graft-dv-cl"))
+    t.deleteWhere(col("k") > 190L)
+    val clone = t.shallowCloneTo(tmp("graft-dv-cl-tgt"))
+    assert(clone.read().count() == 190, "clone resurrected deleted rows")
+    // compact packs the small files, materializing the deletions
+    val v = t.compact(targetBytes = 1024 * 1024, minFiles = 2)
+    assert(v.isDefined)
+    assert(t.read().count() == 190)
+    assert(t.read().agg(max(col("k"))).head().getLong(0) == 190L)
+  }
+
+  test("vacuum retains live DV sidecars; readIndexed applies DVs") {
+    val t = mkTable(tmp("graft-dv-vac"))
+    t.deleteWhere(col("k") === 7L)
+    t.append(spark.range(201, 211).toDF("k")
+      .withColumn("v", concat(lit("row"), col("k")))
+      .select(col("k"), col("v")))
+    val gone = t.vacuum(retainVersions = 1)
+    assert(t.read().count() == 209, s"vacuum broke the snapshot (removed $gone)")
+    assert(t.read().filter(col("k") === 7L).count() == 0,
+      "vacuum deleted a live DV sidecar — deleted row resurrected")
+    val idx = t.readIndexed()
+    assert(idx.count() == 209)
+    assert(idx.filter(col("k") === 7L).count() == 0,
+      "readIndexed must apply deletion vectors")
+  }
+}

@@ -295,9 +295,11 @@ class EtlSpec extends SparkSpec {
     assert(v == 3)
     assert(t.read().orderBy("k").collect().map(_.getLong(0)).toSeq ==
       Seq(1L, 2L, 3L))
-    // log-only: the restore commit added no new data files
+    // log-only: the restore commit added no new data files. Mode is
+    // `overwrite` (snapshot replacement) so the deletion-vector replay
+    // resets with the restored live set — see DeletionVectorSpec.
     val (mode, added, removed) = t.commitInfo(3)
-    assert(mode == "rewrite")
+    assert(mode == "overwrite")
     val v1Files = t.commitInfo(0)._2 ++ t.commitInfo(1)._2
     assert(added.toSet == v1Files.toSet, "restore must re-reference old files")
     assert(removed.toSet == t.commitInfo(2)._2.toSet)

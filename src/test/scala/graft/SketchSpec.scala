@@ -202,4 +202,59 @@ class SketchSpec extends SparkSpec {
     ds.offerValue(b, v)
     ds.deserialize(ds.serialize(b))
   }
+
+  test("count_min is exact when distinct items are sparse in the grid") {
+    import spark.implicits._
+    import graft.functions.SketchFunctions._
+    val data = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(5)("c")
+    val df = scala.util.Random.shuffle(data).toDF("item").repartition(8)
+      .agg(count_min(col("item"), depth = 4, width = 256).as("sk"))
+    val got = Seq("a", "b", "c").map { it =>
+      it -> df.select(cms_estimate(col("sk"), lit(it), 4, 256)).head().getLong(0)
+    }.toMap
+    assert(got == Map("a" -> 40L, "b" -> 25L, "c" -> 5L))
+  }
+
+  test("count_min never undercounts and honors the e/width error bound") {
+    import spark.implicits._
+    import graft.functions.SketchFunctions._
+    val r = new scala.util.Random(11)
+    // zipf-ish: item i has frequency ~ 2000/(i+1), 500 distinct >> width 64
+    val data = (0 until 500).flatMap(i => Seq.fill(2000 / (i + 1) + 1)(s"it$i"))
+    val n = data.size
+    val truth = data.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val (depth, width) = (4, 64)
+    val sk = r.shuffle(data).toDF("item").repartition(16)
+      .agg(count_min(col("item"), depth, width).as("sk")).persist()
+    // every estimate >= truth; overcount within 2·(e/width)·N for the
+    // hot head (the classic per-query bound holds w.h.p.; the factor-2
+    // margin absorbs the fixed hash family's luck)
+    val bound = 2.0 * math.E / width * n
+    truth.toSeq.sortBy(-_._2).take(50).foreach { case (item, t) =>
+      val est = sk.select(cms_estimate(col("sk"), lit(item), depth, width))
+        .head().getLong(0)
+      assert(est >= t, s"$item undercounted: $est < $t")
+      assert(est - t <= bound, s"$item overcounted: $est vs $t (bound $bound)")
+    }
+    sk.unpersist()
+  }
+
+  test("count_min merge is element-wise addition: order-independent and lossless") {
+    val agg = graft.functions.CountMinAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), 4, 64)
+    def shard(items: Seq[String]) = {
+      val b = agg.createAggregationBuffer()
+      items.foreach { it =>
+        val h = graft.functions.Cms.hash64(it.getBytes("UTF-8"))
+        (0 until 4).foreach(j => b(j * 64 + graft.functions.Cms.index(h, j, 64)) += 1L)
+      }
+      agg.deserialize(agg.serialize(b))
+    }
+    val parts = Seq(shard((0 until 100).map(i => s"a$i")),
+      shard((0 until 50).map(i => s"b$i")), shard(Seq.fill(30)("hot")))
+    val m1 = parts.map(_.clone()).reduce(agg.merge)
+    val m2 = parts.reverse.map(_.clone()).reduce(agg.merge)
+    assert(m1.toSeq == m2.toSeq, "merge order changed the sketch")
+    assert(m1.sum == 4L * (100 + 50 + 30), "merged mass must equal input mass")
+  }
 }
