@@ -254,6 +254,26 @@ class DeltaLite(spark: SparkSession, val root: String,
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Data files of the append commits in (sinceExclusive, toInclusive]
+    * — the incremental read behind [[graft.streaming.DeltaLiteSource]].
+    * Non-append commits in the range (overwrite/rewrite/delete) change
+    * or remove already-delivered rows, which an append-tail cannot
+    * express; they fail the read unless `ignoreChanges` — the same
+    * contract as Delta's streaming source.
+    */
+  private[graft] def appendFilesBetween(sinceExclusive: Long,
+      toInclusive: Long, ignoreChanges: Boolean): Seq[String] = {
+    val cs = commits().filter(c =>
+      c.version > sinceExclusive && c.version <= toInclusive)
+    val nonAppend = cs.filterNot(_.mode == "append")
+    if (nonAppend.nonEmpty && !ignoreChanges)
+      sys.error("DeltaLite streaming source saw non-append commits " +
+        nonAppend.map(c => s"v${c.version}(${c.mode})").mkString(", ") +
+        s" at $root; pass ignoreChanges=true to stream past them " +
+        "(rewritten/deleted rows will NOT be retracted)")
+    cs.filter(_.mode == "append").flatMap(_.files.map(_.path))
+  }
+
   /** Append with ADDITIVE schema evolution (Delta's mergeSchema): the
     * batch may introduce NEW columns; columns both sides share must
     * keep name+type. The commit records the widened schema (table

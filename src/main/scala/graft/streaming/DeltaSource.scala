@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.etl.DeltaLite
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Offset = committed table version (the natural exactly-once cursor:
+  * versions are dense, monotone, and atomic-published).
+  */
+case class VersionOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+/** DeltaLite table as a STREAMING SOURCE: each micro-batch delivers the
+  * data files of append commits in `(lastOffset, latestVersion]` —
+  * `readStream.format("graft.streaming.DeltaSourceProvider")
+  * .option("path", root).load()`. This closes the lakehouse loop the
+  * reference schedules as recurring jobs (ETL_pipeline_countries.py:
+  * 144-147): upstream loads append to a table, downstream streams FROM
+  * it into aggregates/dimensions via [[DeltaSink]] — table-to-table
+  * pipelines with exactly-once on both edges.
+  *
+  * Semantics (same contract as Delta's own streaming source):
+  *  - the offset is the committed VERSION, checkpointed by the engine,
+  *    so a restarted query resumes exactly after the last delivered
+  *    commit — no replays, no gaps (spec'd across restarts);
+  *  - non-append commits cannot be expressed as an append tail; they
+  *    fail the batch unless `.option("ignoreChanges", "true")`;
+  *  - each batch reads only the NEW files — O(new data), never a
+  *    table rescan, so a 100 TB table tails at the cost of its delta.
+  */
+class DeltaLiteSource(spark: SparkSession, root: String,
+    ignoreChanges: Boolean) extends Source {
+
+  private val table = DeltaLite(spark, root)
+
+  override val schema: StructType = table.schema.getOrElse(
+    sys.error(s"DeltaLite streaming source needs an existing table at $root"))
+
+  override def getOffset: Option[Offset] =
+    table.latestVersion.map(v => VersionOffset(v.toLong))
+
+  private def version(o: Offset): Long = o match {
+    case VersionOffset(v) => v
+    // checkpoint restore hands back a SerializedOffset; json is just
+    // the version number
+    case other => other.json().toLong
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(version).getOrElse(-1L)
+    val files = table.appendFilesBetween(from, version(end), ignoreChanges)
+    val batch =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      else spark.read.schema(schema).parquet(files: _*)
+    Bridge.streamingDataFrame(spark, batch.queryExecution.toRdd, schema)
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** `spark.readStream.format(classOf[DeltaSourceProvider].getName)` —
+  * the V1 source registration (options: `path`, `ignoreChanges`).
+  */
+class DeltaSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "delta-lite"
+
+  private def root(params: Map[String, String]): String =
+    params.getOrElse("path",
+      sys.error("delta-lite source requires .option(\"path\", <table root>)"))
+
+  override def sourceSchema(ctx: SQLContext, schemaOpt: Option[StructType],
+      providerName: String, params: Map[String, String]): (String, StructType) = {
+    val t = DeltaLite(ctx.sparkSession, root(params))
+    (shortName(), schemaOpt.orElse(t.schema).getOrElse(
+      sys.error(s"empty DeltaLite table at ${root(params)}")))
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schemaOpt: Option[StructType], providerName: String,
+      params: Map[String, String]): Source =
+    new DeltaLiteSource(ctx.sparkSession, root(params),
+      params.get("ignoreChanges").exists(_.toBoolean))
+}

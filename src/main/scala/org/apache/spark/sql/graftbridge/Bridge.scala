@@ -32,4 +32,15 @@ object Bridge {
   /** The analyzed logical plan behind a DataFrame. */
   def analyzed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** A STREAMING DataFrame over already-computed InternalRows — what a
+    * V1 `Source.getBatch` must return (the engine rejects plain batch
+    * frames). `internalCreateDataFrame` is private[sql]; every file
+    * source builds its micro-batches through it.
+    */
+  def streamingDataFrame(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
 }

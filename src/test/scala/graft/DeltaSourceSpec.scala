@@ -1,0 +1,123 @@
+package graft
+
+import graft.etl.DeltaLite
+import graft.streaming.{DeltaSink, DeltaSourceProvider}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** DeltaLite as a streaming SOURCE: version-offset tailing, restart
+  * resume from checkpoint, non-append guarding, and the table-to-table
+  * loop with the exactly-once sink.
+  */
+class DeltaSourceSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def stream(root: String, extra: (String, String)*): DataFrame = {
+    val r = spark.readStream.format(classOf[DeltaSourceProvider].getName)
+      .option("path", root)
+    extra.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+  }
+
+  test("tails append commits exactly once, including appends while running") {
+    import spark.implicits._
+    val root = tmp("graft-src")
+    val t = DeltaLite(spark, root)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    t.append(Seq((3L, "c")).toDF("k", "v"))
+    val q = stream(root).writeStream.format("memory").queryName("dl_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dl_tail").select("k").collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+      t.append(Seq((4L, "d"), (5L, "e")).toDF("k", "v"))
+      q.processAllAvailable()
+      assert(spark.table("dl_tail").select("k").collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L),
+        "mid-stream append must arrive exactly once")
+    } finally q.stop()
+  }
+
+  test("restart from checkpoint resumes after the last delivered version") {
+    import spark.implicits._
+    val root = tmp("graft-src-rst")
+    val ckpt = tmp("graft-src-ckpt")
+    val out = tmp("graft-src-out")
+    val t = DeltaLite(spark, root)
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    def run(): Unit = {
+      val q = stream(root).writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    t.append(Seq((2L, "b")).toDF("k", "v"))
+    run() // second incarnation: must deliver ONLY v1's rows
+    val got = spark.read.parquet(out).select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L), s"restart must not replay or skip: $got")
+  }
+
+  test("non-append commits fail the tail unless ignoreChanges") {
+    import spark.implicits._
+    val root = tmp("graft-src-chg")
+    val t = DeltaLite(spark, root)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val q = stream(root).writeStream.format("memory").queryName("dl_chg")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    t.overwrite(Seq((9L, "z")).toDF("k", "v"))
+    val q2 = stream(root).writeStream.format("memory").queryName("dl_chg2")
+      .outputMode("append").start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(err.getMessage.contains("non-append") ||
+      Option(err.getCause).exists(_.getMessage.contains("non-append")))
+    // ignoreChanges streams past the overwrite (only its files delivered
+    // going forward from a fresh cursor)
+    val q3 = stream(root, "ignoreChanges" -> "true")
+      .writeStream.format("memory").queryName("dl_chg3")
+      .outputMode("append").start()
+    try {
+      q3.processAllAvailable()
+      t.append(Seq((10L, "y")).toDF("k", "v"))
+      q3.processAllAvailable()
+      val ks = spark.table("dl_chg3").select("k").collect()
+        .map(_.getLong(0)).toSet
+      assert(ks.contains(10L), "appends after the change must flow")
+    } finally q3.stop()
+  }
+
+  test("table-to-table loop: source -> aggregate -> exactly-once sink") {
+    import spark.implicits._
+    val src = tmp("graft-loop-src")
+    val dst = tmp("graft-loop-dst")
+    val ckpt = tmp("graft-loop-ckpt")
+    val t = DeltaLite(spark, src)
+    t.append(Seq((1L, 10.0), (1L, 5.0), (2L, 7.0)).toDF("k", "x"))
+    val agg = DeltaSink.aggregateWriter(DeltaLite(spark, dst), "loop-test", "k",
+      b => b.groupBy(col("k")).agg(count(lit(1)).as("n")),
+      Seq("n" -> ((a, b) => a + b)))
+    def run(): Unit = {
+      val q = stream(src).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(agg)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    t.append(Seq((2L, 3.0), (3L, 1.0)).toDF("k", "x"))
+    run()
+    val got = DeltaLite(spark, dst).read().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (2L, 2L), (3L, 1L)),
+      s"incremental table-to-table aggregate drifted: $got")
+  }
+}
