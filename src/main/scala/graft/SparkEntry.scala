@@ -140,6 +140,9 @@ object SparkEntry {
     // rows-only: approximate neighbor sets aren't SQL-expressible;
     // recall + twin semantics spec'd in SimilaritySpec
     "knn_graph" -> (Vectors.knnGraph _),
+    // rows-only: PQ codebooks are learned state; recall + compression
+    // contract spec'd in SimilaritySpec
+    "ann_pq_topk" -> (Vectors.annPq _),
     "q_events_tumbling" -> (Events.tumbling _),
     "q_retention" -> (Events.retention _),
     "q_funnel" -> (Events.funnel _),
@@ -207,6 +210,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_images"),
           concat_ws(",", sort_array(collect_list(col("id")))).as("ids"))
         .orderBy(col("phash"))
+    }),
+    // video near-dup detection: per-frame phash over REAL decoded GIF
+    // frames; planted byte-identical copies (ids k+100, k ≡ 0 mod 4)
+    // share every sampled frame hash with their originals — the
+    // frame-level dedup join of a video corpus pipeline
+    "mm_frame_dedup" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val base = graft.ops.Multimodal.syntheticVideo(s, n = 12)
+      val copies = base.filter(_.id % 4 == 0)
+        .map(r => r.copy(id = r.id + 100))
+      val fp = graft.ops.Multimodal
+        .videoFramePhash(base.union(copies), sampleEvery = 2).toDF()
+      val a = fp.select($"id".as("video_a"), $"frame", $"phash")
+      val b = fp.select($"id".as("video_b"), $"frame", $"phash")
+      a.join(b, Seq("frame", "phash"))
+        .filter($"video_a" < $"video_b")
+        .groupBy($"video_a", $"video_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= 2)
+        .orderBy($"video_a", $"video_b")
     }),
     "mm_binary_meta" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
@@ -467,6 +491,31 @@ object SparkEntry {
     // aHash; the oracle recomputes the same integer hash from the
     // generator formula (16×12 → 4×3-pixel cells, cross-multiplied
     // mean compare) with no codec.
+    "mm_frame_dedup" ->
+      """WITH vids AS (
+        |  SELECT CAST(range AS BIGINT) AS id, CAST(range AS BIGINT) AS s FROM range(12)
+        |  UNION ALL
+        |  SELECT CAST(range + 100 AS BIGINT), CAST(range AS BIGINT) FROM range(0, 12, 4)),
+        |frs AS (SELECT range AS f FROM range(0, 8, 2)),
+        |xs AS (SELECT range AS x FROM range(16)),
+        |ys AS (SELECT range AS y FROM range(12)),
+        |pix AS (SELECT id, f, (y // 3) * 4 + (x // 4) AS c,
+        |    3 * ((s * 13 + f * 29 + x * 3 + y * 5) % 256) AS lum
+        |  FROM vids, frs, xs, ys),
+        |cells AS (SELECT id, f, c, CAST(SUM(lum) AS BIGINT) AS cs
+        |          FROM pix GROUP BY id, f, c),
+        |tot AS (SELECT id, f, CAST(SUM(cs) AS BIGINT) AS t FROM cells GROUP BY id, f),
+        |bits AS (SELECT cells.id, cells.f,
+        |    CAST(SUM(CASE WHEN cs * 16 > t THEN (CAST(1 AS BIGINT) << c)
+        |             ELSE 0 END) AS BIGINT) AS phash
+        |  FROM cells JOIN tot USING (id, f) GROUP BY cells.id, cells.f),
+        |pairs AS (SELECT a.id AS video_a, b.id AS video_b
+        |  FROM bits a JOIN bits b ON a.f = b.f AND a.phash = b.phash
+        |  WHERE a.id < b.id)
+        |SELECT video_a, video_b, COUNT(*) AS n_shared
+        |FROM pairs GROUP BY video_a, video_b
+        |HAVING COUNT(*) >= 2
+        |ORDER BY video_a, video_b""".stripMargin,
     "mm_image_phash" ->
       """WITH imgs AS (
         |  SELECT CAST(range AS BIGINT) AS id, CAST(range AS BIGINT) AS f FROM range(24)

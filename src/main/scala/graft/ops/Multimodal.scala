@@ -39,6 +39,8 @@ case class VideoFrame(id: Long, frame: Int, n_frames: Int, width: Int,
 
 case class ImagePHash(id: Long, phash: Long, n_bits: Int)
 
+case class FramePHash(id: Long, frame: Int, phash: Long)
+
 object Multimodal {
 
   val Modalities = Seq("image", "audio", "video")
@@ -360,6 +362,61 @@ object Multimodal {
             y += 1
           }
           VideoFrame(r.id, f, n, w, h, sum.toDouble / (w.toLong * h))
+        }
+        iis.close()
+        out
+      }
+    }
+  }
+
+  /** Per-frame perceptual hash over REAL decoded video frames: every
+    * `sampleEvery`-th frame of the GIF container gets the same
+    * all-integer average-hash as [[imagePhash]] — the frame-level
+    * near-dup signature that video dedup joins on (two videos sharing
+    * most sampled-frame hashes are duplicates/re-encodes). One decode
+    * pass per payload inside `mapPartitions`, reader warmed per
+    * partition, one output row per sampled frame.
+    */
+  def videoFramePhash(records: Dataset[MMRecord], sampleEvery: Int = 2,
+      grid: Int = 4): Dataset[FramePHash] = {
+    require(sampleEvery >= 1)
+    require(grid * grid <= 63, "phash must fit one long")
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.filter(_.modality == "video").mapPartitions { it =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      it.flatMap { r =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        val out = (0 until n by sampleEvery).map { f =>
+          val img = reader.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val sums = Array.ofDim[Long](grid * grid)
+          val cnts = Array.ofDim[Long](grid * grid)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+              val c = (y * grid / h) * grid + (x * grid / w)
+              sums(c) += lum
+              cnts(c) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val np = w.toLong * h
+          val total = sums.sum
+          var hash = 0L
+          var c = 0
+          while (c < grid * grid) {
+            if (sums(c) * np > total * cnts(c)) hash |= 1L << c
+            c += 1
+          }
+          FramePHash(r.id, f, hash)
         }
         iis.close()
         out

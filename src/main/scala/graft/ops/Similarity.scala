@@ -269,4 +269,139 @@ object Similarity {
     val c = banded(candidates, "neighbor_id", "cv")
     rankCandidates(c.join(broadcast(q), Seq("table", "bucket")), k)
   }
+
+  // ------------------------------------------------------------- PQ
+
+  /** Train product-quantization codebooks (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011 — public
+    * literature): the vector splits into `m` contiguous subspaces, each
+    * with its own `k`-centroid quantizer, so a vector encodes to m
+    * small codes — dim·4 bytes shrink to m bytes of codes at
+    * k ≤ 256, the memory-bound regime every billion-vector index
+    * lives in.
+    *
+    * Training mirrors [[trainIvfCentroids]]'s scale posture: a bounded
+    * hash-threshold sample, and per Lloyd iteration ONE aggregation
+    * job for ALL m subspaces — subvectors explode map-side tagged by
+    * subspace, assignment runs against each subspace's centroids, and
+    * a groupBy (subspace, cluster) [[graft.functions.VectorSumAgg]]
+    * reduces one row per subvector. Model state: m × k × (dim/m)
+    * doubles on the driver (tiny, like any learned model).
+    */
+  def trainPqCodebooks(corpus: DataFrame, vecCol: String, m: Int = 8,
+      k: Int = 16, iters: Int = 2, maxTrain: Int = 20000,
+      dim: Int = 64): Array[Array[Array[Double]]] = {
+    import org.apache.spark.storage.StorageLevel
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    val vecs = corpus.select(col(vecCol).cast("array<double>").as("v"))
+    val n = vecs.count()
+    val M = 1000000L
+    val keep = if (n <= maxTrain) M
+      else math.max(1L, (maxTrain.toDouble / n * M).toLong)
+    val subs = vecs
+      .filter(pmod(hash(col("v")), lit(M)) < lit(keep))
+      .select(explode(sequence(lit(0), lit(m - 1))).as("subspace"), col("v"))
+      .select(col("subspace"),
+        expr(s"slice(v, subspace * $sub + 1, $sub)").as("sv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // seed all m subspaces in one pass: top-k subvectors per subspace
+    // by content hash (deterministic, order-free)
+    val wSeed = Window.partitionBy(col("subspace")).orderBy(hash(col("sv")))
+    var books: Array[Array[Array[Double]]] = {
+      val rows = subs.withColumn("r", row_number().over(wSeed))
+        .filter(col("r") <= k)
+        .collect()
+      val bySub = rows.groupBy(_.getAs[Int]("subspace"))
+      (0 until m).map { j =>
+        bySub.getOrElse(j, Array.empty)
+          .map(_.getSeq[Double](1).toArray).toArray
+      }.toArray
+    }
+    for (_ <- 0 until iters) {
+      // one job: per-subspace nearest-centroid assignment, union of the
+      // m branches, grouped vector-sum (map-side partials)
+      val assigned = (0 until m).map { j =>
+        subs.filter(col("subspace") === j)
+          .select(col("subspace"),
+            element_at(graft.functions.VectorFunctions.nearest_centroids(
+              col("sv"), books(j), 1), 1).as("cluster"), col("sv"))
+      }.reduce(_.unionAll(_))
+      val stats = assigned.groupBy(col("subspace"), col("cluster"))
+        .agg(graft.functions.VectorFunctions.vector_sum(col("sv")).as("vsum"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byKey = stats.map(r => (r.getAs[Int]("subspace"), r.getAs[Int]("cluster")) ->
+        (r.getSeq[Double](2).toArray, r.getAs[Long]("n"))).toMap
+      books = books.zipWithIndex.map { case (book, j) =>
+        book.zipWithIndex.map { case (c, ci) =>
+          byKey.get((j, ci)) match {
+            case Some((s, cnt)) => s.map(_ / cnt)
+            case None => c
+          }
+        }
+      }
+    }
+    subs.unpersist()
+    books
+  }
+
+  /** PQ code column: array of m centroid indices, one per subspace —
+    * pure map-side expression work (slice + the native
+    * nearest-centroid kernel), no shuffle, codegen-resident.
+    */
+  def pqEncode(vec: Column, books: Array[Array[Array[Double]]],
+      dim: Int = 64): Column = {
+    val m = books.length
+    val sub = dim / m
+    array(books.zipWithIndex.map { case (book, j) =>
+      element_at(graft.functions.VectorFunctions.nearest_centroids(
+        slice(vec.cast("array<double>"), j * sub + 1, sub), book, 1), 1)
+    }.toIndexedSeq: _*)
+  }
+
+  /** Approximate reconstruction from PQ codes: each code picks its
+    * subspace centroid, concatenated back to a dim-vector. The
+    * codebooks ride as tiny literal arrays (m·k·sub doubles), so
+    * decoding is in-expression — no join, no shuffle.
+    */
+  def pqDecode(codes: Column, books: Array[Array[Array[Double]]]): Column =
+    flatten(array(books.zipWithIndex.map { case (book, j) =>
+      element_at(typedlit(book.map(_.toSeq).toSeq),
+        element_at(codes, j + 1) + 1)
+    }.toIndexedSeq: _*))
+
+  /** PQ approximate top-k with exact re-ranking — the standard two-tier
+    * search: (1) candidates are scored from their CODES ONLY (decode +
+    * cosine against the broadcast query set) and cut to a per-query
+    * `shortlist`; (2) only shortlisted ids join back to the full
+    * vectors for exact scoring. At 100 TB tier 1 scans m-byte codes
+    * (32× smaller than raw float32 vectors — less I/O, less memory,
+    * same plan shape), and tier 2 touches `shortlist` full vectors per
+    * query instead of the corpus.
+    */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, vecCol: String,
+      idCol: String, k: Int, books: Array[Array[Array[Double]]],
+      shortlist: Int = 64, dim: Int = 64): DataFrame = {
+    val codes = candidates.select(col(idCol).as("neighbor_id"),
+      pqEncode(col(vecCol), books, dim).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val short = codes.join(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx", cosine(col("qv"), pqDecode(col("codes"), books)))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= shortlist)
+      .select(col("query_id"), col("qv"), col("neighbor_id"))
+    val full = candidates.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    short.join(full, Seq("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
 }

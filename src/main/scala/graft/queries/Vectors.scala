@@ -105,6 +105,25 @@ object Vectors {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Product-quantization top-10 with exact re-rank: candidates score
+    * from 8-byte codes (32× smaller than the raw vectors), the
+    * shortlist re-ranks exactly — the memory-bound billion-vector
+    * search tier. Rows-only (codebooks are learned state); recall vs
+    * brute force and the compression contract are spec'd in
+    * SimilaritySpec.
+    */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val books = Similarity.trainPqCodebooks(emb, "embedding",
+      m = 8, k = 16, iters = 2)
+    Similarity.pqTopK(emb.filter($"vec_id" < 8), emb, "embedding", "vec_id",
+      k = 10, books, shortlist = 64)
+      .select($"query_id", $"rank", $"neighbor_id",
+        round($"cosine", 6).as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Approximate kNN graph over the full embedding corpus (top-3
     * neighbors per vector, LSH bucket self-join) — rows-only; recall
     * vs brute force is spec'd in SimilaritySpec.

@@ -144,4 +144,23 @@ class MultimodalSpec extends SparkSpec {
     val distinctHashes = (0L until 24L).map(got).distinct.size
     assert(distinctHashes >= 12, s"only $distinctHashes distinct hashes")
   }
+
+  test("videoFramePhash: copies share every sampled frame hash; sampling honored") {
+    import spark.implicits._
+    val base = Multimodal.syntheticVideo(spark, n = 12)
+    val copies = base.filter(_.id % 4 == 0).map(r => r.copy(id = r.id + 100))
+    val fp = Multimodal.videoFramePhash(base.union(copies), sampleEvery = 2)
+      .collect()
+    val byVideo = fp.groupBy(_.id)
+    assert(byVideo.size == 15)
+    // 8 frames sampled every 2nd -> frames 0,2,4,6
+    byVideo.values.foreach { frames =>
+      assert(frames.map(_.frame).sorted.toSeq == Seq(0, 2, 4, 6))
+    }
+    def hashes(id: Long) = byVideo(id).sortBy(_.frame).map(_.phash).toSeq
+    Seq(0L, 4L, 8L).foreach { k =>
+      assert(hashes(k + 100) == hashes(k),
+        s"byte-identical copy $k+100 must share every frame hash")
+    }
+  }
 }
