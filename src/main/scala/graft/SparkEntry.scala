@@ -104,6 +104,7 @@ object SparkEntry {
     "q_corr_stats" -> (Stats.qCorrStats _),
     "q_entropy" -> (Stats.qEntropy _),
     "q_skyline" -> (Stats.qSkyline _),
+    "q_mode" -> (Stats.qMode _),
     "q_interval_overlap" -> (Stats.qIntervalOverlap _),
     "q_rolling_distinct" -> (Stats.qRollingDistinct _),
     "q_domain_mix" -> (Text.domainMix _),
@@ -123,6 +124,10 @@ object SparkEntry {
     // the analyst path: SQL text against the registered view catalog
     "q_sql_catalog" -> ((s: SparkSession, dir: String) =>
       GraftSession.withTables(s, dir).sql(SqlCatalogQuery)),
+    // correlated LATERAL subquery (top-N per outer row) through the
+    // same verbatim-SQL path — one string, both engines
+    "q_lateral_topn" -> ((s: SparkSession, dir: String) =>
+      GraftSession.withTables(s, dir).sql(LateralTopNQuery)),
     "etl_json_extract" -> (Etl.jsonExtract _),
     "etl_dedup_append" -> (Etl.dedupAppend _),
     "text_token_count" -> (Text.tokenCount _),
@@ -257,6 +262,19 @@ object SparkEntry {
     * hierarchy (parent of k = floor((k-1)/2)), walked root→leaf with
     * depth and materialized path. Runs verbatim in both engines.
     */
+  /** Correlated LATERAL subquery — the "top-N per outer row" idiom
+    * analysts reach for before window functions. Spark decorrelates it
+    * into a ranked join (DecorrelateInnerQuery handles the correlated
+    * LIMIT); values pass through untouched so the doubles hash-match.
+    */
+  private val LateralTopNQuery =
+    """SELECT n_name, s_name, s_acctbal
+      |FROM nation, LATERAL (
+      |  SELECT s_name, s_acctbal FROM supplier
+      |  WHERE s_nationkey = n_nationkey
+      |  ORDER BY s_acctbal DESC, s_name LIMIT 2)
+      |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin
+
   private val RecursiveCteQuery =
     """WITH RECURSIVE hier(node, parent, depth, path) AS (
       |  SELECT n_nationkey, CAST(NULL AS INTEGER), CAST(0 AS INTEGER),
@@ -274,6 +292,15 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_sql_catalog" -> SqlCatalogQuery,
     "q_recursive_cte" -> RecursiveCteQuery,
+    "q_lateral_topn" -> LateralTopNQuery,
+    "q_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity)
+        |SELECT l_returnflag, l_quantity AS mode_qty, CAST(cnt AS BIGINT) AS n_mode
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |        ORDER BY cnt DESC, l_quantity) AS r FROM c)
+        |WHERE r = 1 ORDER BY l_returnflag""".stripMargin,
     "q_expectations" ->
       """WITH m AS (
         |  SELECT

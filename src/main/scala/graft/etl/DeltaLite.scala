@@ -274,6 +274,66 @@ class DeltaLite(spark: SparkSession, val root: String,
     cs.filter(_.mode == "append").flatMap(_.files.map(_.path))
   }
 
+  /** Row-level change feed for (sinceExclusive, toInclusive]: one row
+    * per INSERTED or DELETED row, tagged `_change_type` and
+    * `_commit_version` — the CDC read that lets a downstream
+    * incrementally mirror the table (inserts from append commits'
+    * files; deletes materialized by reading the DV'd positions back
+    * out of their data files — O(deleted rows + their files), never a
+    * table scan). Rewrite commits (upsert/compact/optimize) move rows
+    * between files without recording pre-images, which a row feed
+    * cannot express; they throw unless `skipRewrites` (safe when the
+    * only rewrites are row-preserving maintenance like compaction).
+    * Each commit decodes with ITS OWN schema, like [[readAppendsSince]].
+    */
+  def changesBetween(sinceExclusive: Int, toInclusive: Int,
+      skipRewrites: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val cs = commits().filter(c =>
+      c.version > sinceExclusive && c.version <= toInclusive)
+    require(cs.nonEmpty, s"no commits in ($sinceExclusive, $toInclusive]")
+    val unsupported = cs.filter(c =>
+      c.mode == "overwrite" || (c.mode == "rewrite" && !skipRewrites))
+    require(unsupported.isEmpty,
+      "change feed cannot express row-level changes of commits " +
+        unsupported.map(c => s"v${c.version}(${c.mode})").mkString(", ") +
+        s" at $root; pass skipRewrites=true if the rewrites are " +
+        "row-preserving maintenance (compact/optimize)")
+    val frames = cs.flatMap { c =>
+      val commitSch = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+      c.mode match {
+        case "append" if c.files.nonEmpty =>
+          Some(spark.read.schema(commitSch).parquet(c.files.map(_.path): _*)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(c.version)))
+        case "delete" if c.files.nonEmpty =>
+          // the DV names (file, pos); join back to the files to emit
+          // the deleted rows' CONTENT
+          val dv = dvDf(c.files.map(_.path))
+          val referenced = dv.select(col("__file")).distinct()
+            .collect().map(r => norm(r.getString(0))).toSet
+          val holders = liveEntries(commits().filter(_.version < c.version))
+            .map(_.path).filter(p => referenced(norm(p)))
+          if (holders.isEmpty) None
+          else Some(spark.read.schema(commitSch).parquet(holders: _*)
+            .withColumn("__file", col("_metadata.file_path"))
+            .withColumn("__pos", col("_metadata.row_index"))
+            .join(broadcast(dv), Seq("__file", "__pos"))
+            .select(commitSch.fieldNames.map(col).toIndexedSeq: _*)
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(c.version)))
+        case _ => None
+      }
+    }
+    if (frames.isEmpty) {
+      val sch = DataType.fromJson(cs.last.schemaJson).asInstanceOf[StructType]
+      val out = StructType(sch.fields :+
+        StructField("_change_type", StringType, nullable = false) :+
+        StructField("_commit_version", IntegerType, nullable = false))
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), out)
+    } else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Append with ADDITIVE schema evolution (Delta's mergeSchema): the
     * batch may introduce NEW columns; columns both sides share must
     * keep name+type. The commit records the widened schema (table

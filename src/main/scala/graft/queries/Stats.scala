@@ -130,6 +130,24 @@ object Stats {
       .orderBy($"prio")
   }
 
+  /** Statistical mode (most frequent l_quantity per return flag,
+    * smallest value on ties). Two stacked aggregations — value counts,
+    * then ONE arg-max per group via an ordered struct max — so the
+    * plan is two map-side-combinable shuffles and no window sort at
+    * all: at 100 TB the window formulation sorts every (group, value)
+    * partition; the struct-max carries 16 bytes per group.
+    */
+  def qMode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag", $"l_quantity").agg(count(lit(1)).as("cnt"))
+      // max of (cnt, -qty) = highest count, smallest quantity on ties
+      .groupBy($"l_returnflag")
+      .agg(max(struct($"cnt", (-$"l_quantity").as("nq"))).as("m"))
+      .select($"l_returnflag", (-$"m.nq").as("mode_qty"), $"m.cnt".as("n_mode"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Rolling distinct users: DAU, trailing-7-day WAU and the
     * DAU/WAU stickiness ratio per day. The scale trick: raw events
     * collapse to distinct (day, user) FIRST (one shuffle of the

@@ -90,6 +90,26 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.read().agg(max(col("k"))).head().getLong(0) == 190L)
   }
 
+  test("change feed emits inserts and the exact deleted rows; rewrites guarded") {
+    import spark.implicits._
+    val t = mkTable(tmp("graft-dv-cdc")) // v0: 1..100, v1: 101..200
+    t.deleteWhere(col("k").isin(7L, 150L)) // v2
+    val feed = t.changesBetween(0, 2)
+    val inserts = feed.filter(col("_change_type") === "insert")
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(inserts == (101L to 200L),
+      "inserts must be exactly v1's appended rows")
+    val deletes = feed.filter(col("_change_type") === "delete")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getInt(r.fieldIndex("_commit_version")))).sortBy(_._1).toSeq
+    assert(deletes == Seq((7L, "row7", 2), (150L, "row150", 2)),
+      s"delete feed must carry the full deleted rows: $deletes")
+    // a rewrite commit (upsert) poisons the feed unless skipped
+    t.upsert(Seq((8L, "updated")).toDF("k", "v"), "k") // v3
+    assertThrows[IllegalArgumentException](t.changesBetween(2, 3))
+    assert(t.changesBetween(2, 3, skipRewrites = true).count() == 0)
+  }
+
   test("vacuum retains live DV sidecars; readIndexed applies DVs") {
     val t = mkTable(tmp("graft-dv-vac"))
     t.deleteWhere(col("k") === 7L)
