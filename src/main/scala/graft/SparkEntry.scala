@@ -343,9 +343,9 @@ object SparkEntry {
         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr,
-        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-        |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept
+        |  round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12) AS corr,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
         |FROM m ORDER BY l_returnflag""".stripMargin,
     "q_entropy" ->
       """WITH cl AS (

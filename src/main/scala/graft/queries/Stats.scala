@@ -41,10 +41,13 @@ object Stats {
     val vx = $"n" * $"sxx" - $"sx" * $"sx"
     val vy = $"n" * $"syy" - $"sy" * $"sy"
     val slope = cov / vx
+    // rounded to absorb the one-ulp a·b−c·d difference between Java's
+    // strict doubles and DuckDB's FMA-contracted build (same precedent
+    // as the ANN cosine's 6-dp rounding)
     m.select($"l_returnflag", $"n",
-        (cov / (sqrt(vx) * sqrt(vy))).as("corr"),
-        slope.as("slope"),
-        (($"sy" - slope * $"sx") / $"n").as("intercept"))
+        round(cov / (sqrt(vx) * sqrt(vy)), 12).as("corr"),
+        round(slope, 9).as("slope"),
+        round(($"sy" - slope * $"sx") / $"n", 6).as("intercept"))
       .orderBy($"l_returnflag")
   }
 

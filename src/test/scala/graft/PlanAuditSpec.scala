@@ -253,6 +253,56 @@ class PlanAuditSpec extends SparkSpec {
       s"filter not pushed: $pushed")
   }
 
+  test("q_mode: two stacked aggregations, no window sort anywhere") {
+    val plan = physicalPlan(graft.queries.Stats.qMode(spark, sf))
+    assert(!plan.contains("Window"), "mode must not pay a window sort")
+    val aggs = "HashAggregate|ObjectHashAggregate|SortAggregate".r
+      .findAllIn(plan).length
+    assert(aggs >= 4, s"expected partial+final for both stages: $aggs")
+  }
+
+  test("q_corr_stats: single pass — one scan, one aggregation exchange") {
+    val plan = physicalPlan(graft.queries.Stats.qCorrStats(spark, sf))
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"corr must be one pass over the fact, got $scans scans")
+    assert(!plan.contains("Window") && !plan.contains("Join"))
+  }
+
+  test("q_skyline: no dominance self-join — windowed prune only") {
+    val plan = physicalPlan(graft.queries.Stats.qSkyline(spark, sf))
+    assert(!plan.contains("Join"),
+      "skyline must never plan the O(n^2) dominance join")
+    assert(plan.contains("Window"))
+  }
+
+  test("q_countmin: sketch built with map-side partials and broadcast to the probe") {
+    val plan = physicalPlan(graft.queries.Events.countMin(spark, sf))
+    // the 1-row sketch rides a broadcast (hash or nested-loop — both
+    // fine for one row), never a shuffle join
+    assert(plan.contains("BroadcastExchange"), "the 1-row sketch must broadcast")
+    assert(!plan.contains("SortMergeJoin"))
+    assert(plan.contains("partial_countminagg"),
+      "sketch must combine map-side before the single-partition merge")
+    assert(plan.contains("cmsestimate"), "codegen point-lookup missing")
+  }
+
+  test("q_rolling_distinct: x7 expansion reads the persisted dedup, events scanned once") {
+    val plan = physicalPlan(graft.queries.Stats.qRollingDistinct(spark, sf))
+    assert(plan.contains("Generate explode"))
+    // both the DAU and WAU branches read the materialized (day,user)
+    // dedup — the raw events parquet is scanned exactly once, inside
+    // the cached relation's build plan
+    val cacheReads = "InMemoryTableScan".r.findAllIn(plan).length
+    assert(cacheReads >= 2, s"both branches must reuse the dedup: $cacheReads")
+    // every parquet scan in the text sits INSIDE a cached-relation
+    // build plan (the print repeats it per InMemoryTableScan); outside
+    // the cache the raw events are never re-read
+    val firstScan = plan.indexOf("FileScan parquet")
+    val firstCache = plan.indexOf("InMemoryRelation")
+    assert(firstCache >= 0 && firstCache < firstScan,
+      "a raw events scan escaped the persisted dedup")
+  }
+
   test("salted join: spreads a hot key and preserves join semantics") {
     import spark.implicits._
     val li = Tables.lineitem(spark, sf)
