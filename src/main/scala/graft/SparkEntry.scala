@@ -88,6 +88,10 @@ object SparkEntry {
     "q_higher_order" -> (Text.higherOrder _),
     "q_quantile_sketch" -> (Relational.qQuantileSketch _),
     "q_hash_split" -> (Text.hashSplit _),
+    "q_weighted_sample" -> (Text.weightedSample _),
+    // GROUP BY ALL through the verbatim two-engine catalog path
+    "q_group_by_all" -> ((s: SparkSession, dir: String) =>
+      GraftSession.withTables(s, dir).sql(GroupByAllQuery)),
     "q_decontaminate" -> (Text.decontaminate _),
     "q_gopher_repetition" -> (Text.gopherRepetition _),
     "q_inverted_index" -> (Text.invertedIndex _),
@@ -275,6 +279,16 @@ object SparkEntry {
       |  ORDER BY s_acctbal DESC, s_name LIMIT 2)
       |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin
 
+  /** GROUP BY ALL — the modern analyst shorthand (group on every
+    * non-aggregate select item), supported verbatim by both engines.
+    */
+  private val GroupByAllQuery =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ALL
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   private val RecursiveCteQuery =
     """WITH RECURSIVE hier(node, parent, depth, path) AS (
       |  SELECT n_nationkey, CAST(NULL AS INTEGER), CAST(0 AS INTEGER),
@@ -293,6 +307,19 @@ object SparkEntry {
     "q_sql_catalog" -> SqlCatalogQuery,
     "q_recursive_cte" -> RecursiveCteQuery,
     "q_lateral_topn" -> LateralTopNQuery,
+    "q_group_by_all" -> GroupByAllQuery,
+    "q_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, GREATEST(CAST(n_chars AS BIGINT), 1) AS w,
+        |    (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
+        |      / 4503599627370496.0 AS u
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, w,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |          ORDER BY ln(u) / w DESC, doc_id) AS BIGINT) AS rank
+        |      FROM d)
+        |SELECT source, rank, doc_id, w FROM r WHERE rank <= 3
+        |ORDER BY source, rank""".stripMargin,
     "q_mode" ->
       """WITH c AS (
         |  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt

@@ -467,6 +467,11 @@ object Cms {
     */
   def estimate(sketch: org.apache.spark.sql.catalyst.util.ArrayData,
       item: UTF8String, depth: Int, width: Int): Long = {
+    if (sketch.numElements() != depth * width)
+      throw new IllegalArgumentException(
+        s"cms_estimate(depth=$depth, width=$width) expects ${depth * width} " +
+          s"counters but the sketch has ${sketch.numElements()} — the probe's " +
+          "(depth, width) must match the aggregate that built the sketch")
     val h = hash64(item.getBytes)
     var best = Long.MaxValue
     var j = 0

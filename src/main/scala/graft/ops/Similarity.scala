@@ -299,6 +299,7 @@ object Similarity {
     val M = 1000000L
     val keep = if (n <= maxTrain) M
       else math.max(1L, (maxTrain.toDouble / n * M).toLong)
+    require(n > 0, "cannot train PQ codebooks on an empty corpus")
     val subs = vecs
       .filter(pmod(hash(col("v")), lit(M)) < lit(keep))
       .select(explode(sequence(lit(0), lit(m - 1))).as("subspace"), col("v"))

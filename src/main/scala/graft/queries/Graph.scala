@@ -62,18 +62,19 @@ object Graph {
     */
   def qTriangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = coSupplyEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val e = graft.ops.Dedup.tracked(
+      coSupplyEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK))
     val und = e.select($"u", $"v").unionAll(e.select($"v".as("u"), $"u".as("v")))
     val deg = und.groupBy($"u".as("n")).agg(count(lit(1)).as("d"))
     val ranked = e
       .join(deg.select($"n".as("n1"), $"d".as("d1")), $"u" === $"n1")
       .join(deg.select($"n".as("n2"), $"d".as("d2")), $"v" === $"n2")
-    val oriented = ranked.select(
+    val oriented = graft.ops.Dedup.tracked(ranked.select(
         when($"d1" < $"d2" || ($"d1" === $"d2" && $"u" < $"v"), $"u")
           .otherwise($"v").as("s"),
         when($"d1" < $"d2" || ($"d1" === $"d2" && $"u" < $"v"), $"v")
           .otherwise($"u").as("t"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val wedges = oriented.as("x").join(oriented.as("y"),
         $"x.s" === $"y.s" && $"x.t" < $"y.t")
       .select($"x.t".as("a"), $"y.t".as("b"))

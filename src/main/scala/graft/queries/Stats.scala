@@ -160,10 +160,10 @@ object Stats {
     */
   def qRollingDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ud = Tables.events(s, dir)
+    val ud = graft.ops.Dedup.tracked(Tables.events(s, dir)
       .select(date_trunc("day", $"ts").as("day"), $"user_id")
       .distinct()
-      .persist()
+      .persist())
     val dau = ud.groupBy($"day").agg(countDistinct($"user_id").as("dau"))
     val wau = ud
       .select(explode(sequence(lit(0), lit(6))).as("off"), $"day", $"user_id")

@@ -118,6 +118,32 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
+    * "Weighted random sampling with a reservoir", IPL 2006 — public
+    * literature): each doc draws u ∈ (0,1] from its content hash and
+    * ranks by ln(u)/weight; the per-stratum top-k is a
+    * weight-proportional sample — here 3 docs per source, weight = doc
+    * length. Deterministic (hash-seeded: reproducible across engines,
+    * runs and clusters — the property a corpus sampling step must
+    * have), map-only until the per-stratum top-k window. The standard
+    * "sample docs ∝ length/quality" primitive of corpus construction.
+    */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source")
+      .orderBy((log($"u") / $"w").desc, $"doc_id")
+    Tables.documents(s, dir)
+      .select($"source", $"doc_id",
+        greatest($"n_chars".cast("long"), lit(1L)).as("w"),
+        ((conv(substring(md5($"doc_id".cast("string")), 1, 13), 16, 10)
+          .cast("double") + 1.0) / 4503599627370496.0).as("u"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"source", $"rank", $"doc_id", $"w")
+      .orderBy($"source", $"rank")
+  }
+
   /** Deterministic train/val/test split by content-independent hash of
     * the id — the reproducible split a training pipeline needs (same
     * doc lands in the same split on any cluster, any run, any engine:
