@@ -33,15 +33,32 @@ case class VersionOffset(v: Long) extends Offset {
   *    table rescan, so a 100 TB table tails at the cost of its delta.
   */
 class DeltaLiteSource(spark: SparkSession, root: String,
-    ignoreChanges: Boolean) extends Source {
+    ignoreChanges: Boolean, maxVersionsPerBatch: Option[Int] = None)
+    extends Source {
 
   private val table = DeltaLite(spark, root)
+
+  // High-water mark of what the engine has already been HANDED (not
+  // necessarily committed): getBatch both reads and teaches us the
+  // cursor — including the checkpoint-restore replay of the last
+  // batch, which re-initializes it after a restart. Rate limiting
+  // offsets from it the way the file source limits by maxFilesPerTrigger:
+  // a 10,000-commit backlog then drains in bounded micro-batches
+  // instead of one giant catch-up batch.
+  @volatile private var delivered: Option[Long] = None
 
   override val schema: StructType = table.schema.getOrElse(
     sys.error(s"DeltaLite streaming source needs an existing table at $root"))
 
   override def getOffset: Option[Offset] =
-    table.latestVersion.map(v => VersionOffset(v.toLong))
+    table.latestVersion.map { latest =>
+      val capped = (maxVersionsPerBatch, delivered) match {
+        case (Some(max), Some(last)) => math.min(latest.toLong, last + max)
+        case (Some(max), None) => math.min(latest.toLong, -1L + max)
+        case _ => latest.toLong
+      }
+      VersionOffset(capped)
+    }
 
   private def version(o: Offset): Long = o match {
     case VersionOffset(v) => v
@@ -52,6 +69,7 @@ class DeltaLiteSource(spark: SparkSession, root: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(version).getOrElse(-1L)
+    delivered = Some(version(end))
     val files = table.appendFilesBetween(from, version(end), ignoreChanges)
     val batch =
       if (files.isEmpty)
@@ -65,7 +83,8 @@ class DeltaLiteSource(spark: SparkSession, root: String,
 }
 
 /** `spark.readStream.format(classOf[DeltaSourceProvider].getName)` —
-  * the V1 source registration (options: `path`, `ignoreChanges`).
+  * the V1 source registration (options: `path`, `ignoreChanges`,
+  * `maxVersionsPerBatch`).
   */
 class DeltaSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -86,5 +105,6 @@ class DeltaSourceProvider extends StreamSourceProvider with DataSourceRegister {
       schemaOpt: Option[StructType], providerName: String,
       params: Map[String, String]): Source =
     new DeltaLiteSource(ctx.sparkSession, root(params),
-      params.get("ignoreChanges").exists(_.toBoolean))
+      params.get("ignoreChanges").exists(_.toBoolean),
+      params.get("maxVersionsPerBatch").map(_.toInt))
 }

@@ -103,6 +103,34 @@ object EventsStream {
         col("purchase_ts"), col("amount"), col("click_id"), col("click_ts"))
   }
 
+  /** LEFT OUTER stream–stream interval join: like [[clickAttribution]]
+    * but purchases WITHOUT a preceding click survive, null-padded —
+    * emitted only once the watermark proves no matching click can
+    * still arrive (the outer-join-needs-watermark rule: the engine
+    * must know when to give up on the match before it can emit the
+    * null row). Both the join condition's time bound and the
+    * watermark bound the state store, so an unbounded stream holds
+    * only the horizon's worth of rows.
+    */
+  def clickAttributionOuter(events: DataFrame, horizonMinutes: Int = 60,
+      watermark: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("amount"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+      col("c_user") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizonMinutes MINUTES"),
+      "leftOuter")
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("purchase_ts"), col("amount"), col("click_id"), col("click_ts"))
+  }
+
   /** Stream–static enrichment join: each micro-batch joins the static
     * dimension as of that batch (re-planned per batch, so a broadcast-
     * able dim stays a broadcast; no state store involved — the static

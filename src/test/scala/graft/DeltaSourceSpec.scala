@@ -95,6 +95,29 @@ class DeltaSourceSpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("maxVersionsPerBatch drains a backlog in bounded micro-batches") {
+    import spark.implicits._
+    val root = tmp("graft-src-rate")
+    val t = DeltaLite(spark, root)
+    (1 to 5).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val q = stream(root, "maxVersionsPerBatch" -> "2").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batches.synchronized {
+          batches += ((id, df.select("k").collect().map(_.getLong(0)).sorted.toSeq))
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val all = batches.sortBy(_._1).flatMap(_._2).toSeq
+    assert(all == (1L to 5L), s"backlog must drain completely: $all")
+    assert(batches.size >= 3, s"5 commits at max 2/batch need >=3 batches: " +
+      batches.map(_._2.size).mkString(","))
+    assert(batches.forall(_._2.size <= 2),
+      s"no batch may exceed the cap: ${batches.map(_._2.size).mkString(",")}")
+  }
+
   test("table-to-table loop: source -> aggregate -> exactly-once sink") {
     import spark.implicits._
     val src = tmp("graft-loop-src")

@@ -251,6 +251,41 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("LEFT OUTER stream-stream join: null row only after the watermark gives up") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.clickAttributionOuter(input.toDF(),
+        horizonMinutes = 60, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("outer_attr")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "purchase", 10.0), // matched immediately
+        Event(3, ts(2), 2, "purchase", 7.0))  // no click: waits for the watermark
+      q.processAllAvailable()
+      val matched = spark.table("outer_attr")
+        .select($"purchase_id", $"click_id").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+      assert(matched == Map(2L -> Some(1L)),
+        s"only the inner match may emit before the watermark: $matched")
+      // far-future events on BOTH branches push the global watermark
+      // past purchase 3's give-up point; they themselves stay pending
+      val far = Timestamp.valueOf("2024-01-01 20:00:00")
+      input.addData(
+        Event(8, far, 8, "click", 1.0),
+        Event(9, far, 9, "purchase", 5.0))
+      q.processAllAvailable()
+      val after = spark.table("outer_attr")
+        .select($"purchase_id", $"click_id").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+      assert(after == Map(2L -> Some(1L), 3L -> None),
+        s"expired unmatched purchase must emit null-padded: $after")
+      assert(!after.contains(9L), "in-horizon purchase must stay pending")
+    } finally q.stop()
+  }
+
   test("sessionize: cross-batch stragglers extend backward or emit separately") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
