@@ -69,6 +69,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => DistinctSketch(args.head,
         exactThreshold = args(1).eval().asInstanceOf[Number].intValue())
         .toAggregateExpression()),
+    ("graft_distinct_state",
+      info("graft_distinct_state",
+        "graft_distinct_state(item, threshold) - distinct sketch evaluating to its serialized state (re-aggregatable)"),
+      (args: Seq[Expression]) => DistinctSketchState(args.head,
+        exactThreshold = args(1).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()),
+    ("graft_distinct_merge",
+      info("graft_distinct_merge",
+        "graft_distinct_merge(state, threshold) - merge serialized sketch states into a distinct estimate"),
+      (args: Seq[Expression]) => DistinctSketchMerge(args.head,
+        exactThreshold = args(1).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()),
     ("graft_cms",
       info("graft_cms",
         "graft_cms(item, depth, width) - count-min frequency sketch aggregate"),

@@ -160,6 +160,7 @@ object SparkEntry {
     "q_heavy_hitters" -> (Events.heavyHitters _),
     "q_distinct_sketch" -> (Events.distinctSketch _),
     "q_countmin" -> (Events.countMin _),
+    "q_sketch_reagg" -> (Events.sketchReagg _),
     // flagship composition: annotate -> filter -> exact dedup -> LSH
     // near-dedup, all library operators; rows-only (near-dup survivor
     // set is not SQL-expressible), semantics spec'd in CurationSpec
@@ -1580,6 +1581,10 @@ object SparkEntry {
     "q_countmin" ->
       """SELECT event_type, COUNT(*) AS est
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sketch_reagg" ->
+      """SELECT event_type, date_trunc('week', date_trunc('day', ts)) AS week,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, week""".stripMargin,
     "q_heavy_hitters" ->
       """SELECT CAST(user_id % 10 AS BIGINT) AS segment,
         |  event_type AS item, COUNT(*) AS cnt

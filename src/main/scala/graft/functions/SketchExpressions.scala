@@ -440,6 +440,93 @@ case class DistinctSketch(child: Expression, p: Int = 12,
     copy(child = newChild)
 }
 
+/** [[DistinctSketch]] variant that evaluates to its SERIALIZED STATE
+  * (binary) instead of the estimate — the re-aggregatable-summary
+  * pattern (Druid/BigQuery sketch columns): materialize per-bucket
+  * (e.g. per-day) states ONCE, then answer any coarser rollup by
+  * MERGING states with [[DistinctSketchMerge]] — no re-scan of the
+  * raw data, ever. Exactness contract is inherited: states below the
+  * threshold are exact value sets, so merged estimates of small
+  * cardinalities are exact COUNT(DISTINCT).
+  */
+case class DistinctSketchState(child: Expression, p: Int = 12,
+    exactThreshold: Int = 4096,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[DSketchBuf]
+    with UnaryLike[Expression] {
+
+  private val inner = DistinctSketch(child, p, exactThreshold)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): DSketchBuf =
+    inner.createAggregationBuffer()
+  override def update(buf: DSketchBuf, input: InternalRow): DSketchBuf =
+    inner.update(buf, input)
+  override def merge(b1: DSketchBuf, b2: DSketchBuf): DSketchBuf =
+    inner.merge(b1, b2)
+  override def eval(buf: DSketchBuf): Any = inner.serialize(buf)
+  override def serialize(buf: DSketchBuf): Array[Byte] = inner.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): DSketchBuf =
+    inner.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): DistinctSketchState =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): DistinctSketchState =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): DistinctSketchState =
+    copy(child = newChild)
+}
+
+/** Merges serialized [[DistinctSketchState]] partials back into one
+  * estimate — the rollup half of the re-aggregatable pattern. Input
+  * rows are BINARY states; output is the distinct-count estimate the
+  * equivalent one-shot [[DistinctSketch]] over the union would give
+  * (exactly equal by construction: same buffer, same merge).
+  */
+case class DistinctSketchMerge(child: Expression, p: Int = 12,
+    exactThreshold: Int = 4096,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[DSketchBuf]
+    with UnaryLike[Expression] {
+
+  private val inner = DistinctSketch(child, p, exactThreshold)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType == BinaryType) TypeCheckSuccess
+    else TypeCheckFailure(
+      s"distinct_merge expects serialized sketch states (binary), got ${child.dataType}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): DSketchBuf =
+    inner.createAggregationBuffer()
+  override def update(buf: DSketchBuf, input: InternalRow): DSketchBuf = {
+    val v = child.eval(input)
+    if (v != null)
+      inner.merge(buf, inner.deserialize(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+  override def merge(b1: DSketchBuf, b2: DSketchBuf): DSketchBuf =
+    inner.merge(b1, b2)
+  override def eval(buf: DSketchBuf): Any = inner.eval(buf)
+  override def serialize(buf: DSketchBuf): Array[Byte] = inner.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): DSketchBuf =
+    inner.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): DistinctSketchMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): DistinctSketchMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): DistinctSketchMerge =
+    copy(child = newChild)
+}
+
 /** Shared hashing for the count-min family: one 64-bit content hash
   * split into two halves drives all `depth` rows via Kirsch–
   * Mitzenmacher double hashing (h1 + j·h2), the standard trick that
@@ -622,6 +709,22 @@ object SketchFunctions {
   def distinct_sketch(item: Column, p: Int = 12,
       exactThreshold: Int = 4096): Column =
     Bridge.column(DistinctSketch(Bridge.expression(item), p, exactThreshold)
+      .toAggregateExpression())
+
+  /** Aggregate: distinct sketch evaluating to its serialized STATE —
+    * materialize per-bucket summaries for later re-aggregation.
+    */
+  def distinct_state(item: Column, p: Int = 12,
+      exactThreshold: Int = 4096): Column =
+    Bridge.column(DistinctSketchState(Bridge.expression(item), p, exactThreshold)
+      .toAggregateExpression())
+
+  /** Aggregate: merge serialized states into a distinct estimate —
+    * the rollup half of [[distinct_state]].
+    */
+  def distinct_merge(state: Column, p: Int = 12,
+      exactThreshold: Int = 4096): Column =
+    Bridge.column(DistinctSketchMerge(Bridge.expression(state), p, exactThreshold)
       .toAggregateExpression())
 
   /** Aggregate: count-min frequency sketch over a string column —

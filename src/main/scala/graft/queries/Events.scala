@@ -126,6 +126,28 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** Re-aggregatable sketch rollup (the Druid/BigQuery sketch-column
+    * pattern): per-(type, DAY) distinct-user sketch STATES materialize
+    * in one pass, then the weekly answer is a MERGE of the daily
+    * states — the raw events are never re-scanned for the coarser
+    * grain. At 100 TB this is how distinct-count dashboards work: the
+    * daily sketch table is a few KB per bucket, and any rollup
+    * (weekly, monthly, per-type-overall) merges states instead of
+    * recounting events. Exact below the sparse threshold — which the
+    * oracle's plain COUNT(DISTINCT) checks.
+    */
+  def sketchReagg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.SketchFunctions._
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+      .agg(distinct_state($"user_id", exactThreshold = 8192).as("state"))
+    daily
+      .groupBy($"event_type", date_trunc("week", $"day").as("week"))
+      .agg(distinct_merge($"state", exactThreshold = 8192).as("n_users"))
+      .orderBy($"event_type", $"week")
+  }
+
   /** Partition-pruned scan: events land as hive-partitioned parquet on
     * event_type; the purchase-only aggregate then reads ONE directory
     * of five — at 100 TB the difference between scanning the lake and

@@ -203,6 +203,35 @@ class SketchSpec extends SparkSpec {
     ds.deserialize(ds.serialize(b))
   }
 
+  test("distinct_state + distinct_merge: rollup of states equals the one-shot sketch") {
+    import spark.implicits._
+    import graft.functions.SketchFunctions._
+    val r = new scala.util.Random(5)
+    val rows = (0 until 3000).map(i => (i % 7, s"u${r.nextInt(800)}"))
+    val df = rows.toDF("bucket", "user").repartition(8).persist()
+    // two-level: per-bucket states, merged to one overall estimate
+    val merged = df.groupBy(col("bucket"))
+      .agg(distinct_state(col("user"), exactThreshold = 64).as("st"))
+      .agg(distinct_merge(col("st"), exactThreshold = 64).as("n"))
+      .head().getLong(0)
+    // one-shot over the same rows (dense path: 800 distinct > 64)
+    val oneShot = df.agg(
+      graft.functions.SketchFunctions.distinct_sketch(col("user"),
+        exactThreshold = 64).as("n")).head().getLong(0)
+    assert(merged == oneShot,
+      s"state rollup must equal the one-shot sketch: $merged vs $oneShot")
+    // sparse regime: states stay exact sets, merge is exact
+    val exact = df.filter(col("bucket") < 2)
+      .groupBy(col("bucket"))
+      .agg(distinct_state(col("user"), exactThreshold = 8192).as("st"))
+      .agg(distinct_merge(col("st"), exactThreshold = 8192).as("n"))
+      .head().getLong(0)
+    val truth = df.filter(col("bucket") < 2)
+      .select("user").distinct().count()
+    assert(exact == truth, s"sparse merge must be exact: $exact vs $truth")
+    df.unpersist()
+  }
+
   test("count_min is exact when distinct items are sparse in the grid") {
     import spark.implicits._
     import graft.functions.SketchFunctions._
