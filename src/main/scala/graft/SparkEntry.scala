@@ -106,6 +106,7 @@ object SparkEntry {
     "q_triangles" -> (Graph.qTriangles _),
     "q_bfs_levels" -> (Graph.qBfsLevels _),
     "q_corr_stats" -> (Stats.qCorrStats _),
+    "q_xcorr" -> (Stats.qXcorr _),
     "q_entropy" -> (Stats.qEntropy _),
     "q_skyline" -> (Stats.qSkyline _),
     "q_mode" -> (Stats.qMode _),
@@ -375,6 +376,22 @@ object SparkEntry {
         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
         |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_xcorr" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n
+        |               FROM events GROUP BY 1, 2),
+        |c AS (SELECT day, n AS x FROM daily WHERE event_type = 'click'),
+        |p AS (SELECT day, n AS y FROM daily WHERE event_type = 'purchase'),
+        |sh AS (SELECT g.lag AS lag, c.day + g.lag * INTERVAL '1' DAY AS pday, c.x
+        |       FROM c CROSS JOIN generate_series(-3, 3) AS g(lag)),
+        |m AS (SELECT lag, COUNT(*) AS n,
+        |        CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |        CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |        CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |        CAST(SUM(y * y) AS DOUBLE) AS syy
+        |      FROM sh JOIN p ON p.day = sh.pday GROUP BY lag)
+        |SELECT lag, n,
+        |  round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12) AS xcorr
+        |FROM m ORDER BY lag""".stripMargin,
     "q_entropy" ->
       """WITH cl AS (
         |  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY source, lang),

@@ -151,6 +151,42 @@ object Stats {
       .orderBy($"l_returnflag")
   }
 
+  /** Lag cross-correlation of two event series ("do clicks lead
+    * purchases?"): daily counts per type come from ONE aggregate over
+    * the raw scan; the ±3-day lag sweep then runs entirely on the
+    * tiny aggregated series (map-side ×7 lag expansion + a join on
+    * the shifted day) — the raw events are never re-scanned per lag.
+    * Correlations derive from exact integer sums, rounded like
+    * `q_corr_stats`.
+    */
+  def qXcorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", $"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val c = daily.filter($"event_type" === "click")
+      .select($"day".as("cday"), $"n".as("x"))
+    val p = daily.filter($"event_type" === "purchase")
+      .select($"day".as("pday"), $"n".as("y"))
+    val shifted = c
+      .select(explode(sequence(lit(-3L), lit(3L))).as("lag"), $"cday", $"x")
+      .select($"lag", ($"cday" + expr("INTERVAL '1' DAY") * $"lag").as("pday"),
+        $"x")
+    val m = shifted.join(p, "pday")
+      .groupBy($"lag")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").cast("double").as("sx"), sum($"y").cast("double").as("sy"),
+        sum($"x" * $"y").cast("double").as("sxy"),
+        sum($"x" * $"x").cast("double").as("sxx"),
+        sum($"y" * $"y").cast("double").as("syy"))
+    val cov = $"n" * $"sxy" - $"sx" * $"sy"
+    val vx = $"n" * $"sxx" - $"sx" * $"sx"
+    val vy = $"n" * $"syy" - $"sy" * $"sy"
+    m.select($"lag", $"n",
+        round(cov / (sqrt(vx) * sqrt(vy)), 12).as("xcorr"))
+      .orderBy($"lag")
+  }
+
   /** Rolling distinct users: DAU, trailing-7-day WAU and the
     * DAU/WAU stickiness ratio per day. The scale trick: raw events
     * collapse to distinct (day, user) FIRST (one shuffle of the
