@@ -33,19 +33,47 @@ case class VersionOffset(v: Long) extends Offset {
   *    table rescan, so a 100 TB table tails at the cost of its delta.
   */
 class DeltaLiteSource(spark: SparkSession, root: String,
-    ignoreChanges: Boolean, maxVersionsPerBatch: Option[Int] = None)
-    extends Source {
+    ignoreChanges: Boolean, maxVersionsPerBatch: Option[Int] = None,
+    metadataPath: Option[String] = None) extends Source {
 
   private val table = DeltaLite(spark, root)
 
+  private def hwmPath = metadataPath.map(p =>
+    new org.apache.hadoop.fs.Path(p, "graft-hwm"))
+  private def hwmFs(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   // High-water mark of what the engine has already been HANDED (not
-  // necessarily committed): getBatch both reads and teaches us the
-  // cursor — including the checkpoint-restore replay of the last
-  // batch, which re-initializes it after a restart. Rate limiting
-  // offsets from it the way the file source limits by maxFilesPerTrigger:
-  // a 10,000-commit backlog then drains in bounded micro-batches
-  // instead of one giant catch-up batch.
-  @volatile private var delivered: Option[Long] = None
+  // necessarily committed — getBatch runs before the engine commits,
+  // so hwm ≥ committed always). Persisted under the source's
+  // checkpoint metadataPath (the FileStreamSource pattern): after a
+  // clean restart getOffset MUST NOT propose an offset below the
+  // committed one — the engine would log the regressed offset and the
+  // next capped climb would re-deliver versions, breaking
+  // exactly-once. With the persisted mark, rate limiting stays safe
+  // across restarts; without a metadataPath (direct construction) the
+  // first post-restart batch is simply uncapped.
+  @volatile private var delivered: Option[Long] = {
+    hwmPath.flatMap { p =>
+      val fs = hwmFs(p)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        body.trim.toLongOption
+      }
+    }
+  }
+
+  private def persistHwm(v: Long): Unit = hwmPath.foreach { p =>
+    val fs = hwmFs(p)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, ".graft-hwm.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p)) sys.error(s"hwm rename failed at $p")
+  }
 
   override val schema: StructType = table.schema.getOrElse(
     sys.error(s"DeltaLite streaming source needs an existing table at $root"))
@@ -69,7 +97,11 @@ class DeltaLiteSource(spark: SparkSession, root: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(version).getOrElse(-1L)
-    delivered = Some(version(end))
+    val endV = math.max(version(end), from) // never regress the cursor
+    if (!delivered.exists(_ >= endV)) {
+      delivered = Some(endV)
+      persistHwm(endV)
+    }
     val files = table.appendFilesBetween(from, version(end), ignoreChanges)
     val batch =
       if (files.isEmpty)
@@ -106,5 +138,6 @@ class DeltaSourceProvider extends StreamSourceProvider with DataSourceRegister {
       params: Map[String, String]): Source =
     new DeltaLiteSource(ctx.sparkSession, root(params),
       params.get("ignoreChanges").exists(_.toBoolean),
-      params.get("maxVersionsPerBatch").map(_.toInt))
+      params.get("maxVersionsPerBatch").map(_.toInt),
+      Some(metadataPath))
 }

@@ -118,6 +118,29 @@ class DeltaSourceSpec extends SparkSpec {
       s"no batch may exceed the cap: ${batches.map(_._2.size).mkString(",")}")
   }
 
+  test("rate limit + restart: no replays, no gaps (hwm survives the checkpoint)") {
+    import spark.implicits._
+    val root = tmp("graft-src-rate-rst")
+    val ckpt = tmp("graft-src-rate-ckpt")
+    val out = tmp("graft-src-rate-out")
+    val t = DeltaLite(spark, root)
+    (1 to 4).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    def run(): Unit = {
+      val q = stream(root, "maxVersionsPerBatch" -> "2").writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    (5 to 7).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    run() // restart: capped getOffset must not regress below committed
+    val got = spark.read.parquet(out).select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == (1L to 7L),
+      s"rate-limited restart must deliver exactly once, got $got")
+  }
+
   test("table-to-table loop: source -> aggregate -> exactly-once sink") {
     import spark.implicits._
     val src = tmp("graft-loop-src")
