@@ -42,9 +42,16 @@ class DeltaLite(spark: SparkSession, val root: String,
     */
   private case class FileEntry(path: String, min: Option[String],
       max: Option[String], keyCol: Option[String] = None)
+  /** `dvs` re-references deletion-vector sidecars atomically WITH the
+    * commit's file-set change — restore/clone need the snapshot and
+    * its DVs in ONE commit, or time travel to the intermediate version
+    * would see deleted rows resurrected (caught by the model-based
+    * random-walk spec).
+    */
   private case class Commit(version: Int, mode: String, schemaJson: String,
       removed: Seq[String], files: Seq[FileEntry],
-      txnApp: Option[String] = None, txnId: Option[Long] = None)
+      txnApp: Option[String] = None, txnId: Option[Long] = None,
+      dvs: Seq[String] = Nil)
 
   /** Scheme-independent path identity (file:/x vs file:///x vs /x). */
   private def norm(p: String): String = new Path(p).toUri.getPath
@@ -100,8 +107,14 @@ class DeltaLite(spark: SparkSession, val root: String,
     val files = fileRe.findAllMatchIn(filesBody).map { m =>
       FileEntry(unesc(m.group(1)), opt(m.group(2)), opt(m.group(3)), statsCol)
     }.toSeq
+    // optional (absent in pre-DV logs); rendered just before "schema"
+    val dvsBody = "\"dvs\":\\[(.*?)\\],\"schema\"".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    val dvs = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findAllMatchIn(dvsBody).map(m => unesc(m.group(1))).toSeq
     Commit(field("version").toInt, field("mode"), field("schema"),
-      removedPaths, files, optField("txnApp"), optField("txnId").map(_.toLong))
+      removedPaths, files, optField("txnApp"), optField("txnId").map(_.toLong),
+      dvs)
   }
 
   private def renderCommit(c: Commit): String = {
@@ -116,7 +129,14 @@ class DeltaLite(spark: SparkSession, val root: String,
     }
     val statsCol = c.files.flatMap(_.keyCol).headOption
       .map(k => s""""statsCol":"${esc(k)}",""").getOrElse("")
-    s"""{"version":"${c.version}","mode":"${c.mode}",$txn$statsCol"schema":"${esc(c.schemaJson)}","removed":$removed,"files":$files}"""
+    // dvs renders just before "schema" — the parse anchors on that,
+    // and the removed-list regex (anchored on "removed":[...],"files")
+    // stays unambiguous
+    val dvs =
+      if (c.dvs.isEmpty) ""
+      else c.dvs.map(p => "\"" + esc(p) + "\"")
+        .mkString("\"dvs\":[", ",", "],")
+    s"""{"version":"${c.version}","mode":"${c.mode}",$txn$statsCol$dvs"schema":"${esc(c.schemaJson)}","removed":$removed,"files":$files}"""
   }
 
   def latestVersion: Option[Int] = commits().lastOption.map(_.version)
@@ -544,8 +564,14 @@ class DeltaLite(spark: SparkSession, val root: String,
     upTo.foldLeft(Seq.empty[String]) { (acc, c) =>
       c.mode match {
         case "delete" => acc ++ c.files.map(_.path)
-        case "overwrite" | "dvclear" => Nil
-        case _ => acc
+        // snapshot replacement resets the DV set to the commit's own
+        // re-references (restore carries the target snapshot's DVs
+        // atomically; a plain overwrite has none)
+        case "overwrite" => c.dvs
+        case "dvclear" => Nil
+        // any other commit may additionally re-reference DVs (clone's
+        // adopting append does)
+        case _ => acc ++ c.dvs
       }
     }
 
@@ -694,16 +720,15 @@ class DeltaLite(spark: SparkSession, val root: String,
         s"cannot restore v$version: deletion vector $p was vacuumed")
     }
     val cur = liveEntries(all).map(_.path)
-    // `overwrite` (not `rewrite`): the restored snapshot REPLACES the
-    // live set, and the DV replay resets with it — deletion vectors
-    // published AFTER the restore point must not re-apply to the
-    // resurrected files. The target snapshot's own DVs are re-published
-    // in a follow-up delete commit.
-    val v = publish(Commit(latestVersion.get + 1, "overwrite",
-      upTo.last.schemaJson, removed = cur, files = snapFiles, None, None))
-    if (dvSnap.isEmpty) v
-    else publish(Commit(v + 1, "delete", upTo.last.schemaJson, Nil,
-      dvSnap.map(p => FileEntry(p, None, None, None)), None, None))
+    // ONE `overwrite` commit carries the restored snapshot AND its
+    // deletion vectors: the DV replay resets with the file set
+    // (post-restore-point deletes must not re-apply to resurrected
+    // files), and there is no intermediate version where the target
+    // snapshot's own deletes are missing — the model-based walk
+    // caught exactly that with a two-commit restore.
+    publish(Commit(latestVersion.get + 1, "overwrite",
+      upTo.last.schemaJson, removed = cur, files = snapFiles, None, None,
+      dvs = dvSnap))
   }
 
   /** Shallow CLONE: a new table at `targetRoot` whose first commit
@@ -727,28 +752,22 @@ class DeltaLite(spark: SparkSession, val root: String,
         (f.path, f.min, f.max, f.keyCol)
       else (f.path, None, None, None)
     }
-    target.adoptSnapshot(all.last.schemaJson, entries)
-    // carry live deletion vectors — without them the clone would
-    // resurrect merge-on-read-deleted rows
-    val dvs = liveDvFiles(all)
-    if (dvs.nonEmpty) target.adoptDvs(all.last.schemaJson, dvs)
+    // live deletion vectors ride in the SAME adopting commit — without
+    // them the clone would resurrect merge-on-read-deleted rows, and a
+    // separate commit would leave a broken intermediate version
+    target.adoptSnapshot(all.last.schemaJson, entries, liveDvFiles(all))
     target
   }
-
-  /** Clone-side re-reference of the source's live DV sidecars. */
-  private def adoptDvs(schemaJson: String, dvPaths: Seq[String]): Int =
-    publish(Commit(latestVersion.get + 1, "delete", schemaJson, Nil,
-      dvPaths.map(p => FileEntry(p, None, None, None)), None, None))
 
   /** First commit of a clone: re-reference the given files (inner
     * Commit/FileEntry are instance-typed, so the TARGET builds them).
     */
   private def adoptSnapshot(schemaJson: String,
-      entries: Seq[(String, Option[String], Option[String], Option[String])])
-      : Int =
+      entries: Seq[(String, Option[String], Option[String], Option[String])],
+      dvPaths: Seq[String]): Int =
     publish(Commit(0, "append", schemaJson, removed = Nil,
       files = entries.map { case (p, mn, mx, kc) => FileEntry(p, mn, mx, kc) },
-      None, None))
+      None, None, dvs = dvPaths))
 
   /** OPTIMIZE ZORDER BY (colA, colB): rewrite the live data Z-clustered
     * on the two dimensions (`graft.ops.ZOrder` Morton interleave +

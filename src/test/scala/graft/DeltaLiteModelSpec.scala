@@ -1,0 +1,117 @@
+package graft
+
+import graft.etl.DeltaLite
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import scala.collection.mutable
+
+/** Model-based property test: a seeded random walk of table operations
+  * (append / upsert / merge-on-read delete / compact /
+  * materializeDeletes / restore) runs against BOTH the real DeltaLite
+  * and an in-memory reference model (a key→value map with per-version
+  * history). After every operation the table's read() must equal the
+  * model exactly, and a random time-travel read must equal the model's
+  * history at that version. This is the test shape that catches
+  * interaction bugs no single-feature spec does — e.g. a delete's DV
+  * surviving a restore it shouldn't, or a compaction resurrecting
+  * merge-on-read-deleted rows.
+  */
+class DeltaLiteModelSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def runWalk(seed: Int, steps: Int): Unit = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val t = DeltaLite(spark, tmp(s"graft-model-$seed"), "k")
+    var model = Map.empty[Long, String]
+    // model state AFTER each committed version
+    val history = mutable.Map.empty[Int, Map[Long, String]]
+    var nextKey = 0L
+
+    def freshKeys(n: Int): Seq[Long] = {
+      val ks = (nextKey until nextKey + n)
+      nextKey += n
+      ks
+    }
+    def record(): Unit =
+      // every version that exists and isn't recorded yet gets the
+      // CURRENT model state (multi-commit ops like materializeDeletes
+      // publish rewrite+dvclear with identical visible state)
+      t.latestVersion.foreach { latest =>
+        (0 to latest).foreach(v => if (!history.contains(v)) history(v) = model)
+      }
+    def check(step: Int, op: String): Unit = {
+      if (t.latestVersion.isEmpty) return // nothing committed yet
+      val got = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == model,
+        s"seed=$seed step=$step after $op: table/model diverged\n" +
+          s"  extra: ${(got.keySet -- model.keySet).toSeq.sorted.take(10)}\n" +
+          s"  missing: ${(model.keySet -- got.keySet).toSeq.sorted.take(10)}\n" +
+          s"  changed: ${model.keySet.intersect(got.keySet)
+            .filter(k => got(k) != model(k)).toSeq.sorted.take(10)}")
+      // random time travel against recorded history
+      if (history.nonEmpty) {
+        val v = history.keys.toSeq(rnd.nextInt(history.size))
+        val at = t.readAsOf(v).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(at == history(v),
+          s"seed=$seed step=$step after $op: time travel to v$v diverged")
+      }
+    }
+
+    (0 until steps).foreach { step =>
+      val op = rnd.nextInt(10) match {
+        case 0 | 1 | 2 =>
+          val ks = freshKeys(rnd.nextInt(20) + 5)
+          t.append(ks.map(k => (k, s"a$step-$k")).toDF("k", "v"))
+          model = model ++ ks.map(k => k -> s"a$step-$k")
+          "append"
+        case 3 | 4 =>
+          // upsert: update a random slice of existing keys + some new
+          val existing = rnd.shuffle(model.keys.toSeq)
+            .take(rnd.nextInt(model.size + 1) / 3)
+          val ks = existing ++ freshKeys(rnd.nextInt(5))
+          if (ks.nonEmpty) {
+            t.upsert(ks.map(k => (k, s"u$step-$k")).toDF("k", "v"), "k")
+            model = model ++ ks.map(k => k -> s"u$step-$k")
+          }
+          "upsert"
+        case 5 | 6 if t.latestVersion.nonEmpty =>
+          // merge-on-read delete of a random residue class
+          val m = rnd.nextInt(5) + 2
+          val r = rnd.nextInt(m)
+          t.deleteWhere(col("k") % m === r)
+          model = model.filter { case (k, _) => k % m != r }
+          s"deleteWhere(k%$m==$r)"
+        case 5 | 6 => "noop"
+        case 7 =>
+          t.compact(targetBytes = 1 << 20, minFiles = 2)
+          "compact"
+        case 8 =>
+          t.materializeDeletes()
+          "materializeDeletes"
+        case 9 =>
+          // restore to a random recorded version
+          if (history.nonEmpty) {
+            val v = history.keys.toSeq(rnd.nextInt(history.size))
+            t.restore(v)
+            model = history(v)
+            s"restore($v)"
+          } else "noop"
+      }
+      record()
+      check(step, op)
+    }
+  }
+
+  test("random operation walk: table equals the reference model at every step") {
+    runWalk(seed = 101, steps = 24)
+  }
+
+  test("random operation walk: second seed") {
+    runWalk(seed = 202, steps = 24)
+  }
+}
