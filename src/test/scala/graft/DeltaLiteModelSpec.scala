@@ -108,10 +108,16 @@ class DeltaLiteModelSpec extends SparkSpec {
   }
 
   test("random operation walk: table equals the reference model at every step") {
-    runWalk(seed = 101, steps = 24)
+    runWalk(seed = 101, steps = 30)
   }
 
   test("random operation walk: second seed") {
-    runWalk(seed = 202, steps = 24)
+    // seed 202's walk is the one that exposed the two-commit restore's
+    // broken intermediate version (restore now carries DVs atomically)
+    runWalk(seed = 202, steps = 30)
+  }
+
+  test("random operation walk: third seed") {
+    runWalk(seed = 303, steps = 30)
   }
 }
