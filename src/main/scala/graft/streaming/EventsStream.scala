@@ -18,6 +18,47 @@ case class Event(event_id: Long, ts: Timestamp, user_id: Long,
 
 case class SessionAcc(start: Timestamp, end: Timestamp, n: Long, sum: Double)
 
+case class UserLifetime(user_id: Long, n_events: Long, cents: Long)
+
+/** Per-user lifetime counters on the Spark 4 `transformWithState`
+  * tier (the arbitrary-stateful-processing v2 API, RocksDB-backed
+  * typed state): two `ValueState` cells per user, updated per
+  * micro-batch, emitting the running totals in Update mode. Monetary
+  * value accumulates in integer cents so the running sum is exact and
+  * order-independent — streamed totals equal the batch aggregate
+  * bit-for-bit (spec'd).
+  */
+class LifetimeProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Event, UserLifetime] {
+  import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var nState: ValueState[Long] = _
+  @transient private var centsState: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: TimeMode): Unit = {
+    nState = getHandle.getValueState[Long]("n", Encoders.scalaLong,
+      TTLConfig.NONE)
+    centsState = getHandle.getValueState[Long]("cents", Encoders.scalaLong,
+      TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timers: streaming.TimerValues): Iterator[UserLifetime] = {
+    var n = if (nState.exists()) nState.get() else 0L
+    var cents = if (centsState.exists()) centsState.get() else 0L
+    rows.foreach { e =>
+      n += 1
+      cents += math.round(e.value * 100)
+    }
+    nState.update(n)
+    centsState.update(cents)
+    Iterator.single(UserLifetime(key, n, cents))
+  }
+}
+
 case class SessionOut(user_id: Long, t_start: Timestamp, t_end: Timestamp,
     n_events: Long, sum_value: Double)
 
@@ -129,6 +170,23 @@ object EventsStream {
       "leftOuter")
       .select(col("p_user").as("user_id"), col("purchase_id"),
         col("purchase_ts"), col("amount"), col("click_id"), col("click_ts"))
+  }
+
+  /** Per-user lifetime stats via Spark 4's `transformWithState` — the
+    * modern stateful tier next to `flatMapGroupsWithState`
+    * ([[sessionize]]): typed per-key state cells in the (RocksDB)
+    * state store, running totals emitted every micro-batch. Requires
+    * the RocksDB state-store provider (set by the caller's session
+    * conf; the spec does).
+    */
+  def lifetimeStats(events: DataFrame): Dataset[UserLifetime] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new LifetimeProcessor, TimeMode.None(),
+        OutputMode.Update())
   }
 
   /** Stream–static enrichment join: each micro-batch joins the static

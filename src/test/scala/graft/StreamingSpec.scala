@@ -251,6 +251,44 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("transformWithState lifetime counters accumulate across batches (RocksDB)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val q = EventsStream.lifetimeStats(input.toDF())
+        .writeStream.format("memory").queryName("lifetime")
+        .outputMode("update").start()
+      try {
+        input.addData(
+          Event(1, ts(0), 1, "click", 1.25),
+          Event(2, ts(1), 1, "view", 2.50),
+          Event(3, ts(2), 2, "click", 10.0))
+        q.processAllAvailable()
+        input.addData(
+          Event(4, ts(3), 1, "purchase", 0.25),
+          Event(5, ts(4), 3, "view", 7.75))
+        q.processAllAvailable()
+        // latest emission per user = lifetime totals across BOTH batches
+        val latest = spark.table("lifetime").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._2) }
+        assert(latest(1L) == ((1L, 3L, 400L)), s"user 1: ${latest(1L)}")
+        assert(latest(2L) == ((2L, 1L, 1000L)))
+        assert(latest(3L) == ((3L, 1L, 775L)))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("LEFT OUTER stream-stream join: null row only after the watermark gives up") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
