@@ -62,6 +62,93 @@ class LifetimeProcessor
 case class SessionOut(user_id: Long, t_start: Timestamp, t_end: Timestamp,
     n_events: Long, sum_value: Double)
 
+/** Gap sessionizer on the `transformWithState` tier with EVENT-TIME
+  * TIMERS: the open session lives in a typed `ValueState[SessionAcc]`
+  * cell and a registered timer at (session end + gap) closes it when
+  * the watermark passes — the v2-API twin of
+  * [[EventsStream.updateSessions]] (flatMapGroupsWithState), with the
+  * timeout expressed as a first-class timer instead of
+  * `setTimeoutTimestamp`. Exactly one timer is live per key: the
+  * registered expiry is tracked in its own state cell and the stale
+  * timer is deleted whenever an event extends the session (otherwise
+  * every extension would leave an earlier timer behind to fire into
+  * the middle of the still-open session).
+  *
+  * Session semantics are identical to the v1 sessionizer (and spec'd
+  * against the same batch oracle): stragglers within the gap extend
+  * the session backward; stragglers more than a gap before the open
+  * session emit as their own closed single-event session.
+  */
+class SessionProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Event, SessionOut] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode,
+    TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var acc: ValueState[SessionAcc] = _
+  @transient private var tmr: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    acc = getHandle.getValueState[SessionAcc]("acc",
+      Encoders.product[SessionAcc], TTLConfig.NONE)
+    tmr = getHandle.getValueState[Long]("tmr", Encoders.scalaLong,
+      TTLConfig.NONE)
+  }
+
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timers: TimerValues): Iterator[SessionOut] = {
+    val gapUs = gapMs * 1000L
+    val out = ArrayBuffer.empty[SessionOut]
+    var cur = if (acc.exists()) Some(acc.get()) else None
+    rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+      val eUs = micros(e.ts)
+      cur match {
+        case Some(s) if eUs >= micros(s.start) - gapUs &&
+            eUs - micros(s.end) <= gapUs =>
+          val start = if (eUs < micros(s.start)) e.ts else s.start
+          val end = if (eUs > micros(s.end)) e.ts else s.end
+          cur = Some(SessionAcc(start, end, s.n + 1, s.sum + e.value))
+        case Some(s) if eUs < micros(s.start) =>
+          out += SessionOut(key, e.ts, e.ts, 1L, e.value)
+        case Some(s) =>
+          out += SessionOut(key, s.start, s.end, s.n, s.sum)
+          cur = Some(SessionAcc(e.ts, e.ts, 1L, e.value))
+        case None =>
+          cur = Some(SessionAcc(e.ts, e.ts, 1L, e.value))
+      }
+    }
+    cur.foreach { s =>
+      acc.update(s)
+      // round the microsecond end UP to ms (truncation would fire the
+      // timer just before the gap boundary and split a boundary event)
+      val expiry = (micros(s.end) + 999L) / 1000L + gapMs
+      val prev = if (tmr.exists()) Some(tmr.get()) else None
+      if (!prev.contains(expiry)) {
+        prev.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(expiry)
+        tmr.update(expiry)
+      }
+    }
+    out.iterator
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[SessionOut] = {
+    // only the CURRENT timer closes the session — a stale expiry that
+    // raced deletion must not fire into an extended session
+    if (acc.exists() && tmr.exists() &&
+        tmr.get() == expired.getExpiryTimeInMs) {
+      val s = acc.get()
+      acc.clear(); tmr.clear()
+      Iterator.single(SessionOut(key, s.start, s.end, s.n, s.sum))
+    } else Iterator.empty
+  }
+}
+
 object EventsStream {
 
   /** File-source stream over the events table: new parquet files landing
@@ -187,6 +274,23 @@ object EventsStream {
       .groupByKey(_.user_id)
       .transformWithState(new LifetimeProcessor, TimeMode.None(),
         OutputMode.Update())
+  }
+
+  /** Gap sessionization on the `transformWithState` tier (see
+    * [[SessionProcessor]]): event-time timers close sessions once the
+    * watermark passes (end + gap); Append mode — only closed sessions
+    * emit. Requires the RocksDB state-store provider and an upstream
+    * watermark on `ts` (the spec sets both); semantics equal
+    * [[sessionize]] and the batch sessionizer.
+    */
+  def sessionizeTws(events: Dataset[Event], gapMinutes: Int = 30,
+      watermark: String = "30 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Stream–static enrichment join: each micro-batch joins the static

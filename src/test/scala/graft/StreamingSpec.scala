@@ -361,6 +361,88 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("transformWithState sessionizer: timers close on gap and on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[Event]
+      val q = EventsStream.sessionizeTws(input.toDS(), gapMinutes = 30,
+          watermark = "0 seconds")
+        .writeStream.format("memory").queryName("tws_sessions")
+        .outputMode("append").start()
+      try {
+        input.addData(
+          Event(1, ts(0), 1, "click", 1.0),
+          Event(2, ts(5), 1, "view", 2.0))
+        q.processAllAvailable()
+        // watermark moves past 10:35 → the timer closes session 1 on
+        // gap; the 10:50 event opens session 2
+        input.addData(Event(3, ts(50), 1, "click", 4.0))
+        q.processAllAvailable()
+        // two more watermark advances: first lets the 11:20 timer
+        // register against the new watermark, second fires it
+        input.addData(Event(4, Timestamp.valueOf("2024-01-01 12:30:00"), 2, "view", 1.0))
+        q.processAllAvailable()
+        input.addData(Event(5, Timestamp.valueOf("2024-01-01 14:00:00"), 2, "view", 1.0))
+        q.processAllAvailable()
+        val rows = spark.table("tws_sessions").collect()
+        val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+          .map(r => (r.getAs[Timestamp]("t_start"), r.getAs[Timestamp]("t_end"),
+            r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+        assert(u1.contains((ts(0), ts(5), 2L, 3.0)), s"got $u1")
+        assert(u1.exists(s => s._1 == ts(50) && s._3 == 1L), s"got $u1")
+      } finally q.stop()
+    }
+  }
+
+  test("transformWithState sessionizer: in-gap extension replaces the timer (no early close)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[Event]
+      val q = EventsStream.sessionizeTws(input.toDS(), gapMinutes = 30,
+          watermark = "0 seconds")
+        .writeStream.format("memory").queryName("tws_extend")
+        .outputMode("append").start()
+      try {
+        input.addData(Event(1, ts(0), 1, "click", 1.0))
+        q.processAllAvailable()
+        // 10:20 extends the session; the 10:30 timer from the first
+        // batch is now stale and must NOT close it when the watermark
+        // (10:20) + later batches pass 10:30
+        input.addData(Event(2, ts(20), 1, "view", 2.0))
+        q.processAllAvailable()
+        // watermark to 10:40: past the STALE expiry (10:30), before the
+        // live one (10:50) — nothing may emit yet
+        input.addData(Event(3, ts(40), 1, "click", 4.0))
+        q.processAllAvailable()
+        assert(spark.table("tws_extend").isEmpty,
+          "stale timer fired into an extended session")
+        // push the watermark past 11:10 twice so the live timer fires
+        input.addData(Event(4, ts(120), 99, "view", 0.0))
+        q.processAllAvailable()
+        input.addData(Event(5, ts(121), 98, "view", 0.0))
+        q.processAllAvailable()
+        val got = spark.table("tws_extend")
+          .select($"user_id", $"t_start", $"t_end", $"n_events", $"sum_value")
+          .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+        assert(got.contains((1L, ts(0), ts(40), 3L, 7.0)), s"got $got")
+      } finally q.stop()
+    }
+  }
+
   test("stateful sessionization: sessions close on gap and on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
