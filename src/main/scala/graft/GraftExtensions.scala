@@ -46,6 +46,10 @@ object GraftExtensions {
     ("graft_cosine",
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two vectors"),
       (args: Seq[Expression]) => CosineSimilarity(args.head, args(1))),
+    ("graft_jaro_winkler",
+      info("graft_jaro_winkler",
+        "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1]"),
+      (args: Seq[Expression]) => JaroWinkler(args.head, args(1))),
     ("graft_freq_items",
       info("graft_freq_items",
         "graft_freq_items(item, k) - Misra-Gries top-items sketch aggregate"),

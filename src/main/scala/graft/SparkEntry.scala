@@ -252,6 +252,10 @@ object SparkEntry {
           sum(col("n_bytes")).as("total_bytes"))
         .orderBy(col("modality"))
     }),
+    "q_semi_join" -> (Relational.qSemiJoin _),
+    "q_gaps_islands" -> (Events.gapsIslands _),
+    "q_coverage" -> (Events.coverage _),
+    "q_fuzzy_join" -> (Text.fuzzyPairs _),
   )
 
   /** Runs verbatim in Spark SQL (via GraftSession.withTables views) and
@@ -306,6 +310,46 @@ object SparkEntry {
 
   /** DuckDB-dialect oracle for each key in `queries`. */
   def oracleSql: Map[String, String] = Map(
+    "q_semi_join" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_gaps_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |g AS (SELECT user_id, day,
+        |        day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |          ORDER BY day) AS INTEGER) AS grp
+        |      FROM days)
+        |SELECT user_id, MIN(day) AS start_day, MAX(day) AS end_day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_days
+        |FROM g GROUP BY user_id, grp HAVING COUNT(*) >= 3
+        |ORDER BY user_id, start_day""".stripMargin,
+    "q_coverage" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(COUNT(DISTINCT event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS r,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS rn
+        |  FROM events),
+        |m AS (SELECT user_id, MAX(r) AS n_types FROM e GROUP BY user_id)
+        |SELECT e.user_id, m.n_types, MIN(e.rn) AS events_to_cover
+        |FROM e JOIN m ON e.user_id = m.user_id AND e.r = m.n_types
+        |GROUP BY e.user_id, m.n_types ORDER BY e.user_id""".stripMargin,
+    "q_fuzzy_join" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 80) AS head, substr(text, 1, 12) AS blk
+        |  FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(jaro_winkler_similarity(a.head, b.head), 6) AS sim
+        |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE round(jaro_winkler_similarity(a.head, b.head), 6) >= 0.92
+        |ORDER BY a_id, b_id""".stripMargin,
     "q_sql_catalog" -> SqlCatalogQuery,
     "q_recursive_cte" -> RecursiveCteQuery,
     "q_lateral_topn" -> LateralTopNQuery,

@@ -1,8 +1,8 @@
 package graft.etl
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, input_file_name, max => fmax, min => fmin}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, input_file_name, lit, max => fmax, min => fmin}
 import org.apache.spark.sql.types._
 
 import java.nio.charset.StandardCharsets
@@ -482,6 +482,76 @@ class DeltaLite(spark: SparkSession, val root: String,
       txnId: Long): Option[Int] =
     if (lastTxn(appId).exists(_ >= txnId)) None
     else Some(upsertImpl(df, key, Some((appId, txnId))))
+
+  /** Full MERGE INTO with clause conditions — the general form of
+    * [[upsert]] (reference: README.md "ACID transactions / incremental
+    * data loading"; Delta's WHEN MATCHED / WHEN NOT MATCHED):
+    *
+    *  - matched + `deleteWhen`            → target row removed
+    *  - matched + !delete + `updateWhen`  → target row replaced by the
+    *    source row (full-row SET *; `updateWhen = None` means always)
+    *  - matched + neither                 → target row kept as-is
+    *  - not matched + `insertWhen`        → source row inserted
+    *    (`insertWhen = None` means always)
+    *
+    * Conditions are Columns over the joined pair with the target
+    * aliased `t` and the source aliased `s` — e.g.
+    * `deleteWhen = Some(col("s.op") === "D")`,
+    * `updateWhen = Some(col("s.ts") > col("t.ts"))` (late-arrival
+    * guard). `insertWhen` sees only `s.*` (there is no target row).
+    *
+    * Scale shape: same file-granular copy-on-write as [[upsert]] —
+    * only live files whose stats range intersects the batch's key
+    * range are read and rewritten, and both merge joins put the BATCH
+    * on the broadcast side, so the table side never shuffles. Write
+    * amplification is O(files that can contain matches). The source
+    * must have unique keys (checked — a duplicate would make a matched
+    * target row multiply, the same restriction Delta enforces).
+    */
+  def merge(source: DataFrame, key: String,
+      deleteWhen: Option[Column] = None,
+      updateWhen: Option[Column] = None,
+      insertWhen: Option[Column] = None): Int = {
+    enforceSchema(source)
+    val insOnly = insertWhen.getOrElse(lit(true))
+    if (latestVersion.isEmpty)
+      return commit(source.as("s").filter(insOnly), "append")
+    val sch = schema.get
+    require(source.groupBy(col(key)).count()
+        .filter(col("count") > 1).limit(1).count() == 0,
+      s"merge source has duplicate values of key '$key'")
+    val entries = liveEntries(commits())
+    val keyType = sch(key).dataType
+    val bounds = source.agg(fmin(col(key)).cast("string"),
+      fmax(col(key)).cast("string")).collect()(0)
+    val canPrune = !bounds.isNullAt(0)
+    val (touched, _) = entries.partition { f =>
+      !canPrune || !f.keyCol.contains(key) || f.min.isEmpty || f.max.isEmpty ||
+        rangesOverlap(keyType, f.min.get, f.max.get,
+          bounds.getString(0), bounds.getString(1))
+    }
+    if (touched.isEmpty)
+      return commit(source.as("s").filter(insOnly)
+        .select(sch.fieldNames.map(col).toSeq: _*), "rewrite")
+    val existing = readFiles(touched.map(_.path), sch, liveDvFiles(commits()))
+    val s = broadcast(source.as("s"))
+    val joined = existing.as("t")
+      .join(s, col(s"t.$key") === col(s"s.$key"), "left_outer")
+    val matched = col(s"s.$key").isNotNull
+    val doDelete = matched && coalesce(deleteWhen.getOrElse(lit(false)), lit(false))
+    val doUpdate = matched && !doDelete &&
+      coalesce(updateWhen.getOrElse(lit(true)), lit(false))
+    val fromTarget = joined.filter(!matched || (!doDelete && !doUpdate))
+      .select(sch.fieldNames.map(f => col(s"t.$f")).toSeq: _*)
+    val updated = joined.filter(doUpdate)
+      .select(sch.fieldNames.map(f => col(s"s.$f")).toSeq: _*)
+    val inserted = source.as("s")
+      .join(existing.select(col(key)), Seq(key), "left_anti")
+      .filter(coalesce(insOnly, lit(false)))
+      .select(sch.fieldNames.map(col).toSeq: _*)
+    commit(fromTarget.unionByName(updated).unionByName(inserted),
+      "rewrite", removed = touched.map(_.path))
+  }
 
   private def upsertImpl(df: DataFrame, key: String,
       txn: Option[(String, Long)]): Int = {

@@ -392,4 +392,54 @@ object Events {
       .na.fill(0L, types)
       .orderBy($"day")
   }
+
+  /** Gaps-and-islands: consecutive active days per user collapse into
+    * streak islands (day − row_number is constant within a run), kept
+    * at length ≥ 3. Two window passes over the deduped (user, day)
+    * table — the distinct shrinks the fact first, so the window sort
+    * runs on ~users×days rows, not raw events; everything after the
+    * dedup shuffle is partition-local.
+    */
+  def gapsIslands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(s, dir)
+      .select($"user_id", date_trunc("day", $"ts").cast("date").as("day"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    days
+      .withColumn("grp", date_sub($"day", row_number().over(w)))
+      .groupBy($"user_id", $"grp")
+      .agg(min($"day").as("start_day"), max($"day").as("end_day"),
+        count(lit(1)).as("n_days"))
+      .filter($"n_days" >= 3)
+      .select($"user_id", $"start_day", $"end_day", $"n_days")
+      .orderBy($"user_id", $"start_day")
+  }
+
+  /** Running count-distinct window: per user, how many events until
+    * every event type they ever use was seen at least once
+    * ("time to full coverage"). Spark has no exact count-distinct
+    * window function — `size(collect_set)` over the running frame is
+    * the idiomatic equivalent; the per-user type total then comes from
+    * the same pass (max of the running count), so the fact is scanned
+    * once, sorted once per user.
+    */
+  def coverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run = Tables.events(s, dir)
+      .withColumn("r",
+        size(collect_set($"event_type").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .cast("long"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+    val totals = run.groupBy($"user_id").agg(max($"r").as("n_types"))
+    run.join(totals, Seq("user_id"))
+      .filter($"r" === $"n_types")
+      .groupBy($"user_id", $"n_types")
+      .agg(min($"rn").as("events_to_cover"))
+      .orderBy($"user_id")
+  }
 }

@@ -638,4 +638,30 @@ object Text {
       .select($"doc_id", $"lang", $"lang_id", $"source", $"source_id")
       .orderBy($"doc_id")
   }
+
+  /** Blocked fuzzy match: candidate pairs share a 12-char text-prefix
+    * block, scored with the codegen'd [[graft.functions.JaroWinkler]]
+    * expression over the 80-char head, kept at ≥ 0.92. Classic
+    * entity-resolution blocking: the only shuffle is the equality join
+    * on the block key, so candidate volume is bucket-bounded (never
+    * all-pairs) and the JW kernel runs map-side inside the join's
+    * codegen stage — the same never-quadratic discipline as the
+    * LSH dedup family. Scores rounded to 6 dp so both engines filter
+    * and hash identical doubles.
+    */
+  def fuzzyPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.StringSimilarity.jaro_winkler
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", substring($"text", 1, 80).as("head"),
+        substring($"text", 1, 12).as("blk"))
+    val a = d.select($"doc_id".as("a_id"), $"head".as("a_head"), $"blk")
+    val b = d.select($"doc_id".as("b_id"), $"head".as("b_head"), $"blk")
+    a.join(b, Seq("blk"))
+      .filter($"a_id" < $"b_id")
+      .withColumn("sim", round(jaro_winkler($"a_head", $"b_head"), 6))
+      .filter($"sim" >= 0.92)
+      .select($"a_id", $"b_id", $"sim")
+      .orderBy($"a_id", $"b_id")
+  }
 }

@@ -59,6 +59,76 @@ class LifetimeProcessor
   }
 }
 
+case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+/** Per-user per-event-type running counters on the `MapState` cell of
+  * the `transformWithState` tier: one RocksDB map per user keyed by
+  * event type — the state shape for per-key sub-dimensions whose
+  * domain isn't known up front (a `ValueState[Map]` would rewrite the
+  * whole map every batch; `MapState` reads and writes only the touched
+  * sub-keys). Update mode: each batch emits the new running totals of
+  * ONLY the types that batch touched.
+  */
+class TypeCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Event, TypeCount] {
+  import org.apache.spark.sql.streaming.{MapState, TimeMode, TTLConfig}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long]("counts",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timers: streaming.TimerValues): Iterator[TypeCount] = {
+    val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+    rows.foreach { e =>
+      val c = if (counts.containsKey(e.event_type))
+        counts.getValue(e.event_type) else 0L
+      counts.updateValue(e.event_type, c + 1)
+      touched += e.event_type
+    }
+    touched.iterator.map(t => TypeCount(key, t, counts.getValue(t)))
+  }
+}
+
+case class RecentEvents(user_id: Long, event_ids: Array[Long])
+
+/** Bounded per-user recent-event history on the `ListState` cell: the
+  * last `keep` event ids in arrival order. `appendValue` is O(1) per
+  * event (RocksDB merge operand — no read-modify-write of the whole
+  * list on the hot path); the trim rewrites the list only when a batch
+  * actually overflows the bound, so steady-state cost is append-only.
+  * The bounded-recent-history shape behind "last N items" feature
+  * serving.
+  */
+class RecentEventsProcessor(keep: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Event, RecentEvents] {
+  import org.apache.spark.sql.streaming.{ListState, TimeMode, TTLConfig}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var recent: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    recent = getHandle.getListState[Long]("recent", Encoders.scalaLong,
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timers: streaming.TimerValues): Iterator[RecentEvents] = {
+    rows.foreach(e => recent.appendValue(e.event_id))
+    val all = recent.get().toArray
+    val kept = if (all.length > keep) {
+      val t = all.takeRight(keep)
+      recent.put(t)
+      t
+    } else all
+    Iterator.single(RecentEvents(key, kept))
+  }
+}
+
 case class SessionOut(user_id: Long, t_start: Timestamp, t_end: Timestamp,
     n_events: Long, sum_value: Double)
 
@@ -273,6 +343,27 @@ object EventsStream {
     events.as[Event]
       .groupByKey(_.user_id)
       .transformWithState(new LifetimeProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** Per-user per-type running counts on the `MapState` tier (see
+    * [[TypeCountProcessor]]); Update mode, RocksDB provider required. */
+  def typeCounts(events: Dataset[Event]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** Last-`keep` event ids per user on the `ListState` tier (see
+    * [[RecentEventsProcessor]]); Update mode, RocksDB provider
+    * required. */
+  def recentEvents(events: Dataset[Event], keep: Int = 5): Dataset[RecentEvents] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new RecentEventsProcessor(keep), TimeMode.None(),
         OutputMode.Update())
   }
 

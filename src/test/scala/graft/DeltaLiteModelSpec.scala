@@ -22,7 +22,7 @@ class DeltaLiteModelSpec extends SparkSpec {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
-  private def runWalk(seed: Int, steps: Int): Unit = {
+  private def runWalk(seed: Int, steps: Int, nOps: Int = 10): Unit = {
     import spark.implicits._
     val rnd = new scala.util.Random(seed)
     val t = DeltaLite(spark, tmp(s"graft-model-$seed"), "k")
@@ -63,7 +63,7 @@ class DeltaLiteModelSpec extends SparkSpec {
     }
 
     (0 until steps).foreach { step =>
-      val op = rnd.nextInt(10) match {
+      val op = rnd.nextInt(nOps) match {
         case 0 | 1 | 2 =>
           val ks = freshKeys(rnd.nextInt(20) + 5)
           t.append(ks.map(k => (k, s"a$step-$k")).toDF("k", "v"))
@@ -101,6 +101,24 @@ class DeltaLiteModelSpec extends SparkSpec {
             model = history(v)
             s"restore($v)"
           } else "noop"
+        case 10 if t.latestVersion.nonEmpty =>
+          // clause merge: tombstone values delete, others upsert; the
+          // tombstone never inserts (insert condition filters it)
+          val existing = rnd.shuffle(model.keys.toSeq)
+            .take(rnd.nextInt(model.size + 1) / 4)
+          val ks = existing ++ freshKeys(rnd.nextInt(4))
+          if (ks.nonEmpty) {
+            val rows = ks.map(k =>
+              (k, if (rnd.nextBoolean()) s"m$step-$k" else s"DEL-$k"))
+            t.merge(rows.toDF("k", "v"), "k",
+              deleteWhen = Some(col("s.v").startsWith("DEL")),
+              insertWhen = Some(!col("s.v").startsWith("DEL")))
+            rows.foreach { case (k, v) =>
+              model = if (v.startsWith("DEL")) model - k else model + (k -> v)
+            }
+          }
+          "merge"
+        case 10 => "noop"
       }
       record()
       check(step, op)
@@ -119,5 +137,9 @@ class DeltaLiteModelSpec extends SparkSpec {
 
   test("random operation walk: third seed") {
     runWalk(seed = 303, steps = 30)
+  }
+
+  test("random operation walk with clause merges: fourth seed") {
+    runWalk(seed = 404, steps = 30, nOps = 11)
   }
 }

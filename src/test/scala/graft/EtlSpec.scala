@@ -114,6 +114,51 @@ class EtlSpec extends SparkSpec {
     assert(t.readAsOf(1).filter($"id" === 2L).select("v").head().getString(0) == "a2")
   }
 
+  test("DeltaLite: merge applies delete/update/insert clauses with conditions") {
+    import spark.implicits._
+    val t = DeltaLite(spark, tmp("graft-merge"), statsKey = "id")
+    t.append(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (4L, "d", 40L)).toDF("id", "v", "ts"))
+    // source: 1 → tombstone, 2 → newer update, 3 → STALE update (older
+    // ts, must be ignored by the late-arrival guard), 5 → insert,
+    // 6 → insert filtered out by the insert condition
+    val src = Seq((1L, "DEL", 99L), (2L, "b2", 25L), (3L, "c2", 5L),
+      (5L, "e", 50L), (6L, "DEL", 60L)).toDF("id", "v", "ts")
+    t.merge(src, "id",
+      deleteWhen = Some(col("s.v") === "DEL"),
+      updateWhen = Some(col("s.ts") > col("t.ts")),
+      insertWhen = Some(col("s.v") =!= "DEL"))
+    val now = t.read().collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(now == Map(2L -> ("b2", 25L), 3L -> ("c", 30L),
+      4L -> ("d", 40L), 5L -> ("e", 50L)), s"got $now")
+    // prior version intact
+    assert(t.readAsOf(0).count() == 4)
+    // duplicate source keys are rejected
+    intercept[IllegalArgumentException] {
+      t.merge(Seq((7L, "x", 1L), (7L, "y", 2L)).toDF("id", "v", "ts"), "id")
+    }
+  }
+
+  test("DeltaLite: merge is file-granular and defaults to plain upsert") {
+    import spark.implicits._
+    val t = DeltaLite(spark, tmp("graft-merge-cow"), statsKey = "id")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    t.append(Seq((100L, "x"), (101L, "y")).toDF("id", "v").coalesce(1))
+    val lowFile = t.commitInfo(0)._2.head
+    val highFile = t.commitInfo(1)._2.head
+    // no clauses → upsert semantics (always update matched, insert new)
+    val ver = t.merge(Seq((2L, "b2"), (50L, "m")).toDF("id", "v"), "id")
+    val (mode, _, removed) = t.commitInfo(ver)
+    assert(mode == "rewrite")
+    assert(removed == Seq(lowFile),
+      s"merge must rewrite only the overlapping file, got $removed")
+    assert(t.liveFiles().contains(highFile))
+    val now = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(now == Map(1L -> "a", 2L -> "b2", 50L -> "m",
+      100L -> "x", 101L -> "y"))
+  }
+
   test("DeltaLite: change feed returns exactly the appended rows per version") {
     import spark.implicits._
     val t = DeltaLite(spark, tmp("graft-cdc"), statsKey = "id")

@@ -303,6 +303,24 @@ class PlanAuditSpec extends SparkSpec {
       "a raw events scan escaped the persisted dedup")
   }
 
+  test("q_semi_join: left-semi with the filtered orders side broadcast") {
+    val plan = physicalPlan(Relational.qSemiJoin(spark, sf))
+    assert(plan.contains("LeftSemi"), "must plan a semi join, not join+distinct")
+    assert(plan.contains("BroadcastHashJoin"),
+      "filtered urgent-orders build side must broadcast")
+  }
+
+  test("q_fuzzy_join: one equality shuffle on the block key, JW inside codegen") {
+    val plan = physicalPlan(Text.fuzzyPairs(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "fuzzy match must stay blocked — never all-pairs")
+    // the JW kernel is a codegen'd expression, not a UDF
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+    assert(plan.toLowerCase.contains("jarowinkler"),
+      "custom expression missing from the plan")
+  }
+
   test("salted join: spreads a hot key and preserves join semantics") {
     import spark.implicits._
     val li = Tables.lineitem(spark, sf)

@@ -23,6 +23,11 @@ class SqlFunctionsSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(math.abs(cos - 1.0) < 1e-12)
 
+    val jw = spark.sql(
+      "SELECT graft_jaro_winkler('martha', 'marhta') AS j")
+      .collect().head.getDouble(0)
+    assert(math.abs(jw - 0.9611111111111111) < 1e-15)
+
     // aggregate path: exact median under capacity
     val med = spark.sql(
       "SELECT graft_quantiles(n_chars, 0.5, 65536)[0] AS m FROM docs_v")

@@ -373,6 +373,60 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState MapState: per-type counts accumulate, only touched types emit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[Event]
+      val q = EventsStream.typeCounts(input.toDS())
+        .writeStream.format("memory").queryName("type_counts")
+        .outputMode("update").start()
+      try {
+        input.addData(
+          Event(1, ts(0), 1, "click", 0), Event(2, ts(1), 1, "click", 0),
+          Event(3, ts(2), 1, "view", 0), Event(4, ts(3), 2, "view", 0))
+        q.processAllAvailable()
+        val b1 = spark.table("type_counts").collect()
+          .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+        assert(b1 == Map((1L, "click") -> 2L, (1L, "view") -> 1L,
+          (2L, "view") -> 1L), s"got $b1")
+        // second batch touches only user 1's click — view must NOT re-emit
+        input.addData(Event(5, ts(4), 1, "click", 0))
+        q.processAllAvailable()
+        val b2 = spark.table("type_counts").collect()
+          .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+        assert(b2.count(_ == ((1L, "click"), 3L)) == 1,
+          s"click count must continue from MapState, got ${b2.toSeq}")
+        assert(b2.count(_._1 == ((1L, "view"))) == 1,
+          "untouched type re-emitted")
+      } finally q.stop()
+    }
+  }
+
+  test("transformWithState ListState: recent history bounded to last N across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[Event]
+      val q = EventsStream.recentEvents(input.toDS(), keep = 3)
+        .writeStream.format("memory").queryName("recent")
+        .outputMode("update").start()
+      try {
+        input.addData(Event(10, ts(0), 1, "click", 0),
+          Event(11, ts(1), 1, "view", 0))
+        q.processAllAvailable()
+        input.addData(Event(12, ts(2), 1, "click", 0),
+          Event(13, ts(3), 1, "view", 0), Event(14, ts(4), 1, "click", 0))
+        q.processAllAvailable()
+        val rows = spark.table("recent").collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toList))
+        assert(rows.contains((1L, List(10L, 11L))), s"got ${rows.toSeq}")
+        // after 5 events the list holds the LAST 3 in arrival order
+        assert(rows.contains((1L, List(12L, 13L, 14L))), s"got ${rows.toSeq}")
+      } finally q.stop()
+    }
+  }
+
   test("transformWithState sessionizer: timers close on gap and on watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
