@@ -256,6 +256,8 @@ object SparkEntry {
     "q_gaps_islands" -> (Events.gapsIslands _),
     "q_coverage" -> (Events.coverage _),
     "q_fuzzy_join" -> (Text.fuzzyPairs _),
+    "q_attribution" -> (Temporal.qAttribution _),
+    "q_rank_stats" -> (Relational.qRankStats _),
   )
 
   /** Runs verbatim in Spark SQL (via GraftSession.withTables views) and
@@ -350,6 +352,30 @@ object SparkEntry {
         |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |WHERE round(jaro_winkler_similarity(a.head, b.head), 6) >= 0.92
         |ORDER BY a_id, b_id""".stripMargin,
+    "q_attribution" ->
+      """WITH c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id,
+        |        value AS amount
+        |      FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT p.purchase_id, c.click_id, c.click_ts,
+        |        ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+        |          ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+        |      FROM p JOIN c ON p.user_id = c.user_id
+        |        AND c.click_ts <= p.purchase_ts
+        |        AND c.click_ts >= p.purchase_ts - INTERVAL 60 MINUTE)
+        |SELECT p.user_id, p.purchase_id, p.amount, b.click_id, b.click_ts
+        |FROM p LEFT JOIN (SELECT * FROM b WHERE rn = 1) b USING (purchase_id)
+        |ORDER BY purchase_id""".stripMargin,
+    "q_rank_stats" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders WHERE o_custkey <= 20
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_sql_catalog" -> SqlCatalogQuery,
     "q_recursive_cte" -> RecursiveCteQuery,
     "q_lateral_topn" -> LateralTopNQuery,

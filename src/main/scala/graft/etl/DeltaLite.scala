@@ -285,7 +285,8 @@ class DeltaLite(spark: SparkSession, val root: String,
       toInclusive: Long, ignoreChanges: Boolean): Seq[String] = {
     val cs = commits().filter(c =>
       c.version > sinceExclusive && c.version <= toInclusive)
-    val nonAppend = cs.filterNot(_.mode == "append")
+    // restats is metadata-only (row-identical) — never a tail hazard
+    val nonAppend = cs.filterNot(c => c.mode == "append" || c.mode == "restats")
     if (nonAppend.nonEmpty && !ignoreChanges)
       sys.error("DeltaLite streaming source saw non-append commits " +
         nonAppend.map(c => s"v${c.version}(${c.mode})").mkString(", ") +
@@ -511,11 +512,24 @@ class DeltaLite(spark: SparkSession, val root: String,
   def merge(source: DataFrame, key: String,
       deleteWhen: Option[Column] = None,
       updateWhen: Option[Column] = None,
-      insertWhen: Option[Column] = None): Int = {
-    enforceSchema(source)
+      insertWhen: Option[Column] = None,
+      txn: Option[(String, Long)] = None): Int = {
+    // the source may carry EXTRA columns beyond the table schema (op
+    // flags, CDC stamps — referenced by clause conditions, never
+    // written); the table's own columns must match exactly
+    schema match {
+      case Some(committed) =>
+        committed.fields.foreach { f =>
+          val got = source.schema.fields.find(_.name == f.name)
+          require(got.exists(_.dataType == f.dataType),
+            s"merge source missing/mistyped table column '${f.name}' " +
+              s"(expected ${f.dataType.simpleString}) at $root")
+        }
+      case None => ()
+    }
     val insOnly = insertWhen.getOrElse(lit(true))
     if (latestVersion.isEmpty)
-      return commit(source.as("s").filter(insOnly), "append")
+      return commit(source.as("s").filter(insOnly), "append", txn = txn)
     val sch = schema.get
     require(source.groupBy(col(key)).count()
         .filter(col("count") > 1).limit(1).count() == 0,
@@ -532,7 +546,7 @@ class DeltaLite(spark: SparkSession, val root: String,
     }
     if (touched.isEmpty)
       return commit(source.as("s").filter(insOnly)
-        .select(sch.fieldNames.map(col).toSeq: _*), "rewrite")
+        .select(sch.fieldNames.map(col).toSeq: _*), "rewrite", txn = txn)
     val existing = readFiles(touched.map(_.path), sch, liveDvFiles(commits()))
     val s = broadcast(source.as("s"))
     val joined = existing.as("t")
@@ -550,8 +564,21 @@ class DeltaLite(spark: SparkSession, val root: String,
       .filter(coalesce(insOnly, lit(false)))
       .select(sch.fieldNames.map(col).toSeq: _*)
     commit(fromTarget.unionByName(updated).unionByName(inserted),
-      "rewrite", removed = touched.map(_.path))
+      "rewrite", removed = touched.map(_.path), txn = txn)
   }
+
+  /** Replay-guarded [[merge]] for streaming micro-batches (the MERGE
+    * analogue of [[txnUpsert]]): returns None when (appId, txnId) was
+    * already applied.
+    */
+  def txnMerge(source: DataFrame, key: String,
+      deleteWhen: Option[Column] = None,
+      updateWhen: Option[Column] = None,
+      insertWhen: Option[Column] = None,
+      appId: String, txnId: Long): Option[Int] =
+    if (lastTxn(appId).exists(_ >= txnId)) None
+    else Some(merge(source, key, deleteWhen, updateWhen, insertWhen,
+      Some((appId, txnId))))
 
   private def upsertImpl(df: DataFrame, key: String,
       txn: Option[(String, Long)]): Int = {
@@ -609,6 +636,11 @@ class DeltaLite(spark: SparkSession, val root: String,
         // delete commits carry DELETION-VECTOR sidecars, dvclear drops
         // them — neither touches the data-file set
         case "delete" | "dvclear" => acc
+        // restats re-labels live entries with stats for a new key; the
+        // file set (and every row) is untouched
+        case "restats" =>
+          val relabeled = c.files.map(f => norm(f.path) -> f).toMap
+          acc.map(f => relabeled.getOrElse(norm(f.path), f))
         case _ => acc ++ c.files
       }
     }
@@ -897,6 +929,72 @@ class DeltaLite(spark: SparkSession, val root: String,
     val c = commits().find(_.version == version)
       .getOrElse(sys.error(s"no commit $version"))
     (c.mode, c.files.map(_.path), c.removed)
+  }
+
+  /** ANALYZE for the skipping index: recompute per-file [min,max]
+    * stats of `key` over the LIVE files and publish them as a
+    * metadata-only `restats` commit — no data file moves, no row
+    * changes (exempt from the streaming source's non-append guard).
+    * After it, file-granular [[upsert]]/[[merge]] pruning and
+    * [[readIndexed]] skipping work against the NEW key (open the table
+    * with `statsKey = key`). Cost: ONE column-pruned scan of the live
+    * data (the usual ANALYZE price) vs rewriting the table to re-key
+    * it. Returns None on an empty table.
+    */
+  def restats(key: String): Option[Int] = {
+    val cs = commits()
+    val live = liveEntries(cs)
+    if (live.isEmpty) return None
+    val sch = schema.get
+    require(sch.fieldNames.contains(key), s"no column '$key' to analyze")
+    val stats = spark.read.schema(sch).parquet(live.map(_.path): _*)
+      .select(col(key).as("__k"), input_file_name().as("__f"))
+      .groupBy("__f").agg(fmin("__k").cast("string").as("mn"),
+        fmax("__k").cast("string").as("mx"))
+      .collect()
+      .map(r => norm(r.getString(0)) ->
+        (Option(r.getString(1)), Option(r.getString(2)))).toMap
+    val entries = live.map { f =>
+      val s = stats.getOrElse(norm(f.path), (None, None))
+      FileEntry(f.path, s._1, s._2, Some(key))
+    }
+    Some(publish(Commit(latestVersion.get + 1, "restats", sch.json,
+      Nil, entries)))
+  }
+
+  /** DESCRIBE HISTORY: one row per commit, newest first — version,
+    * publish timestamp (the log file's mtime, the same clock
+    * [[readAsOfTime]] travels on), operation, file/DV deltas and the
+    * streaming txn stamp. Pure commit-log metadata: O(versions) driver
+    * rows, zero data I/O — the audit surface a table owner reads
+    * before restore/vacuum decisions.
+    */
+  def history(): DataFrame = {
+    import spark.implicits._
+    commits().reverse.map { c =>
+      val ts = new java.sql.Timestamp(
+        fs.getFileStatus(new Path(logDir, s"${c.version}.json"))
+          .getModificationTime)
+      (c.version, ts, c.mode, c.files.size.toLong, c.removed.size.toLong,
+        c.dvs.size.toLong, c.txnApp, c.txnId)
+    }.toDF("version", "timestamp", "operation", "num_added_files",
+      "num_removed_files", "num_dvs", "txn_app_id", "txn_id")
+  }
+
+  /** DESCRIBE DETAIL: the table's current physical footprint — live
+    * file/DV counts and on-disk bytes (O(live files) metadata calls,
+    * no data reads).
+    */
+  def detail(): DataFrame = {
+    import spark.implicits._
+    val cs = commits()
+    val live = liveEntries(cs)
+    val bytes = live.map(f =>
+      fs.getFileStatus(new Path(f.path)).getLen).sum
+    Seq((root, latestVersion.getOrElse(-1), live.size.toLong, bytes,
+      liveDvFiles(cs).size.toLong, schema.map(_.simpleString).getOrElse("")))
+      .toDF("location", "version", "num_live_files", "size_bytes",
+        "num_live_dvs", "schema")
   }
 
   /** (path, min, max) of the live files — stats present only when

@@ -82,6 +82,36 @@ object Expectations {
       .orderBy(col("rule"))
   }
 
+  /** Zero-extra-pass metrics via the `Observation` API: the per-rule
+    * counts ride the returned frame as OBSERVED metrics and
+    * materialize as a side effect of whatever action consumes it (the
+    * load itself) — where [[metrics]] spends its own scan, this makes
+    * the quality report FREE at 100 TB. Returns the frame (original
+    * columns) and a getter that blocks until the consuming action
+    * finishes, yielding the same (rule, n_pass, n_fail) rows.
+    */
+  def observed(df: DataFrame, rules: Seq[(String, Column)],
+      name: String = "expectations")
+      : (DataFrame, () => Seq[(String, Long, Long)]) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val a = annotate(df, rules)
+    val aggs = rules.flatMap { case (n, _) =>
+      Seq(coalesce(sum(when(col(flag(n)), 1L).otherwise(0L)), lit(0L))
+          .as(s"__p_$n"),
+        coalesce(sum(when(col(flag(n)), 0L).otherwise(1L)), lit(0L))
+          .as(s"__f_$n"))
+    }
+    val out = a.observe(obs, aggs.head, aggs.tail: _*)
+      .select(df.columns.map(col).toSeq: _*)
+    val get = () => {
+      val m = obs.get
+      rules.map { case (n, _) =>
+        (n, m(s"__p_$n").asInstanceOf[Long], m(s"__f_$n").asInstanceOf[Long])
+      }.sortBy(_._1)
+    }
+    (out, get)
+  }
+
   /** Gate mode: throws if any rule has a violation, naming the worst
     * offenders — the fail-the-load expectation.
     */

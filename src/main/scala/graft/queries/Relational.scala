@@ -1049,6 +1049,25 @@ object Relational {
       .orderBy($"o_custkey", $"order_date", $"o_orderkey")
   }
 
+  /** Rank-statistic windows in one pass: rank, dense_rank,
+    * percent_rank, cume_dist over a composite (unique) order — the
+    * doubles are (rank−1)/(n−1) and rows≤/n from identical integers in
+    * both engines, so they hash exactly.
+    */
+  def qRankStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(s, dir)
+      .filter($"o_custkey" <= 20)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   /** Left-semi join (SQL EXISTS): market segments counted by customers
     * with at least one urgent order. The semi join stops probing at the
     * first match and never widens rows with build-side columns — at

@@ -52,4 +52,33 @@ object Temporal {
         sum($"value".cast(DecimalType(12, 2))).cast("double").as("sum_value"))
       .orderBy($"interval_id")
   }
+
+  /** Batch last-touch attribution — the BATCH twin of the streaming
+    * interval join ([[graft.streaming.EventsStream.clickAttribution]],
+    * whose spec asserts equivalence to exactly this shape): each
+    * purchase takes the latest click by the same user in the preceding
+    * hour, or nulls. The horizon bound keeps the per-user join fan-out
+    * finite (a user's purchases × their in-horizon clicks), and the
+    * argmax collapses it with one struct-max aggregate — no window
+    * sort over the joined blowup.
+    */
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("purchase_ts"),
+        $"event_id".as("purchase_id"), $"value".as("amount"))
+    val best = purchases.join(clicks, Seq("user_id"))
+      .filter($"click_ts" <= $"purchase_ts" &&
+        $"click_ts" >= $"purchase_ts" - expr("INTERVAL 60 MINUTES"))
+      .groupBy($"purchase_id")
+      .agg(max(struct($"click_ts", $"click_id")).as("b"))
+      .select($"purchase_id", $"b.click_id".as("click_id"),
+        $"b.click_ts".as("click_ts"))
+    purchases.join(best, Seq("purchase_id"), "left")
+      .select($"user_id", $"purchase_id", $"amount", $"click_id", $"click_ts")
+      .orderBy($"purchase_id")
+  }
 }

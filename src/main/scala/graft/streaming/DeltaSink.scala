@@ -106,6 +106,42 @@ object DeltaSink {
       }
     }
 
+  /** CDC replication: apply a change-feed micro-batch (rows stamped
+    * `_change_type`/`_commit_version`, as the `readChangeFeed` source
+    * emits) to a mirror table — inserts upsert, deletes delete, so the
+    * mirror tracks the source TABLE STATE including deletions, which a
+    * plain append tail cannot express. The batch collapses to the last
+    * change per key (highest commit version) before ONE clause
+    * [[graft.etl.DeltaLite.txnMerge]] — O(batch keys) file-granular
+    * write, replay-guarded by (appId, batchId). Compose with the CDF
+    * source for table→mirror pipelines with exactly-once on both
+    * edges.
+    */
+  def cdfApplyWriter(table: DeltaLite, appId: String, key: String)
+      : (DataFrame, Long) => Unit = (batch, batchId) => {
+    import org.apache.spark.sql.functions._
+    if (!table.lastTxn(appId).exists(_ >= batchId) && !batch.isEmpty) {
+      val dataCols = batch.columns.filterNot(c =>
+        c == "_change_type" || c == "_commit_version")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+        .orderBy(col("_commit_version").desc)
+      val latest = batch.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      if (table.latestVersion.isEmpty) {
+        // bootstrap: an empty mirror has nothing to delete, and the
+        // merge path would bake the CDC stamps into the new schema
+        table.txnAppend(latest.filter(col("_change_type") === "insert")
+          .select(dataCols.map(col).toSeq: _*), appId, batchId)
+      } else {
+        table.txnMerge(latest, key,
+          deleteWhen = Some(col("s._change_type") === "delete"),
+          insertWhen = Some(col("s._change_type") =!= "delete"),
+          appId = appId, txnId = batchId)
+      }
+      ()
+    }
+  }
+
   /** Start the stream → table load. `checkpoint` carries the source
     * offsets; the table's commit log carries the (appId, batchId)
     * watermark — together they give end-to-end exactly-once.

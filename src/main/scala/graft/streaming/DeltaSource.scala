@@ -34,9 +34,46 @@ case class VersionOffset(v: Long) extends Offset {
   */
 class DeltaLiteSource(spark: SparkSession, root: String,
     ignoreChanges: Boolean, maxVersionsPerBatch: Option[Int] = None,
-    metadataPath: Option[String] = None) extends Source {
+    metadataPath: Option[String] = None,
+    changeFeed: Boolean = false) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit,
+    Offset => ConnectorOffset}
 
   private val table = DeltaLite(spark, root)
+
+  // ---- admission control (the DSv2 rate-limit/AvailableNow API) ----
+  // Implementing SupportsAdmissionControl moves offset proposal from
+  // getOffset to latestOffset(start, limit): the engine hands us the
+  // true start offset, so the capped climb can never regress across a
+  // restart by construction. Trigger.AvailableNow then pins a fixed
+  // end at prepare time and the backfill drains to it in bounded
+  // micro-batches before the query self-terminates — the
+  // scheduled-catch-up execution mode of a nightly lakehouse job.
+
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(table.latestVersion.map(_.toLong).getOrElse(-1L))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(startOffset: ConnectorOffset,
+      limit: ReadLimit): ConnectorOffset = {
+    val tableLatest = table.latestVersion.map(_.toLong)
+      .getOrElse(return null)
+    val latest = availableNowCap.fold(tableLatest)(math.min(_, tableLatest))
+    val start: Long = Option(startOffset).map {
+      case VersionOffset(v) => v
+      case o => o.json().trim.toLong
+    }.orElse(delivered).getOrElse(-1L)
+    val capped = maxVersionsPerBatch match {
+      case Some(max) => math.min(latest, start + max)
+      case None => latest
+    }
+    VersionOffset(math.max(capped, start))
+  }
 
   private def hwmPath = metadataPath.map(p =>
     new org.apache.hadoop.fs.Path(p, "graft-hwm"))
@@ -75,8 +112,11 @@ class DeltaLiteSource(spark: SparkSession, root: String,
     if (!fs.rename(tmp, p)) sys.error(s"hwm rename failed at $p")
   }
 
-  override val schema: StructType = table.schema.getOrElse(
-    sys.error(s"DeltaLite streaming source needs an existing table at $root"))
+  override val schema: StructType = {
+    val base = table.schema.getOrElse(
+      sys.error(s"DeltaLite streaming source needs an existing table at $root"))
+    if (changeFeed) DeltaLiteSource.withChangeColumns(base) else base
+  }
 
   override def getOffset: Option[Offset] =
     table.latestVersion.map { latest =>
@@ -102,16 +142,41 @@ class DeltaLiteSource(spark: SparkSession, root: String,
       delivered = Some(endV)
       persistHwm(endV)
     }
-    val files = table.appendFilesBetween(from, version(end), ignoreChanges)
     val batch =
-      if (files.isEmpty)
-        spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-      else spark.read.schema(schema).parquet(files: _*)
+      if (changeFeed) {
+        // CDF tail: row-level changes of the new commits — inserts from
+        // appends, deletes with full row content materialized from the
+        // deletion vectors; `ignoreChanges` here skips row-preserving
+        // rewrite commits (compact/optimize) the way Delta's CDF
+        // ignores non-CDC maintenance
+        if (from >= version(end))
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+        else table.changesBetween(from.toInt, version(end).toInt,
+          skipRewrites = ignoreChanges)
+          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
+            .toIndexedSeq: _*)
+      } else {
+        val files = table.appendFilesBetween(from, version(end), ignoreChanges)
+        if (files.isEmpty)
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+        else spark.read.schema(schema).parquet(files: _*)
+      }
     Bridge.streamingDataFrame(spark, batch.queryExecution.toRdd, schema)
   }
 
   override def stop(): Unit = ()
+}
+
+object DeltaLiteSource {
+  /** CDF schema = table schema + Delta's change-feed columns. */
+  private[streaming] def withChangeColumns(base: StructType): StructType =
+    StructType(base.fields :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false) :+
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.IntegerType, nullable = false))
 }
 
 /** `spark.readStream.format(classOf[DeltaSourceProvider].getName)` —
@@ -126,11 +191,16 @@ class DeltaSourceProvider extends StreamSourceProvider with DataSourceRegister {
     params.getOrElse("path",
       sys.error("delta-lite source requires .option(\"path\", <table root>)"))
 
+  private def cdf(params: Map[String, String]): Boolean =
+    params.get("readChangeFeed").exists(_.toBoolean)
+
   override def sourceSchema(ctx: SQLContext, schemaOpt: Option[StructType],
       providerName: String, params: Map[String, String]): (String, StructType) = {
     val t = DeltaLite(ctx.sparkSession, root(params))
-    (shortName(), schemaOpt.orElse(t.schema).getOrElse(
-      sys.error(s"empty DeltaLite table at ${root(params)}")))
+    val base = schemaOpt.orElse(t.schema).getOrElse(
+      sys.error(s"empty DeltaLite table at ${root(params)}"))
+    (shortName(),
+      if (cdf(params)) DeltaLiteSource.withChangeColumns(base) else base)
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
@@ -139,5 +209,6 @@ class DeltaSourceProvider extends StreamSourceProvider with DataSourceRegister {
     new DeltaLiteSource(ctx.sparkSession, root(params),
       params.get("ignoreChanges").exists(_.toBoolean),
       params.get("maxVersionsPerBatch").map(_.toInt),
-      Some(metadataPath))
+      Some(metadataPath),
+      changeFeed = cdf(params))
 }

@@ -329,6 +329,33 @@ object EventsStream {
         col("purchase_ts"), col("amount"), col("click_id"), col("click_ts"))
   }
 
+  /** FULL OUTER stream–stream interval join — completes the join-type
+    * matrix (inner [[clickAttribution]], left outer
+    * [[clickAttributionOuter]]): purchases without a click AND clicks
+    * that never converted both survive null-padded, each emitted only
+    * once its watermark proves no partner can still arrive. Same
+    * bounded state: horizon + watermark per side.
+    */
+  def clickAttributionFull(events: DataFrame, horizonMinutes: Int = 60,
+      watermark: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("amount"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+      col("c_user") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizonMinutes MINUTES"),
+      "fullOuter")
+      .select(coalesce(col("p_user"), col("c_user")).as("user_id"),
+        col("purchase_id"), col("purchase_ts"), col("amount"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** Per-user lifetime stats via Spark 4's `transformWithState` — the
     * modern stateful tier next to `flatMapGroupsWithState`
     * ([[sessionize]]): typed per-key state cells in the (RocksDB)

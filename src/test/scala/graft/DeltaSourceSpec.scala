@@ -166,4 +166,117 @@ class DeltaSourceSpec extends SparkSpec {
     assert(got == Seq((1L, 2L), (2L, 2L), (3L, 1L)),
       s"incremental table-to-table aggregate drifted: $got")
   }
+
+  test("Trigger.AvailableNow: backfill drains rate-limited batches then terminates") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmp("graft-avnow")
+    val t = DeltaLite(spark, root)
+    (0 until 5).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    // the scheduled-job shape: process everything that exists now in
+    // bounded micro-batches (2 versions each), then STOP — no
+    // always-on cluster for a nightly catch-up
+    val q = stream(root, "maxVersionsPerBatch" -> "2")
+      .writeStream.format("memory").queryName("avnow")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    val got = spark.table("avnow").select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L until 5L), s"backfill incomplete: $got")
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "rate limit must split the backfill into multiple micro-batches")
+  }
+
+  test("change feed stream: inserts and DV deletes with content, incrementally") {
+    import spark.implicits._
+    val root = tmp("graft-cdf")
+    val t = DeltaLite(spark, root)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))      // v0
+    t.append(Seq((3L, "c")).toDF("k", "v"))                 // v1
+    t.deleteWhere(col("k") === 2L)                          // v2 (DV)
+    val q = stream(root, "readChangeFeed" -> "true")
+      .writeStream.format("memory").queryName("cdf_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def rows() = spark.table("cdf_tail").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          r.getAs[String]("_change_type"), r.getAs[Int]("_commit_version")))
+        .toSet
+      assert(rows() == Set((1L, "a", "insert", 0), (2L, "b", "insert", 0),
+        (3L, "c", "insert", 1), (2L, "b", "delete", 2)),
+        s"got ${rows()}")
+      // mid-stream commits: a new append and a new delete tail in with
+      // their version stamps — and ONLY them
+      t.append(Seq((4L, "d")).toDF("k", "v"))               // v3
+      t.deleteWhere(col("k") === 1L)                        // v4
+      q.processAllAvailable()
+      assert(rows() == Set((1L, "a", "insert", 0), (2L, "b", "insert", 0),
+        (3L, "c", "insert", 1), (2L, "b", "delete", 2),
+        (4L, "d", "insert", 3), (1L, "a", "delete", 4)),
+        s"got ${rows()}")
+    } finally q.stop()
+  }
+
+  test("CDF replication: mirror tracks source state including deletes, replay-safe") {
+    import spark.implicits._
+    val src = tmp("graft-cdf-src")
+    val dst = tmp("graft-cdf-dst")
+    val ckpt = tmp("graft-cdf-ck")
+    val t = DeltaLite(spark, src)
+    val mirror = DeltaLite(spark, dst, statsKey = "k")
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")) // v0
+    t.deleteWhere(col("k") === 2L)                                // v1
+    def sync(): Unit = {
+      val q = stream(src, "readChangeFeed" -> "true")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(DeltaSink.cdfApplyWriter(mirror, "cdf-app", "k"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def state(dl: DeltaLite) = dl.read().collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    sync()
+    assert(state(mirror) == Map(1L -> "a", 3L -> "c"),
+      s"mirror after bootstrap: ${state(mirror)}")
+    // source evolves: update-by-reinsert, fresh insert, another delete
+    t.deleteWhere(col("k") === 3L)                                // v2
+    t.append(Seq((3L, "c2"), (4L, "d")).toDF("k", "v"))           // v3
+    sync()
+    assert(state(mirror) == state(t), s"mirror drifted: ${state(mirror)} " +
+      s"vs ${state(t)}")
+    // replaying an applied batch must be a no-op
+    val before = mirror.latestVersion
+    DeltaSink.cdfApplyWriter(mirror, "cdf-app", "k")(
+      t.changesBetween(-1, t.latestVersion.get), 0L)
+    assert(mirror.latestVersion == before, "replayed batch re-applied")
+  }
+
+  test("change feed stream: rewrite commits fail unless ignoreChanges skips them") {
+    import spark.implicits._
+    val root = tmp("graft-cdf-rw")
+    val t = DeltaLite(spark, root)
+    t.append(Seq((1L, "a")).toDF("k", "v").coalesce(1))
+    t.append(Seq((2L, "b")).toDF("k", "v").coalesce(1))
+    t.compact(targetBytes = 1 << 20, minFiles = 2) // rewrite commit
+    val strict = stream(root, "readChangeFeed" -> "true")
+      .writeStream.format("memory").queryName("cdf_strict")
+      .outputMode("append").start()
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try strict.processAllAvailable() finally strict.stop()
+    }
+    assert(failed.getMessage.contains("change feed") ||
+      Option(failed.getCause).exists(_.getMessage.contains("change feed")))
+    val lax = stream(root, "readChangeFeed" -> "true",
+        "ignoreChanges" -> "true")
+      .writeStream.format("memory").queryName("cdf_lax")
+      .outputMode("append").start()
+    try {
+      lax.processAllAvailable()
+      val got = spark.table("cdf_lax").collect()
+        .map(r => (r.getLong(0), r.getAs[String]("_change_type"))).toSet
+      assert(got == Set((1L, "insert"), (2L, "insert")),
+        s"compaction must be invisible to the lax feed: $got")
+    } finally lax.stop()
+  }
 }

@@ -114,6 +114,56 @@ class EtlSpec extends SparkSpec {
     assert(t.readAsOf(1).filter($"id" === 2L).select("v").head().getString(0) == "a2")
   }
 
+  test("DeltaLite: history and detail expose the commit-log audit surface") {
+    import spark.implicits._
+    val t = DeltaLite(spark, tmp("graft-hist"), statsKey = "id")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    t.append(Seq((3L, "c")).toDF("id", "v").coalesce(1))
+    t.deleteWhere(col("id") === 2L)
+    t.upsert(Seq((1L, "a2")).toDF("id", "v").coalesce(1), "id")
+    val h = t.history().collect()
+      .map(r => (r.getInt(0), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(h.map(_._1).toSeq == Seq(3, 2, 1, 0), "newest first")
+    assert(h.map(_._2).toSeq == Seq("rewrite", "delete", "append", "append"))
+    val rw = h.head
+    assert(rw._3 >= 1 && rw._4 == 1, s"rewrite deltas: $rw")
+    // timestamps are monotone non-decreasing newest-first reversed
+    val times = t.history().collect().map(_.getTimestamp(1).getTime).reverse
+    assert(times.zip(times.tail).forall { case (a, b) => a <= b })
+    val d = t.detail().collect().head
+    assert(d.getInt(1) == 3)
+    assert(d.getLong(2) == t.liveFiles().size.toLong)
+    assert(d.getLong(3) > 0, "live bytes must be positive")
+    assert(d.getLong(4) >= 1, "the delete's DV sidecar files must show as live")
+    assert(d.getString(5).contains("id"))
+  }
+
+  test("DeltaLite: restats re-keys the skipping index without touching data") {
+    import spark.implicits._
+    val root = tmp("graft-restats")
+    val t = DeltaLite(spark, root, statsKey = "id")
+    t.append(Seq((1L, "a1"), (2L, "b1")).toDF("id", "name").coalesce(1))
+    t.append(Seq((100L, "x1"), (101L, "y1")).toDF("id", "name").coalesce(1))
+    // stats are on id → an upsert keyed on name cannot prune
+    val before = t.liveFiles().toSet
+    val v = t.restats("name").get
+    assert(t.commitInfo(v)._1 == "restats")
+    assert(t.liveFiles().toSet == before, "restats must not move data files")
+    assert(t.read().count() == 4, "rows untouched")
+    // reopened with the new stats key, upserts prune on name
+    val t2 = DeltaLite(spark, root, statsKey = "name")
+    val stats = t2.liveFileStats()
+    assert(stats.forall(s => s._2.nonEmpty && s._3.nonEmpty),
+      s"every live file must carry name stats: $stats")
+    val v2 = t2.upsert(Seq((22L, "b1")).toDF("id", "name").coalesce(1), "name")
+    val (_, _, removed) = t2.commitInfo(v2)
+    assert(removed.size == 1, s"name-keyed upsert must prune to 1 file: $removed")
+    assert(t2.read().collect().map(r => r.getString(1) -> r.getLong(0)).toMap ==
+      Map("a1" -> 1L, "b1" -> 22L, "x1" -> 100L, "y1" -> 101L))
+    // a restats commit is invisible to history-consuming readers
+    assert(t2.readAsOf(v).count() == 4)
+  }
+
   test("DeltaLite: merge applies delete/update/insert clauses with conditions") {
     import spark.implicits._
     val t = DeltaLite(spark, tmp("graft-merge"), statsKey = "id")

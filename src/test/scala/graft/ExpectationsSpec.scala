@@ -52,4 +52,13 @@ class ExpectationsSpec extends SparkSpec {
     val clean = df.filter(col("v") > 0 && col("status") === "ok")
     assert(Expectations.enforce(clean, rules).count() == 2)
   }
+
+  test("observed: metrics ride the consuming action, equal to the metrics pass") {
+    val (out, get) = Expectations.observed(df, rules)
+    assert(out.columns.toSeq == df.columns.toSeq,
+      "observed frame must keep the original columns")
+    // the consuming action IS the load; metrics come for free with it
+    out.write.format("noop").mode("overwrite").save()
+    assert(get() == Seq(("positive", 3L, 2L), ("status_ok", 4L, 1L)))
+  }
 }

@@ -324,6 +324,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("FULL OUTER stream-stream join: both sides' orphans emit after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.clickAttributionFull(input.toDF(),
+        horizonMinutes = 60, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("full_attr")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "purchase", 10.0), // matched pair
+        Event(3, ts(2), 2, "purchase", 7.0),  // orphan purchase
+        Event(4, ts(3), 3, "click", 2.0))     // orphan click
+      q.processAllAvailable()
+      val far = Timestamp.valueOf("2024-01-01 20:00:00")
+      input.addData(
+        Event(8, far, 8, "click", 1.0),
+        Event(9, far, 9, "purchase", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("full_attr")
+        .select($"user_id", $"purchase_id", $"click_id").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+      assert(rows.contains((1L, Some(2L), Some(1L))), s"match missing: $rows")
+      assert(rows.contains((2L, Some(3L), None)),
+        s"orphan purchase must null-pad: $rows")
+      assert(rows.contains((3L, None, Some(4L))),
+        s"orphan click must null-pad too — the full-outer half: $rows")
+      assert(!rows.exists(r => r._2 == Some(9L) || r._3 == Some(8L)),
+        "in-horizon rows must stay pending")
+    } finally q.stop()
+  }
+
   test("sessionize: cross-batch stragglers extend backward or emit separately") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
