@@ -258,6 +258,18 @@ object SparkEntry {
     "q_fuzzy_join" -> (Text.fuzzyPairs _),
     "q_attribution" -> (Temporal.qAttribution _),
     "q_rank_stats" -> (Relational.qRankStats _),
+    "q_string_agg" -> (Relational.qStringAgg _),
+    "q_regex_extract" -> (Text.regexExtract _),
+    // the full pretrain tail: curate -> chunk -> greedy pack, one
+    // manifest row per (lang, 2048-token training bin)
+    "pipeline_pretrain" -> ((s: SparkSession, dir: String) => {
+      val curated = graft.ops.Curation.curate(
+        graft.Tables.documents(s, dir), "text", "doc_id",
+        minQuality = 0.3, langs = Seq("en", "de", "fr", "es"),
+        jaccard = 0.8)
+      graft.ops.Curation.pretrainPack(curated, "text", "doc_id",
+        "lang_pred")
+    }),
   )
 
   /** Runs verbatim in Spark SQL (via GraftSession.withTables views) and
@@ -352,6 +364,17 @@ object SparkEntry {
         |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |WHERE round(jaro_winkler_similarity(a.head, b.head), 6) >= 0.92
         |ORDER BY a_id, b_id""".stripMargin,
+    "q_string_agg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  CAST(COUNT(*) AS BIGINT) AS n_nations
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_regex_extract" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b[aeiou][a-z]{4,}\b')) AS BIGINT)
+        |    AS n_vowel_words,
+        |  regexp_extract(text, '\b[aeiou][a-z]{4,}\b') AS first_hit
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_attribution" ->
       """WITH c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
         |           FROM events WHERE event_type = 'click'),

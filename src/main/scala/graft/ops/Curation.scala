@@ -77,6 +77,46 @@ object Curation {
     exact.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** The packing tail of a pretrain data pipeline: curated docs →
+    * fixed-token chunks (window `chunkTokens`, stride `stride` — the
+    * RAG chunker's shape) → greedy sequence packing per language into
+    * `seqLen`-token training bins (cumulative-sum binning: one window
+    * pass per language, no driver loop; a bin overflows by at most one
+    * chunk − 1 tokens, the standard greedy-packing bound). Returns one
+    * row per (lang, bin): chunk/doc counts and token totals — the
+    * batch manifest a trainer's data loader consumes. Everything after
+    * the chunk explode is map-side until the single per-language
+    * window sort; at 100 TB the sort key (lang, doc, chunk) is the
+    * already-partitioned layout, so packing costs one pass.
+    */
+  def pretrainPack(curated: DataFrame, textCol: String, idCol: String,
+      langCol: String, chunkTokens: Int = 16, stride: Int = 12,
+      seqLen: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val chunks = curated
+      .select(col(idCol), col(langCol), split(col(textCol), " ").as("__t"))
+      .withColumn("__n", size(col("__t")).cast("long"))
+      .withColumn("__start",
+        explode(sequence(lit(0L), col("__n") - 1, lit(stride.toLong))))
+      .select(col(idCol), col(langCol),
+        expr(s"__start div $stride").as("chunk_idx"),
+        least(lit(chunkTokens.toLong), col("__n") - col("__start"))
+          .as("chunk_tokens"))
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col(idCol), col("chunk_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("__cum", sum(col("chunk_tokens")).over(w))
+      .withColumn("bin", expr(s"(__cum - chunk_tokens) div $seqLen"))
+      .groupBy(col(langCol), col("bin"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col(idCol)).as("n_docs"),
+        sum(col("chunk_tokens")).as("bin_tokens"),
+        min(col(idCol)).as("first_doc"), max(col(idCol)).as("last_doc"))
+      .orderBy(col(langCol), col("bin"))
+  }
+
   /** [[curate]] plus a semantic (embedding-cosine) near-dup stage: after
     * the text passes, survivors whose embeddings sit within `cosine` of
     * a smaller-id survivor are dropped too — catches paraphrase-level

@@ -1049,6 +1049,21 @@ object Relational {
       .orderBy($"o_custkey", $"order_date", $"o_orderkey")
   }
 
+  /** Ordered string aggregation (LISTAGG/string_agg): nations per
+    * region as one sorted CSV — `sort_array(collect_list)` is the
+    * deterministic Spark idiom (collect order is partition-dependent;
+    * the sort pins it, matching the oracle's WITHIN-GROUP order).
+    */
+  def qStringAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.region(s, dir)
+      .join(Tables.nation(s, dir), $"r_regionkey" === $"n_regionkey")
+      .groupBy($"r_name")
+      .agg(concat_ws(",", sort_array(collect_list($"n_name"))).as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy($"r_name")
+  }
+
   /** Rank-statistic windows in one pass: rank, dense_rank,
     * percent_rank, cume_dist over a composite (unique) order — the
     * doubles are (rank−1)/(n−1) and rows≤/n from identical integers in

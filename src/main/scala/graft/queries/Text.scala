@@ -639,6 +639,23 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** Regex extraction surface: per-doc count and first hit of a word
+    * pattern — `regexp_extract_all` stays inside codegen (no UDF), and
+    * the pattern sticks to the regex subset (char classes, bounded
+    * repetition, ASCII \b) where Java's engine and RE2-family engines
+    * agree, so the oracle pins it exactly.
+    */
+  def regexExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pat = "\\b[aeiou][a-z]{4,}\\b"
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        size(regexp_extract_all($"text", lit(pat), lit(0))).cast("long")
+          .as("n_vowel_words"),
+        regexp_extract($"text", pat, 0).as("first_hit"))
+      .orderBy($"doc_id")
+  }
+
   /** Blocked fuzzy match: candidate pairs share a 12-char text-prefix
     * block, scored with the codegen'd [[graft.functions.JaroWinkler]]
     * expression over the 80-char head, kept at ≥ 0.92. Classic

@@ -71,4 +71,36 @@ class CurationSpec extends SparkSpec {
       s"near-dedup removed nothing: $r")
     assert(r.afterNear > 0)
   }
+
+  test("pretrainPack: greedy bins match an independent driver-side simulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 40).map { i =>
+      val lang = if (i % 3 == 0) "de" else "en"
+      val words = (0 until 5 + rnd.nextInt(60)).map(j => s"w$j").mkString(" ")
+      (i.toLong, lang, words)
+    }
+    val df = docs.toDF("doc_id", "lang_pred", "text")
+    val got = Curation.pretrainPack(df, "text", "doc_id", "lang_pred",
+      chunkTokens = 16, stride = 12, seqLen = 64).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+
+    // independent reimplementation: chunk + greedy pack on the driver
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      val chunks = ds.sortBy(_._1).flatMap { case (id, _, text) =>
+        val n = text.split(" ").length.toLong
+        (0L until n by 12L).map(s => math.min(16L, n - s))
+      }
+      var cum = 0L
+      val bins = chunks.map { c => val b = cum / 64; cum += c; (b, c) }
+      bins.groupBy(_._1).map { case (b, cs) =>
+        (lang, b, cs.size.toLong, cs.map(_._2).sum)
+      }
+    }.toSet
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSet == expected,
+      s"packing diverged from the reference simulation")
+    // greedy bound: a bin overflows by at most one chunk − 1 tokens
+    assert(got.forall(_._4 <= 64 + 15), "bin over the greedy bound")
+    Dedup.releaseCaches()
+  }
 }

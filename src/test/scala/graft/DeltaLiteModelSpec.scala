@@ -119,6 +119,14 @@ class DeltaLiteModelSpec extends SparkSpec {
           }
           "merge"
         case 10 => "noop"
+        case 11 if t.latestVersion.nonEmpty =>
+          // metadata-only re-key of the skipping index: flips the stats
+          // column away from (and back to) the upsert key — visible
+          // state must never move, and later upserts stay correct
+          // whether or not the stats match their key
+          t.restats(if (rnd.nextBoolean()) "v" else "k")
+          "restats"
+        case 11 => "noop"
       }
       record()
       check(step, op)
@@ -141,5 +149,9 @@ class DeltaLiteModelSpec extends SparkSpec {
 
   test("random operation walk with clause merges: fourth seed") {
     runWalk(seed = 404, steps = 30, nOps = 11)
+  }
+
+  test("random operation walk with merges and restats: fifth seed") {
+    runWalk(seed = 505, steps = 30, nOps = 12)
   }
 }

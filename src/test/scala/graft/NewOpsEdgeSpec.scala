@@ -115,6 +115,58 @@ class NewOpsEdgeSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("merge edge cases: empty source, all-delete batch, conditions on empty table") {
+    import spark.implicits._
+    import graft.etl.DeltaLite
+    val t = DeltaLite(spark,
+      java.nio.file.Files.createTempDirectory("graft-merge-edge").toString,
+      statsKey = "k")
+    // merge into an EMPTY table: only the insert clause can apply
+    t.merge(Seq((1L, "a"), (2L, "DEL")).toDF("k", "v"), "k",
+      insertWhen = Some(col("s.v") =!= "DEL"))
+    assert(t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      == Map(1L -> "a"))
+    // empty source: a no-op commit, table unchanged
+    val before = t.read().collect().toSet
+    t.merge(Seq.empty[(Long, String)].toDF("k", "v"), "k")
+    assert(t.read().collect().toSet == before)
+    // batch that deletes EVERYTHING it matches
+    t.append(Seq((2L, "b"), (3L, "c")).toDF("k", "v"))
+    t.merge(Seq((1L, "x"), (2L, "x"), (3L, "x")).toDF("k", "v"), "k",
+      deleteWhen = Some(lit(true)), insertWhen = Some(lit(false)))
+    assert(t.read().count() == 0, "all-delete merge must empty the table")
+  }
+
+  test("restats/history/detail on empty and single-commit tables") {
+    import spark.implicits._
+    import graft.etl.DeltaLite
+    val t = DeltaLite(spark,
+      java.nio.file.Files.createTempDirectory("graft-meta-edge").toString)
+    assert(t.restats("k").isEmpty, "restats on an empty table is None")
+    assert(t.history().isEmpty)
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    assert(t.history().count() == 1)
+    val d = t.detail().collect().head
+    assert(d.getInt(1) == 0 && d.getLong(2) >= 1)
+  }
+
+  test("fuzzy blocking: empty corpus and single-doc blocks yield no pairs") {
+    import spark.implicits._
+    import graft.functions.StringSimilarity.jaro_winkler
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // a lone doc in its block can never pair with itself (a_id < b_id)
+    val lone = Seq((1L, "only one document here")).toDF("doc_id", "text")
+    for (d <- Seq(empty, lone)) {
+      val blocked = d.select(col("doc_id"), substring(col("text"), 1, 12).as("blk"),
+        substring(col("text"), 1, 80).as("head"))
+      val a = blocked.select(col("doc_id").as("a_id"), col("head").as("a_head"), col("blk"))
+      val b = blocked.select(col("doc_id").as("b_id"), col("head").as("b_head"), col("blk"))
+      val pairs = a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))
+        .withColumn("sim", jaro_winkler(col("a_head"), col("b_head")))
+      assert(pairs.count() == 0)
+    }
+  }
+
   test("cms: null items skipped, mismatched probe shape rejected loudly") {
     import spark.implicits._
     import graft.functions.SketchFunctions._

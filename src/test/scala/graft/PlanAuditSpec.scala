@@ -321,6 +321,18 @@ class PlanAuditSpec extends SparkSpec {
       "custom expression missing from the plan")
   }
 
+  test("q_attribution: argmax via struct-max aggregate, no window over the join blowup") {
+    val plan = physicalPlan(graft.queries.Temporal.qAttribution(spark, sf))
+    assert(!plan.contains("Window"),
+      "last-click pick must be a struct-max aggregate, not a ranked window")
+    // struct-typed max plans as SortAggregate (interpreted ordering) —
+    // still partial+final, still no rank sort over the joined blowup
+    assert(plan.contains("Aggregate"),
+      "argmax must partial-aggregate map-side")
+    assert(plan.contains("partial_max") || plan.contains("partial_"),
+      "aggregate must combine map-side before the exchange")
+  }
+
   test("salted join: spreads a hot key and preserves join semantics") {
     import spark.implicits._
     val li = Tables.lineitem(spark, sf)
