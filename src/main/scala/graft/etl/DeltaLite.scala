@@ -47,11 +47,19 @@ class DeltaLite(spark: SparkSession, val root: String,
     * its DVs in ONE commit, or time travel to the intermediate version
     * would see deleted rows resurrected (caught by the model-based
     * random-walk spec).
+    *
+    * `colmap` is the column-mapping state (logical name → PHYSICAL
+    * parquet name) as of this commit: physical names are stable ids
+    * assigned at column creation, so RENAME COLUMN is a metadata-only
+    * commit — zero data rewritten (Delta's column-mapping=name mode).
+    * `None` (pre-mapping logs, or commits that don't touch mapping)
+    * carries the previous state forward; commits written by mapping-
+    * aware code always record the full current state.
     */
   private case class Commit(version: Int, mode: String, schemaJson: String,
       removed: Seq[String], files: Seq[FileEntry],
       txnApp: Option[String] = None, txnId: Option[Long] = None,
-      dvs: Seq[String] = Nil)
+      dvs: Seq[String] = Nil, colmap: Option[Map[String, String]] = None)
 
   /** Scheme-independent path identity (file:/x vs file:///x vs /x). */
   private def norm(p: String): String = new Path(p).toUri.getPath
@@ -112,9 +120,19 @@ class DeltaLite(spark: SparkSession, val root: String,
       .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
     val dvs = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
       .findAllMatchIn(dvsBody).map(m => unesc(m.group(1))).toSeq
+    // logicalphysical entries joined by  — separators no
+    // column name contains; Some("") is the EXPLICIT empty mapping
+    // (distinct from an old log's absent field, which carries forward)
+    val colmap = optField("colmap").map { s =>
+      if (s.isEmpty) Map.empty[String, String]
+      else s.split('').map { e =>
+        val i = e.indexOf('')
+        e.substring(0, i) -> e.substring(i + 1)
+      }.toMap
+    }
     Commit(field("version").toInt, field("mode"), field("schema"),
       removedPaths, files, optField("txnApp"), optField("txnId").map(_.toLong),
-      dvs)
+      dvs, colmap)
   }
 
   private def renderCommit(c: Commit): String = {
@@ -129,6 +147,11 @@ class DeltaLite(spark: SparkSession, val root: String,
     }
     val statsCol = c.files.flatMap(_.keyCol).headOption
       .map(k => s""""statsCol":"${esc(k)}",""").getOrElse("")
+    val colmap = c.colmap.map { m =>
+      val body = m.toSeq.sorted
+        .map { case (l, p) => l + "" + p }.mkString("")
+      s""""colmap":"${esc(body)}","""
+    }.getOrElse("")
     // dvs renders just before "schema" — the parse anchors on that,
     // and the removed-list regex (anchored on "removed":[...],"files")
     // stays unambiguous
@@ -136,13 +159,77 @@ class DeltaLite(spark: SparkSession, val root: String,
       if (c.dvs.isEmpty) ""
       else c.dvs.map(p => "\"" + esc(p) + "\"")
         .mkString("\"dvs\":[", ",", "],")
-    s"""{"version":"${c.version}","mode":"${c.mode}",$txn$statsCol$dvs"schema":"${esc(c.schemaJson)}","removed":$removed,"files":$files}"""
+    s"""{"version":"${c.version}","mode":"${c.mode}",$txn$statsCol$colmap$dvs"schema":"${esc(c.schemaJson)}","removed":$removed,"files":$files}"""
   }
 
   def latestVersion: Option[Int] = commits().lastOption.map(_.version)
 
   def schema: Option[StructType] = commits().lastOption.map(c =>
     DataType.fromJson(c.schemaJson).asInstanceOf[StructType])
+
+  // ---- column mapping (RENAME COLUMN without data rewrite) ----
+
+  /** Mapping state (logical → physical) as of the last commit in
+    * `upTo`: the last recorded state wins; commits that never touch
+    * mapping (old logs, dvclear/restats published directly) carry the
+    * previous state forward.
+    */
+  private def colMapAt(upTo: Seq[Commit]): Map[String, String] =
+    upTo.foldLeft(Map.empty[String, String]) { (acc, c) =>
+      c.colmap.getOrElse(acc)
+    }
+
+  /** Current logical→physical column mapping (empty = identity).
+    * Streaming sources capture this next to the schema so their file
+    * reads address the on-disk physical names.
+    */
+  private[graft] def columnMapping: Map[String, String] = colMapAt(commits())
+
+  /** The schema as written to parquet: logical field names replaced by
+    * their stable physical names.
+    */
+  private def physSchema(sch: StructType, m: Map[String, String]): StructType =
+    if (m.isEmpty) sch
+    else StructType(sch.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))))
+
+  /** Project a physically-named frame back to logical names, in the
+    * logical schema's column order.
+    */
+  private def toLogical(df: DataFrame, sch: StructType,
+      m: Map[String, String]): DataFrame =
+    if (m.isEmpty) df
+    else df.select(sch.fields.map(f =>
+      col(m.getOrElse(f.name, f.name)).as(f.name)).toIndexedSeq: _*)
+
+  /** RENAME COLUMN as a METADATA-ONLY commit: the logical schema gets
+    * the new name; the mapping records that it reads the old physical
+    * column — no data file is touched, at any table size. Time travel
+    * before the rename still shows the old name. A later column ADDED
+    * with the vacated name gets a fresh physical id (no collision with
+    * the renamed column's files — see [[appendEvolve]]). Streaming
+    * tails fail on the rename commit (their captured schema is stale —
+    * Delta's behavior) unless `ignoreChanges`, which keeps serving the
+    * names captured at stream start.
+    */
+  def renameColumn(oldName: String, newName: String): Int = {
+    val cs = commits()
+    require(cs.nonEmpty, s"empty table at $root")
+    val sch = schema.get
+    require(sch.fieldNames.contains(oldName),
+      s"no column '$oldName' to rename at $root")
+    require(!sch.fieldNames.contains(newName),
+      s"column '$newName' already exists at $root")
+    val mapping = colMapAt(cs)
+    val phys = mapping.getOrElse(oldName, oldName)
+    // renaming back to the physical name collapses to identity —
+    // record the EXPLICIT (possibly empty) state, never drop the field
+    val next = ((mapping - oldName) + (newName -> phys))
+      .filter { case (l, p) => l != p }
+    val newSch = StructType(sch.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    publish(Commit(latestVersion.get + 1, "rename", newSch.json, Nil, Nil,
+      None, None, dvs = Nil, colmap = Some(next)))
+  }
 
   /** Enforce name+type equality with the committed schema (nullable is
     * not load-bearing for parquet round trips).
@@ -157,8 +244,21 @@ class DeltaLite(spark: SparkSession, val root: String,
   private def commit(df: DataFrame, mode: String,
       removed: Seq[String] = Nil,
       txn: Option[(String, Long)] = None,
-      schemaOverride: Option[StructType] = None): Int = {
+      schemaOverride: Option[StructType] = None,
+      mappingOverride: Option[Map[String, String]] = None): Int = {
     val version = latestVersion.map(_ + 1).getOrElse(0)
+    // an overwrite replaces every file, so no physical name survives to
+    // map — mapping resets to identity (restore, which also publishes
+    // "overwrite" but re-references OLD files, records its own state)
+    val mapping = mappingOverride.getOrElse(
+      if (mode == "overwrite") Map.empty[String, String]
+      else colMapAt(commits()))
+    // data files carry PHYSICAL names; the commit record keeps the
+    // logical schema + the mapping that recovers it
+    val physDf =
+      if (mapping.isEmpty) df
+      else df.select(df.schema.fieldNames.map(n =>
+        col(n).as(mapping.getOrElse(n, n))).toIndexedSeq: _*)
     val dataDir = new Path(rootPath, s"v=$version")
     // a v=N directory without N.json is an orphan from a crash between
     // the data write and the log publish — the commit never became
@@ -167,7 +267,7 @@ class DeltaLite(spark: SparkSession, val root: String,
     // ErrorIfExists forever.
     if (fs.exists(dataDir) && !fs.exists(new Path(logDir, s"$version.json")))
       fs.delete(dataDir, true)
-    df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
+    physDf.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
     val dataFiles = fs.listStatus(dataDir).toSeq.map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .sortBy(_.getName)
@@ -178,8 +278,9 @@ class DeltaLite(spark: SparkSession, val root: String,
     // pruning compare in rangesOverlap would misjudge (lost updates).
     val stats: Map[String, (Option[String], Option[String])] = statsKey match {
       case Some(k) if df.schema.fieldNames.contains(k) && dataFiles.nonEmpty =>
-        spark.read.schema(df.schema).parquet(dataDir.toString)
-          .select(col(k).as("__k"), input_file_name().as("__f"))
+        val physK = mapping.getOrElse(k, k)
+        spark.read.schema(physDf.schema).parquet(dataDir.toString)
+          .select(col(physK).as("__k"), input_file_name().as("__f"))
           .groupBy("__f").agg(fmin("__k").cast("string").as("mn"),
             fmax("__k").cast("string").as("mx"))
           .collect()
@@ -188,6 +289,9 @@ class DeltaLite(spark: SparkSession, val root: String,
           .toMap
       case _ => Map.empty
     }
+    // keyCol is recorded as the LOGICAL name — pruning compares it to
+    // the merge key the caller names; a later rename of the stats
+    // column turns pruning off conservatively until restats
     val statsColUsed = statsKey.filter(k =>
       df.schema.fieldNames.contains(k) && stats.nonEmpty)
     val entries = dataFiles.map { p =>
@@ -195,7 +299,7 @@ class DeltaLite(spark: SparkSession, val root: String,
       FileEntry(p.toString, s._1, s._2, statsColUsed)
     }
     publish(Commit(version, mode, schemaOverride.getOrElse(df.schema).json,
-      removed, entries, txn.map(_._1), txn.map(_._2)))
+      removed, entries, txn.map(_._1), txn.map(_._2), Nil, Some(mapping)))
   }
 
   private def publish(record: Commit): Int = {
@@ -255,23 +359,40 @@ class DeltaLite(spark: SparkSession, val root: String,
     * events in an append-oriented feed.
     */
   def readAppendsSince(sinceVersion: Int): DataFrame = {
+    val all = commits()
     val sch = schema.getOrElse(sys.error(s"empty table at $root"))
-    val appends = commits()
+    val appends = all
       .filter(c => c.version > sinceVersion && c.mode == "append" &&
         c.files.nonEmpty)
     val out = StructType(sch.fields :+
       StructField("_commit_version", IntegerType, nullable = false))
     if (appends.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[Row](), out)
-    else appends.map { c =>
-      // each commit reads with ITS OWN recorded schema — decoding old
-      // files with the latest schema would fabricate nulls (or fail)
-      // for columns added/retyped by a later overwrite. Name-based
-      // union aligns the epochs; a missing column is explicitly null.
-      val commitSch = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
-      spark.read.schema(commitSch).parquet(c.files.map(_.path): _*)
-        .withColumn("_commit_version", org.apache.spark.sql.functions.lit(c.version))
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    else {
+      // physical names are stable ids: decode each commit with its own
+      // (physical) schema, then surface each column under its CURRENT
+      // logical name when the physical id is still live — renamed
+      // columns line up across the union instead of splitting
+      val latestRev = colMapAt(all).map(_.swap)
+      appends.map { c =>
+        // each commit reads with ITS OWN recorded schema — decoding old
+        // files with the latest schema would fabricate nulls (or fail)
+        // for columns added/retyped by a later overwrite. Name-based
+        // union aligns the epochs; a missing column is explicitly null.
+        val commitSch = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+        val m = colMapAt(all.filter(_.version <= c.version))
+        spark.read.schema(physSchema(commitSch, m))
+          .parquet(c.files.map(_.path): _*)
+          .select(commitSch.fields.map { f =>
+            // current name of the stable id: the latest mapping's name,
+            // else the id itself (identity-mapped — covers rename-back
+            // and the no-mapping epochs, where p == f.name)
+            val p = m.getOrElse(f.name, f.name)
+            col(p).as(latestRev.getOrElse(p, p))
+          }.toIndexedSeq: _*)
+          .withColumn("_commit_version", org.apache.spark.sql.functions.lit(c.version))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
   }
 
   /** Data files of the append commits in (sinceExclusive, toInclusive]
@@ -285,8 +406,12 @@ class DeltaLite(spark: SparkSession, val root: String,
       toInclusive: Long, ignoreChanges: Boolean): Seq[String] = {
     val cs = commits().filter(c =>
       c.version > sinceExclusive && c.version <= toInclusive)
-    // restats is metadata-only (row-identical) — never a tail hazard
-    val nonAppend = cs.filterNot(c => c.mode == "append" || c.mode == "restats")
+    // restats is metadata-only (row-identical) — never a tail hazard;
+    // rename is row-identical too: the SOURCE guards it (only a
+    // MID-STREAM rename stales a captured schema — a historical one
+    // is already reflected in it)
+    val nonAppend = cs.filterNot(c =>
+      c.mode == "append" || c.mode == "restats" || c.mode == "rename")
     if (nonAppend.nonEmpty && !ignoreChanges)
       sys.error("DeltaLite streaming source saw non-append commits " +
         nonAppend.map(c => s"v${c.version}(${c.mode})").mkString(", ") +
@@ -320,11 +445,28 @@ class DeltaLite(spark: SparkSession, val root: String,
         unsupported.map(c => s"v${c.version}(${c.mode})").mkString(", ") +
         s" at $root; pass skipRewrites=true if the rewrites are " +
         "row-preserving maintenance (compact/optimize)")
+    // stable-id aliasing: every frame decodes PHYSICAL names and
+    // surfaces them under the range-END logical names, so a rename
+    // commit inside the range needs no special case — pre- and
+    // post-rename rows line up on the same output column
+    val endRev = colMapAt(commits().filter(_.version <= toInclusive))
+      .map(_.swap)
+    def decode(paths: Seq[String], commitSch: StructType,
+        m: Map[String, String]): (DataFrame, Seq[Column]) = {
+      val df = spark.read.schema(physSchema(commitSch, m)).parquet(paths: _*)
+      val cols = commitSch.fields.toSeq.map { f =>
+        val p = m.getOrElse(f.name, f.name)
+        col(p).as(endRev.getOrElse(p, p))
+      }
+      (df, cols)
+    }
     val frames = cs.flatMap { c =>
       val commitSch = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+      val m = colMapAt(commits().filter(_.version <= c.version))
       c.mode match {
         case "append" if c.files.nonEmpty =>
-          Some(spark.read.schema(commitSch).parquet(c.files.map(_.path): _*)
+          val (df, cols) = decode(c.files.map(_.path), commitSch, m)
+          Some(df.select(cols: _*)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(c.version)))
         case "delete" if c.files.nonEmpty =>
@@ -336,13 +478,16 @@ class DeltaLite(spark: SparkSession, val root: String,
           val holders = liveEntries(commits().filter(_.version < c.version))
             .map(_.path).filter(p => referenced(norm(p)))
           if (holders.isEmpty) None
-          else Some(spark.read.schema(commitSch).parquet(holders: _*)
-            .withColumn("__file", col("_metadata.file_path"))
-            .withColumn("__pos", col("_metadata.row_index"))
-            .join(broadcast(dv), Seq("__file", "__pos"))
-            .select(commitSch.fieldNames.map(col).toIndexedSeq: _*)
-            .withColumn("_change_type", lit("delete"))
-            .withColumn("_commit_version", lit(c.version)))
+          else {
+            val (df, cols) = decode(holders, commitSch, m)
+            Some(df
+              .withColumn("__file", col("_metadata.file_path"))
+              .withColumn("__pos", col("_metadata.row_index"))
+              .join(broadcast(dv), Seq("__file", "__pos"))
+              .select(cols: _*)
+              .withColumn("_change_type", lit("delete"))
+              .withColumn("_commit_version", lit(c.version)))
+          }
         case _ => None
       }
     }
@@ -413,7 +558,17 @@ class DeltaLite(spark: SparkSession, val root: String,
             .cast(wf.dataType).as(wf.name)
         }
       }: _*)
-      commit(aligned, "append", schemaOverride = Some(widened))
+      // a new column may re-use a name a RENAME vacated — but its
+      // physical id must not collide with the renamed column's files,
+      // which still carry that name on disk: assign a fresh id
+      val mapping = colMapAt(commits())
+      var m = mapping
+      newCols.foreach { f =>
+        if (mapping.values.exists(_ == f.name))
+          m += f.name -> s"${f.name}__p${latestVersion.getOrElse(-1) + 1}"
+      }
+      commit(aligned, "append", schemaOverride = Some(widened),
+        mappingOverride = Some(m))
   }
 
   /** Replace table contents (schema may change). */
@@ -528,43 +683,63 @@ class DeltaLite(spark: SparkSession, val root: String,
       case None => ()
     }
     val insOnly = insertWhen.getOrElse(lit(true))
-    if (latestVersion.isEmpty)
-      return commit(source.as("s").filter(insOnly), "append", txn = txn)
-    val sch = schema.get
-    require(source.groupBy(col(key)).count()
-        .filter(col("count") > 1).limit(1).count() == 0,
-      s"merge source has duplicate values of key '$key'")
-    val entries = liveEntries(commits())
-    val keyType = sch(key).dataType
-    val bounds = source.agg(fmin(col(key)).cast("string"),
-      fmax(col(key)).cast("string")).collect()(0)
-    val canPrune = !bounds.isNullAt(0)
-    val (touched, _) = entries.partition { f =>
-      !canPrune || !f.keyCol.contains(key) || f.min.isEmpty || f.max.isEmpty ||
-        rangesOverlap(keyType, f.min.get, f.max.get,
-          bounds.getString(0), bounds.getString(1))
+    // pin the batch: the dup-key check, bounds, rewrite join and insert
+    // anti-join must all see the SAME rows (a non-deterministic source
+    // re-executed per action could pass the check yet duplicate in the
+    // join — the appendChecked hazard)
+    val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      require(src.groupBy(col(key)).count()
+          .filter(col("count") > 1).limit(1).count() == 0,
+        s"merge source has duplicate values of key '$key'")
+      // a first merge defines the table schema FROM the source — pass
+      // only real table columns here (extra op/CDC columns are
+      // supported only once a schema exists to project against)
+      if (latestVersion.isEmpty)
+        return commit(src.as("s").filter(insOnly), "append", txn = txn)
+      val sch = schema.get
+      // an empty batch must be a no-op, not a full-table rewrite
+      if (src.isEmpty) return latestVersion.get
+      val entries = liveEntries(commits())
+      val keyType = sch(key).dataType
+      val bounds = src.agg(fmin(col(key)).cast("string"),
+        fmax(col(key)).cast("string")).collect()(0)
+      // null bounds = every source key is NULL = equality can match
+      // nothing → pure-insert path, never a table rewrite
+      val touched =
+        if (bounds.isNullAt(0)) Nil
+        else entries.filter { f =>
+          !f.keyCol.contains(key) || f.min.isEmpty || f.max.isEmpty ||
+            rangesOverlap(keyType, f.min.get, f.max.get,
+              bounds.getString(0), bounds.getString(1))
+        }
+      // nothing to rewrite → the commit is exactly an append (a
+      // "rewrite" here would needlessly wedge streaming/CDF tails)
+      if (touched.isEmpty)
+        return commit(src.as("s").filter(insOnly)
+          .select(sch.fieldNames.map(col).toSeq: _*), "append", txn = txn)
+      val existing = readFiles(touched.map(_.path), sch, liveDvFiles(commits()),
+        colMapAt(commits()))
+      val s = broadcast(src.as("s"))
+      val joined = existing.as("t")
+        .join(s, col(s"t.$key") === col(s"s.$key"), "left_outer")
+      val matched = col(s"s.$key").isNotNull
+      val doDelete = matched && coalesce(deleteWhen.getOrElse(lit(false)), lit(false))
+      val doUpdate = matched && !doDelete &&
+        coalesce(updateWhen.getOrElse(lit(true)), lit(false))
+      val fromTarget = joined.filter(!matched || (!doDelete && !doUpdate))
+        .select(sch.fieldNames.map(f => col(s"t.$f")).toSeq: _*)
+      val updated = joined.filter(doUpdate)
+        .select(sch.fieldNames.map(f => col(s"s.$f")).toSeq: _*)
+      val inserted = src.as("s")
+        .join(existing.select(col(key)), Seq(key), "left_anti")
+        .filter(coalesce(insOnly, lit(false)))
+        .select(sch.fieldNames.map(col).toSeq: _*)
+      commit(fromTarget.unionByName(updated).unionByName(inserted),
+        "rewrite", removed = touched.map(_.path), txn = txn)
+    } finally {
+      val _ = src.unpersist(false)
     }
-    if (touched.isEmpty)
-      return commit(source.as("s").filter(insOnly)
-        .select(sch.fieldNames.map(col).toSeq: _*), "rewrite", txn = txn)
-    val existing = readFiles(touched.map(_.path), sch, liveDvFiles(commits()))
-    val s = broadcast(source.as("s"))
-    val joined = existing.as("t")
-      .join(s, col(s"t.$key") === col(s"s.$key"), "left_outer")
-    val matched = col(s"s.$key").isNotNull
-    val doDelete = matched && coalesce(deleteWhen.getOrElse(lit(false)), lit(false))
-    val doUpdate = matched && !doDelete &&
-      coalesce(updateWhen.getOrElse(lit(true)), lit(false))
-    val fromTarget = joined.filter(!matched || (!doDelete && !doUpdate))
-      .select(sch.fieldNames.map(f => col(s"t.$f")).toSeq: _*)
-    val updated = joined.filter(doUpdate)
-      .select(sch.fieldNames.map(f => col(s"s.$f")).toSeq: _*)
-    val inserted = source.as("s")
-      .join(existing.select(col(key)), Seq(key), "left_anti")
-      .filter(coalesce(insOnly, lit(false)))
-      .select(sch.fieldNames.map(col).toSeq: _*)
-    commit(fromTarget.unionByName(updated).unionByName(inserted),
-      "rewrite", removed = touched.map(_.path), txn = txn)
   }
 
   /** Replay-guarded [[merge]] for streaming micro-batches (the MERGE
@@ -596,11 +771,15 @@ class DeltaLite(spark: SparkSession, val root: String,
           bounds.getString(0), bounds.getString(1))
     }
     val _ = untouched // carried forward implicitly by the replay
-    if (touched.isEmpty) commit(df, "rewrite", txn = txn)
+    // no file overlaps the batch's key range → pure inserts; commit as
+    // an append so streaming/CDF tails (which must guard real
+    // rewrites) see it for what it is
+    if (touched.isEmpty) commit(df, "append", txn = txn)
     else {
       // DV-aware read: rows deleted merge-on-read must not resurrect
       // through the rewrite of their file
-      val existing = readFiles(touched.map(_.path), sch, liveDvFiles(commits()))
+      val existing = readFiles(touched.map(_.path), sch, liveDvFiles(commits()),
+        colMapAt(commits()))
       // the key join would reorder columns (key first) and silently
       // drift the committed schema — restore the table's column order
       val merged = existing.join(df.select(key), Seq(key), "left_anti")
@@ -634,8 +813,8 @@ class DeltaLite(spark: SparkSession, val root: String,
           val gone = c.removed.map(norm).toSet
           acc.filterNot(f => gone(norm(f.path))) ++ c.files
         // delete commits carry DELETION-VECTOR sidecars, dvclear drops
-        // them — neither touches the data-file set
-        case "delete" | "dvclear" => acc
+        // them, rename is pure metadata — none touch the data-file set
+        case "delete" | "dvclear" | "rename" => acc
         // restats re-labels live entries with stats for a new key; the
         // file set (and every row) is untouched
         case "restats" =>
@@ -684,16 +863,21 @@ class DeltaLite(spark: SparkSession, val root: String,
     * addressed as (_metadata.file_path, _metadata.row_index) and
     * anti-joined against the (broadcast, O(deleted)) DV set — the
     * merge-on-read half of DELETE. With no DVs this is a plain scan.
+    * Files are addressed by their PHYSICAL column names and projected
+    * back to `sch`'s logical names.
     */
   private def readFiles(paths: Seq[String], sch: StructType,
-      dvFiles: Seq[String]): DataFrame = {
-    val base = spark.read.schema(sch).parquet(paths: _*)
-    if (dvFiles.isEmpty) base
-    else base
-      .withColumn("__file", col("_metadata.file_path"))
-      .withColumn("__pos", col("_metadata.row_index"))
-      .join(broadcast(dvDf(dvFiles)), Seq("__file", "__pos"), "left_anti")
-      .select(sch.fieldNames.map(col).toIndexedSeq: _*)
+      dvFiles: Seq[String], mapping: Map[String, String]): DataFrame = {
+    val phys = physSchema(sch, mapping)
+    val base = spark.read.schema(phys).parquet(paths: _*)
+    val visible =
+      if (dvFiles.isEmpty) base
+      else base
+        .withColumn("__file", col("_metadata.file_path"))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(broadcast(dvDf(dvFiles)), Seq("__file", "__pos"), "left_anti")
+        .select(phys.fieldNames.map(col).toIndexedSeq: _*)
+    toLogical(visible, sch, mapping)
   }
 
   /** Merge-on-read DELETE: rows matching `cond` stop appearing in
@@ -714,12 +898,19 @@ class DeltaLite(spark: SparkSession, val root: String,
     val live = liveEntries(all)
     if (live.isEmpty) return None
     val dvs = liveDvFiles(all)
-    val base = spark.read.schema(sch).parquet(live.map(_.path): _*)
+    val mapping = colMapAt(all)
+    val phys = physSchema(sch, mapping)
+    val base = spark.read.schema(phys).parquet(live.map(_.path): _*)
       .withColumn("__file", col("_metadata.file_path"))
       .withColumn("__pos", col("_metadata.row_index"))
-    val visible =
+    val masked =
       if (dvs.isEmpty) base
       else base.join(broadcast(dvDf(dvs)), Seq("__file", "__pos"), "left_anti")
+    // `cond` names LOGICAL columns — alias them in while keeping the
+    // physical row address
+    val visible = masked.select((sch.fields.map(f =>
+      col(mapping.getOrElse(f.name, f.name)).as(f.name)) :+
+      col("__file") :+ col("__pos")).toIndexedSeq: _*)
     // repartition on the file column: per-file DV locality, and AQE
     // collapses the shuffle to few partitions when matches are few
     val m = visible.filter(cond).select(col("__file"), col("__pos"))
@@ -751,7 +942,7 @@ class DeltaLite(spark: SparkSession, val root: String,
     val v =
       if (affected.isEmpty) None
       else {
-        val cleaned = readFiles(affected.map(_.path), sch, dvs)
+        val cleaned = readFiles(affected.map(_.path), sch, dvs, colMapAt(all))
         Some(commit(cleaned, "rewrite", removed = affected.map(_.path)))
       }
     // all live DV rows now reference rewritten-away or already-dead
@@ -785,7 +976,7 @@ class DeltaLite(spark: SparkSession, val root: String,
       // DV-aware: packing a file folds its deletions in (the rewrite
       // removes the file, so its DV rows go stale-harmless)
       val packed = readFiles(small.map(_.path), schema.get,
-          liveDvFiles(commits()))
+          liveDvFiles(commits()), colMapAt(commits()))
         .repartition(nOut)
       Some(commit(packed, "rewrite", removed = small.map(_.path)))
     }
@@ -828,9 +1019,12 @@ class DeltaLite(spark: SparkSession, val root: String,
     // files), and there is no intermediate version where the target
     // snapshot's own deletes are missing — the model-based walk
     // caught exactly that with a two-commit restore.
+    // the snapshot's files keep their historical physical names — the
+    // restore must carry the mapping AS OF the restore point, not the
+    // current one (and not the identity a plain overwrite resets to)
     publish(Commit(latestVersion.get + 1, "overwrite",
       upTo.last.schemaJson, removed = cur, files = snapFiles, None, None,
-      dvs = dvSnap))
+      dvs = dvSnap, colmap = Some(colMapAt(upTo))))
   }
 
   /** Shallow CLONE: a new table at `targetRoot` whose first commit
@@ -856,8 +1050,11 @@ class DeltaLite(spark: SparkSession, val root: String,
     }
     // live deletion vectors ride in the SAME adopting commit — without
     // them the clone would resurrect merge-on-read-deleted rows, and a
-    // separate commit would leave a broken intermediate version
-    target.adoptSnapshot(all.last.schemaJson, entries, liveDvFiles(all))
+    // separate commit would leave a broken intermediate version; the
+    // column mapping rides too (the adopted files keep their source
+    // physical names)
+    target.adoptSnapshot(all.last.schemaJson, entries, liveDvFiles(all),
+      colMapAt(all))
     target
   }
 
@@ -866,10 +1063,10 @@ class DeltaLite(spark: SparkSession, val root: String,
     */
   private def adoptSnapshot(schemaJson: String,
       entries: Seq[(String, Option[String], Option[String], Option[String])],
-      dvPaths: Seq[String]): Int =
+      dvPaths: Seq[String], mapping: Map[String, String]): Int =
     publish(Commit(0, "append", schemaJson, removed = Nil,
       files = entries.map { case (p, mn, mx, kc) => FileEntry(p, mn, mx, kc) },
-      None, None, dvs = dvPaths))
+      None, None, dvs = dvPaths, colmap = Some(mapping)))
 
   /** OPTIMIZE ZORDER BY (colA, colB): rewrite the live data Z-clustered
     * on the two dimensions (`graft.ops.ZOrder` Morton interleave +
@@ -947,8 +1144,11 @@ class DeltaLite(spark: SparkSession, val root: String,
     if (live.isEmpty) return None
     val sch = schema.get
     require(sch.fieldNames.contains(key), s"no column '$key' to analyze")
-    val stats = spark.read.schema(sch).parquet(live.map(_.path): _*)
-      .select(col(key).as("__k"), input_file_name().as("__f"))
+    val mapping = colMapAt(cs)
+    val stats = spark.read.schema(physSchema(sch, mapping))
+      .parquet(live.map(_.path): _*)
+      .select(col(mapping.getOrElse(key, key)).as("__k"),
+        input_file_name().as("__f"))
       .groupBy("__f").agg(fmin("__k").cast("string").as("mn"),
         fmax("__k").cast("string").as("mx"))
       .collect()
@@ -1019,15 +1219,24 @@ class DeltaLite(spark: SparkSession, val root: String,
     val all = commits()
     require(all.nonEmpty, s"empty table at $root")
     val sch = DataType.fromJson(all.last.schemaJson).asInstanceOf[StructType]
+    val mapping = colMapAt(all)
+    val phys = physSchema(sch, mapping)
+    // the scan relation speaks PHYSICAL names (that's what the files
+    // and the pushed-down filters it prunes on will carry — Catalyst
+    // rewrites a logical-name filter through the alias projection
+    // below before it reaches the FileIndex)
     val rel = org.apache.spark.sql.graftbridge.DeltaLiteScan.relation(
-      spark, rootPath, liveFileStats(), statsKey, sch)
+      spark, rootPath, liveFileStats(),
+      statsKey.map(k => mapping.getOrElse(k, k)), phys)
     val dvs = liveDvFiles(all)
-    if (dvs.isEmpty) rel
-    else rel
-      .withColumn("__file", col("_metadata.file_path"))
-      .withColumn("__pos", col("_metadata.row_index"))
-      .join(broadcast(dvDf(dvs)), Seq("__file", "__pos"), "left_anti")
-      .select(sch.fieldNames.map(col).toIndexedSeq: _*)
+    val masked =
+      if (dvs.isEmpty) rel
+      else rel
+        .withColumn("__file", col("_metadata.file_path"))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(broadcast(dvDf(dvs)), Seq("__file", "__pos"), "left_anti")
+        .select(phys.fieldNames.map(col).toIndexedSeq: _*)
+    toLogical(masked, sch, mapping)
   }
 
   /** TIMESTAMP AS OF time travel: the snapshot as of wall-clock `ts`
@@ -1062,7 +1271,7 @@ class DeltaLite(spark: SparkSession, val root: String,
     val live = liveEntries(upTo)
     if (live.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[Row](), sch)
-    else readFiles(live.map(_.path), sch, liveDvFiles(upTo))
+    else readFiles(live.map(_.path), sch, liveDvFiles(upTo), colMapAt(upTo))
   }
 }
 

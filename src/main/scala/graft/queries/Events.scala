@@ -429,14 +429,17 @@ object Events {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val run = Tables.events(s, dir)
+    // per-user total from the SAME partitioning (full-frame max) — no
+    // self-join, so the expensive collect_set window runs once
+    val wAll = Window.partitionBy($"user_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, dir)
       .withColumn("r",
         size(collect_set($"event_type").over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .cast("long"))
       .withColumn("rn", row_number().over(w).cast("long"))
-    val totals = run.groupBy($"user_id").agg(max($"r").as("n_types"))
-    run.join(totals, Seq("user_id"))
+      .withColumn("n_types", max($"r").over(wAll))
       .filter($"r" === $"n_types")
       .groupBy($"user_id", $"n_types")
       .agg(min($"rn").as("events_to_cover"))

@@ -118,6 +118,15 @@ class DeltaLiteSource(spark: SparkSession, root: String,
     if (changeFeed) DeltaLiteSource.withChangeColumns(base) else base
   }
 
+  // column-mapping state captured WITH the schema: data files carry
+  // stable physical names, so batches decode physically and alias back
+  // to the names this source declared. A rename mid-stream is a
+  // non-append commit — the guard fails the batch (stale declared
+  // schema, Delta's behavior); with ignoreChanges the stream keeps
+  // serving the captured names (the stable ids still resolve).
+  private val mapping: Map[String, String] = table.columnMapping
+  private val tableSchema: StructType = table.schema.get
+
   override def getOffset: Option[Offset] =
     table.latestVersion.map { latest =>
       val capped = (maxVersionsPerBatch, delivered) match {
@@ -157,11 +166,28 @@ class DeltaLiteSource(spark: SparkSession, root: String,
           .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
             .toIndexedSeq: _*)
       } else {
+        // a rename since this source captured its schema makes the
+        // declared names stale — fail like Delta does on schema change
+        // (restart re-captures); ignoreChanges keeps serving the old
+        // names, which the stable physical ids still resolve
+        if (!ignoreChanges && table.columnMapping != mapping)
+          sys.error(s"DeltaLite streaming source at $root: columns were " +
+            "renamed after the stream started; restart the query to pick " +
+            "up the new names, or pass ignoreChanges=true to keep the old ones")
         val files = table.appendFilesBetween(from, version(end), ignoreChanges)
         if (files.isEmpty)
           spark.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-        else spark.read.schema(schema).parquet(files: _*)
+        else if (mapping.isEmpty)
+          spark.read.schema(schema).parquet(files: _*)
+        else {
+          val phys = StructType(tableSchema.fields.map(f =>
+            f.copy(name = mapping.getOrElse(f.name, f.name))))
+          spark.read.schema(phys).parquet(files: _*)
+            .select(tableSchema.fields.map(f =>
+              org.apache.spark.sql.functions.col(mapping.getOrElse(f.name, f.name))
+                .as(f.name)).toIndexedSeq: _*)
+        }
       }
     Bridge.streamingDataFrame(spark, batch.queryExecution.toRdd, schema)
   }

@@ -166,8 +166,9 @@ class SessionProcessor(gapMs: Long)
       TTLConfig.NONE)
   }
 
-  private def micros(t: Timestamp): Long =
-    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+  // the v1 sessionizer's conversion, shared so the two tiers can never
+  // drift on timestamp precision
+  private def micros(t: Timestamp): Long = EventsStream.micros(t)
 
   override def handleInputRows(key: Long, rows: Iterator[Event],
       timers: TimerValues): Iterator[SessionOut] = {
@@ -458,7 +459,7 @@ object EventsStream {
   /** Microsecond-precision epoch value — Timestamp.getTime is only ms
     * and would silently truncate against the batch sessionizer.
     */
-  private def micros(t: Timestamp): Long =
+  private[streaming] def micros(t: Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
   private[streaming] def updateSessions(gapMs: Long)(

@@ -36,12 +36,19 @@ class DeltaLiteModelSpec extends SparkSpec {
       nextKey += n
       ks
     }
+    // current logical name of the value column (flipped by the rename
+    // op); reads are positional, so the model never needs to know
+    var valCol = "v"
+    // column name as of each version, for time-travel schema checks
+    val nameHistory = mutable.Map.empty[Int, String]
     def record(): Unit =
       // every version that exists and isn't recorded yet gets the
       // CURRENT model state (multi-commit ops like materializeDeletes
       // publish rewrite+dvclear with identical visible state)
       t.latestVersion.foreach { latest =>
-        (0 to latest).foreach(v => if (!history.contains(v)) history(v) = model)
+        (0 to latest).foreach { v =>
+          if (!history.contains(v)) { history(v) = model; nameHistory(v) = valCol }
+        }
       }
     def check(step: Int, op: String): Unit = {
       if (t.latestVersion.isEmpty) return // nothing committed yet
@@ -55,10 +62,15 @@ class DeltaLiteModelSpec extends SparkSpec {
       // random time travel against recorded history
       if (history.nonEmpty) {
         val v = history.keys.toSeq(rnd.nextInt(history.size))
-        val at = t.readAsOf(v).collect()
+        val tt = t.readAsOf(v)
+        val at = tt.collect()
           .map(r => r.getLong(0) -> r.getString(1)).toMap
         assert(at == history(v),
           s"seed=$seed step=$step after $op: time travel to v$v diverged")
+        // the snapshot must carry ITS OWN column name, not the current
+        assert(tt.schema.fieldNames(1) == nameHistory(v),
+          s"seed=$seed step=$step after $op: v$v column name " +
+            s"${tt.schema.fieldNames(1)} != recorded ${nameHistory(v)}")
       }
     }
 
@@ -66,7 +78,7 @@ class DeltaLiteModelSpec extends SparkSpec {
       val op = rnd.nextInt(nOps) match {
         case 0 | 1 | 2 =>
           val ks = freshKeys(rnd.nextInt(20) + 5)
-          t.append(ks.map(k => (k, s"a$step-$k")).toDF("k", "v"))
+          t.append(ks.map(k => (k, s"a$step-$k")).toDF("k", valCol))
           model = model ++ ks.map(k => k -> s"a$step-$k")
           "append"
         case 3 | 4 =>
@@ -75,7 +87,7 @@ class DeltaLiteModelSpec extends SparkSpec {
             .take(rnd.nextInt(model.size + 1) / 3)
           val ks = existing ++ freshKeys(rnd.nextInt(5))
           if (ks.nonEmpty) {
-            t.upsert(ks.map(k => (k, s"u$step-$k")).toDF("k", "v"), "k")
+            t.upsert(ks.map(k => (k, s"u$step-$k")).toDF("k", valCol), "k")
             model = model ++ ks.map(k => k -> s"u$step-$k")
           }
           "upsert"
@@ -99,6 +111,7 @@ class DeltaLiteModelSpec extends SparkSpec {
             val v = history.keys.toSeq(rnd.nextInt(history.size))
             t.restore(v)
             model = history(v)
+            valCol = nameHistory(v) // restore brings back the old name too
             s"restore($v)"
           } else "noop"
         case 10 if t.latestVersion.nonEmpty =>
@@ -110,9 +123,9 @@ class DeltaLiteModelSpec extends SparkSpec {
           if (ks.nonEmpty) {
             val rows = ks.map(k =>
               (k, if (rnd.nextBoolean()) s"m$step-$k" else s"DEL-$k"))
-            t.merge(rows.toDF("k", "v"), "k",
-              deleteWhen = Some(col("s.v").startsWith("DEL")),
-              insertWhen = Some(!col("s.v").startsWith("DEL")))
+            t.merge(rows.toDF("k", valCol), "k",
+              deleteWhen = Some(col(s"s.$valCol").startsWith("DEL")),
+              insertWhen = Some(!col(s"s.$valCol").startsWith("DEL")))
             rows.foreach { case (k, v) =>
               model = if (v.startsWith("DEL")) model - k else model + (k -> v)
             }
@@ -124,9 +137,18 @@ class DeltaLiteModelSpec extends SparkSpec {
           // column away from (and back to) the upsert key — visible
           // state must never move, and later upserts stay correct
           // whether or not the stats match their key
-          t.restats(if (rnd.nextBoolean()) "v" else "k")
+          t.restats(if (rnd.nextBoolean()) valCol else "k")
           "restats"
         case 11 => "noop"
+        case 12 if t.latestVersion.nonEmpty =>
+          // metadata-only RENAME of the value column: zero data moves,
+          // every later op speaks the new name, time travel keeps the
+          // old one (checked via nameHistory)
+          val to = if (valCol == "v") "w" else "v"
+          t.renameColumn(valCol, to)
+          valCol = to
+          s"rename($to)"
+        case 12 => "noop"
       }
       record()
       check(step, op)
@@ -153,5 +175,13 @@ class DeltaLiteModelSpec extends SparkSpec {
 
   test("random operation walk with merges and restats: fifth seed") {
     runWalk(seed = 505, steps = 30, nOps = 12)
+  }
+
+  test("random operation walk with column renames: sixth seed") {
+    runWalk(seed = 606, steps = 30, nOps = 13)
+  }
+
+  test("random operation walk with column renames: seventh seed") {
+    runWalk(seed = 707, steps = 30, nOps = 13)
   }
 }

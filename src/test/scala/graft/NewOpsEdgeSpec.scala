@@ -126,10 +126,13 @@ class NewOpsEdgeSpec extends SparkSpec {
       insertWhen = Some(col("s.v") =!= "DEL"))
     assert(t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       == Map(1L -> "a"))
-    // empty source: a no-op commit, table unchanged
+    // empty source: a no-op WITHOUT a commit (a full-table rewrite of
+    // identical rows would be a disaster at scale)
     val before = t.read().collect().toSet
+    val vBefore = t.latestVersion
     t.merge(Seq.empty[(Long, String)].toDF("k", "v"), "k")
     assert(t.read().collect().toSet == before)
+    assert(t.latestVersion == vBefore, "empty merge must not commit")
     // batch that deletes EVERYTHING it matches
     t.append(Seq((2L, "b"), (3L, "c")).toDF("k", "v"))
     t.merge(Seq((1L, "x"), (2L, "x"), (3L, "x")).toDF("k", "v"), "k",
