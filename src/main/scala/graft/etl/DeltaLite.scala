@@ -56,10 +56,17 @@ class DeltaLite(spark: SparkSession, val root: String,
     * carries the previous state forward; commits written by mapping-
     * aware code always record the full current state.
     */
+  /** `checks` are the table's persisted CHECK constraints (name → SQL
+    * predicate over logical columns), enforced on every data-bearing
+    * commit; same carry-forward-on-None replay as `colmap`. Unlike the
+    * mapping they survive `overwrite` — they're a logical contract,
+    * not a file property.
+    */
   private case class Commit(version: Int, mode: String, schemaJson: String,
       removed: Seq[String], files: Seq[FileEntry],
       txnApp: Option[String] = None, txnId: Option[Long] = None,
-      dvs: Seq[String] = Nil, colmap: Option[Map[String, String]] = None)
+      dvs: Seq[String] = Nil, colmap: Option[Map[String, String]] = None,
+      checks: Option[Map[String, String]] = None)
 
   /** Scheme-independent path identity (file:/x vs file:///x vs /x). */
   private def norm(p: String): String = new Path(p).toUri.getPath
@@ -130,9 +137,16 @@ class DeltaLite(spark: SparkSession, val root: String,
         e.substring(0, i) -> e.substring(i + 1)
       }.toMap
     }
+    val checks = optField("checks").map { s =>
+      if (s.isEmpty) Map.empty[String, String]
+      else s.split('\u001e').map { e =>
+        val i = e.indexOf('\u001f')
+        e.substring(0, i) -> e.substring(i + 1)
+      }.toMap
+    }
     Commit(field("version").toInt, field("mode"), field("schema"),
       removedPaths, files, optField("txnApp"), optField("txnId").map(_.toLong),
-      dvs, colmap)
+      dvs, colmap, checks)
   }
 
   private def renderCommit(c: Commit): String = {
@@ -152,6 +166,11 @@ class DeltaLite(spark: SparkSession, val root: String,
         .map { case (l, p) => l + "" + p }.mkString("")
       s""""colmap":"${esc(body)}","""
     }.getOrElse("")
+    val checks = c.checks.map { m =>
+      val body = m.toSeq.sorted
+        .map { case (n, sql) => n + "\u001f" + sql }.mkString("\u001e")
+      s""""checks":"${esc(body)}","""
+    }.getOrElse("")
     // dvs renders just before "schema" — the parse anchors on that,
     // and the removed-list regex (anchored on "removed":[...],"files")
     // stays unambiguous
@@ -159,7 +178,7 @@ class DeltaLite(spark: SparkSession, val root: String,
       if (c.dvs.isEmpty) ""
       else c.dvs.map(p => "\"" + esc(p) + "\"")
         .mkString("\"dvs\":[", ",", "],")
-    s"""{"version":"${c.version}","mode":"${c.mode}",$txn$statsCol$colmap$dvs"schema":"${esc(c.schemaJson)}","removed":$removed,"files":$files}"""
+    s"""{"version":"${c.version}","mode":"${c.mode}",$txn$statsCol$colmap$checks$dvs"schema":"${esc(c.schemaJson)}","removed":$removed,"files":$files}"""
   }
 
   def latestVersion: Option[Int] = commits().lastOption.map(_.version)
@@ -225,10 +244,72 @@ class DeltaLite(spark: SparkSession, val root: String,
     // record the EXPLICIT (possibly empty) state, never drop the field
     val next = ((mapping - oldName) + (newName -> phys))
       .filter { case (l, p) => l != p }
+    // a constraint's SQL references columns by name — a rename would
+    // silently break it (Delta blocks this the same way)
+    val referenced = checkConstraints.filter { case (_, sql) =>
+      exprRefs(sql).contains(oldName)
+    }
+    require(referenced.isEmpty,
+      s"cannot rename '$oldName': referenced by CHECK constraint(s) " +
+        referenced.keys.mkString(", ") + " — drop them first")
     val newSch = StructType(sch.fields.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
     publish(Commit(latestVersion.get + 1, "rename", newSch.json, Nil, Nil,
       None, None, dvs = Nil, colmap = Some(next)))
+  }
+
+  // ---- persisted CHECK constraints (ALTER TABLE ADD CONSTRAINT) ----
+
+  /** Constraint state as of the last commit in `upTo` (carry-forward
+    * replay like the column mapping — but constraints survive
+    * `overwrite`: they are the table's logical contract, not a file
+    * property).
+    */
+  private def checksAt(upTo: Seq[Commit]): Map[String, String] =
+    upTo.foldLeft(Map.empty[String, String]) { (acc, c) =>
+      c.checks.getOrElse(acc)
+    }
+
+  /** The table's live CHECK constraints (name → SQL predicate). */
+  def checkConstraints: Map[String, String] = checksAt(commits())
+
+  /** Column names referenced by a constraint's SQL. */
+  private def exprRefs(sql: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(sql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name
+    }.toSet
+
+  /** ADD CONSTRAINT name CHECK (sql): existing data is validated first
+    * (one scan — the usual ALTER TABLE price; fails listing violation
+    * counts), then the rule is persisted as a METADATA-ONLY commit and
+    * every subsequent data-bearing commit enforces it. Enforcement
+    * rides each write's own action via the Observation API — per-batch
+    * cost is the predicate in codegen, not an extra scan. A violating
+    * batch leaves NO new version behind.
+    */
+  def addCheckConstraint(name: String, sql: String): Int = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"constraint name must be an identifier ([A-Za-z0-9_]+): '$name'")
+    val cs = commits()
+    require(cs.nonEmpty, s"empty table at $root")
+    val existing = checksAt(cs)
+    require(!existing.contains(name), s"constraint '$name' already exists")
+    graft.ops.Expectations.enforce(read(),
+      Seq(name -> org.apache.spark.sql.functions.expr(sql)))
+    publish(Commit(latestVersion.get + 1, "constraint",
+      cs.last.schemaJson, Nil, Nil, None, None,
+      checks = Some(existing + (name -> sql))))
+  }
+
+  /** DROP CONSTRAINT name — metadata-only. */
+  def dropCheckConstraint(name: String): Int = {
+    val cs = commits()
+    val existing = checksAt(cs)
+    require(existing.contains(name), s"no constraint '$name' at $root")
+    publish(Commit(latestVersion.get + 1, "constraint",
+      cs.last.schemaJson, Nil, Nil, None, None,
+      checks = Some(existing - name)))
   }
 
   /** Enforce name+type equality with the committed schema (nullable is
@@ -253,11 +334,29 @@ class DeltaLite(spark: SparkSession, val root: String,
     val mapping = mappingOverride.getOrElse(
       if (mode == "overwrite") Map.empty[String, String]
       else colMapAt(commits()))
+    // persisted CHECK constraints ride the write's own action via the
+    // Observation API — the predicate runs in the write's codegen, no
+    // extra scan; the counts are read back after the write and a
+    // violating batch is rolled back before its log record publishes.
+    // DV-sidecar commits carry (file, pos) addresses, not table rows —
+    // nothing to check.
+    val checks = if (mode == "delete") Map.empty[String, String]
+                 else checksAt(commits())
+    val (checkedDf, checkGet) =
+      if (checks.isEmpty) (df, None)
+      else {
+        val rules = checks.toSeq.sortBy(_._1).map { case (n, sql) =>
+          n -> org.apache.spark.sql.functions.expr(sql)
+        }
+        val (o, g) = graft.ops.Expectations.observed(df, rules,
+          s"graft_checks_v$version")
+        (o, Some(g))
+      }
     // data files carry PHYSICAL names; the commit record keeps the
     // logical schema + the mapping that recovers it
     val physDf =
-      if (mapping.isEmpty) df
-      else df.select(df.schema.fieldNames.map(n =>
+      if (mapping.isEmpty) checkedDf
+      else checkedDf.select(df.schema.fieldNames.map(n =>
         col(n).as(mapping.getOrElse(n, n))).toIndexedSeq: _*)
     val dataDir = new Path(rootPath, s"v=$version")
     // a v=N directory without N.json is an orphan from a crash between
@@ -268,6 +367,17 @@ class DeltaLite(spark: SparkSession, val root: String,
     if (fs.exists(dataDir) && !fs.exists(new Path(logDir, s"$version.json")))
       fs.delete(dataDir, true)
     physDf.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
+    // the observed counts are now materialized; a violation means the
+    // just-written files must never become visible
+    checkGet.foreach { g =>
+      val bad = g().filter(_._3 > 0)
+      if (bad.nonEmpty) {
+        fs.delete(dataDir, true)
+        throw new IllegalStateException("CHECK constraint(s) violated — " +
+          bad.map { case (n, _, f) => s"$n: $f rows" }.mkString("; ") +
+          s"; nothing committed at $root")
+      }
+    }
     val dataFiles = fs.listStatus(dataDir).toSeq.map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .sortBy(_.getName)
@@ -411,7 +521,8 @@ class DeltaLite(spark: SparkSession, val root: String,
     // MID-STREAM rename stales a captured schema — a historical one
     // is already reflected in it)
     val nonAppend = cs.filterNot(c =>
-      c.mode == "append" || c.mode == "restats" || c.mode == "rename")
+      c.mode == "append" || c.mode == "restats" || c.mode == "rename" ||
+        c.mode == "constraint")
     if (nonAppend.nonEmpty && !ignoreChanges)
       sys.error("DeltaLite streaming source saw non-append commits " +
         nonAppend.map(c => s"v${c.version}(${c.mode})").mkString(", ") +
@@ -813,8 +924,9 @@ class DeltaLite(spark: SparkSession, val root: String,
           val gone = c.removed.map(norm).toSet
           acc.filterNot(f => gone(norm(f.path))) ++ c.files
         // delete commits carry DELETION-VECTOR sidecars, dvclear drops
-        // them, rename is pure metadata — none touch the data-file set
-        case "delete" | "dvclear" | "rename" => acc
+        // them, rename/constraint are pure metadata — none touch the
+        // data-file set
+        case "delete" | "dvclear" | "rename" | "constraint" => acc
         // restats re-labels live entries with stats for a new key; the
         // file set (and every row) is untouched
         case "restats" =>
@@ -1022,9 +1134,13 @@ class DeltaLite(spark: SparkSession, val root: String,
     // the snapshot's files keep their historical physical names — the
     // restore must carry the mapping AS OF the restore point, not the
     // current one (and not the identity a plain overwrite resets to)
+    // the snapshot's metadata — column mapping AND constraint set —
+    // restores with it: the old data was validated under the OLD
+    // contract, and Delta's RESTORE restores table properties too
     publish(Commit(latestVersion.get + 1, "overwrite",
       upTo.last.schemaJson, removed = cur, files = snapFiles, None, None,
-      dvs = dvSnap, colmap = Some(colMapAt(upTo))))
+      dvs = dvSnap, colmap = Some(colMapAt(upTo)),
+      checks = Some(checksAt(upTo))))
   }
 
   /** Shallow CLONE: a new table at `targetRoot` whose first commit
@@ -1054,7 +1170,7 @@ class DeltaLite(spark: SparkSession, val root: String,
     // column mapping rides too (the adopted files keep their source
     // physical names)
     target.adoptSnapshot(all.last.schemaJson, entries, liveDvFiles(all),
-      colMapAt(all))
+      colMapAt(all), checksAt(all))
     target
   }
 
@@ -1063,10 +1179,12 @@ class DeltaLite(spark: SparkSession, val root: String,
     */
   private def adoptSnapshot(schemaJson: String,
       entries: Seq[(String, Option[String], Option[String], Option[String])],
-      dvPaths: Seq[String], mapping: Map[String, String]): Int =
+      dvPaths: Seq[String], mapping: Map[String, String],
+      checks: Map[String, String]): Int =
     publish(Commit(0, "append", schemaJson, removed = Nil,
       files = entries.map { case (p, mn, mx, kc) => FileEntry(p, mn, mx, kc) },
-      None, None, dvs = dvPaths, colmap = Some(mapping)))
+      None, None, dvs = dvPaths, colmap = Some(mapping),
+      checks = Some(checks)))
 
   /** OPTIMIZE ZORDER BY (colA, colB): rewrite the live data Z-clustered
     * on the two dimensions (`graft.ops.ZOrder` Morton interleave +
