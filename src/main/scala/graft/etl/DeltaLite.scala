@@ -12,12 +12,25 @@ import java.nio.charset.StandardCharsets
   * committed versions, schema enforcement, time travel, dedup-on-append
   * and file-granular MERGE — on plain parquet + a JSON commit log.
   *
-  * Layout: `<root>/v=<n>/part-*.parquet` data files per commit and
-  * `<root>/_log/<n>.json` commit records. A commit is visible only once
-  * its log file exists; the log file is written via temp-file + atomic
-  * rename, so concurrent readers never see a half commit (single-writer
-  * like the reference's scheduled job). All IO goes through the Hadoop
-  * FileSystem API, so the same code addresses HDFS/S3A/local.
+  * Layout: `<root>/v=<n>-<nonce>/part-*.parquet` data files per commit
+  * attempt (nonce-unique, so concurrent writers never collide on a
+  * directory) and `<root>/_log/<n>.json` commit records. A commit is
+  * visible only once its log file exists; the log file is written via
+  * temp-file + rename-if-absent, so concurrent readers never see a
+  * half commit. All IO goes through the Hadoop FileSystem API, so the
+  * same code addresses HDFS/S3A/local.
+  *
+  * Concurrency: OPTIMISTIC — writers race to publish the next version;
+  * the loser of a version race either retries (a plain append, after
+  * verifying the table's schema/mapping/constraint state is unchanged
+  * — appends commute) or fails with `ConcurrentModificationException`
+  * (rewrites/deletes/overwrites and metadata ops were computed against
+  * a snapshot that no longer is the latest — retrying would lose the
+  * concurrent writer's update). Within one JVM the publish step is
+  * serialized per table root; across processes it relies on
+  * atomic-rename-if-absent (HDFS semantics; plain local/POSIX rename
+  * overwrites, so cross-PROCESS races on file:// need an external
+  * coordinator — the same caveat Delta documents for S3).
   *
   * The commit record tracks individual data FILES (with min/max stats
   * of `statsKey` when configured), not whole snapshots:
@@ -322,12 +335,19 @@ class DeltaLite(spark: SparkSession, val root: String,
       s"schema mismatch: table has ${a.mkString(",")} but batch has ${b.mkString(",")}")
   }
 
+  /** `retryable = false` marks an append whose CONTENT depends on the
+    * snapshot it was computed from (dedup-on-append) — such a commit
+    * must not auto-retry past a concurrent commit, or it could
+    * re-admit a key the concurrent writer just landed.
+    */
   private def commit(df: DataFrame, mode: String,
       removed: Seq[String] = Nil,
       txn: Option[(String, Long)] = None,
       schemaOverride: Option[StructType] = None,
-      mappingOverride: Option[Map[String, String]] = None): Int = {
-    val version = latestVersion.map(_ + 1).getOrElse(0)
+      mappingOverride: Option[Map[String, String]] = None,
+      retryable: Boolean = true): Int = {
+    val base = commits()
+    val version = base.lastOption.map(_.version + 1).getOrElse(0)
     // an overwrite replaces every file, so no physical name survives to
     // map — mapping resets to identity (restore, which also publishes
     // "overwrite" but re-references OLD files, records its own state)
@@ -358,14 +378,14 @@ class DeltaLite(spark: SparkSession, val root: String,
       if (mapping.isEmpty) checkedDf
       else checkedDf.select(df.schema.fieldNames.map(n =>
         col(n).as(mapping.getOrElse(n, n))).toIndexedSeq: _*)
-    val dataDir = new Path(rootPath, s"v=$version")
-    // a v=N directory without N.json is an orphan from a crash between
-    // the data write and the log publish — the commit never became
-    // visible, so its data is dead. Clear it rather than wedging every
-    // subsequent commit (and every replay of this one) on
-    // ErrorIfExists forever.
-    if (fs.exists(dataDir) && !fs.exists(new Path(logDir, s"$version.json")))
-      fs.delete(dataDir, true)
+    // nonce-unique attempt dir: concurrent writers (and a replay of a
+    // crashed attempt) never collide on a directory; an attempt that
+    // loses its version race keeps its files and republishes under the
+    // next version — the log references absolute paths, not dir names.
+    // Crash orphans (data written, log never published) are invisible
+    // to readers; [[vacuumOrphans]] sweeps them.
+    val dataDir = new Path(rootPath,
+      s"v=$version-${java.util.UUID.randomUUID().toString.take(8)}")
     physDf.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
     // the observed counts are now materialized; a violation means the
     // just-written files must never become visible
@@ -408,18 +428,56 @@ class DeltaLite(spark: SparkSession, val root: String,
       val s = stats.getOrElse(norm(p.toString), (None, None))
       FileEntry(p.toString, s._1, s._2, statsColUsed)
     }
-    publish(Commit(version, mode, schemaOverride.getOrElse(df.schema).json,
-      removed, entries, txn.map(_._1), txn.map(_._2), Nil, Some(mapping)))
+    // optimistic publish: on a version race, a plain append re-targets
+    // the next version (appends commute) PROVIDED the table's
+    // schema/mapping/constraint state is still what this batch was
+    // validated against; anything else — rewrite/delete/overwrite,
+    // snapshot-dependent appends, txn-stamped batches — was computed
+    // from a snapshot that is no longer latest and must fail rather
+    // than silently drop the concurrent writer's update.
+    var attempt = version
+    while (true) {
+      try return publish(Commit(attempt, mode,
+        schemaOverride.getOrElse(df.schema).json,
+        removed, entries, txn.map(_._1), txn.map(_._2), Nil, Some(mapping)))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          val cur = commits()
+          val sameState =
+            cur.lastOption.map(_.schemaJson) == base.lastOption.map(_.schemaJson) &&
+              colMapAt(cur) == colMapAt(base) && checksAt(cur) == checksAt(base)
+          if (mode != "append" || txn.nonEmpty || !retryable || !sameState) {
+            fs.delete(dataDir, true)
+            throw e
+          }
+          attempt = cur.last.version + 1
+      }
+    }
+    -1 // unreachable
   }
 
+  /** Publish a commit record; throws ConcurrentModificationException
+    * when the version was taken by a concurrent writer. The
+    * exists-check + rename pair runs under a per-root JVM lock
+    * (local/POSIX rename overwrites silently); cross-process the
+    * rename itself must be atomic-if-absent (HDFS).
+    */
   private def publish(record: Commit): Int = {
     val version = record.version
-    val tmp = new Path(logDir, s".$version.json.tmp")
+    val tmp = new Path(logDir,
+      s".$version-${java.util.UUID.randomUUID().toString.take(8)}.json.tmp")
     val fin = new Path(logDir, s"$version.json")
     val out = fs.create(tmp, true)
     try out.write(renderCommit(record).getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (!fs.rename(tmp, fin)) sys.error(s"commit rename failed for v$version")
+    DeltaLite.publishLock(norm(rootPath.toString)).synchronized {
+      if (fs.exists(fin)) {
+        fs.delete(tmp, false)
+        throw new java.util.ConcurrentModificationException(
+          s"version $version at $root was committed by a concurrent writer")
+      }
+      if (!fs.rename(tmp, fin)) sys.error(s"commit rename failed for v$version")
+    }
     version
   }
 
@@ -693,7 +751,9 @@ class DeltaLite(spark: SparkSession, val root: String,
     enforceSchema(df)
     val fresh = if (latestVersion.isDefined)
       DedupAppend.newRows(df, read(), key) else df
-    commit(fresh, "append")
+    // content depends on the snapshot (which keys already exist) — a
+    // concurrent commit invalidates it, so never auto-retry past one
+    commit(fresh, "append", retryable = false)
   }
 
   /** Highest transaction id committed by `appId`, if any — the
@@ -1239,6 +1299,28 @@ class DeltaLite(spark: SparkSession, val root: String,
     doomed
   }
 
+  /** Sweep crash/race orphans: delete `v=*` attempt directories whose
+    * files are referenced by NO commit record and whose last
+    * modification is older than `olderThanMs` (the age guard keeps an
+    * IN-FLIGHT concurrent write safe). Complements [[vacuum]], which
+    * only sees files the log knows about. Returns the deleted dirs.
+    */
+  def vacuumOrphans(olderThanMs: Long = 60L * 60 * 1000): Seq[String] = {
+    if (!fs.exists(rootPath)) return Nil
+    val referenced = commits().flatMap(_.files.map(f => norm(f.path))).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val doomed = fs.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v=") &&
+        st.getModificationTime < cutoff)
+      .filter { st =>
+        val files = fs.listStatus(st.getPath).toSeq
+        files.nonEmpty && files.forall(f =>
+          !referenced(norm(f.getPath.toString)))
+      }
+    doomed.foreach(st => fs.delete(st.getPath, true))
+    doomed.map(_.getPath.toString)
+  }
+
   /** (mode, added files, removed files) of a commit (test/introspection). */
   def commitInfo(version: Int): (String, Seq[String], Seq[String]) = {
     val c = commits().find(_.version == version)
@@ -1394,6 +1476,15 @@ class DeltaLite(spark: SparkSession, val root: String,
 }
 
 object DeltaLite {
+  // per-table-root publish serialization within this JVM: local/POSIX
+  // rename overwrites an existing target, so the exists-check + rename
+  // pair must not interleave between threads; cross-process atomicity
+  // is the filesystem's rename-if-absent contract (HDFS)
+  private val publishLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[etl] def publishLock(root: String): Object =
+    publishLocks.computeIfAbsent(root, _ => new Object)
+
   def apply(spark: SparkSession, root: String): DeltaLite =
     new DeltaLite(spark, root)
 

@@ -21,9 +21,20 @@ object Bfs {
   /** (node, lvl) for every vertex within `maxDepth` hops of `source`
     * over the undirected graph given by `edges` (any orientation;
     * both directions are expanded). Unreachable vertices are absent.
+    *
+    * Per-round shape: the frontier is usually tiny next to the
+    * adjacency, so while it fits (`broadcastFrontierMax` rows, counted
+    * exactly on the materialized checkpoint — no stats guessing) the
+    * expansion join BROADCASTS it and the persisted adjacency never
+    * shuffles; only past that bound does the round fall back to a
+    * shuffle join. Candidates dedup on `node` alone (the level is a
+    * per-round constant), so the anti-join against the visited set
+    * reuses the dedup's hash(node) exchange instead of re-shuffling.
+    * The visited set is a union of per-round checkpoints — linear
+    * lineage, never re-materialized whole.
     */
   def levels(edges: DataFrame, aCol: String, bCol: String, source: Long,
-      maxDepth: Int): DataFrame = {
+      maxDepth: Int, broadcastFrontierMax: Long = 4L << 20): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val und = edges.select(col(aCol).as("u"), col(bCol).as("v"))
@@ -31,20 +42,23 @@ object Bfs {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var visited = Seq((source, 0L)).toDF("node", "lvl").localCheckpoint(true)
-    var frontier = visited
+    var frontier = visited.select($"node")
+    var frontierSize = 1L
     var depth = 0
-    var exhausted = false
-    while (!exhausted && depth < maxDepth) {
+    while (frontierSize > 0 && depth < maxDepth) {
       depth += 1
-      val next = frontier.join(und, frontier("node") === und("u"))
-        .select(und("v").as("node"), lit(depth.toLong).as("lvl"))
-        .distinct()
+      val f = if (frontierSize <= broadcastFrontierMax) broadcast(frontier)
+              else frontier
+      val next = f.join(und, f("node") === und("u"))
+        .select(und("v").as("node"))
+        .dropDuplicates("node")
         .join(visited, Seq("node"), "left_anti")
+        .select($"node", lit(depth.toLong).as("lvl"))
         .localCheckpoint(true)
-      if (next.isEmpty) exhausted = true
-      else {
-        visited = visited.unionAll(next).localCheckpoint(true)
-        frontier = next
+      frontierSize = next.count() // cheap: counts the checkpointed RDD
+      if (frontierSize > 0) {
+        visited = visited.unionAll(next)
+        frontier = next.select($"node")
       }
     }
     und.unpersist(false)
