@@ -42,7 +42,8 @@ import java.nio.charset.StandardCharsets
   * version (removed files stay on disk, so history stays readable).
   */
 class DeltaLite(spark: SparkSession, val root: String,
-    val statsKey: Option[String] = None) {
+    val statsKey: Option[String] = None,
+    val checkpointInterval: Int = DeltaLite.DefaultCheckpointInterval) {
   private val rootPath = new Path(root)
   private val logDir = new Path(rootPath, "_log")
   private def fs: FileSystem =
@@ -92,19 +93,40 @@ class DeltaLite(spark: SparkSession, val root: String,
   private val parsedLog =
     scala.collection.concurrent.TrieMap.empty[String, Commit]
 
-  private def commits(): Seq[Commit] = {
+  /** Raw commit records named `<n>.json` present in the log dir. */
+  private def rawCommits(): Seq[Commit] = {
     if (!fs.exists(logDir)) return Nil
     fs.listStatus(logDir).toSeq
-      .filter(_.getPath.getName.endsWith(".json"))
-      .map { st =>
-        parsedLog.getOrElseUpdate(st.getPath.getName, {
-          val in = fs.open(st.getPath)
-          val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-          parseCommit(body)
-        })
-      }
+      .filter(st => st.getPath.getName.matches("\\d+\\.json"))
+      .map(st => parsedLog.getOrElseUpdate(st.getPath.getName, readJson(st.getPath)))
       .sortBy(_.version)
+  }
+
+  private def readJson[T](p: Path): Commit = {
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    parseCommit(body)
+  }
+
+  /** FULL history replay sequence. When the log has been
+    * [[cleanLog]]-trimmed (no `0.json`), the latest checkpoint is
+    * spliced in as a synthetic base commit so replay stays correct;
+    * versions below the checkpoint are then no longer time-travelable
+    * (their records are gone) — the same contract as Delta's log
+    * retention. Raw remnants at or below the spliced checkpoint are
+    * dropped (the checkpoint subsumes them).
+    */
+  private def commits(): Seq[Commit] = {
+    val raw = rawCommits()
+    if (raw.headOption.forall(_.version == 0)) raw
+    else latestCheckpoint() match {
+      case Some(cp) if cp.version < raw.head.version =>
+        cp.synthetic +: raw
+      case Some(cp) =>
+        cp.synthetic +: raw.filter(_.version > cp.version)
+      case None => raw // gap with no checkpoint: replay what exists
+    }
   }
 
   // ---- hand-rolled (de)serialization of the commit record ----
