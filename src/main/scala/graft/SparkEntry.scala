@@ -84,6 +84,7 @@ object SparkEntry {
     "q_bloom_pruned_join" -> (Relational.qBloomPrunedJoin _),
     "q_bucketed_join" -> (Relational.qBucketedJoin _),
     "q_partition_pruned" -> (Events.partitionPruned _),
+    "q_deltalite_partition_pruned" -> (Events.deltaPartitionPruned _),
     "q_string_funcs" -> (Text.stringFuncs _),
     "q_higher_order" -> (Text.higherOrder _),
     "q_quantile_sketch" -> (Relational.qQuantileSketch _),
@@ -1674,6 +1675,16 @@ object SparkEntry {
     // partition pruning changes what's scanned, not the result: the
     // oracle filters the flat table
     "q_partition_pruned" ->
+      """SELECT user_id, COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |GROUP BY user_id
+        |HAVING COUNT(*) >= 3
+        |ORDER BY user_id""".stripMargin,
+    // the DeltaLite declared-partition twin scans a different LAYOUT
+    // of the same rows — the oracle is the identical flat-table filter
+    "q_deltalite_partition_pruned" ->
       """SELECT user_id, COUNT(*) AS n_purchases,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events

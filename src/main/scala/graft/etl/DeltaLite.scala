@@ -43,7 +43,8 @@ import java.nio.charset.StandardCharsets
   */
 class DeltaLite(spark: SparkSession, val root: String,
     val statsKey: Option[String] = None,
-    val checkpointInterval: Int = DeltaLite.DefaultCheckpointInterval) {
+    val checkpointInterval: Int = DeltaLite.DefaultCheckpointInterval,
+    val partitionBy: Seq[String] = Nil) {
   private val rootPath = new Path(root)
   private val logDir = new Path(rootPath, "_log")
   private def fs: FileSystem =
@@ -76,11 +77,17 @@ class DeltaLite(spark: SparkSession, val root: String,
     * mapping they survive `overwrite` — they're a logical contract,
     * not a file property.
     */
+  /** `parts` is the table's declared partition-column list (logical
+    * names, fixed at creation): hive-layout writes and scan-time
+    * partition pruning key off it. Carry-forward-on-None replay like
+    * `colmap`; it survives overwrite (a layout contract, like checks).
+    */
   private case class Commit(version: Int, mode: String, schemaJson: String,
       removed: Seq[String], files: Seq[FileEntry],
       txnApp: Option[String] = None, txnId: Option[Long] = None,
       dvs: Seq[String] = Nil, colmap: Option[Map[String, String]] = None,
-      checks: Option[Map[String, String]] = None)
+      checks: Option[Map[String, String]] = None,
+      parts: Option[Seq[String]] = None)
 
   /** Scheme-independent path identity (file:/x vs file:///x vs /x). */
   private def norm(p: String): String = new Path(p).toUri.getPath
@@ -93,39 +100,128 @@ class DeltaLite(spark: SparkSession, val root: String,
   private val parsedLog =
     scala.collection.concurrent.TrieMap.empty[String, Commit]
 
-  /** Raw commit records named `<n>.json` present in the log dir. */
-  private def rawCommits(): Seq[Commit] = {
+  /** Raw commit records named `<n>.json` with version in
+    * [loInclusive, hiInclusive]. The range filter runs on the FILE
+    * NAME before any parse, so a checkpointed open never pays for the
+    * log prefix the checkpoint subsumes.
+    */
+  private def rawRange(loInclusive: Int, hiInclusive: Int): Seq[Commit] = {
     if (!fs.exists(logDir)) return Nil
     fs.listStatus(logDir).toSeq
-      .filter(st => st.getPath.getName.matches("\\d+\\.json"))
+      .filter { st =>
+        val n = st.getPath.getName
+        n.matches("\\d+\\.json") && {
+          val v = n.stripSuffix(".json").toInt
+          v >= loInclusive && v <= hiInclusive
+        }
+      }
       .map(st => parsedLog.getOrElseUpdate(st.getPath.getName, readJson(st.getPath)))
       .sortBy(_.version)
   }
 
-  private def readJson[T](p: Path): Commit = {
+  /** Every raw commit record present in the log dir. */
+  private def rawCommits(): Seq[Commit] = rawRange(0, Int.MaxValue)
+
+  // spec hook: number of log/checkpoint files actually read+parsed by
+  // THIS instance — the checkpoint's whole point is keeping this
+  // O(interval) per open instead of O(versions)
+  private[graft] val logParses = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def readJson(p: Path): Commit = {
+    logParses.incrementAndGet()
     val in = fs.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     parseCommit(body)
   }
 
-  /** FULL history replay sequence. When the log has been
-    * [[cleanLog]]-trimmed (no `0.json`), the latest checkpoint is
-    * spliced in as a synthetic base commit so replay stays correct;
-    * versions below the checkpoint are then no longer time-travelable
-    * (their records are gone) — the same contract as Delta's log
-    * retention. Raw remnants at or below the spliced checkpoint are
-    * dropped (the checkpoint subsumes them).
+  /** Replay must never run over a log with missing records — a hole
+    * (cleaned mid-file, lost object) would silently drop a commit's
+    * effect. `base` is the version the chain continues from (-1 for a
+    * full log, the checkpoint version for a spliced tail).
     */
-  private def commits(): Seq[Commit] = {
+  private def validateChain(base: Int, tail: Seq[Commit]): Unit =
+    tail.iterator.zipWithIndex.foreach { case (c, i) =>
+      val expected = base + 1 + i
+      if (c.version != expected) throw new IllegalStateException(
+        s"commit log at $root has a hole: expected version $expected, " +
+          s"found ${c.version} — refusing to replay a partial history")
+    }
+
+  /** CURRENT-STATE replay sequence — the fast path behind reads,
+    * writes and metadata. With a checkpoint present, replay starts
+    * from the checkpoint's synthetic base commit and parses ONLY the
+    * log tail above it (O(checkpointInterval) files per open, however
+    * long the table has lived — the same economics as Delta's
+    * `_last_checkpoint`). Operations that need the per-commit history
+    * below the checkpoint (time travel, change feeds, history) go
+    * through [[commitsAll]]/[[commitsUpTo]] instead, which prefer the
+    * real records while they exist. A log truncated below version 0
+    * with NO checkpoint fails fast — replaying a partial history
+    * would silently fabricate a wrong table state.
+    */
+  private def commits(): Seq[Commit] = latestCheckpoint() match {
+    case Some(cp) =>
+      val tail = rawRange(cp.version + 1, Int.MaxValue)
+      validateChain(cp.version, tail)
+      cp.synthetic +: tail
+    case None =>
+      val raw = rawCommits()
+      if (raw.nonEmpty && raw.head.version != 0)
+        throw new IllegalStateException(
+          s"commit log at $root is truncated below version " +
+            s"${raw.head.version} with no checkpoint — cannot reconstruct " +
+            "table state")
+      validateChain(-1, raw)
+      raw
+  }
+
+  /** FULL per-commit history, preferred over the checkpoint splice:
+    * time travel, change feeds and history audits keep working below
+    * the latest checkpoint for as long as the real records exist.
+    * Once [[cleanLog]] has trimmed them, falls back to the spliced
+    * sequence — versions below the checkpoint then collapse into its
+    * synthetic base (the log-retention contract).
+    */
+  private def commitsAll(): Seq[Commit] = {
     val raw = rawCommits()
-    if (raw.headOption.forall(_.version == 0)) raw
-    else latestCheckpoint() match {
-      case Some(cp) if cp.version < raw.head.version =>
-        cp.synthetic +: raw
+    if (raw.isEmpty || raw.head.version == 0) { validateChain(-1, raw); raw }
+    else checkpointAtOrBefore(raw.head.version) match {
+      // oldest reconstructable history: the surviving checkpoint that
+      // covered the trim, plus EVERY real record above it
       case Some(cp) =>
-        cp.synthetic +: raw.filter(_.version > cp.version)
-      case None => raw // gap with no checkpoint: replay what exists
+        val tail = raw.filter(_.version > cp.version)
+        validateChain(cp.version, tail)
+        cp.synthetic +: tail
+      case None => commits()
+    }
+  }
+
+  /** Commits with version <= `version`, serving sub-checkpoint
+    * requests from the best still-available base — the newest
+    * checkpoint at or below `version` plus the raw records above it,
+    * else the raw log from v0 — and failing with a clear error once
+    * the needed records are cleaned.
+    */
+  private def commitsUpTo(version: Int): Seq[Commit] = {
+    val fast = commits()
+    fast.headOption match {
+      case Some(h) if h.version > version =>
+        checkpointAtOrBefore(version) match {
+          case Some(cp) =>
+            val tail = rawRange(cp.version + 1, version)
+            validateChain(cp.version, tail)
+            cp.synthetic +: tail
+          case None =>
+            val raw = rawRange(0, version)
+            if (raw.isEmpty || raw.head.version != 0)
+              throw new IllegalStateException(
+                s"version $version at $root predates the latest checkpoint " +
+                  "and its commit records were cleaned — no longer time-travelable")
+            validateChain(-1, raw)
+            raw
+        }
+      case _ => fast.filter(_.version <= version)
     }
   }
 
@@ -168,7 +264,7 @@ class DeltaLite(spark: SparkSession, val root: String,
     val colmap = optField("colmap").map { s =>
       if (s.isEmpty) Map.empty[String, String]
       else s.split('').map { e =>
-        val i = e.indexOf('')
+        val i = e.indexOf('\u001f')
         e.substring(0, i) -> e.substring(i + 1)
       }.toMap
     }
@@ -179,9 +275,12 @@ class DeltaLite(spark: SparkSession, val root: String,
         e.substring(0, i) -> e.substring(i + 1)
       }.toMap
     }
+    val parts = optField("parts").map { s =>
+      if (s.isEmpty) Seq.empty[String] else s.split('\u001e').toSeq
+    }
     Commit(field("version").toInt, field("mode"), field("schema"),
       removedPaths, files, optField("txnApp"), optField("txnId").map(_.toLong),
-      dvs, colmap, checks)
+      dvs, colmap, checks, parts)
   }
 
   private def renderCommit(c: Commit): String = {
@@ -206,6 +305,9 @@ class DeltaLite(spark: SparkSession, val root: String,
         .map { case (n, sql) => n + "\u001f" + sql }.mkString("\u001e")
       s""""checks":"${esc(body)}","""
     }.getOrElse("")
+    val parts = c.parts.map { ps =>
+      s""""parts":"${esc(ps.mkString("\u001e"))}","""
+    }.getOrElse("")
     // dvs renders just before "schema" — the parse anchors on that,
     // and the removed-list regex (anchored on "removed":[...],"files")
     // stays unambiguous
@@ -213,7 +315,176 @@ class DeltaLite(spark: SparkSession, val root: String,
       if (c.dvs.isEmpty) ""
       else c.dvs.map(p => "\"" + esc(p) + "\"")
         .mkString("\"dvs\":[", ",", "],")
-    s"""{"version":"${c.version}","mode":"${c.mode}",$txn$statsCol$colmap$checks$dvs"schema":"${esc(c.schemaJson)}","removed":$removed,"files":$files}"""
+    s"""{"version":"${c.version}","mode":"${c.mode}",$txn$statsCol$colmap$checks$parts$dvs"schema":"${esc(c.schemaJson)}","removed":$removed,"files":$files}"""
+  }
+
+  // ---- commit-log checkpoints (bounded-cost table open) ----
+
+  /** The fully-replayed table state as of `version`, persisted as
+    * `_log/<version>.checkpoint.json`: live file entries, live DV
+    * sidecars, column mapping, CHECK constraints, schema — and the
+    * per-app transaction high-water marks, WITHOUT which a spliced
+    * replay would forget idempotency markers below the checkpoint and
+    * a replayed streaming batch would double-append.
+    */
+  private case class Checkpoint(version: Int, schemaJson: String,
+      files: Seq[FileEntry], dvs: Seq[String],
+      colmap: Map[String, String], checks: Map[String, String],
+      txns: Map[String, Long], parts: Seq[String] = Nil) {
+    /** The state as a replay-base commit. `checkpoint` mode resets
+      * the live file and DV sets like an overwrite (it IS the whole
+      * state) and carries mapping/constraints/partitioning explicitly.
+      */
+    def synthetic: Commit = Commit(version, "checkpoint", schemaJson,
+      Nil, files, None, None, dvs, Some(colmap), Some(checks),
+      parts = Some(parts))
+  }
+
+  private val parsedCheckpoints =
+    scala.collection.concurrent.TrieMap.empty[String, Checkpoint]
+
+  private def ckptName(v: Int) = s"$v.checkpoint.json"
+
+  /** Checkpoint files present, sorted by version. ONE listing; parses
+    * cache by file name (checkpoint files are immutable — temp-file +
+    * rename like commits).
+    */
+  private def checkpointPaths(): Seq[(Int, Path)] = {
+    if (!fs.exists(logDir)) return Nil
+    fs.listStatus(logDir).toSeq
+      .map(_.getPath)
+      .filter(_.getName.matches("\\d+\\.checkpoint\\.json"))
+      .map(p => p.getName.stripSuffix(".checkpoint.json").toInt -> p)
+      .sortBy(_._1)
+  }
+
+  private def loadCheckpoint(p: Path): Checkpoint =
+    parsedCheckpoints.getOrElseUpdate(p.getName, {
+      logParses.incrementAndGet()
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      parseCheckpoint(body)
+    })
+
+  /** The highest-versioned checkpoint present, if any. */
+  private def latestCheckpoint(): Option[Checkpoint] =
+    checkpointPaths().lastOption.map { case (_, p) => loadCheckpoint(p) }
+
+  /** The newest checkpoint at or below `version` — the replay base
+    * for sub-splice time travel (an older checkpoint may survive
+    * [[cleanLog]] exactly because it was the latest at trim time).
+    */
+  private def checkpointAtOrBefore(version: Int): Option[Checkpoint] =
+    checkpointPaths().filter(_._1 <= version).lastOption
+      .map { case (_, p) => loadCheckpoint(p) }
+
+  /** Serialized as the synthetic commit's JSON plus a leading `txns`
+    * field — [[parseCommit]]'s field regexes are anchor-based, so the
+    * extra field round-trips through the same parser.
+    */
+  private def renderCheckpoint(cp: Checkpoint): String = {
+    val body = renderCommit(cp.synthetic)
+    val txns = cp.txns.toSeq.sorted
+      .map { case (a, i) => a + "\u001f" + i }.mkString("\u001e")
+    "{\"txns\":\"" + esc(txns) + "\"," + body.substring(1)
+  }
+
+  private def parseCheckpoint(json: String): Checkpoint = {
+    val c = parseCommit(json)
+    val txns = "\"txns\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findFirstMatchIn(json).map(m => unesc(m.group(1)))
+      .filter(_.nonEmpty)
+      .map(_.split('\u001e').map { e =>
+        val i = e.indexOf('\u001f')
+        e.substring(0, i) -> e.substring(i + 1).toLong
+      }.toMap)
+      .getOrElse(Map.empty)
+    Checkpoint(c.version, c.schemaJson, c.files, c.dvs,
+      c.colmap.getOrElse(Map.empty), c.checks.getOrElse(Map.empty), txns,
+      c.parts.getOrElse(Nil))
+  }
+
+  /** State to checkpoint at `upTo`, built INCREMENTALLY from the
+    * previous checkpoint plus the log range between — O(interval)
+    * parses, so the periodic write never degrades with table age.
+    */
+  private def checkpointState(upTo: Int): Checkpoint = {
+    val (baseTxns, cs) = checkpointAtOrBefore(upTo) match {
+      case Some(prev) if prev.version < upTo =>
+        val tail = rawRange(prev.version + 1, upTo)
+        validateChain(prev.version, tail)
+        (prev.txns, prev.synthetic +: tail)
+      case _ =>
+        val raw = rawRange(0, upTo)
+        require(raw.headOption.exists(_.version == 0),
+          s"cannot checkpoint $root at v$upTo: log below is incomplete")
+        validateChain(-1, raw)
+        (Map.empty[String, Long], raw)
+    }
+    val txns = cs.foldLeft(baseTxns) { (m, c) =>
+      (c.txnApp, c.txnId) match {
+        case (Some(a), Some(i)) =>
+          m + (a -> math.max(i, m.getOrElse(a, Long.MinValue)))
+        case _ => m
+      }
+    }
+    // the render serializes ONE statsCol for all entries (commit-record
+    // format) — entries recorded under a different historical key keep
+    // their rows but lose their stats rather than be relabeled (the
+    // same hygiene as restore/clone: mislabeled ranges would misprune)
+    val live = liveEntries(cs)
+    val sc = live.flatMap(_.keyCol).headOption
+    val files = live.map(f =>
+      if (f.keyCol == sc) f else FileEntry(f.path, None, None, None))
+    Checkpoint(upTo, cs.last.schemaJson, files, liveDvFiles(cs),
+      colMapAt(cs), checksAt(cs), txns, partsAt(cs))
+  }
+
+  /** Write the checkpoint for `version` (no-op if present). Temp-file
+    * + rename; a concurrent writer losing the rename just discards its
+    * temp — checkpoint content for a given version is deterministic.
+    */
+  private def writeCheckpoint(version: Int): Unit = {
+    val fin = new Path(logDir, ckptName(version))
+    if (fs.exists(fin)) return
+    val cp = checkpointState(version)
+    val tmp = new Path(logDir,
+      s".$version-${java.util.UUID.randomUUID().toString.take(8)}.ckpt.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(renderCheckpoint(cp).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
+  }
+
+  /** Force a checkpoint at the current version regardless of the
+    * interval (maintenance surface; [[cleanLog]] trims behind it).
+    * Returns the checkpointed version, or None on an empty table.
+    */
+  def checkpointNow(): Option[Int] = latestVersion.map { v =>
+    writeCheckpoint(v); v
+  }
+
+  /** Trim commit records (and superseded checkpoints) STRICTLY below
+    * the latest checkpoint — the log-retention half of checkpointing.
+    * After the trim, versions below the checkpoint are no longer
+    * time-travelable and range feeds cannot start below it (both fail
+    * with explicit errors rather than partial results); current-state
+    * reads, streaming tails and CDF above the checkpoint are
+    * unaffected. Returns the deleted paths.
+    */
+  def cleanLog(): Seq[String] = latestCheckpoint() match {
+    case None => Nil
+    case Some(cp) =>
+      val doomed = fs.listStatus(logDir).toSeq.filter { st =>
+        val n = st.getPath.getName
+        (n.matches("\\d+\\.json") &&
+          n.stripSuffix(".json").toInt < cp.version) ||
+          (n.matches("\\d+\\.checkpoint\\.json") &&
+            n.stripSuffix(".checkpoint.json").toInt < cp.version)
+      }
+      doomed.foreach(st => fs.delete(st.getPath, false))
+      doomed.map(_.getPath.toString)
   }
 
   def latestVersion: Option[Int] = commits().lastOption.map(_.version)
@@ -238,6 +509,25 @@ class DeltaLite(spark: SparkSession, val root: String,
     * reads address the on-disk physical names.
     */
   private[graft] def columnMapping: Map[String, String] = colMapAt(commits())
+
+  /** Declared partition columns as of the last commit in `upTo` —
+    * carry-forward replay like the mapping; fixed at table creation
+    * and immutable after (Delta's partitioning contract: changing the
+    * layout means rewriting the table).
+    */
+  private def partsAt(upTo: Seq[Commit]): Seq[String] =
+    upTo.foldLeft(Seq.empty[String]) { (acc, c) => c.parts.getOrElse(acc) }
+
+  /** The table's declared partition columns (logical names; empty =
+    * unpartitioned). The constructor's `partitionBy` only applies at
+    * TABLE CREATION — for an existing table the log is authoritative
+    * (partitioning is a table property, not a writer option; renames
+    * may legitimately have changed the logical names since creation).
+    */
+  def partitionColumns: Seq[String] = {
+    val cs = commits()
+    if (cs.isEmpty) partitionBy else partsAt(cs)
+  }
 
   /** The schema as written to parquet: logical field names replaced by
     * their stable physical names.
@@ -289,7 +579,51 @@ class DeltaLite(spark: SparkSession, val root: String,
         referenced.keys.mkString(", ") + " — drop them first")
     val newSch = StructType(sch.fields.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
+    // the partition spec tracks LOGICAL names; the hive dirs key on
+    // the stable physical id, so renaming a partition column stays
+    // metadata-only here too
+    val newParts = partsAt(cs).map(p => if (p == oldName) newName else p)
     publish(Commit(latestVersion.get + 1, "rename", newSch.json, Nil, Nil,
+      None, None, dvs = Nil, colmap = Some(next), parts = Some(newParts)))
+  }
+
+  /** DROP COLUMN as a METADATA-ONLY commit (the other half of the
+    * column-mapping surface): the logical schema loses the field, no
+    * data file is touched at any table size — the physical column
+    * simply stops being read (parquet scans prune it for free). The
+    * vacated PHYSICAL name stays reserved through a tombstone mapping
+    * entry ([[DeltaLite.DroppedPrefix]] key), so a column later
+    * re-ADDED under the same logical name gets a FRESH physical id
+    * and can never read the dropped column's bytes back (Delta's
+    * column-mapping drop contract). Time travel before the drop still
+    * shows the column; restore to a pre-drop version resurrects it.
+    * Constraints referencing the column block the drop, like rename.
+    * Streaming tails fail on the mapping change unless
+    * `ignoreChanges` (their captured schema still reads consistently
+    * — files keep every physical column).
+    */
+  def dropColumn(name: String): Int = {
+    val cs = commits()
+    require(cs.nonEmpty, s"empty table at $root")
+    val sch = schema.get
+    require(sch.fieldNames.contains(name),
+      s"no column '$name' to drop at $root")
+    require(sch.fields.length > 1,
+      s"cannot drop '$name': it is the only column at $root")
+    val referenced = checkConstraints.filter { case (_, sql) =>
+      exprRefs(sql).contains(name)
+    }
+    require(referenced.isEmpty,
+      s"cannot drop '$name': referenced by CHECK constraint(s) " +
+        referenced.keys.mkString(", ") + " — drop them first")
+    require(!partsAt(cs).contains(name),
+      s"cannot drop '$name': it is a declared partition column of $root")
+    val mapping = colMapAt(cs)
+    val phys = mapping.getOrElse(name, name)
+    val next = (mapping - name) +
+      (s"${DeltaLite.DroppedPrefix}$phys" -> phys)
+    val newSch = StructType(sch.fields.filterNot(_.name == name))
+    publish(Commit(latestVersion.get + 1, "drop", newSch.json, Nil, Nil,
       None, None, dvs = Nil, colmap = Some(next)))
   }
 
@@ -400,6 +734,17 @@ class DeltaLite(spark: SparkSession, val root: String,
       if (mapping.isEmpty) checkedDf
       else checkedDf.select(df.schema.fieldNames.map(n =>
         col(n).as(mapping.getOrElse(n, n))).toIndexedSeq: _*)
+    // declared partition columns: creation takes the constructor's
+    // spec, every later commit carries the logged state forward (and
+    // the constructor must agree — partitionColumns guards)
+    val declaredParts = if (base.isEmpty) partitionBy else partsAt(base)
+    // DV-sidecar commits (mode=delete) write (file,pos) address pairs,
+    // not table rows — they bypass the hive layout entirely
+    val parts = if (mode == "delete") Nil else declaredParts
+    require(parts.isEmpty || parts.forall(df.schema.fieldNames.contains),
+      s"batch is missing partition column(s) " +
+        parts.filterNot(df.schema.fieldNames.contains).mkString(",") +
+        s" declared for $root")
     // nonce-unique attempt dir: concurrent writers (and a replay of a
     // crashed attempt) never collide on a directory; an attempt that
     // loses its version race keeps its files and republishes under the
@@ -408,7 +753,23 @@ class DeltaLite(spark: SparkSession, val root: String,
     // to readers; [[vacuumOrphans]] sweeps them.
     val dataDir = new Path(rootPath,
       s"v=$version-${java.util.UUID.randomUUID().toString.take(8)}")
-    physDf.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
+    if (parts.isEmpty)
+      physDf.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
+    else {
+      // hive-layout write WITHOUT losing file content: partitionBy
+      // consumes duplicate `__p_<phys>` columns, so the directory tree
+      // carries the values (scan-time partition pruning reads pure
+      // path metadata) while every data file keeps its full physical
+      // schema — read paths stay leaf-file reads, no basePath juggling
+      val dups = parts.map { c =>
+        val phys = mapping.getOrElse(c, c)
+        (s"${DeltaLite.PartPrefix}$phys", phys)
+      }
+      dups.foldLeft(physDf) { case (d, (dup, phys)) =>
+        d.withColumn(dup, col(phys))
+      }.write.mode(SaveMode.ErrorIfExists)
+        .partitionBy(dups.map(_._1): _*).parquet(dataDir.toString)
+    }
     // the observed counts are now materialized; a violation means the
     // just-written files must never become visible
     checkGet.foreach { g =>
@@ -420,9 +781,17 @@ class DeltaLite(spark: SparkSession, val root: String,
           s"; nothing committed at $root")
       }
     }
-    val dataFiles = fs.listStatus(dataDir).toSeq.map(_.getPath)
-      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
+    // recursive: partitioned writes nest part files under the hive dirs
+    val dataFiles = {
+      val it = fs.listFiles(dataDir, true)
+      val buf = Seq.newBuilder[Path]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.startsWith("part-") &&
+          st.getPath.getName.endsWith(".parquet")) buf += st.getPath
+      }
+      buf.result().sortBy(_.toString)
+    }
     // per-file min/max of the stats key: one column-pruned pass over the
     // just-written batch (O(batch), not O(table)). Aggregate on the
     // TYPED key and stringify the result — stringify-then-min would
@@ -431,7 +800,10 @@ class DeltaLite(spark: SparkSession, val root: String,
     val stats: Map[String, (Option[String], Option[String])] = statsKey match {
       case Some(k) if df.schema.fieldNames.contains(k) && dataFiles.nonEmpty =>
         val physK = mapping.getOrElse(k, k)
-        spark.read.schema(physDf.schema).parquet(dataDir.toString)
+        // leaf-file paths, not the dir: a partitioned layout would
+        // otherwise trigger partition discovery of the __p_ dirs
+        spark.read.schema(physDf.schema)
+          .parquet(dataFiles.map(_.toString): _*)
           .select(col(physK).as("__k"), input_file_name().as("__f"))
           .groupBy("__f").agg(fmin("__k").cast("string").as("mn"),
             fmax("__k").cast("string").as("mx"))
@@ -461,7 +833,8 @@ class DeltaLite(spark: SparkSession, val root: String,
     while (true) {
       try return publish(Commit(attempt, mode,
         schemaOverride.getOrElse(df.schema).json,
-        removed, entries, txn.map(_._1), txn.map(_._2), Nil, Some(mapping)))
+        removed, entries, txn.map(_._1), txn.map(_._2), Nil, Some(mapping),
+        parts = Some(declaredParts)))
       catch {
         case e: java.util.ConcurrentModificationException =>
           val cur = commits()
@@ -499,6 +872,15 @@ class DeltaLite(spark: SparkSession, val root: String,
           s"version $version at $root was committed by a concurrent writer")
       }
       if (!fs.rename(tmp, fin)) sys.error(s"commit rename failed for v$version")
+    }
+    // the commit is durable above; the checkpoint is an OPTIMIZATION
+    // riding behind it — an IO failure here must not make the caller
+    // believe the commit failed (a retry would double-apply), and the
+    // next interval boundary writes a fresh checkpoint anyway
+    if (checkpointInterval > 0 && version > 0 &&
+        version % checkpointInterval == 0) {
+      try writeCheckpoint(version)
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     version
   }
@@ -549,8 +931,17 @@ class DeltaLite(spark: SparkSession, val root: String,
     * events in an append-oriented feed.
     */
   def readAppendsSince(sinceVersion: Int): DataFrame = {
-    val all = commits()
+    // full per-commit history: a checkpoint splice would silently
+    // collapse pre-checkpoint appends into its synthetic base
+    val all = commitsAll()
     val sch = schema.getOrElse(sys.error(s"empty table at $root"))
+    all.headOption.filter(h => h.mode == "checkpoint" &&
+        sinceVersion < h.version).foreach { h =>
+      throw new IllegalStateException(
+        s"incremental read from v$sinceVersion at $root starts below " +
+          s"checkpoint v${h.version} whose commit records were cleaned — " +
+          "re-baseline from a full snapshot read")
+    }
     val appends = all
       .filter(c => c.version > sinceVersion && c.mode == "append" &&
         c.files.nonEmpty)
@@ -563,7 +954,11 @@ class DeltaLite(spark: SparkSession, val root: String,
       // (physical) schema, then surface each column under its CURRENT
       // logical name when the physical id is still live — renamed
       // columns line up across the union instead of splitting
-      val latestRev = colMapAt(all).map(_.swap)
+      // tombstoned (dropped-column) entries stay out: a column dropped
+      // AFTER a commit surfaces under the name it carried then, never
+      // under the internal tombstone key
+      val latestRev = colMapAt(all)
+        .filterNot(_._1.startsWith(DeltaLite.DroppedPrefix)).map(_.swap)
       appends.map { c =>
         // each commit reads with ITS OWN recorded schema — decoding old
         // files with the latest schema would fabricate nulls (or fail)
@@ -594,7 +989,11 @@ class DeltaLite(spark: SparkSession, val root: String,
     */
   private[graft] def appendFilesBetween(sinceExclusive: Long,
       toInclusive: Long, ignoreChanges: Boolean): Seq[String] = {
-    val cs = commits().filter(c =>
+    // full history: a range that reaches below the latest checkpoint
+    // must see the REAL append records while they exist; once cleaned,
+    // the synthetic base lands in `nonAppend` below and fails the read
+    // explicitly (ignoreChanges streams the tail above it only)
+    val cs = commitsAll().filter(c =>
       c.version > sinceExclusive && c.version <= toInclusive)
     // restats is metadata-only (row-identical) — never a tail hazard;
     // rename is row-identical too: the SOURCE guards it (only a
@@ -602,7 +1001,7 @@ class DeltaLite(spark: SparkSession, val root: String,
     // is already reflected in it)
     val nonAppend = cs.filterNot(c =>
       c.mode == "append" || c.mode == "restats" || c.mode == "rename" ||
-        c.mode == "constraint")
+        c.mode == "drop" || c.mode == "constraint")
     if (nonAppend.nonEmpty && !ignoreChanges)
       sys.error("DeltaLite streaming source saw non-append commits " +
         nonAppend.map(c => s"v${c.version}(${c.mode})").mkString(", ") +
@@ -626,9 +1025,17 @@ class DeltaLite(spark: SparkSession, val root: String,
   def changesBetween(sinceExclusive: Int, toInclusive: Int,
       skipRewrites: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val cs = commits().filter(c =>
+    val all = commitsAll()
+    val cs = all.filter(c =>
       c.version > sinceExclusive && c.version <= toInclusive)
     require(cs.nonEmpty, s"no commits in ($sinceExclusive, $toInclusive]")
+    // a synthetic checkpoint base in range means the per-commit
+    // records below it are gone — a row feed over it would silently
+    // misreport the aggregate state as one giant insert
+    require(!cs.exists(_.mode == "checkpoint"),
+      s"change feed range ($sinceExclusive, $toInclusive] at $root " +
+        "reaches below the latest checkpoint and the per-commit records " +
+        "were cleaned — start the feed at or above the checkpoint version")
     val unsupported = cs.filter(c =>
       c.mode == "overwrite" || (c.mode == "rewrite" && !skipRewrites))
     require(unsupported.isEmpty,
@@ -640,8 +1047,8 @@ class DeltaLite(spark: SparkSession, val root: String,
     // surfaces them under the range-END logical names, so a rename
     // commit inside the range needs no special case — pre- and
     // post-rename rows line up on the same output column
-    val endRev = colMapAt(commits().filter(_.version <= toInclusive))
-      .map(_.swap)
+    val endRev = colMapAt(all.filter(_.version <= toInclusive))
+      .filterNot(_._1.startsWith(DeltaLite.DroppedPrefix)).map(_.swap)
     def decode(paths: Seq[String], commitSch: StructType,
         m: Map[String, String]): (DataFrame, Seq[Column]) = {
       val df = spark.read.schema(physSchema(commitSch, m)).parquet(paths: _*)
@@ -653,7 +1060,7 @@ class DeltaLite(spark: SparkSession, val root: String,
     }
     val frames = cs.flatMap { c =>
       val commitSch = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
-      val m = colMapAt(commits().filter(_.version <= c.version))
+      val m = colMapAt(all.filter(_.version <= c.version))
       c.mode match {
         case "append" if c.files.nonEmpty =>
           val (df, cols) = decode(c.files.map(_.path), commitSch, m)
@@ -666,7 +1073,7 @@ class DeltaLite(spark: SparkSession, val root: String,
           val dv = dvDf(c.files.map(_.path))
           val referenced = dv.select(col("__file")).distinct()
             .collect().map(r => norm(r.getString(0))).toSet
-          val holders = liveEntries(commits().filter(_.version < c.version))
+          val holders = liveEntries(all.filter(_.version < c.version))
             .map(_.path).filter(p => referenced(norm(p)))
           if (holders.isEmpty) None
           else {
@@ -781,8 +1188,14 @@ class DeltaLite(spark: SparkSession, val root: String,
   /** Highest transaction id committed by `appId`, if any — the
     * replay-detection half of exactly-once streaming loads.
     */
-  def lastTxn(appId: String): Option[Long] =
-    commits().filter(_.txnApp.contains(appId)).flatMap(_.txnId).maxOption
+  def lastTxn(appId: String): Option[Long] = {
+    // a spliced replay loses per-commit txn markers below the
+    // checkpoint — the checkpoint's own high-water map covers them
+    val fromLog =
+      commits().filter(_.txnApp.contains(appId)).flatMap(_.txnId)
+    val fromCp = latestCheckpoint().flatMap(_.txns.get(appId))
+    (fromLog ++ fromCp).maxOption
+  }
 
   /** Transactional append for streaming micro-batches: the commit
     * records (appId, txnId); a replayed batch (same appId, txnId ≤ the
@@ -1001,14 +1414,16 @@ class DeltaLite(spark: SparkSession, val root: String,
   private def liveEntries(upTo: Seq[Commit]): Seq[FileEntry] =
     upTo.foldLeft(Seq.empty[FileEntry]) { (acc, c) =>
       c.mode match {
-        case "overwrite" => c.files
+        // a spliced checkpoint base IS the whole live set at its
+        // version — resets like an overwrite
+        case "overwrite" | "checkpoint" => c.files
         case "rewrite" =>
           val gone = c.removed.map(norm).toSet
           acc.filterNot(f => gone(norm(f.path))) ++ c.files
         // delete commits carry DELETION-VECTOR sidecars, dvclear drops
         // them, rename/constraint are pure metadata — none touch the
         // data-file set
-        case "delete" | "dvclear" | "rename" | "constraint" => acc
+        case "delete" | "dvclear" | "rename" | "drop" | "constraint" => acc
         // restats re-labels live entries with stats for a new key; the
         // file set (and every row) is untouched
         case "restats" =>
@@ -1041,8 +1456,9 @@ class DeltaLite(spark: SparkSession, val root: String,
         case "delete" => acc ++ c.files.map(_.path)
         // snapshot replacement resets the DV set to the commit's own
         // re-references (restore carries the target snapshot's DVs
-        // atomically; a plain overwrite has none)
-        case "overwrite" => c.dvs
+        // atomically; a plain overwrite has none; a spliced checkpoint
+        // base carries the live DVs at its version)
+        case "overwrite" | "checkpoint" => c.dvs
         case "dvclear" => Nil
         // any other commit may additionally re-reference DVs (clone's
         // adopting append does)
@@ -1186,7 +1602,9 @@ class DeltaLite(spark: SparkSession, val root: String,
     */
   def restore(version: Int): Int = {
     val all = commits()
-    val upTo = all.filter(_.version <= version)
+    // real records preferred: restore below the latest checkpoint
+    // works while the log retains them
+    val upTo = commitsUpTo(version)
     require(upTo.exists(_.version == version), s"no version $version at $root")
     // the restore commit serializes ONE statsCol for all re-referenced
     // entries; files whose stats were recorded for a different key
@@ -1222,7 +1640,7 @@ class DeltaLite(spark: SparkSession, val root: String,
     publish(Commit(latestVersion.get + 1, "overwrite",
       upTo.last.schemaJson, removed = cur, files = snapFiles, None, None,
       dvs = dvSnap, colmap = Some(colMapAt(upTo)),
-      checks = Some(checksAt(upTo))))
+      checks = Some(checksAt(upTo)), parts = Some(partsAt(upTo))))
   }
 
   /** Shallow CLONE: a new table at `targetRoot` whose first commit
@@ -1252,7 +1670,7 @@ class DeltaLite(spark: SparkSession, val root: String,
     // column mapping rides too (the adopted files keep their source
     // physical names)
     target.adoptSnapshot(all.last.schemaJson, entries, liveDvFiles(all),
-      colMapAt(all), checksAt(all))
+      colMapAt(all), checksAt(all), partsAt(all))
     target
   }
 
@@ -1262,11 +1680,11 @@ class DeltaLite(spark: SparkSession, val root: String,
   private def adoptSnapshot(schemaJson: String,
       entries: Seq[(String, Option[String], Option[String], Option[String])],
       dvPaths: Seq[String], mapping: Map[String, String],
-      checks: Map[String, String]): Int =
+      checks: Map[String, String], parts: Seq[String]): Int =
     publish(Commit(0, "append", schemaJson, removed = Nil,
       files = entries.map { case (p, mn, mx, kc) => FileEntry(p, mn, mx, kc) },
       None, None, dvs = dvPaths, colmap = Some(mapping),
-      checks = Some(checks)))
+      checks = Some(checks), parts = Some(parts)))
 
   /** OPTIMIZE ZORDER BY (colA, colB): rewrite the live data Z-clustered
     * on the two dimensions (`graft.ops.ZOrder` Morton interleave +
@@ -1298,7 +1716,11 @@ class DeltaLite(spark: SparkSession, val root: String,
     */
   def vacuum(retainVersions: Int = 1): Seq[String] = {
     require(retainVersions >= 1, "must retain at least the current version")
-    val all = commits()
+    // full history: the doomed set must include files REMOVED by
+    // pre-checkpoint commits (a spliced replay no longer lists them),
+    // and the retained snapshots below the checkpoint must replay from
+    // real records while they exist
+    val all = commitsAll()
     if (all.isEmpty) return Nil
     val latest = all.last.version
     val cutoff = latest - retainVersions + 1
@@ -1329,7 +1751,9 @@ class DeltaLite(spark: SparkSession, val root: String,
     */
   def vacuumOrphans(olderThanMs: Long = 60L * 60 * 1000): Seq[String] = {
     if (!fs.exists(rootPath)) return Nil
-    val referenced = commits().flatMap(_.files.map(f => norm(f.path))).toSet
+    // full history: a file referenced ONLY by pre-checkpoint commits
+    // is not an orphan while those records exist (time travel reads it)
+    val referenced = commitsAll().flatMap(_.files.map(f => norm(f.path))).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val doomed = fs.listStatus(rootPath).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v=") &&
@@ -1345,7 +1769,7 @@ class DeltaLite(spark: SparkSession, val root: String,
 
   /** (mode, added files, removed files) of a commit (test/introspection). */
   def commitInfo(version: Int): (String, Seq[String], Seq[String]) = {
-    val c = commits().find(_.version == version)
+    val c = commitsAll().find(_.version == version)
       .getOrElse(sys.error(s"no commit $version"))
     (c.mode, c.files.map(_.path), c.removed)
   }
@@ -1393,7 +1817,11 @@ class DeltaLite(spark: SparkSession, val root: String,
     */
   def history(): DataFrame = {
     import spark.implicits._
-    commits().reverse.map { c =>
+    // real per-commit records while they exist; after [[cleanLog]]
+    // the trimmed prefix collapses into one synthetic `checkpoint` row
+    // (whose timestamp is its real commit's publish time — cleanLog
+    // keeps the checkpoint version's own record file)
+    commitsAll().reverse.map { c =>
       val ts = new java.sql.Timestamp(
         fs.getFileStatus(new Path(logDir, s"${c.version}.json"))
           .getModificationTime)
@@ -1443,13 +1871,27 @@ class DeltaLite(spark: SparkSession, val root: String,
     val sch = DataType.fromJson(all.last.schemaJson).asInstanceOf[StructType]
     val mapping = colMapAt(all)
     val phys = physSchema(sch, mapping)
+    // per-file ranges, keyed by PHYSICAL column name: the stats key's
+    // recorded [min,max] plus each partition column's path value as
+    // the degenerate range [v,v] — one survival check serves both
+    val statsPhys = statsKey.map(k => mapping.getOrElse(k, k))
+    val partPhys = partsAt(all).map(c => mapping.getOrElse(c, c))
+    val entries = liveFileStats().map { case (p, mn, mx) =>
+      val statsRange = (statsPhys, mn, mx) match {
+        case (Some(k), Some(_), Some(_)) => Map(k -> (mn, mx))
+        case _ => Map.empty[String, (Option[String], Option[String])]
+      }
+      val partRanges = org.apache.spark.sql.graftbridge.DeltaLiteScan
+        .partitionValues(p, DeltaLite.PartPrefix, partPhys)
+        .map { case (c, v) => c -> (Some(v): Option[String], Some(v): Option[String]) }
+      (p, statsRange ++ partRanges)
+    }
     // the scan relation speaks PHYSICAL names (that's what the files
     // and the pushed-down filters it prunes on will carry — Catalyst
     // rewrites a logical-name filter through the alias projection
     // below before it reaches the FileIndex)
     val rel = org.apache.spark.sql.graftbridge.DeltaLiteScan.relation(
-      spark, rootPath, liveFileStats(),
-      statsKey.map(k => mapping.getOrElse(k, k)), phys)
+      spark, rootPath, entries, phys)
     val dvs = liveDvFiles(all)
     val masked =
       if (dvs.isEmpty) rel
@@ -1469,17 +1911,20 @@ class DeltaLite(spark: SparkSession, val root: String,
     * dashboard show yesterday 09:00" convenience.
     */
   def readAsOfTime(ts: java.sql.Timestamp): DataFrame = {
-    val all = commits()
-    require(all.nonEmpty, s"empty table at $root")
+    require(fs.exists(logDir) && latestVersion.isDefined,
+      s"empty table at $root")
     // ONE listing serves every commit's mtime — per-commit
-    // getFileStatus would be O(versions) round-trips on a remote FS
-    val mtimes = fs.listStatus(logDir)
-      .map(s => s.getPath.getName -> s.getModificationTime).toMap
-    val eligible = all.filter(c =>
-      mtimes.get(s"${c.version}.json").exists(_ <= ts.getTime))
+    // getFileStatus would be O(versions) round-trips on a remote FS.
+    // Eligibility comes from the record FILES, not the (possibly
+    // checkpoint-spliced) replay list, so travel below a checkpoint
+    // works while the records exist
+    val eligible = fs.listStatus(logDir).toSeq
+      .filter(st => st.getPath.getName.matches("\\d+\\.json") &&
+        st.getModificationTime <= ts.getTime)
+      .map(_.getPath.getName.stripSuffix(".json").toInt)
     require(eligible.nonEmpty,
       s"no commit at or before $ts in $root (table is younger)")
-    readAsOf(eligible.map(_.version).max)
+    readAsOf(eligible.max)
   }
 
   /** Current snapshot. */
@@ -1487,7 +1932,7 @@ class DeltaLite(spark: SparkSession, val root: String,
 
   /** Time travel: the snapshot as of `version` (inclusive). */
   def readAsOf(version: Int): DataFrame = {
-    val upTo = commits().filter(_.version <= version)
+    val upTo = commitsUpTo(version)
     require(upTo.nonEmpty, s"no commits at or before version $version in $root")
     val sch = DataType.fromJson(upTo.last.schemaJson).asInstanceOf[StructType]
     val live = liveEntries(upTo)
@@ -1498,6 +1943,27 @@ class DeltaLite(spark: SparkSession, val root: String,
 }
 
 object DeltaLite {
+  /** Checkpoint cadence — every N commits the publish path persists
+    * the replayed state, bounding a table open at O(N) log parses
+    * regardless of age (Delta uses the same default).
+    */
+  val DefaultCheckpointInterval = 10
+
+  /** Mapping-key prefix reserving a DROPPED column's physical name —
+    * no logical column ever starts with this, so tombstones are inert
+    * everywhere the mapping is consulted for schema fields, while
+    * [[DeltaLite.appendEvolve]]'s fresh-id check (which scans mapping
+    * VALUES) keeps the physical name off-limits forever.
+    */
+  private[etl] val DroppedPrefix = "__graft_dropped__"
+
+  /** Directory-name prefix of the hive-layout partition dirs: the
+    * write duplicates each partition column under this prefix for
+    * `partitionBy`, so the data files keep their full physical schema
+    * while the directory tree carries the partition values.
+    */
+  private[graft] val PartPrefix = "__p_"
+
   // per-table-root publish serialization within this JVM: local/POSIX
   // rename overwrites an existing target, so the exists-check + rename
   // pair must not interleave between threads; cross-process atomicity

@@ -169,6 +169,33 @@ object Events {
       .orderBy($"user_id")
   }
 
+  /** The DeltaLite twin of [[partitionPruned]]: the same purchase
+    * aggregate over a DeltaLite table DECLARED partitioned by
+    * event_type — the partition spec lives in the commit log, the
+    * write lays out hive dirs, and the commit-log FileIndex feeds each
+    * file's path-encoded partition value to scan planning as a [v,v]
+    * range, so the filter plans ONE partition's files with no manual
+    * pruning (PlanAuditSpec asserts the file count). At 100 TB,
+    * declared partition columns are the first-line pruning tool: the
+    * scan never lists the other partitions' files at all. The one-time
+    * partitioned load is measured with the query, same honesty rule
+    * as the plain-parquet twin.
+    */
+  def deltaPartitionPruned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = s"${sys.props("java.io.tmpdir")}/graft-dlpart/" +
+      s"events_${dir.hashCode & 0x7fffffff}"
+    val t = new graft.etl.DeltaLite(s, root,
+      partitionBy = Seq("event_type"))
+    if (t.latestVersion.isEmpty) t.append(Tables.events(s, dir))
+    t.readIndexed()
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_purchases"), dsum($"value").as("sum_value"))
+      .filter($"n_purchases" >= 3)
+      .orderBy($"user_id")
+  }
+
   /** Z-order-clustered scan: events written Morton-interleaved on
     * (user_id, day), then a 2-D box predicate (user range × day range)
     * reads only the files/row-groups whose bounding box intersects it
@@ -223,10 +250,15 @@ object Events {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val gapUs = 1800L * 1000000L
+    // unix_micros only accepts TIMESTAMP; the loader may serve
+    // TIMESTAMP_NTZ (generator-dependent) — the cast is a no-op for
+    // TIMESTAMP and a value-preserving reinterpretation for NTZ under
+    // the session's pinned UTC zone
+    val tsUs = unix_micros($"ts".cast("timestamp"))
     Tables.events(s, dir)
-      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+      .withColumn("prev_us", lag(tsUs, 1).over(w))
       .withColumn("new_sess",
-        when($"prev_us".isNull || unix_micros($"ts") - $"prev_us" > gapUs, 1L)
+        when($"prev_us".isNull || tsUs - $"prev_us" > gapUs, 1L)
           .otherwise(0L))
       .withColumn("session_id",
         sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))

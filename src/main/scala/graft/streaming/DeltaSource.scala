@@ -166,14 +166,16 @@ class DeltaLiteSource(spark: SparkSession, root: String,
           .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
             .toIndexedSeq: _*)
       } else {
-        // a rename since this source captured its schema makes the
-        // declared names stale — fail like Delta does on schema change
-        // (restart re-captures); ignoreChanges keeps serving the old
-        // names, which the stable physical ids still resolve
+        // a rename/drop since this source captured its schema makes
+        // the declared names stale — fail like Delta does on schema
+        // change (restart re-captures); ignoreChanges keeps serving
+        // the captured names, which the stable physical ids still
+        // resolve (files keep every physical column after a drop)
         if (!ignoreChanges && table.columnMapping != mapping)
           sys.error(s"DeltaLite streaming source at $root: columns were " +
-            "renamed after the stream started; restart the query to pick " +
-            "up the new names, or pass ignoreChanges=true to keep the old ones")
+            "renamed or dropped after the stream started; restart the " +
+            "query to pick up the new schema, or pass ignoreChanges=true " +
+            "to keep serving the captured one")
         val files = table.appendFilesBetween(from, version(end), ignoreChanges)
         if (files.isEmpty)
           spark.createDataFrame(

@@ -229,14 +229,25 @@ object EventsStream {
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // a stream must DECLARE its schema up front, and the generator has
+    // shipped `ts` as both TIMESTAMP(NANOS) (reads as long) and plain
+    // TIMESTAMP-micros — one cheap batch peek picks the right contract
+    // (declaring long against a timestamp file would silently
+    // reinterpret micros as nanos: 2024 collapses to 1970)
+    val nanosTs = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType == LongType
+    val tsField =
+      if (nanosTs) StructField("ts", LongType)
+      else StructField("ts", TimestampType)
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), tsField,
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (nanosTs) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
   }
 
   /** Watermarked tumbling-window counts per event type. Late data beyond

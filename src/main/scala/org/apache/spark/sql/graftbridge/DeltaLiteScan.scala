@@ -3,6 +3,7 @@ package org.apache.spark.sql.graftbridge
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -10,11 +11,16 @@ import org.apache.spark.sql.types._
 
 /** Scan-integrated file skipping for DeltaLite tables — the same
   * integration shape the Delta connector uses (a custom [[FileIndex]]
-  * served into a HadoopFsRelation): the commit log's per-file
-  * [min, max] stats on the table's stats key prune files DURING scan
-  * planning, driven by the query's own pushed-down data filters. No
-  * manual pre-filtering: `WHERE key = x` on the DataFrame is enough,
-  * and the FileSourceScan's numFiles metric reflects the skip.
+  * served into a HadoopFsRelation): per-file [min, max] ranges prune
+  * files DURING scan planning, driven by the query's own pushed-down
+  * data filters. Ranges come from two metadata sources, unified into
+  * one per-column map so one survival check serves both:
+  *  - the commit log's per-file stats on the table's stats key, and
+  *  - the hive-layout PARTITION VALUES parsed from each file's path
+  *    (a partition value is the degenerate range [v, v]) — partition
+  *    elimination without listing a single pruned directory's files.
+  * No manual pre-filtering: `WHERE key = x` on the DataFrame is
+  * enough, and the FileSourceScan's numFiles metric reflects the skip.
   *
   * Lives under the spark.sql namespace because the datasource
   * internals (LogicalRelation, HadoopFsRelation) are private[sql] —
@@ -23,16 +29,16 @@ import org.apache.spark.sql.types._
 class DeltaLiteFileIndex(
     spark: SparkSession,
     root: Path,
-    entries: Seq[(String, Option[String], Option[String])],
-    statsCol: Option[String],
+    entries: Seq[(String, Map[String, (Option[String], Option[String])])],
     dataSchema: StructType) extends FileIndex {
 
   private val fs = root.getFileSystem(
     spark.sessionState.newHadoopConf())
 
-  private lazy val statuses: Seq[(FileStatus, Option[String], Option[String])] =
-    entries.map { case (p, mn, mx) =>
-      (fs.getFileStatus(new Path(p)), mn, mx)
+  private lazy val statuses
+      : Seq[(FileStatus, Map[String, (Option[String], Option[String])])] =
+    entries.map { case (p, ranges) =>
+      (fs.getFileStatus(new Path(p)), ranges)
     }
 
   override def rootPaths: Seq[Path] = Seq(root)
@@ -41,11 +47,12 @@ class DeltaLiteFileIndex(
   override def refresh(): Unit = ()
   override def sizeInBytes: Long = statuses.map(_._1.getLen).sum
 
-  private def keyType: Option[DataType] =
-    statsCol.flatMap(c => dataSchema.fields.find(_.name == c).map(_.dataType))
+  private def colType(c: String): Option[DataType] =
+    dataSchema.fields.find(_.name == c).map(_.dataType)
 
   /** Typed compare of the stringified stats (same encoding the commit
-    * log records — see DeltaLite.commit's stringify note).
+    * log records — see DeltaLite.commit's stringify note; partition
+    * values reach the identical form via a string cast of the column).
     */
   private def cmp(dt: DataType, a: String, b: String): Int = dt match {
     case LongType | IntegerType | ShortType | ByteType =>
@@ -56,12 +63,14 @@ class DeltaLiteFileIndex(
   }
 
   /** Conservative per-file survival under one pushed filter: only
-    * simple (key ⊙ literal) shapes prune; anything else keeps the
-    * file. Null stats keep the file (correctness over skipping).
+    * simple (col ⊙ literal) shapes on a column with a recorded range
+    * prune; anything else keeps the file. Null stats keep the file
+    * (correctness over skipping).
     */
-  private def survives(mn: Option[String], mx: Option[String],
-      filter: Expression, key: String, dt: DataType): Boolean = {
-    // The literal must reach the SAME string form the stats were
+  private def survives(
+      ranges: Map[String, (Option[String], Option[String])],
+      filter: Expression): Boolean = {
+    // The literal must reach the SAME string form the ranges were
     // recorded in (a Spark string cast at commit time): a raw
     // Literal.value.toString would render dates/timestamps in Catalyst
     // internal form (days-int / micros-long) and the lexical fallback
@@ -71,48 +80,80 @@ class DeltaLiteFileIndex(
       Option(Cast(l, org.apache.spark.sql.types.StringType,
         Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null))
         .map(_.toString)
-    (mn, mx) match {
-      case (Some(lo), Some(hi)) => filter match {
-        case And(l, r) =>
-          survives(mn, mx, l, key, dt) && survives(mn, mx, r, key, dt)
-        case EqualTo(a: Attribute, l: Literal) if a.name == key =>
-          litv(l).forall(v => cmp(dt, v, lo) >= 0 && cmp(dt, v, hi) <= 0)
-        case EqualTo(l: Literal, a: Attribute) if a.name == key =>
-          litv(l).forall(v => cmp(dt, v, lo) >= 0 && cmp(dt, v, hi) <= 0)
-        case GreaterThan(a: Attribute, l: Literal) if a.name == key =>
-          litv(l).forall(v => cmp(dt, hi, v) > 0)
-        case GreaterThanOrEqual(a: Attribute, l: Literal) if a.name == key =>
-          litv(l).forall(v => cmp(dt, hi, v) >= 0)
-        case LessThan(a: Attribute, l: Literal) if a.name == key =>
-          litv(l).forall(v => cmp(dt, lo, v) < 0)
-        case LessThanOrEqual(a: Attribute, l: Literal) if a.name == key =>
-          litv(l).forall(v => cmp(dt, lo, v) <= 0)
-        case _ => true
-      }
+    def range(a: Attribute): Option[(String, String, DataType)] =
+      for {
+        (mnO, mxO) <- ranges.get(a.name)
+        mn <- mnO; mx <- mxO
+        dt <- colType(a.name)
+      } yield (mn, mx, dt)
+    filter match {
+      case And(l, r) => survives(ranges, l) && survives(ranges, r)
+      case EqualTo(a: Attribute, l: Literal) =>
+        range(a).forall { case (lo, hi, dt) =>
+          litv(l).forall(v => cmp(dt, v, lo) >= 0 && cmp(dt, v, hi) <= 0) }
+      case EqualTo(l: Literal, a: Attribute) =>
+        range(a).forall { case (lo, hi, dt) =>
+          litv(l).forall(v => cmp(dt, v, lo) >= 0 && cmp(dt, v, hi) <= 0) }
+      case GreaterThan(a: Attribute, l: Literal) =>
+        range(a).forall { case (_, hi, dt) =>
+          litv(l).forall(v => cmp(dt, hi, v) > 0) }
+      case GreaterThanOrEqual(a: Attribute, l: Literal) =>
+        range(a).forall { case (_, hi, dt) =>
+          litv(l).forall(v => cmp(dt, hi, v) >= 0) }
+      case LessThan(a: Attribute, l: Literal) =>
+        range(a).forall { case (lo, _, dt) =>
+          litv(l).forall(v => cmp(dt, lo, v) < 0) }
+      case LessThanOrEqual(a: Attribute, l: Literal) =>
+        range(a).forall { case (lo, _, dt) =>
+          litv(l).forall(v => cmp(dt, lo, v) <= 0) }
       case _ => true
     }
   }
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val kept = (statsCol, keyType) match {
-      case (Some(key), Some(dt)) if dataFilters.nonEmpty =>
-        statuses.filter { case (_, mn, mx) =>
-          dataFilters.forall(f => survives(mn, mx, f, key, dt))
-        }
-      case _ => statuses
-    }
+    val kept =
+      if (dataFilters.isEmpty) statuses
+      else statuses.filter { case (_, ranges) =>
+        ranges.isEmpty || dataFilters.forall(f => survives(ranges, f))
+      }
     Seq(PartitionDirectory(InternalRow.empty, kept.map(_._1).toArray))
   }
 }
 
 object DeltaLiteScan {
 
-  /** DataFrame over the live files through the skipping index. */
+  /** Partition values encoded in `path`'s hive-layout segments for
+    * `partCols` (PHYSICAL column names, matched against the write
+    * path's `__p_<phys>=<value>` dirs). Values are unescaped with the
+    * same util Spark escaped them with; the hive null sentinel maps to
+    * no-range (conservative keep).
+    */
+  def partitionValues(path: String, partPrefix: String,
+      partCols: Seq[String]): Map[String, String] = {
+    val segs = path.split('/').filter(_.contains('='))
+    segs.flatMap { s =>
+      val i = s.indexOf('=')
+      val dir = s.substring(0, i)
+      val raw = s.substring(i + 1)
+      if (!dir.startsWith(partPrefix)) None
+      else {
+        val phys = dir.stripPrefix(partPrefix)
+        if (!partCols.contains(phys) ||
+          raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None
+        else Some(phys -> ExternalCatalogUtils.unescapePathName(raw))
+      }
+    }.toMap
+  }
+
+  /** DataFrame over the live files through the skipping index.
+    * `entries` carries each file's per-column [min, max] ranges
+    * (stats key and/or partition values), keyed by PHYSICAL name.
+    */
   def relation(spark: SparkSession, root: Path,
-      entries: Seq[(String, Option[String], Option[String])],
-      statsCol: Option[String], schema: StructType): DataFrame = {
-    val index = new DeltaLiteFileIndex(spark, root, entries, statsCol, schema)
+      entries: Seq[(String, Map[String, (Option[String], Option[String])])],
+      schema: StructType): DataFrame = {
+    val index = new DeltaLiteFileIndex(spark, root, entries, schema)
     val rel = HadoopFsRelation(index, partitionSchema = StructType(Nil),
       dataSchema = schema, bucketSpec = None,
       fileFormat = new ParquetFileFormat, options = Map.empty)(spark)

@@ -188,4 +188,96 @@ class ColumnMappingSpec extends SparkSpec {
       ignoreChanges = false)
     assert(src2.schema.fieldNames.toSeq == Seq("k", "txt"))
   }
+
+  test("drop is metadata-only: no files move, column disappears, time travel keeps it") {
+    import spark.implicits._
+    val t = DeltaLite(spark, tmp("graft-cm-drop"), "k")
+    t.append((1L to 50L).map(k => (k, s"row$k", k * 2)).toDF("k", "v", "extra"))
+    val filesBefore = t.liveFiles().toSet
+    val v = t.dropColumn("extra")
+    assert(t.commitInfo(v)._1 == "drop")
+    assert(t.liveFiles().toSet == filesBefore, "drop must not touch data files")
+    assert(t.schema.get.fieldNames.toSeq == Seq("k", "v"))
+    assert(t.read().columns.toSeq == Seq("k", "v"))
+    assert(t.read().count() == 50)
+    // time travel BEFORE the drop still shows (and reads) the column
+    val old = t.readAsOf(v - 1)
+    assert(old.schema.fieldNames.toSeq == Seq("k", "v", "extra"))
+    assert(old.filter(col("k") === 7L).select("extra").head().getLong(0) == 14L)
+    // restore to the pre-drop version resurrects it
+    t.restore(v - 1)
+    assert(t.schema.get.fieldNames.toSeq == Seq("k", "v", "extra"))
+    assert(t.read().filter(col("k") === 7L).select("extra").head().getLong(0) == 14L)
+  }
+
+  test("re-adding a dropped name gets a fresh physical id — old bytes never resurface") {
+    import spark.implicits._
+    val t = DeltaLite(spark, tmp("graft-cm-drop-readd"), "k")
+    t.append((1L to 20L).map(k => (k, s"row$k", s"secret$k")).toDF("k", "v", "c"))
+    t.dropColumn("c")
+    // evolve re-introduces logical "c" — old files still carry a
+    // physical "c" with the dropped data; the new c must NOT read it
+    t.appendEvolve(Seq((100L, "row100", "fresh100")).toDF("k", "v", "c"))
+    val r7 = t.read().filter(col("k") === 7L).select("v", "c").head()
+    assert(r7.getString(0) == "row7" && r7.isNullAt(1),
+      "dropped column's bytes must not resurface under the re-added name")
+    val r100 = t.read().filter(col("k") === 100L).select("v", "c").head()
+    assert(r100.getString(0) == "row100" && r100.getString(1) == "fresh100")
+    // appends under the current 3-column schema keep working
+    t.append(Seq((101L, "row101", "c101")).toDF("k", "v", "c"))
+    assert(t.read().count() == 22)
+  }
+
+  test("drop of a renamed column tombstones its STABLE physical id") {
+    import spark.implicits._
+    val t = DeltaLite(spark, tmp("graft-cm-drop-renamed"), "k")
+    t.append((1L to 10L).map(k => (k, s"row$k")).toDF("k", "v"))
+    t.renameColumn("v", "value")   // physical stays "v"
+    t.dropColumn("value")
+    assert(t.schema.get.fieldNames.toSeq == Seq("k"))
+    // re-adding either name must not read the dropped bytes
+    t.appendEvolve(Seq((100L, "newv")).toDF("k", "v"))
+    val r1 = t.read().filter(col("k") === 1L).select("v").head()
+    assert(r1.isNullAt(0), "stable physical id 'v' was dropped — bytes must stay dead")
+    assert(t.read().filter(col("k") === 100L).select("v").head().getString(0) == "newv")
+  }
+
+  test("drop is blocked while a CHECK constraint references the column") {
+    import spark.implicits._
+    val t = DeltaLite(spark, tmp("graft-cm-drop-check"), "k")
+    t.append((1L to 10L).map(k => (k, k * 10)).toDF("k", "amt"))
+    t.addCheckConstraint("amt_pos", "amt > 0")
+    val e = intercept[IllegalArgumentException](t.dropColumn("amt"))
+    assert(e.getMessage.contains("amt_pos"))
+    t.dropCheckConstraint("amt_pos")
+    t.dropColumn("amt")
+    assert(t.schema.get.fieldNames.toSeq == Seq("k"))
+    // the sole remaining column cannot be dropped
+    intercept[IllegalArgumentException](t.dropColumn("k"))
+  }
+
+  test("drop mid-stream is guarded like rename; CDF across a drop serves each epoch's schema") {
+    import spark.implicits._
+    val t = DeltaLite(spark, tmp("graft-cm-drop-stream"), "k")
+    t.append((1L to 10L).map(k => (k, s"row$k", k * 1.5)).toDF("k", "v", "score"))
+    val src = new graft.streaming.DeltaLiteSource(spark, t.root,
+      ignoreChanges = false)
+    val v0 = t.latestVersion.get.toLong
+    t.dropColumn("score")
+    t.append(Seq((11L, "row11")).toDF("k", "v"))
+    val ex = intercept[RuntimeException] {
+      src.getBatch(Some(graft.streaming.VersionOffset(v0)),
+        graft.streaming.VersionOffset(t.latestVersion.get.toLong))
+    }
+    assert(ex.getMessage.contains("dropped"))
+    // incremental feed across the drop: pre-drop rows carry the column,
+    // post-drop rows read it as null; no tombstone key ever surfaces
+    val feed = t.readAppendsSince(-1)
+    assert(feed.columns.forall(!_.startsWith("__graft_dropped__")))
+    assert(feed.count() == 11)
+    val pre = feed.filter(col("k") === 1L).select("score").head()
+    assert(pre.getDouble(0) == 1.5)
+    val post = feed.filter(col("k") === 11L).select("score").head()
+    assert(post.isNullAt(0))
+  }
 }

@@ -1,0 +1,157 @@
+package graft
+
+import graft.etl.DeltaLite
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Commit-log checkpointing: the publish path persists the replayed
+  * state every `checkpointInterval` commits, so a table open parses
+  * O(interval) log files instead of O(versions) — the economics that
+  * keep a long-lived streaming sink's table cheap to open at any age.
+  * `cleanLog` trims records below the checkpoint (Delta's log
+  * retention); everything below then fails EXPLICITLY, never silently.
+  */
+class DeltaLiteCheckpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def batch(lo: Long, n: Int): org.apache.spark.sql.DataFrame =
+    (lo until lo + n).map(k => (k, s"v$k")).toDF("k", "v")
+
+  private def logFiles(root: String): Seq[String] = {
+    val d = new java.io.File(root, "_log")
+    Option(d.list()).map(_.toSeq.sorted).getOrElse(Nil)
+  }
+
+  test("a checkpoint is written every interval and bounds open cost to O(interval) parses") {
+    val root = tmp("graft-ckpt")
+    val t = DeltaLite(spark, root, "k")
+    (0 until 25).foreach(i => t.append(batch(i * 10L, 10)))   // v0..v24
+    val names = logFiles(root)
+    assert(names.contains("10.checkpoint.json") && names.contains("20.checkpoint.json"),
+      s"expected interval checkpoints at v10 and v20, got $names")
+    // a FRESH open (new parse cache) replays checkpoint + tail only
+    val t2 = DeltaLite(spark, root, "k")
+    assert(t2.read().count() == 250)
+    assert(t2.latestVersion.contains(24))
+    val parses = t2.logParses.get()
+    // 1 checkpoint + commits 21..24 = 5 files, not 25
+    assert(parses <= DeltaLite.DefaultCheckpointInterval + 1,
+      s"open parsed $parses log files — checkpoint not bounding open cost")
+  }
+
+  test("time travel below the checkpoint serves from real records while they exist") {
+    val root = tmp("graft-ckpt-tt")
+    val t = DeltaLite(spark, root, "k")
+    (0 until 12).foreach(i => t.append(batch(i * 10L, 10)))   // cp at v10
+    assert(logFiles(root).contains("10.checkpoint.json"))
+    assert(t.readAsOf(3).count() == 40)    // below cp: raw replay
+    assert(t.readAsOf(10).count() == 110)  // at cp
+    assert(t.readAsOf(11).count() == 120)  // above cp
+  }
+
+  test("cleanLog trims the prefix; state, time travel above, and explicit failure below") {
+    val root = tmp("graft-ckpt-clean")
+    val t = DeltaLite(spark, root, "k")
+    (0 until 23).foreach(i => t.append(batch(i * 10L, 10)))   // cps at 10, 20
+    val removed = t.cleanLog()
+    assert(removed.nonEmpty)
+    val names = logFiles(root)
+    // strictly-below-20 records and the superseded v10 checkpoint gone;
+    // 20.json itself stays (history/timestamp anchor)
+    assert(!names.contains("0.json") && !names.contains("19.json") &&
+      !names.contains("10.checkpoint.json"))
+    assert(names.contains("20.json") && names.contains("20.checkpoint.json"))
+    // fresh open: full current state, travel at/above cp fine
+    val t2 = DeltaLite(spark, root, "k")
+    assert(t2.read().count() == 230)
+    assert(t2.readAsOf(20).count() == 210)
+    assert(t2.readAsOf(22).count() == 230)
+    // below cp: records are gone — explicit error, not a wrong table
+    val e = intercept[IllegalStateException](t2.readAsOf(5).collect())
+    assert(e.getMessage.contains("checkpoint"))
+    // change feed below the trim fails explicitly too
+    intercept[IllegalArgumentException](t2.changesBetween(2, 22))
+    // …but the tail above the checkpoint still feeds
+    assert(t2.changesBetween(20, 22).count() == 20)
+    // appends continue normally after a trim
+    t2.append(batch(1000L, 10))
+    assert(t2.read().count() == 240)
+  }
+
+  test("a truncated log with no checkpoint fails fast instead of replaying a partial history") {
+    val root = tmp("graft-ckpt-trunc")
+    val t = new DeltaLite(spark, root, Some("k"), checkpointInterval = 0)
+    (0 until 3).foreach(i => t.append(batch(i * 10L, 10)))
+    assert(new java.io.File(root, "_log/0.json").delete())
+    val t2 = new DeltaLite(spark, root, Some("k"), checkpointInterval = 0)
+    val e = intercept[IllegalStateException](t2.read())
+    assert(e.getMessage.contains("truncated"))
+  }
+
+  test("a hole in the middle of the log fails fast") {
+    val root = tmp("graft-ckpt-hole")
+    val t = new DeltaLite(spark, root, Some("k"), checkpointInterval = 0)
+    (0 until 5).foreach(i => t.append(batch(i * 10L, 10)))
+    assert(new java.io.File(root, "_log/2.json").delete())
+    val t2 = new DeltaLite(spark, root, Some("k"), checkpointInterval = 0)
+    val e = intercept[IllegalStateException](t2.read())
+    assert(e.getMessage.contains("hole"))
+  }
+
+  test("txn high-water marks survive the checkpoint splice and cleanLog") {
+    val root = tmp("graft-ckpt-txn")
+    val t = DeltaLite(spark, root, "k")
+    assert(t.txnAppend(batch(0, 5), "job-a", txnId = 7L).isDefined) // v0
+    (0 until 11).foreach(i => t.append(batch(100L + i * 10, 10)))   // past cp v10
+    t.checkpointNow()
+    t.cleanLog()
+    val t2 = DeltaLite(spark, root, "k")
+    // the marker committed at v0 lives only in the checkpoint now —
+    // a replayed batch must still be skipped (no double-append)
+    assert(t2.lastTxn("job-a").contains(7L))
+    assert(t2.txnAppend(batch(0, 5), "job-a", txnId = 7L).isEmpty)
+    assert(t2.read().count() == 115)
+    assert(t2.txnAppend(batch(500L, 5), "job-a", txnId = 8L).isDefined)
+    assert(t2.read().count() == 120)
+  }
+
+  test("column mapping, constraints and deletion vectors ride the checkpoint") {
+    val root = tmp("graft-ckpt-meta")
+    val t = DeltaLite(spark, root, "k")
+    t.append(batch(0, 20))                       // v0
+    t.renameColumn("v", "w")                     // v1 metadata-only
+    t.addCheckConstraint("k_nonneg", "k >= 0")   // v2
+    t.deleteWhere(col("k") >= 15L)               // v3: DV sidecar
+    (0 until 9).foreach(i => t.append(           // v4..v12, cp at v10
+      (100L + i * 10 until 100L + i * 10 + 10).map(k => (k, s"v$k")).toDF("k", "w")))
+    t.checkpointNow()
+    t.cleanLog()
+    val t2 = DeltaLite(spark, root, "k")
+    val out = t2.read()
+    assert(out.schema.fieldNames.toSeq == Seq("k", "w"))      // rename held
+    assert(out.filter(col("k") >= 15L && col("k") < 100L).count() == 0) // DVs held
+    assert(out.count() == 105)
+    // the constraint replays from the checkpoint: a violating batch
+    // must still be rejected with nothing committed
+    val before = t2.latestVersion
+    intercept[IllegalStateException](
+      t2.append(Seq((-1L, "bad")).toDF("k", "w")))
+    assert(t2.latestVersion == before)
+  }
+
+  test("checkpointNow is idempotent and concurrent-safe by construction") {
+    val root = tmp("graft-ckpt-idem")
+    val t = DeltaLite(spark, root, "k")
+    (0 until 3).foreach(i => t.append(batch(i * 10L, 10)))
+    assert(t.checkpointNow().contains(2))
+    val once = logFiles(root)
+    assert(t.checkpointNow().contains(2))      // no-op: already present
+    assert(logFiles(root) == once)
+    assert(t.cleanLog().size == 2)             // 0.json, 1.json
+    assert(DeltaLite(spark, root, "k").read().count() == 30)
+  }
+}

@@ -41,12 +41,18 @@ class DeltaLiteModelSpec extends SparkSpec {
     var valCol = "v"
     // column name as of each version, for time-travel schema checks
     val nameHistory = mutable.Map.empty[Int, String]
+    // versions below this are no longer time-travelable (cleanLog)
+    var travelFloor = 0
+    // intermediate versions where the value column is dropped — the
+    // walk's 2-column invariant doesn't hold there, so time travel and
+    // restore skip them (their correctness is pinned by ColumnMappingSpec)
+    val skipTravel = mutable.Set.empty[Int]
     def record(): Unit =
       // every version that exists and isn't recorded yet gets the
       // CURRENT model state (multi-commit ops like materializeDeletes
       // publish rewrite+dvclear with identical visible state)
       t.latestVersion.foreach { latest =>
-        (0 to latest).foreach { v =>
+        (travelFloor to latest).foreach { v =>
           if (!history.contains(v)) { history(v) = model; nameHistory(v) = valCol }
         }
       }
@@ -60,8 +66,9 @@ class DeltaLiteModelSpec extends SparkSpec {
           s"  changed: ${model.keySet.intersect(got.keySet)
             .filter(k => got(k) != model(k)).toSeq.sorted.take(10)}")
       // random time travel against recorded history
-      if (history.nonEmpty) {
-        val v = history.keys.toSeq(rnd.nextInt(history.size))
+      val travelable = history.keys.filterNot(skipTravel).toSeq
+      if (travelable.nonEmpty) {
+        val v = travelable(rnd.nextInt(travelable.size))
         val tt = t.readAsOf(v)
         val at = tt.collect()
           .map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -106,9 +113,11 @@ class DeltaLiteModelSpec extends SparkSpec {
           t.materializeDeletes()
           "materializeDeletes"
         case 9 =>
-          // restore to a random recorded version
-          if (history.nonEmpty) {
-            val v = history.keys.toSeq(rnd.nextInt(history.size))
+          // restore to a random recorded version (skipping dropped-
+          // column intermediates, where the 2-column invariant breaks)
+          val restorable = history.keys.filterNot(skipTravel).toSeq
+          if (restorable.nonEmpty) {
+            val v = restorable(rnd.nextInt(restorable.size))
             t.restore(v)
             model = history(v)
             valCol = nameHistory(v) // restore brings back the old name too
@@ -149,6 +158,37 @@ class DeltaLiteModelSpec extends SparkSpec {
           valCol = to
           s"rename($to)"
         case 12 => "noop"
+        case 13 if t.latestVersion.nonEmpty =>
+          // force a checkpoint: every later read replays through the
+          // spliced synthetic base — visible state must never move
+          t.checkpointNow()
+          "checkpointNow"
+        case 13 => "noop"
+        case 14 if t.latestVersion.nonEmpty =>
+          // checkpoint + log retention: versions below the checkpoint
+          // stop being time-travelable and must FAIL explicitly
+          val v = t.checkpointNow().get
+          t.cleanLog()
+          travelFloor = v
+          val dropped = history.keys.filter(_ < v).toSeq
+          dropped.foreach { dv => history.remove(dv); nameHistory.remove(dv) }
+          if (dropped.nonEmpty)
+            intercept[IllegalStateException](t.readAsOf(dropped.min).collect())
+          s"checkpoint+cleanLog($v)"
+        case 14 => "noop"
+        case 15 if t.latestVersion.nonEmpty && model.nonEmpty =>
+          // metadata-only DROP of the value column, then evolve it
+          // back under the SAME logical name: the re-added column gets
+          // a fresh physical id, so every pre-drop row reads it as
+          // null — old bytes never resurface
+          t.dropColumn(valCol)
+          skipTravel += t.latestVersion.get
+          val ks = freshKeys(rnd.nextInt(4) + 2)
+          t.appendEvolve(ks.map(k => (k, s"d$step-$k")).toDF("k", valCol))
+          model = model.map { case (k, _) => k -> (null: String) } ++
+            ks.map(k => k -> s"d$step-$k")
+          s"drop+readd($valCol)"
+        case 15 => "noop"
       }
       record()
       check(step, op)
@@ -183,5 +223,21 @@ class DeltaLiteModelSpec extends SparkSpec {
 
   test("random operation walk with column renames: seventh seed") {
     runWalk(seed = 707, steps = 30, nOps = 13)
+  }
+
+  test("random operation walk with checkpoints and log retention: eighth seed") {
+    runWalk(seed = 808, steps = 30, nOps = 15)
+  }
+
+  test("random operation walk with checkpoints and log retention: ninth seed") {
+    runWalk(seed = 909, steps = 30, nOps = 15)
+  }
+
+  test("random operation walk with column drops: tenth seed") {
+    runWalk(seed = 1010, steps = 30, nOps = 16)
+  }
+
+  test("random operation walk with column drops: eleventh seed") {
+    runWalk(seed = 1111, steps = 30, nOps = 16)
   }
 }

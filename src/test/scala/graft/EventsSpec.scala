@@ -5,6 +5,20 @@ import org.apache.spark.sql.functions._
 
 class EventsSpec extends SparkSpec {
 
+  /** Epoch millis of a timestamp column that may surface as
+    * java.sql.Timestamp (TIMESTAMP) or java.time.LocalDateTime
+    * (TIMESTAMP_NTZ — what the generator's timestamp-micros parquet
+    * reads as); the session zone is pinned UTC, so NTZ wall-clock IS
+    * the epoch.
+    */
+  private def tsMillis(r: org.apache.spark.sql.Row, field: String): Long =
+    r.getAs[Any](field) match {
+      case t: java.sql.Timestamp => t.getTime
+      case d: java.time.LocalDateTime =>
+        d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case other => sys.error(s"unexpected $field type: ${other.getClass}")
+    }
+
   test("tumbling windows partition all events") {
     val rows = Events.tumbling(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -16,8 +30,7 @@ class EventsSpec extends SparkSpec {
     val sessions = Events.sessionize(spark, sf).collect()
     assert(sessions.nonEmpty)
     sessions.foreach { r =>
-      assert(!r.getAs[java.sql.Timestamp]("t_start")
-        .after(r.getAs[java.sql.Timestamp]("t_end")))
+      assert(tsMillis(r, "t_start") <= tsMillis(r, "t_end"))
       assert(r.getAs[Long]("n_events") > 0)
     }
     // per user: session ids dense from 1, start of next session > end
@@ -28,8 +41,7 @@ class EventsSpec extends SparkSpec {
         (1L to sorted.length))
       sorted.sliding(2).foreach {
         case Array(a, b) =>
-          val gap = b.getAs[java.sql.Timestamp]("t_start").getTime -
-            a.getAs[java.sql.Timestamp]("t_end").getTime
+          val gap = tsMillis(b, "t_start") - tsMillis(a, "t_end")
           assert(gap > 30 * 60000L, s"inter-session gap $gap ms")
         case _ =>
       }
@@ -42,13 +54,12 @@ class EventsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_events")).sum ==
       Tables.events(spark, sf).count())
     rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
-      val sorted = rs.sortBy(_.getAs[java.sql.Timestamp]("t_start").getTime)
+      val sorted = rs.sortBy(tsMillis(_, "t_start"))
       sorted.sliding(2).foreach {
         case Array(a, b) =>
           // merged session windows are separated by at least the gap:
           // next start >= previous end (end already includes +30 min)
-          assert(!b.getAs[java.sql.Timestamp]("t_start")
-            .before(a.getAs[java.sql.Timestamp]("t_end")))
+          assert(tsMillis(b, "t_start") >= tsMillis(a, "t_end"))
         case _ =>
       }
     }
