@@ -1172,6 +1172,66 @@ class DeltaLite(spark: SparkSession, val root: String,
   /** Replace table contents (schema may change). */
   def overwrite(df: DataFrame): Int = commit(df, "overwrite")
 
+  /** Partition-scoped atomic overwrite (Delta's classic
+    * `replaceWhere`): replace exactly the rows in the partitions
+    * matching `cond` with the batch, in ONE commit — the nightly
+    * reload of a day/tenant/source slice without touching the rest of
+    * the table. `cond` may reference only DECLARED PARTITION COLUMNS
+    * (so membership is decidable per file from path metadata alone:
+    * every row of a hive-layout file shares its partition values — no
+    * data is read to find the replaced files, O(live files) driver
+    * work at any table size), and every batch row must satisfy it
+    * (rows outside the replaced region would silently land in
+    * partitions the caller said were untouched). Snapshot-dependent:
+    * fails on a concurrent commit rather than auto-retry. A file in
+    * the hive null partition never matches an equality `cond`
+    * (SQL null semantics) and is conservatively kept.
+    */
+  def replaceWhere(df: DataFrame, cond: Column): Int = {
+    enforceSchema(df)
+    val cs = commits()
+    require(cs.nonEmpty, s"empty table at $root — use append/overwrite")
+    val parts = partsAt(cs)
+    require(parts.nonEmpty,
+      s"replaceWhere needs declared partition columns at $root")
+    val refs = org.apache.spark.sql.graftbridge.Bridge.expression(cond)
+      .collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+      }.toSet
+    require(refs.nonEmpty && refs.subsetOf(parts.toSet),
+      s"replaceWhere predicate may reference only partition columns " +
+        s"[${parts.mkString(",")}]; got [${refs.mkString(",")}]")
+    // every batch row must live INSIDE the replaced region
+    val outside = df.filter(!cond).limit(1).collect()
+    require(outside.isEmpty,
+      s"batch contains rows outside the replaceWhere region " +
+        s"(e.g. ${outside.headOption.getOrElse("")}) at $root")
+    // decide membership per live file from its path-encoded partition
+    // values: a one-row frame per file evaluates the SAME predicate
+    // the caller wrote, with values cast to the partition columns'
+    // real types — no bespoke predicate interpreter to drift
+    val sch = schema.get
+    val mapping = colMapAt(cs)
+    val live = liveEntries(cs)
+    val partPhys = parts.map(c => mapping.getOrElse(c, c))
+    import scala.jdk.CollectionConverters._
+    val metaRows = live.map { f =>
+      val vals = org.apache.spark.sql.graftbridge.DeltaLiteScan
+        .partitionValues(f.path, DeltaLite.PartPrefix, partPhys)
+      Row.fromSeq(f.path +: partPhys.map(p => vals.get(p).orNull))
+    }
+    val metaSchema = StructType(
+      StructField("__path", StringType, nullable = false) +:
+        parts.map(c => StructField(c, StringType, nullable = true)))
+    val metaDf = spark.createDataFrame(metaRows.asJava, metaSchema)
+      .select(col("__path") +: parts.map(c =>
+        col(c).cast(sch(c).dataType).as(c)): _*)
+    val replaced = metaDf.filter(cond)
+      .select("__path").collect().map(_.getString(0))
+    commit(df, "rewrite", removed = replaced.toIndexedSeq)
+  }
+
   /** Append only batch rows whose `key` isn't already present — the
     * reference's dedup-on-append load. No-ops (still commits an empty
     * version) when everything is duplicate.

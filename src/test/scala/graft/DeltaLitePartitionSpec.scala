@@ -142,4 +142,53 @@ class DeltaLitePartitionSpec extends SparkSpec {
       t.append(Seq((1L, 2.0)).toDF("id", "v")))
     assert(e.getMessage.contains("etype"))
   }
+
+  test("replaceWhere atomically swaps one partition, leaves the rest byte-identical") {
+    val root = tmp("graft-part-rw")
+    val t = new DeltaLite(spark, root, partitionBy = Seq("etype"))
+    t.append(sample)
+    t.append(sample.withColumn("id", $"id" + 100L))
+    val before = t.liveFiles()
+    val untouchedBefore = before.filterNot(_.contains("__p_etype=click")).toSet
+    val v0 = t.latestVersion.get
+    // reload the click slice with 2 fresh rows (was 6)
+    val fresh = Seq((900L, "click", 1.0), (901L, "click", 2.0))
+      .toDF("id", "etype", "v")
+    val v1 = t.replaceWhere(fresh, $"etype" === "click")
+    assert(v1 == v0 + 1, "replaceWhere is ONE commit")
+    assert(t.commitInfo(v1)._1 == "rewrite")
+    val after = t.read().collect()
+    assert(after.count(_.getString(1) == "click") == 2)
+    assert(after.count(_.getString(1) == "view") == 4)
+    assert(after.count(_.getString(1) == "purchase") == 6)
+    // non-replaced partitions keep their exact files (zero rewrite)
+    val untouchedAfter = t.liveFiles().filterNot(_.contains("__p_etype=click")).toSet
+    assert(untouchedAfter == untouchedBefore)
+    // time travel to before the replace sees the old slice
+    assert(t.readAsOf(v0).filter($"etype" === "click").count() == 6)
+  }
+
+  test("replaceWhere validates the batch and the predicate") {
+    val root = tmp("graft-part-rw-guard")
+    val t = new DeltaLite(spark, root, partitionBy = Seq("etype"))
+    t.append(sample)
+    // batch rows outside the replaced region are rejected
+    val eOut = intercept[IllegalArgumentException](t.replaceWhere(
+      Seq((900L, "view", 1.0)).toDF("id", "etype", "v"),
+      $"etype" === "click"))
+    assert(eOut.getMessage.contains("outside"))
+    // predicate on a non-partition column is rejected
+    val eCol = intercept[IllegalArgumentException](t.replaceWhere(
+      Seq((900L, "click", 1.0)).toDF("id", "etype", "v"),
+      $"v" > 0.0))
+    assert(eCol.getMessage.contains("partition columns"))
+    // unpartitioned table is rejected
+    val u = DeltaLite(spark, tmp("graft-part-rw-unpart"))
+    u.append(sample)
+    intercept[IllegalArgumentException](
+      u.replaceWhere(sample, $"etype" === "click"))
+    // nothing committed by any failed attempt
+    assert(t.latestVersion.contains(0))
+    assert(t.read().count() == 8)
+  }
 }
