@@ -2041,4 +2041,53 @@ object DeltaLite {
     */
   def apply(spark: SparkSession, root: String, statsKey: String): DeltaLite =
     new DeltaLite(spark, root, Some(statsKey))
+
+  /** CONVERT TO DELTA: adopt an existing plain-parquet directory as a
+    * DeltaLite table METADATA-ONLY — the v0 commit re-references the
+    * directory's files where they are (zero bytes copied or moved, at
+    * any size — the import path for a 100 TB lake). `root` may be the
+    * source directory itself (in-place convert: the `_log` lands
+    * inside it; later commits write `v=N` dirs alongside) or a
+    * separate location (the source files then sit outside the table
+    * root, which [[DeltaLite.vacuum]]'s own-prefix guard already
+    * protects — same contract as a shallow clone). Per-file stats are
+    * not computed here; run [[DeltaLite.restats]] afterwards to light
+    * up file-skipping (the CONVERT-then-ANALYZE workflow). A
+    * hive-partitioned source is refused: its files lack the partition
+    * columns' bytes, which this table format's leaf-file reads
+    * require — load and rewrite through a partitioned table instead.
+    */
+  def convert(spark: SparkSession, sourceDir: String, root: String,
+      statsKey: Option[String] = None): DeltaLite = {
+    val src = new Path(sourceDir)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(src), s"no such directory: $sourceDir")
+    val t = new DeltaLite(spark, root, statsKey)
+    require(t.latestVersion.isEmpty,
+      s"convert target $root is already a DeltaLite table")
+    val files = {
+      val it = fs.listFiles(src, true)
+      val buf = Seq.newBuilder[Path]
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (st.isFile && n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith(".")) buf += st.getPath
+      }
+      buf.result().sortBy(_.toString)
+    }
+    require(files.nonEmpty, s"no parquet files under $sourceDir")
+    files.foreach { p =>
+      require(!p.toString.stripPrefix(src.toString)
+          .split('/').exists(seg => seg.contains('=')),
+        s"$sourceDir is hive-partitioned ($p): its files lack the " +
+          "partition columns' bytes — load it with spark.read and write " +
+          "through a partition-declared table instead")
+    }
+    val schema = spark.read.parquet(files.map(_.toString): _*).schema
+    t.adoptSnapshot(schema.json,
+      files.map(p => (p.toString, None, None, None)), Nil,
+      Map.empty, Map.empty, Nil)
+    t
+  }
 }
