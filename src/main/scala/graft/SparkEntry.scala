@@ -85,6 +85,7 @@ object SparkEntry {
     "q_bucketed_join" -> (Relational.qBucketedJoin _),
     "q_partition_pruned" -> (Events.partitionPruned _),
     "q_deltalite_partition_pruned" -> (Events.deltaPartitionPruned _),
+    "q_sketch_setops" -> (Events.sketchSetops _),
     "q_string_funcs" -> (Text.stringFuncs _),
     "q_higher_order" -> (Text.higherOrder _),
     "q_quantile_sketch" -> (Relational.qQuantileSketch _),
@@ -1692,6 +1693,26 @@ object SparkEntry {
         |GROUP BY user_id
         |HAVING COUNT(*) >= 3
         |ORDER BY user_id""".stripMargin,
+    // sketch set-ops are exact below the sparse threshold, so plain
+    // COUNT(DISTINCT) inclusion-exclusion is a legitimate oracle
+    "q_sketch_setops" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |counts AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY 1),
+        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+        |          FROM counts a JOIN counts b ON a.event_type < b.event_type),
+        |inter AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |                 COUNT(*) AS n_both
+        |          FROM tu x JOIN tu y
+        |            ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |          GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, ca.n AS n_a, cb.n AS n_b,
+        |       ca.n + cb.n - COALESCE(i.n_both, 0) AS n_union,
+        |       COALESCE(i.n_both, 0) AS n_common
+        |FROM pairs p
+        |JOIN counts ca ON ca.event_type = p.type_a
+        |JOIN counts cb ON cb.event_type = p.type_b
+        |LEFT JOIN inter i ON i.type_a = p.type_a AND i.type_b = p.type_b
+        |ORDER BY p.type_a, p.type_b""".stripMargin,
     // the sketch is exact here (distinct items per group < k), so the
     // exact GROUP BY is a legitimate oracle; see Events.heavyHitters
     "q_distinct_sketch" ->

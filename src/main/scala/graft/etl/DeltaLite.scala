@@ -1207,10 +1207,19 @@ class DeltaLite(spark: SparkSession, val root: String,
     require(outside.isEmpty,
       s"batch contains rows outside the replaceWhere region " +
         s"(e.g. ${outside.headOption.getOrElse("")}) at $root")
-    // decide membership per live file from its path-encoded partition
-    // values: a one-row frame per file evaluates the SAME predicate
-    // the caller wrote, with values cast to the partition columns'
-    // real types — no bespoke predicate interpreter to drift
+    val replaced = partitionFilesMatching(cs, cond)
+    commit(df, "rewrite", removed = replaced)
+  }
+
+  /** Live files whose hive partition values satisfy `cond` — decided
+    * from PATH METADATA alone: a one-row frame per file evaluates the
+    * SAME predicate the caller wrote, with values cast to the
+    * partition columns' real types (no bespoke predicate interpreter
+    * to drift). O(live files) driver work, zero data read.
+    */
+  private def partitionFilesMatching(cs: Seq[Commit],
+      cond: Column): Seq[String] = {
+    val parts = partsAt(cs)
     val sch = schema.get
     val mapping = colMapAt(cs)
     val live = liveEntries(cs)
@@ -1227,9 +1236,47 @@ class DeltaLite(spark: SparkSession, val root: String,
     val metaDf = spark.createDataFrame(metaRows.asJava, metaSchema)
       .select(col("__path") +: parts.map(c =>
         col(c).cast(sch(c).dataType).as(c)): _*)
-    val replaced = metaDf.filter(cond)
-      .select("__path").collect().map(_.getString(0))
-    commit(df, "rewrite", removed = replaced.toIndexedSeq)
+    metaDf.filter(cond).select("__path").collect()
+      .map(_.getString(0)).toIndexedSeq
+  }
+
+  /** Partition-scoped OPTIMIZE (Delta's `OPTIMIZE ... WHERE`):
+    * bin-pack small files WITHIN the partitions matching `cond` only
+    * — at 100 TB maintenance is always scoped (compact today's
+    * partition after the day's micro-batches; the other partitions'
+    * files are untouched, so concurrent readers of them see zero
+    * churn). Same predicate restriction and path-metadata membership
+    * as [[replaceWhere]]; same DV-aware rewrite as [[compact]].
+    */
+  def compactWhere(cond: Column, targetBytes: Long = 128L * 1024 * 1024,
+      minFiles: Int = 2): Option[Int] = {
+    val cs = commits()
+    require(cs.nonEmpty, s"empty table at $root")
+    val parts = partsAt(cs)
+    require(parts.nonEmpty,
+      s"compactWhere needs declared partition columns at $root")
+    val refs = org.apache.spark.sql.graftbridge.Bridge.expression(cond)
+      .collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+      }.toSet
+    require(refs.nonEmpty && refs.subsetOf(parts.toSet),
+      s"compactWhere predicate may reference only partition columns " +
+        s"[${parts.mkString(",")}]; got [${refs.mkString(",")}]")
+    val region = partitionFilesMatching(cs, cond).map(norm).toSet
+    val sized = liveEntries(cs)
+      .filter(f => region(norm(f.path)))
+      .map(f => f -> fs.getFileStatus(new Path(f.path)).getLen)
+    val small = sized.filter(_._2 < targetBytes).map(_._1)
+    if (small.size < minFiles) None
+    else {
+      val totalBytes = sized.filter(s => small.contains(s._1)).map(_._2).sum
+      val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+      val packed = readFiles(small.map(_.path), schema.get,
+          liveDvFiles(cs), colMapAt(cs))
+        .repartition(nOut)
+      Some(commit(packed, "rewrite", removed = small.map(_.path)))
+    }
   }
 
   /** Append only batch rows whose `key` isn't already present — the

@@ -148,6 +148,47 @@ object Events {
       .orderBy($"event_type", $"week")
   }
 
+  /** Distinct-sketch SET OPERATIONS (the Theta-sketch/Druid segment-
+    * overlap pattern): per-type distinct-user sketch STATES materialize
+    * in one events pass; every pairwise audience overlap then comes
+    * from MERGED states by inclusion-exclusion (|A∩B| = |A|+|B|−|A∪B|)
+    * — the raw events are never re-scanned per pair. At 100 TB this is
+    * how audience-overlap dashboards work: states are a few KB per
+    * segment, and any pair/group overlap merges summaries instead of
+    * recounting. The per-type state frame is referenced three times —
+    * identical aggregate subtrees, so Spark's exchange reuse serves
+    * one pass; the type LIST (a handful by design, no '|' in names) is
+    * bounded driver metadata, same pattern as the IVF centroid reads.
+    * Exact below the sparse threshold — which the oracle's plain
+    * COUNT(DISTINCT) arithmetic checks.
+    */
+  def sketchSetops(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.SketchFunctions._
+    val states = Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(distinct_state($"user_id", exactThreshold = 8192).as("st"),
+        distinct_sketch($"user_id", exactThreshold = 8192).as("n"))
+    val typeRows = states.select($"event_type")
+      .collect().map(_.getString(0)).sorted
+    val pairs = for { a <- typeRows; b <- typeRows if a < b } yield (a, b)
+    val tag = pairs.toSeq.flatMap { case (a, b) =>
+      Seq((a, s"$a|$b"), (b, s"$a|$b"))
+    }.toDF("event_type", "pair")
+    val unions = states.join(broadcast(tag), "event_type")
+      .groupBy($"pair")
+      .agg(distinct_merge($"st", exactThreshold = 8192).as("n_union"))
+    val singles = states.select($"event_type", $"n")
+    unions
+      .withColumn("type_a", split($"pair", "\\|")(0))
+      .withColumn("type_b", split($"pair", "\\|")(1))
+      .join(broadcast(singles.toDF("type_a", "n_a")), "type_a")
+      .join(broadcast(singles.toDF("type_b", "n_b")), "type_b")
+      .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_union",
+        ($"n_a" + $"n_b" - $"n_union").as("n_common"))
+      .orderBy($"type_a", $"type_b")
+  }
+
   /** Partition-pruned scan: events land as hive-partitioned parquet on
     * event_type; the purchase-only aggregate then reads ONE directory
     * of five — at 100 TB the difference between scanning the lake and

@@ -168,6 +168,58 @@ class DeltaLitePartitionSpec extends SparkSpec {
     assert(t.readAsOf(v0).filter($"etype" === "click").count() == 6)
   }
 
+  test("streaming sink composes with partitioned tables and interval checkpoints") {
+    val root = tmp("graft-part-sink")
+    // interval 5 so the micro-batch stream crosses a checkpoint boundary
+    val t = new DeltaLite(spark, root, None, checkpointInterval = 5,
+      partitionBy = Seq("etype"))
+    implicit val sqlCtx = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double)]
+    val q = graft.streaming.DeltaSink.start(
+      src.toDF().toDF("id", "etype", "v"), t, "part-sink",
+      tmp("graft-part-sink-ckpt"))
+    try {
+      (0 until 7).foreach { i =>
+        src.addData((i.toLong, if (i % 2 == 0) "click" else "view", i * 1.0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(t.read().count() == 7)
+    // every committed file landed in its hive partition dir
+    assert(t.liveFiles().forall(_.contains("__p_etype=")))
+    // the version stream crossed the interval: a checkpoint was written
+    assert(t.latestVersion.exists(_ >= 5))
+    assert(new java.io.File(root, "_log").list()
+      .exists(_.endsWith(".checkpoint.json")))
+    // pruned read over the streamed table
+    val clicks = t.readIndexed().filter($"etype" === "click")
+    assert(clicks.collect().length == 4)
+    assert(scanOf(clicks).metrics("numFiles").value ==
+      t.liveFiles().count(_.contains("__p_etype=click")))
+  }
+
+  test("compactWhere bin-packs only the matching partition; other partitions see zero churn") {
+    val root = tmp("graft-part-cw")
+    val t = new DeltaLite(spark, root, partitionBy = Seq("etype"))
+    (0 until 4).foreach(i =>
+      t.append(sample.withColumn("id", $"id" + lit(i * 10L))))
+    val before = t.liveFiles()
+    val clickBefore = before.count(_.contains("__p_etype=click"))
+    val otherBefore = before.filterNot(_.contains("__p_etype=click")).toSet
+    assert(clickBefore >= 4)
+    val v = t.compactWhere($"etype" === "click", targetBytes = 1L << 20)
+    assert(v.isDefined)
+    val after = t.liveFiles()
+    assert(after.count(_.contains("__p_etype=click")) < clickBefore)
+    assert(after.filterNot(_.contains("__p_etype=click")).toSet == otherBefore,
+      "compactWhere must not touch other partitions' files")
+    assert(t.read().count() == 32)
+    assert(t.readIndexed().filter($"etype" === "click").count() == 12)
+    // predicate restriction mirrors replaceWhere
+    intercept[IllegalArgumentException](t.compactWhere($"v" > 0.0))
+  }
+
   test("replaceWhere validates the batch and the predicate") {
     val root = tmp("graft-part-rw-guard")
     val t = new DeltaLite(spark, root, partitionBy = Seq("etype"))
