@@ -58,6 +58,51 @@ class ConcurrencySpec extends SparkSpec {
     }
   }
 
+  test("interval checkpoints written under writer races stay consistent") {
+    import spark.implicits._
+    val root = tmp("graft-occ-ckpt")
+    val seedT = new DeltaLite(spark, root, Some("k"), checkpointInterval = 5)
+    seedT.append(Seq((-1L, -1L)).toDF("k", "w"))
+    val nThreads = 4
+    val perThread = 5
+    val pool = Executors.newFixedThreadPool(nThreads)
+    val start = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until nThreads).foreach { tid =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          start.await()
+          val t = new DeltaLite(spark, root, Some("k"), checkpointInterval = 5)
+          try (0 until perThread).foreach { i =>
+            val k = (tid * perThread + i).toLong
+            t.append(Seq((k, k * 100)).toDF("k", "w"))
+          } catch { case e: Throwable => errs.add(e) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "writers timed out")
+    assert(errs.isEmpty, s"no append may fail: ${Option(errs.peek())}")
+    // the racing writers crossed several interval boundaries — losers
+    // of a checkpoint rename discard their temp, winners publish; the
+    // surviving checkpoints must replay to the SAME state the raw log
+    // does, and a cold open must be bounded by them
+    val names = new java.io.File(root, "_log").list().toSeq
+    assert(names.count(_.endsWith(".checkpoint.json")) >= 2,
+      s"interval checkpoints missing under race: $names")
+    val t = new DeltaLite(spark, root, Some("k"), checkpointInterval = 5)
+    val got = t.read().select("k").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (-1L until (nThreads * perThread).toLong).toSeq)
+    assert(t.logParses.get() <= 5 + 1,
+      s"cold open parsed ${t.logParses.get()} files despite checkpoints")
+    // trimming behind the newest checkpoint keeps the state identical
+    t.checkpointNow(); t.cleanLog()
+    val t2 = new DeltaLite(spark, root, Some("k"), checkpointInterval = 5)
+    assert(t2.read().count() == nThreads * perThread + 1)
+    assert(t2.lastTxn("nope").isEmpty)
+  }
+
   test("a snapshot-dependent commit computed against a stale snapshot fails, never loses the concurrent write") {
     import spark.implicits._
     val root = tmp("graft-occ-stale")

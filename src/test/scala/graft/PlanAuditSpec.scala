@@ -303,6 +303,18 @@ class PlanAuditSpec extends SparkSpec {
       "a raw events scan escaped the persisted dedup")
   }
 
+  test("q_sketch_setops: broadcast equi-joins only, no nested-loop pair blowup") {
+    val df = graft.queries.Events.sketchSetops(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString()
+    // pair expansion is a broadcast EQUI-join on event_type and the
+    // single-count lookups broadcast too — a cartesian/nested-loop
+    // pair join would explode at real segment counts
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3)
+  }
+
   test("q_semi_join: left-semi with the filtered orders side broadcast") {
     val plan = physicalPlan(Relational.qSemiJoin(spark, sf))
     assert(plan.contains("LeftSemi"), "must plan a semi join, not join+distinct")
