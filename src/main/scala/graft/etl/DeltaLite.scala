@@ -53,10 +53,15 @@ class DeltaLite(spark: SparkSession, val root: String,
   /** `keyCol` is the column the file's min/max stats describe (the
     * writer's statsKey at commit time) — pruning must check it matches
     * the merge key, or stats computed on column A would wrongly prune
-    * an upsert on column B.
+    * an upsert on column B. `extra` carries ADDITIONAL per-column
+    * [min,max] ranges (multi-column skipping, Delta's per-column
+    * stats), keyed by the LOGICAL name recorded at analyze time — a
+    * later rename makes a recorded name unresolvable and its range
+    * conservatively inert, never wrongly pruning.
     */
   private case class FileEntry(path: String, min: Option[String],
-      max: Option[String], keyCol: Option[String] = None)
+      max: Option[String], keyCol: Option[String] = None,
+      extra: Map[String, (Option[String], Option[String])] = Map.empty)
   /** `dvs` re-references deletion-vector sidecars atomically WITH the
     * commit's file-set change — restore/clone need the snapshot and
     * its DVs in ONE commit, or time travel to the intermediate version
@@ -244,14 +249,26 @@ class DeltaLite(spark: SparkSession, val root: String,
       .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
     val fileRe = ("\\{\"path\":\"((?:[^\"\\\\]|\\\\.)*)\"," +
       "\"min\":(null|\"(?:[^\"\\\\]|\\\\.)*\")," +
-      "\"max\":(null|\"(?:[^\"\\\\]|\\\\.)*\")\\}").r
+      "\"max\":(null|\"(?:[^\"\\\\]|\\\\.)*\")" +
+      "(?:,\"cols\":\"((?:[^\"\\\\]|\\\\.)*)\")?\\}").r
     def opt(s: String): Option[String] =
       if (s == "null") None else Some(unesc(s.substring(1, s.length - 1)))
     // pre-statsCol logs parse with keyCol=None → pruning stays off
     // for those files (conservative)
     val statsCol = optField("statsCol")
     val files = fileRe.findAllMatchIn(filesBody).map { m =>
-      FileEntry(unesc(m.group(1)), opt(m.group(2)), opt(m.group(3)), statsCol)
+      // optional per-file multi-column stats: k<US>mn<US>mx records
+      // joined by <RS>; the NUL sentinel encodes a null bound
+      val extra = Option(m.group(4)).map(unesc).filter(_.nonEmpty)
+        .map(_.split('\u001e').map { e =>
+          val p = e.split('\u001f')
+          def dec(s: String): Option[String] =
+            if (s == "\u0000") None else Some(s)
+          p(0) -> (dec(p(1)), dec(p(2)))
+        }.toMap)
+        .getOrElse(Map.empty[String, (Option[String], Option[String])])
+      FileEntry(unesc(m.group(1)), opt(m.group(2)), opt(m.group(3)),
+        statsCol, extra)
     }.toSeq
     // optional (absent in pre-DV logs); rendered just before "schema"
     val dvsBody = "\"dvs\":\\[(.*?)\\],\"schema\"".r
@@ -287,7 +304,17 @@ class DeltaLite(spark: SparkSession, val root: String,
     def optJson(o: Option[String]) = o.map(v => "\"" + esc(v) + "\"").getOrElse("null")
     val removed = c.removed.map(p => "\"" + esc(p) + "\"").mkString("[", ",", "]")
     val files = c.files.map { f =>
-      s"""{"path":"${esc(f.path)}","min":${optJson(f.min)},"max":${optJson(f.max)}}"""
+      val cols =
+        if (f.extra.isEmpty) ""
+        else {
+          def enc(o: Option[String]) = o.getOrElse("\u0000")
+          val body = f.extra.toSeq.sortBy(_._1)
+            .map { case (k, (mn, mx)) =>
+              k + "\u001f" + enc(mn) + "\u001f" + enc(mx) }
+            .mkString("\u001e")
+          s""","cols":"${esc(body)}""""
+        }
+      s"""{"path":"${esc(f.path)}","min":${optJson(f.min)},"max":${optJson(f.max)}$cols}"""
     }.mkString("[", ",", "]")
     val txn = (c.txnApp, c.txnId) match {
       case (Some(app), Some(id)) => s""""txnApp":"${esc(app)}","txnId":"$id","""
@@ -436,7 +463,8 @@ class DeltaLite(spark: SparkSession, val root: String,
     val live = liveEntries(cs)
     val sc = live.flatMap(_.keyCol).headOption
     val files = live.map(f =>
-      if (f.keyCol == sc) f else FileEntry(f.path, None, None, None))
+      if (f.keyCol == sc) f
+      else f.copy(min = None, max = None, keyCol = None))
     Checkpoint(upTo, cs.last.schemaJson, files, liveDvFiles(cs),
       colMapAt(cs), checksAt(cs), txns, partsAt(cs))
   }
@@ -1720,7 +1748,8 @@ class DeltaLite(spark: SparkSession, val root: String,
     // pruning on mislabeled ranges would silently keep stale rows
     val snapFiles = liveEntries(upTo).map { f =>
       if (statsKey.isDefined && f.keyCol == statsKey) f
-      else FileEntry(f.path, None, None, None)
+      // multi-column extra ranges stay valid for the same bytes
+      else f.copy(min = None, max = None, keyCol = None)
     }
     snapFiles.foreach { f =>
       require(fs.exists(new Path(f.path)),
@@ -1768,8 +1797,8 @@ class DeltaLite(spark: SparkSession, val root: String,
     // same stats hygiene as restore: never relabel another key's stats
     val entries = liveEntries(all).map { f =>
       if (statsKey.isDefined && f.keyCol == statsKey)
-        (f.path, f.min, f.max, f.keyCol)
-      else (f.path, None, None, None)
+        (f.path, f.min, f.max, f.keyCol, f.extra)
+      else (f.path, None, None, None, f.extra)
     }
     // live deletion vectors ride in the SAME adopting commit — without
     // them the clone would resurrect merge-on-read-deleted rows, and a
@@ -1785,11 +1814,13 @@ class DeltaLite(spark: SparkSession, val root: String,
     * Commit/FileEntry are instance-typed, so the TARGET builds them).
     */
   private def adoptSnapshot(schemaJson: String,
-      entries: Seq[(String, Option[String], Option[String], Option[String])],
+      entries: Seq[(String, Option[String], Option[String], Option[String],
+        Map[String, (Option[String], Option[String])])],
       dvPaths: Seq[String], mapping: Map[String, String],
       checks: Map[String, String], parts: Seq[String]): Int =
     publish(Commit(0, "append", schemaJson, removed = Nil,
-      files = entries.map { case (p, mn, mx, kc) => FileEntry(p, mn, mx, kc) },
+      files = entries.map { case (p, mn, mx, kc, ex) =>
+        FileEntry(p, mn, mx, kc, ex) },
       None, None, dvs = dvPaths, colmap = Some(mapping),
       checks = Some(checks), parts = Some(parts)))
 
@@ -1909,7 +1940,57 @@ class DeltaLite(spark: SparkSession, val root: String,
         (Option(r.getString(1)), Option(r.getString(2)))).toMap
     val entries = live.map { f =>
       val s = stats.getOrElse(norm(f.path), (None, None))
-      FileEntry(f.path, s._1, s._2, Some(key))
+      FileEntry(f.path, s._1, s._2, Some(key), f.extra)
+    }
+    Some(publish(Commit(latestVersion.get + 1, "restats", sch.json,
+      Nil, entries)))
+  }
+
+  /** ANALYZE for MULTIPLE columns (Delta's per-column stats): per-file
+    * [min,max] for every key in `keys`, computed in ONE column-pruned
+    * pass over the live files and published as a metadata-only
+    * `restats` commit. `keys.head` becomes the primary stats key
+    * (file-granular upsert/merge pruning); the rest ride as per-file
+    * extra ranges that [[readIndexed]] feeds to scan planning — point
+    * and range filters on ANY analyzed column skip files, the
+    * multi-dimensional complement to a single sort order (and the
+    * cheap alternative to a Z-order rewrite when the data is already
+    * naturally clustered per column). Files rewritten later (compact /
+    * upsert) lose their extra ranges until the next analyze —
+    * conservative, never wrong.
+    */
+  def restats(keys: Seq[String]): Option[Int] = {
+    require(keys.nonEmpty, "restats needs at least one column")
+    val cs = commits()
+    val live = liveEntries(cs)
+    if (live.isEmpty) return None
+    val sch = schema.get
+    keys.foreach(k => require(sch.fieldNames.contains(k),
+      s"no column '$k' to analyze"))
+    val mapping = colMapAt(cs)
+    // one pass: every key's min/max per file in a single aggregate
+    val aggs = keys.flatMap { k =>
+      val physK = mapping.getOrElse(k, k)
+      Seq(fmin(col(physK)).cast("string").as(s"mn_$k"),
+        fmax(col(physK)).cast("string").as(s"mx_$k"))
+    }
+    val rows = spark.read.schema(physSchema(sch, mapping))
+      .parquet(live.map(_.path): _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val stats: Map[String, Map[String, (Option[String], Option[String])]] =
+      rows.map { r =>
+        norm(r.getString(0)) -> keys.map { k =>
+          k -> (Option(r.getAs[String](s"mn_$k")),
+            Option(r.getAs[String](s"mx_$k")))
+        }.toMap
+      }.toMap
+    val entries = live.map { f =>
+      val perCol = stats.getOrElse(norm(f.path),
+        Map.empty[String, (Option[String], Option[String])])
+      val head = perCol.getOrElse(keys.head, (None, None))
+      FileEntry(f.path, head._1, head._2, Some(keys.head), perCol)
     }
     Some(publish(Commit(latestVersion.get + 1, "restats", sch.json,
       Nil, entries)))
@@ -1983,15 +2064,22 @@ class DeltaLite(spark: SparkSession, val root: String,
     // the degenerate range [v,v] — one survival check serves both
     val statsPhys = statsKey.map(k => mapping.getOrElse(k, k))
     val partPhys = partsAt(all).map(c => mapping.getOrElse(c, c))
-    val entries = liveFileStats().map { case (p, mn, mx) =>
-      val statsRange = (statsPhys, mn, mx) match {
-        case (Some(k), Some(_), Some(_)) => Map(k -> (mn, mx))
+    val entries = liveEntries(all).map { f =>
+      val ok = statsKey.exists(k => f.keyCol.contains(k))
+      val statsRange = (statsPhys, f.min, f.max) match {
+        case (Some(k), Some(_), Some(_)) if ok => Map(k -> (f.min, f.max))
         case _ => Map.empty[String, (Option[String], Option[String])]
       }
+      // multi-column analyze ranges: recorded under logical names; a
+      // name a later rename made stale maps to no schema column and
+      // stays conservatively inert in the index
+      val extraRanges = f.extra.map { case (k, r) =>
+        mapping.getOrElse(k, k) -> r
+      }
       val partRanges = org.apache.spark.sql.graftbridge.DeltaLiteScan
-        .partitionValues(p, DeltaLite.PartPrefix, partPhys)
+        .partitionValues(f.path, DeltaLite.PartPrefix, partPhys)
         .map { case (c, v) => c -> (Some(v): Option[String], Some(v): Option[String]) }
-      (p, statsRange ++ partRanges)
+      (f.path, extraRanges ++ statsRange ++ partRanges)
     }
     // the scan relation speaks PHYSICAL names (that's what the files
     // and the pushed-down filters it prunes on will carry — Catalyst
@@ -2133,7 +2221,8 @@ object DeltaLite {
     }
     val schema = spark.read.parquet(files.map(_.toString): _*).schema
     t.adoptSnapshot(schema.json,
-      files.map(p => (p.toString, None, None, None)), Nil,
+      files.map(p => (p.toString, None, None, None,
+        Map.empty[String, (Option[String], Option[String])])), Nil,
       Map.empty, Map.empty, Nil)
     t
   }
