@@ -44,7 +44,8 @@ import java.nio.charset.StandardCharsets
 class DeltaLite(spark: SparkSession, val root: String,
     val statsKey: Option[String] = None,
     val checkpointInterval: Int = DeltaLite.DefaultCheckpointInterval,
-    val partitionBy: Seq[String] = Nil) {
+    val partitionBy: Seq[String] = Nil,
+    val statsColumns: Seq[String] = Nil) {
   private val rootPath = new Path(root)
   private val logDir = new Path(rootPath, "_log")
   private def fs: FileSystem =
@@ -820,35 +821,48 @@ class DeltaLite(spark: SparkSession, val root: String,
       }
       buf.result().sortBy(_.toString)
     }
-    // per-file min/max of the stats key: one column-pruned pass over the
-    // just-written batch (O(batch), not O(table)). Aggregate on the
-    // TYPED key and stringify the result — stringify-then-min would
-    // order lexicographically ("9" > "49") and record ranges the typed
+    // per-file min/max of the stats key PLUS any declared statsColumns,
+    // all in ONE column-pruned pass over the just-written batch
+    // (O(batch), not O(table)). Aggregate on the TYPED columns and
+    // stringify the result — stringify-then-min would order
+    // lexicographically ("9" > "49") and record ranges the typed
     // pruning compare in rangesOverlap would misjudge (lost updates).
-    val stats: Map[String, (Option[String], Option[String])] = statsKey match {
-      case Some(k) if df.schema.fieldNames.contains(k) && dataFiles.nonEmpty =>
-        val physK = mapping.getOrElse(k, k)
+    val primary = statsKey.filter(df.schema.fieldNames.contains)
+    val extraKeys = statsColumns
+      .filter(df.schema.fieldNames.contains)
+      .filterNot(primary.contains).distinct
+    val allKeys = primary.toSeq ++ extraKeys
+    val stats: Map[String, Map[String, (Option[String], Option[String])]] =
+      if (allKeys.isEmpty || dataFiles.isEmpty) Map.empty
+      else {
+        val aggs = allKeys.flatMap { k =>
+          val physK = mapping.getOrElse(k, k)
+          Seq(fmin(col(physK)).cast("string").as(s"mn_$k"),
+            fmax(col(physK)).cast("string").as(s"mx_$k"))
+        }
         // leaf-file paths, not the dir: a partitioned layout would
         // otherwise trigger partition discovery of the __p_ dirs
         spark.read.schema(physDf.schema)
           .parquet(dataFiles.map(_.toString): _*)
-          .select(col(physK).as("__k"), input_file_name().as("__f"))
-          .groupBy("__f").agg(fmin("__k").cast("string").as("mn"),
-            fmax("__k").cast("string").as("mx"))
+          .groupBy(input_file_name().as("__f"))
+          .agg(aggs.head, aggs.tail: _*)
           .collect()
-          .map(r => norm(r.getString(0)) ->
-            (Option(r.getString(1)), Option(r.getString(2))))
+          .map(r => norm(r.getString(0)) -> allKeys.map { k =>
+            k -> (Option(r.getAs[String](s"mn_$k")),
+              Option(r.getAs[String](s"mx_$k")))
+          }.toMap)
           .toMap
-      case _ => Map.empty
-    }
+      }
     // keyCol is recorded as the LOGICAL name — pruning compares it to
     // the merge key the caller names; a later rename of the stats
     // column turns pruning off conservatively until restats
-    val statsColUsed = statsKey.filter(k =>
-      df.schema.fieldNames.contains(k) && stats.nonEmpty)
+    val statsColUsed = primary.filter(_ => stats.nonEmpty)
     val entries = dataFiles.map { p =>
-      val s = stats.getOrElse(norm(p.toString), (None, None))
-      FileEntry(p.toString, s._1, s._2, statsColUsed)
+      val perCol = stats.getOrElse(norm(p.toString),
+        Map.empty[String, (Option[String], Option[String])])
+      val s = primary.flatMap(perCol.get).getOrElse((None, None))
+      FileEntry(p.toString, s._1, s._2, statsColUsed,
+        extra = perCol.filter { case (k, _) => extraKeys.contains(k) })
     }
     // optimistic publish: on a version race, a plain append re-targets
     // the next version (appends commute) PROVIDED the table's

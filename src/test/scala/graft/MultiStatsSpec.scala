@@ -62,6 +62,23 @@ class MultiStatsSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq == Seq(257L))
   }
 
+  test("declared statsColumns record per-column ranges AT WRITE TIME — no analyze needed") {
+    val root = tmp("graft-mstats-auto")
+    val t = new DeltaLite(spark, root, Some("k"),
+      statsColumns = Seq("day"))
+    t.appendClustered((0L until 400L).map(k => (k, 400L - k, s"v$k"))
+      .toDF("k", "day", "v"), numFiles = 8)
+    val q = t.readIndexed().filter($"day" === 143L)
+    q.collect()
+    assert(scanOf(q).metrics("numFiles").value == 1,
+      "write-time day ranges must prune without restats")
+    // both the primary key and the extra column prune
+    val qk = t.readIndexed().filter($"k" === 257L)
+    qk.collect()
+    assert(scanOf(qk).metrics("numFiles").value == 1)
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(257L))
+  }
+
   test("extra ranges survive the commit-log round trip, checkpoints and clone") {
     val root = tmp("graft-mstats-rt")
     val t = mkTable(root)
