@@ -746,6 +746,10 @@ class DeltaLite(spark: SparkSession, val root: String,
     // DV-sidecar commits carry (file, pos) addresses, not table rows —
     // nothing to check.
     val checks = if (mode == "delete") Map.empty[String, String]
+                 // deep-clone bootstrap: contract registered before the
+                 // first commit — enforced on (and recorded by) it
+                 else if (base.isEmpty && pendingChecks.nonEmpty)
+                   pendingChecks.toMap
                  else checksAt(commits())
     val (checkedDf, checkGet) =
       if (checks.isEmpty) (df, None)
@@ -873,10 +877,16 @@ class DeltaLite(spark: SparkSession, val root: String,
     // than silently drop the concurrent writer's update.
     var attempt = version
     while (true) {
-      try return publish(Commit(attempt, mode,
-        schemaOverride.getOrElse(df.schema).json,
-        removed, entries, txn.map(_._1), txn.map(_._2), Nil, Some(mapping),
-        parts = Some(declaredParts)))
+      try {
+        val v = publish(Commit(attempt, mode,
+          schemaOverride.getOrElse(df.schema).json,
+          removed, entries, txn.map(_._1), txn.map(_._2), Nil, Some(mapping),
+          checks = if (base.isEmpty && pendingChecks.nonEmpty)
+            Some(pendingChecks.toMap) else None,
+          parts = Some(declaredParts)))
+        pendingChecks.clear()
+        return v
+      }
       catch {
         case e: java.util.ConcurrentModificationException =>
           val cur = commits()
@@ -1823,6 +1833,39 @@ class DeltaLite(spark: SparkSession, val root: String,
       colMapAt(all), checksAt(all), partsAt(all))
     target
   }
+
+  /** DEEP clone: a new table at `targetRoot` that OWNS its storage —
+    * the current snapshot (deletion vectors applied, columns under
+    * their logical names) is written as the target's first commit,
+    * with the source's partition layout, CHECK constraints and stats
+    * configuration carried over. Unlike [[shallowCloneTo]], the
+    * source can then be vacuumed or dropped without touching the
+    * clone — the prod-to-staging copy. History does NOT carry (the
+    * clone starts at v0 — Delta's deep clone is likewise a snapshot
+    * copy); constraints re-validate during the adopt-append, one
+    * extra scan that also proves the copied data meets the contract.
+    */
+  def deepCloneTo(targetRoot: String): DeltaLite = {
+    val all = commits()
+    require(all.nonEmpty, s"empty table at $root")
+    val target = new DeltaLite(spark, targetRoot, statsKey,
+      checkpointInterval, partsAt(all), statsColumns)
+    require(target.latestVersion.isEmpty,
+      s"clone target $targetRoot is not empty")
+    checksAt(all).foreach { case (n, sql) =>
+      // registering the contract BEFORE the data lands means the
+      // copy itself is gated by it (enforced on the append below)
+      target.pendingChecks += (n -> sql)
+    }
+    target.append(read())
+    target
+  }
+
+  // deep-clone bootstrap: constraints registered before the first
+  // commit exists (addCheckConstraint needs a table; these ride the
+  // first append's commit record instead)
+  private val pendingChecks =
+    scala.collection.mutable.LinkedHashMap.empty[String, String]
 
   /** First commit of a clone: re-reference the given files (inner
     * Commit/FileEntry are instance-typed, so the TARGET builds them).

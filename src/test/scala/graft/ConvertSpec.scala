@@ -73,6 +73,34 @@ class ConvertSpec extends SparkSpec {
       "vacuum deleted adopted source files outside the table root")
   }
 
+  test("deep clone owns its storage and carries layout, constraints and semantics") {
+    val t = new DeltaLite(spark, tmp("graft-deep-src"), Some("k"),
+      partitionBy = Seq("etype"))
+    t.append(Seq((1L, "click", 10.0), (2L, "view", 20.0), (3L, "click", 30.0),
+      (4L, "purchase", 40.0)).toDF("k", "etype", "v"))
+    t.deleteWhere(col("k") === 2L)          // DV applied in the clone
+    t.renameColumn("v", "value")            // logical names carry
+    t.addCheckConstraint("v_pos", "value > 0")
+    val c = t.deepCloneTo(tmp("graft-deep-tgt"))
+    // snapshot semantics: same visible rows, logical names, fresh v0
+    assert(c.latestVersion.contains(0))
+    assert(c.schema.get.fieldNames.toSeq == Seq("k", "etype", "value"))
+    val got = c.read().collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == Map(1L -> 10.0, 3L -> 30.0, 4L -> 40.0))
+    // the clone OWNS its files: all under its root, hive layout kept
+    assert(c.liveFiles().forall(_.contains("graft-deep-tgt")))
+    assert(c.liveFiles().forall(_.contains("__p_")))
+    assert(c.partitionColumns == Seq("etype"))
+    // source vacuum/overwrite cannot touch the clone (unlike shallow)
+    t.overwrite(Seq((99L, "click", 1.0)).toDF("k", "etype", "value"))
+    t.vacuum(retainVersions = 1)
+    assert(c.read().count() == 3)
+    // the carried constraint gates the clone's own loads
+    intercept[IllegalStateException](
+      c.append(Seq((5L, "click", -1.0)).toDF("k", "etype", "value")))
+    assert(c.read().count() == 3)
+  }
+
   test("hive-partitioned sources are refused with guidance") {
     val src = tmp("graft-conv-hive")
     (1L to 20L).map(k => (k, if (k % 2 == 0) "a" else "b"))
