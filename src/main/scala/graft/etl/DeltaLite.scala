@@ -890,9 +890,15 @@ class DeltaLite(spark: SparkSession, val root: String,
       catch {
         case e: java.util.ConcurrentModificationException =>
           val cur = commits()
+          // partition declaration is part of the validated state: two
+          // creators racing with the same schema but different
+          // partitionBy must NOT silently flip the table's partition
+          // spec (this writer's files lack the hive layout the
+          // winner's declaration implies)
           val sameState =
             cur.lastOption.map(_.schemaJson) == base.lastOption.map(_.schemaJson) &&
-              colMapAt(cur) == colMapAt(base) && checksAt(cur) == checksAt(base)
+              colMapAt(cur) == colMapAt(base) && checksAt(cur) == checksAt(base) &&
+              partsAt(cur) == declaredParts
           if (mode != "append" || txn.nonEmpty || !retryable || !sameState) {
             fs.delete(dataDir, true)
             throw e
@@ -1254,8 +1260,12 @@ class DeltaLite(spark: SparkSession, val root: String,
     require(refs.nonEmpty && refs.subsetOf(parts.toSet),
       s"replaceWhere predicate may reference only partition columns " +
         s"[${parts.mkString(",")}]; got [${refs.mkString(",")}]")
-    // every batch row must live INSIDE the replaced region
-    val outside = df.filter(!cond).limit(1).collect()
+    // every batch row must live INSIDE the replaced region — rows
+    // where cond evaluates NULL (null partition values) are OUTSIDE:
+    // they land in the hive null partition, which path-metadata
+    // membership never selects, so !cond alone would let them slip
+    // into an untouched partition (Delta rejects such rows too)
+    val outside = df.filter(!coalesce(cond, lit(false))).limit(1).collect()
     require(outside.isEmpty,
       s"batch contains rows outside the replaceWhere region " +
         s"(e.g. ${outside.headOption.getOrElse("")}) at $root")
@@ -1954,9 +1964,18 @@ class DeltaLite(spark: SparkSession, val root: String,
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v=") &&
         st.getModificationTime < cutoff)
       .filter { st =>
-        val files = fs.listStatus(st.getPath).toSeq
-        files.nonEmpty && files.forall(f =>
-          !referenced(norm(f.getPath.toString)))
+        // enumerate LEAF files recursively (partitioned attempts nest
+        // part files under __p_<col>=<v> dirs — the immediate children
+        // are directories, never in the referenced set)
+        val it = fs.listFiles(st.getPath, true)
+        var any = false
+        var allUnreferenced = true
+        while (it.hasNext && allUnreferenced) {
+          val f = it.next()
+          any = true
+          if (referenced(norm(f.getPath.toString))) allUnreferenced = false
+        }
+        any && allUnreferenced
       }
     doomed.foreach(st => fs.delete(st.getPath, true))
     doomed.map(_.getPath.toString)

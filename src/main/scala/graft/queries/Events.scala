@@ -222,10 +222,30 @@ object Events {
     * partitioned load is measured with the query, same honesty rule
     * as the plain-parquet twin.
     */
+  /** Content fingerprint of the source events parquet (file names +
+    * sizes + mtimes): the partitioned-table caches key on it so a
+    * REGENERATED dataset at the same path rebuilds the table instead
+    * of silently serving stale rows that diverge from the oracle. */
+  private def eventsFingerprint(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val leaves =
+      if (st.isFile) Seq(st)
+      else fs.listStatus(p).toSeq.filter(_.isFile)
+    val sig = leaves.map(f =>
+        s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .sorted.mkString("|")
+    java.lang.Long.toHexString(
+      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+        sig.getBytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        sig.getBytes.length, 42) & 0xffffffffL)
+  }
+
   def deltaPartitionPruned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val root = s"${sys.props("java.io.tmpdir")}/graft-dlpart/" +
-      s"events_${dir.hashCode & 0x7fffffff}"
+      s"events_${dir.hashCode & 0x7fffffff}_${eventsFingerprint(s, dir)}"
     val t = new graft.etl.DeltaLite(s, root,
       partitionBy = Seq("event_type"))
     if (t.latestVersion.isEmpty) t.append(Tables.events(s, dir))

@@ -191,4 +191,26 @@ class ConcurrencySpec extends SparkSpec {
     assert(t.vacuumOrphans(olderThanMs = -1).isEmpty,
       "live dirs must never be swept")
   }
+
+  test("vacuumOrphans never sweeps a PARTITIONED table's live commits") {
+    import spark.implicits._
+    val root = tmp("graft-occ-orphan-part")
+    val t = new DeltaLite(spark, root, partitionBy = Seq("p"))
+    // committed partitioned data: part files nest under __p_<id>=<v>
+    // subdirectories, so the attempt dir's immediate children are
+    // directories — a shallow listing would misread it as an orphan
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "p"))
+    t.append(Seq((3L, "a")).toDF("k", "p"))
+    assert(t.vacuumOrphans(olderThanMs = -1).isEmpty,
+      "partitioned live dirs must never be swept")
+    assert(t.read().count() == 3)
+    // a genuinely orphaned partitioned attempt IS swept
+    val orphanDir = new java.io.File(root, "v=9-cafebabe")
+    Seq((99L, "z")).toDF("k", "p").write
+      .partitionBy("p").parquet(orphanDir.toString)
+    val swept = t.vacuumOrphans(olderThanMs = -1)
+    assert(swept.exists(_.contains("v=9-cafebabe")))
+    assert(!orphanDir.exists())
+    assert(t.read().count() == 3)
+  }
 }

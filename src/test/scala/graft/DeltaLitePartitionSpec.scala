@@ -243,4 +243,19 @@ class DeltaLitePartitionSpec extends SparkSpec {
     assert(t.latestVersion.contains(0))
     assert(t.read().count() == 8)
   }
+
+  test("replaceWhere rejects rows where the predicate evaluates NULL") {
+    val root = tmp("graft-part-rw-null")
+    val t = new DeltaLite(spark, root, partitionBy = Seq("etype"))
+    t.append(sample)
+    // a null partition value makes `etype === 'click'` NULL — not
+    // inside the region, and the hive null partition is never in the
+    // replaced file set, so it must be rejected like Delta does
+    val batch = Seq((900L, Option("click"), 1.0), (901L, Option.empty[String], 2.0))
+      .toDF("id", "etype", "v")
+    val e = intercept[IllegalArgumentException](
+      t.replaceWhere(batch, $"etype" === "click"))
+    assert(e.getMessage.contains("outside"))
+    assert(t.latestVersion.contains(0))
+  }
 }
