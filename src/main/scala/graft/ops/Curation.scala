@@ -84,15 +84,15 @@ object Curation {
     * pass per language, no driver loop; a bin overflows by at most one
     * chunk − 1 tokens, the standard greedy-packing bound). Returns one
     * row per (lang, bin): chunk/doc counts and token totals — the
-    * batch manifest a trainer's data loader consumes. Everything after
-    * the chunk explode is map-side until the single per-language
-    * window sort; at 100 TB the sort key (lang, doc, chunk) is the
-    * already-partitioned layout, so packing costs one pass.
+    * batch manifest a trainer's data loader consumes. The cumsum is
+    * the two-level [[RunningSum.twoLevel]] pack (shard-local sums +
+    * broadcast per-shard offsets), so at 100 TB each language's chunks
+    * pack across every shard in parallel instead of serializing
+    * through one task — identical bins by construction.
     */
   def pretrainPack(curated: DataFrame, textCol: String, idCol: String,
       langCol: String, chunkTokens: Int = 16, stride: Int = 12,
       seqLen: Int = 2048): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val chunks = curated
       .select(col(idCol), col(langCol), split(col(textCol), " ").as("__t"))
@@ -103,11 +103,8 @@ object Curation {
         expr(s"__start div $stride").as("chunk_idx"),
         least(lit(chunkTokens.toLong), col("__n") - col("__start"))
           .as("chunk_tokens"))
-    val w = Window.partitionBy(col(langCol))
-      .orderBy(col(idCol), col("chunk_idx"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    chunks
-      .withColumn("__cum", sum(col("chunk_tokens")).over(w))
+    RunningSum.twoLevel(chunks, Seq(langCol),
+        Seq(col(idCol), col("chunk_idx")), col("chunk_tokens"), "__cum")
       .withColumn("bin", expr(s"(__cum - chunk_tokens) div $seqLen"))
       .groupBy(col(langCol), col("bin"))
       .agg(count(lit(1)).as("n_chunks"),

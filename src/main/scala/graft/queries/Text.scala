@@ -435,18 +435,18 @@ object Text {
   /** Sequence packing (concat-and-chunk): assign documents, in stable
     * doc order within each language shard, to fixed 2048-token context
     * windows by running-cumsum bin index — the packing pass that turns
-    * a curated corpus into training batches. One window shuffle per
-    * shard key (lang here; a production run uses a finer shard hash so
-    * each partition's running sum stays independent), integer-exact.
+    * a curated corpus into training batches. The cumsum is the
+    * two-level [[graft.ops.RunningSum.twoLevel]] pack (shard-local sums
+    * + broadcast per-shard offsets), so a language's rows spread over
+    * every shard instead of serializing through one task — identical
+    * output, full parallelism at 100 TB. Integer-exact.
     */
   def packSequences(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"lang").orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, dir)
+    val sized = Tables.documents(s, dir)
       .select($"doc_id", $"lang", size(split($"text", " ")).cast("long").as("dl"))
-      .withColumn("cum", sum($"dl").over(w))
+    graft.ops.RunningSum.twoLevel(sized, Seq("lang"), Seq($"doc_id"),
+        $"dl", "cum")
       .withColumn("bin", expr("(cum - dl) div 2048"))
       .groupBy($"lang", $"bin")
       .agg(count(lit(1)).as("n_docs"), sum($"dl").as("total_tokens"),
@@ -482,18 +482,17 @@ object Text {
     * content-independent md5(doc_id) order until its token budget is
     * spent (the doc crossing the boundary is included) — the
     * deterministic "data mixture" pass that rebalances a corpus to
-    * per-domain token targets. One window shuffle on source; exact
-    * integer token arithmetic both engines.
+    * per-domain token targets. The running sum is the two-level
+    * [[graft.ops.RunningSum.twoLevel]] pack over the md5 order, so a
+    * source's rows never serialize through one task; exact integer
+    * token arithmetic both engines.
     */
   def domainMix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"source")
-      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, dir)
+    val sized = Tables.documents(s, dir)
       .select($"source", $"doc_id", size(split($"text", " ")).cast("long").as("dl"))
-      .withColumn("cum", sum($"dl").over(w))
+    graft.ops.RunningSum.twoLevel(sized, Seq("source"),
+        Seq(md5($"doc_id".cast("string")), $"doc_id"), $"dl", "cum")
       .filter($"cum" - $"dl" < 800)
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"dl").as("n_tokens"),
