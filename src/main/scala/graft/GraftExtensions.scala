@@ -20,6 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    // catalog reads resolve to the DeltaLite skipping-index scan
+    e.injectResolutionRule(_ =>
+      org.apache.spark.sql.graftbridge.GraftCatalogReads)
     functions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }

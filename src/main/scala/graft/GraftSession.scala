@@ -21,6 +21,9 @@ object GraftSession {
       .builder()
       .master(s"local[$cpus]")
       .appName("graft")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -85,6 +85,7 @@ object SparkEntry {
     "q_bucketed_join" -> (Relational.qBucketedJoin _),
     "q_partition_pruned" -> (Events.partitionPruned _),
     "q_deltalite_partition_pruned" -> (Events.deltaPartitionPruned _),
+    "q_catalog_table_sql" -> (Events.catalogSql _),
     "q_sketch_setops" -> (Events.sketchSetops _),
     "q_string_funcs" -> (Text.stringFuncs _),
     "q_higher_order" -> (Text.higherOrder _),
@@ -1693,6 +1694,16 @@ object SparkEntry {
         |GROUP BY user_id
         |HAVING COUNT(*) >= 3
         |ORDER BY user_id""".stripMargin,
+    // the catalog-SQL query reads the SAME rows through the named
+    // DeltaLite table — the oracle is the flat-table aggregate
+    "q_catalog_table_sql" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE event_type IN ('click', 'purchase')
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // sketch set-ops are exact below the sparse threshold, so plain
     // COUNT(DISTINCT) inclusion-exclusion is a legitimate oracle
     "q_sketch_setops" ->

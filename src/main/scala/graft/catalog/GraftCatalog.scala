@@ -1,0 +1,320 @@
+package graft.catalog
+
+import graft.etl.DeltaLite
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** The analyst-facing catalog: DeltaLite tables addressed by NAME from
+  * plain SQL — the reference's whole load/query workflow is
+  * catalog-addressed (`spark.table("delta_tables.…")`,
+  * `.saveAsTable(…)`, `create database if not exists delta_tables`;
+  * reference ETL_pipeline_countries.py:129-168, README.md:250-258).
+  *
+  * Register with
+  * {{{
+  *   spark.sql.catalog.graft           = graft.catalog.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  *   spark.sql.extensions              = graft.GraftExtensions
+  * }}}
+  * (the extensions inject the read-substitution rule, the same
+  * two-conf deployment Delta's connector uses). Then:
+  * {{{
+  *   CREATE NAMESPACE graft.gold
+  *   CREATE TABLE graft.gold.t (k BIGINT, v STRING) PARTITIONED BY (v)
+  *   INSERT INTO graft.gold.t SELECT …
+  *   SELECT … FROM graft.gold.t [VERSION AS OF 3]
+  *   ALTER TABLE graft.gold.t RENAME COLUMN v TO txt
+  *   CALL graft.system.optimize(`table` => 'gold.t')
+  * }}}
+  *
+  * Layout: one DeltaLite root per table at `<warehouse>/<db>/<table>`;
+  * a table EXISTS iff its `_log` directory does. Metadata ops are
+  * O(log) — no Hive metastore, the commit log IS the metadata (the
+  * lakehouse catalog-from-storage shape).
+  *
+  * Maintenance DDL the SQL grammar lacks ships as CALL procedures
+  * (`optimize`, `vacuum`, `restore`, `zorder`, `analyze`,
+  * `checkpoint`, `clean_log`, `add_constraint`, `drop_constraint`) —
+  * the Spark 4 [[ProcedureCatalog]] surface, mirroring
+  * OPTIMIZE/VACUUM/RESTORE.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      s"${sys.props("java.io.tmpdir")}/graft-warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  private def fs = new Path(warehouse)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def nsPath(ns: Array[String]): Path =
+    new Path((warehouse +: ns).mkString("/"))
+
+  private def tablePath(ident: Identifier): Path =
+    new Path((warehouse +: ident.namespace() :+ ident.name()).mkString("/"))
+
+  private def isTableDir(p: Path): Boolean =
+    fs.exists(new Path(p, "_log"))
+
+  // ----- namespaces ------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root).filter(_.isDirectory)
+      .map(st => Array(st.getPath.getName))
+  }
+
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] = {
+    if (ns.isEmpty) return listNamespaces()
+    if (!fs.exists(nsPath(ns))) throw new NoSuchNamespaceException(ns)
+    Array.empty // single-level namespaces
+  }
+
+  override def namespaceExists(ns: Array[String]): Boolean =
+    ns.length == 1 && fs.exists(nsPath(ns)) && !isTableDir(nsPath(ns))
+
+  override def loadNamespaceMetadata(
+      ns: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    Map("location" -> nsPath(ns).toString).asJava
+  }
+
+  override def createNamespace(ns: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    require(ns.length == 1, s"graft namespaces are single-level: ${ns.mkString(".")}")
+    fs.mkdirs(nsPath(ns))
+  }
+
+  override def alterNamespace(ns: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE not supported")
+
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
+    val p = nsPath(ns)
+    if (!fs.exists(p)) return false
+    if (!cascade && fs.listStatus(p).nonEmpty)
+      throw new IllegalStateException(s"namespace ${ns.mkString(".")} is not empty")
+    fs.delete(p, true)
+  }
+
+  // ----- tables ----------------------------------------------------
+
+  override def listTables(ns: Array[String]): Array[Identifier] = {
+    val p = nsPath(ns)
+    if (!fs.exists(p)) throw new NoSuchNamespaceException(ns)
+    fs.listStatus(p).filter(st => st.isDirectory && isTableDir(st.getPath))
+      .map(st => Identifier.of(ns, st.getPath.getName))
+  }
+
+  /** Open the DeltaLite handle; partition spec and stats key are read
+    * back from the commit log, so catalog reads skip on the table's
+    * recorded stats without being told the key.
+    */
+  private def open(ident: Identifier): DeltaLite = {
+    val probe = new DeltaLite(spark, tablePath(ident).toString)
+    probe.recordedStatsKey match {
+      case sk @ Some(_) =>
+        new DeltaLite(spark, tablePath(ident).toString, statsKey = sk)
+      case None => probe
+    }
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!isTableDir(tablePath(ident))) throw new NoSuchTableException(ident)
+    new GraftTable(fullName(ident), open(ident))
+  }
+
+  /** VERSION AS OF n. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!isTableDir(tablePath(ident))) throw new NoSuchTableException(ident)
+    new GraftTable(fullName(ident), open(ident),
+      asOfVersion = Some(version.toInt))
+  }
+
+  /** TIMESTAMP AS OF ts (micros since epoch). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!isTableDir(tablePath(ident))) throw new NoSuchTableException(ident)
+    new GraftTable(fullName(ident), open(ident),
+      asOfTimestampMicros = Some(timestampMicros))
+  }
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: ident.namespace() :+ ident.name()).mkString(".")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (isTableDir(tablePath(ident))) throw new TableAlreadyExistsException(ident)
+    val parts = partitions.toSeq.map { t =>
+      if (t.name() != "identity" || t.references().length != 1)
+        throw new UnsupportedOperationException(
+          s"graft tables support identity partitioning only, got $t")
+      t.references()(0).fieldNames().mkString(".")
+    }
+    val statsKey = Option(properties.get("statskey"))
+    val t = new DeltaLite(spark, tablePath(ident).toString,
+      statsKey = statsKey, partitionBy = parts)
+    // v0 records the schema (and partition spec) with zero data files
+    t.append(spark.createDataFrame(
+      new util.ArrayList[Row](), schema))
+    new GraftTable(fullName(ident), t)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = open(ident)
+    if (t.latestVersion.isEmpty) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case rc: TableChange.RenameColumn =>
+        require(rc.fieldNames().length == 1, "nested columns unsupported")
+        t.renameColumn(rc.fieldNames()(0), rc.newName())
+      case dc: TableChange.DeleteColumn =>
+        require(dc.fieldNames().length == 1, "nested columns unsupported")
+        t.dropColumn(dc.fieldNames()(0))
+      case c => throw new UnsupportedOperationException(
+        s"unsupported table change: $c")
+    }
+    new GraftTable(fullName(ident), open(ident))
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) return false
+    fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    if (!isTableDir(tablePath(oldIdent)))
+      throw new NoSuchTableException(oldIdent)
+    if (isTableDir(tablePath(newIdent)))
+      throw new TableAlreadyExistsException(newIdent)
+    if (!fs.exists(nsPath(newIdent.namespace())))
+      throw new NoSuchNamespaceException(newIdent.namespace())
+    require(fs.rename(tablePath(oldIdent), tablePath(newIdent)),
+      s"rename failed: $oldIdent -> $newIdent")
+  }
+
+  // ----- procedures (the OPTIMIZE/VACUUM/RESTORE DDL surface) -------
+
+  override def listProcedures(ns: Array[String]): Array[Identifier] =
+    GraftCatalog.ProcedureNames.map(n => Identifier.of(ns, n)).toArray
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val pname = ident.name().toLowerCase(java.util.Locale.ROOT)
+    require(GraftCatalog.ProcedureNames.contains(pname),
+      s"unknown procedure $pname; available: " +
+        GraftCatalog.ProcedureNames.mkString(", "))
+    new GraftProcedure(pname, this)
+  }
+
+  /** `db.table` (relative to this catalog) → DeltaLite handle. */
+  private[catalog] def openByName(qualified: String): DeltaLite = {
+    val segs = qualified.split('.')
+    val ident = Identifier.of(segs.init, segs.last)
+    if (!isTableDir(tablePath(ident)))
+      throw new NoSuchTableException(ident)
+    open(ident)
+  }
+}
+
+object GraftCatalog {
+  val ProcedureNames: Seq[String] = Seq("optimize", "vacuum", "restore",
+    "zorder", "analyze", "checkpoint", "clean_log", "add_constraint",
+    "drop_constraint")
+
+  /** Register the catalog + extensions-equivalent state on a live
+    * session (catalog lookup is lazy per name, so runtime conf works).
+    * The read-substitution rule itself must come from
+    * `spark.sql.extensions=graft.GraftExtensions` at session build —
+    * same two-conf contract as the Delta connector.
+    */
+  def install(spark: SparkSession, warehouse: String): Unit = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", warehouse)
+  }
+}
+
+/** One CALL-able maintenance procedure over a named DeltaLite table.
+  * All parameters are strings (ints parse) so the CALL surface stays
+  * uniform: `CALL graft.system.optimize('gold.events')`.
+  */
+class GraftProcedure(pname: String, catalog: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = pname
+  override def description(): String = s"graft maintenance procedure $pname"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  private val extraParams: Seq[String] = pname match {
+    case "vacuum" => Seq("retain_versions")
+    case "restore" => Seq("version")
+    case "zorder" => Seq("col_a", "col_b", "num_files")
+    case "analyze" => Seq("columns")
+    case "add_constraint" => Seq("name", "sql")
+    case "drop_constraint" => Seq("name")
+    case _ => Nil
+  }
+
+  override def parameters(): Array[ProcedureParameter] =
+    (("table" +: extraParams)
+      .map(p => ProcedureParameter.in(p, StringType).build())).toArray
+
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    val args = (0 until input.numFields).map(i =>
+      input.getUTF8String(i).toString)
+    val t = catalog.openByName(args.head)
+    val result: String = pname match {
+      case "optimize" =>
+        t.compact().map(v => s"compacted at v$v").getOrElse("noop")
+      case "vacuum" =>
+        s"removed ${t.vacuum(args(1).toInt).size} files"
+      case "restore" => s"restored at v${t.restore(args(1).toInt)}"
+      case "zorder" =>
+        s"clustered at v${t.optimizeZOrder(args(1), args(2), args(3).toInt)}"
+      case "analyze" =>
+        t.restats(args(1).split(',').map(_.trim).toSeq)
+          .map(v => s"analyzed at v$v").getOrElse("noop")
+      case "checkpoint" =>
+        t.checkpointNow().map(v => s"checkpointed v$v").getOrElse("noop")
+      case "clean_log" => s"trimmed ${t.cleanLog().size} records"
+      case "add_constraint" =>
+        s"added at v${t.addCheckConstraint(args(1), args(2))}"
+      case "drop_constraint" =>
+        s"dropped at v${t.dropCheckConstraint(args(1))}"
+    }
+    val scan: Scan = new LocalScan {
+      override def readSchema(): StructType =
+        StructType(Seq(StructField("result", StringType, nullable = false)))
+      override def rows(): Array[InternalRow] = Array(
+        new GenericInternalRow(Array[Any](UTF8String.fromString(result))))
+    }
+    util.Arrays.asList(scan).iterator()
+  }
+}

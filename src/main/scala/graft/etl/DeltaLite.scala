@@ -1734,6 +1734,13 @@ class DeltaLite(spark: SparkSession, val root: String,
   /** Live data-file paths of the current snapshot (test/introspection). */
   def liveFiles(): Seq[String] = liveEntries(commits()).map(_.path)
 
+  /** The stats key recorded on the live files (the writer's statsKey
+    * at commit time) — lets a fresh handle (e.g. the catalog's) reopen
+    * the table with skipping enabled without being told the key.
+    */
+  def recordedStatsKey: Option[String] =
+    liveEntries(commits()).flatMap(_.keyCol).headOption
+
   /** Bin-pack small live files (< `targetBytes`) into ~targetBytes
     * outputs via one rewrite commit — the OPTIMIZE/compaction half of
     * the maintenance cycle that file-granular upsert makes necessary

@@ -1,0 +1,43 @@
+package org.apache.spark.sql.graftbridge
+
+import graft.catalog.GraftTable
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, V2WriteCommand}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** Resolution rule that turns a [[GraftTable]] READ into the table's
+  * own skipping-index scan: the analyzer resolves `graft.db.t` to a
+  * `DataSourceV2Relation(GraftTable)`, and this rule substitutes the
+  * plan of `DeltaLite.readIndexed()` (HadoopFsRelation over the
+  * commit-log FileIndex → full pushdown/pruning/codegen) with the
+  * relation's output attribute ids preserved, so every parent
+  * reference keeps resolving. Time-travel reads (`VERSION AS OF` /
+  * `TIMESTAMP AS OF`) substitute the corresponding snapshot read.
+  *
+  * WRITE positions are left to the DSv2 write path (GraftTable's
+  * V1 InsertableRelation): a `V2WriteCommand`'s `table` child is
+  * skipped, only its `query` subtree is rewritten. This is the Delta
+  * connector's DeltaAnalysis integration shape — a DSv2 catalog whose
+  * reads resolve to a v1 file relation. Lives in graftbridge because
+  * `DataSourceV2Relation` and `LogicalRelation` are spark-internal.
+  */
+object GraftCatalogReads extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = rewrite(plan)
+
+  private def rewrite(p: LogicalPlan): LogicalPlan = p match {
+    case w: V2WriteCommand =>
+      // keep the relation in write position; reads inside the query
+      // subtree (e.g. INSERT INTO t SELECT … FROM t) still substitute
+      val q = rewrite(w.query)
+      if (q eq w.query) w else w.withNewQuery(q)
+    case d: DataSourceV2Relation if d.table.isInstanceOf[GraftTable] =>
+      val src = d.table.asInstanceOf[GraftTable].readDf()
+        .queryExecution.analyzed
+      Project(d.output.zip(src.output).map { case (o, n) =>
+        Alias(n, o.name)(exprId = o.exprId)
+      }, src)
+    case other => other.mapChildren(rewrite)
+  }
+}

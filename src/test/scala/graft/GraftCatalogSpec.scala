@@ -1,0 +1,167 @@
+package graft
+
+import graft.catalog.GraftCatalog
+import graft.etl.DeltaLite
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** The analyst-facing catalog surface: named DeltaLite tables from
+  * plain SQL — create/insert/select/time-travel/alter/drop plus the
+  * CALL maintenance procedures (the reference's
+  * `saveAsTable`/`spark.table`/`%sql` workflow on Graft's format).
+  */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** numFiles of the (already-executed) df's file scan — the caller
+    * must have collected EXACTLY once: re-execution resets the
+    * driver-side metric to 0 (selectedPartitions caches, so the
+    * second run never re-posts it).
+    */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec => scans(qs.plan)
+    }.flatten
+    scans(df.queryExecution.executedPlan).head.metrics("numFiles").value
+  }
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft-warehouse").toString
+    GraftCatalog.install(spark, dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.gold")
+    dir
+  }
+
+  test("CREATE TABLE + INSERT INTO + SELECT round-trips through SQL only") {
+    wh
+    spark.sql("CREATE TABLE graft.gold.kv (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.gold.kv VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("INSERT INTO graft.gold.kv VALUES (4, 'd')")
+    val got = spark.sql(
+      "SELECT k, v FROM graft.gold.kv ORDER BY k").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // the two inserts are two versioned commits on a schema-only v0
+    val t = new DeltaLite(spark, s"$wh/gold/kv")
+    assert(t.latestVersion.contains(2))
+    // spark.table resolves the same way
+    assert(spark.table("graft.gold.kv").count() == 4)
+  }
+
+  test("INSERT OVERWRITE replaces in one commit; VERSION AS OF travels back") {
+    wh
+    spark.sql("CREATE TABLE graft.gold.ow (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.gold.ow VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT OVERWRITE graft.gold.ow VALUES (9, 'z')")
+    assert(spark.sql("SELECT * FROM graft.gold.ow").count() == 1)
+    val old = spark.sql(
+      "SELECT k FROM graft.gold.ow VERSION AS OF 1 ORDER BY k").collect()
+    assert(old.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(spark.sql("SELECT * FROM graft.gold.ow VERSION AS OF 0").count() == 0)
+  }
+
+  test("catalog reads go through the skipping FileIndex (stats prune)") {
+    wh
+    val root = s"$wh/gold/indexed"
+    val t = new DeltaLite(spark, root, statsKey = Some("k"))
+    (0 until 8).foreach(i => t.append(
+      Seq((i * 10L, s"f$i")).toDF("k", "v")))
+    val df = spark.sql("SELECT v FROM graft.gold.indexed WHERE k = 30")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("f3"))
+    // point lookup plans 1 of 8 files through the commit-log index
+    assert(scannedFiles(df) == 1, "expected 1-file scan")
+  }
+
+  test("partitioned CREATE TABLE lays out hive dirs and prunes") {
+    wh
+    spark.sql("CREATE TABLE graft.gold.pt (k BIGINT, etype STRING) " +
+      "PARTITIONED BY (etype)")
+    spark.sql("INSERT INTO graft.gold.pt VALUES " +
+      "(1, 'click'), (2, 'view'), (3, 'click')")
+    val t = new DeltaLite(spark, s"$wh/gold/pt")
+    assert(t.partitionColumns == Seq("etype"))
+    assert(t.liveFiles().exists(_.contains("__p_")),
+      "insert through the catalog must use the declared hive layout")
+    assert(spark.sql(
+      "SELECT k FROM graft.gold.pt WHERE etype = 'click'").count() == 2)
+  }
+
+  test("ALTER TABLE RENAME/DROP COLUMN are metadata-only commits") {
+    wh
+    spark.sql("CREATE TABLE graft.gold.alt (k BIGINT, v STRING, extra INT)")
+    spark.sql("INSERT INTO graft.gold.alt VALUES (1, 'a', 10)")
+    val filesBefore = new DeltaLite(spark, s"$wh/gold/alt").liveFiles().toSet
+    spark.sql("ALTER TABLE graft.gold.alt RENAME COLUMN v TO txt")
+    spark.sql("ALTER TABLE graft.gold.alt DROP COLUMN extra")
+    val t = new DeltaLite(spark, s"$wh/gold/alt")
+    assert(t.schema.get.fieldNames.toSeq == Seq("k", "txt"))
+    assert(t.liveFiles().toSet == filesBefore, "zero data rewritten")
+    assert(spark.sql("SELECT txt FROM graft.gold.alt").collect()
+      .head.getString(0) == "a")
+  }
+
+  test("DROP TABLE, SHOW TABLES, table rename") {
+    wh
+    spark.sql("CREATE TABLE graft.gold.tmp1 (k BIGINT)")
+    assert(spark.sql("SHOW TABLES IN graft.gold").collect()
+      .map(_.getString(1)).contains("tmp1"))
+    spark.sql("ALTER TABLE graft.gold.tmp1 RENAME TO gold.tmp2")
+    assert(spark.table("graft.gold.tmp2").schema.fieldNames.sameElements(Array("k")))
+    spark.sql("DROP TABLE graft.gold.tmp2")
+    assert(!spark.sql("SHOW TABLES IN graft.gold").collect()
+      .map(_.getString(1)).contains("tmp2"))
+    intercept[Exception](spark.table("graft.gold.tmp2").collect())
+  }
+
+  test("CTAS: CREATE TABLE AS SELECT lands the query result") {
+    wh
+    spark.sql("CREATE TABLE graft.gold.ctas AS " +
+      "SELECT id AS k, concat('v', id) AS v FROM range(5)")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.gold.ctas")
+      .head().getLong(0) == 5)
+  }
+
+  test("CALL procedures: optimize, restore, checkpoint, constraints") {
+    wh
+    spark.sql("CREATE TABLE graft.gold.maint (k BIGINT, v STRING)")
+    (1 to 4).foreach(i =>
+      spark.sql(s"INSERT INTO graft.gold.maint VALUES ($i, 'x$i')"))
+    val t0 = new DeltaLite(spark, s"$wh/gold/maint")
+    val before = t0.liveFiles().size
+    assert(before >= 4)
+    val r = spark.sql("CALL graft.system.optimize('gold.maint')").collect()
+    assert(r.head.getString(0).startsWith("compacted"))
+    assert(new DeltaLite(spark, s"$wh/gold/maint").liveFiles().size < before)
+    assert(spark.table("graft.gold.maint").count() == 4)
+    // restore back to two rows
+    spark.sql("CALL graft.system.restore('gold.maint', '2')")
+    assert(spark.table("graft.gold.maint").count() == 2)
+    // checkpoint + constraint surface
+    assert(spark.sql("CALL graft.system.checkpoint('gold.maint')")
+      .head().getString(0).startsWith("checkpointed"))
+    spark.sql("CALL graft.system.add_constraint('gold.maint', 'k_pos', 'k > 0')")
+    intercept[Exception](
+      spark.sql("INSERT INTO graft.gold.maint VALUES (-1, 'bad')"))
+    spark.sql("CALL graft.system.drop_constraint('gold.maint', 'k_pos')")
+    spark.sql("INSERT INTO graft.gold.maint VALUES (-1, 'now ok')")
+    assert(spark.table("graft.gold.maint").count() == 3)
+  }
+
+  test("CALL analyze lights up multi-column skipping via SQL") {
+    wh
+    spark.sql("CREATE TABLE graft.gold.an (k BIGINT, w BIGINT)")
+    (0 until 4).foreach(i => spark.sql(
+      s"INSERT INTO graft.gold.an VALUES (${i * 10}, ${i * 100})"))
+    spark.sql("CALL graft.system.analyze('gold.an', 'w')")
+    val df = spark.sql("SELECT k FROM graft.gold.an WHERE w = 200")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(20L))
+    // 1 matching file + the CREATE TABLE commit's 0-row file (null
+    // stats are conservatively kept); the other 3 data files prune
+    assert(scannedFiles(df) <= 2, "analyzed column must prune the misses")
+  }
+}
