@@ -76,7 +76,7 @@ object SparkEntry {
     "q_group_cap" -> (Text.groupCap _),
     "text_unigram_logprob" -> (Text.unigramLogprob _),
     "q_window_firsts" -> (Relational.qWindowFirsts _),
-    "text_tfidf" -> (Text.tfidf _),
+    "text_tfidf" -> ((s, d) => Text.tfidf(s, d)),
     "q_disjunctive_join" -> (Relational.qDisjunctiveJoin _),
     "q_unpivot" -> (Relational.qUnpivot _),
     "q_ntile" -> (Relational.qNtile _),
@@ -166,8 +166,10 @@ object SparkEntry {
     "q_countmin" -> (Events.countMin _),
     "q_sketch_reagg" -> (Events.sketchReagg _),
     // flagship composition: annotate -> filter -> exact dedup -> LSH
-    // near-dedup, all library operators; rows-only (near-dup survivor
-    // set is not SQL-expressible), semantics spec'd in CurationSpec
+    // near-dedup, all library operators; oracled end-to-end (the LSH
+    // stage only proposes candidates — all-pairs DuckDB ground truth
+    // agrees, see the dedup_ngram_jaccard miss-probability note) and
+    // semantics additionally spec'd in CurationSpec
     "pipeline_curate" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       graft.ops.Curation.curate(graft.Tables.documents(s, dir),
@@ -326,6 +328,66 @@ object SparkEntry {
       |SELECT node, parent, depth, path FROM hier ORDER BY node""".stripMargin
 
   /** DuckDB-dialect oracle for each key in `queries`. */
+  /** Shared CTE chain re-deriving the curation pipeline (annotate →
+    * filter → min-id exact dedup → all-pairs 3-gram Jaccard losers) —
+    * the common prefix of the `pipeline_curate` and `pipeline_pretrain`
+    * oracles, kept in one place so the two can never drift.
+    */
+  private val CurateCtes: String =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk,
+      |    length(text) AS n_chars,
+      |    CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+      |         ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS ntok,
+      |    len(regexp_extract_all(text, '[[:punct:]]')) AS npunct,
+      |    len(regexp_extract_all(text, '[A-Z]')) AS nupper
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, text, tk, CAST(ntok AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(tk, x -> x IN ('the','and','of','to','in'))) AS BIGINT) AS s_en,
+      |    CAST(len(list_filter(tk, x -> x IN ('el','la','los','de','que'))) AS BIGINT) AS s_es,
+      |    CAST(len(list_filter(tk, x -> x IN ('der','die','und','das','ist'))) AS BIGINT) AS s_de,
+      |    CAST(len(list_filter(tk, x -> x IN ('le','les','et','dans','est'))) AS BIGINT) AS s_fr,
+      |    CAST(len(list_filter(tk, x -> x IN ('de5','shi4','le5','zai4','he2'))) AS BIGINT) AS s_zh,
+      |    0.4 * (CASE WHEN ntok = 0 THEN 0.0 ELSE
+      |      CAST(len(list_filter(tk, x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE) / ntok END)
+      |    + 0.3 * (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(npunct AS DOUBLE) / n_chars END)
+      |    + 0.2 * least(1.0, CAST(ntok AS DOUBLE) / 100.0)
+      |    + 0.1 * (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(nupper AS DOUBLE) / n_chars END) AS quality
+      |  FROM t),
+      |lang AS (
+      |  SELECT *, CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+      |       WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+      |       WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+      |       WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+      |       WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+      |       WHEN s_zh = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'zh'
+      |       ELSE 'und' END AS lang_pred
+      |  FROM scored),
+      |filtered AS (
+      |  SELECT doc_id, text, tk, lang_pred, quality, n_tokens FROM lang
+      |  WHERE lang_pred IN ('en','de','fr','es') AND quality >= 0.3),
+      |exact AS (
+      |  SELECT doc_id, text, tk, lang_pred, quality, n_tokens FROM (
+      |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS keep
+      |    FROM filtered) WHERE doc_id = keep),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |         ELSE list_transform(generate_series(1, len(tk) - 2), i -> array_to_string(tk[i:i+2], ' ')) END)) AS sh
+      |  FROM exact),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |losers AS (
+      |  SELECT DISTINCT id_b FROM pairs
+      |  JOIN sizes na ON na.doc_id = id_a
+      |  JOIN sizes nb ON nb.doc_id = id_b
+      |  WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.8)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_semi_join" ->
       """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust
@@ -1479,6 +1541,68 @@ object SparkEntry {
     // probability for a true j>=0.8 pair is ~2e-4 (the corpus's natural
     // near-dups are j>=0.95, miss ~2e-12) — so all-pairs DuckDB ground
     // truth and the Spark plan agree on this data.
+    // The full curation pipeline re-derived: annotate (langid +
+    // quality + token count) → filter → min-id exact dedup → all-pairs
+    // 3-gram Jaccard losers → anti-join. The Spark plan's LSH stage is
+    // candidate GENERATION only (miss probability ~1e-12 for this
+    // corpus's j≥0.95 planted near-dups), so exhaustive ground truth
+    // matches row-for-row.
+    "pipeline_curate" -> (CurateCtes + "\n" +
+      """SELECT doc_id, lang_pred, quality, n_tokens
+        |FROM exact WHERE doc_id NOT IN (SELECT id_b FROM losers)
+        |ORDER BY doc_id""".stripMargin),
+    // The packing tail on top of the same curate chain: the two-level
+    // running sum is output-identical to a per-language window cumsum
+    // (RunningSumSpec proves the equivalence), so the whole manifest is
+    // a deterministic SQL re-derivation.
+    "pipeline_pretrain" -> (CurateCtes + ",\n" +
+      """curated AS (
+        |  SELECT doc_id, text, lang_pred FROM exact
+        |  WHERE doc_id NOT IN (SELECT id_b FROM losers)),
+        |chunks AS (
+        |  SELECT doc_id, lang_pred,
+        |    CAST(s.st // 12 AS BIGINT) AS chunk_idx,
+        |    least(16::BIGINT, n - s.st) AS chunk_tokens
+        |  FROM (SELECT doc_id, lang_pred, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM curated) d,
+        |    LATERAL (SELECT unnest(generate_series(0, CAST(n - 1 AS BIGINT), 12)) AS st) s),
+        |cum AS (
+        |  SELECT *, SUM(chunk_tokens) OVER (PARTITION BY lang_pred ORDER BY doc_id, chunk_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM chunks)
+        |SELECT lang_pred, CAST((c - chunk_tokens) // 2048 AS BIGINT) AS bin,
+        |  COUNT(*) AS n_chunks, COUNT(DISTINCT doc_id) AS n_docs,
+        |  CAST(SUM(chunk_tokens) AS BIGINT) AS bin_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM cum GROUP BY lang_pred, bin ORDER BY lang_pred, bin""".stripMargin),
+    // The md5-signature SimHash: the hash chain (md5 hex → 60-bit int
+    // → bit votes → signature) is re-derived in SQL and the 8-chunk
+    // banding is EXACT for hamming ≤ 7, so all-pairs DuckDB ground
+    // truth equals the banded Spark plan row-for-row.
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |hs AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(
+        |      CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |           ELSE list_transform(generate_series(1, len(t) - 2),
+        |                  i -> array_to_string(t[i:i+2], ' ')) END) AS sh
+        |    FROM toks)),
+        |votes AS (
+        |  SELECT doc_id, g.i AS i,
+        |    SUM(CASE WHEN (h >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hs CROSS JOIN generate_series(0, 59) g(i)
+        |  GROUP BY doc_id, g.i),
+        |sig AS (
+        |  SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS sig
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 7
+        |ORDER BY id_a, id_b""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -1656,7 +1780,7 @@ object SparkEntry {
       """WITH tf AS (
         |  SELECT doc_id, token, COUNT(*) AS tf FROM (
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        |    FROM documents WHERE doc_id < 200) t
+        |    FROM documents) t
         |  GROUP BY doc_id, token),
         |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
         |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token)

@@ -58,11 +58,17 @@ class DeltaLite(spark: SparkSession, val root: String,
     * [min,max] ranges (multi-column skipping, Delta's per-column
     * stats), keyed by the LOGICAL name recorded at analyze time — a
     * later rename makes a recorded name unresolvable and its range
-    * conservatively inert, never wrongly pruning.
+    * conservatively inert, never wrongly pruning. `size` is the file's
+    * byte length recorded AT WRITE TIME (the lister already holds the
+    * FileStatus) so scan planning never re-stats files — at millions
+    * of live files a per-file getFileStatus is O(files) metadata-store
+    * round trips per table open; absent only in pre-size logs, where
+    * the scan falls back to one stat per file.
     */
   private case class FileEntry(path: String, min: Option[String],
       max: Option[String], keyCol: Option[String] = None,
-      extra: Map[String, (Option[String], Option[String])] = Map.empty)
+      extra: Map[String, (Option[String], Option[String])] = Map.empty,
+      size: Option[Long] = None)
   /** `dvs` re-references deletion-vector sidecars atomically WITH the
     * commit's file-set change — restore/clone need the snapshot and
     * its DVs in ONE commit, or time travel to the intermediate version
@@ -251,7 +257,8 @@ class DeltaLite(spark: SparkSession, val root: String,
     val fileRe = ("\\{\"path\":\"((?:[^\"\\\\]|\\\\.)*)\"," +
       "\"min\":(null|\"(?:[^\"\\\\]|\\\\.)*\")," +
       "\"max\":(null|\"(?:[^\"\\\\]|\\\\.)*\")" +
-      "(?:,\"cols\":\"((?:[^\"\\\\]|\\\\.)*)\")?\\}").r
+      "(?:,\"cols\":\"((?:[^\"\\\\]|\\\\.)*)\")?" +
+      "(?:,\"size\":(\\d+))?\\}").r
     def opt(s: String): Option[String] =
       if (s == "null") None else Some(unesc(s.substring(1, s.length - 1)))
     // pre-statsCol logs parse with keyCol=None → pruning stays off
@@ -269,7 +276,7 @@ class DeltaLite(spark: SparkSession, val root: String,
         }.toMap)
         .getOrElse(Map.empty[String, (Option[String], Option[String])])
       FileEntry(unesc(m.group(1)), opt(m.group(2)), opt(m.group(3)),
-        statsCol, extra)
+        statsCol, extra, size = Option(m.group(5)).map(_.toLong))
     }.toSeq
     // optional (absent in pre-DV logs); rendered just before "schema"
     val dvsBody = "\"dvs\":\\[(.*?)\\],\"schema\"".r
@@ -315,7 +322,8 @@ class DeltaLite(spark: SparkSession, val root: String,
             .mkString("\u001e")
           s""","cols":"${esc(body)}""""
         }
-      s"""{"path":"${esc(f.path)}","min":${optJson(f.min)},"max":${optJson(f.max)}$cols}"""
+      val sz = f.size.map(s => s""","size":$s""").getOrElse("")
+      s"""{"path":"${esc(f.path)}","min":${optJson(f.min)},"max":${optJson(f.max)}$cols$sz}"""
     }.mkString("[", ",", "]")
     val txn = (c.txnApp, c.txnId) match {
       case (Some(app), Some(id)) => s""""txnApp":"${esc(app)}","txnId":"$id","""
@@ -814,16 +822,22 @@ class DeltaLite(spark: SparkSession, val root: String,
           s"; nothing committed at $root")
       }
     }
-    // recursive: partitioned writes nest part files under the hive dirs
-    val dataFiles = {
+    // recursive: partitioned writes nest part files under the hive
+    // dirs. The lister's FileStatus already carries each file's byte
+    // length — record it here so no later scan ever re-stats the file.
+    val (dataFiles, fileSizes) = {
       val it = fs.listFiles(dataDir, true)
       val buf = Seq.newBuilder[Path]
+      val szs = Map.newBuilder[String, Long]
       while (it.hasNext) {
         val st = it.next()
         if (st.isFile && st.getPath.getName.startsWith("part-") &&
-          st.getPath.getName.endsWith(".parquet")) buf += st.getPath
+          st.getPath.getName.endsWith(".parquet")) {
+          buf += st.getPath
+          szs += st.getPath.toString -> st.getLen
+        }
       }
-      buf.result().sortBy(_.toString)
+      (buf.result().sortBy(_.toString), szs.result())
     }
     // per-file min/max of the stats key PLUS any declared statsColumns,
     // all in ONE column-pruned pass over the just-written batch
@@ -866,7 +880,8 @@ class DeltaLite(spark: SparkSession, val root: String,
         Map.empty[String, (Option[String], Option[String])])
       val s = primary.flatMap(perCol.get).getOrElse((None, None))
       FileEntry(p.toString, s._1, s._2, statsColUsed,
-        extra = perCol.filter { case (k, _) => extraKeys.contains(k) })
+        extra = perCol.filter { case (k, _) => extraKeys.contains(k) },
+        size = fileSizes.get(p.toString))
     }
     // optimistic publish: on a version race, a plain append re-targets
     // the next version (appends commute) PROVIDED the table's
@@ -1838,8 +1853,8 @@ class DeltaLite(spark: SparkSession, val root: String,
     // same stats hygiene as restore: never relabel another key's stats
     val entries = liveEntries(all).map { f =>
       if (statsKey.isDefined && f.keyCol == statsKey)
-        (f.path, f.min, f.max, f.keyCol, f.extra)
-      else (f.path, None, None, None, f.extra)
+        (f.path, f.min, f.max, f.keyCol, f.extra, f.size)
+      else (f.path, None, None, None, f.extra, f.size)
     }
     // live deletion vectors ride in the SAME adopting commit — without
     // them the clone would resurrect merge-on-read-deleted rows, and a
@@ -1889,12 +1904,12 @@ class DeltaLite(spark: SparkSession, val root: String,
     */
   private def adoptSnapshot(schemaJson: String,
       entries: Seq[(String, Option[String], Option[String], Option[String],
-        Map[String, (Option[String], Option[String])])],
+        Map[String, (Option[String], Option[String])], Option[Long])],
       dvPaths: Seq[String], mapping: Map[String, String],
       checks: Map[String, String], parts: Seq[String]): Int =
     publish(Commit(0, "append", schemaJson, removed = Nil,
-      files = entries.map { case (p, mn, mx, kc, ex) =>
-        FileEntry(p, mn, mx, kc, ex) },
+      files = entries.map { case (p, mn, mx, kc, ex, sz) =>
+        FileEntry(p, mn, mx, kc, ex, sz) },
       None, None, dvs = dvPaths, colmap = Some(mapping),
       checks = Some(checks), parts = Some(parts)))
 
@@ -2023,7 +2038,7 @@ class DeltaLite(spark: SparkSession, val root: String,
         (Option(r.getString(1)), Option(r.getString(2)))).toMap
     val entries = live.map { f =>
       val s = stats.getOrElse(norm(f.path), (None, None))
-      FileEntry(f.path, s._1, s._2, Some(key), f.extra)
+      FileEntry(f.path, s._1, s._2, Some(key), f.extra, f.size)
     }
     Some(publish(Commit(latestVersion.get + 1, "restats", sch.json,
       Nil, entries)))
@@ -2073,7 +2088,7 @@ class DeltaLite(spark: SparkSession, val root: String,
       val perCol = stats.getOrElse(norm(f.path),
         Map.empty[String, (Option[String], Option[String])])
       val head = perCol.getOrElse(keys.head, (None, None))
-      FileEntry(f.path, head._1, head._2, Some(keys.head), perCol)
+      FileEntry(f.path, head._1, head._2, Some(keys.head), perCol, f.size)
     }
     Some(publish(Commit(latestVersion.get + 1, "restats", sch.json,
       Nil, entries)))
@@ -2110,13 +2125,21 @@ class DeltaLite(spark: SparkSession, val root: String,
     import spark.implicits._
     val cs = commits()
     val live = liveEntries(cs)
-    val bytes = live.map(f =>
-      fs.getFileStatus(new Path(f.path)).getLen).sum
+    // log-recorded sizes; a stat only for pre-size-log entries
+    val bytes = live.map(f => f.size.getOrElse(
+      fs.getFileStatus(new Path(f.path)).getLen)).sum
     Seq((root, latestVersion.getOrElse(-1), live.size.toLong, bytes,
       liveDvFiles(cs).size.toLong, schema.map(_.simpleString).getOrElse("")))
       .toDF("location", "version", "num_live_files", "size_bytes",
         "num_live_dvs", "schema")
   }
+
+  /** (path, recorded byte size) of the live files — size is None only
+    * for entries committed before the log carried sizes (audits and
+    * the zero-stat-scan spec).
+    */
+  def liveFileSizes(): Seq[(String, Option[Long])] =
+    liveEntries(commits()).map(f => (f.path, f.size))
 
   /** (path, min, max) of the live files — stats present only when
     * recorded for THIS table's statsKey (metadata for scan
@@ -2162,7 +2185,7 @@ class DeltaLite(spark: SparkSession, val root: String,
       val partRanges = org.apache.spark.sql.graftbridge.DeltaLiteScan
         .partitionValues(f.path, DeltaLite.PartPrefix, partPhys)
         .map { case (c, v) => c -> (Some(v): Option[String], Some(v): Option[String]) }
-      (f.path, extraRanges ++ statsRange ++ partRanges)
+      (f.path, f.size, extraRanges ++ statsRange ++ partRanges)
     }
     // the scan relation speaks PHYSICAL names (that's what the files
     // and the pushed-down filters it prunes on will carry — Catalyst
@@ -2285,28 +2308,29 @@ object DeltaLite {
       s"convert target $root is already a DeltaLite table")
     val files = {
       val it = fs.listFiles(src, true)
-      val buf = Seq.newBuilder[Path]
+      val buf = Seq.newBuilder[(Path, Long)]
       while (it.hasNext) {
         val st = it.next()
         val n = st.getPath.getName
         if (st.isFile && n.endsWith(".parquet") &&
-          !n.startsWith("_") && !n.startsWith(".")) buf += st.getPath
+          !n.startsWith("_") && !n.startsWith("."))
+          buf += ((st.getPath, st.getLen))
       }
-      buf.result().sortBy(_.toString)
+      buf.result().sortBy(_._1.toString)
     }
     require(files.nonEmpty, s"no parquet files under $sourceDir")
-    files.foreach { p =>
+    files.foreach { case (p, _) =>
       require(!p.toString.stripPrefix(src.toString)
           .split('/').exists(seg => seg.contains('=')),
         s"$sourceDir is hive-partitioned ($p): its files lack the " +
           "partition columns' bytes — load it with spark.read and write " +
           "through a partition-declared table instead")
     }
-    val schema = spark.read.parquet(files.map(_.toString): _*).schema
+    val schema = spark.read.parquet(files.map(_._1.toString): _*).schema
     t.adoptSnapshot(schema.json,
-      files.map(p => (p.toString, None, None, None,
-        Map.empty[String, (Option[String], Option[String])])), Nil,
-      Map.empty, Map.empty, Nil)
+      files.map { case (p, len) => (p.toString, None, None, None,
+        Map.empty[String, (Option[String], Option[String])], Some(len)) },
+      Nil, Map.empty, Map.empty, Nil)
     t
   }
 }

@@ -144,9 +144,38 @@ object Dedup {
     * 8 × 8-bit chunks guarantees d ≤ 7), verified with bit_count(xor).
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-      hamMax: Int = 7, nGram: Int = 3): DataFrame = {
+      hamMax: Int = 7, nGram: Int = 3): DataFrame =
+    simhashBandedPairs(simhash(docs, textCol, idCol, nGram), idCol, hamMax)
+
+  /** md5-derived SimHash signature: shingle hash = the top 60 bits of
+    * md5(shingle string), via builtins (md5 + conv). Same banding
+    * guarantees as the XXH64 path but the whole hash chain is
+    * re-derivable in ANSI SQL — this is the variant the DuckDB oracle
+    * checks end-to-end (hex substring → int is one cast both engines).
+    * The XXH64 [[simhash]] stays the throughput path: no shingle
+    * strings materialized, one fused expression per row.
+    */
+  def simhashMd5(docs: DataFrame, textCol: String, idCol: String,
+      nGram: Int = 3): DataFrame = {
+    docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        TextAnalysis.ngramsFromTokens(col("__toks"), nGram).as("__sh"))
+      .select(col(idCol),
+        array_distinct(transform(col("__sh"),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))).as("__h"))
+      .select(col(idCol),
+        graft.functions.HashFunctions.simhash64(col("__h")).as("simhash"))
+  }
+
+  /** Chunk-banded Hamming pairs from a (id, simhash) signature table —
+    * a pair within distance d must agree on ≥1 of d+1 chunks, so 8 ×
+    * 8-bit chunks make the candidate generation EXACT for d ≤ 7 (no
+    * recall loss to band-match luck), verified with bit_count(xor).
+    */
+  def simhashBandedPairs(sigs: DataFrame, idCol: String,
+      hamMax: Int = 7): DataFrame = {
     require(hamMax <= 7, "8-chunk banding only guarantees hamming ≤ 7")
-    val sigs = simhash(docs, textCol, idCol, nGram)
     val chunks = (0 until 8).map(j =>
       shiftrightunsigned(col("simhash"), j * 8).bitwiseAND(0xFFL))
     // both sides of the self-join read this — materialize once

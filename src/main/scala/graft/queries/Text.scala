@@ -71,8 +71,12 @@ object Text {
 
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Dedup.simhashPairs(Tables.documents(s, dir), "text", "doc_id",
-      hamMax = 7)
+    // md5-signature variant: the 8-chunk banding is EXACT for ham ≤ 7
+    // and the md5 hash chain is ANSI-SQL-re-derivable, so the full
+    // output (not just counts) oracles against all-pairs DuckDB
+    Dedup.simhashBandedPairs(
+      Dedup.simhashMd5(Tables.documents(s, dir), "text", "doc_id"),
+      "doc_id", hamMax = 7)
       .orderBy($"id_a", $"id_b")
   }
 
@@ -459,12 +463,15 @@ object Text {
     * corpus size N are tiny broadcast aggregates joined back map-side,
     * so the plan is one explode-scan + one groupBy — never a
     * doc×vocab blowup. Smoothed idf = ln((N+1)/(df+1)); top terms per
-    * doc ordered by weight.
+    * doc ordered by weight. Whole-corpus by default; `maxDocs` is an
+    * explicit sampling knob for interactive probes, never a hidden cap.
     */
-  def tfidf(s: SparkSession, dir: String): DataFrame = {
+  def tfidf(s: SparkSession, dir: String,
+      maxDocs: Option[Long] = None): DataFrame = {
     import s.implicits._
-    val tf = Tables.documents(s, dir)
-      .filter($"doc_id" < 200)
+    val docs = maxDocs.foldLeft(Tables.documents(s, dir))(
+      (d, cap) => d.filter($"doc_id" < cap))
+    val tf = docs
       .select($"doc_id", explode(split($"text", " ")).as("token"))
       .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
     val n = tf.select($"doc_id").distinct().agg(count(lit(1)).as("n_docs"))

@@ -29,16 +29,33 @@ import org.apache.spark.sql.types._
 class DeltaLiteFileIndex(
     spark: SparkSession,
     root: Path,
-    entries: Seq[(String, Map[String, (Option[String], Option[String])])],
+    entries: Seq[(String, Option[Long], Map[String, (Option[String], Option[String])])],
     dataSchema: StructType) extends FileIndex {
 
   private val fs = root.getFileSystem(
     spark.sessionState.newHadoopConf())
 
+  /** FileStatus per live file, built from the commit log's recorded
+    * byte size — ZERO filesystem round trips when the log carries
+    * sizes (it does for every commit since the size field landed). A
+    * per-file getFileStatus here is O(files) NameNode/S3 HEAD calls
+    * per table open — millions at scale — so the stat is strictly a
+    * pre-size-log fallback, counted for the regression spec.
+    * modTime/blockSize are synthetic (0/128MB): split planning uses
+    * maxPartitionBytes, not the status block size, and nothing
+    * downstream of a custom FileIndex consults modTime.
+    */
   private lazy val statuses
       : Seq[(FileStatus, Map[String, (Option[String], Option[String])])] =
-    entries.map { case (p, ranges) =>
-      (fs.getFileStatus(new Path(p)), ranges)
+    entries.map { case (p, sz, ranges) =>
+      val st = sz match {
+        case Some(len) =>
+          new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L, new Path(p))
+        case None =>
+          DeltaLiteFileIndex.fallbackStats.incrementAndGet()
+          fs.getFileStatus(new Path(p))
+      }
+      (st, ranges)
     }
 
   override def rootPaths: Seq[Path] = Seq(root)
@@ -121,6 +138,14 @@ class DeltaLiteFileIndex(
   }
 }
 
+object DeltaLiteFileIndex {
+  /** Count of per-file getFileStatus fallbacks (pre-size-log entries
+    * only) — the "zero stats on a warm open" spec asserts this never
+    * moves for tables whose log records sizes.
+    */
+  val fallbackStats = new java.util.concurrent.atomic.AtomicLong(0)
+}
+
 object DeltaLiteScan {
 
   /** Partition values encoded in `path`'s hive-layout segments for
@@ -147,11 +172,13 @@ object DeltaLiteScan {
   }
 
   /** DataFrame over the live files through the skipping index.
-    * `entries` carries each file's per-column [min, max] ranges
-    * (stats key and/or partition values), keyed by PHYSICAL name.
+    * `entries` carries each file's recorded byte size (None only for
+    * pre-size logs → one stat fallback) and per-column [min, max]
+    * ranges (stats key and/or partition values), keyed by PHYSICAL
+    * name.
     */
   def relation(spark: SparkSession, root: Path,
-      entries: Seq[(String, Map[String, (Option[String], Option[String])])],
+      entries: Seq[(String, Option[Long], Map[String, (Option[String], Option[String])])],
       schema: StructType): DataFrame = {
     val index = new DeltaLiteFileIndex(spark, root, entries, schema)
     val rel = HadoopFsRelation(index, partitionSchema = StructType(Nil),

@@ -451,7 +451,7 @@ class EtlSpec extends SparkSpec {
     // planning-level skip: drive the index with pushed-filter shapes
     val idx = new DeltaLiteFileIndex(spark,
       new org.apache.hadoop.fs.Path(dir),
-      t.liveFileStats().map { case (p, mn, mx) => (p, Map("k" -> (mn, mx))) },
+      t.liveFileStats().map { case (p, mn, mx) => (p, None, Map("k" -> (mn, mx))) },
       t.read().schema)
     val k = AttributeReference("k", LongType)()
     def filesFor(preds: Expression*): Int =
@@ -570,7 +570,7 @@ class EtlSpec extends SparkSpec {
     import org.apache.spark.sql.graftbridge.DeltaLiteFileIndex
     val idx = new DeltaLiteFileIndex(spark,
       new org.apache.hadoop.fs.Path(t.liveFiles().head).getParent,
-      t.liveFileStats().map { case (p, mn, mx) => (p, Map("d" -> (mn, mx))) },
+      t.liveFileStats().map { case (p, mn, mx) => (p, None, Map("d" -> (mn, mx))) },
       t.read().schema)
     val kept = idx.listFiles(Nil, Seq(EqualTo(
       AttributeReference("d", org.apache.spark.sql.types.DateType)(),
