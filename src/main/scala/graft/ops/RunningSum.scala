@@ -44,16 +44,31 @@ object RunningSum {
     val keyCols = keys.map(col)
     // order-contiguous slices: partition i holds (key, order) tuples
     // strictly below partition i+1's — computed once on the driver
-    // from a sample, so every row's slice is fixed for the query
-    val ranged = df.repartitionByRange(shards, (keyCols ++ order): _*)
+    // from a sample, so every row's slice is fixed for the query.
+    // The input is LINEAGE-TRUNCATED (lazy localCheckpoint): this
+    // operator references it three times (range-boundary sampling job,
+    // totals aggregate, windowed join), and each reference would
+    // otherwise re-analyze — and the sampler re-EXECUTE — the entire
+    // upstream plan. Fed by a composed pipeline (pipeline_pretrain's
+    // curate stage) that is seconds of driver-side planning per
+    // reference before a single task runs. The checkpoint plan is one
+    // LogicalRDD: planning is O(this operator), the upstream runs
+    // once, and the dual consumers' identical range exchanges are
+    // served from one shuffle write by ReuseExchange. Same trade as
+    // the iterative graph operators (Bfs/Components): recompute-on-
+    // failure is given up for bounded planning — blocks free on GC.
+    val in = df.localCheckpoint(false)
+    val ranged = in.repartitionByRange(shards, (keyCols ++ order): _*)
       .withColumn("__rs_shard", spark_partition_id())
     val wLocal = Window
       .partitionBy((keyCols :+ col("__rs_shard")): _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = ranged.withColumn("__rs_local", sum(value).over(wLocal))
-    // per-(key, shard) totals: ≤ shards rows per key — driver scale
-    val totals = local
+    // per-(key, shard) totals: ≤ shards rows per key — driver scale.
+    // Computed from the persisted frame directly (a plain aggregate —
+    // the cumsum window is not needed to know each shard's total).
+    val totals = ranged
       .groupBy((keyCols :+ col("__rs_shard")): _*)
       .agg(sum(value).as("__rs_tot"))
     // exclusive prefix over shards of the SAME key: shard ids ascend
