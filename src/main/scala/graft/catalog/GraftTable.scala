@@ -1,11 +1,15 @@
 package graft.catalog
 
 import graft.etl.DeltaLite
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
-import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 
 import java.util
@@ -26,6 +30,16 @@ import java.util
   * `INSERT INTO` appends (schema-enforced by DeltaLite),
   * `INSERT OVERWRITE` truncates-and-replaces as ONE versioned commit.
   *
+  * Row-level SQL: `DELETE FROM graft.db.t WHERE …` implements DSv2
+  * [[SupportsDelete]] — the pushed filters convert to one Column
+  * predicate and route to [[DeltaLite.deleteWhere]], the merge-on-read
+  * deletion-vector path (O(matched) sidecar write, NO data file
+  * rewritten — at 100 TB a delete touches positions, not files).
+  * `TRUNCATE TABLE` is one empty `overwrite` commit: history and
+  * time travel keep the pre-truncate snapshots. Predicates the v2
+  * Filter algebra can't express (subqueries, UDF conditions) are
+  * rejected at `canDeleteWhere`, never half-applied.
+  *
   * Mirrors the reference's `saveAsTable`/`spark.table` workflow
   * (reference ETL_pipeline_countries.py:129-138) on Graft's own table
   * format.
@@ -33,7 +47,25 @@ import java.util
 class GraftTable(tableName: String, val delta: DeltaLite,
     val asOfVersion: Option[Int] = None,
     val asOfTimestampMicros: Option[Long] = None) extends Table
-    with SupportsWrite {
+    with SupportsRead with SupportsWrite with SupportsDelete {
+
+  /** Anchor scan for row-level commands: `DELETE FROM` planning runs
+    * the target relation through scan pushdown before routing to
+    * [[deleteWhere]], which requires [[SupportsRead]] — but the scan
+    * itself never executes (SELECT reads are substituted during
+    * analysis by GraftCatalogReads, and DeleteFromTableExec only
+    * calls deleteWhere). toBatch fails loudly if anything ever tries
+    * to run it.
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema()
+        override def toBatch: Batch = throw new UnsupportedOperationException(
+          s"$tableName reads resolve through GraftCatalogReads; " +
+            "this scan only anchors row-level commands")
+      }
+    }
 
   override def name(): String = tableName
 
@@ -72,6 +104,62 @@ class GraftTable(tableName: String, val delta: DeltaLite,
     case (_, Some(us)) =>
       delta.readAsOfTime(new java.sql.Timestamp(us / 1000L))
     case _ => delta.readIndexed()
+  }
+
+  /** Source Filter → Column, total over the shapes `DELETE FROM`
+    * pushes; None marks an untranslatable filter (canDeleteWhere then
+    * refuses the whole delete — SQL semantics are all-or-nothing).
+    */
+  private def toColumn(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(col(a).contains(v))
+    case sources.And(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case sources.Or(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case sources.Not(c) => toColumn(c).map(not)
+    case sources.AlwaysTrue() => Some(lit(true))
+    case sources.AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    asOfVersion.isEmpty && asOfTimestampMicros.isEmpty &&
+      filters.forall(toColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(asOfVersion.isEmpty && asOfTimestampMicros.isEmpty,
+      s"cannot DELETE from a time-travel read of $tableName")
+    // DELETE semantics: remove rows where the predicate is TRUE; a
+    // NULL predicate keeps the row, which the Column conversion
+    // already encodes (filter keeps only true)
+    val cond = filters.flatMap(toColumn(_)).reduceOption(_ && _)
+      .getOrElse(lit(true))
+    delta.deleteWhere(cond)
+  }
+
+  /** TRUNCATE TABLE: one empty overwrite commit — the pre-truncate
+    * snapshots stay time-travelable, nothing is vacuumed here.
+    */
+  override def truncateTable(): Boolean = {
+    require(asOfVersion.isEmpty && asOfTimestampMicros.isEmpty,
+      s"cannot TRUNCATE a time-travel read of $tableName")
+    val sch = delta.schema.getOrElse(new StructType())
+    val spark = delta.spark
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
+    delta.overwrite(empty)
+    true
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

@@ -41,7 +41,7 @@ import java.nio.charset.StandardCharsets
   * Reads replay the log; time travel = replay up to the requested
   * version (removed files stay on disk, so history stays readable).
   */
-class DeltaLite(spark: SparkSession, val root: String,
+class DeltaLite(val spark: SparkSession, val root: String,
     val statsKey: Option[String] = None,
     val checkpointInterval: Int = DeltaLite.DefaultCheckpointInterval,
     val partitionBy: Seq[String] = Nil,

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graftbridge
 
 import graft.catalog.GraftTable
 import org.apache.spark.sql.catalyst.expressions.Alias
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, V2WriteCommand}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, Project, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -32,6 +32,11 @@ object GraftCatalogReads extends Rule[LogicalPlan] {
       // subtree (e.g. INSERT INTO t SELECT … FROM t) still substitute
       val q = rewrite(w.query)
       if (q eq w.query) w else w.withNewQuery(q)
+    case d: DeleteFromTable =>
+      // DELETE FROM t WHERE …: the relation is the DELETE's target,
+      // not a read — DataSourceV2Strategy must see the DSv2 relation
+      // to route through SupportsDelete; leave the subtree untouched
+      d
     case d: DataSourceV2Relation if d.table.isInstanceOf[GraftTable] =>
       val src = d.table.asInstanceOf[GraftTable].readDf()
         .queryExecution.analyzed

@@ -152,6 +152,33 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table("graft.gold.maint").count() == 3)
   }
 
+  test("DELETE FROM routes to the deletion-vector path; TRUNCATE keeps history") {
+    wh
+    spark.sql("CREATE TABLE graft.gold.del (k BIGINT, v STRING)")
+    spark.sql(
+      "INSERT INTO graft.gold.del VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d')")
+    val t = new DeltaLite(spark, s"$wh/gold/del")
+    val filesBefore = t.liveFiles().toSet
+    spark.sql("DELETE FROM graft.gold.del WHERE k >= 3 AND v != 'd'")
+    assert(spark.sql("SELECT k FROM graft.gold.del ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    // merge-on-read: the delete wrote a DV sidecar, no data file moved
+    assert(t.liveFiles().toSet == filesBefore,
+      "DELETE must not rewrite data files")
+    // IN / IS NULL / string predicates translate too
+    spark.sql("DELETE FROM graft.gold.del WHERE v IN ('a') OR v LIKE 'd%'")
+    assert(spark.sql("SELECT k FROM graft.gold.del").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    val vBefore = t.latestVersion.get
+    spark.sql("TRUNCATE TABLE graft.gold.del")
+    assert(spark.table("graft.gold.del").count() == 0)
+    // pre-truncate snapshot still time-travels
+    assert(spark.sql(
+      s"SELECT k FROM graft.gold.del VERSION AS OF $vBefore").count() == 1)
+    spark.sql("INSERT INTO graft.gold.del VALUES (7, 'post')")
+    assert(spark.table("graft.gold.del").count() == 1)
+  }
+
   test("CALL analyze lights up multi-column skipping via SQL") {
     wh
     spark.sql("CREATE TABLE graft.gold.an (k BIGINT, w BIGINT)")
