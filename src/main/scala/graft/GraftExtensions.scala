@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // catalog reads resolve to the DeltaLite skipping-index scan
     e.injectResolutionRule(_ =>
       org.apache.spark.sql.graftbridge.GraftCatalogReads)
+    // SQL UPDATE / MERGE INTO route to the table API (post-hoc: the
+    // command must be fully resolved before conversion)
+    e.injectPostHocResolutionRule(_ =>
+      org.apache.spark.sql.graftbridge.GraftDml)
     functions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }

@@ -86,6 +86,7 @@ object SparkEntry {
     "q_partition_pruned" -> (Events.partitionPruned _),
     "q_deltalite_partition_pruned" -> (Events.deltaPartitionPruned _),
     "q_catalog_table_sql" -> (Events.catalogSql _),
+    "q_dml_sql" -> (Events.dmlSql _),
     "q_sketch_setops" -> (Events.sketchSetops _),
     "q_string_funcs" -> (Text.stringFuncs _),
     "q_higher_order" -> (Text.higherOrder _),
@@ -1826,6 +1827,33 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events
         |WHERE event_type IN ('click', 'purchase')
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // the DML query's end state re-derived with CTEs: update = value
+    // rewrite on the matched slice, delete = row filter, merge = join
+    // add on the matched keys — double arithmetic is IEEE-identical in
+    // both engines, decimal cast only at the final aggregate
+    "q_dml_sql" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_type = 'view' AND user_id < 20
+        |         THEN 'viewed' ELSE event_type END AS event_type,
+        |    CASE WHEN event_type = 'view' AND user_id < 20
+        |         THEN value * 2 ELSE value END AS value
+        |  FROM events),
+        |kept AS (
+        |  SELECT * FROM base
+        |  WHERE NOT (event_type = 'click' AND user_id < 10)),
+        |merged AS (
+        |  SELECT k.event_id, k.user_id, k.event_type,
+        |    k.value + COALESCE(s.value, 0) AS value
+        |  FROM kept k LEFT JOIN (
+        |    SELECT event_id, value FROM events
+        |    WHERE event_type = 'purchase' AND user_id < 5) s
+        |  ON k.event_id = s.event_id)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM merged
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     // sketch set-ops are exact below the sparse threshold, so plain

@@ -83,6 +83,9 @@ class GraftTable(tableName: String, val delta: DeltaLite,
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
     m.put("location", delta.root)
+    // `location`/`provider` are reserved keys SHOW TBLPROPERTIES
+    // filters out — surface the root under a visible key too
+    m.put("graft.location", delta.root)
     m.put("provider", "graft")
     delta.latestVersion.foreach(v => m.put("version", v.toString))
     m

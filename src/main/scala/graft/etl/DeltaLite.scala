@@ -2,7 +2,7 @@ package graft.etl
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, input_file_name, lit, max => fmax, min => fmin}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, input_file_name, lit, when, max => fmax, min => fmin}
 import org.apache.spark.sql.types._
 
 import java.nio.charset.StandardCharsets
@@ -1458,11 +1458,23 @@ class DeltaLite(val spark: SparkSession, val root: String,
       deleteWhen: Option[Column] = None,
       updateWhen: Option[Column] = None,
       insertWhen: Option[Column] = None,
-      txn: Option[(String, Long)] = None): Int = {
-    // the source may carry EXTRA columns beyond the table schema (op
-    // flags, CDC stamps — referenced by clause conditions, never
-    // written); the table's own columns must match exactly
-    schema match {
+      txn: Option[(String, Long)] = None,
+      updateSet: Option[Seq[(String, Column)]] = None,
+      insertSet: Option[Seq[(String, Column)]] = None): Int = {
+    // assignment-form clauses (SQL MERGE's UPDATE SET a = expr /
+    // INSERT (cols) VALUES): the projections define how source rows
+    // map to table columns, so the source needn't mirror the table
+    // schema — but the table must exist (nothing to assign against)
+    // and the join key must ride in the source.
+    if (updateSet.isDefined || insertSet.isDefined) {
+      require(latestVersion.isDefined,
+        s"assignment-form merge needs an existing table at $root")
+      require(source.schema.fieldNames.contains(key),
+        s"merge source must carry join key '$key'")
+    } else schema match {
+      // star form: the source may carry EXTRA columns beyond the table
+      // schema (op flags, CDC stamps — referenced by clause conditions,
+      // never written); the table's own columns must match exactly
       case Some(committed) =>
         committed.fields.foreach { f =>
           val got = source.schema.fields.find(_.name == f.name)
@@ -1472,6 +1484,20 @@ class DeltaLite(val spark: SparkSession, val root: String,
         }
       case None => ()
     }
+    // project an s-aliased source frame onto the table schema for the
+    // insert paths: star form copies same-named columns, assignment
+    // form evaluates the INSERT expressions (unassigned columns null —
+    // SQL MERGE INSERT(col-list) semantics)
+    def insertProj(s: DataFrame, sch: StructType): DataFrame =
+      insertSet match {
+        case Some(m) =>
+          val im = m.toMap
+          s.select(sch.fields.map { f =>
+            im.get(f.name).map(_.cast(f.dataType).as(f.name))
+              .getOrElse(lit(null).cast(f.dataType).as(f.name))
+          }.toIndexedSeq: _*)
+        case None => s.select(sch.fieldNames.map(col).toIndexedSeq: _*)
+      }
     val insOnly = insertWhen.getOrElse(lit(true))
     // pin the batch: the dup-key check, bounds, rewrite join and insert
     // anti-join must all see the SAME rows (a non-deterministic source
@@ -1506,8 +1532,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
       // nothing to rewrite → the commit is exactly an append (a
       // "rewrite" here would needlessly wedge streaming/CDF tails)
       if (touched.isEmpty)
-        return commit(src.as("s").filter(insOnly)
-          .select(sch.fieldNames.map(col).toSeq: _*), "append", txn = txn)
+        return commit(insertProj(src.as("s").filter(insOnly), sch),
+          "append", txn = txn)
       val existing = readFiles(touched.map(_.path), sch, liveDvFiles(commits()),
         colMapAt(commits()))
       val s = broadcast(src.as("s"))
@@ -1519,12 +1545,25 @@ class DeltaLite(val spark: SparkSession, val root: String,
         coalesce(updateWhen.getOrElse(lit(true)), lit(false))
       val fromTarget = joined.filter(!matched || (!doDelete && !doUpdate))
         .select(sch.fieldNames.map(f => col(s"t.$f")).toSeq: _*)
+      // star form updates take the whole source row; assignment form
+      // evaluates each SET expression in the joined (t, s) scope and
+      // keeps the TARGET value for unassigned columns (SQL UPDATE SET)
       val updated = joined.filter(doUpdate)
-        .select(sch.fieldNames.map(f => col(s"s.$f")).toSeq: _*)
-      val inserted = src.as("s")
-        .join(existing.select(col(key)), Seq(key), "left_anti")
-        .filter(coalesce(insOnly, lit(false)))
-        .select(sch.fieldNames.map(col).toSeq: _*)
+        .select(sch.fields.map { f =>
+          updateSet match {
+            case Some(m) => m.toMap.get(f.name)
+              .map(_.cast(f.dataType).as(f.name))
+              .getOrElse(col(s"t.${f.name}").as(f.name))
+            case None => col(s"s.${f.name}").as(f.name)
+          }
+        }.toIndexedSeq: _*)
+      // expression-form anti join keeps the s alias intact for the
+      // insert projections (a using-column join would strip it)
+      val inserted = insertProj(
+        src.as("s")
+          .join(existing.select(col(key).as("__graft_mk")),
+            col(s"s.$key") === col("__graft_mk"), "left_anti")
+          .filter(coalesce(insOnly, lit(false))), sch)
       commit(fromTarget.unionByName(updated).unionByName(inserted),
         "rewrite", removed = touched.map(_.path), txn = txn)
     } finally {
@@ -1714,6 +1753,56 @@ class DeltaLite(val spark: SparkSession, val root: String,
       if (m.isEmpty) None
       else Some(commit(m, "delete", schemaOverride = Some(sch)))
     } finally m.unpersist(false)
+  }
+
+  /** UPDATE … SET … WHERE as file-granular copy-on-write: only files
+    * containing at least one matching live row are rewritten —
+    * O(matched files) write amplification like upsert/merge, never
+    * O(table). Assignments map LOGICAL column → expression over the
+    * table's logical columns, applied only to matching rows; the
+    * touched files' other rows are copied verbatim, and their
+    * deletion-vector'd rows are dropped by the rewrite (deleted rows
+    * must not resurrect). One `rewrite` commit; CHECK constraints gate
+    * the rewritten rows like any data-bearing commit. Returns None
+    * when nothing matches (no commit published). A NULL condition
+    * leaves the row unchanged (SQL UPDATE semantics).
+    */
+  def updateWhere(cond: org.apache.spark.sql.Column,
+      set: Seq[(String, org.apache.spark.sql.Column)]): Option[Int] = {
+    require(set.nonEmpty, "updateWhere needs at least one assignment")
+    val all = commits()
+    require(all.nonEmpty, s"empty table at $root")
+    val sch = DataType.fromJson(all.last.schemaJson).asInstanceOf[StructType]
+    set.foreach { case (c, _) => require(sch.fieldNames.contains(c),
+      s"no column '$c' to update at $root") }
+    val live = liveEntries(all)
+    if (live.isEmpty) return None
+    val dvs = liveDvFiles(all)
+    val mapping = colMapAt(all)
+    val phys = physSchema(sch, mapping)
+    val base = spark.read.schema(phys).parquet(live.map(_.path): _*)
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val masked =
+      if (dvs.isEmpty) base
+      else base.join(broadcast(dvDf(dvs)), Seq("__file", "__pos"), "left_anti")
+    val visible = masked.select((sch.fields.map(f =>
+      col(mapping.getOrElse(f.name, f.name)).as(f.name)) :+
+      col("__file")).toIndexedSeq: _*)
+    // files with ≥1 matching visible row — bounded by file count
+    val touchedPaths = visible.filter(cond).select(col("__file")).distinct()
+      .collect().map(r => norm(r.getString(0))).toSet
+    if (touchedPaths.isEmpty) return None
+    val touched = live.filter(f => touchedPaths(norm(f.path)))
+    val rows = readFiles(touched.map(_.path), sch, dvs, mapping)
+    val setMap = set.toMap
+    val updated = rows.select(sch.fields.map { f =>
+      setMap.get(f.name)
+        .map(c => when(coalesce(cond, lit(false)), c.cast(f.dataType))
+          .otherwise(col(f.name)).as(f.name))
+        .getOrElse(col(f.name))
+    }.toIndexedSeq: _*)
+    Some(commit(updated, "rewrite", removed = touched.map(_.path)))
   }
 
   /** Fold live deletion vectors into the data files: every file with

@@ -291,6 +291,42 @@ object Events {
          |ORDER BY event_type""".stripMargin)
   }
 
+  /** The SQL DML surface end-to-end on a catalog table: CTAS a fresh
+    * copy of events, then UPDATE (file-granular copy-on-write), DELETE
+    * (deletion-vector sidecar), and MERGE (conditional assignment
+    * clauses) purely through SQL, and read the final aggregate back.
+    * The table is recreated every run so the DML is deterministic; the
+    * one-time CTAS is measured with the query (same honesty rule as
+    * the z-order/bucketed writes). The oracle re-derives the identical
+    * end state with plain CTEs over the flat events table.
+    */
+  def dmlSql(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.catalog.GraftCatalog].getName)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gold")
+    val tbl = s"dml_${dir.hashCode & 0x7fffffff}"
+    s.sql(s"DROP TABLE IF EXISTS graft.gold.$tbl")
+    Tables.events(s, dir).createOrReplaceTempView("graft_dml_src")
+    s.sql(s"CREATE TABLE graft.gold.$tbl AS " +
+      "SELECT event_id, user_id, event_type, value FROM graft_dml_src")
+    s.sql(s"UPDATE graft.gold.$tbl SET event_type = 'viewed', " +
+      "value = value * 2 WHERE event_type = 'view' AND user_id < 20")
+    s.sql(s"DELETE FROM graft.gold.$tbl " +
+      "WHERE event_type = 'click' AND user_id < 10")
+    s.sql(
+      s"""MERGE INTO graft.gold.$tbl t USING
+         |  (SELECT event_id, value FROM graft_dml_src
+         |   WHERE event_type = 'purchase' AND user_id < 5) s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET value = t.value + s.value""".stripMargin)
+    s.sql(
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM graft.gold.$tbl
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
   /** Z-order-clustered scan: events written Morton-interleaved on
     * (user_id, day), then a 2-D box predicate (user range × day range)
     * reads only the files/row-groups whose bounding box intersects it

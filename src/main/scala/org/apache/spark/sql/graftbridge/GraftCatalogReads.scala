@@ -2,7 +2,7 @@ package org.apache.spark.sql.graftbridge
 
 import graft.catalog.GraftTable
 import org.apache.spark.sql.catalyst.expressions.Alias
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, Project, V2WriteCommand}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, MergeIntoTable, Project, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -37,6 +37,15 @@ object GraftCatalogReads extends Rule[LogicalPlan] {
       // not a read — DataSourceV2Strategy must see the DSv2 relation
       // to route through SupportsDelete; leave the subtree untouched
       d
+    case u: UpdateTable =>
+      // UPDATE target: GraftDml (post-hoc) converts the whole command
+      u
+    case m: MergeIntoTable =>
+      // MERGE: the TARGET stays for GraftDml; the SOURCE is a genuine
+      // read and still substitutes (a graft-table source scans through
+      // the skipping FileIndex)
+      val s = rewrite(m.sourceTable)
+      if (s eq m.sourceTable) m else m.copy(sourceTable = s)
     case d: DataSourceV2Relation if d.table.isInstanceOf[GraftTable] =>
       val src = d.table.asInstanceOf[GraftTable].readDf()
         .queryExecution.analyzed

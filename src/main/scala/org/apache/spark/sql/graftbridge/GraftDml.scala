@@ -1,0 +1,229 @@
+package org.apache.spark.sql.graftbridge
+
+import graft.catalog.GraftTable
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** SQL `UPDATE` and `MERGE INTO` for catalog-addressed DeltaLite
+  * tables — the Delta connector's integration shape (a post-hoc
+  * resolution rule converts the analyzed command into a runnable
+  * command over the table API) rather than SupportsRowLevelOperations,
+  * whose group-based rewrite would route the scan around the
+  * commit-log FileIndex.
+  *
+  * UPDATE routes to [[graft.etl.DeltaLite.updateWhere]] (file-granular
+  * copy-on-write: only files with matching rows rewrite). MERGE routes
+  * to [[graft.etl.DeltaLite.merge]]'s assignment form (file-granular
+  * via key-range pruning; the batch join broadcasts the source).
+  *
+  * Supported MERGE shape (rejected otherwise, with a pointer to the
+  * Scala API): `ON t.k = s.k` single-column equality, at most one
+  * WHEN MATCHED UPDATE, one WHEN MATCHED DELETE, one WHEN NOT MATCHED
+  * INSERT, each with an optional AND condition; no
+  * WHEN NOT MATCHED BY SOURCE, no schema evolution.
+  *
+  * Expression conversion: the analyzed command's attribute references
+  * are rebound BY NAME into the table-API scope (`t`/`s` aliases for
+  * merge, bare names for update) — the same rebinding every
+  * `foreachBatch`-style bridge does. Subqueries in conditions are
+  * rejected (they would capture the wrong plan).
+  */
+object GraftDml extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case u @ UpdateTable(target, assignments, cond) if u.resolved =>
+      graftRelation(target) match {
+        case Some(rel) =>
+          val out = rel.output
+          val set = assignments.map { a =>
+            val name = a.key match {
+              case ar: AttributeReference => ar.name
+              case other => fail(s"unsupported UPDATE target ${other.sql} " +
+                "(nested fields are not updatable)")
+            }
+            name -> toCol(a.value, Map(byExprId(out) -> ""))
+          }
+          val where = cond.map(toCol(_, Map(byExprId(out) -> "")))
+            .getOrElse(Bridge.column(
+              org.apache.spark.sql.catalyst.expressions.Literal(true)))
+          GraftUpdateCommand(table(rel), where, set)
+        case None => u
+      }
+
+    case m: MergeIntoTable if m.resolved =>
+      graftRelation(m.targetTable) match {
+        case Some(rel) => convertMerge(m, rel)
+        case None => m
+      }
+
+    case other => other
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"$msg; use the graft.etl.DeltaLite Scala API for this shape")
+
+  private def table(rel: DataSourceV2Relation): GraftTable =
+    rel.table.asInstanceOf[GraftTable]
+
+  /** The DSv2 relation under optional aliases, when it is a GraftTable
+    * (and not a time-travel read — those are not writable).
+    */
+  private def graftRelation(p: LogicalPlan): Option[DataSourceV2Relation] =
+    EliminateSubqueryAliases(p) match {
+      case d: DataSourceV2Relation if d.table.isInstanceOf[GraftTable] =>
+        val gt = d.table.asInstanceOf[GraftTable]
+        require(gt.asOfVersion.isEmpty && gt.asOfTimestampMicros.isEmpty,
+          s"cannot write to a time-travel read of ${gt.name()}")
+        Some(d)
+      case _ => None
+    }
+
+  private def byExprId(out: Seq[Attribute]): Set[Long] =
+    out.map(_.exprId.id).toSet
+
+  /** Rebind an analyzed expression into Column scope: attributes are
+    * replaced by (optionally qualified) name lookups according to
+    * which relation's output they came from. Subqueries rejected.
+    */
+  private def toCol(e: Expression, scopes: Map[Set[Long], String]): Column = {
+    val rebound = e.transform {
+      case a: AttributeReference =>
+        scopes.collectFirst {
+          case (ids, qual) if ids(a.exprId.id) =>
+            if (qual.isEmpty) UnresolvedAttribute(Seq(a.name))
+            else UnresolvedAttribute(Seq(qual, a.name))
+        }.getOrElse(fail(s"reference ${a.name} escapes the DML scope"))
+    }
+    if (rebound.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+      fail("subqueries in DML conditions are not supported")
+    Bridge.column(rebound)
+  }
+
+  private def convertMerge(m: MergeIntoTable,
+      rel: DataSourceV2Relation): LogicalPlan = {
+    if (m.notMatchedBySourceActions.nonEmpty)
+      fail("WHEN NOT MATCHED BY SOURCE is not supported")
+    if (m.withSchemaEvolution) fail("MERGE WITH SCHEMA EVOLUTION is not supported")
+    val tIds = byExprId(rel.output)
+    val sOut = m.sourceTable.output
+    val sIds = byExprId(sOut)
+    // ON must be a single-column equality: a bare target attribute on
+    // one side (the key the file-pruning contract needs), any
+    // source-only expression on the other (the analyzer often wraps
+    // the source side in an implicit type-up cast — kept verbatim).
+    def sourceOnly(e: Expression): Boolean =
+      e.references.nonEmpty && e.references.forall(a => sIds(a.exprId.id))
+    val (tKeyName, sKeyCol) = m.mergeCondition match {
+      case EqualTo(a: AttributeReference, r)
+        if tIds(a.exprId.id) && sourceOnly(r) =>
+        (a.name, toCol(r, Map(sIds -> "")))
+      case EqualTo(l, b: AttributeReference)
+        if tIds(b.exprId.id) && sourceOnly(l) =>
+        (b.name, toCol(l, Map(sIds -> "")))
+      case other => fail(s"MERGE ON must be t.key = s.key (got ${other.sql})")
+    }
+    // the command surfaces the join value under the target key's name
+    // on the source frame; a pre-existing same-named source column
+    // whose values are NOT the join key would be silently clobbered
+    // for the clause expressions — reject instead
+    val sKeyIsSameNamedAttr = m.mergeCondition.references
+      .exists(a => sIds(a.exprId.id) && a.name == tKeyName)
+    if (sOut.exists(_.name == tKeyName) && !sKeyIsSameNamedAttr)
+      fail(s"merge source already has a column '$tKeyName' that is not " +
+        "the join key; alias it away in the USING subquery")
+    val scopes = Map(tIds -> "t", sIds -> "s")
+    var deleteWhen: Option[Column] = None
+    var updateWhen: Option[Column] = None
+    var updateSet: Option[Seq[(String, Column)]] = None
+    val trueCol = Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal(true))
+    m.matchedActions.foreach {
+      case DeleteAction(cond) =>
+        if (deleteWhen.isDefined) fail("at most one WHEN MATCHED DELETE")
+        deleteWhen = Some(cond.map(toCol(_, scopes)).getOrElse(trueCol))
+      case UpdateAction(cond, assignments, _) =>
+        if (updateSet.isDefined) fail("at most one WHEN MATCHED UPDATE")
+        updateWhen = Some(cond.map(toCol(_, scopes)).getOrElse(trueCol))
+        updateSet = Some(assignments.map { a =>
+          val name = a.key match {
+            case ar: AttributeReference if tIds(ar.exprId.id) => ar.name
+            case other => fail(s"unsupported UPDATE target ${other.sql}")
+          }
+          name -> toCol(a.value, scopes)
+        })
+      case other => fail(s"unsupported matched action $other")
+    }
+    var insertWhen: Option[Column] = None
+    var insertSet: Option[Seq[(String, Column)]] = None
+    m.notMatchedActions.foreach {
+      case InsertAction(cond, assignments) if true =>
+        if (insertSet.isDefined) fail("at most one WHEN NOT MATCHED INSERT")
+        // insert expressions see only the source row
+        insertWhen = Some(cond.map(toCol(_, Map(sIds -> "s"))).getOrElse(trueCol))
+        insertSet = Some(assignments.map { a =>
+          val name = a.key match {
+            case ar: AttributeReference if tIds(ar.exprId.id) => ar.name
+            case other => fail(s"unsupported INSERT target ${other.sql}")
+          }
+          name -> toCol(a.value, Map(sIds -> "s"))
+        })
+      case other => fail(s"unsupported not-matched action $other")
+    }
+    // matched rows with no matching clause keep their target row; the
+    // key-API default is update-all, so an absent UPDATE clause must
+    // pin updateWhen to false. Both sets stay DEFINED (empty = no
+    // assignments) so the table API always takes the assignment form —
+    // SQL already validated the clause types; the star form's strict
+    // source-mirrors-table schema check must not apply (a DELETE-only
+    // merge source legitimately carries none of the table's columns).
+    val falseCol = Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal(false))
+    if (updateSet.isEmpty) { updateWhen = Some(falseCol); updateSet = Some(Nil) }
+    if (insertSet.isEmpty) { insertWhen = Some(falseCol); insertSet = Some(Nil) }
+    GraftMergeCommand(table(rel), m.sourceTable, tKeyName, sKeyCol,
+      deleteWhen, updateWhen, updateSet, insertWhen, insertSet)
+  }
+}
+
+/** `UPDATE graft.db.t SET … WHERE …` → file-granular copy-on-write. */
+case class GraftUpdateCommand(
+    @transient graftTable: GraftTable,
+    @transient where: Column,
+    @transient set: Seq[(String, Column)]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graftTable.delta.updateWhere(where, set)
+    Nil
+  }
+}
+
+/** `MERGE INTO graft.db.t USING src ON … WHEN …` → key-based merge. */
+case class GraftMergeCommand(
+    @transient graftTable: GraftTable,
+    @transient sourcePlan: LogicalPlan,
+    targetKey: String,
+    @transient sourceKeyCol: Column,
+    @transient deleteWhen: Option[Column],
+    @transient updateWhen: Option[Column],
+    @transient updateSet: Option[Seq[(String, Column)]],
+    @transient insertWhen: Option[Column],
+    @transient insertSet: Option[Seq[(String, Column)]])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcRaw = Bridge.ofRows(spark, sourcePlan)
+    // the table API joins on a shared key NAME: surface the join
+    // value under the target key's name (replaces a same-named source
+    // column only when it IS the join attribute — rule-checked)
+    val src = srcRaw.withColumn(targetKey, sourceKeyCol)
+    graftTable.delta.merge(src, targetKey,
+      deleteWhen = deleteWhen, updateWhen = updateWhen,
+      insertWhen = insertWhen, updateSet = updateSet,
+      insertSet = insertSet)
+    Nil
+  }
+}
