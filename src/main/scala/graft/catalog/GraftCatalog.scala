@@ -245,7 +245,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 object GraftCatalog {
   val ProcedureNames: Seq[String] = Seq("optimize", "vacuum", "restore",
     "zorder", "analyze", "checkpoint", "clean_log", "add_constraint",
-    "drop_constraint")
+    "drop_constraint", "history", "detail")
 
   /** Register the catalog + extensions-equivalent state on a live
     * session (catalog lookup is lazy per name, so runtime conf works).
@@ -290,6 +290,20 @@ class GraftProcedure(pname: String, catalog: GraftCatalog)
     val args = (0 until input.numFields).map(i =>
       input.getUTF8String(i).toString)
     val t = catalog.openByName(args.head)
+    // row-set procedures: DESCRIBE HISTORY / DESCRIBE DETAIL as CALLs
+    // (the reference's table-audit surface) — the DataFrame's own rows
+    // come back as the CALL's result set; both are bounded metadata
+    // (O(versions) / one row), never a data scan
+    if (pname == "history" || pname == "detail") {
+      val df = if (pname == "history") t.history() else t.detail()
+      val schemaOut = df.schema
+      val collected = df.queryExecution.executedPlan.executeCollect()
+      val scan: Scan = new LocalScan {
+        override def readSchema(): StructType = schemaOut
+        override def rows(): Array[InternalRow] = collected
+      }
+      return util.Arrays.asList(scan).iterator()
+    }
     val result: String = pname match {
       case "optimize" =>
         t.compact().map(v => s"compacted at v$v").getOrElse("noop")

@@ -179,6 +179,22 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table("graft.gold.del").count() == 1)
   }
 
+  test("CALL history / detail return row sets (DESCRIBE surface via SQL)") {
+    wh
+    spark.sql("CREATE TABLE graft.gold.hist (k BIGINT)")
+    spark.sql("INSERT INTO graft.gold.hist VALUES (1)")
+    spark.sql("INSERT INTO graft.gold.hist VALUES (2)")
+    val h = spark.sql("CALL graft.system.history('gold.hist')").collect()
+    assert(h.length == 3, "v0 create + two inserts")
+    assert(h.map(_.getAs[Int]("version")).toSeq == Seq(2, 1, 0),
+      "newest first")
+    assert(h.forall(_.getAs[String]("operation") == "append"))
+    val d = spark.sql("CALL graft.system.detail('gold.hist')").collect()
+    assert(d.length == 1)
+    assert(d.head.getAs[Int]("version") == 2)
+    assert(d.head.getAs[Long]("size_bytes") > 0L)
+  }
+
   test("CALL analyze lights up multi-column skipping via SQL") {
     wh
     spark.sql("CREATE TABLE graft.gold.an (k BIGINT, w BIGINT)")
