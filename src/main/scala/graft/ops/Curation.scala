@@ -38,13 +38,16 @@ object Curation {
   def curate(docs: DataFrame, textCol: String, idCol: String,
       minQuality: Double = 0.5, langs: Seq[String] = Seq("en"),
       jaccard: Double = 0.8, lshThreshold: Double = 0.5): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     val (_, exactPlan) = textStages(docs, textCol, idCol, minQuality, langs)
     // the exact-dedup output feeds three consumers (LSH signatures, the
-    // Jaccard-verify shingles, the final anti-join) — materialize it
-    // once instead of re-running annotate/filter/window-dedup per
-    // consumer; released with the pass caches via Dedup.releaseCaches
-    val exact = Dedup.tracked(exactPlan.persist(StorageLevel.MEMORY_AND_DISK))
+    // Jaccard-verify shingles, the final anti-join) — LINEAGE-TRUNCATE
+    // it (lazy localCheckpoint): like a persist it materializes once,
+    // but the downstream LSH/verify/anti-join plans reference one
+    // LogicalRDD instead of re-ANALYZING the annotate+filter+window
+    // tree per consumer (driver-side planning was a visible slice of
+    // the pipeline's wall time; same trade as RunningSum.twoLevel —
+    // recompute-on-failure given up, blocks free on GC)
+    val exact = exactPlan.localCheckpoint(false)
     nearDedup(exact, textCol, idCol, jaccard, lshThreshold)
   }
 
