@@ -245,7 +245,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 object GraftCatalog {
   val ProcedureNames: Seq[String] = Seq("optimize", "vacuum", "restore",
     "zorder", "analyze", "checkpoint", "clean_log", "add_constraint",
-    "drop_constraint", "history", "detail")
+    "drop_constraint", "history", "detail", "copy_into")
 
   /** Register the catalog + extensions-equivalent state on a live
     * session (catalog lookup is lazy per name, so runtime conf works).
@@ -279,6 +279,7 @@ class GraftProcedure(pname: String, catalog: GraftCatalog)
     case "analyze" => Seq("columns")
     case "add_constraint" => Seq("name", "sql")
     case "drop_constraint" => Seq("name")
+    case "copy_into" => Seq("source_dir")
     case _ => Nil
   }
 
@@ -322,6 +323,8 @@ class GraftProcedure(pname: String, catalog: GraftCatalog)
         s"added at v${t.addCheckConstraint(args(1), args(2))}"
       case "drop_constraint" =>
         s"dropped at v${t.dropCheckConstraint(args(1))}"
+      case "copy_into" =>
+        t.copyInto(args(1)).map(v => s"ingested at v$v").getOrElse("noop")
     }
     val scan: Scan = new LocalScan {
       override def readSchema(): StructType =

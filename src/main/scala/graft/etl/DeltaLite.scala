@@ -99,7 +99,11 @@ class DeltaLite(val spark: SparkSession, val root: String,
       txnApp: Option[String] = None, txnId: Option[Long] = None,
       dvs: Seq[String] = Nil, colmap: Option[Map[String, String]] = None,
       checks: Option[Map[String, String]] = None,
-      parts: Option[Seq[String]] = None)
+      parts: Option[Seq[String]] = None,
+      // COPY INTO ledger: source files this commit CONSUMED — replay
+      // unions them into the already-ingested set, independent of the
+      // data files' own lifecycle (compaction must not re-ingest)
+      ingested: Seq[String] = Nil)
 
   /** Scheme-independent path identity (file:/x vs file:///x vs /x). */
   private def norm(p: String): String = new Path(p).toUri.getPath
@@ -303,9 +307,12 @@ class DeltaLite(val spark: SparkSession, val root: String,
     val parts = optField("parts").map { s =>
       if (s.isEmpty) Seq.empty[String] else s.split('\u001e').toSeq
     }
+    val ingested = optField("ingested")
+      .map(s => if (s.isEmpty) Seq.empty[String] else s.split('\u001e').toSeq)
+      .getOrElse(Nil)
     Commit(field("version").toInt, field("mode"), field("schema"),
       removedPaths, files, optField("txnApp"), optField("txnId").map(_.toLong),
-      dvs, colmap, checks, parts)
+      dvs, colmap, checks, parts, ingested)
   }
 
   private def renderCommit(c: Commit): String = {
@@ -344,6 +351,9 @@ class DeltaLite(val spark: SparkSession, val root: String,
     val parts = c.parts.map { ps =>
       s""""parts":"${esc(ps.mkString("\u001e"))}","""
     }.getOrElse("")
+    val ingested =
+      if (c.ingested.isEmpty) ""
+      else s""""ingested":"${esc(c.ingested.mkString("\u001e"))}","""
     // dvs renders just before "schema" — the parse anchors on that,
     // and the removed-list regex (anchored on "removed":[...],"files")
     // stays unambiguous
@@ -351,7 +361,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
       if (c.dvs.isEmpty) ""
       else c.dvs.map(p => "\"" + esc(p) + "\"")
         .mkString("\"dvs\":[", ",", "],")
-    s"""{"version":"${c.version}","mode":"${c.mode}",$txn$statsCol$colmap$checks$parts$dvs"schema":"${esc(c.schemaJson)}","removed":$removed,"files":$files}"""
+    s"""{"version":"${c.version}","mode":"${c.mode}",$txn$statsCol$colmap$checks$parts$ingested$dvs"schema":"${esc(c.schemaJson)}","removed":$removed,"files":$files}"""
   }
 
   // ---- commit-log checkpoints (bounded-cost table open) ----
@@ -366,14 +376,19 @@ class DeltaLite(val spark: SparkSession, val root: String,
   private case class Checkpoint(version: Int, schemaJson: String,
       files: Seq[FileEntry], dvs: Seq[String],
       colmap: Map[String, String], checks: Map[String, String],
-      txns: Map[String, Long], parts: Seq[String] = Nil) {
+      txns: Map[String, Long], parts: Seq[String] = Nil,
+      ingested: Seq[String] = Nil) {
     /** The state as a replay-base commit. `checkpoint` mode resets
       * the live file and DV sets like an overwrite (it IS the whole
-      * state) and carries mapping/constraints/partitioning explicitly.
+      * state) and carries mapping/constraints/partitioning explicitly
+      * — including the COPY INTO ledger union, without which a
+      * post-cleanLog replay would forget consumed source files and
+      * re-ingest them (the same hazard the txn high-water marks
+      * guard against).
       */
     def synthetic: Commit = Commit(version, "checkpoint", schemaJson,
       Nil, files, None, None, dvs, Some(colmap), Some(checks),
-      parts = Some(parts))
+      parts = Some(parts), ingested = ingested)
   }
 
   private val parsedCheckpoints =
@@ -438,7 +453,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
       .getOrElse(Map.empty)
     Checkpoint(c.version, c.schemaJson, c.files, c.dvs,
       c.colmap.getOrElse(Map.empty), c.checks.getOrElse(Map.empty), txns,
-      c.parts.getOrElse(Nil))
+      c.parts.getOrElse(Nil), c.ingested)
   }
 
   /** State to checkpoint at `upTo`, built INCREMENTALLY from the
@@ -475,7 +490,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
       if (f.keyCol == sc) f
       else f.copy(min = None, max = None, keyCol = None))
     Checkpoint(upTo, cs.last.schemaJson, files, liveDvFiles(cs),
-      colMapAt(cs), checksAt(cs), txns, partsAt(cs))
+      colMapAt(cs), checksAt(cs), txns, partsAt(cs),
+      cs.flatMap(_.ingested).distinct)
   }
 
   /** Write the checkpoint for `version` (no-op if present). Temp-file
@@ -738,7 +754,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
       txn: Option[(String, Long)] = None,
       schemaOverride: Option[StructType] = None,
       mappingOverride: Option[Map[String, String]] = None,
-      retryable: Boolean = true): Int = {
+      retryable: Boolean = true,
+      ingested: Seq[String] = Nil): Int = {
     val base = commits()
     val version = base.lastOption.map(_.version + 1).getOrElse(0)
     // an overwrite replaces every file, so no physical name survives to
@@ -898,7 +915,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
           removed, entries, txn.map(_._1), txn.map(_._2), Nil, Some(mapping),
           checks = if (base.isEmpty && pendingChecks.nonEmpty)
             Some(pendingChecks.toMap) else None,
-          parts = Some(declaredParts)))
+          parts = Some(declaredParts), ingested = ingested))
         pendingChecks.clear()
         return v
       }
@@ -1754,6 +1771,47 @@ class DeltaLite(val spark: SparkSession, val root: String,
       else Some(commit(m, "delete", schemaOverride = Some(sch)))
     } finally m.unpersist(false)
   }
+
+  /** COPY INTO: idempotent incremental file ingestion (the Databricks
+    * COPY INTO shape): load ONLY the source parquet files not already
+    * consumed, recording them in a per-commit ledger the log replay
+    * unions — re-running after new files arrive loads just the delta,
+    * re-running with nothing new is a no-op WITHOUT a commit. The
+    * ledger is independent of the table's own file lifecycle (compact
+    * / delete / overwrite never cause re-ingestion) and survives
+    * checkpoints + cleanLog like the txn high-water marks. Driver work
+    * is one recursive source listing; the data read is one scan of the
+    * NEW files only. Content depends on the snapshot (which files are
+    * already consumed), so a concurrent-commit race fails rather than
+    * double-ingesting (`retryable = false`, the dedupAppend rule).
+    */
+  def copyInto(sourceDir: String): Option[Int] = {
+    val src = new Path(sourceDir)
+    val sfs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(sfs.exists(src), s"no such directory: $sourceDir")
+    val already = ingestedFiles()
+    val fresh = {
+      val it = sfs.listFiles(src, true)
+      val buf = Seq.newBuilder[Path]
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (st.isFile && n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith(".") &&
+          !already(norm(st.getPath.toString))) buf += st.getPath
+      }
+      buf.result().sortBy(_.toString)
+    }
+    if (fresh.isEmpty) return None
+    val df = spark.read.parquet(fresh.map(_.toString): _*)
+    enforceSchema(df)
+    Some(commit(df, "append", retryable = false,
+      ingested = fresh.map(_.toString)))
+  }
+
+  /** Normalized source paths the COPY INTO ledger has consumed. */
+  def ingestedFiles(): Set[String] =
+    commits().flatMap(_.ingested).map(norm).toSet
 
   /** UPDATE … SET … WHERE as file-granular copy-on-write: only files
     * containing at least one matching live row are rewritten —
