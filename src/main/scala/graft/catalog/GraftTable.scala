@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, WriteBuilder}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.sources
@@ -96,6 +96,7 @@ class GraftTable(tableName: String, val delta: DeltaLite,
     s.add(TableCapability.BATCH_READ)
     s.add(TableCapability.V1_BATCH_WRITE)
     s.add(TableCapability.TRUNCATE)
+    s.add(TableCapability.OVERWRITE_BY_FILTER)
     s
   }
 
@@ -168,15 +169,35 @@ class GraftTable(tableName: String, val delta: DeltaLite,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOfVersion.isEmpty && asOfTimestampMicros.isEmpty,
       s"cannot write to a time-travel read of $tableName")
-    new WriteBuilder with SupportsTruncate {
+    // SupportsOverwrite: `INSERT OVERWRITE t PARTITION (p = 'x')`
+    // plans OverwriteByExpression with the static partition spec as
+    // filters — routed to replaceWhere, the partition-scoped atomic
+    // swap (membership from path metadata, non-replaced partitions
+    // keep their exact files). AlwaysTrue (plain INSERT OVERWRITE)
+    // stays the whole-table overwrite commit.
+    new WriteBuilder with SupportsTruncate with SupportsOverwrite {
       private var overwriteAll = false
+      private var overwriteCond: Option[Column] = None
       override def truncate(): WriteBuilder = { overwriteAll = true; this }
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        val conds = filters.toSeq.map(f => toColumn(f).getOrElse(
+          throw new UnsupportedOperationException(
+            s"INSERT OVERWRITE filter $f is not translatable; " +
+              "use DeltaLite.replaceWhere for this shape")))
+        if (conds.isEmpty || filters.exists(_ == sources.AlwaysTrue()))
+          overwriteAll = true
+        else overwriteCond = Some(conds.reduce(_ && _))
+        this
+      }
       override def build(): V1Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, ignored: Boolean): Unit =
               if (overwriteAll) delta.overwrite(data)
-              else delta.append(data)
+              else overwriteCond match {
+                case Some(cond) => delta.replaceWhere(data, cond)
+                case None => delta.append(data)
+              }
           }
       }
     }

@@ -179,6 +179,30 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table("graft.gold.del").count() == 1)
   }
 
+  test("INSERT OVERWRITE PARTITION routes to the replaceWhere atomic swap") {
+    wh
+    spark.sql("CREATE TABLE graft.gold.iop (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.gold.iop VALUES (1,'a'), (2,'b'), (3,'a')")
+    val t = new DeltaLite(spark, tablePropsPath("graft.gold.iop"))
+    val bFilesBefore = t.liveFiles().filter(_.contains("__p_p=b")).toSet
+    // replace partition a only
+    spark.sql(
+      "INSERT OVERWRITE graft.gold.iop PARTITION (p = 'a') VALUES (9L)")
+    val got = spark.sql("SELECT k, p FROM graft.gold.iop ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((2L, "b"), (9L, "a")))
+    // partition b kept its EXACT files — the swap never touched it
+    assert(t.liveFiles().filter(_.contains("__p_p=b")).toSet == bFilesBefore)
+    // whole-table INSERT OVERWRITE still replaces everything
+    spark.sql("INSERT OVERWRITE graft.gold.iop VALUES (7L, 'z')")
+    assert(spark.table("graft.gold.iop").count() == 1)
+  }
+
+  private def tablePropsPath(name: String): String =
+    spark.sql(s"SHOW TBLPROPERTIES $name").collect()
+      .find(_.getString(0) == "graft.location").get.getString(1)
+
   test("CALL history / detail return row sets (DESCRIBE surface via SQL)") {
     wh
     spark.sql("CREATE TABLE graft.gold.hist (k BIGINT)")
