@@ -245,7 +245,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 object GraftCatalog {
   val ProcedureNames: Seq[String] = Seq("optimize", "vacuum", "restore",
     "zorder", "analyze", "checkpoint", "clean_log", "add_constraint",
-    "drop_constraint", "history", "detail", "copy_into")
+    "drop_constraint", "history", "detail", "copy_into", "table_changes")
 
   /** Register the catalog + extensions-equivalent state on a live
     * session (catalog lookup is lazy per name, so runtime conf works).
@@ -280,6 +280,7 @@ class GraftProcedure(pname: String, catalog: GraftCatalog)
     case "add_constraint" => Seq("name", "sql")
     case "drop_constraint" => Seq("name")
     case "copy_into" => Seq("source_dir")
+    case "table_changes" => Seq("from_version", "to_version", "max_rows")
     case _ => Nil
   }
 
@@ -295,8 +296,19 @@ class GraftProcedure(pname: String, catalog: GraftCatalog)
     // (the reference's table-audit surface) — the DataFrame's own rows
     // come back as the CALL's result set; both are bounded metadata
     // (O(versions) / one row), never a data scan
-    if (pname == "history" || pname == "detail") {
-      val df = if (pname == "history") t.history() else t.detail()
+    if (pname == "history" || pname == "detail" || pname == "table_changes") {
+      val df =
+        if (pname == "history") t.history()
+        else if (pname == "detail") t.detail()
+        else {
+          // row-level CDC slice as a CALL result set — an AUDIT
+          // surface, so the row count is capped explicitly (the
+          // scale path is the readChangeFeed streaming source /
+          // changesBetween DataFrame, never a driver collect)
+          val capped = t.changesBetween(args(1).toInt, args(2).toInt)
+            .limit(args(3).toInt)
+          capped
+        }
       val schemaOut = df.schema
       val collected = df.queryExecution.executedPlan.executeCollect()
       val scan: Scan = new LocalScan {

@@ -47,7 +47,7 @@ object Curation {
     // tree per consumer (driver-side planning was a visible slice of
     // the pipeline's wall time; same trade as RunningSum.twoLevel —
     // recompute-on-failure given up, blocks free on GC)
-    val exact = exactPlan.localCheckpoint(false)
+    val exact = Dedup.truncated(exactPlan)
     nearDedup(exact, textCol, idCol, jaccard, lshThreshold)
   }
 

@@ -22,18 +22,39 @@ object Dedup {
 
   private val trackedCaches =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val trackedRdds =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
 
   private[graft] def tracked(df: DataFrame): DataFrame = {
     trackedCaches.add(df)
     df
   }
 
-  /** Unpersist every DataFrame cached by dedup passes so far (safe to
-    * call once their outputs have been consumed).
+  /** Lineage-truncate `df` (lazy localCheckpoint) and TRACK the
+    * checkpointed RDD for [[releaseCaches]]: `Dataset.unpersist` is a
+    * no-op for checkpoint blocks (they are not CacheManager entries),
+    * so without this a long session — Bench runs 150+ queries in one
+    * JVM — accumulates every pass's blocks until GC gets around to
+    * them. Releasing makes the returned frame UNRECOMPUTABLE (the
+    * lineage is gone) — callers release only after the output is
+    * consumed, the existing releaseCaches contract.
+    */
+  private[graft] def truncated(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(false)
+    org.apache.spark.sql.graftbridge.Bridge.checkpointedRdd(cp)
+      .foreach(trackedRdds.add)
+    cp
+  }
+
+  /** Unpersist every DataFrame cached (and checkpoint block written)
+    * by dedup/curation passes so far — safe once their outputs have
+    * been consumed.
     */
   def releaseCaches(): Unit = {
     var d = trackedCaches.poll()
     while (d != null) { d.unpersist(false); d = trackedCaches.poll() }
+    var r = trackedRdds.poll()
+    while (r != null) { r.unpersist(false); r = trackedRdds.poll() }
   }
 
   /** Exact dedup: group by content fingerprint, keep the smallest id.

@@ -56,8 +56,9 @@ object RunningSum {
     // once, and the dual consumers' identical range exchanges are
     // served from one shuffle write by ReuseExchange. Same trade as
     // the iterative graph operators (Bfs/Components): recompute-on-
-    // failure is given up for bounded planning — blocks free on GC.
-    val in = df.localCheckpoint(false)
+    // failure is given up for bounded planning — blocks released with
+    // the pass caches (Dedup.releaseCaches), GC as the backstop.
+    val in = Dedup.truncated(df)
     val ranged = in.repartitionByRange(shards, (keyCols ++ order): _*)
       .withColumn("__rs_shard", spark_partition_id())
     val wLocal = Window

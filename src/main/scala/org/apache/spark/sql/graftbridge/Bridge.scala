@@ -29,6 +29,18 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** The checkpointed RDD behind a `localCheckpoint`'d DataFrame
+    * (its analyzed plan is one LogicalRDD) — `Dataset.unpersist`
+    * cannot release checkpoint blocks (they are not CacheManager
+    * entries), so explicit lifecycle management needs the RDD itself.
+    * None if the frame is not a bare checkpoint.
+    */
+  def checkpointedRdd(df: org.apache.spark.sql.DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
   /** The analyzed logical plan behind a DataFrame. */
   def analyzed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed

@@ -219,6 +219,23 @@ class GraftCatalogSpec extends SparkSpec {
     assert(d.head.getAs[Long]("size_bytes") > 0L)
   }
 
+  test("CALL table_changes returns the capped CDC slice") {
+    wh
+    spark.sql("CREATE TABLE graft.gold.cdc (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.gold.cdc VALUES (1,'a'), (2,'b')")
+    spark.sql("DELETE FROM graft.gold.cdc WHERE k = 1")
+    val ch = spark.sql(
+      "CALL graft.system.table_changes('gold.cdc', '0', '2', '100')")
+      .collect()
+    val byType = ch.groupBy(_.getAs[String]("_change_type"))
+      .view.mapValues(_.length).toMap
+    assert(byType == Map("insert" -> 2, "delete" -> 1))
+    val capped = spark.sql(
+      "CALL graft.system.table_changes('gold.cdc', '0', '2', '1')")
+      .collect()
+    assert(capped.length == 1, "max_rows caps the audit slice")
+  }
+
   test("CALL analyze lights up multi-column skipping via SQL") {
     wh
     spark.sql("CREATE TABLE graft.gold.an (k BIGINT, w BIGINT)")
