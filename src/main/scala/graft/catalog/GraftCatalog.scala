@@ -240,12 +240,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new NoSuchTableException(ident)
     open(ident)
   }
+
+  /** Warehouse root a `db.table` name maps to — where a clone target
+    * lands so the new table is immediately catalog-addressable. The
+    * namespace must exist; the table must not.
+    */
+  private[catalog] def rootFor(qualified: String): String = {
+    val segs = qualified.split('.')
+    val ident = Identifier.of(segs.init, segs.last)
+    require(namespaceExists(ident.namespace()),
+      s"no such namespace ${ident.namespace().mkString(".")}")
+    require(!isTableDir(tablePath(ident)),
+      s"clone target $qualified already exists")
+    tablePath(ident).toString
+  }
 }
 
 object GraftCatalog {
   val ProcedureNames: Seq[String] = Seq("optimize", "vacuum", "restore",
     "zorder", "analyze", "checkpoint", "clean_log", "add_constraint",
-    "drop_constraint", "history", "detail", "copy_into", "table_changes")
+    "drop_constraint", "history", "detail", "copy_into", "table_changes",
+    "optimize_where", "vacuum_orphans", "clone")
 
   /** Register the catalog + extensions-equivalent state on a live
     * session (catalog lookup is lazy per name, so runtime conf works).
@@ -281,6 +296,8 @@ class GraftProcedure(pname: String, catalog: GraftCatalog)
     case "drop_constraint" => Seq("name")
     case "copy_into" => Seq("source_dir")
     case "table_changes" => Seq("from_version", "to_version", "max_rows")
+    case "optimize_where" => Seq("predicate")
+    case "clone" => Seq("target", "mode")
     case _ => Nil
   }
 
@@ -337,6 +354,23 @@ class GraftProcedure(pname: String, catalog: GraftCatalog)
         s"dropped at v${t.dropCheckConstraint(args(1))}"
       case "copy_into" =>
         t.copyInto(args(1)).map(v => s"ingested at v$v").getOrElse("noop")
+      case "optimize_where" =>
+        // partition-scoped OPTIMIZE: the predicate string parses with
+        // Spark's own expression parser (same dialect as any WHERE)
+        t.compactWhere(org.apache.spark.sql.functions.expr(args(1)))
+          .map(v => s"compacted at v$v").getOrElse("noop")
+      case "vacuum_orphans" =>
+        s"removed ${t.vacuumOrphans().size} orphan dirs"
+      case "clone" =>
+        // target is db.table in THIS catalog: the clone lands as a
+        // new named table at the warehouse layout
+        val targetRoot = catalog.rootFor(args(1))
+        args(2) match {
+          case "shallow" => t.shallowCloneTo(targetRoot)
+          case "deep" => t.deepCloneTo(targetRoot)
+          case other => sys.error(s"clone mode must be shallow|deep, got $other")
+        }
+        s"cloned ${args(2)} to ${args(1)}"
     }
     val scan: Scan = new LocalScan {
       override def readSchema(): StructType =

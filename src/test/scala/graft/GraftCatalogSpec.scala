@@ -34,7 +34,14 @@ class GraftCatalogSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-warehouse").toString
     GraftCatalog.install(spark, dir)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.gold")
-    dir
+    // the graft catalog instance is cached per session after first
+    // lookup, so if ANOTHER suite touched it first its warehouse wins
+    // — resolve the EFFECTIVE warehouse from a probe table's location
+    // instead of trusting this install's directory
+    spark.sql("CREATE TABLE IF NOT EXISTS graft.gold.whprobe (k BIGINT)")
+    val loc = spark.sql("SHOW TBLPROPERTIES graft.gold.whprobe").collect()
+      .find(_.getString(0) == "graft.location").get.getString(1)
+    new java.io.File(loc).getParentFile.getParentFile.toString
   }
 
   test("CREATE TABLE + INSERT INTO + SELECT round-trips through SQL only") {
@@ -234,6 +241,37 @@ class GraftCatalogSpec extends SparkSpec {
       "CALL graft.system.table_changes('gold.cdc', '0', '2', '1')")
       .collect()
     assert(capped.length == 1, "max_rows caps the audit slice")
+  }
+
+  test("CALL optimize_where / vacuum_orphans / clone") {
+    wh
+    spark.sql("CREATE TABLE graft.gold.mx (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    (0 until 3).foreach(i => spark.sql(
+      s"INSERT INTO graft.gold.mx VALUES ($i, 'a'), (${i + 10}, 'b')"))
+    // partition-scoped OPTIMIZE: only partition a's files compact
+    val t = new DeltaLite(spark, tablePropsPath("graft.gold.mx"))
+    val bBefore = t.liveFiles().filter(_.contains("__p_p=b")).toSet
+    val r = spark.sql(
+      "CALL graft.system.optimize_where('gold.mx', \"p = 'a'\")")
+      .collect().head.getString(0)
+    assert(r.startsWith("compacted at v"))
+    assert(t.liveFiles().filter(_.contains("__p_p=b")).toSet == bBefore,
+      "partition b untouched by the scoped compact")
+    assert(t.liveFiles().count(_.contains("__p_p=a")) == 1,
+      "partition a bin-packed to one file")
+    assert(spark.table("graft.gold.mx").count() == 6)
+    // orphan sweep runs (nothing to remove here)
+    val v = spark.sql("CALL graft.system.vacuum_orphans('gold.mx')")
+      .collect().head.getString(0)
+    assert(v.startsWith("removed"))
+    // shallow clone to a NEW named table — instantly queryable
+    spark.sql("CALL graft.system.clone('gold.mx', 'gold.mx_dev', 'shallow')")
+    assert(spark.table("graft.gold.mx_dev").count() == 6)
+    // clone writes don't touch the source
+    spark.sql("INSERT INTO graft.gold.mx_dev VALUES (99, 'z')")
+    assert(spark.table("graft.gold.mx").count() == 6)
+    assert(spark.table("graft.gold.mx_dev").count() == 7)
   }
 
   test("CALL analyze lights up multi-column skipping via SQL") {
