@@ -87,6 +87,7 @@ object SparkEntry {
     "q_deltalite_partition_pruned" -> (Events.deltaPartitionPruned _),
     "q_catalog_table_sql" -> (Events.catalogSql _),
     "q_dml_sql" -> (Events.dmlSql _),
+    "q_copy_into" -> (Events.copyIntoSql _),
     "q_sketch_setops" -> (Events.sketchSetops _),
     "q_string_funcs" -> (Text.stringFuncs _),
     "q_higher_order" -> (Text.higherOrder _),
@@ -1827,6 +1828,16 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events
         |WHERE event_type IN ('click', 'purchase')
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // two incremental COPY INTO passes must land exactly the two
+    // event-type slices — the oracle is the flat-table aggregate
+    "q_copy_into" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE event_type IN ('purchase', 'click')
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     // the DML query's end state re-derived with CTEs: update = value

@@ -327,6 +327,39 @@ object Events {
          |ORDER BY event_type""".stripMargin)
   }
 
+  /** COPY INTO end-to-end: two arrival batches land in a source
+    * directory and two copyInto calls ingest them incrementally (the
+    * second loads ONLY the new batch; a third is a no-op) — then the
+    * table aggregate must equal the flat-table aggregate over both
+    * slices. A double-ingest (ledger failure) would double every
+    * count and hash-mismatch the oracle. Fresh dirs each run so the
+    * incremental protocol is actually exercised, not replayed.
+    */
+  def copyIntoSql(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft-copyinto/" +
+      s"${dir.hashCode & 0x7fffffff}"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    ev.filter($"event_type" === "purchase")
+      .write.parquet(s"$base/src/b1")
+    val t = graft.etl.DeltaLite(s, s"$base/tbl")
+    t.copyInto(s"$base/src")
+    ev.filter($"event_type" === "click")
+      .write.parquet(s"$base/src/b2")
+    t.copyInto(s"$base/src")
+    require(t.copyInto(s"$base/src").isEmpty, "third pass must be a no-op")
+    t.read()
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy($"event_type")
+  }
+
   /** Z-order-clustered scan: events written Morton-interleaved on
     * (user_id, day), then a 2-D box predicate (user range × day range)
     * reads only the files/row-groups whose bounding box intersects it

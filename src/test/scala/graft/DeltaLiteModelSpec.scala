@@ -189,6 +189,23 @@ class DeltaLiteModelSpec extends SparkSpec {
             ks.map(k => k -> s"d$step-$k")
           s"drop+readd($valCol)"
         case 15 => "noop"
+        case 16 if t.latestVersion.nonEmpty && model.nonEmpty =>
+          // UPDATE … WHERE on a random residue class: file-granular
+          // copy-on-write must compose with everything else the walk
+          // does — DVs (updated files drop their deleted rows), a
+          // later restore (pre-update snapshots travel), renames (the
+          // assignment speaks the CURRENT name). A null value stays
+          // null (concat propagates it), matching SQL UPDATE on a
+          // dropped-and-readded column's pre-drop rows.
+          val m = rnd.nextInt(5) + 2
+          val r = rnd.nextInt(m)
+          t.updateWhere(col("k") % m === r,
+            Seq(valCol -> concat(lit(s"U$step-"), col(valCol))))
+          model = model.map { case (k, v) =>
+            k -> (if (k % m == r && v != null) s"U$step-$v" else v)
+          }
+          s"updateWhere(k%$m==$r)"
+        case 16 => "noop"
       }
       record()
       check(step, op)
@@ -239,5 +256,13 @@ class DeltaLiteModelSpec extends SparkSpec {
 
   test("random operation walk with column drops: eleventh seed") {
     runWalk(seed = 1111, steps = 30, nOps = 16)
+  }
+
+  test("random operation walk with row-level updates: twelfth seed") {
+    runWalk(seed = 1212, steps = 30, nOps = 17)
+  }
+
+  test("random operation walk with row-level updates: thirteenth seed") {
+    runWalk(seed = 1313, steps = 30, nOps = 17)
   }
 }
