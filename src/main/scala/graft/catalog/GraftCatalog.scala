@@ -195,6 +195,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case dc: TableChange.DeleteColumn =>
         require(dc.fieldNames().length == 1, "nested columns unsupported")
         t.dropColumn(dc.fieldNames()(0))
+      case ac: TableChange.AddColumn =>
+        require(ac.fieldNames().length == 1, "nested columns unsupported")
+        require(ac.position() == null,
+          "FIRST/AFTER positions unsupported — columns append at the end")
+        t.addColumn(ac.fieldNames()(0), ac.dataType())
       case c => throw new UnsupportedOperationException(
         s"unsupported table change: $c")
     }

@@ -737,6 +737,20 @@ class DeltaLite(val spark: SparkSession, val root: String,
   /** Enforce name+type equality with the committed schema (nullable is
     * not load-bearing for parquet round trips).
     */
+  /** Type with every nullability flag (incl. nested) normalized true —
+    * nullability is not load-bearing for parquet round trips, so
+    * schema comparisons ignore it (enforceSchema's rule).
+    */
+  private def normalizeType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = normalizeType(f.dataType), nullable = true)))
+    case a: ArrayType =>
+      a.copy(elementType = normalizeType(a.elementType), containsNull = true)
+    case m: MapType => m.copy(keyType = normalizeType(m.keyType),
+      valueType = normalizeType(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
   private def enforceSchema(df: DataFrame): Unit = schema.foreach { committed =>
     val a = committed.fields.map(f => (f.name, f.dataType)).toSeq
     val b = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
@@ -900,6 +914,25 @@ class DeltaLite(val spark: SparkSession, val root: String,
         extra = perCol.filter { case (k, _) => extraKeys.contains(k) },
         size = fileSizes.get(p.toString))
     }
+    // The schema a data commit RECORDS is the TABLE's, not the
+    // batch's: a batch whose fields match the committed schema
+    // modulo nullability (enforceSchema's rule — a VALUES literal
+    // arrives non-null) must not narrow a nullable column to
+    // required, or files written before an ADD COLUMN would fail the
+    // scan ("required column missing") the moment a later batch
+    // carried the column non-null. A genuinely different shape
+    // (appendEvolve's widen, first commit, overwrite's reset) records
+    // the batch schema as before.
+    val recordedSchema = schemaOverride.getOrElse {
+      base.lastOption.map(c =>
+        DataType.fromJson(c.schemaJson).asInstanceOf[StructType]) match {
+        case Some(existing) if mode != "overwrite" &&
+          existing.fields.map(f => (f.name, normalizeType(f.dataType))).toSeq ==
+            df.schema.fields.map(f => (f.name, normalizeType(f.dataType))).toSeq =>
+          existing
+        case _ => df.schema
+      }
+    }
     // optimistic publish: on a version race, a plain append re-targets
     // the next version (appends commute) PROVIDED the table's
     // schema/mapping/constraint state is still what this batch was
@@ -911,7 +944,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
     while (true) {
       try {
         val v = publish(Commit(attempt, mode,
-          schemaOverride.getOrElse(df.schema).json,
+          recordedSchema.json,
           removed, entries, txn.map(_._1), txn.map(_._2), Nil, Some(mapping),
           checks = if (base.isEmpty && pendingChecks.nonEmpty)
             Some(pendingChecks.toMap) else None,
@@ -1197,6 +1230,25 @@ class DeltaLite(val spark: SparkSession, val root: String,
     * a pre-evolution version still reads with that version's narrower
     * schema.
     */
+  /** ALTER TABLE ADD COLUMN as a data-free commit: an EMPTY append
+    * with the widened schema rides the existing [[appendEvolve]]
+    * contract — zero files written, every existing file reads the new
+    * column as null (parquet missing-column semantics), streaming
+    * tails see one empty append (a no-op batch, never a wedge), time
+    * travel below keeps the narrower schema, and a previously-DROPPED
+    * same name gets a fresh physical id through the evolve path's
+    * tombstone check (old bytes never resurface).
+    */
+  def addColumn(name: String, dataType: DataType): Int = {
+    val sch = schema.getOrElse(sys.error(s"empty table at $root"))
+    require(!sch.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"column '$name' already exists at $root")
+    val widened = StructType(sch.fields :+
+      StructField(name, dataType, nullable = true))
+    appendEvolve(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), widened))
+  }
+
   def appendEvolve(df: DataFrame): Int = schema match {
     case None => commit(df, "append")
     case Some(committed) =>

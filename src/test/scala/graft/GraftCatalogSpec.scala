@@ -243,6 +243,29 @@ class GraftCatalogSpec extends SparkSpec {
     assert(capped.length == 1, "max_rows caps the audit slice")
   }
 
+  test("ALTER TABLE ADD COLUMNS: data-free widen, old rows read null") {
+    wh
+    spark.sql("CREATE TABLE graft.gold.ac (k BIGINT)")
+    spark.sql("INSERT INTO graft.gold.ac VALUES (1), (2)")
+    val preAdd = new DeltaLite(spark, tablePropsPath("graft.gold.ac"))
+      .latestVersion.get
+    spark.sql("ALTER TABLE graft.gold.ac ADD COLUMNS (score DOUBLE)")
+    // old rows read the new column as null; new shape inserts work
+    spark.sql("INSERT INTO graft.gold.ac VALUES (3, 9.5)")
+    val got = spark.sql("SELECT k, score FROM graft.gold.ac ORDER BY k")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq
+    assert(got == Seq((1L, None), (2L, None), (3L, Some(9.5))))
+    // UPDATE can fill the widened column
+    spark.sql("UPDATE graft.gold.ac SET score = 1.0 WHERE k = 1")
+    assert(spark.sql(
+      "SELECT score FROM graft.gold.ac WHERE k = 1").head().getDouble(0) == 1.0)
+    // time travel below the widen keeps the narrow schema
+    assert(spark.sql(
+      s"SELECT * FROM graft.gold.ac VERSION AS OF $preAdd")
+      .schema.fieldNames.toSeq == Seq("k"))
+  }
+
   test("CALL optimize_where / vacuum_orphans / clone") {
     wh
     spark.sql("CREATE TABLE graft.gold.mx (k BIGINT, p STRING) " +
