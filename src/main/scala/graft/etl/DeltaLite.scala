@@ -242,8 +242,62 @@ class DeltaLite(val spark: SparkSession, val root: String,
   }
 
   // ---- hand-rolled (de)serialization of the commit record ----
-  private def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-  private def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+  /** JSON-string escape for the log: backslash, quote, and EVERY
+    * control char (< 0x20 → \u00XX). Control chars must not reach the
+    * record raw — a data-derived stat containing a newline would stop
+    * the record-body regexes (no DOTALL) and silently drop the
+    * commit's file list (found by the hostile-values property test).
+    */
+  private def esc(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\') b.append("\\\\")
+      else if (c == '"') b.append("\\\"")
+      else if (c < ' ') b.append(f"\\u${c.toInt}%04x")
+      else b.append(c)
+      i += 1
+    }
+    b.toString
+  }
+
+  /** Single-pass unescape — the chained-replace form was ambiguous
+    * for adjacent escapes (a literal backslash followed by a quote
+    * decoded differently depending on replace order).
+    */
+  private def unesc(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => b.append('"'); i += 2
+          case '\\' => b.append('\\'); i += 2
+          case 'u' if i + 5 < s.length =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => b.append(c).append(other); i += 2
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  /** Separator-safe value encoding for the log's US/RS-joined fields:
+    * DATA-derived strings (multi-column stats, CHECK sql) may contain
+    * the separator bytes themselves or be EMPTY — percent-escape the
+    * three special bytes (and %) so a keep-empties split round-trips
+    * any value. Identity for ordinary text (only '%' expands), so
+    * pre-escape logs parse unchanged.
+    */
+  private def escSep(s: String): String =
+    s.replace("%", "%25").replace("\u0000", "%00")
+      .replace("\u001f", "%1F").replace("\u001e", "%1E")
+  private def unescSep(s: String): String =
+    s.replace("%1E", "\u001e").replace("%1F", "\u001f")
+      .replace("%00", "\u0000").replace("%25", "%")
 
   private def parseCommit(json: String): Commit = {
     def optField(k: String): Option[String] = {
@@ -272,11 +326,12 @@ class DeltaLite(val spark: SparkSession, val root: String,
       // optional per-file multi-column stats: k<US>mn<US>mx records
       // joined by <RS>; the NUL sentinel encodes a null bound
       val extra = Option(m.group(4)).map(unesc).filter(_.nonEmpty)
-        .map(_.split('\u001e').map { e =>
-          val p = e.split('\u001f')
+        .map(_.split("\u001e", -1).map { e =>
+          // keep-empties split: an empty-string stat is a legal value
+          val p = e.split("\u001f", -1)
           def dec(s: String): Option[String] =
-            if (s == "\u0000") None else Some(s)
-          p(0) -> (dec(p(1)), dec(p(2)))
+            if (s == "\u0000") None else Some(unescSep(s))
+          unescSep(p(0)) -> (dec(p(1)), dec(p(2)))
         }.toMap)
         .getOrElse(Map.empty[String, (Option[String], Option[String])])
       FileEntry(unesc(m.group(1)), opt(m.group(2)), opt(m.group(3)),
@@ -301,7 +356,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
       if (s.isEmpty) Map.empty[String, String]
       else s.split('\u001e').map { e =>
         val i = e.indexOf('\u001f')
-        e.substring(0, i) -> e.substring(i + 1)
+        // the SQL value is user-authored text — separator-escaped
+        e.substring(0, i) -> unescSep(e.substring(i + 1))
       }.toMap
     }
     val parts = optField("parts").map { s =>
@@ -322,10 +378,10 @@ class DeltaLite(val spark: SparkSession, val root: String,
       val cols =
         if (f.extra.isEmpty) ""
         else {
-          def enc(o: Option[String]) = o.getOrElse("\u0000")
+          def enc(o: Option[String]) = o.map(escSep).getOrElse("\u0000")
           val body = f.extra.toSeq.sortBy(_._1)
             .map { case (k, (mn, mx)) =>
-              k + "\u001f" + enc(mn) + "\u001f" + enc(mx) }
+              escSep(k) + "\u001f" + enc(mn) + "\u001f" + enc(mx) }
             .mkString("\u001e")
           s""","cols":"${esc(body)}""""
         }
@@ -345,7 +401,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
     }.getOrElse("")
     val checks = c.checks.map { m =>
       val body = m.toSeq.sorted
-        .map { case (n, sql) => n + "\u001f" + sql }.mkString("\u001e")
+        .map { case (n, sql) => n + "\u001f" + escSep(sql) }.mkString("\u001e")
       s""""checks":"${esc(body)}","""
     }.getOrElse("")
     val parts = c.parts.map { ps =>

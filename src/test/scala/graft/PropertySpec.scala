@@ -135,4 +135,35 @@ class PropertySpec extends SparkSpec {
     }.toSet
     assert(got == want)
   }
+
+  test("property: commit log round-trips hostile string stats and paths") {
+    import graft.etl.DeltaLite
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // stats min/max are stringified DATA values riding the regex-based
+    // commit-log JSON — quotes, backslashes, newlines, tabs, unicode
+    // and JSON-ish fragments must all survive render→parse→prune
+    val nasty = Seq(
+      """a"quote""", """b\\back\slash""", "c\nnew\nline", "d\ttab",
+      "e\u001f\u001eseps", "f{\"json\":\"ish\"}", "g\u00e9\u4e2d\u6587\ud83d\ude00",
+      "h,comma:colon", "", "  leading and trailing  ")
+    val rows = nasty.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+    val root = java.nio.file.Files.createTempDirectory("graft-prop-log").toString
+    val t = DeltaLite(spark, root, statsKey = "s")
+    rows.grouped(3).foreach(g => t.append(g.toDF("s", "i")))
+    t.restats(Seq("s", "i"))
+    // a FRESH handle replays the published log bytes
+    val re = DeltaLite(spark, root, statsKey = "s")
+    val got = re.read().collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == rows.toSet, "hostile values must survive the log round trip")
+    // pruned point reads still find each value (stats not corrupted)
+    nasty.foreach { v =>
+      val hit = re.readIndexed().filter(col("s") === v).collect()
+      assert(hit.length == 1, s"lookup failed for ${v.take(20)}")
+    }
+    // checkpoint + trim replays through the synthetic commit encoding
+    re.checkpointNow(); re.cleanLog()
+    val re2 = DeltaLite(spark, root, statsKey = "s")
+    assert(re2.read().collect().map(_.getString(0)).toSet == nasty.toSet)
+  }
 }
