@@ -80,6 +80,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def isTableDir(p: Path): Boolean =
     fs.exists(new Path(p, "_log"))
 
+  /** External-table pointer: `CREATE TABLE … LOCATION '/path'` keeps
+    * the DATA at the caller's path and plants a one-line `_external`
+    * file at the warehouse slot — the catalog stays storage-derived
+    * (no metastore), the pointer IS the registration. DROP on an
+    * external table removes only the pointer (Delta's external-table
+    * contract: unregister, never delete the caller's data).
+    */
+  private def externalPointer(ident: Identifier): Path =
+    new Path(tablePath(ident), "_external")
+
+  private def externalRoot(ident: Identifier): Option[String] = {
+    val ptr = externalPointer(ident)
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  /** The table's effective DeltaLite root (external pointer wins). */
+  private def tableRoot(ident: Identifier): String =
+    externalRoot(ident).getOrElse(tablePath(ident).toString)
+
+  override def tableExists(ident: Identifier): Boolean =
+    externalRoot(ident) match {
+      case Some(root) => fs.exists(new Path(root, "_log"))
+      case None => isTableDir(tablePath(ident))
+    }
+
   // ----- namespaces ------------------------------------------------
 
   override def listNamespaces(): Array[Array[String]] = {
@@ -127,7 +157,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listTables(ns: Array[String]): Array[Identifier] = {
     val p = nsPath(ns)
     if (!fs.exists(p)) throw new NoSuchNamespaceException(ns)
-    fs.listStatus(p).filter(st => st.isDirectory && isTableDir(st.getPath))
+    fs.listStatus(p).filter(st => st.isDirectory &&
+        (isTableDir(st.getPath) || fs.exists(new Path(st.getPath, "_external"))))
       .map(st => Identifier.of(ns, st.getPath.getName))
   }
 
@@ -136,29 +167,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * recorded stats without being told the key.
     */
   private def open(ident: Identifier): DeltaLite = {
-    val probe = new DeltaLite(spark, tablePath(ident).toString)
+    val root = tableRoot(ident)
+    val probe = new DeltaLite(spark, root)
     probe.recordedStatsKey match {
-      case sk @ Some(_) =>
-        new DeltaLite(spark, tablePath(ident).toString, statsKey = sk)
+      case sk @ Some(_) => new DeltaLite(spark, root, statsKey = sk)
       case None => probe
     }
   }
 
   override def loadTable(ident: Identifier): Table = {
-    if (!isTableDir(tablePath(ident))) throw new NoSuchTableException(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new GraftTable(fullName(ident), open(ident))
   }
 
   /** VERSION AS OF n. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    if (!isTableDir(tablePath(ident))) throw new NoSuchTableException(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new GraftTable(fullName(ident), open(ident),
       asOfVersion = Some(version.toInt))
   }
 
   /** TIMESTAMP AS OF ts (micros since epoch). */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    if (!isTableDir(tablePath(ident))) throw new NoSuchTableException(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new GraftTable(fullName(ident), open(ident),
       asOfTimestampMicros = Some(timestampMicros))
   }
@@ -169,7 +200,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    if (isTableDir(tablePath(ident))) throw new TableAlreadyExistsException(ident)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val parts = partitions.toSeq.map { t =>
       if (t.name() != "identity" || t.references().length != 1)
         throw new UnsupportedOperationException(
@@ -177,11 +208,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       t.references()(0).fieldNames().mkString(".")
     }
     val statsKey = Option(properties.get("statskey"))
-    val t = new DeltaLite(spark, tablePath(ident).toString,
+    val external = Option(properties.get("location")).map(_.trim).filter(_.nonEmpty)
+    val root = external.getOrElse(tablePath(ident).toString)
+    val t = new DeltaLite(spark, root,
       statsKey = statsKey, partitionBy = parts)
-    // v0 records the schema (and partition spec) with zero data files
-    t.append(spark.createDataFrame(
-      new util.ArrayList[Row](), schema))
+    external match {
+      case Some(loc) =>
+        // plant the pointer FIRST so a concurrent loadTable resolves
+        val tmp = new Path(tablePath(ident),
+          s"._external-${java.util.UUID.randomUUID().toString.take(8)}")
+        fs.mkdirs(tablePath(ident))
+        val out = fs.create(tmp, true)
+        try out.write(loc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        require(fs.rename(tmp, externalPointer(ident)),
+          s"failed to register external table at $loc")
+        if (t.latestVersion.isEmpty)
+          // fresh external location: v0 records the declared schema
+          t.append(spark.createDataFrame(new util.ArrayList[Row](), schema))
+        else if (schema.nonEmpty)
+          // registering an EXISTING table: a declared schema must match
+          require(t.schema.exists(existing =>
+            existing.fields.map(f => (f.name, f.dataType)).toSeq ==
+              schema.fields.map(f => (f.name, f.dataType)).toSeq),
+            s"declared schema differs from the existing table at $loc")
+      case None =>
+        // v0 records the schema (and partition spec), zero data files
+        t.append(spark.createDataFrame(new util.ArrayList[Row](), schema))
+    }
     new GraftTable(fullName(ident), t)
   }
 
@@ -207,6 +261,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def dropTable(ident: Identifier): Boolean = {
+    if (externalRoot(ident).isDefined)
+      // external: unregister only — the caller's data stays
+      return fs.delete(tablePath(ident), true)
     val p = tablePath(ident)
     if (!isTableDir(p)) return false
     fs.delete(p, true)
@@ -214,9 +271,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = {
-    if (!isTableDir(tablePath(oldIdent)))
+    if (!tableExists(oldIdent))
       throw new NoSuchTableException(oldIdent)
-    if (isTableDir(tablePath(newIdent)))
+    if (tableExists(newIdent))
       throw new TableAlreadyExistsException(newIdent)
     if (!fs.exists(nsPath(newIdent.namespace())))
       throw new NoSuchNamespaceException(newIdent.namespace())
@@ -255,7 +312,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val ident = Identifier.of(segs.init, segs.last)
     require(namespaceExists(ident.namespace()),
       s"no such namespace ${ident.namespace().mkString(".")}")
-    require(!isTableDir(tablePath(ident)),
+    require(!tableExists(ident),
       s"clone target $qualified already exists")
     tablePath(ident).toString
   }

@@ -226,6 +226,33 @@ class GraftCatalogSpec extends SparkSpec {
     assert(d.head.getAs[Long]("size_bytes") > 0L)
   }
 
+  test("external LOCATION tables: register, query, drop keeps the data") {
+    wh
+    val ext = Files.createTempDirectory("graft-ext-loc").toString
+    // CREATE ... LOCATION: data lives at the caller's path
+    spark.sql("CREATE TABLE graft.gold.extt (k BIGINT, v STRING) " +
+      s"LOCATION '$ext/t1'")
+    spark.sql("INSERT INTO graft.gold.extt VALUES (1,'a'), (2,'b')")
+    assert(spark.table("graft.gold.extt").count() == 2)
+    assert(new java.io.File(s"$ext/t1/_log").exists,
+      "commit log lives at the external location")
+    // SHOW TABLES lists it; DROP unregisters but keeps the data
+    assert(spark.sql("SHOW TABLES IN graft.gold").collect()
+      .exists(_.getString(1) == "extt"))
+    spark.sql("DROP TABLE graft.gold.extt")
+    assert(new java.io.File(s"$ext/t1/_log").exists,
+      "DROP on external must not delete the caller's data")
+    // re-REGISTER the surviving table under a new name, schema checked
+    spark.sql("CREATE TABLE graft.gold.ext2 (k BIGINT, v STRING) " +
+      s"LOCATION '$ext/t1'")
+    assert(spark.sql("SELECT k FROM graft.gold.ext2 ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // a wrong declared schema is rejected at registration
+    spark.sql("DROP TABLE graft.gold.ext2")
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE graft.gold.ext3 (wrong DOUBLE) LOCATION '$ext/t1'"))
+  }
+
   test("CALL table_changes returns the capped CDC slice") {
     wh
     spark.sql("CREATE TABLE graft.gold.cdc (k BIGINT, v STRING)")
