@@ -213,4 +213,41 @@ class ConcurrencySpec extends SparkSpec {
     assert(!orphanDir.exists())
     assert(t.read().count() == 3)
   }
+
+  test("concurrent SQL DML: OCC surfaces, no update is silently lost") {
+    graft.catalog.GraftCatalog.install(spark,
+      Files.createTempDirectory("graft-occ-wh").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.occ")
+    spark.sql("CREATE TABLE graft.occ.t (k BIGINT, n BIGINT)")
+    spark.sql("INSERT INTO graft.occ.t VALUES (1, 0), (2, 0), (3, 0)")
+    // racing row-level updates: rewrite commits are snapshot-dependent,
+    // so of two simultaneous UPDATEs one must commit and the other
+    // must FAIL (ConcurrentModificationException through the SQL
+    // surface) — never a silent lost update
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val futures = (0 until 4).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Either[Throwable, Unit]] {
+        override def call(): Either[Throwable, Unit] =
+          try Right { spark.sql(
+            s"UPDATE graft.occ.t SET n = n + 1 WHERE k = ${i % 3 + 1}"); () }
+          catch { case e: Throwable => Left(e) }
+      })
+    }
+    val results = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    val ok = results.count(_.isRight)
+    assert(ok >= 1, "at least one update must win")
+    results.collect { case Left(e) =>
+      assert(chain(e).exists(_.isInstanceOf[java.util.ConcurrentModificationException]),
+        s"a losing update must fail with the OCC exception, got $e")
+    }
+    // the table reflects EXACTLY the winners: total n == committed ops
+    val totalN = spark.sql("SELECT CAST(SUM(n) AS BIGINT) FROM graft.occ.t")
+      .head().getLong(0)
+    assert(totalN == ok.toLong,
+      s"sum(n)=$totalN must equal the $ok committed updates — no loss, no double-apply")
+  }
+
+  private def chain(e: Throwable): Seq[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
 }
