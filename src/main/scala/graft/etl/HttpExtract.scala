@@ -48,6 +48,23 @@ object HttpExtract {
     .followRedirects(HttpClient.Redirect.NORMAL)
     .build()
 
+  /** Decode the response body, honoring `Content-Encoding: gzip` —
+    * the JDK HttpClient does NOT transparently decompress, and most
+    * public APIs compress when offered.
+    */
+  private def decodeBody(resp: HttpResponse[Array[Byte]]): String = {
+    val gzipped = resp.headers().firstValue("Content-Encoding")
+      .map[Boolean](_.equalsIgnoreCase("gzip")).orElse(false)
+    val bytes =
+      if (!gzipped) resp.body()
+      else {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(resp.body()))
+        try in.readAllBytes() finally in.close()
+      }
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** GET `url` with bounded retry; returns the response body. */
   def get(url: String, cfg: Config = Config()): String = {
     var attempt = 0
@@ -56,19 +73,20 @@ object HttpExtract {
       val outcome: Either[(Option[Long], String), String] =
         try {
           val b = HttpRequest.newBuilder(URI.create(url))
-            .timeout(Duration.ofMillis(cfg.timeoutMs)).GET()
+            .timeout(Duration.ofMillis(cfg.timeoutMs))
+            .header("Accept-Encoding", "gzip").GET()
           cfg.headers.foreach { case (k, v) => b.header(k, v) }
           val resp = client.send(b.build(),
-            HttpResponse.BodyHandlers.ofString())
+            HttpResponse.BodyHandlers.ofByteArray())
           val status = resp.statusCode()
-          if (status >= 200 && status < 300) Right(resp.body())
+          if (status >= 200 && status < 300) Right(decodeBody(resp))
           else if (transient(status)) {
             val ra = resp.headers().firstValue("Retry-After")
             val retryAfter =
               if (ra.isPresent) ra.get().toLongOption.map(_ * 1000L)
               else None
             Left((retryAfter, s"HTTP $status"))
-          } else throw new HttpStatusException(status, url, resp.body())
+          } else throw new HttpStatusException(status, url, decodeBody(resp))
         } catch {
           case e: java.io.IOException => Left((None, e.toString))
           case e: InterruptedException => throw e

@@ -135,6 +135,24 @@ class HttpExtractSpec extends SparkSpec {
     }
   }
 
+  test("gzip responses decode transparently (JDK client does not)") {
+    val payload = """{"ok":"gzipped","n":42}"""
+    withServer("/gz" -> { ex =>
+      assert(Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+        .exists(_.contains("gzip")), "client must offer gzip")
+      val raw = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(raw)
+      gz.write(payload.getBytes(StandardCharsets.UTF_8)); gz.close()
+      ex.getResponseHeaders.set("Content-Encoding", "gzip")
+      val bytes = raw.toByteArray
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+    }) { base =>
+      assert(HttpExtract.get(s"$base/gz",
+        noSleepCfg(collection.mutable.Buffer.empty)) == payload)
+    }
+  }
+
   test("stringField pulls flat tokens, handles escapes and absence") {
     assert(HttpExtract.stringField("""{"a":"b","tok":"CAUQAA"}""", "tok")
       .contains("CAUQAA"))
