@@ -46,10 +46,12 @@ import scala.jdk.CollectionConverters._
   * lakehouse catalog-from-storage shape).
   *
   * Maintenance DDL the SQL grammar lacks ships as CALL procedures
-  * (`optimize`, `vacuum`, `restore`, `zorder`, `analyze`,
-  * `checkpoint`, `clean_log`, `add_constraint`, `drop_constraint`) —
-  * the Spark 4 [[ProcedureCatalog]] surface, mirroring
-  * OPTIMIZE/VACUUM/RESTORE.
+  * (`optimize`, `optimize_where`, `vacuum`, `vacuum_orphans`,
+  * `restore`, `zorder`, `analyze`, `checkpoint`, `clean_log`,
+  * `add_constraint`, `drop_constraint`, `copy_into`, `clone`; row-set
+  * procedures `history`, `detail`, `table_changes`) — the Spark 4
+  * [[ProcedureCatalog]] surface, mirroring OPTIMIZE/VACUUM/RESTORE
+  * and the DESCRIBE audit commands.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with ProcedureCatalog {
