@@ -159,9 +159,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listTables(ns: Array[String]): Array[Identifier] = {
     val p = nsPath(ns)
     if (!fs.exists(p)) throw new NoSuchNamespaceException(ns)
-    fs.listStatus(p).filter(st => st.isDirectory &&
-        (isTableDir(st.getPath) || fs.exists(new Path(st.getPath, "_external"))))
+    // every listed name must loadTable: an _external pointer whose
+    // target lost its _log would SHOW here yet throw on load —
+    // resolve through tableExists instead of the raw pointer file
+    fs.listStatus(p).filter(_.isDirectory)
       .map(st => Identifier.of(ns, st.getPath.getName))
+      .filter(tableExists)
   }
 
   /** Open the DeltaLite handle; partition spec and stats key are read
@@ -255,6 +258,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(ac.fieldNames().length == 1, "nested columns unsupported")
         require(ac.position() == null,
           "FIRST/AFTER positions unsupported — columns append at the end")
+        // existing rows have no value for the new column, so a NOT
+        // NULL add can only produce violations — reject rather than
+        // silently record the column as nullable
+        require(ac.isNullable,
+          "ADD COLUMN ... NOT NULL is unsupported: existing rows " +
+            "would violate it; add nullable, backfill, then constrain")
         t.addColumn(ac.fieldNames()(0), ac.dataType())
       case c => throw new UnsupportedOperationException(
         s"unsupported table change: $c")

@@ -289,8 +289,13 @@ class DeltaLite(val spark: SparkSession, val root: String,
     * DATA-derived strings (multi-column stats, CHECK sql) may contain
     * the separator bytes themselves or be EMPTY — percent-escape the
     * three special bytes (and %) so a keep-empties split round-trips
-    * any value. Identity for ordinary text (only '%' expands), so
-    * pre-escape logs parse unchanged.
+    * any value. DECODING IS GATED on the record-level `sepenc` format
+    * marker: logs written before this encoding existed never escaped
+    * their values, so a legacy value that happens to contain a literal
+    * "%25"/"%1F" substring must parse byte-for-byte unchanged, not be
+    * percent-decoded into different bytes. Records written by this
+    * renderer always carry `"sepenc":"1"`; parse applies [[unescSep]]
+    * only when the marker is present.
     */
   private def escSep(s: String): String =
     s.replace("%", "%25").replace("\u0000", "%00")
@@ -306,6 +311,10 @@ class DeltaLite(val spark: SparkSession, val root: String,
     }
     def field(k: String): String = optField(k)
       .getOrElse(sys.error(s"corrupt commit: missing $k in $json"))
+    // format marker: only records written by the escSep-aware renderer
+    // are percent-decoded; legacy values pass through byte-for-byte
+    val sepEnc = optField("sepenc").contains("1")
+    def dsep(s: String): String = if (sepEnc) unescSep(s) else s
     val removed = "\"removed\":\\[(.*?)\\],\"files\"".r
       .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
     val removedPaths = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
@@ -330,8 +339,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
           // keep-empties split: an empty-string stat is a legal value
           val p = e.split("\u001f", -1)
           def dec(s: String): Option[String] =
-            if (s == "\u0000") None else Some(unescSep(s))
-          unescSep(p(0)) -> (dec(p(1)), dec(p(2)))
+            if (s == "\u0000") None else Some(dsep(s))
+          dsep(p(0)) -> (dec(p(1)), dec(p(2)))
         }.toMap)
         .getOrElse(Map.empty[String, (Option[String], Option[String])])
       FileEntry(unesc(m.group(1)), opt(m.group(2)), opt(m.group(3)),
@@ -349,22 +358,24 @@ class DeltaLite(val spark: SparkSession, val root: String,
       if (s.isEmpty) Map.empty[String, String]
       else s.split('').map { e =>
         val i = e.indexOf('\u001f')
-        e.substring(0, i) -> e.substring(i + 1)
+        dsep(e.substring(0, i)) -> dsep(e.substring(i + 1))
       }.toMap
     }
     val checks = optField("checks").map { s =>
       if (s.isEmpty) Map.empty[String, String]
       else s.split('\u001e').map { e =>
         val i = e.indexOf('\u001f')
-        // the SQL value is user-authored text — separator-escaped
-        e.substring(0, i) -> unescSep(e.substring(i + 1))
+        // name AND sql are user-authored text — both separator-escaped
+        dsep(e.substring(0, i)) -> dsep(e.substring(i + 1))
       }.toMap
     }
     val parts = optField("parts").map { s =>
-      if (s.isEmpty) Seq.empty[String] else s.split('\u001e').toSeq
+      if (s.isEmpty) Seq.empty[String]
+      else s.split('\u001e').toSeq.map(dsep)
     }
     val ingested = optField("ingested")
-      .map(s => if (s.isEmpty) Seq.empty[String] else s.split('\u001e').toSeq)
+      .map(s => if (s.isEmpty) Seq.empty[String]
+        else s.split('\u001e').toSeq.map(dsep))
       .getOrElse(Nil)
     Commit(field("version").toInt, field("mode"), field("schema"),
       removedPaths, files, optField("txnApp"), optField("txnId").map(_.toLong),
@@ -396,20 +407,22 @@ class DeltaLite(val spark: SparkSession, val root: String,
       .map(k => s""""statsCol":"${esc(k)}",""").getOrElse("")
     val colmap = c.colmap.map { m =>
       val body = m.toSeq.sorted
-        .map { case (l, p) => l + "" + p }.mkString("")
+        .map { case (l, p) => escSep(l) + "" + escSep(p) }
+        .mkString("")
       s""""colmap":"${esc(body)}","""
     }.getOrElse("")
     val checks = c.checks.map { m =>
       val body = m.toSeq.sorted
-        .map { case (n, sql) => n + "\u001f" + escSep(sql) }.mkString("\u001e")
+        .map { case (n, sql) => escSep(n) + "\u001f" + escSep(sql) }
+        .mkString("\u001e")
       s""""checks":"${esc(body)}","""
     }.getOrElse("")
     val parts = c.parts.map { ps =>
-      s""""parts":"${esc(ps.mkString("\u001e"))}","""
+      s""""parts":"${esc(ps.map(escSep).mkString("\u001e"))}","""
     }.getOrElse("")
     val ingested =
       if (c.ingested.isEmpty) ""
-      else s""""ingested":"${esc(c.ingested.mkString("\u001e"))}","""
+      else s""""ingested":"${esc(c.ingested.map(escSep).mkString("\u001e"))}","""
     // dvs renders just before "schema" — the parse anchors on that,
     // and the removed-list regex (anchored on "removed":[...],"files")
     // stays unambiguous
@@ -417,7 +430,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
       if (c.dvs.isEmpty) ""
       else c.dvs.map(p => "\"" + esc(p) + "\"")
         .mkString("\"dvs\":[", ",", "],")
-    s"""{"version":"${c.version}","mode":"${c.mode}",$txn$statsCol$colmap$checks$parts$ingested$dvs"schema":"${esc(c.schemaJson)}","removed":$removed,"files":$files}"""
+    s"""{"version":"${c.version}","mode":"${c.mode}","sepenc":"1",$txn$statsCol$colmap$checks$parts$ingested$dvs"schema":"${esc(c.schemaJson)}","removed":$removed,"files":$files}"""
   }
 
   // ---- commit-log checkpoints (bounded-cost table open) ----
@@ -493,7 +506,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
   private def renderCheckpoint(cp: Checkpoint): String = {
     val body = renderCommit(cp.synthetic)
     val txns = cp.txns.toSeq.sorted
-      .map { case (a, i) => a + "\u001f" + i }.mkString("\u001e")
+      .map { case (a, i) => escSep(a) + "\u001f" + i }.mkString("\u001e")
     "{\"txns\":\"" + esc(txns) + "\"," + body.substring(1)
   }
 
@@ -504,7 +517,11 @@ class DeltaLite(val spark: SparkSession, val root: String,
       .filter(_.nonEmpty)
       .map(_.split('\u001e').map { e =>
         val i = e.indexOf('\u001f')
-        e.substring(0, i) -> e.substring(i + 1).toLong
+        val app = e.substring(0, i)
+        // same sepenc gating as parseCommit: the marker rides in the
+        // embedded commit body this checkpoint wraps
+        (if (json.contains("\"sepenc\":\"1\"")) unescSep(app) else app) ->
+          e.substring(i + 1).toLong
       }.toMap)
       .getOrElse(Map.empty)
     Checkpoint(c.version, c.schemaJson, c.files, c.dvs,

@@ -135,10 +135,38 @@ object HttpExtract {
   def stringField(body: String, name: String): Option[String] = {
     val re = ("\"" + java.util.regex.Pattern.quote(name) +
       "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
-    re.findFirstMatchIn(body).map(_.group(1)
-      .replace("\\\"", "\"").replace("\\\\", "\\")
-      .replace("\\n", "\n").replace("\\t", "\t").replace("\\r", "\r")
-      .replace("\\/", "/"))
+    re.findFirstMatchIn(body).map(m => unescapeJson(m.group(1)))
+  }
+
+  /** Single-pass JSON string unescape — chained replaces are
+    * order-dependent for adjacent escapes (`\\n` in the wire bytes is
+    * an escaped backslash followed by a literal 'n', but a
+    * replace-backslashes-then-newlines chain turns it into a newline).
+    * A token value containing backslashes must round-trip exactly.
+    */
+  private def unescapeJson(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => b.append('"'); i += 2
+          case '\\' => b.append('\\'); i += 2
+          case '/' => b.append('/'); i += 2
+          case 'n' => b.append('\n'); i += 2
+          case 't' => b.append('\t'); i += 2
+          case 'r' => b.append('\r'); i += 2
+          case 'b' => b.append('\b'); i += 2
+          case 'f' => b.append('\f'); i += 2
+          case 'u' if i + 5 < s.length =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => b.append(c).append(other); i += 2
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
   }
 
   /** `extract` thunk for [[Pipeline]]: fetches all pages and lands

@@ -42,7 +42,7 @@ object Scheduler {
       records: ConcurrentLinkedQueue[RunRecord],
       stateRef: java.util.concurrent.atomic.AtomicReference[State],
       ran: AtomicLong,
-      latchRef: java.util.concurrent.atomic.AtomicReference[(Long, CountDownLatch)]) {
+      waiters: ConcurrentLinkedQueue[(Long, CountDownLatch)]) {
 
     /** Stop after the in-flight run (if any) completes. */
     def stop(): Unit = {
@@ -67,10 +67,15 @@ object Scheduler {
       */
     def awaitRuns(n: Long, timeoutMs: Long): Boolean = {
       if (ran.get() >= n) return true
+      // a QUEUE of waiters, not a single slot: two concurrent callers
+      // must each get their own latch (a clobbered waiter would block
+      // for its full timeout even after its target was reached)
       val latch = new CountDownLatch(1)
-      latchRef.set((n, latch))
-      if (ran.get() >= n) return true // raced: recheck after publishing
-      latch.await(timeoutMs, TimeUnit.MILLISECONDS) || ran.get() >= n
+      waiters.add((n, latch))
+      if (ran.get() >= n) { waiters.remove((n, latch)); return true }
+      val ok = latch.await(timeoutMs, TimeUnit.MILLISECONDS) || ran.get() >= n
+      waiters.remove((n, latch)) // fired or timed out — never left stale
+      ok
     }
   }
 
@@ -90,7 +95,7 @@ object Scheduler {
     val records = new ConcurrentLinkedQueue[RunRecord]()
     val stateRef = new java.util.concurrent.atomic.AtomicReference[State](Running)
     val ran = new AtomicLong(0)
-    val latchRef = new java.util.concurrent.atomic.AtomicReference[(Long, CountDownLatch)]()
+    val waiters = new ConcurrentLinkedQueue[(Long, CountDownLatch)]()
     val thread = new Thread(() => {
       var consecutiveFailures = 0
       var wait = if (firstDelayMs >= 0) firstDelayMs else intervalMs
@@ -112,8 +117,11 @@ object Scheduler {
           while (records.size() > historyLimit) records.poll()
           runId += 1
           val n = ran.incrementAndGet()
-          Option(latchRef.get()).foreach { case (target, latch) =>
-            if (n >= target) latch.countDown()
+          // fire and drop EVERY satisfied waiter
+          val it = waiters.iterator()
+          while (it.hasNext) {
+            val (target, latch) = it.next()
+            if (n >= target) { latch.countDown(); it.remove() }
           }
           outcome match {
             case Right(_) =>
@@ -137,6 +145,6 @@ object Scheduler {
     }, s"graft-scheduler-${System.identityHashCode(records)}")
     thread.setDaemon(true)
     thread.start()
-    new Handle(stopFlag, thread, records, stateRef, ran, latchRef)
+    new Handle(stopFlag, thread, records, stateRef, ran, waiters)
   }
 }

@@ -124,6 +124,41 @@ class ConstraintSpec extends SparkSpec {
     assert(t.schema.get.fieldNames.toSeq == Seq("k", "value"))
   }
 
+  test("sepenc: constraint names/sql with separator bytes and % round-trip") {
+    val t = mkTable(tmp("graft-ck-sep"))
+    // sql carrying the log's own separator bytes plus literal
+    // percent-escape lookalikes must round-trip byte-for-byte
+    // (names are identifier-restricted, so only the value side can
+    // carry these — escSep guards both anyway)
+    val sql = "amount > 0 /* odd: \u001f \u001e %1F %25 \u0000 */"
+    t.addCheckConstraint("weird_sql", sql)
+    val reopened = DeltaLite(spark, t.root)
+    assert(reopened.checkConstraints == Map("weird_sql" -> sql))
+  }
+
+  test("sepenc: legacy logs without the marker are not percent-decoded") {
+    val root = tmp("graft-ck-legacy")
+    val t = mkTable(root)
+    // a value that LOOKS like a percent-escape: a legacy writer stored
+    // it raw, so a marker-less record must parse it byte-for-byte
+    t.addCheckConstraint("pct", "amount > 0 or '' = '100%25ok'")
+    val logDir = new java.io.File(root, "_log")
+    logDir.listFiles().filter(_.getName.endsWith(".json")).foreach { f =>
+      val body = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      // strip the marker AND undo the writer's escaping: a true
+      // legacy writer stored the raw bytes
+      java.nio.file.Files.write(f.toPath,
+        body.replace("\"sepenc\":\"1\",", "")
+          .replace("%2525", "%25").getBytes("UTF-8"))
+    }
+    // drop hadoop's checksum sidecars — we edited behind its back
+    logDir.listFiles().filter(_.getName.endsWith(".crc"))
+      .foreach(_.delete())
+    val reopened = DeltaLite(spark, root)
+    assert(reopened.checkConstraints("pct").contains("100%25ok"),
+      "legacy %25 must stay literal, not decode to %")
+  }
+
   test("deleteWhere is exempt (DV sidecar commits carry addresses, not rows)") {
     val t = mkTable(tmp("graft-ck-dv"))
     t.addCheckConstraint("amount_positive", "amount > 0")

@@ -253,6 +253,35 @@ class GraftCatalogSpec extends SparkSpec {
       s"CREATE TABLE graft.gold.ext3 (wrong DOUBLE) LOCATION '$ext/t1'"))
   }
 
+  test("SHOW TABLES omits dangling external pointers (loadTable parity)") {
+    wh
+    val ext = Files.createTempDirectory("graft-ext-dangle").toString
+    spark.sql("CREATE TABLE graft.gold.dang (k BIGINT) " +
+      s"LOCATION '$ext/t'")
+    assert(spark.sql("SHOW TABLES IN graft.gold").collect()
+      .exists(_.getString(1) == "dang"))
+    // the external location loses its log out-of-band: every name SHOW
+    // TABLES returns must still loadTable, so the dangling pointer
+    // disappears from the listing instead of throwing on SELECT
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(s"$ext/t/_log"))
+    assert(!spark.sql("SHOW TABLES IN graft.gold").collect()
+      .exists(_.getString(1) == "dang"))
+    spark.sql("DROP TABLE IF EXISTS graft.gold.dang")
+  }
+
+  test("ADD COLUMN NOT NULL is rejected, not silently widened") {
+    wh
+    spark.sql("CREATE TABLE graft.gold.acnn (k BIGINT)")
+    spark.sql("INSERT INTO graft.gold.acnn VALUES (1)")
+    val ex = intercept[Exception](spark.sql(
+      "ALTER TABLE graft.gold.acnn ADD COLUMNS (s STRING NOT NULL)"))
+    assert(ex.getMessage.contains("NOT NULL"))
+  }
+
   test("CALL table_changes returns the capped CDC slice") {
     wh
     spark.sql("CREATE TABLE graft.gold.cdc (k BIGINT, v STRING)")

@@ -159,6 +159,14 @@ class HttpExtractSpec extends SparkSpec {
     assert(HttpExtract.stringField("""{"tok":"a\"b\\c"}""", "tok")
       .contains("a\"b\\c"))
     assert(HttpExtract.stringField("""{"other":"x"}""", "tok").isEmpty)
+    // single-pass unescape: an escaped backslash followed by a literal
+    // 'n' (wire bytes \\n) must decode to backslash+n, NOT collapse
+    // into a newline (the chained-replace hazard)
+    assert(HttpExtract.stringField("""{"tok":"a\\nb"}""", "tok")
+      .contains("a" + '\\' + "nb"))
+    // a real \n escape decodes to an actual newline
+    assert(HttpExtract.stringField("""{"tok":"x\ny"}""", "tok")
+      .contains("x" + '\n' + "y"))
     assert(HttpExtract.stringField("""{"tok":null}""", "tok").isEmpty)
   }
 

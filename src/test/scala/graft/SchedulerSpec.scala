@@ -98,4 +98,25 @@ class SchedulerSpec extends SparkSpec {
     assert(table.read().select("video_id").as[String].collect().toSet ==
       (0 until n).map(i => s"v$i").toSet)
   }
+
+  test("two concurrent awaitRuns waiters both fire (no latch clobbering)") {
+    val h = Scheduler.every(intervalMs = 20, firstDelayMs = 0)(_ => "ok")
+    try {
+      import java.util.concurrent.{CountDownLatch, TimeUnit}
+      val done = new CountDownLatch(2)
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+      // the second registration used to overwrite the first waiter's
+      // latch, leaving it blocked for its full timeout
+      val threads = Seq(2L, 4L).map { target =>
+        val t = new Thread(() => {
+          results.add(h.awaitRuns(target, timeoutMs = 20000))
+          done.countDown()
+        })
+        t.start(); t
+      }
+      assert(done.await(25, TimeUnit.SECONDS), "both waiters must return")
+      threads.foreach(_.join(1000))
+      assert(results.size == 2 && !results.contains(false))
+    } finally h.stop()
+  }
 }
