@@ -12,6 +12,9 @@ import org.apache.spark.sql.SparkSession
   *    GC / page-fault / JIT episodes that are VM noise, not plan cost.
   *  - failures surface in an `errors` field instead of being recorded
   *    as instant successes.
+  *  - `noise_ratio` records each query's max/min across iterations;
+  *    a ratio over ~3 marks a timing poisoned by a VM page-fault/GC
+  *    episode so noise and plan regressions separate mechanically.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -68,15 +71,25 @@ object Bench {
         if (!errors.contains(name)) times = times :+ t
         extra += 1
       }
-      name -> times.min
+      name -> times
     }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
+    // per-query noise ratio (max/min over the iterations): a ratio
+    // over ~3 marks a timing poisoned by a VM page-fault/GC episode —
+    // lets a reader separate machine noise from plan regressions
+    // mechanically instead of eyeballing round-over-round diffs
+    val noise = results.map { case (k, v) =>
+      val r = if (v.min > 0) v.max / v.min else 1.0
+      "\"" + k + "\":" + (math.rint(r * 10) / 10)
+    }.mkString("{", ",", "}")
+    val noisy = results.count { case (_, v) =>
+      v.min > 0 && v.max / v.min > 3.0 }
     val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"noise_ratio":$noise,"noisy_queries":$noisy,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // the driver's artifact truncates long stdout tails — persist the
     // FULL per-query map so every timing stays auditable

@@ -87,6 +87,7 @@ object SparkEntry {
     "q_deltalite_partition_pruned" -> (Events.deltaPartitionPruned _),
     "q_catalog_table_sql" -> (Events.catalogSql _),
     "q_dml_sql" -> (Events.dmlSql _),
+    "q_dml_merge_multi" -> (Events.dmlMergeMulti _),
     "q_copy_into" -> (Events.copyIntoSql _),
     "q_sketch_setops" -> (Events.sketchSetops _),
     "q_string_funcs" -> (Text.stringFuncs _),
@@ -710,6 +711,19 @@ object SparkEntry {
         |SELECT source, MAX(rep) AS repeats, COUNT(*) AS n_rows,
         |  CAST(SUM(dl) AS BIGINT) AS total_tokens
         |FROM e GROUP BY source ORDER BY source""".stripMargin,
+    // BPE invariant twin: losslessness (token concat == text minus
+    // whitespace) and count bounds re-derived from raw text — Spark
+    // computes both FROM the real encode, the oracle states them; any
+    // merge/segmentation bug flips a row to false → hash mismatch.
+    // Merge order and token identity are pinned by BpeSpec.
+    "q_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
+        |    AS n_nospace,
+        |  true AS lossless,
+        |  true AS bounded
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_chunk" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |c AS (SELECT doc_id, len(t) AS n, t,
@@ -1844,6 +1858,32 @@ object SparkEntry {
     // rewrite on the matched slice, delete = row filter, merge = join
     // add on the matched keys — double arithmetic is IEEE-identical in
     // both engines, decimal cast only at the final aggregate
+    // composite-key MERGE + NOT MATCHED BY SOURCE end state re-derived
+    // with a LEFT JOIN + CASE: matched groups accumulate the slice,
+    // unmatched view-groups delete, other unmatched groups flag n=-1
+    "q_dml_merge_multi" ->
+      """WITH t0 AS (
+        |  SELECT user_id, event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |  FROM events GROUP BY user_id, event_type),
+        |s AS (
+        |  SELECT user_id, event_type, COUNT(*) AS n2,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS t2
+        |  FROM events WHERE event_id % 3 = 0 GROUP BY user_id, event_type),
+        |merged AS (
+        |  SELECT t0.user_id, t0.event_type,
+        |    CASE WHEN s.user_id IS NOT NULL THEN t0.n + s.n2 ELSE -1 END AS n,
+        |    CASE WHEN s.user_id IS NOT NULL
+        |         THEN CAST(t0.total + s.t2 AS DECIMAL(18,2))
+        |         ELSE t0.total END AS total,
+        |    (s.user_id IS NULL AND t0.event_type = 'view') AS deleted
+        |  FROM t0 LEFT JOIN s
+        |    ON t0.user_id = s.user_id AND t0.event_type = s.event_type)
+        |SELECT event_type, COUNT(*) AS n_groups,
+        |  CAST(SUM(n) AS BIGINT) AS sum_n,
+        |  CAST(SUM(total) AS DOUBLE) AS sum_total
+        |FROM merged WHERE NOT deleted
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_dml_sql" ->
       """WITH base AS (
         |  SELECT event_id, user_id,

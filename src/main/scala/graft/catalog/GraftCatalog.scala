@@ -265,6 +265,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "ADD COLUMN ... NOT NULL is unsupported: existing rows " +
             "would violate it; add nullable, backfill, then constrain")
         t.addColumn(ac.fieldNames()(0), ac.dataType())
+      case uc: TableChange.UpdateColumnType =>
+        require(uc.fieldNames().length == 1, "nested columns unsupported")
+        t.widenColumn(uc.fieldNames()(0), uc.newDataType())
       case c => throw new UnsupportedOperationException(
         s"unsupported table change: $c")
     }

@@ -825,8 +825,11 @@ class DeltaLite(val spark: SparkSession, val root: String,
   }
 
   private def enforceSchema(df: DataFrame): Unit = schema.foreach { committed =>
-    val a = committed.fields.map(f => (f.name, f.dataType)).toSeq
-    val b = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    // nested nullability is normalized away (a named_struct literal
+    // batch is non-nullable inside; writing it to a nullable struct
+    // column is always safe) — the rule normalizeType documents
+    val a = committed.fields.map(f => (f.name, normalizeType(f.dataType))).toSeq
+    val b = df.schema.fields.map(f => (f.name, normalizeType(f.dataType))).toSeq
     require(a == b,
       s"schema mismatch: table has ${a.mkString(",")} but batch has ${b.mkString(",")}")
   }
@@ -1322,6 +1325,50 @@ class DeltaLite(val spark: SparkSession, val root: String,
       new java.util.ArrayList[org.apache.spark.sql.Row](), widened))
   }
 
+  /** Lossless widening pairs the parquet reader converts in place —
+    * metadata-only ALTER COLUMN TYPE is safe exactly for these. */
+  private def canWiden(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (a, b) if a == b => false // no-op rejected at call site
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        // integer digits and scale may only grow — every stored value
+        // remains exactly representable
+        b.scale >= a.scale && b.precision - b.scale >= a.precision - a.scale
+      case _ => false
+    }
+
+  /** ALTER COLUMN TYPE as a METADATA-ONLY commit (Delta's type
+    * widening): the logical schema records the wider type; existing
+    * parquet files keep their narrow physical encoding and the scan
+    * widens at read time (the Spark 4 parquet reader converts
+    * int32→int64, float→double and decimal re-scales in the reader
+    * itself — no data rewrite at any table size). Only lossless
+    * widenings are allowed ([[canWiden]]); time travel below the
+    * commit serves the narrow type. File stats stay valid: the
+    * stringified [min,max] of a value is unchanged by widening, and
+    * the typed compare in range pruning follows the LOGICAL type.
+    */
+  def widenColumn(name: String, to: DataType): Int = {
+    val cs = commits()
+    val sch = schema.getOrElse(sys.error(s"empty table at $root"))
+    val f = sch.fields.find(_.name == name).getOrElse(
+      sys.error(s"no column '$name' at $root"))
+    require(f.dataType != to, s"column '$name' already has type " +
+      s"${to.simpleString} at $root")
+    require(canWiden(f.dataType, to),
+      s"cannot widen '$name' from ${f.dataType.simpleString} to " +
+        s"${to.simpleString}: only lossless widenings " +
+        "(byte→short→int→long, float→double, decimal growth) are " +
+        "metadata-only; rewrite via overwrite for anything else")
+    val widened = StructType(sch.fields.map(x =>
+      if (x.name == name) x.copy(dataType = to) else x))
+    publish(Commit(latestVersion.get + 1, "widen", widened.json, Nil, Nil))
+  }
+
   def appendEvolve(df: DataFrame): Int = schema match {
     case None => commit(df, "append")
     case Some(committed) =>
@@ -1552,11 +1599,22 @@ class DeltaLite(val spark: SparkSession, val root: String,
     * carried forward untouched. Write amplification is O(files that can
     * contain matches), not O(table). A file participates in pruning
     * only when its recorded stats describe THIS key (`FileEntry.keyCol
-    * == key`) — stats computed on another column, or absent, make the
-    * file a conservative rewrite candidate. Still correct without any
-    * stats. Old versions stay readable via time travel.
+    * == key` or a multi-column `extra` range from analyze/statsColumns)
+    * — stats computed on another column, or absent, make the file a
+    * conservative rewrite candidate. Still correct without any stats.
+    * Old versions stay readable via time travel.
     */
-  def upsert(df: DataFrame, key: String): Int = upsertImpl(df, key, None)
+  def upsert(df: DataFrame, key: String): Int = upsertImpl(df, Seq(key), None)
+
+  /** Composite-key [[upsert]]: a batch row replaces a table row when
+    * ALL key columns are equal (the compound business key — e.g. the
+    * reference's (keyword, video id) pair). File pruning is
+    * conjunctive: a file is skipped as soon as ANY key column has a
+    * recorded [min,max] range disjoint from the batch's range for that
+    * column, so multi-column stats ([[restats]](keys) or write-time
+    * `statsColumns`) tighten the rewrite set multiplicatively.
+    */
+  def upsertOn(df: DataFrame, keys: Seq[String]): Int = upsertImpl(df, keys, None)
 
   /** Transactional upsert for streaming micro-batches: same merge as
     * [[upsert]], but the commit records (appId, txnId) so a replayed
@@ -1569,7 +1627,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
   def txnUpsert(df: DataFrame, key: String, appId: String,
       txnId: Long): Option[Int] =
     if (lastTxn(appId).exists(_ >= txnId)) None
-    else Some(upsertImpl(df, key, Some((appId, txnId))))
+    else Some(upsertImpl(df, Seq(key), Some((appId, txnId))))
 
   /** Full MERGE INTO with clause conditions — the general form of
     * [[upsert]] (reference: README.md "ACID transactions / incremental
@@ -1590,11 +1648,16 @@ class DeltaLite(val spark: SparkSession, val root: String,
     *
     * Scale shape: same file-granular copy-on-write as [[upsert]] —
     * only live files whose stats range intersects the batch's key
-    * range are read and rewritten, and both merge joins put the BATCH
-    * on the broadcast side, so the table side never shuffles. Write
-    * amplification is O(files that can contain matches). The source
-    * must have unique keys (checked — a duplicate would make a matched
-    * target row multiply, the same restriction Delta enforces).
+    * range are read and rewritten. The batch side of the merge joins is
+    * broadcast ONLY while its estimated size fits the session's
+    * `autoBroadcastJoinThreshold`; a larger source (backfill merges)
+    * falls back to a shuffle join on the key instead of
+    * force-materializing on every executor. Write amplification stays
+    * O(files that can contain matches). The source must have unique
+    * keys (checked — a duplicate would make a matched target row
+    * multiply, the same restriction Delta enforces).
+    *
+    * Single-key convenience form of [[mergeOn]].
     */
   def merge(source: DataFrame, key: String,
       deleteWhen: Option[Column] = None,
@@ -1602,17 +1665,53 @@ class DeltaLite(val spark: SparkSession, val root: String,
       insertWhen: Option[Column] = None,
       txn: Option[(String, Long)] = None,
       updateSet: Option[Seq[(String, Column)]] = None,
-      insertSet: Option[Seq[(String, Column)]] = None): Int = {
+      insertSet: Option[Seq[(String, Column)]] = None): Int =
+    mergeOn(source, Seq(key), deleteWhen, updateWhen, insertWhen, txn,
+      updateSet, insertSet)
+
+  /** [[merge]] over a COMPOSITE key (conjunction of equalities,
+    * `ON t.k1 = s.k1 AND t.k2 = s.k2 …`), plus Delta's third clause
+    * family — WHEN NOT MATCHED BY SOURCE — for mirror-sync loads:
+    *
+    *  - target row with NO source match + `bySourceDeleteWhen` → row
+    *    removed (full-snapshot replication deletes drifted rows)
+    *  - target row with NO source match + !delete +
+    *    `bySourceUpdateSet` (gated by `bySourceUpdateWhen`, default
+    *    always) → row updated in place; assignments see `t.*` only
+    *    (there is no source row)
+    *  - otherwise the unmatched target row is kept as-is
+    *
+    * Scale contract: with a BY SOURCE clause every live file must be
+    * read (any target row anywhere may be unmatched), so pruning is
+    * off for those merges — the same full-scan Delta performs; without
+    * them pruning is conjunctive per key column as in [[upsertOn]].
+    */
+  def mergeOn(source: DataFrame, keys: Seq[String],
+      deleteWhen: Option[Column] = None,
+      updateWhen: Option[Column] = None,
+      insertWhen: Option[Column] = None,
+      txn: Option[(String, Long)] = None,
+      updateSet: Option[Seq[(String, Column)]] = None,
+      insertSet: Option[Seq[(String, Column)]] = None,
+      bySourceDeleteWhen: Option[Column] = None,
+      bySourceUpdateWhen: Option[Column] = None,
+      bySourceUpdateSet: Option[Seq[(String, Column)]] = None): Int = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    require(keys.distinct.size == keys.size, s"duplicate merge keys: $keys")
+    require(bySourceUpdateWhen.isEmpty || bySourceUpdateSet.isDefined,
+      "bySourceUpdateWhen needs bySourceUpdateSet (nothing to assign)")
+    val hasBySource =
+      bySourceDeleteWhen.isDefined || bySourceUpdateSet.isDefined
     // assignment-form clauses (SQL MERGE's UPDATE SET a = expr /
     // INSERT (cols) VALUES): the projections define how source rows
     // map to table columns, so the source needn't mirror the table
     // schema — but the table must exist (nothing to assign against)
-    // and the join key must ride in the source.
-    if (updateSet.isDefined || insertSet.isDefined) {
+    // and the join keys must ride in the source.
+    if (updateSet.isDefined || insertSet.isDefined || hasBySource) {
       require(latestVersion.isDefined,
         s"assignment-form merge needs an existing table at $root")
-      require(source.schema.fieldNames.contains(key),
-        s"merge source must carry join key '$key'")
+      keys.foreach(k => require(source.schema.fieldNames.contains(k),
+        s"merge source must carry join key '$k'"))
     } else schema match {
       // star form: the source may carry EXTRA columns beyond the table
       // schema (op flags, CDC stamps — referenced by clause conditions,
@@ -1625,6 +1724,12 @@ class DeltaLite(val spark: SparkSession, val root: String,
               s"(expected ${f.dataType.simpleString}) at $root")
         }
       case None => ()
+    }
+    schema.foreach { sch =>
+      (updateSet.toSeq ++ bySourceUpdateSet.toSeq).flatten.foreach {
+        case (c, _) => require(sch.fieldNames.contains(c),
+          s"merge SET names unknown column '$c' at $root")
+      }
     }
     // project an s-aliased source frame onto the table schema for the
     // insert paths: star form copies same-named columns, assignment
@@ -1647,29 +1752,28 @@ class DeltaLite(val spark: SparkSession, val root: String,
     // join — the appendChecked hazard)
     val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      require(src.groupBy(col(key)).count()
+      require(src.groupBy(keys.map(col).toIndexedSeq: _*).count()
           .filter(col("count") > 1).limit(1).count() == 0,
-        s"merge source has duplicate values of key '$key'")
+        s"merge source has duplicate values of key(s) ${keys.mkString(", ")}")
       // a first merge defines the table schema FROM the source — pass
       // only real table columns here (extra op/CDC columns are
       // supported only once a schema exists to project against)
       if (latestVersion.isEmpty)
         return commit(src.as("s").filter(insOnly), "append", txn = txn)
       val sch = schema.get
-      // an empty batch must be a no-op, not a full-table rewrite
-      if (src.isEmpty) return latestVersion.get
+      val srcRows = src.count()
+      // an empty batch is a no-op — unless a BY SOURCE clause makes
+      // every unmatched target row (here: all of them) addressable
+      if (srcRows == 0 && !hasBySource) return latestVersion.get
       val entries = liveEntries(commits())
-      val keyType = sch(key).dataType
-      val bounds = src.agg(fmin(col(key)).cast("string"),
-        fmax(col(key)).cast("string")).collect()(0)
-      // null bounds = every source key is NULL = equality can match
-      // nothing → pure-insert path, never a table rewrite
       val touched =
-        if (bounds.isNullAt(0)) Nil
-        else entries.filter { f =>
-          !f.keyCol.contains(key) || f.min.isEmpty || f.max.isEmpty ||
-            rangesOverlap(keyType, f.min.get, f.max.get,
-              bounds.getString(0), bounds.getString(1))
+        if (hasBySource) entries // any row anywhere may be unmatched
+        else {
+          val bounds = batchBounds(src, keys)
+          // an all-NULL key column means equality can match nothing →
+          // pure-insert path, never a table rewrite
+          if (keys.indices.exists(i => bounds.isNullAt(2 * i))) Nil
+          else overlappingEntries(entries, sch, keys, bounds)
         }
       // nothing to rewrite → the commit is exactly an append (a
       // "rewrite" here would needlessly wedge streaming/CDF tails)
@@ -1678,14 +1782,23 @@ class DeltaLite(val spark: SparkSession, val root: String,
           "append", txn = txn)
       val existing = readFiles(touched.map(_.path), sch, liveDvFiles(commits()),
         colMapAt(commits()))
-      val s = broadcast(src.as("s"))
-      val joined = existing.as("t")
-        .join(s, col(s"t.$key") === col(s"s.$key"), "left_outer")
-      val matched = col(s"s.$key").isNotNull
+      val s = maybeBroadcast(src.as("s"), srcRows, src.schema)
+      val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+      val joined = existing.as("t").join(s, joinCond, "left_outer")
+      // a joined source row always has every key non-null (a NULL key
+      // cannot satisfy the equality), so any key column marks the match
+      val matched = keys.map(k => col(s"s.$k").isNotNull).reduce(_ && _)
       val doDelete = matched && coalesce(deleteWhen.getOrElse(lit(false)), lit(false))
       val doUpdate = matched && !doDelete &&
         coalesce(updateWhen.getOrElse(lit(true)), lit(false))
-      val fromTarget = joined.filter(!matched || (!doDelete && !doUpdate))
+      val doBsDelete = !matched &&
+        coalesce(bySourceDeleteWhen.getOrElse(lit(false)), lit(false))
+      val doBsUpdate = !matched && !doBsDelete &&
+        lit(bySourceUpdateSet.isDefined) &&
+        coalesce(bySourceUpdateWhen.getOrElse(lit(true)), lit(false))
+      val fromTarget = joined
+        .filter((matched && !doDelete && !doUpdate) ||
+          (!matched && !doBsDelete && !doBsUpdate))
         .select(sch.fieldNames.map(f => col(s"t.$f")).toSeq: _*)
       // star form updates take the whole source row; assignment form
       // evaluates each SET expression in the joined (t, s) scope and
@@ -1699,15 +1812,29 @@ class DeltaLite(val spark: SparkSession, val root: String,
             case None => col(s"s.${f.name}").as(f.name)
           }
         }.toIndexedSeq: _*)
+      // BY SOURCE updates see only the target row (assignments and
+      // conditions over t.*; the s side is all-NULL by construction)
+      val bsUpdated = bySourceUpdateSet.map { m =>
+        val bm = m.toMap
+        joined.filter(doBsUpdate)
+          .select(sch.fields.map { f =>
+            bm.get(f.name).map(_.cast(f.dataType).as(f.name))
+              .getOrElse(col(s"t.${f.name}").as(f.name))
+          }.toIndexedSeq: _*)
+      }
       // expression-form anti join keeps the s alias intact for the
       // insert projections (a using-column join would strip it)
+      val antiCond = keys.map(k =>
+        col(s"s.$k") === col(s"__graft_mk_$k")).reduce(_ && _)
       val inserted = insertProj(
         src.as("s")
-          .join(existing.select(col(key).as("__graft_mk")),
-            col(s"s.$key") === col("__graft_mk"), "left_anti")
+          .join(existing.select(keys.map(k =>
+            col(k).as(s"__graft_mk_$k")).toIndexedSeq: _*),
+            antiCond, "left_anti")
           .filter(coalesce(insOnly, lit(false))), sch)
-      commit(fromTarget.unionByName(updated).unionByName(inserted),
-        "rewrite", removed = touched.map(_.path), txn = txn)
+      val out = (Seq(fromTarget, updated) ++ bsUpdated.toSeq :+ inserted)
+        .reduce(_ unionByName _)
+      commit(out, "rewrite", removed = touched.map(_.path), txn = txn)
     } finally {
       val _ = src.unpersist(false)
     }
@@ -1726,22 +1853,19 @@ class DeltaLite(val spark: SparkSession, val root: String,
     else Some(merge(source, key, deleteWhen, updateWhen, insertWhen,
       Some((appId, txnId))))
 
-  private def upsertImpl(df: DataFrame, key: String,
+  private def upsertImpl(df: DataFrame, keys: Seq[String],
       txn: Option[(String, Long)]): Int = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
     enforceSchema(df)
     if (latestVersion.isEmpty) return commit(df, "append", txn = txn)
     val sch = schema.get
     val entries = liveEntries(commits())
-    val keyType = sch(key).dataType
-    val bounds = df.agg(fmin(col(key)).cast("string"),
-      fmax(col(key)).cast("string")).collect()(0)
-    val canPrune = !bounds.isNullAt(0)
-    val (touched, untouched) = entries.partition { f =>
-      !canPrune || !f.keyCol.contains(key) || f.min.isEmpty || f.max.isEmpty ||
-        rangesOverlap(keyType, f.min.get, f.max.get,
-          bounds.getString(0), bounds.getString(1))
-    }
-    val _ = untouched // carried forward implicitly by the replay
+    val bounds = batchBounds(df, keys)
+    val touched =
+      // an all-NULL key column means no equality can match → pure insert
+      if (keys.indices.exists(i => bounds.isNullAt(2 * i)))
+        Seq.empty[FileEntry]
+      else overlappingEntries(entries, sch, keys, bounds)
     // no file overlaps the batch's key range → pure inserts; commit as
     // an append so streaming/CDF tails (which must guard real
     // rewrites) see it for what it is
@@ -1751,13 +1875,70 @@ class DeltaLite(val spark: SparkSession, val root: String,
       // through the rewrite of their file
       val existing = readFiles(touched.map(_.path), sch, liveDvFiles(commits()),
         colMapAt(commits()))
-      // the key join would reorder columns (key first) and silently
+      // the key join would reorder columns (keys first) and silently
       // drift the committed schema — restore the table's column order
-      val merged = existing.join(df.select(key), Seq(key), "left_anti")
+      val merged = existing
+        .join(df.select(keys.head, keys.tail: _*), keys, "left_anti")
         .unionByName(df)
         .select(sch.fieldNames.map(col).toSeq: _*)
       commit(merged, "rewrite", removed = touched.map(_.path), txn = txn)
     }
+  }
+
+  /** One-pass per-key [min,max] of the batch, stringified in typed
+    * order (the same encoding the file stats use): row layout is
+    * [min(k1), max(k1), min(k2), max(k2), …].
+    */
+  private def batchBounds(df: DataFrame, keys: Seq[String]): Row = {
+    val aggs = keys.flatMap(k =>
+      Seq(fmin(col(k)).cast("string"), fmax(col(k)).cast("string")))
+    df.agg(aggs.head, aggs.tail: _*).collect()(0)
+  }
+
+  /** The file's recorded [min,max] for column `k`, from the primary
+    * stats label or the multi-column `extra` ranges. */
+  private def fileRange(f: FileEntry, k: String): Option[(String, String)] =
+    if (f.keyCol.contains(k)) f.min.zip(f.max)
+    else f.extra.get(k).flatMap { case (mn, mx) => mn.zip(mx) }
+
+  /** Files that may hold a row matching the batch under conjunctive
+    * key equality: a file is PRUNED as soon as any single key column
+    * has a recorded range disjoint from the batch's range for that
+    * column; files with no recorded range for any key stay (correct
+    * without stats).
+    */
+  private def overlappingEntries(entries: Seq[FileEntry], sch: StructType,
+      keys: Seq[String], bounds: Row): Seq[FileEntry] =
+    entries.filter { f =>
+      !keys.zipWithIndex.exists { case (k, i) =>
+        fileRange(f, k).exists { case (fMin, fMax) =>
+          !rangesOverlap(sch(k).dataType, fMin, fMax,
+            bounds.getString(2 * i), bounds.getString(2 * i + 1))
+        }
+      }
+    }
+
+  /** The session's broadcast budget in bytes (-1 = disabled). */
+  private def broadcastThreshold(): Long = {
+    val v = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    if (v.startsWith("-")) -1L
+    else try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
+    catch { case _: NumberFormatException => 10L << 20 }
+  }
+
+  /** Broadcast hint ONLY when the batch's estimated size (row count ×
+    * schema default width) fits the session's broadcast budget — a
+    * large backfill merge must degrade to a shuffle join on the key,
+    * not force-materialize the source on every executor (OOM far
+    * below table scale). Catalyst picks the shuffle strategy itself
+    * when the hint is absent.
+    */
+  private def maybeBroadcast(aliased: DataFrame, rows: Long,
+      srcSchema: StructType): DataFrame = {
+    val thresh = broadcastThreshold()
+    val rowBytes = math.max(8L, srcSchema.map(_.dataType.defaultSize.toLong).sum)
+    if (thresh >= 0 && rows <= thresh / rowBytes) broadcast(aliased)
+    else aliased
   }
 
   /** Typed interval intersection over the stringified stats. */
@@ -1788,7 +1969,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
         // delete commits carry DELETION-VECTOR sidecars, dvclear drops
         // them, rename/constraint are pure metadata — none touch the
         // data-file set
-        case "delete" | "dvclear" | "rename" | "drop" | "constraint" => acc
+        case "delete" | "dvclear" | "rename" | "drop" | "constraint"
+           | "widen" => acc
         // restats re-labels live entries with stats for a new key; the
         // file set (and every row) is untouched
         case "restats" =>
@@ -1834,6 +2016,29 @@ class DeltaLite(val spark: SparkSession, val root: String,
   private def dvDf(dvFiles: Seq[String]): DataFrame =
     spark.read.schema(DvSchema).parquet(dvFiles: _*)
 
+  /** Guarded broadcast of the DV set: the merge-on-read contract is
+    * O(deleted) read-side overhead, amortized by [[materializeDeletes]]
+    * — so when the live sidecars outgrow the broadcast budget the read
+    * fails LOUDLY with that guidance instead of an executor OOM.
+    * Estimator: ~4× the sidecars' on-disk bytes (parquet-encoded
+    * (path, pos) pairs decompress into JVM strings/longs in the
+    * broadcast hash relation); budget: the session threshold with a
+    * 32 MB floor (point deletes must never trip it).
+    */
+  private def dvBroadcastGuarded(dvFiles: Seq[String]): DataFrame = {
+    val bytes = dvFiles.map(p => fs.getFileStatus(new Path(p)).getLen).sum
+    // spark.graft.dv.broadcastLimit overrides (ops knob + testable)
+    val limit = spark.conf.getOption("spark.graft.dv.broadcastLimit")
+      .map(v => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v.trim))
+      .getOrElse(math.max(broadcastThreshold(), 32L << 20))
+    if (bytes * 4 > limit) throw new IllegalStateException(
+      s"deletion-vector set (~${bytes >> 20} MB on disk, est. " +
+        s"${(bytes * 4) >> 20} MB in memory) exceeds the broadcast " +
+        s"guard (${limit >> 20} MB) at $root; run materializeDeletes() " +
+        "or compact() to fold deletes into data files first")
+    broadcast(dvDf(dvFiles))
+  }
+
   /** Read `paths` with live deletion vectors applied: each row is
     * addressed as (_metadata.file_path, _metadata.row_index) and
     * anti-joined against the (broadcast, O(deleted)) DV set — the
@@ -1850,7 +2055,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
       else base
         .withColumn("__file", col("_metadata.file_path"))
         .withColumn("__pos", col("_metadata.row_index"))
-        .join(broadcast(dvDf(dvFiles)), Seq("__file", "__pos"), "left_anti")
+        .join(dvBroadcastGuarded(dvFiles), Seq("__file", "__pos"), "left_anti")
         .select(phys.fieldNames.map(col).toIndexedSeq: _*)
     toLogical(visible, sch, mapping)
   }
@@ -1880,7 +2085,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
       .withColumn("__pos", col("_metadata.row_index"))
     val masked =
       if (dvs.isEmpty) base
-      else base.join(broadcast(dvDf(dvs)), Seq("__file", "__pos"), "left_anti")
+      else base.join(dvBroadcastGuarded(dvs), Seq("__file", "__pos"), "left_anti")
     // `cond` names LOGICAL columns — alias them in while keeping the
     // physical row address
     val visible = masked.select((sch.fields.map(f =>
@@ -1968,7 +2173,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
       .withColumn("__pos", col("_metadata.row_index"))
     val masked =
       if (dvs.isEmpty) base
-      else base.join(broadcast(dvDf(dvs)), Seq("__file", "__pos"), "left_anti")
+      else base.join(dvBroadcastGuarded(dvs), Seq("__file", "__pos"), "left_anti")
     val visible = masked.select((sch.fields.map(f =>
       col(mapping.getOrElse(f.name, f.name)).as(f.name)) :+
       col("__file")).toIndexedSeq: _*)
@@ -2471,7 +2676,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
       else rel
         .withColumn("__file", col("_metadata.file_path"))
         .withColumn("__pos", col("_metadata.row_index"))
-        .join(broadcast(dvDf(dvs)), Seq("__file", "__pos"), "left_anti")
+        .join(dvBroadcastGuarded(dvs), Seq("__file", "__pos"), "left_anti")
         .select(phys.fieldNames.map(col).toIndexedSeq: _*)
     toLogical(masked, sch, mapping)
   }

@@ -327,6 +327,50 @@ object Events {
          |ORDER BY event_type""".stripMargin)
   }
 
+  /** Composite-key MERGE + WHEN NOT MATCHED BY SOURCE through SQL —
+    * the round-6 DML depth: the business key is the COMPOUND
+    * (user_id, event_type) pair (the reference's own keys are
+    * compound, ETL_pipeline_countries.py:128-138), the ON clause is a
+    * conjunction of equalities, and the mirror-sync clauses fire for
+    * target groups absent from the incremental slice (view-groups
+    * delete, others get flagged n = -1). The oracle re-derives the
+    * identical end state with a LEFT JOIN + CASE in DuckDB. Decimal
+    * sums keep the arithmetic engine-exact; double only at the end.
+    */
+  def dmlMergeMulti(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.catalog.GraftCatalog].getName)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gold")
+    val tbl = s"dmlm_${dir.hashCode & 0x7fffffff}"
+    s.sql(s"DROP TABLE IF EXISTS graft.gold.$tbl")
+    Tables.events(s, dir).createOrReplaceTempView("graft_dmlm_src")
+    s.sql(s"""CREATE TABLE graft.gold.$tbl AS
+      |SELECT user_id, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+      |FROM graft_dmlm_src GROUP BY user_id, event_type""".stripMargin)
+    s.sql(
+      s"""MERGE INTO graft.gold.$tbl t USING
+         |  (SELECT user_id, event_type, COUNT(*) AS n2,
+         |     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS t2
+         |   FROM graft_dmlm_src WHERE event_id % 3 = 0
+         |   GROUP BY user_id, event_type) s
+         |ON t.user_id = s.user_id AND t.event_type = s.event_type
+         |WHEN MATCHED THEN UPDATE SET
+         |  total = CAST(t.total + s.t2 AS DECIMAL(18,2)), n = t.n + s.n2
+         |WHEN NOT MATCHED THEN INSERT (user_id, event_type, n, total)
+         |  VALUES (s.user_id, s.event_type, s.n2, s.t2)
+         |WHEN NOT MATCHED BY SOURCE AND t.event_type = 'view' THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET n = -1
+         |""".stripMargin)
+    s.sql(
+      s"""SELECT event_type, COUNT(*) AS n_groups,
+         |  CAST(SUM(n) AS BIGINT) AS sum_n,
+         |  CAST(SUM(total) AS DOUBLE) AS sum_total
+         |FROM graft.gold.$tbl
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
   /** COPY INTO end-to-end: two arrival batches land in a source
     * directory and two copyInto calls ingest them incrementally (the
     * second loads ONLY the new batch; a third is a no-op) — then the

@@ -518,11 +518,26 @@ object Text {
     import s.implicits._
     val docs = Tables.documents(s, dir)
     val merges = graft.ops.Bpe.learn(docs, "text", nMerges = 40)
+    // the output carries the ORACLE-CHECKABLE invariants of the learned
+    // tokenizer rather than raw token text (which only another BPE
+    // implementation could reproduce): `lossless` — concatenating the
+    // tokens reconstructs the text minus whitespace exactly;
+    // `bounded` — the token count lies in [non-empty words, non-space
+    // chars]. Both are computed FROM the real encode, so any merge /
+    // segmentation bug flips a row to false and fails the hash
+    // compare. Merge order and token identity are pinned by BpeSpec.
+    val toks = graft.functions.BpeFunctions.bpe_tokens($"text", merges)
+    val nospace = regexp_replace($"text", "\\s+", "")
     docs
       .select($"doc_id", size(split($"text", " ")).cast("long").as("n_words"),
-        graft.functions.BpeFunctions.bpe_tokens($"text", merges).as("toks"))
-      .select($"doc_id", $"n_words", size($"toks").cast("long").as("n_bpe"),
-        array_join(slice($"toks", 1, 8), "|").as("head_tokens"))
+        toks.as("toks"), nospace.as("ns"),
+        size(filter(split($"text", "\\s+"), w => length(w) > 0))
+          .cast("long").as("n_full_words"))
+      .select($"doc_id", $"n_words",
+        length($"ns").cast("long").as("n_nospace"),
+        (array_join($"toks", "") === $"ns").as("lossless"),
+        (size($"toks").cast("long") <= length($"ns") &&
+          size($"toks").cast("long") >= $"n_full_words").as("bounded"))
       .orderBy($"doc_id")
   }
 
@@ -635,10 +650,16 @@ object Text {
     */
   def labelEncode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
+    // dense ids via range-sort + zipWithIndex: orderBy range-partitions
+    // the distinct values, zipWithIndex adds per-partition offsets in
+    // one extra count job — NO single-partition window, so a
+    // high-cardinality label column encodes at full parallelism
+    // (row_number().over(Window.orderBy(c)) would serialize it)
     def dict(c: String, id: String) = docs.select(col(c)).distinct()
-      .withColumn(id, row_number().over(Window.orderBy(col(c))).cast("long"))
+      .orderBy(col(c)).rdd
+      .zipWithIndex.map { case (r, i) => (r.getString(0), i + 1L) }
+      .toDF(c, id)
     docs.join(broadcast(dict("lang", "lang_id")), Seq("lang"))
       .join(broadcast(dict("source", "source_id")), Seq("source"))
       .select($"doc_id", $"lang", $"lang_id", $"source", $"source_id")

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graftbridge
 import graft.catalog.GraftTable
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, GetStructField}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -22,10 +22,14 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * via key-range pruning; the batch join broadcasts the source).
   *
   * Supported MERGE shape (rejected otherwise, with a pointer to the
-  * Scala API): `ON t.k = s.k` single-column equality, at most one
-  * WHEN MATCHED UPDATE, one WHEN MATCHED DELETE, one WHEN NOT MATCHED
-  * INSERT, each with an optional AND condition; no
-  * WHEN NOT MATCHED BY SOURCE, no schema evolution.
+  * Scala API): `ON` a conjunction of column equalities
+  * (`t.k1 = s.k1 AND t.k2 = s.k2 …` — the composite business key), at
+  * most one WHEN MATCHED UPDATE, one WHEN MATCHED DELETE, one WHEN
+  * NOT MATCHED INSERT, one WHEN NOT MATCHED BY SOURCE UPDATE and one
+  * … BY SOURCE DELETE (the mirror-sync clauses), each with an
+  * optional AND condition; no schema evolution. UPDATE SET supports
+  * nested struct fields (`SET a.b = …` rebuilds the struct via
+  * withField).
   *
   * Expression conversion: the analyzed command's attribute references
   * are rebound BY NAME into the table-API scope (`t`/`s` aliases for
@@ -41,12 +45,17 @@ object GraftDml extends Rule[LogicalPlan] {
         case Some(rel) =>
           val out = rel.output
           val set = assignments.map { a =>
-            val name = a.key match {
-              case ar: AttributeReference => ar.name
-              case other => fail(s"unsupported UPDATE target ${other.sql} " +
-                "(nested fields are not updatable)")
+            val v = toCol(a.value, Map(byExprId(out) -> ""))
+            fieldPath(a.key, byExprId(out)) match {
+              case Some(Seq(name)) => name -> v
+              case Some(path) =>
+                // SET a.b.c = v → rebuild the struct column in place
+                // (withField walks dot-separated nested paths)
+                path.head ->
+                  org.apache.spark.sql.functions.col(path.head)
+                    .withField(path.tail.mkString("."), v)
+              case None => fail(s"unsupported UPDATE target ${a.key.sql}")
             }
-            name -> toCol(a.value, Map(byExprId(out) -> ""))
           }
           val where = cond.map(toCol(_, Map(byExprId(out) -> "")))
             .getOrElse(Bridge.column(
@@ -105,38 +114,62 @@ object GraftDml extends Rule[LogicalPlan] {
     Bridge.column(rebound)
   }
 
+  /** Column-rooted field path of an assignment target: `a` → [a],
+    * `a.b.c` (GetStructField chain) → [a, b, c]; None for anything
+    * else (array/map writes are not assignable). The root attribute
+    * must belong to the target relation.
+    */
+  private def fieldPath(e: Expression, tIds: Set[Long]): Option[Seq[String]] =
+    e match {
+      case ar: AttributeReference if tIds(ar.exprId.id) => Some(Seq(ar.name))
+      case g: GetStructField =>
+        fieldPath(g.child, tIds).map(_ :+ g.extractFieldName)
+      case _ => None
+    }
+
+  /** Split a conjunction into its conjuncts. */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
   private def convertMerge(m: MergeIntoTable,
       rel: DataSourceV2Relation): LogicalPlan = {
-    if (m.notMatchedBySourceActions.nonEmpty)
-      fail("WHEN NOT MATCHED BY SOURCE is not supported")
     if (m.withSchemaEvolution) fail("MERGE WITH SCHEMA EVOLUTION is not supported")
     val tIds = byExprId(rel.output)
     val sOut = m.sourceTable.output
     val sIds = byExprId(sOut)
-    // ON must be a single-column equality: a bare target attribute on
-    // one side (the key the file-pruning contract needs), any
-    // source-only expression on the other (the analyzer often wraps
-    // the source side in an implicit type-up cast — kept verbatim).
+    // ON must be a conjunction of column equalities: each conjunct has
+    // a bare target attribute on one side (the keys the file-pruning
+    // contract needs), any source-only expression on the other (the
+    // analyzer often wraps the source side in an implicit type-up
+    // cast — kept verbatim). Composite keys are the AND of them.
     def sourceOnly(e: Expression): Boolean =
       e.references.nonEmpty && e.references.forall(a => sIds(a.exprId.id))
-    val (tKeyName, sKeyCol) = m.mergeCondition match {
+    val keyPairs: Seq[(String, Column)] = conjuncts(m.mergeCondition).map {
       case EqualTo(a: AttributeReference, r)
         if tIds(a.exprId.id) && sourceOnly(r) =>
         (a.name, toCol(r, Map(sIds -> "")))
       case EqualTo(l, b: AttributeReference)
         if tIds(b.exprId.id) && sourceOnly(l) =>
         (b.name, toCol(l, Map(sIds -> "")))
-      case other => fail(s"MERGE ON must be t.key = s.key (got ${other.sql})")
+      case other => fail("MERGE ON must be a conjunction of " +
+        s"t.key = s.key equalities (got ${other.sql})")
     }
-    // the command surfaces the join value under the target key's name
+    if (keyPairs.map(_._1).distinct.size != keyPairs.size)
+      fail(s"MERGE ON repeats a target key (${keyPairs.map(_._1)})")
+    // the command surfaces each join value under the target key's name
     // on the source frame; a pre-existing same-named source column
     // whose values are NOT the join key would be silently clobbered
     // for the clause expressions — reject instead
-    val sKeyIsSameNamedAttr = m.mergeCondition.references
-      .exists(a => sIds(a.exprId.id) && a.name == tKeyName)
-    if (sOut.exists(_.name == tKeyName) && !sKeyIsSameNamedAttr)
-      fail(s"merge source already has a column '$tKeyName' that is not " +
-        "the join key; alias it away in the USING subquery")
+    val sameNamedJoinAttrs = m.mergeCondition.references
+      .filter(a => sIds(a.exprId.id)).map(_.name).toSet
+    keyPairs.foreach { case (tKeyName, _) =>
+      if (sOut.exists(_.name == tKeyName) &&
+          !sameNamedJoinAttrs.contains(tKeyName))
+        fail(s"merge source already has a column '$tKeyName' that is not " +
+          "the join key; alias it away in the USING subquery")
+    }
     val scopes = Map(tIds -> "t", sIds -> "s")
     var deleteWhen: Option[Column] = None
     var updateWhen: Option[Column] = None
@@ -151,11 +184,14 @@ object GraftDml extends Rule[LogicalPlan] {
         if (updateSet.isDefined) fail("at most one WHEN MATCHED UPDATE")
         updateWhen = Some(cond.map(toCol(_, scopes)).getOrElse(trueCol))
         updateSet = Some(assignments.map { a =>
-          val name = a.key match {
-            case ar: AttributeReference if tIds(ar.exprId.id) => ar.name
-            case other => fail(s"unsupported UPDATE target ${other.sql}")
+          val v = toCol(a.value, scopes)
+          fieldPath(a.key, tIds) match {
+            case Some(Seq(name)) => name -> v
+            case Some(path) => path.head ->
+              org.apache.spark.sql.functions.col("t." + path.head)
+                .withField(path.tail.mkString("."), v)
+            case None => fail(s"unsupported UPDATE target ${a.key.sql}")
           }
-          name -> toCol(a.value, scopes)
         })
       case other => fail(s"unsupported matched action $other")
     }
@@ -186,8 +222,35 @@ object GraftDml extends Rule[LogicalPlan] {
       org.apache.spark.sql.catalyst.expressions.Literal(false))
     if (updateSet.isEmpty) { updateWhen = Some(falseCol); updateSet = Some(Nil) }
     if (insertSet.isEmpty) { insertWhen = Some(falseCol); insertSet = Some(Nil) }
-    GraftMergeCommand(table(rel), m.sourceTable, tKeyName, sKeyCol,
-      deleteWhen, updateWhen, updateSet, insertWhen, insertSet)
+    // WHEN NOT MATCHED BY SOURCE: conditions and assignments see the
+    // TARGET row only (there is no source row) — t-scope rebinding
+    var bsDeleteWhen: Option[Column] = None
+    var bsUpdateWhen: Option[Column] = None
+    var bsUpdateSet: Option[Seq[(String, Column)]] = None
+    m.notMatchedBySourceActions.foreach {
+      case DeleteAction(cond) =>
+        if (bsDeleteWhen.isDefined)
+          fail("at most one WHEN NOT MATCHED BY SOURCE DELETE")
+        bsDeleteWhen = Some(cond.map(toCol(_, Map(tIds -> "t"))).getOrElse(trueCol))
+      case UpdateAction(cond, assignments, _) =>
+        if (bsUpdateSet.isDefined)
+          fail("at most one WHEN NOT MATCHED BY SOURCE UPDATE")
+        bsUpdateWhen = Some(cond.map(toCol(_, Map(tIds -> "t"))).getOrElse(trueCol))
+        bsUpdateSet = Some(assignments.map { a =>
+          val v = toCol(a.value, Map(tIds -> "t"))
+          fieldPath(a.key, tIds) match {
+            case Some(Seq(name)) => name -> v
+            case Some(path) => path.head ->
+              org.apache.spark.sql.functions.col("t." + path.head)
+                .withField(path.tail.mkString("."), v)
+            case None => fail(s"unsupported UPDATE target ${a.key.sql}")
+          }
+        })
+      case other => fail(s"unsupported not-matched-by-source action $other")
+    }
+    GraftMergeCommand(table(rel), m.sourceTable, keyPairs.map(_._1),
+      keyPairs.map(_._2), deleteWhen, updateWhen, updateSet, insertWhen,
+      insertSet, bsDeleteWhen, bsUpdateWhen, bsUpdateSet)
   }
 }
 
@@ -202,28 +265,39 @@ case class GraftUpdateCommand(
   }
 }
 
-/** `MERGE INTO graft.db.t USING src ON … WHEN …` → key-based merge. */
+/** `MERGE INTO graft.db.t USING src ON … WHEN …` → key-based merge
+  * over the (possibly composite) business key, including the
+  * NOT MATCHED BY SOURCE mirror-sync clauses.
+  */
 case class GraftMergeCommand(
     @transient graftTable: GraftTable,
     @transient sourcePlan: LogicalPlan,
-    targetKey: String,
-    @transient sourceKeyCol: Column,
+    targetKeys: Seq[String],
+    @transient sourceKeyCols: Seq[Column],
     @transient deleteWhen: Option[Column],
     @transient updateWhen: Option[Column],
     @transient updateSet: Option[Seq[(String, Column)]],
     @transient insertWhen: Option[Column],
-    @transient insertSet: Option[Seq[(String, Column)]])
+    @transient insertSet: Option[Seq[(String, Column)]],
+    @transient bySourceDeleteWhen: Option[Column],
+    @transient bySourceUpdateWhen: Option[Column],
+    @transient bySourceUpdateSet: Option[Seq[(String, Column)]])
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val srcRaw = Bridge.ofRows(spark, sourcePlan)
-    // the table API joins on a shared key NAME: surface the join
+    // the table API joins on shared key NAMES: surface each join
     // value under the target key's name (replaces a same-named source
     // column only when it IS the join attribute — rule-checked)
-    val src = srcRaw.withColumn(targetKey, sourceKeyCol)
-    graftTable.delta.merge(src, targetKey,
+    val src = targetKeys.zip(sourceKeyCols).foldLeft(srcRaw) {
+      case (df, (name, c)) => df.withColumn(name, c)
+    }
+    graftTable.delta.mergeOn(src, targetKeys,
       deleteWhen = deleteWhen, updateWhen = updateWhen,
       insertWhen = insertWhen, updateSet = updateSet,
-      insertSet = insertSet)
+      insertSet = insertSet,
+      bySourceDeleteWhen = bySourceDeleteWhen,
+      bySourceUpdateWhen = bySourceUpdateWhen,
+      bySourceUpdateSet = bySourceUpdateSet)
     Nil
   }
 }

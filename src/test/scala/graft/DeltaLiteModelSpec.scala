@@ -2,6 +2,7 @@ package graft
 
 import graft.etl.DeltaLite
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
 
 import java.nio.file.Files
 import scala.collection.mutable
@@ -39,6 +40,16 @@ class DeltaLiteModelSpec extends SparkSpec {
     // current logical name of the value column (flipped by the rename
     // op); reads are positional, so the model never needs to know
     var valCol = "v"
+    // key column's CURRENT type: walks with the widen op (nOps >= 18)
+    // start narrow (int) and may widen to long mid-walk; every batch
+    // casts to the current type so appends match the table schema
+    var keyType: DataType = if (nOps >= 18) IntegerType else LongType
+    // type as of each version, for restore (a pre-widen snapshot
+    // brings the narrow type back, like names)
+    val typeHistory = mutable.Map.empty[Int, DataType]
+    def kdf(rows: Seq[(Long, String)]) =
+      rows.toDF("k", valCol)
+        .select(col("k").cast(keyType).as("k"), col(valCol))
     // column name as of each version, for time-travel schema checks
     val nameHistory = mutable.Map.empty[Int, String]
     // versions below this are no longer time-travelable (cleanLog)
@@ -53,12 +64,17 @@ class DeltaLiteModelSpec extends SparkSpec {
       // publish rewrite+dvclear with identical visible state)
       t.latestVersion.foreach { latest =>
         (travelFloor to latest).foreach { v =>
-          if (!history.contains(v)) { history(v) = model; nameHistory(v) = valCol }
+          if (!history.contains(v)) {
+            history(v) = model; nameHistory(v) = valCol
+            typeHistory(v) = keyType
+          }
         }
       }
     def check(step: Int, op: String): Unit = {
       if (t.latestVersion.isEmpty) return // nothing committed yet
-      val got = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val got = t.read().collect()
+        .map(r => r.get(0).asInstanceOf[Number].longValue -> r.getString(1))
+        .toMap
       assert(got == model,
         s"seed=$seed step=$step after $op: table/model diverged\n" +
           s"  extra: ${(got.keySet -- model.keySet).toSeq.sorted.take(10)}\n" +
@@ -71,7 +87,8 @@ class DeltaLiteModelSpec extends SparkSpec {
         val v = travelable(rnd.nextInt(travelable.size))
         val tt = t.readAsOf(v)
         val at = tt.collect()
-          .map(r => r.getLong(0) -> r.getString(1)).toMap
+          .map(r => r.get(0).asInstanceOf[Number].longValue -> r.getString(1))
+          .toMap
         assert(at == history(v),
           s"seed=$seed step=$step after $op: time travel to v$v diverged")
         // the snapshot must carry ITS OWN column name, not the current
@@ -85,7 +102,7 @@ class DeltaLiteModelSpec extends SparkSpec {
       val op = rnd.nextInt(nOps) match {
         case 0 | 1 | 2 =>
           val ks = freshKeys(rnd.nextInt(20) + 5)
-          t.append(ks.map(k => (k, s"a$step-$k")).toDF("k", valCol))
+          t.append(kdf(ks.map(k => (k, s"a$step-$k"))))
           model = model ++ ks.map(k => k -> s"a$step-$k")
           "append"
         case 3 | 4 =>
@@ -94,7 +111,7 @@ class DeltaLiteModelSpec extends SparkSpec {
             .take(rnd.nextInt(model.size + 1) / 3)
           val ks = existing ++ freshKeys(rnd.nextInt(5))
           if (ks.nonEmpty) {
-            t.upsert(ks.map(k => (k, s"u$step-$k")).toDF("k", valCol), "k")
+            t.upsert(kdf(ks.map(k => (k, s"u$step-$k"))), "k")
             model = model ++ ks.map(k => k -> s"u$step-$k")
           }
           "upsert"
@@ -121,6 +138,7 @@ class DeltaLiteModelSpec extends SparkSpec {
             t.restore(v)
             model = history(v)
             valCol = nameHistory(v) // restore brings back the old name too
+            keyType = typeHistory.getOrElse(v, keyType) // …and the old type
             s"restore($v)"
           } else "noop"
         case 10 if t.latestVersion.nonEmpty =>
@@ -132,7 +150,7 @@ class DeltaLiteModelSpec extends SparkSpec {
           if (ks.nonEmpty) {
             val rows = ks.map(k =>
               (k, if (rnd.nextBoolean()) s"m$step-$k" else s"DEL-$k"))
-            t.merge(rows.toDF("k", valCol), "k",
+            t.merge(kdf(rows), "k",
               deleteWhen = Some(col(s"s.$valCol").startsWith("DEL")),
               insertWhen = Some(!col(s"s.$valCol").startsWith("DEL")))
             rows.foreach { case (k, v) =>
@@ -184,7 +202,7 @@ class DeltaLiteModelSpec extends SparkSpec {
           t.dropColumn(valCol)
           skipTravel += t.latestVersion.get
           val ks = freshKeys(rnd.nextInt(4) + 2)
-          t.appendEvolve(ks.map(k => (k, s"d$step-$k")).toDF("k", valCol))
+          t.appendEvolve(kdf(ks.map(k => (k, s"d$step-$k"))))
           model = model.map { case (k, _) => k -> (null: String) } ++
             ks.map(k => k -> s"d$step-$k")
           s"drop+readd($valCol)"
@@ -206,6 +224,15 @@ class DeltaLiteModelSpec extends SparkSpec {
           }
           s"updateWhere(k%$m==$r)"
         case 16 => "noop"
+        case 17 if t.latestVersion.nonEmpty && keyType == IntegerType =>
+          // metadata-only TYPE WIDENING of the key column: zero data
+          // moves, every later batch speaks long, earlier int files
+          // widen in the reader, compact rewrites them long, restore /
+          // time travel below the widen serve the narrow type again
+          t.widenColumn("k", LongType)
+          keyType = LongType
+          "widen(k→long)"
+        case 17 => "noop"
       }
       record()
       check(step, op)
@@ -264,5 +291,13 @@ class DeltaLiteModelSpec extends SparkSpec {
 
   test("random operation walk with row-level updates: thirteenth seed") {
     runWalk(seed = 1313, steps = 30, nOps = 17)
+  }
+
+  test("random operation walk with type widening: fourteenth seed") {
+    runWalk(seed = 1414, steps = 30, nOps = 18)
+  }
+
+  test("random operation walk with type widening: fifteenth seed") {
+    runWalk(seed = 1515, steps = 30, nOps = 18)
   }
 }

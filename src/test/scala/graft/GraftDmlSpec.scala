@@ -119,11 +119,13 @@ class GraftDmlSpec extends SparkSpec {
       """MERGE INTO graft.dml.rej t USING (SELECT 1L AS id) s
         |ON t.k > s.id WHEN MATCHED THEN DELETE""".stripMargin))
     assert(e1.getMessage.contains("MERGE ON must be"))
-    // NOT MATCHED BY SOURCE
+    // two WHEN MATCHED UPDATE clauses
     val e2 = intercept[Exception](spark.sql(
-      """MERGE INTO graft.dml.rej t USING (SELECT 1L AS id) s
-        |ON t.k = s.id WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin))
-    assert(e2.getMessage.contains("NOT MATCHED BY SOURCE"))
+      """MERGE INTO graft.dml.rej t USING (SELECT 1L AS id, 'x' AS w) s
+        |ON t.k = s.id
+        |WHEN MATCHED AND s.w = 'x' THEN UPDATE SET v = s.w
+        |WHEN MATCHED THEN UPDATE SET v = 'y'""".stripMargin))
+    assert(e2.getMessage.contains("at most one WHEN MATCHED UPDATE"))
     // the rejected statements changed nothing
     assert(spark.table("graft.dml.rej").count() == 1)
   }
@@ -153,5 +155,112 @@ class GraftDmlSpec extends SparkSpec {
     val got = t.read().orderBy("k").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got == Seq((1L, "renamed"), (2L, "b")))
+  }
+
+  test("MERGE ON composite key: conjunction of equalities") {
+    wh
+    spark.sql("CREATE TABLE graft.dml.ck (d STRING, id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.dml.ck VALUES " +
+      "('2024-01-01', 1, 'a'), ('2024-01-01', 2, 'b'), ('2024-01-02', 1, 'c')")
+    spark.sql(
+      """MERGE INTO graft.dml.ck t
+        |USING (SELECT '2024-01-01' AS d, 1L AS id, 'A' AS v
+        |       UNION ALL
+        |       SELECT '2024-01-03', 1L, 'e') s
+        |ON t.d = s.d AND t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (d, id, v) VALUES (s.d, s.id, s.v)
+        |""".stripMargin)
+    val got = spark.sql("SELECT d, id, v FROM graft.dml.ck ORDER BY d, id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 1L, "A"), ("2024-01-01", 2L, "b"),
+      ("2024-01-02", 1L, "c"), ("2024-01-03", 1L, "e")))
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE: mirror sync through SQL") {
+    wh
+    spark.sql("CREATE TABLE graft.dml.ms (k BIGINT, v STRING, stale BOOLEAN)")
+    spark.sql("INSERT INTO graft.dml.ms VALUES " +
+      "(1,'a',false), (2,'b',false), (3,'c',false)")
+    spark.sql(
+      """MERGE INTO graft.dml.ms t
+        |USING (SELECT 1L AS k, 'A' AS v UNION ALL SELECT 9L, 'i') s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v, stale) VALUES (s.k, s.v, false)
+        |WHEN NOT MATCHED BY SOURCE AND t.k = 2 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET stale = true
+        |""".stripMargin)
+    val got = spark.sql("SELECT k, v, stale FROM graft.dml.ms ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(got == Seq((1L, "A", false), (3L, "c", true), (9L, "i", false)))
+  }
+
+  test("UPDATE SET on a nested struct field rebuilds the struct") {
+    wh
+    spark.sql("CREATE TABLE graft.dml.ns " +
+      "(k BIGINT, info STRUCT<title: STRING, views: BIGINT>)")
+    spark.sql("INSERT INTO graft.dml.ns VALUES " +
+      "(1, named_struct('title','t1','views',10L)), " +
+      "(2, named_struct('title','t2','views',20L))")
+    spark.sql("UPDATE graft.dml.ns SET info.views = info.views + 5 WHERE k = 1")
+    val got = spark.sql(
+      "SELECT k, info.title, info.views FROM graft.dml.ns ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "t1", 15L), (2L, "t2", 20L)))
+  }
+
+  test("MERGE UPDATE SET nested field through the matched clause") {
+    wh
+    spark.sql("CREATE TABLE graft.dml.nm " +
+      "(k BIGINT, info STRUCT<title: STRING, views: BIGINT>)")
+    spark.sql("INSERT INTO graft.dml.nm VALUES " +
+      "(1, named_struct('title','t1','views',10L))")
+    spark.sql(
+      """MERGE INTO graft.dml.nm t USING (SELECT 1L AS k, 99L AS nv) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET info.views = s.nv
+        |""".stripMargin)
+    val got = spark.sql("SELECT info.title, info.views FROM graft.dml.nm")
+      .head()
+    assert((got.getString(0), got.getLong(1)) == ("t1", 99L))
+  }
+
+  test("ALTER COLUMN type widening: metadata-only, time travel keeps narrow") {
+    wh
+    spark.sql("CREATE TABLE graft.dml.wd (k INT, amt DECIMAL(5,2))")
+    spark.sql("INSERT INTO graft.dml.wd VALUES (1, 1.50), (2, 2.25)")
+    val t = new DeltaLite(spark, tablePath("graft.dml.wd"))
+    val before = t.liveFiles().toSet
+    val vNarrow = t.latestVersion.get
+    spark.sql("ALTER TABLE graft.dml.wd ALTER COLUMN k TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.dml.wd ALTER COLUMN amt TYPE DECIMAL(12,2)")
+    // zero data movement
+    assert(new DeltaLite(spark, tablePath("graft.dml.wd")).liveFiles().toSet
+      == before, "widen must not rewrite any data file")
+    // reads serve the wide type; narrow files widen in the reader
+    val df = spark.table("graft.dml.wd")
+    assert(df.schema("k").dataType.simpleString == "bigint")
+    assert(df.schema("amt").dataType.simpleString == "decimal(12,2)")
+    assert(df.orderBy("k").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // new wide-shape inserts land next to narrow files
+    spark.sql("INSERT INTO graft.dml.wd VALUES (3000000000, 123.45)")
+    assert(spark.sql("SELECT sum(k) FROM graft.dml.wd").head().getLong(0)
+      == 3000000003L)
+    // time travel below the widen keeps the narrow schema
+    assert(spark.sql(
+      s"SELECT * FROM graft.dml.wd VERSION AS OF $vNarrow")
+      .schema("k").dataType.simpleString == "int")
+    // lossy narrowing is rejected by Spark's analyzer itself
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft.dml.wd ALTER COLUMN amt TYPE DECIMAL(5,1)"))
+    // an upcast Spark allows but the parquet reader can't widen in
+    // place (int→double) hits OUR metadata-only guard
+    spark.sql("CREATE TABLE graft.dml.wd2 (n INT)")
+    spark.sql("INSERT INTO graft.dml.wd2 VALUES (7)")
+    val ex = intercept[Exception](spark.sql(
+      "ALTER TABLE graft.dml.wd2 ALTER COLUMN n TYPE DOUBLE"))
+    assert(ex.getMessage.contains("lossless"))
   }
 }

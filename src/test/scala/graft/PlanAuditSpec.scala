@@ -197,6 +197,11 @@ class PlanAuditSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString()
     assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2, plan)
     assert(!plan.contains("SortMergeJoin"), plan)
+    // the dictionary ids come from range-sort + zipWithIndex, NOT a
+    // partition-less window — a high-cardinality label column must
+    // encode at full parallelism instead of silently serializing
+    assert(!plan.contains("WindowExec"), plan)
+    assert(!plan.contains("Window"), plan)
   }
 
   test("chunking is map-side: no exchange below the output sort") {
