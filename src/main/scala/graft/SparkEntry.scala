@@ -1594,6 +1594,57 @@ object SparkEntry {
     // → bit votes → signature) is re-derived in SQL and the 8-chunk
     // banding is EXACT for hamming ≤ 7, so all-pairs DuckDB ground
     // truth equals the banded Spark plan row-for-row.
+    // md5-minhash chain re-derived end-to-end: shingle md5 hashes mod
+    // 2^31-1, 64 linear permutations with md5-derived coefficients
+    // (mutually independent — see minhashMd5Pairs scaladoc; every
+    // product < 2^62 so BIGINT arithmetic is exact), value-tuple
+    // banding, >=32-of-64 estimate filter. Pair-set equality pins
+    // banding AND signatures exactly.
+    "dedup_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |hs AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647 AS x
+        |  FROM (SELECT doc_id, unnest(
+        |      CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |           ELSE list_transform(generate_series(1, len(t) - 2),
+        |                  i -> array_to_string(t[i:i+2], ' ')) END) AS sh
+        |    FROM toks)),
+        |coef AS (
+        |  SELECT g.i AS i,
+        |    (('0x' || substr(md5(CAST(2 * g.i AS VARCHAR)), 1, 15))::BIGINT
+        |       % 2147483646) + 1 AS a,
+        |    ('0x' || substr(md5(CAST(2 * g.i + 1 AS VARCHAR)), 1, 15))::BIGINT
+        |       % 2147483647 AS b
+        |  FROM generate_series(0, 63) g(i)),
+        |sig AS (
+        |  SELECT doc_id, c.i AS i, MIN((c.a * x + c.b) % 2147483647) AS s
+        |  FROM hs CROSS JOIN coef c
+        |  GROUP BY doc_id, c.i),
+        |sigl AS (
+        |  SELECT doc_id, list(s ORDER BY i) AS sig FROM sig GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id,
+        |    g.b AS band,
+        |    array_to_string(sig[g.b * 4 + 1 : g.b * 4 + 4], '|') AS bandkey
+        |  FROM sigl CROSS JOIN generate_series(0, 15) g(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bandkey = b.bandkey
+        |       AND a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT c.id_a, c.id_b,
+        |    SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS m
+        |  FROM cand c
+        |  JOIN sig sa ON sa.doc_id = c.id_a
+        |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, m / 64.0 AS est_jaccard
+        |FROM est WHERE m >= 32
+        |ORDER BY id_a, id_b""".stripMargin,
     "dedup_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t

@@ -141,6 +141,76 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** First 60 bits of md5(s) as a non-negative long — the same
+    * derivation DuckDB's `('0x'||substr(md5(s),1,15))::BIGINT`
+    * computes, used for the oracle-path permutation coefficients. */
+  private def md5Long60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+  }
+
+  /** md5-variant MinHash pairs — the ORACLE path (the xxhash64
+    * [[minhashPairs]] stays the throughput path, same split as
+    * simhash/simhashMd5): every stage re-derives in ANSI SQL, so the
+    * full candidate-pair output (not just counts) oracles against
+    * DuckDB. Shingle pre-hash = the md5→60-bit chain simhashMd5 uses,
+    * reduced mod P = 2^31-1; permutation family g_i(x) = (a_i·x + b_i)
+    * mod P with coefficients THEMSELVES md5-derived from the
+    * permutation index (a_i from md5(2i), b_i from md5(2i+1)) — the
+    * coefficients must be mutually independent: a correlated family
+    * like a_i = c·(i+1) lets one shared shingle with a tiny c·x mod P
+    * win the argmin for EVERY permutation at once, gluing unrelated
+    * docs together (caught by the recall/precision spec). Every
+    * product stays under 2^62 so BIGINT arithmetic is exact in both
+    * engines. Banding joins
+    * on the VALUE tuple (decimal-rendered, '|'-joined) instead of a
+    * hash of it — SQL-joinable, same buckets. Same scale shape as the
+    * fast path: map-only signatures, bucketed self-join, no all-pairs.
+    */
+  def minhashMd5Pairs(docs: DataFrame, textCol: String, idCol: String,
+      nGram: Int = 3, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val rowsPerBand = numPerm / bands
+    val sigs = tracked(docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        TextAnalysis.ngramsFromTokens(col("__toks"), nGram).as("__sh"))
+      .select(col(idCol),
+        array_distinct(transform(col("__sh"),
+          sh => conv(substring(md5(sh), 1, 15), 16, 10).cast("long") % Prime))
+          .as("__x"))
+      .select(col(idCol), array((0 until numPerm).map { i =>
+        val a = (md5Long60((2 * i).toString) % (Prime - 1)) + 1
+        val b = md5Long60((2 * i + 1).toString) % Prime
+        array_min(transform(col("__x"), x => (lit(a) * x + lit(b)) % Prime))
+      }: _*).as("signature"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val bandKeys = (0 until bands).map { bnd =>
+      concat_ws("|", (0 until rowsPerBand).map(r =>
+        col("signature")(bnd * rowsPerBand + r).cast("string")): _*)
+    }
+    val banded = tracked(
+      sigs.select(col(idCol).as("id"), col("signature"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "bandkey")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val a = banded.select(col("band"), col("bandkey"),
+      col("id").as("id_a"), col("signature").as("sig_a"))
+    val b = banded.select(col("band"), col("bandkey"),
+      col("id").as("id_b"), col("signature").as("sig_b"))
+    a.join(b, Seq("band", "bandkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numPerm)
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash per doc: per-feature 64-bit hashes vote on each bit;

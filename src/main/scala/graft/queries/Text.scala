@@ -64,7 +64,11 @@ object Text {
 
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Dedup.minhashPairs(Tables.documents(s, dir), "text", "doc_id",
+    // md5-signature variant: the whole chain (shingle hash, linear
+    // permutation family, value-tuple banding, estimate filter)
+    // re-derives in ANSI SQL, so the full pair output oracles against
+    // DuckDB; the xxhash64 minhashPairs stays the throughput path
+    Dedup.minhashMd5Pairs(Tables.documents(s, dir), "text", "doc_id",
       threshold = 0.5)
       .orderBy($"id_a", $"id_b")
   }
