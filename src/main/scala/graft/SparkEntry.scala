@@ -151,10 +151,11 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Text.dedupNgramJaccard _),
     "dedup_embedding" -> (Text.dedupEmbedding _),
     "ann_bruteforce_topk" -> (Vectors.annBruteForce _),
+    // md5-plane variant: the full LSH chain re-derives in SQL (oracled)
     "ann_lsh_topk" -> (Vectors.annLsh _),
+    // rows-only: IVF centroids are learned state; recall + partition-
+    // pruning contract spec'd in SimilaritySpec
     "ann_ivf_topk" -> (Vectors.annIvf _),
-    // rows-only: approximate neighbor sets aren't SQL-expressible;
-    // recall + twin semantics spec'd in SimilaritySpec
     "knn_graph" -> (Vectors.knnGraph _),
     // rows-only: PQ codebooks are learned state; recall + compression
     // contract spec'd in SimilaritySpec
@@ -1714,6 +1715,81 @@ object SparkEntry {
         |SELECT id_a, id_b, round(cosine, 6) AS cosine FROM pairs
         |WHERE cosine >= 0.95
         |ORDER BY id_a, id_b""".stripMargin,
+    // md5-plane sign-LSH re-derived end-to-end: plane coefficients from
+    // md5("t,p,d"), bucket bits from the SAME sequential double fold
+    // the cosine oracle uses, candidate join per table, exact cosine
+    // rank. Full top-k equality pins planes, buckets AND ranking.
+    "ann_lsh_topk" ->
+      """WITH coef AS (
+        |  SELECT t.t AS tbl, p.p AS pl,
+        |    list_transform(generate_series(0, 63), d ->
+        |      ('0x' || substr(md5(CAST(t.t AS VARCHAR) || ',' ||
+        |           CAST(p.p AS VARCHAR) || ',' || CAST(d AS VARCHAR)), 1, 15))::BIGINT
+        |        / 1152921504606846976.0 - 0.5) AS cl
+        |  FROM generate_series(0, 7) t(t), generate_series(0, 4) p(p)),
+        |buckets AS (
+        |  SELECT e.vec_id, c.tbl,
+        |    SUM(CASE WHEN list_sum(list_transform(list_zip(e.embedding, c.cl),
+        |          x -> CAST(x[1] AS DOUBLE) * x[2])) > 0
+        |        THEN (1 << c.pl) ELSE 0 END) AS bucket
+        |  FROM embeddings e CROSS JOIN coef c
+        |  GROUP BY e.vec_id, c.tbl),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id
+        |  FROM buckets q JOIN buckets b ON q.tbl = b.tbl AND q.bucket = b.bucket
+        |  WHERE q.vec_id < 8 AND b.vec_id <> q.vec_id),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    list_sum(list_transform(list_zip(eq.embedding, eb.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(eq.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM cand c
+        |  JOIN embeddings eq ON eq.vec_id = c.query_id
+        |  JOIN embeddings eb ON eb.vec_id = c.neighbor_id)
+        |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    // same chain, full-corpus self-join, top-3 per vector
+    "knn_graph" ->
+      """WITH coef AS (
+        |  SELECT t.t AS tbl, p.p AS pl,
+        |    list_transform(generate_series(0, 63), d ->
+        |      ('0x' || substr(md5(CAST(t.t AS VARCHAR) || ',' ||
+        |           CAST(p.p AS VARCHAR) || ',' || CAST(d AS VARCHAR)), 1, 15))::BIGINT
+        |        / 1152921504606846976.0 - 0.5) AS cl
+        |  FROM generate_series(0, 7) t(t), generate_series(0, 4) p(p)),
+        |buckets AS (
+        |  SELECT e.vec_id, c.tbl,
+        |    SUM(CASE WHEN list_sum(list_transform(list_zip(e.embedding, c.cl),
+        |          x -> CAST(x[1] AS DOUBLE) * x[2])) > 0
+        |        THEN (1 << c.pl) ELSE 0 END) AS bucket
+        |  FROM embeddings e CROSS JOIN coef c
+        |  GROUP BY e.vec_id, c.tbl),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id
+        |  FROM buckets q JOIN buckets b ON q.tbl = b.tbl AND q.bucket = b.bucket
+        |  WHERE b.vec_id <> q.vec_id),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    list_sum(list_transform(list_zip(eq.embedding, eb.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(eq.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM cand c
+        |  JOIN embeddings eq ON eq.vec_id = c.query_id
+        |  JOIN embeddings eb ON eb.vec_id = c.neighbor_id)
+        |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
     "ann_bruteforce_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),

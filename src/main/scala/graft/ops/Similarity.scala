@@ -258,6 +258,72 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** First 60 bits of md5(s) as a non-negative long — the same value
+    * DuckDB's `('0x'||substr(md5(s),1,15))::BIGINT` yields; used for
+    * the oracle-path plane coefficients. */
+  private def md5Long60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+  }
+
+  /** md5-derived hyperplane bucket ids — the ORACLE path for sign-LSH
+    * (the seeded-Gaussian [[hyperplaneTables]] native expression stays
+    * the throughput path, the same fast/oracle split as
+    * simhash/minhash): plane coefficient (t, p, d) =
+    * md5("t,p,d")[0:60] / 2^60 − 0.5, a symmetric uniform every SQL
+    * engine re-derives; bucket bit p of table t = [v · plane > 0],
+    * with the dot as the SAME sequential double fold the cosine
+    * expressions use — so bits (and therefore buckets, candidates and
+    * the final ranking) are bit-identical across engines. Uniform-cube
+    * plane directions are a standard sign-LSH family (slightly
+    * axis-biased vs Gaussian, immaterial for recall at these plane
+    * counts — asserted in SimilaritySpec).
+    */
+  def md5PlaneBuckets(vec: Column, planes: Int, tables: Int,
+      dim: Int = 64): Column =
+    array((0 until tables).map { t =>
+      (0 until planes).map { p =>
+        val coefs = (0 until dim).map(d =>
+          md5Long60(s"$t,$p,$d") / 1152921504606846976.0 - 0.5).toArray
+        val dotc = aggregate(
+          zip_with(vec, lit(coefs), (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, v) => acc + v)
+        when(dotc > 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+
+  /** [[lshTopK]] over the md5-derived planes — every stage re-derives
+    * in ANSI SQL, so the full top-k output oracles against DuckDB.
+    */
+  def lshTopKMd5(queries: DataFrame, candidates: DataFrame, vecCol: String,
+      idCol: String, k: Int, planes: Int = 5, tables: Int = 6,
+      dim: Int = 64): DataFrame = {
+    def banded(df: DataFrame, id: String, v: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(v),
+        posexplode(md5PlaneBuckets(col(vecCol), planes, tables, dim))
+          .as(Seq("table", "bucket")))
+    val q = banded(queries, "query_id", "qv")
+    val c = banded(candidates, "neighbor_id", "cv")
+    rankCandidates(c.join(broadcast(q), Seq("table", "bucket")), k)
+  }
+
+  /** [[knnGraph]] over the md5-derived planes (oracle path). */
+  def knnGraphMd5(corpus: DataFrame, vecCol: String, idCol: String, k: Int,
+      planes: Int = 5, tables: Int = 6, dim: Int = 64): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val banded = Dedup.tracked(corpus
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        posexplode(md5PlaneBuckets(col(vecCol), planes, tables, dim))
+          .as(Seq("table", "bucket")))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val a = banded.select(col("table"), col("bucket"),
+      col("__id").as("query_id"), col("__v").as("qv"))
+    val b = banded.select(col("table"), col("bucket"),
+      col("__id").as("neighbor_id"), col("__v").as("cv"))
+    rankCandidates(a.join(b, Seq("table", "bucket")), k)
+  }
+
   def lshTopK(queries: DataFrame, candidates: DataFrame, vecCol: String,
       idCol: String, k: Int, planes: Int = 5, tables: Int = 6,
       seed: Long = 11L): DataFrame = {

@@ -92,13 +92,17 @@ object Vectors {
       .orderBy($"vec_id")
   }
 
-  /** LSH-bucketed approximate top-10 — the 100 TB path; recall vs the
-    * brute force baseline is asserted in specs.
+  /** LSH-bucketed approximate top-10 — the 100 TB path. The query
+    * runs the md5-plane variant whose whole chain (plane coefficients,
+    * bucket bits, candidate join, cosine ranking) re-derives in ANSI
+    * SQL, so the full top-k output oracles against DuckDB; the
+    * seeded-Gaussian native expression stays the throughput path.
+    * Recall vs brute force asserted in specs for both.
     */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    Similarity.lshTopK(
+    Similarity.lshTopKMd5(
       emb.filter($"vec_id" < 8), emb, "embedding", "vec_id", k = 10,
       planes = 5, tables = 8)
       .select($"query_id", $"rank", $"neighbor_id", round($"cosine", 6).as("cosine"))
@@ -125,12 +129,13 @@ object Vectors {
   }
 
   /** Approximate kNN graph over the full embedding corpus (top-3
-    * neighbors per vector, LSH bucket self-join) — rows-only; recall
-    * vs brute force is spec'd in SimilaritySpec.
+    * neighbors per vector, LSH bucket self-join) — md5-plane variant,
+    * fully oracled like [[annLsh]]; recall vs brute force spec'd in
+    * SimilaritySpec.
     */
   def knnGraph(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Similarity.knnGraph(Tables.embeddings(s, dir), "embedding", "vec_id",
+    Similarity.knnGraphMd5(Tables.embeddings(s, dir), "embedding", "vec_id",
       k = 3, planes = 5, tables = 8)
       .select($"query_id", $"rank", $"neighbor_id",
         round($"cosine", 6).as("cosine"))

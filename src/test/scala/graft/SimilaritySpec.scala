@@ -97,6 +97,38 @@ class SimilaritySpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
   }
 
+  test("md5-plane LSH (oracle path): twin recovery + recall vs brute force") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    // planted twins must be each other's top-1 through the md5 planes
+    val twins = emb.filter($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding", x => x * 1.0001f).as("embedding"),
+        $"label")
+    val corpus = emb.unionByName(twins)
+    val g = Similarity.knnGraphMd5(corpus, "embedding", "vec_id", k = 3,
+      planes = 5, tables = 8)
+    val top1 = g.filter($"rank" === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    Dedup.releaseCaches()
+    emb.filter($"vec_id" % 10 === 0).collect()
+      .map(_.getAs[Long]("vec_id")).foreach { id =>
+        assert(top1(id) == id + 100000L, s"twin of $id not its top-1")
+      }
+    // recall@10 of the md5-plane lshTopK vs brute force on real queries
+    val q = emb.filter($"vec_id" < 8)
+    val bf = Similarity.bruteForceTopK(q, emb, "embedding", "vec_id", k = 10)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.lshTopKMd5(q, emb, "embedding", "vec_id", k = 10,
+      planes = 5, tables = 8).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = bf.intersect(approx).size.toDouble / bf.size
+    info(s"md5-plane lsh recall@10 = $recall")
+    assert(recall > 0.25, s"recall@10 = $recall")
+  }
+
   test("IVF topk: trained centroids, recall vs brute force, probe bound") {
     import graft.ops.Similarity
     val emb = Tables.embeddings(spark, sf)
