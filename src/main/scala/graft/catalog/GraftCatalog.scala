@@ -268,6 +268,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case uc: TableChange.UpdateColumnType =>
         require(uc.fieldNames().length == 1, "nested columns unsupported")
         t.widenColumn(uc.fieldNames()(0), uc.newDataType())
+      case sp: TableChange.SetProperty =>
+        t.setTableProperties(Map(sp.property() -> sp.value()))
+      case rp: TableChange.RemoveProperty =>
+        t.unsetTableProperties(Seq(rp.property()))
       case c => throw new UnsupportedOperationException(
         s"unsupported table change: $c")
     }

@@ -88,6 +88,8 @@ class GraftTable(tableName: String, val delta: DeltaLite,
     m.put("graft.location", delta.root)
     m.put("provider", "graft")
     delta.latestVersion.foreach(v => m.put("version", v.toString))
+    // persisted TBLPROPERTIES (SET/UNSET through ALTER TABLE)
+    delta.tableProperties.foreach { case (k, v) => m.put(k, v) }
     m
   }
 

@@ -103,7 +103,17 @@ class DeltaLite(val spark: SparkSession, val root: String,
       // COPY INTO ledger: source files this commit CONSUMED — replay
       // unions them into the already-ingested set, independent of the
       // data files' own lifecycle (compaction must not re-ingest)
-      ingested: Seq[String] = Nil)
+      ingested: Seq[String] = Nil,
+      // table properties as of this commit (None = carry forward, the
+      // colmap/checks replay rule); survive overwrite like checks
+      props: Option[Map[String, String]] = None,
+      // change-data sidecars for a REWRITE commit: None = unknown
+      // (legacy/ungated row-changing rewrite → CDF guards it);
+      // Some(Nil) = row-preserving maintenance (compact/zorder —
+      // nothing to emit, CDF skips it); Some(paths) = the commit's
+      // pre/post-image parquet files (written when the
+      // enableChangeDataFeed property is set)
+      cdc: Option[Seq[String]] = None)
 
   /** Scheme-independent path identity (file:/x vs file:///x vs /x). */
   private def norm(p: String): String = new Path(p).toUri.getPath
@@ -377,9 +387,22 @@ class DeltaLite(val spark: SparkSession, val root: String,
       .map(s => if (s.isEmpty) Seq.empty[String]
         else s.split('\u001e').toSeq.map(dsep))
       .getOrElse(Nil)
+    val props = optField("props").map { s =>
+      if (s.isEmpty) Map.empty[String, String]
+      else s.split('\u001e').map { e =>
+        val i = e.indexOf('\u001f')
+        dsep(e.substring(0, i)) -> dsep(e.substring(i + 1))
+      }.toMap
+    }
+    // anchored like dvs; rendered directly before it (or "schema")
+    val cdc = "\"cdc\":\\[(.*?)\\],\"(?:dvs|schema)\"".r
+      .findFirstMatchIn(json).map { m =>
+        "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+          .findAllMatchIn(m.group(1)).map(x => unesc(x.group(1))).toSeq
+      }
     Commit(field("version").toInt, field("mode"), field("schema"),
       removedPaths, files, optField("txnApp"), optField("txnId").map(_.toLong),
-      dvs, colmap, checks, parts, ingested)
+      dvs, colmap, checks, parts, ingested, props, cdc)
   }
 
   private def renderCommit(c: Commit): String = {
@@ -423,6 +446,16 @@ class DeltaLite(val spark: SparkSession, val root: String,
     val ingested =
       if (c.ingested.isEmpty) ""
       else s""""ingested":"${esc(c.ingested.map(escSep).mkString("\u001e"))}","""
+    val props = c.props.map { m =>
+      val body = m.toSeq.sorted
+        .map { case (k, v) => escSep(k) + "\u001f" + escSep(v) }
+        .mkString("\u001e")
+      s""""props":"${esc(body)}","""
+    }.getOrElse("")
+    // renders directly before dvs/schema — the parse anchors on that
+    val cdcJson = c.cdc.map(paths =>
+      paths.map(p => "\"" + esc(p) + "\"")
+        .mkString("\"cdc\":[", ",", "],")).getOrElse("")
     // dvs renders just before "schema" — the parse anchors on that,
     // and the removed-list regex (anchored on "removed":[...],"files")
     // stays unambiguous
@@ -430,7 +463,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
       if (c.dvs.isEmpty) ""
       else c.dvs.map(p => "\"" + esc(p) + "\"")
         .mkString("\"dvs\":[", ",", "],")
-    s"""{"version":"${c.version}","mode":"${c.mode}","sepenc":"1",$txn$statsCol$colmap$checks$parts$ingested$dvs"schema":"${esc(c.schemaJson)}","removed":$removed,"files":$files}"""
+    s"""{"version":"${c.version}","mode":"${c.mode}","sepenc":"1",$txn$statsCol$colmap$checks$parts$ingested$props$cdcJson$dvs"schema":"${esc(c.schemaJson)}","removed":$removed,"files":$files}"""
   }
 
   // ---- commit-log checkpoints (bounded-cost table open) ----
@@ -446,7 +479,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
       files: Seq[FileEntry], dvs: Seq[String],
       colmap: Map[String, String], checks: Map[String, String],
       txns: Map[String, Long], parts: Seq[String] = Nil,
-      ingested: Seq[String] = Nil) {
+      ingested: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty) {
     /** The state as a replay-base commit. `checkpoint` mode resets
       * the live file and DV sets like an overwrite (it IS the whole
       * state) and carries mapping/constraints/partitioning explicitly
@@ -457,7 +491,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
       */
     def synthetic: Commit = Commit(version, "checkpoint", schemaJson,
       Nil, files, None, None, dvs, Some(colmap), Some(checks),
-      parts = Some(parts), ingested = ingested)
+      parts = Some(parts), ingested = ingested, props = Some(props))
   }
 
   private val parsedCheckpoints =
@@ -526,7 +560,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
       .getOrElse(Map.empty)
     Checkpoint(c.version, c.schemaJson, c.files, c.dvs,
       c.colmap.getOrElse(Map.empty), c.checks.getOrElse(Map.empty), txns,
-      c.parts.getOrElse(Nil), c.ingested)
+      c.parts.getOrElse(Nil), c.ingested, c.props.getOrElse(Map.empty))
   }
 
   /** State to checkpoint at `upTo`, built INCREMENTALLY from the
@@ -564,7 +598,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
       else f.copy(min = None, max = None, keyCol = None))
     Checkpoint(upTo, cs.last.schemaJson, files, liveDvFiles(cs),
       colMapAt(cs), checksAt(cs), txns, partsAt(cs),
-      cs.flatMap(_.ingested).distinct)
+      cs.flatMap(_.ingested).distinct, propsAt(cs))
   }
 
   /** Write the checkpoint for `version` (no-op if present). Temp-file
@@ -768,6 +802,41 @@ class DeltaLite(val spark: SparkSession, val root: String,
   /** The table's live CHECK constraints (name → SQL predicate). */
   def checkConstraints: Map[String, String] = checksAt(commits())
 
+  private def propsAt(upTo: Seq[Commit]): Map[String, String] =
+    upTo.foldLeft(Map.empty[String, String]) { (acc, c) =>
+      c.props.getOrElse(acc)
+    }
+
+  /** The table's persisted properties (TBLPROPERTIES). */
+  def tableProperties: Map[String, String] = propsAt(commits())
+
+  /** SET TBLPROPERTIES — a metadata-only commit; properties survive
+    * overwrite (a logical contract, like CHECK constraints) and carry
+    * through checkpoints. `enableChangeDataFeed=true` switches the
+    * row-changing rewrites (merge/update/upsert) to writing
+    * change-data sidecars the CDF can serve.
+    */
+  def setTableProperties(kv: Map[String, String]): Int = {
+    val cs = commits()
+    require(cs.nonEmpty, s"empty table at $root")
+    publish(Commit(latestVersion.get + 1, "props",
+      cs.last.schemaJson, Nil, Nil, None, None,
+      props = Some(propsAt(cs) ++ kv)))
+  }
+
+  /** UNSET TBLPROPERTIES — metadata-only; absent keys are ignored
+    * (SQL's IF EXISTS semantics). */
+  def unsetTableProperties(keys: Seq[String]): Int = {
+    val cs = commits()
+    require(cs.nonEmpty, s"empty table at $root")
+    publish(Commit(latestVersion.get + 1, "props",
+      cs.last.schemaJson, Nil, Nil, None, None,
+      props = Some(propsAt(cs) -- keys)))
+  }
+
+  private def cdfEnabled(upTo: Seq[Commit]): Boolean =
+    propsAt(upTo).get("enableChangeDataFeed").contains("true")
+
   /** Column names referenced by a constraint's SQL. */
   private def exprRefs(sql: String): Set[String] =
     spark.sessionState.sqlParser.parseExpression(sql).collect {
@@ -845,7 +914,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
       schemaOverride: Option[StructType] = None,
       mappingOverride: Option[Map[String, String]] = None,
       retryable: Boolean = true,
-      ingested: Seq[String] = Nil): Int = {
+      ingested: Seq[String] = Nil,
+      cdc: Option[Seq[String]] = None): Int = {
     val base = commits()
     val version = base.lastOption.map(_.version + 1).getOrElse(0)
     // an overwrite replaces every file, so no physical name survives to
@@ -1024,7 +1094,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
           removed, entries, txn.map(_._1), txn.map(_._2), Nil, Some(mapping),
           checks = if (base.isEmpty && pendingChecks.nonEmpty)
             Some(pendingChecks.toMap) else None,
-          parts = Some(declaredParts), ingested = ingested))
+          parts = Some(declaredParts), ingested = ingested, cdc = cdc))
         pendingChecks.clear()
         return v
       }
@@ -1200,7 +1270,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
     // is already reflected in it)
     val nonAppend = cs.filterNot(c =>
       c.mode == "append" || c.mode == "restats" || c.mode == "rename" ||
-        c.mode == "drop" || c.mode == "constraint")
+        c.mode == "drop" || c.mode == "constraint" || c.mode == "props")
     if (nonAppend.nonEmpty && !ignoreChanges)
       sys.error("DeltaLite streaming source saw non-append commits " +
         nonAppend.map(c => s"v${c.version}(${c.mode})").mkString(", ") +
@@ -1221,6 +1291,32 @@ class DeltaLite(val spark: SparkSession, val root: String,
     * only rewrites are row-preserving maintenance like compaction).
     * Each commit decodes with ITS OWN schema, like [[readAppendsSince]].
     */
+  /** Write a change-data sidecar for a row-changing rewrite: `cdcDf`
+    * carries the table's LOGICAL columns plus `_change_type`
+    * ('update_preimage' / 'update_postimage' / 'insert' / 'delete');
+    * files land under `_cdc/` with PHYSICAL column names (rename-safe,
+    * like data files) and their paths ride the commit record. Cost is
+    * O(changed rows) extra write — the price Delta's
+    * enableChangeDataFeed pays for rewrite-expressible CDF.
+    */
+  private def writeCdc(cdcDf: DataFrame, sch: StructType,
+      mapping: Map[String, String]): Seq[String] = {
+    val dir = new Path(rootPath,
+      s"_cdc/${java.util.UUID.randomUUID().toString.take(12)}")
+    val phys = cdcDf.select((sch.fieldNames.map(n =>
+      col(n).as(mapping.getOrElse(n, n))) :+ col("_change_type")).toIndexedSeq: _*)
+    phys.write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
+    val it = fs.listFiles(dir, true)
+    val buf = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.startsWith("part-") &&
+        st.getPath.getName.endsWith(".parquet"))
+        buf += st.getPath.toString
+    }
+    buf.result().sorted
+  }
+
   def changesBetween(sinceExclusive: Int, toInclusive: Int,
       skipRewrites: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.lit
@@ -1236,7 +1332,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
         "reaches below the latest checkpoint and the per-commit records " +
         "were cleaned — start the feed at or above the checkpoint version")
     val unsupported = cs.filter(c =>
-      c.mode == "overwrite" || (c.mode == "rewrite" && !skipRewrites))
+      c.mode == "overwrite" ||
+        (c.mode == "rewrite" && c.cdc.isEmpty && !skipRewrites))
     require(unsupported.isEmpty,
       "change feed cannot express row-level changes of commits " +
         unsupported.map(c => s"v${c.version}(${c.mode})").mkString(", ") +
@@ -1265,6 +1362,19 @@ class DeltaLite(val spark: SparkSession, val root: String,
           val (df, cols) = decode(c.files.map(_.path), commitSch, m)
           Some(df.select(cols: _*)
             .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(c.version)))
+        // row-changing rewrite with a CDC sidecar: serve the written
+        // pre/post images directly (physical names, like data files)
+        case "rewrite" if c.cdc.exists(_.nonEmpty) =>
+          val physCdc = StructType(
+            physSchema(commitSch, m).fields :+
+              StructField("_change_type", StringType, nullable = false))
+          val df = spark.read.schema(physCdc).parquet(c.cdc.get: _*)
+          val cols = commitSch.fields.toSeq.map { f =>
+            val p = m.getOrElse(f.name, f.name)
+            col(p).as(endRev.getOrElse(p, p))
+          }
+          Some(df.select((cols :+ col("_change_type")): _*)
             .withColumn("_commit_version", lit(c.version)))
         case "delete" if c.files.nonEmpty =>
           // the DV names (file, pos); join back to the files to emit
@@ -1541,7 +1651,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
       val packed = readFiles(small.map(_.path), schema.get,
           liveDvFiles(cs), colMapAt(cs))
         .repartition(nOut)
-      Some(commit(packed, "rewrite", removed = small.map(_.path)))
+      Some(commit(packed, "rewrite", removed = small.map(_.path),
+        cdc = Some(Nil)))
     }
   }
 
@@ -1834,7 +1945,33 @@ class DeltaLite(val spark: SparkSession, val root: String,
           .filter(coalesce(insOnly, lit(false))), sch)
       val out = (Seq(fromTarget, updated) ++ bsUpdated.toSeq :+ inserted)
         .reduce(_ unionByName _)
-      commit(out, "rewrite", removed = touched.map(_.path), txn = txn)
+      // change-data sidecar (enableChangeDataFeed property): pre/post
+      // images of every row this merge touches, written BEFORE the
+      // commit record that references them — O(changed rows) extra
+      // write plus one extra scan of the touched files (Delta's CDC
+      // write cost has the same shape)
+      val cdcPaths =
+        if (!cdfEnabled(commits())) None
+        else {
+          def tagged(df: DataFrame, t: String) =
+            df.withColumn("_change_type", lit(t))
+          val tCols = sch.fieldNames.map(f => col(s"t.$f")).toIndexedSeq
+          val pre = Seq(
+            tagged(joined.filter(doDelete).select(tCols: _*), "delete"),
+            tagged(joined.filter(doUpdate).select(tCols: _*),
+              "update_preimage"),
+            tagged(updated, "update_postimage")) ++
+            bySourceDeleteWhen.map(_ =>
+              tagged(joined.filter(doBsDelete).select(tCols: _*), "delete")) ++
+            bySourceUpdateSet.map(_ =>
+              tagged(joined.filter(doBsUpdate).select(tCols: _*),
+                "update_preimage")) ++
+            bsUpdated.map(tagged(_, "update_postimage")) :+
+            tagged(inserted, "insert")
+          Some(writeCdc(pre.reduce(_ unionByName _), sch, colMapAt(commits())))
+        }
+      commit(out, "rewrite", removed = touched.map(_.path), txn = txn,
+        cdc = cdcPaths)
     } finally {
       val _ = src.unpersist(false)
     }
@@ -1881,7 +2018,24 @@ class DeltaLite(val spark: SparkSession, val root: String,
         .join(df.select(keys.head, keys.tail: _*), keys, "left_anti")
         .unionByName(df)
         .select(sch.fieldNames.map(col).toSeq: _*)
-      commit(merged, "rewrite", removed = touched.map(_.path), txn = txn)
+      val cdcPaths =
+        if (!cdfEnabled(commits())) None
+        else {
+          val order = sch.fieldNames.map(col).toIndexedSeq
+          val pre = existing.join(df.select(keys.head, keys.tail: _*),
+            keys, "left_semi").select(order: _*)
+            .withColumn("_change_type", lit("update_preimage"))
+          val post = df.join(existing.select(keys.head, keys.tail: _*),
+            keys, "left_semi").select(order: _*)
+            .withColumn("_change_type", lit("update_postimage"))
+          val ins = df.join(existing.select(keys.head, keys.tail: _*),
+            keys, "left_anti").select(order: _*)
+            .withColumn("_change_type", lit("insert"))
+          Some(writeCdc(pre.unionByName(post).unionByName(ins), sch,
+            colMapAt(commits())))
+        }
+      commit(merged, "rewrite", removed = touched.map(_.path), txn = txn,
+        cdc = cdcPaths)
     }
   }
 
@@ -1970,7 +2124,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
         // them, rename/constraint are pure metadata — none touch the
         // data-file set
         case "delete" | "dvclear" | "rename" | "drop" | "constraint"
-           | "widen" => acc
+           | "widen" | "props" => acc
         // restats re-labels live entries with stats for a new key; the
         // file set (and every row) is untouched
         case "restats" =>
@@ -2190,7 +2344,22 @@ class DeltaLite(val spark: SparkSession, val root: String,
           .otherwise(col(f.name)).as(f.name))
         .getOrElse(col(f.name))
     }.toIndexedSeq: _*)
-    Some(commit(updated, "rewrite", removed = touched.map(_.path)))
+    // change-data sidecar (enableChangeDataFeed): pre/post images of
+    // the MATCHED rows only — O(changed rows) extra write
+    val cdcPaths =
+      if (!cdfEnabled(all)) None
+      else {
+        val pre = rows.filter(cond)
+          .withColumn("_change_type", lit("update_preimage"))
+        val post = rows.filter(cond).select(sch.fields.map { f =>
+          setMap.get(f.name).map(_.cast(f.dataType).as(f.name))
+            .getOrElse(col(f.name))
+        }.toIndexedSeq: _*)
+          .withColumn("_change_type", lit("update_postimage"))
+        Some(writeCdc(pre.unionByName(post), sch, mapping))
+      }
+    Some(commit(updated, "rewrite", removed = touched.map(_.path),
+      cdc = cdcPaths))
   }
 
   /** Fold live deletion vectors into the data files: every file with
@@ -2214,7 +2383,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
       if (affected.isEmpty) None
       else {
         val cleaned = readFiles(affected.map(_.path), sch, dvs, colMapAt(all))
-        Some(commit(cleaned, "rewrite", removed = affected.map(_.path)))
+        Some(commit(cleaned, "rewrite", removed = affected.map(_.path),
+          cdc = Some(Nil)))
       }
     // all live DV rows now reference rewritten-away or already-dead
     // files; retire them so reads stop anti-joining
@@ -2256,7 +2426,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
       val packed = readFiles(small.map(_.path), schema.get,
           liveDvFiles(commits()), colMapAt(commits()))
         .repartition(nOut)
-      Some(commit(packed, "rewrite", removed = small.map(_.path)))
+      Some(commit(packed, "rewrite", removed = small.map(_.path),
+        cdc = Some(Nil)))
     }
   }
 
@@ -2408,7 +2579,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
       .repartitionByRange(numFiles, col("__zorder"))
       .sortWithinPartitions(col("__zorder"))
       .drop("__zorder")
-    commit(clustered, "rewrite", removed = live)
+    commit(clustered, "rewrite", removed = live, cdc = Some(Nil))
   }
 
   /** Delete data files not referenced by the live set of any of the
@@ -2440,9 +2611,16 @@ class DeltaLite(val spark: SparkSession, val root: String,
     // re-references the source's files, and a vacuum that trusted the
     // log blindly would reach across and destroy the source table
     val ownPrefix = norm(rootPath.toString) + "/"
-    val doomed = all.flatMap(_.files.map(_.path)).distinct
-      .filterNot(p => retained(norm(p)))
+    // change-data sidecars age out with their versions: CDC of commits
+    // below the retention cutoff is unreadable-by-policy (its data
+    // files may be gone too), so reclaim it — a later changesBetween
+    // into the trimmed range fails loudly on the missing files
+    val doomedCdc = all.filter(_.version < cutoff)
+      .flatMap(_.cdc.getOrElse(Nil)).distinct
       .filter(p => norm(p).startsWith(ownPrefix))
+    val doomed = (all.flatMap(_.files.map(_.path)).distinct
+      .filterNot(p => retained(norm(p)))
+      .filter(p => norm(p).startsWith(ownPrefix))) ++ doomedCdc
     doomed.foreach(p => fs.delete(new Path(p), false))
     doomed
   }

@@ -69,7 +69,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * table.
   */
 case class HyperplaneBuckets(child: Expression, planes: Int, tables: Int,
-    seed: Long, dim: Int) extends UnaryExpression {
+    seed: Long, dim: Int,
+    // explicit [table][plane][dim] coefficients (the md5-derived
+    // oracle-path planes); null = seeded-Gaussian fast path
+    planesOverride: Array[Array[Array[Double]]] = null)
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -77,7 +81,8 @@ case class HyperplaneBuckets(child: Expression, planes: Int, tables: Int,
 
   // [table][plane][dim] — same stream as Similarity.planeVectors per table
   @transient private lazy val planeVecs: Array[Array[Array[Double]]] =
-    Array.tabulate(tables) { t =>
+    if (planesOverride != null) planesOverride
+    else Array.tabulate(tables) { t =>
       val r = new scala.util.Random(seed + 1000L * t)
       Array.fill(planes)(Array.fill(dim)(r.nextGaussian()))
     }
@@ -229,6 +234,13 @@ object VectorFunctions {
       seed: Long = 11L, dim: Int = 64): Column =
     Bridge.column(HyperplaneBuckets(Bridge.expression(vec), planes, tables,
       seed, dim))
+
+  /** [[hyperplane_buckets]] over an EXPLICIT plane matrix (the
+    * md5-derived oracle planes) — same codegen'd kernel, no HOF tax. */
+  def hyperplane_buckets_with(vec: Column, planes: Array[Array[Array[Double]]],
+      dim: Int = 64): Column =
+    Bridge.column(HyperplaneBuckets(Bridge.expression(vec),
+      planes.head.length, planes.length, 0L, dim, planes))
 
   /** Aggregate: elementwise sum of vector rows (see [[VectorSumAgg]]). */
   def vector_sum(vec: Column): Column =

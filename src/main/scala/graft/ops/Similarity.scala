@@ -281,17 +281,16 @@ object Similarity {
     * counts — asserted in SimilaritySpec).
     */
   def md5PlaneBuckets(vec: Column, planes: Int, tables: Int,
-      dim: Int = 64): Column =
-    array((0 until tables).map { t =>
-      (0 until planes).map { p =>
-        val coefs = (0 until dim).map(d =>
-          md5Long60(s"$t,$p,$d") / 1152921504606846976.0 - 0.5).toArray
-        val dotc = aggregate(
-          zip_with(vec, lit(coefs), (x, y) => x.cast("double") * y),
-          lit(0.0), (acc, v) => acc + v)
-        when(dotc > 0, lit(1 << p)).otherwise(lit(0))
-      }.reduce(_ + _)
-    }: _*)
+      dim: Int = 64): Column = {
+    // [table][plane][dim] coefficient matrix, evaluated through the
+    // same codegen'd kernel as the Gaussian fast path (an HOF
+    // formulation measured ~4x slower); the kernel's sequential
+    // dot += v(i) * c(i) is the same fold order the SQL twin's
+    // list_sum uses, so bits stay bit-identical
+    val matrix = Array.tabulate(tables, planes, dim)((t, p, d) =>
+      md5Long60(s"$t,$p,$d") / 1152921504606846976.0 - 0.5)
+    graft.functions.VectorFunctions.hyperplane_buckets_with(vec, matrix, dim)
+  }
 
   /** [[lshTopK]] over the md5-derived planes — every stage re-derives
     * in ANSI SQL, so the full top-k output oracles against DuckDB.

@@ -1,0 +1,167 @@
+package graft
+
+import graft.etl.DeltaLite
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Table properties (TBLPROPERTIES) + change-data-feed sidecars for
+  * row-changing rewrites: with `enableChangeDataFeed=true`, merge /
+  * updateWhere / upsert write pre/post-image sidecars the CDF serves,
+  * row-preserving maintenance (compact/zorder/materializeDeletes) is
+  * skipped silently, and un-gated legacy rewrites keep the loud guard.
+  */
+class CdcRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def seed(root: String): DeltaLite = {
+    val t = DeltaLite(spark, root, "k")
+    t.append(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "v", "amt"))
+    t
+  }
+
+  private def changes(t: DeltaLite, from: Int, to: Int) =
+    t.changesBetween(from, to).collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("k"),
+        r.getAs[String]("v"))).toSet
+
+  test("properties: set/unset, survive overwrite and checkpoint splice") {
+    val t = seed(tmp("graft-props"))
+    assert(t.tableProperties.isEmpty)
+    t.setTableProperties(Map("owner" -> "etl", "enableChangeDataFeed" -> "true"))
+    assert(t.tableProperties == Map("owner" -> "etl",
+      "enableChangeDataFeed" -> "true"))
+    t.unsetTableProperties(Seq("owner", "absent_is_fine"))
+    assert(t.tableProperties == Map("enableChangeDataFeed" -> "true"))
+    // survive overwrite (logical contract, like CHECK constraints)
+    t.overwrite(Seq((9L, "z", 1.0)).toDF("k", "v", "amt"))
+    assert(t.tableProperties == Map("enableChangeDataFeed" -> "true"))
+    // survive a checkpoint splice + log trim
+    t.checkpointNow()
+    t.cleanLog()
+    val reopened = DeltaLite(spark, t.root)
+    assert(reopened.tableProperties == Map("enableChangeDataFeed" -> "true"))
+  }
+
+  test("merge with CDF: update pre/post, delete, insert all in the feed") {
+    val t = seed(tmp("graft-cdc-merge"))
+    t.setTableProperties(Map("enableChangeDataFeed" -> "true"))
+    val v0 = t.latestVersion.get
+    t.merge(
+      Seq((1L, "A", 11.0), (3L, "DEL", 0.0), (7L, "new", 70.0))
+        .toDF("k", "v", "amt"), "k",
+      deleteWhen = Some(col("s.v") === "DEL"),
+      insertWhen = Some(col("s.v") =!= "DEL"))
+    val got = changes(t, v0, t.latestVersion.get)
+    assert(got == Set(
+      ("update_preimage", 1L, "a"), ("update_postimage", 1L, "A"),
+      ("delete", 3L, "c"),
+      ("insert", 7L, "new")), s"got $got")
+    // the table itself reads correctly too
+    assert(t.read().orderBy("k").collect().map(_.getString(1)).toSeq
+      == Seq("A", "b", "new"))
+  }
+
+  test("NOT MATCHED BY SOURCE clauses land in the feed") {
+    val t = seed(tmp("graft-cdc-bysource"))
+    t.setTableProperties(Map("enableChangeDataFeed" -> "true"))
+    val v0 = t.latestVersion.get
+    t.mergeOn(Seq((1L, "A", 11.0)).toDF("k", "v", "amt"), Seq("k"),
+      insertWhen = Some(lit(false)),
+      bySourceDeleteWhen = Some(col("t.k") === 2L),
+      bySourceUpdateWhen = Some(col("t.k") === 3L),
+      bySourceUpdateSet = Some(Seq("v" -> lit("stale"))))
+    val got = changes(t, v0, t.latestVersion.get)
+    assert(got == Set(
+      ("update_preimage", 1L, "a"), ("update_postimage", 1L, "A"),
+      ("delete", 2L, "b"),
+      ("update_preimage", 3L, "c"), ("update_postimage", 3L, "stale")),
+      s"got $got")
+  }
+
+  test("updateWhere with CDF emits pre/post images of matched rows only") {
+    val t = seed(tmp("graft-cdc-update"))
+    t.setTableProperties(Map("enableChangeDataFeed" -> "true"))
+    val v0 = t.latestVersion.get
+    t.updateWhere(col("k") >= 2L, Seq("v" -> upper(col("v"))))
+    val got = changes(t, v0, t.latestVersion.get)
+    assert(got == Set(
+      ("update_preimage", 2L, "b"), ("update_postimage", 2L, "B"),
+      ("update_preimage", 3L, "c"), ("update_postimage", 3L, "C")),
+      s"got $got")
+  }
+
+  test("upsert with CDF: replaced keys pre/post, fresh keys insert") {
+    val t = seed(tmp("graft-cdc-upsert"))
+    t.setTableProperties(Map("enableChangeDataFeed" -> "true"))
+    val v0 = t.latestVersion.get
+    t.upsert(Seq((2L, "B2", 21.0), (8L, "h", 80.0)).toDF("k", "v", "amt"), "k")
+    val got = changes(t, v0, t.latestVersion.get)
+    assert(got == Set(
+      ("update_preimage", 2L, "b"), ("update_postimage", 2L, "B2"),
+      ("insert", 8L, "h")), s"got $got")
+  }
+
+  test("row-preserving maintenance is skipped silently, not guarded") {
+    val t = seed(tmp("graft-cdc-compact"))
+    t.setTableProperties(Map("enableChangeDataFeed" -> "true"))
+    t.append(Seq((4L, "d", 40.0)).toDF("k", "v", "amt"))
+    val v0 = t.latestVersion.get
+    assert(t.compact(targetBytes = 1L << 30, minFiles = 2).isDefined)
+    // CDF across the compaction: no rows, no error
+    assert(t.changesBetween(v0, t.latestVersion.get).count() == 0)
+  }
+
+  test("un-gated rewrites keep the loud guard; skipRewrites still works") {
+    val t = seed(tmp("graft-cdc-off"))
+    val v0 = t.latestVersion.get
+    t.upsert(Seq((1L, "A", 11.0)).toDF("k", "v", "amt"), "k")
+    val ex = intercept[RuntimeException](
+      t.changesBetween(v0, t.latestVersion.get).collect())
+    assert(ex.getMessage.contains("skipRewrites"))
+    assert(t.changesBetween(v0, t.latestVersion.get, skipRewrites = true)
+      .count() == 0)
+  }
+
+  test("SQL surface: SET TBLPROPERTIES enables the feed end-to-end") {
+    graft.catalog.GraftCatalog.install(spark,
+      Files.createTempDirectory("graft-cdc-wh").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cdc")
+    spark.sql("CREATE TABLE graft.cdc.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.cdc.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE graft.cdc.t " +
+      "SET TBLPROPERTIES ('enableChangeDataFeed' = 'true')")
+    val props = spark.sql("SHOW TBLPROPERTIES graft.cdc.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("enableChangeDataFeed").contains("true"))
+    val loc = props("graft.location")
+    val t = DeltaLite(spark, loc)
+    val v0 = t.latestVersion.get
+    spark.sql("UPDATE graft.cdc.t SET v = 'A' WHERE k = 1")
+    val got = changes(t, v0, t.latestVersion.get)
+    assert(got == Set(("update_preimage", 1L, "a"),
+      ("update_postimage", 1L, "A")))
+    spark.sql("ALTER TABLE graft.cdc.t UNSET TBLPROPERTIES ('enableChangeDataFeed')")
+    assert(t.tableProperties.isEmpty)
+  }
+
+  test("vacuum reclaims CDC sidecars of versions below the cutoff") {
+    val t = seed(tmp("graft-cdc-vacuum"))
+    t.setTableProperties(Map("enableChangeDataFeed" -> "true"))
+    val v0 = t.latestVersion.get
+    t.updateWhere(col("k") === 1L, Seq("v" -> lit("x")))
+    val vUpd = t.latestVersion.get
+    assert(t.changesBetween(v0, vUpd).count() == 2)
+    t.append(Seq((5L, "e", 50.0)).toDF("k", "v", "amt"))
+    t.append(Seq((6L, "f", 60.0)).toDF("k", "v", "amt"))
+    val reclaimed = t.vacuum(retainVersions = 1)
+    assert(reclaimed.exists(_.contains("_cdc/")),
+      s"expected CDC sidecars among $reclaimed")
+    // the trimmed CDF range now fails loudly on the missing sidecar
+    intercept[Exception](t.changesBetween(v0, vUpd).collect())
+  }
+}

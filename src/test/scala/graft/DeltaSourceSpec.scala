@@ -252,21 +252,37 @@ class DeltaSourceSpec extends SparkSpec {
     assert(mirror.latestVersion == before, "replayed batch re-applied")
   }
 
-  test("change feed stream: rewrite commits fail unless ignoreChanges skips them") {
+  test("change feed stream: marked compaction flows strictly; un-gated rewrites fail unless ignoreChanges") {
     import spark.implicits._
     val root = tmp("graft-cdf-rw")
     val t = DeltaLite(spark, root)
     t.append(Seq((1L, "a")).toDF("k", "v").coalesce(1))
     t.append(Seq((2L, "b")).toDF("k", "v").coalesce(1))
     t.compact(targetBytes = 1 << 20, minFiles = 2) // rewrite commit
+    // compaction commits carry the explicit row-preserving marker, so
+    // even a STRICT feed streams past them — no ignoreChanges needed
     val strict = stream(root, "readChangeFeed" -> "true")
       .writeStream.format("memory").queryName("cdf_strict")
       .outputMode("append").start()
+    try {
+      strict.processAllAvailable()
+      val got = spark.table("cdf_strict").collect()
+        .map(r => (r.getLong(0), r.getAs[String]("_change_type"))).toSet
+      assert(got == Set((1L, "insert"), (2L, "insert")),
+        s"compaction must be invisible to the strict feed: $got")
+    } finally strict.stop()
+    // an UN-GATED row-changing rewrite (upsert without the
+    // enableChangeDataFeed property) still fails a strict feed…
+    t.upsert(Seq((1L, "A")).toDF("k", "v"), "k")
+    val strict2 = stream(root, "readChangeFeed" -> "true")
+      .writeStream.format("memory").queryName("cdf_strict2")
+      .outputMode("append").start()
     val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      try strict.processAllAvailable() finally strict.stop()
+      try strict2.processAllAvailable() finally strict2.stop()
     }
     assert(failed.getMessage.contains("change feed") ||
       Option(failed.getCause).exists(_.getMessage.contains("change feed")))
+    // …and ignoreChanges skips it (rewritten rows not retracted)
     val lax = stream(root, "readChangeFeed" -> "true",
         "ignoreChanges" -> "true")
       .writeStream.format("memory").queryName("cdf_lax")
@@ -276,7 +292,29 @@ class DeltaSourceSpec extends SparkSpec {
       val got = spark.table("cdf_lax").collect()
         .map(r => (r.getLong(0), r.getAs[String]("_change_type"))).toSet
       assert(got == Set((1L, "insert"), (2L, "insert")),
-        s"compaction must be invisible to the lax feed: $got")
+        s"un-gated rewrite must be skipped by the lax feed: $got")
     } finally lax.stop()
+  }
+
+  test("change feed stream serves merge pre/post images when CDF is enabled") {
+    import spark.implicits._
+    val root = tmp("graft-cdf-gated")
+    val t = DeltaLite(spark, root)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    t.setTableProperties(Map("enableChangeDataFeed" -> "true"))
+    t.upsert(Seq((1L, "A"), (3L, "c")).toDF("k", "v"), "k")
+    val q = stream(root, "readChangeFeed" -> "true")
+      .writeStream.format("memory").queryName("cdf_gated")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cdf_gated").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          r.getAs[String]("_change_type"))).toSet
+      assert(got == Set(
+        (1L, "a", "insert"), (2L, "b", "insert"),
+        (1L, "a", "update_preimage"), (1L, "A", "update_postimage"),
+        (3L, "c", "insert")), s"got $got")
+    } finally q.stop()
   }
 }
