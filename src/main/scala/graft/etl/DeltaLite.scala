@@ -1806,8 +1806,22 @@ class DeltaLite(val spark: SparkSession, val root: String,
       insertSet: Option[Seq[(String, Column)]] = None,
       bySourceDeleteWhen: Option[Column] = None,
       bySourceUpdateWhen: Option[Column] = None,
-      bySourceUpdateSet: Option[Seq[(String, Column)]] = None): Int = {
+      bySourceUpdateSet: Option[Seq[(String, Column)]] = None,
+      schemaEvolution: Boolean = false): Int = {
     require(keys.nonEmpty, "merge needs at least one key column")
+    // MERGE WITH SCHEMA EVOLUTION (star form): NEW source columns are
+    // appended to the table schema first (metadata-only widen — old
+    // files read them as null), then the merge writes them; without
+    // the flag extra source columns stay clause-only, never written
+    if (schemaEvolution) {
+      require(updateSet.isEmpty && insertSet.isEmpty,
+        "schema evolution applies to the star form (SET * / INSERT *)")
+      schema.foreach { committed =>
+        source.schema.fields
+          .filterNot(f => committed.fieldNames.contains(f.name))
+          .foreach(f => addColumn(f.name, f.dataType))
+      }
+    }
     require(keys.distinct.size == keys.size, s"duplicate merge keys: $keys")
     require(bySourceUpdateWhen.isEmpty || bySourceUpdateSet.isDefined,
       "bySourceUpdateWhen needs bySourceUpdateSet (nothing to assign)")
@@ -2480,7 +2494,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
     publish(Commit(latestVersion.get + 1, "overwrite",
       upTo.last.schemaJson, removed = cur, files = snapFiles, None, None,
       dvs = dvSnap, colmap = Some(colMapAt(upTo)),
-      checks = Some(checksAt(upTo)), parts = Some(partsAt(upTo))))
+      checks = Some(checksAt(upTo)), parts = Some(partsAt(upTo)),
+      props = Some(propsAt(upTo))))
   }
 
   /** Shallow CLONE: a new table at `targetRoot` whose first commit

@@ -47,6 +47,16 @@ class CdcRewriteSpec extends SparkSpec {
     assert(reopened.tableProperties == Map("enableChangeDataFeed" -> "true"))
   }
 
+  test("restore reverts table properties with the snapshot (Delta's RESTORE)") {
+    val t = seed(tmp("graft-props-restore"))
+    val vBare = t.latestVersion.get
+    t.setTableProperties(Map("enableChangeDataFeed" -> "true"))
+    assert(t.tableProperties.nonEmpty)
+    t.restore(vBare)
+    assert(t.tableProperties.isEmpty,
+      "pre-property snapshot must restore without the property")
+  }
+
   test("merge with CDF: update pre/post, delete, insert all in the feed") {
     val t = seed(tmp("graft-cdc-merge"))
     t.setTableProperties(Map("enableChangeDataFeed" -> "true"))

@@ -136,6 +136,30 @@ class MergeOnSpec extends SparkSpec {
     assert(t.latestVersion.get == v)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: new source columns widen the table") {
+    val t = seed(tmp("graft-merge-evolve"))
+    // the source carries an extra 'src' column the table lacks
+    val src = Seq(("2024-01-01", 1L, "A", 11.0, "api"),
+      ("2024-01-08", 5L, "e", 50.0, "batch"))
+      .toDF("d", "id", "v", "amt", "src")
+    // without the flag the star form writes only table columns (the
+    // extra column stays clause-only)
+    intercept[Exception] { // star check: table column set must match
+      t.mergeOn(src.drop("amt"), Seq("d", "id"))
+    }
+    t.mergeOn(src, Seq("d", "id"), schemaEvolution = true)
+    val got = t.read().orderBy("d", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        Option(r.getAs[String]("src")))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 1L, "A", Some("api")),   // updated row carries it
+      ("2024-01-01", 2L, "b", None),          // untouched rows read null
+      ("2024-01-02", 1L, "c", None),
+      ("2024-01-02", 2L, "d", None),
+      ("2024-01-08", 5L, "e", Some("batch")))) // insert carries it
+    assert(t.schema.get.fieldNames.toSeq == Seq("d", "id", "v", "amt", "src"))
+  }
+
   test("bySourceUpdateWhen without a SET is rejected") {
     val t = seed(tmp("graft-bysource-req"))
     val ex = intercept[IllegalArgumentException] {
