@@ -233,6 +233,17 @@ class DeltaLiteModelSpec extends SparkSpec {
           keyType = LongType
           "widen(k→long)"
         case 17 => "noop"
+        case 18 if t.latestVersion.nonEmpty =>
+          // toggle the change-data-feed property: with it ON, every
+          // upsert/merge/updateWhere additionally writes CDC sidecars
+          // (exercising the sidecar writer against renames, drops,
+          // widens and colmapped physical names) — VISIBLE state must
+          // never move either way
+          if (t.tableProperties.get("enableChangeDataFeed").contains("true"))
+            t.unsetTableProperties(Seq("enableChangeDataFeed"))
+          else t.setTableProperties(Map("enableChangeDataFeed" -> "true"))
+          "toggleCdf"
+        case 18 => "noop"
       }
       record()
       check(step, op)
@@ -299,5 +310,13 @@ class DeltaLiteModelSpec extends SparkSpec {
 
   test("random operation walk with type widening: fifteenth seed") {
     runWalk(seed = 1515, steps = 30, nOps = 18)
+  }
+
+  test("random operation walk with CDC sidecars: sixteenth seed") {
+    runWalk(seed = 1616, steps = 30, nOps = 19)
+  }
+
+  test("random operation walk with CDC sidecars: seventeenth seed") {
+    runWalk(seed = 1717, steps = 30, nOps = 19)
   }
 }
