@@ -2004,6 +2004,23 @@ class DeltaLite(val spark: SparkSession, val root: String,
     else Some(merge(source, key, deleteWhen, updateWhen, insertWhen,
       Some((appId, txnId))))
 
+  /** Replay-guarded [[mergeOn]] — the composite-key / BY SOURCE form
+    * of [[txnMerge]] for streaming micro-batches. */
+  def txnMergeOn(source: DataFrame, keys: Seq[String],
+      deleteWhen: Option[Column] = None,
+      updateWhen: Option[Column] = None,
+      insertWhen: Option[Column] = None,
+      updateSet: Option[Seq[(String, Column)]] = None,
+      insertSet: Option[Seq[(String, Column)]] = None,
+      bySourceDeleteWhen: Option[Column] = None,
+      bySourceUpdateWhen: Option[Column] = None,
+      bySourceUpdateSet: Option[Seq[(String, Column)]] = None,
+      appId: String, txnId: Long): Option[Int] =
+    if (lastTxn(appId).exists(_ >= txnId)) None
+    else Some(mergeOn(source, keys, deleteWhen, updateWhen, insertWhen,
+      Some((appId, txnId)), updateSet, insertSet,
+      bySourceDeleteWhen, bySourceUpdateWhen, bySourceUpdateSet))
+
   private def upsertImpl(df: DataFrame, keys: Seq[String],
       txn: Option[(String, Long)]): Int = {
     require(keys.nonEmpty, "upsert needs at least one key column")

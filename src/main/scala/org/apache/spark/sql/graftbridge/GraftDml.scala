@@ -27,7 +27,9 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * most one WHEN MATCHED UPDATE, one WHEN MATCHED DELETE, one WHEN
   * NOT MATCHED INSERT, one WHEN NOT MATCHED BY SOURCE UPDATE and one
   * … BY SOURCE DELETE (the mirror-sync clauses), each with an
-  * optional AND condition; no schema evolution. UPDATE SET supports
+  * optional AND condition. `MERGE WITH SCHEMA EVOLUTION` star clauses
+  * evolve new source columns (metadata-only widen, then the command
+  * re-extends the analyzer's star expansion). UPDATE SET supports
   * nested struct fields (`SET a.b = …` rebuilds the struct via
   * withField).
   *
@@ -135,7 +137,14 @@ object GraftDml extends Rule[LogicalPlan] {
 
   private def convertMerge(m: MergeIntoTable,
       rel: DataSourceV2Relation): LogicalPlan = {
-    if (m.withSchemaEvolution) fail("MERGE WITH SCHEMA EVOLUTION is not supported")
+    // WITH SCHEMA EVOLUTION: the analyzer expands SET * / INSERT *
+    // against the CURRENT target schema, so new source columns are
+    // absent from the analyzed assignments — the command re-extends
+    // star clauses with them and widens the table (metadata-only)
+    // before the merge runs. Evolution applies to the star UPDATE
+    // (fromStar) and to the INSERT clause (an explicit full column
+    // list is indistinguishable post-analysis; the user asked for
+    // evolution explicitly).
     val tIds = byExprId(rel.output)
     val sOut = m.sourceTable.output
     val sIds = byExprId(sOut)
@@ -174,14 +183,16 @@ object GraftDml extends Rule[LogicalPlan] {
     var deleteWhen: Option[Column] = None
     var updateWhen: Option[Column] = None
     var updateSet: Option[Seq[(String, Column)]] = None
+    var updateFromStar = false
     val trueCol = Bridge.column(
       org.apache.spark.sql.catalyst.expressions.Literal(true))
     m.matchedActions.foreach {
       case DeleteAction(cond) =>
         if (deleteWhen.isDefined) fail("at most one WHEN MATCHED DELETE")
         deleteWhen = Some(cond.map(toCol(_, scopes)).getOrElse(trueCol))
-      case UpdateAction(cond, assignments, _) =>
+      case UpdateAction(cond, assignments, fromStar) =>
         if (updateSet.isDefined) fail("at most one WHEN MATCHED UPDATE")
+        updateFromStar = fromStar
         updateWhen = Some(cond.map(toCol(_, scopes)).getOrElse(trueCol))
         updateSet = Some(assignments.map { a =>
           val v = toCol(a.value, scopes)
@@ -248,9 +259,18 @@ object GraftDml extends Rule[LogicalPlan] {
         })
       case other => fail(s"unsupported not-matched-by-source action $other")
     }
+    // columns to evolve: source outputs absent from the target schema
+    // (only when a star UPDATE or an INSERT clause can write them)
+    val evolveCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      if (!m.withSchemaEvolution) Nil
+      else sOut.filterNot(a => rel.output.exists(_.name == a.name))
+        .map(a => a.name -> a.dataType).toSeq
+    val hasInsert = m.notMatchedActions.nonEmpty
     GraftMergeCommand(table(rel), m.sourceTable, keyPairs.map(_._1),
       keyPairs.map(_._2), deleteWhen, updateWhen, updateSet, insertWhen,
-      insertSet, bsDeleteWhen, bsUpdateWhen, bsUpdateSet)
+      insertSet, bsDeleteWhen, bsUpdateWhen, bsUpdateSet,
+      if (updateFromStar || hasInsert) evolveCols else Nil,
+      updateFromStar, hasInsert)
   }
 }
 
@@ -281,7 +301,10 @@ case class GraftMergeCommand(
     @transient insertSet: Option[Seq[(String, Column)]],
     @transient bySourceDeleteWhen: Option[Column],
     @transient bySourceUpdateWhen: Option[Column],
-    @transient bySourceUpdateSet: Option[Seq[(String, Column)]])
+    @transient bySourceUpdateSet: Option[Seq[(String, Column)]],
+    @transient evolveCols: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil,
+    evolveUpdate: Boolean = false,
+    evolveInsert: Boolean = false)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val srcRaw = Bridge.ofRows(spark, sourcePlan)
@@ -291,10 +314,25 @@ case class GraftMergeCommand(
     val src = targetKeys.zip(sourceKeyCols).foldLeft(srcRaw) {
       case (df, (name, c)) => df.withColumn(name, c)
     }
+    // WITH SCHEMA EVOLUTION: widen the table (metadata-only) and
+    // re-extend the star clauses with the new source columns the
+    // analyzer's star expansion could not see
+    if (evolveCols.nonEmpty) {
+      val existing = graftTable.delta.schema
+        .map(_.fieldNames.toSet).getOrElse(Set.empty)
+      evolveCols.filterNot(c => existing.contains(c._1))
+        .foreach { case (n, dt) => graftTable.delta.addColumn(n, dt) }
+    }
+    def extend(set: Option[Seq[(String, Column)]], on: Boolean) =
+      if (!on || evolveCols.isEmpty) set
+      else set.map(_ ++ evolveCols.map { case (n, _) =>
+        n -> org.apache.spark.sql.functions.col("s." + n)
+      })
     graftTable.delta.mergeOn(src, targetKeys,
       deleteWhen = deleteWhen, updateWhen = updateWhen,
-      insertWhen = insertWhen, updateSet = updateSet,
-      insertSet = insertSet,
+      insertWhen = insertWhen,
+      updateSet = extend(updateSet, evolveUpdate),
+      insertSet = extend(insertSet, evolveInsert),
       bySourceDeleteWhen = bySourceDeleteWhen,
       bySourceUpdateWhen = bySourceUpdateWhen,
       bySourceUpdateSet = bySourceUpdateSet)
