@@ -90,13 +90,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"noise_ratio":$noise,"noisy_queries":$noisy,"errors":$errJson,"sf":"$sfDir"}"""
-    println(line)
-    // the driver's artifact truncates long stdout tails — persist the
-    // FULL per-query map so every timing stays auditable
+    // persist the FULL per-query map first so every timing stays
+    // auditable even if stdout is lost entirely
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")), line)
     catch { case _: Throwable => }
+    // stop Spark BEFORE printing the metric line: the driver keeps only
+    // a bounded tail of stdout, and shutdown chatter printed after the
+    // JSON pushed it out of the kept window in earlier rounds — the
+    // metric line must be the LAST thing on stdout, flushed, with
+    // nothing after it
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

@@ -82,14 +82,17 @@ class GraftTable(tableName: String, val delta: DeltaLite,
 
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
+    // persisted TBLPROPERTIES first, catalog-derived reserved keys
+    // LAST: a user SET TBLPROPERTIES('provider'='x') (or 'version' /
+    // 'graft.location') must not shadow the real values DESCRIBE /
+    // SHOW TBLPROPERTIES consumers read
+    delta.tableProperties.foreach { case (k, v) => m.put(k, v) }
     m.put("location", delta.root)
     // `location`/`provider` are reserved keys SHOW TBLPROPERTIES
     // filters out — surface the root under a visible key too
     m.put("graft.location", delta.root)
     m.put("provider", "graft")
     delta.latestVersion.foreach(v => m.put("version", v.toString))
-    // persisted TBLPROPERTIES (SET/UNSET through ALTER TABLE)
-    delta.tableProperties.foreach { case (k, v) => m.put(k, v) }
     m
   }
 

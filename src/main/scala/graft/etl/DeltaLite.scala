@@ -643,8 +643,27 @@ class DeltaLite(val spark: SparkSession, val root: String,
           (n.matches("\\d+\\.checkpoint\\.json") &&
             n.stripSuffix(".checkpoint.json").toInt < cp.version)
       }
+      // CDC sidecars referenced ONLY by the trimmed records become
+      // unreachable garbage once the records are gone (vacuum derives
+      // its doomed-CDC set from the surviving log) — reclaim them in
+      // the same trim, keeping anything a surviving record references
+      val trimmedVersions = doomed.map(_.getPath.getName)
+        .filter(_.matches("\\d+\\.json"))
+        .map(_.stripSuffix(".json").toInt).toSet
+      // RAW records, not commitsAll(): the record at a previous
+      // checkpoint's version is shadowed by that checkpoint's
+      // synthetic base (which carries no cdc) yet still holds cdc
+      // references on disk — it must surrender them when trimmed
+      val raw = rawCommits() // read BEFORE the deletion
+      val (trimRecs, keepRecs) = raw.partition(c => trimmedVersions(c.version))
+      val keptCdc = keepRecs.flatMap(_.cdc.getOrElse(Nil)).map(norm).toSet
+      val ownPrefix = norm(rootPath.toString) + "/"
+      val doomedCdc = trimRecs.flatMap(_.cdc.getOrElse(Nil)).distinct
+        .filterNot(p => keptCdc(norm(p)))
+        .filter(p => norm(p).startsWith(ownPrefix))
       doomed.foreach(st => fs.delete(st.getPath, false))
-      doomed.map(_.getPath.toString)
+      doomedCdc.foreach(p => fs.delete(new Path(p), false))
+      doomed.map(_.getPath.toString) ++ doomedCdc
   }
 
   def latestVersion: Option[Int] = commits().lastOption.map(_.version)
@@ -1378,8 +1397,11 @@ class DeltaLite(val spark: SparkSession, val root: String,
             .withColumn("_commit_version", lit(c.version)))
         case "delete" if c.files.nonEmpty =>
           // the DV names (file, pos); join back to the files to emit
-          // the deleted rows' CONTENT
-          val dv = dvDf(c.files.map(_.path))
+          // the deleted rows' CONTENT. The per-commit DV rides through
+          // the SAME broadcast guard as every scan path: a change-feed
+          // read across a mass-delete commit fails LOUDLY past the
+          // budget instead of OOMing executors mid-broadcast.
+          val dv = dvBroadcastGuarded(c.files.map(_.path))
           val referenced = dv.select(col("__file")).distinct()
             .collect().map(r => norm(r.getString(0))).toSet
           val holders = liveEntries(all.filter(_.version < c.version))
@@ -1390,7 +1412,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
             Some(df
               .withColumn("__file", col("_metadata.file_path"))
               .withColumn("__pos", col("_metadata.row_index"))
-              .join(broadcast(dv), Seq("__file", "__pos"))
+              .join(dv, Seq("__file", "__pos"))
               .select(cols: _*)
               .withColumn("_change_type", lit("delete"))
               .withColumn("_commit_version", lit(c.version)))

@@ -159,9 +159,15 @@ object HttpExtract {
           case 'r' => b.append('\r'); i += 2
           case 'b' => b.append('\b'); i += 2
           case 'f' => b.append('\f'); i += 2
-          case 'u' if i + 5 < s.length =>
+          case 'u' if i + 5 < s.length &&
+              s.substring(i + 2, i + 6).forall(ch =>
+                Character.digit(ch, 16) >= 0) =>
             b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
             i += 6
+          // malformed \uXXXX (non-hex digits) in an UNTRUSTED external
+          // body: keep the escape verbatim instead of aborting the
+          // whole extract with a NumberFormatException
+          case 'u' => b.append(c).append('u'); i += 2
           case other => b.append(c).append(other); i += 2
         }
       } else { b.append(c); i += 1 }

@@ -159,6 +159,27 @@ class CdcRewriteSpec extends SparkSpec {
     assert(t.tableProperties.isEmpty)
   }
 
+  test("user TBLPROPERTIES cannot shadow reserved catalog-derived keys") {
+    graft.catalog.GraftCatalog.install(spark,
+      Files.createTempDirectory("graft-props-wh").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.props")
+    spark.sql("CREATE TABLE graft.props.t (k BIGINT)")
+    spark.sql("INSERT INTO graft.props.t VALUES (1)")
+    // ('provider'/'location' are rejected upstream by Spark's parser;
+    // 'version' and 'graft.location' reach the catalog and must not
+    // shadow the derived values)
+    spark.sql("ALTER TABLE graft.props.t SET TBLPROPERTIES (" +
+      "'version' = '999', " +
+      "'graft.location' = '/nowhere', 'mine' = 'kept')")
+    val props = spark.sql("SHOW TBLPROPERTIES graft.props.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("mine").contains("kept"))
+    assert(props.get("graft.location").exists(_ != "/nowhere"),
+      "user property shadowed the reserved location key")
+    assert(props.get("version").exists(_ != "999"),
+      "user property shadowed the reserved version key")
+  }
+
   test("vacuum reclaims CDC sidecars of versions below the cutoff") {
     val t = seed(tmp("graft-cdc-vacuum"))
     t.setTableProperties(Map("enableChangeDataFeed" -> "true"))
@@ -173,5 +194,47 @@ class CdcRewriteSpec extends SparkSpec {
       s"expected CDC sidecars among $reclaimed")
     // the trimmed CDF range now fails loudly on the missing sidecar
     intercept[Exception](t.changesBetween(v0, vUpd).collect())
+  }
+
+  test("cleanLog reclaims CDC sidecars of trimmed records, keeps survivors") {
+    val t = seed(tmp("graft-cdc-clean"))
+    t.setTableProperties(Map("enableChangeDataFeed" -> "true"))
+    t.updateWhere(col("k") === 1L, Seq("v" -> lit("x"))) // cdc, trimmed
+    t.updateWhere(col("k") === 2L, Seq("v" -> lit("y"))) // cdc, at cp
+    def cdcParts: Seq[String] = {
+      val dir = new org.apache.hadoop.fs.Path(t.root, "_cdc")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(dir)) Nil
+      else {
+        val it = fs.listFiles(dir, true)
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+            b += st.getPath.toString
+        }
+        b.result()
+      }
+    }
+    val before = cdcParts
+    assert(before.size >= 2, s"expected two CDC sidecars, got $before")
+    t.checkpointNow()
+    val removed = t.cleanLog()
+    assert(removed.exists(_.contains("_cdc/")),
+      s"cleanLog must reclaim the trimmed commit's CDC sidecar: $removed")
+    val after = cdcParts
+    assert(after.size < before.size, "trimmed CDC sidecar still on disk")
+    assert(after.nonEmpty,
+      "the checkpoint-version record's CDC sidecar must survive this trim")
+    // the NEXT cycle trims the shadowed checkpoint-version record and
+    // reclaims its sidecar too — no unbounded leak
+    t.append(Seq((8L, "h", 80.0)).toDF("k", "v", "amt"))
+    t.checkpointNow()
+    val removed2 = t.cleanLog()
+    assert(removed2.exists(_.contains("_cdc/")),
+      s"second cycle must reclaim the shadowed record's sidecar: $removed2")
+    assert(cdcParts.isEmpty, "all CDC below the new checkpoint reclaimed")
+    // current-state reads unaffected throughout
+    assert(t.read().count() == 4)
   }
 }

@@ -110,6 +110,24 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.changesBetween(2, 3, skipRewrites = true).count() == 0)
   }
 
+  test("change-feed read across a mass-delete commit respects the DV broadcast guard") {
+    val t = mkTable(tmp("graft-dv-cdc-guard"))
+    val v0 = t.latestVersion.get
+    t.deleteWhere(col("k") % 2 === 0) // mass delete: 100-row DV
+    val vDel = t.latestVersion.get
+    try {
+      spark.conf.set("spark.graft.dv.broadcastLimit", "1b")
+      // the per-commit DV must ride the SAME guard as scan paths:
+      // loud failure, not an executor OOM mid-broadcast
+      val e = intercept[IllegalStateException](
+        t.changesBetween(v0, vDel).count())
+      assert(e.getMessage.contains("broadcast guard"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.dv.broadcastLimit")
+    // within budget the feed serves the full deleted content
+    assert(t.changesBetween(v0, vDel)
+      .filter(col("_change_type") === "delete").count() == 100)
+  }
+
   test("vacuum retains live DV sidecars; readIndexed applies DVs") {
     val t = mkTable(tmp("graft-dv-vac"))
     t.deleteWhere(col("k") === 7L)

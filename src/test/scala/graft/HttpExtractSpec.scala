@@ -168,6 +168,20 @@ class HttpExtractSpec extends SparkSpec {
     assert(HttpExtract.stringField("""{"tok":"x\ny"}""", "tok")
       .contains("x" + '\n' + "y"))
     assert(HttpExtract.stringField("""{"tok":null}""", "tok").isEmpty)
+    // a valid \uXXXX escape decodes (built by concat so the SCALA
+    // lexer never sees a \u sequence)
+    assert(HttpExtract.stringField(
+      "{\"tok\":\"a" + '\\' + "u0041b\"}", "tok").contains("aAb"))
+    // a MALFORMED \uXXXX (non-hex digits) in an untrusted external body
+    // must stay verbatim, not abort the extract with a
+    // NumberFormatException
+    assert(HttpExtract.stringField(
+      "{\"tok\":\"a" + '\\' + "uZZZZb\"}", "tok")
+      .contains("a" + '\\' + "uZZZZb"))
+    // malformed escape at end-of-string (fewer than 4 chars left)
+    assert(HttpExtract.stringField(
+      "{\"tok\":\"a" + '\\' + "u1\"}", "tok")
+      .contains("a" + '\\' + "u1"))
   }
 
   test("paginated extract composes into the Pipeline end-to-end") {
