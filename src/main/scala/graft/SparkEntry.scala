@@ -153,12 +153,13 @@ object SparkEntry {
     "ann_bruteforce_topk" -> (Vectors.annBruteForce _),
     // md5-plane variant: the full LSH chain re-derives in SQL (oracled)
     "ann_lsh_topk" -> (Vectors.annLsh _),
-    // rows-only: IVF centroids are learned state; recall + partition-
-    // pruning contract spec'd in SimilaritySpec
+    // md5-centroid variant: assignment + probe + rank re-derive in SQL
+    // (oracled); trained-quantizer path recall-spec'd in SimilaritySpec
     "ann_ivf_topk" -> (Vectors.annIvf _),
     "knn_graph" -> (Vectors.knnGraph _),
-    // rows-only: PQ codebooks are learned state; recall + compression
-    // contract spec'd in SimilaritySpec
+    // md5-codebook variant: encode + approx-score + shortlist + re-rank
+    // re-derive in SQL (oracled); trained-codebook path recall-spec'd
+    // in SimilaritySpec
     "ann_pq_topk" -> (Vectors.annPq _),
     "q_events_tumbling" -> (Events.tumbling _),
     "q_retention" -> (Events.retention _),
@@ -1804,6 +1805,127 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id, cosine,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
         |  FROM s) t
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    // md5-centroid IVF re-derived end-to-end: 16×64 centroid matrix
+    // from md5("ivf,c,d"), cell assignment by argmax cosine (same
+    // sequential double fold as the kernel, ties to the lower cell
+    // id), nprobe=4 probe set per query, candidate join inside probed
+    // cells only, exact cosine rank. Full top-k equality pins the
+    // quantizer, the assignment AND the ranking.
+    "ann_ivf_topk" ->
+      """WITH cent AS (
+        |  SELECT c.c AS cl_id,
+        |    list_transform(generate_series(0, 63), d ->
+        |      ('0x' || substr(md5('ivf,' || CAST(c.c AS VARCHAR) || ',' ||
+        |           CAST(d AS VARCHAR)), 1, 15))::BIGINT
+        |        / 1152921504606846976.0 - 0.5) AS cv
+        |  FROM generate_series(0, 15) c(c)),
+        |cnorm AS (
+        |  SELECT cl_id, cv,
+        |    sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn
+        |  FROM cent),
+        |sims AS (
+        |  SELECT e.vec_id, c.cl_id,
+        |    list_sum(list_transform(list_zip(e.embedding, c.cv),
+        |        x -> CAST(x[1] AS DOUBLE) * x[2]))
+        |    / (sqrt(list_sum(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * c.cn) AS sim
+        |  FROM embeddings e CROSS JOIN cnorm c),
+        |ranked AS (
+        |  SELECT vec_id, cl_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, cl_id) AS r
+        |  FROM sims),
+        |assign AS (SELECT vec_id, cl_id AS cluster FROM ranked WHERE r = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cl_id AS cluster
+        |  FROM ranked WHERE r <= 4 AND vec_id < 8),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        |  FROM probes p JOIN assign a ON a.cluster = p.cluster
+        |  WHERE a.vec_id <> p.query_id),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    list_sum(list_transform(list_zip(eq.embedding, eb.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(eq.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM cand c
+        |  JOIN embeddings eq ON eq.vec_id = c.query_id
+        |  JOIN embeddings eb ON eb.vec_id = c.neighbor_id)
+        |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    // md5-codebook PQ re-derived end-to-end: 8 subspaces × 16 codes ×
+    // 8 dims from md5("pq,j,c,d"), per-subspace assignment by argmax
+    // cosine (ties to the lower code), reconstruction by codeword
+    // concatenation, approximate cosine vs the reconstruction,
+    // shortlist-64 cut (approx DESC, id), exact cosine re-rank top-10.
+    "ann_pq_topk" ->
+      """WITH book AS (
+        |  SELECT j.j AS sub, c.c AS code,
+        |    list_transform(generate_series(0, 7), d ->
+        |      ('0x' || substr(md5('pq,' || CAST(j.j AS VARCHAR) || ',' ||
+        |           CAST(c.c AS VARCHAR) || ',' || CAST(d AS VARCHAR)), 1, 15))::BIGINT
+        |        / 1152921504606846976.0 - 0.5) AS bv
+        |  FROM generate_series(0, 7) j(j), generate_series(0, 15) c(c)),
+        |bnorm AS (
+        |  SELECT sub, code, bv,
+        |    sqrt(list_sum(list_transform(bv, x -> x * x))) AS bn
+        |  FROM book),
+        |subvec AS (
+        |  SELECT e.vec_id, j.j AS sub,
+        |    list_transform(list_slice(e.embedding, j.j * 8 + 1, j.j * 8 + 8),
+        |      x -> CAST(x AS DOUBLE)) AS sv
+        |  FROM embeddings e, generate_series(0, 7) j(j)),
+        |assigned AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT s.vec_id, s.sub, b.code,
+        |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+        |        list_sum(list_transform(list_zip(s.sv, b.bv), x -> x[1] * x[2]))
+        |        / (sqrt(list_sum(list_transform(s.sv, x -> x * x))) * b.bn)
+        |          DESC, b.code) AS r
+        |    FROM subvec s JOIN bnorm b ON b.sub = s.sub) t
+        |  WHERE r = 1),
+        |decoded AS (
+        |  SELECT a.vec_id, flatten(list(b.bv ORDER BY a.sub)) AS dv
+        |  FROM assigned a JOIN book b ON b.sub = a.sub AND b.code = a.code
+        |  GROUP BY a.vec_id),
+        |approx AS (
+        |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.embedding, d.dv),
+        |        x -> CAST(x[1] AS DOUBLE) * x[2]))
+        |    / (sqrt(list_sum(list_transform(q.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(d.dv, x -> x * x)))) AS a
+        |  FROM embeddings q JOIN decoded d ON d.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 8),
+        |short AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY a DESC, neighbor_id) AS ar
+        |    FROM approx) t
+        |  WHERE ar <= 64),
+        |scored AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    list_sum(list_transform(list_zip(eq.embedding, eb.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(eq.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM short s
+        |  JOIN embeddings eq ON eq.vec_id = s.query_id
+        |  JOIN embeddings eb ON eb.vec_id = s.neighbor_id)
+        |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored) t
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
     // rank-then-filter formulation — O(events × orders-per-user) in the

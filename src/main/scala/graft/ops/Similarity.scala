@@ -292,6 +292,57 @@ object Similarity {
     graft.functions.VectorFunctions.hyperplane_buckets_with(vec, matrix, dim)
   }
 
+  private def md5Coef(parts: String*): Double =
+    md5Long60(parts.mkString(",")) / 1152921504606846976.0 - 0.5
+
+  /** md5-derived IVF coarse centroids — the ORACLE variant of
+    * [[trainIvfCentroids]] (the k-means path stays the
+    * quality/throughput path, the same fast/oracle split as the LSH
+    * planes): centroid (c, d) = md5("ivf,c,d")[0:60]/2^60 − 0.5, a
+    * fixed uniform quantizer every SQL engine re-derives. Cell
+    * populations are less balanced than trained cells (uniform
+    * directions vs data-adaptive), which costs recall, not
+    * correctness — the probe/rank chain is identical.
+    */
+  def md5IvfCentroids(cells: Int = 16, dim: Int = 64): Array[Array[Double]] =
+    Array.tabulate(cells, dim)((c, d) =>
+      md5Coef("ivf", c.toString, d.toString))
+
+  /** [[ivfTopK]] over md5-derived centroids — assignment, probing and
+    * ranking all re-derive in ANSI SQL, so the full top-k output
+    * oracles against DuckDB. Runs through the same codegen'd
+    * [[graft.functions.VectorFunctions.nearest_centroids]] kernel as
+    * the trained path.
+    */
+  def ivfTopKMd5(queries: DataFrame, candidates: DataFrame, vecCol: String,
+      idCol: String, k: Int, cells: Int = 16, nprobe: Int = 4,
+      dim: Int = 64): DataFrame =
+    ivfTopK(queries, candidates, vecCol, idCol, k,
+      md5IvfCentroids(cells, dim), nprobe)
+
+  /** md5-derived PQ codebooks — the ORACLE variant of
+    * [[trainPqCodebooks]]: codeword (sub, code, d) =
+    * md5("pq,sub,code,d")[0:60]/2^60 − 0.5. Untrained codewords
+    * reconstruct coarser (recall cost, borne by the wider exact
+    * re-rank shortlist), but encode/decode/score re-derive exactly.
+    */
+  def md5PqBooks(m: Int = 8, codes: Int = 16,
+      dim: Int = 64): Array[Array[Array[Double]]] = {
+    val sub = dim / m
+    Array.tabulate(m, codes, sub)((j, c, d) =>
+      md5Coef("pq", j.toString, c.toString, d.toString))
+  }
+
+  /** [[pqTopK]] over md5-derived codebooks — the code assignment,
+    * reconstruction, approximate scoring, shortlist cut and exact
+    * re-rank all re-derive in ANSI SQL (full top-k oracle vs DuckDB).
+    */
+  def pqTopKMd5(queries: DataFrame, candidates: DataFrame, vecCol: String,
+      idCol: String, k: Int, m: Int = 8, codes: Int = 16,
+      shortlist: Int = 64, dim: Int = 64): DataFrame =
+    pqTopK(queries, candidates, vecCol, idCol, k, md5PqBooks(m, codes, dim),
+      shortlist, dim)
+
   /** [[lshTopK]] over the md5-derived planes — every stage re-derives
     * in ANSI SQL, so the full top-k output oracles against DuckDB.
     */

@@ -21,17 +21,20 @@ object Vectors {
       .orderBy($"query_id", $"rank")
   }
 
-  /** IVF approximate top-10: data-adaptive coarse quantizer (seeded
-    * k-means-lite) with nprobe cells per query — the inverted-file
-    * scale path; recall vs brute force asserted in specs.
+  /** IVF approximate top-10 with nprobe cells per query — the
+    * inverted-file scale path. The gate query runs the md5-centroid
+    * variant whose whole chain (centroid matrix, cell assignment,
+    * probe set, candidate join, cosine ranking) re-derives in ANSI
+    * SQL, so the full top-k output oracles against DuckDB; the
+    * k-means-trained quantizer ([[Similarity.trainIvfCentroids]])
+    * stays the quality path, recall-spec'd in SimilaritySpec.
     */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    val centroids = Similarity.trainIvfCentroids(emb, "embedding", k = 16, iters = 2)
-    Similarity.ivfTopK(
+    Similarity.ivfTopKMd5(
       emb.filter($"vec_id" < 8), emb, "embedding", "vec_id", k = 10,
-      centroids, nprobe = 4)
+      cells = 16, nprobe = 4)
       .select($"query_id", $"rank", $"neighbor_id", round($"cosine", 6).as("cosine"))
       .orderBy($"query_id", $"rank")
   }
@@ -112,17 +115,18 @@ object Vectors {
   /** Product-quantization top-10 with exact re-rank: candidates score
     * from 8-byte codes (32× smaller than the raw vectors), the
     * shortlist re-ranks exactly — the memory-bound billion-vector
-    * search tier. Rows-only (codebooks are learned state); recall vs
-    * brute force and the compression contract are spec'd in
-    * SimilaritySpec.
+    * search tier. The gate query runs the md5-codebook variant whose
+    * whole chain (codebooks, per-subspace assignment, reconstruction,
+    * approximate scoring, shortlist cut, exact re-rank) re-derives in
+    * ANSI SQL, so the full top-k output oracles against DuckDB; the
+    * trained codebooks ([[Similarity.trainPqCodebooks]]) stay the
+    * quality path, recall-spec'd in SimilaritySpec.
     */
   def annPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    val books = Similarity.trainPqCodebooks(emb, "embedding",
-      m = 8, k = 16, iters = 2)
-    Similarity.pqTopK(emb.filter($"vec_id" < 8), emb, "embedding", "vec_id",
-      k = 10, books, shortlist = 64)
+    Similarity.pqTopKMd5(emb.filter($"vec_id" < 8), emb, "embedding",
+      "vec_id", k = 10, m = 8, codes = 16, shortlist = 64)
       .select($"query_id", $"rank", $"neighbor_id",
         round($"cosine", 6).as("cosine"))
       .orderBy($"query_id", $"rank")

@@ -139,11 +139,22 @@ class SimilaritySpec extends SparkSpec {
     assert(centroids.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
     val bf = Vectors.annBruteForce(spark, sf).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // trained-quantizer path (the quality tier)
+    import org.apache.spark.sql.functions.col
+    val trained = Similarity.ivfTopK(
+      Tables.embeddings(spark, sf).filter(col("vec_id") < 8), emb,
+      "embedding", "vec_id", k = 10, centroids, nprobe = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val trainedRecall = bf.intersect(trained).size.toDouble / bf.size
+    info(s"trained IVF recall@10 = $trainedRecall")
+    assert(trainedRecall > 0.25, s"trained recall@10 = $trainedRecall")
+    // md5-centroid gate path (the oracle tier)
     val ivf = Vectors.annIvf(spark, sf).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     assert(ivf.nonEmpty)
     val recall = bf.intersect(ivf).size.toDouble / bf.size
-    info(s"IVF recall@10 = $recall")
+    info(s"md5 IVF recall@10 = $recall")
     assert(recall > 0.25, s"recall@10 = $recall")
   }
 
@@ -166,10 +177,20 @@ class SimilaritySpec extends SparkSpec {
     // data + seeded training)
     val bf = Vectors.annBruteForce(spark, sf).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // trained-codebook path (the quality tier)
+    val trained = graft.ops.Similarity.pqTopK(
+      emb.filter(col("vec_id") < 8), emb, "embedding", "vec_id",
+      k = 10, books, shortlist = 64)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val trainedRecall = bf.intersect(trained).size.toDouble / bf.size
+    info(s"trained PQ recall@10 = $trainedRecall")
+    assert(trainedRecall > 0.5, s"trained recall@10 = $trainedRecall")
+    // md5-codebook gate path (the oracle tier)
     val pq = Vectors.annPq(spark, sf).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = bf.intersect(pq).size.toDouble / bf.size
-    info(s"PQ recall@10 = $recall")
+    info(s"md5 PQ recall@10 = $recall")
     assert(recall > 0.5, s"recall@10 = $recall")
     // re-ranked cosines are EXACT: every reported (pair, cosine) agrees
     // with the brute-force value
