@@ -222,6 +222,25 @@ object GraftDml extends Rule[LogicalPlan] {
         })
       case other => fail(s"unsupported not-matched action $other")
     }
+    // SQL MERGE clauses fire in STATEMENT order (the first clause
+    // whose condition holds wins); the table API's fixed
+    // delete-before-update precedence reproduces that only when the
+    // DELETE clause precedes the UPDATE clause. For the update-first
+    // order, rewrite the delete condition to fire only when the
+    // update clause did NOT (null-safe: a NULL condition counts as
+    // not-taken, as SQL's WHEN...AND does).
+    import org.apache.spark.sql.functions.{coalesce => sqlCoalesce, lit => sqlLit}
+    def statementOrder(actions: Seq[MergeAction],
+        updWhen: Option[Column], delWhen: Option[Column]): Option[Column] = {
+      val updIdx = actions.indexWhere(_.isInstanceOf[UpdateAction])
+      val delIdx = actions.indexWhere(_.isInstanceOf[DeleteAction])
+      (updWhen, delWhen) match {
+        case (Some(u), Some(d)) if updIdx >= 0 && delIdx > updIdx =>
+          Some(!sqlCoalesce(u, sqlLit(false)) && d)
+        case _ => delWhen
+      }
+    }
+    deleteWhen = statementOrder(m.matchedActions, updateWhen, deleteWhen)
     // matched rows with no matching clause keep their target row; the
     // key-API default is update-all, so an absent UPDATE clause must
     // pin updateWhen to false. Both sets stay DEFINED (empty = no
@@ -259,18 +278,51 @@ object GraftDml extends Rule[LogicalPlan] {
         })
       case other => fail(s"unsupported not-matched-by-source action $other")
     }
+    // same statement-order correction for the BY SOURCE clause family
+    bsDeleteWhen = statementOrder(m.notMatchedBySourceActions,
+      bsUpdateWhen, bsDeleteWhen)
     // columns to evolve: source outputs absent from the target schema
-    // (only when a star UPDATE or an INSERT clause can write them)
+    // (only when a star UPDATE or a star INSERT clause can write them)
     val evolveCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
       if (!m.withSchemaEvolution) Nil
       else sOut.filterNot(a => rel.output.exists(_.name == a.name))
         .map(a => a.name -> a.dataType).toSeq
+    // Whether the INSERT clause is the analyzer's star expansion:
+    // it assigns EVERY pre-evolution target column from the
+    // same-named bare source attribute (modulo the implicit type-up
+    // cast). Only such a clause is re-extended with evolved columns
+    // (Delta's INSERT * behavior); an explicit PARTIAL column list
+    // keeps evolved columns NULL, exactly as Delta leaves columns
+    // absent from an explicit list NULL. DOCUMENTED DIVERGENCE: an
+    // explicit list that names every target column with same-named
+    // source values is indistinguishable from INSERT * after analysis
+    // (InsertAction carries no star flag) and is treated as star —
+    // Delta would leave the evolved columns NULL there.
+    def stripCast(e: Expression): Expression = e match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast => stripCast(c.child)
+      case other => other
+    }
+    val insertLooksStar = m.notMatchedActions.exists {
+      case InsertAction(_, assignments) =>
+        assignments.size == rel.output.size &&
+          assignments.forall { a =>
+            (a.key match {
+              case ar: AttributeReference if tIds(ar.exprId.id) => Some(ar.name)
+              case _ => None
+            }).exists(n => stripCast(a.value) match {
+              case sr: AttributeReference => sIds(sr.exprId.id) && sr.name == n
+              case _ => false
+            })
+          }
+      case _ => false
+    }
     val hasInsert = m.notMatchedActions.nonEmpty
+    val starInsert = hasInsert && insertLooksStar
     GraftMergeCommand(table(rel), m.sourceTable, keyPairs.map(_._1),
       keyPairs.map(_._2), deleteWhen, updateWhen, updateSet, insertWhen,
       insertSet, bsDeleteWhen, bsUpdateWhen, bsUpdateSet,
-      if (updateFromStar || hasInsert) evolveCols else Nil,
-      updateFromStar, hasInsert)
+      if (updateFromStar || starInsert) evolveCols else Nil,
+      updateFromStar, starInsert)
   }
 }
 

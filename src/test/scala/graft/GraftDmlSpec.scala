@@ -197,6 +197,61 @@ class GraftDmlSpec extends SparkSpec {
     assert(got == Seq((1L, "A", false), (3L, "c", true), (9L, "i", false)))
   }
 
+  test("MERGE clauses fire in statement order: update-first suppresses the delete") {
+    wh
+    spark.sql("CREATE TABLE graft.dml.ord (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.dml.ord VALUES (1,'a'), (2,'b'), (3,'c')")
+    // the UPDATE clause precedes the DELETE clause and k=2 satisfies
+    // BOTH conditions — SQL semantics: the first clause whose
+    // condition holds wins, so k=2 updates, nothing deletes (Spark's
+    // parser already forces a condition on every non-last clause, so
+    // the unconditional-first shape cannot even parse)
+    spark.sql(
+      """MERGE INTO graft.dml.ord t
+        |USING (SELECT 1L AS k UNION ALL SELECT 2L) s
+        |ON t.k = s.k
+        |WHEN MATCHED AND t.k <= 2 THEN UPDATE SET v = 'u'
+        |WHEN MATCHED THEN DELETE
+        |""".stripMargin)
+    val got = spark.sql("SELECT k, v FROM graft.dml.ord ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "u"), (2L, "u"), (3L, "c")),
+      s"update-first statement order must suppress the delete: $got")
+    // delete-first still deletes (both conditional)
+    spark.sql(
+      """MERGE INTO graft.dml.ord t
+        |USING (SELECT 1L AS k UNION ALL SELECT 2L) s
+        |ON t.k = s.k
+        |WHEN MATCHED AND t.k = 2 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = 'w'
+        |""".stripMargin)
+    val got2 = spark.sql("SELECT k, v FROM graft.dml.ord ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got2 == Seq((1L, "w"), (3L, "c")), s"delete-first: $got2")
+  }
+
+  test("BY SOURCE clauses fire in statement order too") {
+    wh
+    spark.sql("CREATE TABLE graft.dml.ord2 (k BIGINT, v STRING, stale BOOLEAN)")
+    spark.sql("INSERT INTO graft.dml.ord2 VALUES " +
+      "(1,'a',false), (2,'b',false), (3,'c',false)")
+    // the BY SOURCE UPDATE precedes the DELETE and both conditions
+    // hold for every unmatched row — statement order: the UPDATE wins,
+    // the later DELETE is dead for those rows
+    spark.sql(
+      """MERGE INTO graft.dml.ord2 t
+        |USING (SELECT 1L AS k, 'A' AS v) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED BY SOURCE AND t.k >= 2 THEN UPDATE SET stale = true
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE
+        |""".stripMargin)
+    val got = spark.sql("SELECT k, v, stale FROM graft.dml.ord2 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(got == Seq((1L, "A", false), (2L, "b", true), (3L, "c", true)),
+      s"unconditional BY SOURCE UPDATE first must win over DELETE: $got")
+  }
+
   test("UPDATE SET on a nested struct field rebuilds the struct") {
     wh
     spark.sql("CREATE TABLE graft.dml.ns " +

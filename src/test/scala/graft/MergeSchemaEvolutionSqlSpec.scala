@@ -57,4 +57,28 @@ class MergeSchemaEvolutionSqlSpec extends SparkSpec {
       == Seq("k", "v"))
     assert(spark.sql("SELECT v FROM graft.evo2.t").head().getString(0) == "A")
   }
+
+  test("explicit partial INSERT list does not trigger evolution (Delta parity)") {
+    graft.catalog.GraftCatalog.install(spark,
+      Files.createTempDirectory("graft-evo-wh3").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.evo3")
+    spark.sql("CREATE TABLE graft.evo3.t (k BIGINT, v STRING, n BIGINT)")
+    spark.sql("INSERT INTO graft.evo3.t VALUES (1, 'a', 10)")
+    // WITH SCHEMA EVOLUTION but the only writable clause is an
+    // EXPLICIT partial insert list: Delta evolves only through star
+    // clauses, so the table must NOT widen and the absent column (n)
+    // stays NULL on the inserted row
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft.evo3.t t
+        |USING (SELECT 2L AS k, 'b' AS v, 'x' AS extra) s
+        |ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    assert(spark.table("graft.evo3.t").schema.fieldNames.toSeq
+      == Seq("k", "v", "n"),
+      "explicit insert list must not evolve the schema")
+    val got = spark.sql("SELECT k, v, n FROM graft.evo3.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(got == Seq((1L, "a", Some(10L)), (2L, "b", None)))
+  }
 }
