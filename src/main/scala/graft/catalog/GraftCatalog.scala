@@ -54,7 +54,7 @@ import scala.jdk.CollectionConverters._
   * and the DESCRIBE audit commands.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -206,12 +206,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val parts = partitions.toSeq.map { t =>
-      if (t.name() != "identity" || t.references().length != 1)
-        throw new UnsupportedOperationException(
-          s"graft tables support identity partitioning only, got $t")
-      t.references()(0).fieldNames().mkString(".")
-    }
+    val parts = identityParts(partitions)
     val statsKey = Option(properties.get("statskey"))
     val external = Option(properties.get("location")).map(_.trim).filter(_.nonEmpty)
     val root = external.getOrElse(tablePath(ident).toString)
@@ -286,6 +281,67 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!isTableDir(p)) return false
     fs.delete(p, true)
   }
+
+  // ----- CREATE OR REPLACE TABLE (StagingTableCatalog) -------------
+  // REPLACE is ONE atomic `overwrite` commit in the EXISTING log: a
+  // concurrent reader sees the old snapshot until the commit record
+  // publishes, never an empty or half-built table, and time travel
+  // below the replace keeps working (Delta's REPLACE contract).
+  // Retained across a replace (documented divergence from a
+  // drop-and-recreate): version history, table properties and CHECK
+  // constraints. The partition layout is fixed by the commit log, so
+  // a REPLACE that declares a DIFFERENT layout is rejected loudly
+  // (DROP + CREATE changes layouts).
+
+  private def identityParts(partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map { t =>
+      if (t.name() != "identity" || t.references().length != 1)
+        throw new UnsupportedOperationException(
+          s"graft tables support identity partitioning only, got $t")
+      t.references()(0).fieldNames().mkString(".")
+    }
+
+  private def stage(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String],
+      replacing: Boolean): StagedTable = {
+    if (Option(properties.get("location")).exists(_.trim.nonEmpty))
+      throw new UnsupportedOperationException(
+        "CREATE OR REPLACE with LOCATION is not supported; " +
+          "use CREATE TABLE ... LOCATION")
+    val parts = identityParts(partitions)
+    val root = tableRoot(ident)
+    if (replacing) {
+      val existing = DeltaLite(spark, root)
+      val existingParts = existing.partitionColumns
+      if (existingParts != parts)
+        throw new UnsupportedOperationException(
+          s"REPLACE cannot change the partition layout of ${fullName(ident)} " +
+            s"(existing: ${existingParts.mkString(",")}; declared: " +
+            s"${parts.mkString(",")}); DROP and re-CREATE to change layouts")
+    }
+    new GraftStagedTable(fullName(ident), root, schema, parts,
+      Option(properties.get("statskey")), spark, replacing)
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    stage(ident, schema, partitions, properties, replacing = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    stage(ident, schema, partitions, properties, replacing = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties,
+      replacing = tableExists(ident))
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = {

@@ -44,6 +44,79 @@ import java.util
   * (reference ETL_pipeline_countries.py:129-138) on Graft's own table
   * format.
   */
+/** A staged table for `CREATE OR REPLACE TABLE` / `REPLACE TABLE`
+  * ([[org.apache.spark.sql.connector.catalog.StagedTable]]): the
+  * replace is ONE atomic DeltaLite commit — an `overwrite` in the
+  * existing log when replacing (history, properties and constraints
+  * survive; a concurrent reader sees the old snapshot until the
+  * commit publishes), the v0 append for a fresh create. RTAS data
+  * lands through the V1 write; a plain REPLACE with no query
+  * publishes the declared schema with zero rows at
+  * [[commitStagedChanges]]. Nothing is publishable before the single
+  * commit, so [[abortStagedChanges]] has nothing to roll back —
+  * crash orphans of a failed write are invisible to readers and
+  * swept by vacuumOrphans.
+  */
+class GraftStagedTable(tableName: String, root: String,
+    declaredSchema: StructType, parts: Seq[String], statsKey: Option[String],
+    spark: org.apache.spark.sql.SparkSession, replacing: Boolean)
+    extends Table with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.StagedTable {
+
+  private val delta =
+    if (replacing) DeltaLite(spark, root)
+    else new DeltaLite(spark, root, statsKey = statsKey, partitionBy = parts)
+
+  @volatile private var written = false
+
+  override def name(): String = tableName
+  override def schema(): StructType = declaredSchema
+
+  override def partitioning(): Array[Transform] =
+    parts.map(c => Expressions.identity(c)).toArray
+
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("location", root)
+    m.put("provider", "graft")
+    m
+  }
+
+  override def capabilities(): util.Set[TableCapability] = {
+    val s = new util.HashSet[TableCapability]()
+    s.add(TableCapability.V1_BATCH_WRITE)
+    s.add(TableCapability.TRUNCATE)
+    s
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // RTAS plans a truncate-then-write; the single overwrite commit
+      // IS both, so the flag needs no separate action
+      override def truncate(): WriteBuilder = this
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ignored: Boolean): Unit = {
+              if (replacing) delta.overwrite(data) else delta.append(data)
+              written = true
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit =
+    if (!written) {
+      // REPLACE/CREATE with a column list and no query: publish the
+      // declared schema with zero rows, still one atomic commit
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), declaredSchema)
+      if (replacing) delta.overwrite(empty) else delta.append(empty)
+    }
+
+  override def abortStagedChanges(): Unit = ()
+}
+
 class GraftTable(tableName: String, val delta: DeltaLite,
     val asOfVersion: Option[Int] = None,
     val asOfTimestampMicros: Option[Long] = None) extends Table

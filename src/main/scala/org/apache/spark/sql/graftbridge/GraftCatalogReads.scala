@@ -4,7 +4,10 @@ import graft.catalog.GraftTable
 import org.apache.spark.sql.catalyst.expressions.Alias
 import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, MergeIntoTable, Project, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+import org.apache.spark.sql.execution.datasources.DataSource
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.execution.streaming.runtime.StreamingRelation
 
 /** Resolution rule that turns a [[GraftTable]] READ into the table's
   * own skipping-index scan: the analyzer resolves `graft.db.t` to a
@@ -52,6 +55,29 @@ object GraftCatalogReads extends Rule[LogicalPlan] {
       Project(d.output.zip(src.output).map { case (o, n) =>
         Alias(n, o.name)(exprId = o.exprId)
       }, src)
+    // `spark.readStream.table("graft.db.t")`: the analyzer resolves
+    // the named table to a StreamingRelationV2 over the DSv2
+    // GraftTable; substitute the V1 DeltaLiteSource relation (path =
+    // the table's root, reader options passed through — readChangeFeed
+    // / ignoreChanges / maxVersionsPerBatch keep their meaning) with
+    // the V2 attribute ids preserved. The CDF option widens the
+    // source schema; the extra _change_type/_commit_version columns
+    // ride the substituted output so selects above resolve them.
+    case s: StreamingRelationV2 if s.table.isInstanceOf[GraftTable] =>
+      val gt = s.table.asInstanceOf[GraftTable]
+      if (gt.asOfVersion.nonEmpty || gt.asOfTimestampMicros.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"cannot stream a time-travel read of ${s.sourceName}; " +
+            "stream the current table and bound versions with " +
+            "maxVersionsPerBatch instead")
+      import scala.jdk.CollectionConverters._
+      val ds = DataSource(gt.delta.spark,
+        className = classOf[graft.streaming.DeltaSourceProvider].getName,
+        options = s.extraOptions.asScala.toMap + ("path" -> gt.delta.root))
+      val v1 = StreamingRelation(ds)
+      Project(s.output.zip(v1.output).map { case (o, n) =>
+        Alias(n, o.name)(exprId = o.exprId)
+      } ++ v1.output.drop(s.output.length), v1)
     case other => other.mapChildren(rewrite)
   }
 }

@@ -133,6 +133,55 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) == 5)
   }
 
+  test("CREATE OR REPLACE TABLE: one atomic commit, history survives") {
+    wh
+    // fresh create through the staged path
+    spark.sql("CREATE OR REPLACE TABLE graft.gold.corr AS " +
+      "SELECT id AS k, concat('v', id) AS v FROM range(3)")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.gold.corr")
+      .head().getLong(0) == 3)
+    val loc = spark.sql("SHOW TBLPROPERTIES graft.gold.corr").collect()
+      .find(_.getString(0) == "graft.location").get.getString(1)
+    val t = graft.etl.DeltaLite(spark, loc)
+    val vBefore = t.latestVersion.get
+    // replace: new content AND new schema, ONE commit in the same log
+    spark.sql("CREATE OR REPLACE TABLE graft.gold.corr AS " +
+      "SELECT id AS k, id * 10 AS amt FROM range(2)")
+    assert(t.latestVersion.get == vBefore + 1,
+      "REPLACE must be exactly one commit — no drop/create window")
+    assert(spark.table("graft.gold.corr").schema.fieldNames.toSeq
+      == Seq("k", "amt"))
+    assert(spark.sql("SELECT sum(amt) AS s FROM graft.gold.corr")
+      .head().getLong(0) == 10)
+    // the pre-replace snapshot stays time-travelable
+    val old = spark.sql(
+      s"SELECT v FROM graft.gold.corr VERSION AS OF $vBefore ORDER BY v")
+      .collect().map(_.getString(0)).toSeq
+    assert(old == Seq("v0", "v1", "v2"),
+      "history below the replace must survive")
+  }
+
+  test("REPLACE TABLE with a column list publishes the empty schema atomically") {
+    wh
+    spark.sql("CREATE TABLE graft.gold.rpl (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.gold.rpl VALUES (1, 'a')")
+    spark.sql("REPLACE TABLE graft.gold.rpl (k BIGINT, amt DOUBLE)")
+    assert(spark.table("graft.gold.rpl").schema.fieldNames.toSeq
+      == Seq("k", "amt"))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.gold.rpl")
+      .head().getLong(0) == 0)
+    // REPLACE on a missing table fails; OR REPLACE creates it
+    intercept[Exception](spark.sql("REPLACE TABLE graft.gold.rpl_missing (k BIGINT)"))
+    spark.sql("CREATE OR REPLACE TABLE graft.gold.rpl_missing (k BIGINT)")
+    assert(spark.table("graft.gold.rpl_missing").schema.fieldNames.toSeq
+      == Seq("k"))
+    // changing the partition layout through REPLACE is rejected loudly
+    val e = intercept[Exception](spark.sql(
+      "CREATE OR REPLACE TABLE graft.gold.rpl (k BIGINT, v STRING) " +
+        "PARTITIONED BY (v)"))
+    assert(e.getMessage.contains("partition layout"), e.getMessage)
+  }
+
   test("CALL procedures: optimize, restore, checkpoint, constraints") {
     wh
     spark.sql("CREATE TABLE graft.gold.maint (k BIGINT, v STRING)")
