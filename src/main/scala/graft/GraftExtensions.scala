@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // command must be fully resolved before conversion)
     e.injectPostHocResolutionRule(_ =>
       org.apache.spark.sql.graftbridge.GraftDml)
+    // Delta-verbatim maintenance SQL (OPTIMIZE / VACUUM / DESCRIBE
+    // HISTORY / RESTORE) translates to the CALL procedures
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
     functions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }

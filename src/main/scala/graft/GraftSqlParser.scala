@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Delta-verbatim maintenance SQL: a migrating Delta user's
+  * maintenance cells run unchanged — each statement translates to the
+  * equivalent `CALL graft.system.*` procedure and re-parses through
+  * the delegate (no hand-built plans, the CALL grammar is Spark's).
+  *
+  *   - `OPTIMIZE t` / `OPTIMIZE t WHERE p` / `OPTIMIZE t ZORDER BY (a, b)`
+  *   - `VACUUM t` / `VACUUM t RETAIN n VERSIONS`
+  *     (`RETAIN n HOURS` is rejected loudly: graft retention is
+  *     version-based, the time-based contract would silently differ)
+  *   - `DESCRIBE HISTORY t` / `DESC HISTORY t` / `DESCRIBE DETAIL t`
+  *   - `RESTORE [TABLE] t [TO] VERSION AS OF n`
+  *
+  * Table names resolve against the graft catalog: `graft.db.t` or
+  * `db.t` (the leading catalog name is dropped — the procedures
+  * address tables catalog-relative). Anything that doesn't match a
+  * maintenance shape delegates verbatim, so the full Spark dialect is
+  * untouched.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(
+      GraftSqlParser.rewriteMaintenance(sqlText).getOrElse(sqlText))
+
+  override def parseExpression(sqlText: String) =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+
+  // one identifier part: bare word or backquoted
+  private val Part = "(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
+  private val Ident = s"($Part(?:\\.$Part)*)"
+
+  private val OptimizeZorder =
+    s"(?is)\\s*OPTIMIZE\\s+$Ident\\s+ZORDER\\s+BY\\s*\\(?\\s*($Part)\\s*,\\s*($Part)\\s*\\)?\\s*;?\\s*".r
+  private val OptimizeWhere =
+    s"(?is)\\s*OPTIMIZE\\s+$Ident\\s+WHERE\\s+(.+?)\\s*;?\\s*".r
+  private val Optimize =
+    s"(?is)\\s*OPTIMIZE\\s+$Ident\\s*;?\\s*".r
+  private val VacuumRetain =
+    s"(?is)\\s*VACUUM\\s+$Ident\\s+RETAIN\\s+(\\d+)\\s+(VERSIONS|HOURS)\\s*;?\\s*".r
+  private val Vacuum =
+    s"(?is)\\s*VACUUM\\s+$Ident\\s*;?\\s*".r
+  private val DescHistory =
+    s"(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Ident\\s*;?\\s*".r
+  private val DescDetail =
+    s"(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Ident\\s*;?\\s*".r
+  private val Restore =
+    s"(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Ident\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*".r
+
+  /** graft-catalog-relative 'db.t' from the statement's identifier;
+    * None when the name addresses another catalog (delegate verbatim —
+    * Spark will produce its own resolution error).
+    */
+  private def tableArg(raw: String): Option[String] = {
+    val parts = raw.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
+    parts match {
+      case Seq(db, t) => Some(s"$db.$t")
+      case Seq("graft", db, t) => Some(s"$db.$t")
+      case Seq(_, _, _) => None // another catalog's table
+      case _ => None // single-part: no current-namespace context here
+    }
+  }
+
+  private def q(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The CALL translation, or None to delegate the text verbatim. */
+  private[graft] def rewriteMaintenance(sql: String): Option[String] =
+    sql match {
+      case OptimizeZorder(t, a, b) => tableArg(t).map(n =>
+        s"CALL graft.system.zorder(${q(n)}, ${q(a.stripPrefix("`").stripSuffix("`"))}, " +
+          s"${q(b.stripPrefix("`").stripSuffix("`"))}, '32')")
+      case OptimizeWhere(t, pred) => tableArg(t).map(n =>
+        s"CALL graft.system.optimize_where(${q(n)}, ${q(pred)})")
+      case Optimize(t) => tableArg(t).map(n =>
+        s"CALL graft.system.optimize(${q(n)})")
+      case VacuumRetain(t, n, unit) =>
+        if (unit.equalsIgnoreCase("HOURS"))
+          throw new UnsupportedOperationException(
+            "VACUUM ... RETAIN n HOURS is time-based; graft retention is " +
+              "version-based — use VACUUM t RETAIN n VERSIONS (or CALL " +
+              "graft.system.vacuum)")
+        tableArg(t).map(tn =>
+          s"CALL graft.system.vacuum(${q(tn)}, ${q(n)})")
+      case Vacuum(t) => tableArg(t).map(n =>
+        s"CALL graft.system.vacuum(${q(n)}, '1')")
+      case DescHistory(t) => tableArg(t).map(n =>
+        s"CALL graft.system.history(${q(n)})")
+      case DescDetail(t) => tableArg(t).map(n =>
+        s"CALL graft.system.detail(${q(n)})")
+      case Restore(t, v) => tableArg(t).map(n =>
+        s"CALL graft.system.restore(${q(n)}, ${q(v)})")
+      case _ => None
+    }
+}

@@ -70,6 +70,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** `GENERATED ALWAYS AS IDENTITY` columns: the analyzer gates the
+    * CREATE on this capability; value allocation is the table's job
+    * ([[graft.etl.DeltaLite]] appends allocate from a commit-logged
+    * high-water mark, atomic with the data commit).
+    */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+
   private def fs = new Path(warehouse)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -201,6 +210,60 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def fullName(ident: Identifier): String =
     (catalogName +: ident.namespace() :+ ident.name()).mkString(".")
+
+  /** V2 Column[] → StructType, KEEPING what Spark's own conversion
+    * drops: an `identityColumnSpec` becomes the `identity.*` metadata
+    * keys the table allocates from (the StructType path is the single
+    * source of truth — the commit log records schemaJson). Generation
+    * expressions and column defaults are rejected loudly rather than
+    * silently discarded.
+    */
+  private def columnsToSchema(
+      columns: Array[org.apache.spark.sql.connector.catalog.Column]): StructType =
+    StructType(columns.toIndexedSeq.map { c =>
+      if (c.generationExpression() != null)
+        throw new UnsupportedOperationException(
+          s"GENERATED ALWAYS AS (expr) columns are not supported " +
+            s"(column '${c.name}'); compute the value in the INSERT query")
+      if (c.defaultValue() != null)
+        throw new UnsupportedOperationException(
+          s"column DEFAULT values are not supported (column '${c.name}')")
+      val mb = new MetadataBuilder()
+      Option(c.metadataInJSON()).foreach(j =>
+        mb.withMetadata(Metadata.fromJson(j)))
+      Option(c.comment()).foreach(mb.putString("comment", _))
+      Option(c.identityColumnSpec()).foreach { s =>
+        mb.putLong("identity.start", s.getStart)
+        mb.putLong("identity.step", s.getStep)
+        mb.putBoolean("identity.allowExplicitInsert", s.isAllowExplicitInsert)
+      }
+      StructField(c.name, c.dataType, c.nullable, mb.build())
+    })
+
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    createTable(ident, columnsToSchema(columns), partitions, properties)
+
+  override def stageCreate(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stageCreate(ident, columnsToSchema(columns), partitions, properties)
+
+  override def stageReplace(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stageReplace(ident, columnsToSchema(columns), partitions, properties)
+
+  override def stageCreateOrReplace(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stageCreateOrReplace(ident, columnsToSchema(columns), partitions,
+      properties)
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],

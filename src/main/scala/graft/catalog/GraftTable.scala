@@ -144,11 +144,22 @@ class GraftTable(tableName: String, val delta: DeltaLite,
 
   /** Time-travel reads report the schema AS OF that snapshot (a later
     * rename/drop must not misalign the substituted read's columns).
+    *
+    * IDENTITY columns surface as NULLABLE here: OSS Spark's
+    * TableOutputResolver has no identity fill, so `INSERT INTO t (v)`
+    * must be allowed to NULL-fill the id column — the table then
+    * allocates real values connector-side (DeltaLite.append) and the
+    * stored schema stays non-nullable.
     */
-  override def schema(): StructType =
-    if (asOfVersion.isEmpty && asOfTimestampMicros.isEmpty)
-      delta.schema.getOrElse(new StructType())
-    else readDf().schema
+  override def schema(): StructType = {
+    val base =
+      if (asOfVersion.isEmpty && asOfTimestampMicros.isEmpty)
+        delta.schema.getOrElse(new StructType())
+      else readDf().schema
+    StructType(base.fields.map(f =>
+      if (f.metadata.contains("identity.start")) f.copy(nullable = true)
+      else f))
+  }
 
   override def partitioning(): Array[Transform] =
     delta.partitionColumns.map(c => Expressions.identity(c)).toArray

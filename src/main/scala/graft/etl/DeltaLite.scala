@@ -934,7 +934,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
       mappingOverride: Option[Map[String, String]] = None,
       retryable: Boolean = true,
       ingested: Seq[String] = Nil,
-      cdc: Option[Seq[String]] = None): Int = {
+      cdc: Option[Seq[String]] = None,
+      propsOverride: Option[Map[String, String]] = None): Int = {
     val base = commits()
     val version = base.lastOption.map(_.version + 1).getOrElse(0)
     // an overwrite replaces every file, so no physical name survives to
@@ -1113,7 +1114,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
           removed, entries, txn.map(_._1), txn.map(_._2), Nil, Some(mapping),
           checks = if (base.isEmpty && pendingChecks.nonEmpty)
             Some(pendingChecks.toMap) else None,
-          parts = Some(declaredParts), ingested = ingested, cdc = cdc))
+          parts = Some(declaredParts), ingested = ingested,
+          props = propsOverride, cdc = cdc))
         pendingChecks.clear()
         return v
       }
@@ -1174,7 +1176,115 @@ class DeltaLite(val spark: SparkSession, val root: String,
   }
 
   /** Append a batch (schema-enforced). Returns the committed version. */
-  def append(df: DataFrame): Int = { enforceSchema(df); commit(df, "append") }
+  def append(df: DataFrame): Int = {
+    val idents = identityCols(schema.getOrElse(df.schema))
+    if (idents.isEmpty) { enforceSchema(df); commit(df, "append") }
+    else appendWithIdentity(df, idents)
+  }
+
+  // ---- IDENTITY columns (GENERATED ALWAYS/BY DEFAULT AS IDENTITY) --
+
+  /** Identity columns declared on `sch` via Spark's column metadata
+    * (`identity.start` / `identity.step` / `identity.allowExplicitInsert`
+    * — the keys the analyzer writes for GENERATED ... AS IDENTITY).
+    * The metadata rides the commit log's schemaJson, so the identity
+    * contract survives restarts, checkpoints and clones like any
+    * schema fact.
+    */
+  private def identityCols(sch: StructType): Seq[(String, Long, Long, Boolean)] =
+    sch.fields.toSeq.filter(_.metadata.contains("identity.start")).map { f =>
+      def lng(k: String): Long = // the analyzer writes longs; be tolerant
+        try f.metadata.getLong(k)
+        catch { case _: Exception => f.metadata.getString(k).toLong }
+      val allow = f.metadata.contains("identity.allowExplicitInsert") &&
+        (try f.metadata.getBoolean("identity.allowExplicitInsert")
+         catch { case _: Exception =>
+           f.metadata.getString("identity.allowExplicitInsert").toBoolean })
+      (f.name, lng("identity.start"), lng("identity.step"), allow)
+    }
+
+  private def identityPropKey(col: String) = s"graft.identity.$col.next"
+
+  /** Append to a table with IDENTITY columns: absent (or all-null)
+    * identity values are ALLOCATED here — the connector's half of the
+    * contract (the analyzer only validates the declaration). The
+    * per-column high-water mark rides the TABLE PROPERTIES of the
+    * same commit, so allocation is atomic with the data: a crash
+    * between batches can never re-issue a published id. Values are
+    * dense within a batch (hwm + step·i via one zipWithIndex pass —
+    * O(batch), distributed, no driver collect of rows); RESTORE
+    * reverts the mark with the snapshot, so ids issued after the
+    * restored version can be re-issued (document as Delta does).
+    * Snapshot-dependent by construction → never auto-retries past a
+    * concurrent commit (two racing appends would double-allocate).
+    */
+  private def appendWithIdentity(df: DataFrame,
+      idents: Seq[(String, Long, Long, Boolean)]): Int = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.storage.StorageLevel
+    val cs = commits()
+    val props = propsAt(cs)
+    var nextProps = props
+    idents.foreach { case (_, _, step, _) =>
+      require(step != 0, "identity step must be non-zero") }
+    // pin the batch: allocation and the write must see the same rows
+    val pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (explicit, generate) = idents.partition { case (name, _, _, _) =>
+        pinned.schema.fieldNames.contains(name) &&
+          pinned.filter(col(name).isNotNull).limit(1).count() > 0
+      }
+      explicit.foreach { case (name, _, step, allow) =>
+        require(allow, s"column '$name' is GENERATED ALWAYS AS IDENTITY " +
+          s"at $root — omit it (or leave it null) and the table assigns it")
+        require(pinned.filter(col(name).isNull).limit(1).count() == 0,
+          s"identity column '$name': mix of explicit values and nulls — " +
+            "supply all values or none")
+        // advance the mark past the explicit values (Delta's BY
+        // DEFAULT contract: later generated ids never collide)
+        val mx = pinned.agg(fmax(col(name)).cast("long")).head().getLong(0)
+        val next = props.get(identityPropKey(name)).map(_.toLong)
+          .getOrElse(idents.find(_._1 == name).get._2)
+        val past = // smallest next+k·step strictly beyond mx, k >= 0
+          if (step > 0 && mx >= next)
+            next + ((mx - next) / step + 1) * step
+          else if (step < 0 && mx <= next)
+            next + ((next - mx) / -step + 1) * step
+          else next
+        nextProps += identityPropKey(name) -> past.toString
+      }
+      val out =
+        if (generate.isEmpty) pinned
+        else {
+          val starts = generate.map { case (name, start, step, _) =>
+            (name, props.get(identityPropKey(name)).map(_.toLong)
+              .getOrElse(start), step)
+          }
+          val stripped = pinned.drop(starts.map(_._1): _*)
+          val total = stripped.count()
+          val sch2 = StructType(stripped.schema.fields ++
+            starts.map { case (name, _, _) =>
+              val orig = schema.getOrElse(df.schema).fields
+                .find(_.name == name).get
+              orig.copy(nullable = false)
+            })
+          val zipped = stripped.rdd.zipWithIndex().map { case (row, i) =>
+            Row.fromSeq(row.toSeq ++ starts.map { case (_, next, step) =>
+              next + step * i })
+          }
+          starts.foreach { case (name, next, step) =>
+            nextProps += identityPropKey(name) -> (next + step * total).toString
+          }
+          val tableOrder = schema.getOrElse(df.schema).fieldNames
+          spark.createDataFrame(zipped, sch2)
+            .select(tableOrder.filter(sch2.fieldNames.contains)
+              .map(col).toIndexedSeq: _*)
+        }
+      enforceSchema(out)
+      commit(out, "append", retryable = false,
+        propsOverride = if (nextProps == props) None else Some(nextProps))
+    } finally { pinned.unpersist(false); () }
+  }
 
   /** Append gated by CHECK constraints (the Delta table-constraint
     * surface): every rule must hold on every batch row or the load

@@ -175,6 +175,28 @@ object Similarity {
     centroids
   }
 
+  /** Incremental IVF maintenance: assign NEW vectors to the EXISTING
+    * cells and append them to the cell-partitioned store — no
+    * retraining, no rewrite of the standing index (the daily-ingest
+    * path of a materialized vector index: O(new vectors) work however
+    * large the index has grown). Probing the appended index is
+    * EXACTLY probing an index built whole with the same centroids
+    * (spec'd): assignment uses the persisted quantizer, and the
+    * hive-partitioned append keeps the `cluster` layout so nprobe
+    * partition pruning still holds. Centroids drift from the corpus
+    * distribution as appends accumulate (recall, not correctness);
+    * rebuild with [[buildIvfIndex]] when cell sizes skew.
+    */
+  def appendToIvfIndex(spark: SparkSession, newVectors: DataFrame,
+      vecCol: String, idCol: String, path: String): Unit = {
+    import graft.functions.VectorFunctions.nearest_centroids
+    val centroids = loadIvfCentroids(spark, path)
+    newVectors.select(col(idCol), col(vecCol),
+        element_at(nearest_centroids(col(vecCol), centroids, 1), 1)
+          .as("cluster"))
+      .write.mode("append").partitionBy("cluster").parquet(s"$path/cells")
+  }
+
   /** Load the centroid model back (k × dim, driver-side model state). */
   def loadIvfCentroids(spark: SparkSession, path: String): Array[Array[Double]] = {
     val rows = spark.read.parquet(s"$path/centroids")

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+/** Delta-verbatim maintenance SQL through the injected parser:
+  * OPTIMIZE [WHERE | ZORDER BY], VACUUM [RETAIN n VERSIONS],
+  * DESCRIBE HISTORY / DETAIL, RESTORE ... VERSION AS OF — each
+  * translating to the existing CALL procedure, with the full Spark
+  * dialect untouched for everything else.
+  */
+class MaintenanceSqlSpec extends SparkSpec {
+
+  private lazy val setup: Unit = {
+    graft.catalog.GraftCatalog.install(spark,
+      Files.createTempDirectory("graft-maint-wh").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.m")
+  }
+
+  test("OPTIMIZE / VACUUM / DESCRIBE HISTORY / RESTORE run verbatim") {
+    setup
+    spark.sql("CREATE TABLE graft.m.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.m.t VALUES (1, 'a')")
+    spark.sql("INSERT INTO graft.m.t VALUES (2, 'b')")
+    spark.sql("INSERT INTO graft.m.t VALUES (3, 'c')")
+    // OPTIMIZE compacts the small files
+    val opt = spark.sql("OPTIMIZE graft.m.t").collect()
+    assert(opt.head.getString(0).startsWith("compacted"), opt.toSeq)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.m.t")
+      .head().getLong(0) == 3)
+    // DESCRIBE HISTORY returns the commit rows
+    val hist = spark.sql("DESCRIBE HISTORY graft.m.t").collect()
+    assert(hist.length >= 4, s"expected full history, got ${hist.length}")
+    // DESC DETAIL works too
+    assert(spark.sql("DESC DETAIL graft.m.t").collect().nonEmpty)
+    // RESTORE TABLE ... TO VERSION AS OF rolls back (v0 is the empty
+    // CREATE commit, v1/v2/v3 the three single-row inserts)
+    spark.sql("RESTORE TABLE graft.m.t TO VERSION AS OF 2")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.m.t")
+      .head().getLong(0) == 2)
+    // the TO-less / TABLE-less Delta spelling parses too
+    spark.sql("RESTORE graft.m.t VERSION AS OF 1")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.m.t")
+      .head().getLong(0) == 1)
+    // VACUUM reclaims unreferenced files, current state intact
+    spark.sql("VACUUM graft.m.t")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.m.t")
+      .head().getLong(0) == 1)
+    // RETAIN n HOURS is rejected loudly (version-based retention)
+    val e = intercept[Exception](spark.sql("VACUUM graft.m.t RETAIN 168 HOURS"))
+    assert(e.getMessage.contains("version-based"), e.getMessage)
+  }
+
+  test("OPTIMIZE ZORDER BY and OPTIMIZE WHERE route to their procedures") {
+    setup
+    spark.sql("CREATE TABLE graft.m.z (a BIGINT, b BIGINT)")
+    (0 until 4).foreach(i =>
+      spark.sql(s"INSERT INTO graft.m.z SELECT id * 7 % 64, id * 13 % 64 " +
+        s"FROM range(${i * 50}, ${i * 50 + 50})"))
+    val z = spark.sql("OPTIMIZE graft.m.z ZORDER BY (a, b)").collect()
+    assert(z.head.getString(0).startsWith("clustered"), z.toSeq)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.m.z")
+      .head().getLong(0) == 200)
+    // partitioned table + OPTIMIZE WHERE
+    spark.sql("CREATE TABLE graft.m.p (k BIGINT, d STRING) PARTITIONED BY (d)")
+    spark.sql("INSERT INTO graft.m.p VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.m.p VALUES (3, 'a'), (4, 'b')")
+    val w = spark.sql("OPTIMIZE graft.m.p WHERE d = 'a'").collect()
+    assert(w.head.getString(0).startsWith("compacted"), w.toSeq)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.m.p")
+      .head().getLong(0) == 4)
+  }
+
+  test("the rest of the dialect is untouched") {
+    setup
+    // statements that merely CONTAIN the keywords still parse normally
+    assert(spark.sql("SELECT 'OPTIMIZE graft.m.t' AS s").head().getString(0)
+      == "OPTIMIZE graft.m.t")
+    spark.sql("CREATE TABLE graft.m.vacuum (k BIGINT)")
+    spark.sql("INSERT INTO graft.m.vacuum VALUES (7)")
+    assert(spark.sql("SELECT k FROM graft.m.vacuum").head().getLong(0) == 7)
+  }
+}

@@ -253,6 +253,37 @@ class SimilaritySpec extends SparkSpec {
       plan.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
   }
 
+  test("IVF append: incremental maintenance probes like a whole-built index") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    val centroids = Similarity.buildIvfIndex(half, "embedding", "vec_id", dir,
+      k = 16, iters = 2)
+    // append the other half: assignment uses the PERSISTED quantizer,
+    // no retraining
+    Similarity.appendToIvfIndex(spark, rest, "embedding", "vec_id", dir)
+    val queries = emb.orderBy("vec_id").limit(8)
+    val probed = Similarity.probeIvfIndex(spark, queries, "embedding",
+      "vec_id", dir, k = 10, nprobe = 3)
+    val got = probed.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    // equivalence oracle: the ad-hoc IVF over the FULL corpus with the
+    // same centroids — append must change nothing about the answer
+    val whole = Similarity.ivfTopK(queries, emb, "embedding", "vec_id",
+      k = 10, centroids, nprobe = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(got == whole, "appended index must probe like a whole-built one")
+    // cell pruning still holds after the append (hive layout intact)
+    val plan = probed.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      plan.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+  }
+
   test("emb centroids: quantized integer means match a driver recomputation") {
     import spark.implicits._
     val got = graft.queries.Vectors.embCentroids(spark, sf).collect()
