@@ -77,7 +77,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(
-      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   private def fs = new Path(warehouse)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -219,12 +220,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * silently discarded.
     */
   private def columnsToSchema(
-      columns: Array[org.apache.spark.sql.connector.catalog.Column]): StructType =
-    StructType(columns.toIndexedSeq.map { c =>
-      if (c.generationExpression() != null)
-        throw new UnsupportedOperationException(
-          s"GENERATED ALWAYS AS (expr) columns are not supported " +
-            s"(column '${c.name}'); compute the value in the INSERT query")
+      columns: Array[org.apache.spark.sql.connector.catalog.Column]): StructType = {
+    val sch = StructType(columns.toIndexedSeq.map { c =>
       if (c.defaultValue() != null)
         throw new UnsupportedOperationException(
           s"column DEFAULT values are not supported (column '${c.name}')")
@@ -237,8 +234,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         mb.putLong("identity.step", s.getStep)
         mb.putBoolean("identity.allowExplicitInsert", s.isAllowExplicitInsert)
       }
+      Option(c.generationExpression()).foreach(
+        mb.putString(graft.etl.DeltaLite.GenerationExpressionKey, _))
       StructField(c.name, c.dataType, c.nullable, mb.build())
     })
+    validateGenerated(sch)
+    sch
+  }
+
+  /** Generated columns may reference only NON-generated, non-identity
+    * sibling columns (no chains — write-side recomputation is a
+    * single pass) and must parse without subqueries.
+    */
+  private def validateGenerated(sch: StructType): Unit = {
+    val key = graft.etl.DeltaLite.GenerationExpressionKey
+    val genNames = sch.fields.filter(_.metadata.contains(key)).map(_.name).toSet
+    sch.fields.filter(_.metadata.contains(key)).foreach { f =>
+      val exprSql = f.metadata.getString(key)
+      val parsed = spark.sessionState.sqlParser.parseExpression(exprSql)
+      require(!parsed.containsPattern(
+        org.apache.spark.sql.catalyst.trees.TreePattern.PLAN_EXPRESSION),
+        s"generated column '${f.name}': subqueries are not allowed")
+      val refs = parsed.collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+      }.toSet
+      refs.foreach { r =>
+        require(sch.fieldNames.contains(r),
+          s"generated column '${f.name}' references unknown column '$r'")
+        require(!genNames.contains(r),
+          s"generated column '${f.name}' may not reference another " +
+            s"generated column ('$r')")
+      }
+    }
+  }
 
   override def createTable(ident: Identifier,
       columns: Array[org.apache.spark.sql.connector.catalog.Column],

@@ -157,7 +157,9 @@ class GraftTable(tableName: String, val delta: DeltaLite,
         delta.schema.getOrElse(new StructType())
       else readDf().schema
     StructType(base.fields.map(f =>
-      if (f.metadata.contains("identity.start")) f.copy(nullable = true)
+      if (f.metadata.contains("identity.start") ||
+        f.metadata.contains(graft.etl.DeltaLite.GenerationExpressionKey))
+        f.copy(nullable = true)
       else f))
   }
 

@@ -1177,8 +1177,12 @@ class DeltaLite(val spark: SparkSession, val root: String,
 
   /** Append a batch (schema-enforced). Returns the committed version. */
   def append(df: DataFrame): Int = {
-    val idents = identityCols(schema.getOrElse(df.schema))
-    if (idents.isEmpty) { enforceSchema(df); commit(df, "append") }
+    val sch = schema.getOrElse(df.schema)
+    val idents = identityCols(sch)
+    if (idents.isEmpty) {
+      val out = fillGenerated(df, sch)
+      enforceSchema(out); commit(out, "append")
+    }
     else appendWithIdentity(df, idents)
   }
 
@@ -1204,6 +1208,76 @@ class DeltaLite(val spark: SparkSession, val root: String,
     }
 
   private def identityPropKey(col: String) = s"graft.identity.$col.next"
+
+  // ---- GENERATED ALWAYS AS (expr) columns --------------------------
+
+  /** Generated columns declared on `sch` via Spark's canonical
+    * `GENERATION_EXPRESSION` column-metadata key: (name, exprSql,
+    * type). Like identity, the declaration rides the commit log's
+    * schemaJson.
+    */
+  private def generatedCols(sch: StructType): Seq[(String, String, DataType)] =
+    sch.fields.toSeq
+      .filter(_.metadata.contains(DeltaLite.GenerationExpressionKey))
+      .map(f => (f.name,
+        f.metadata.getString(DeltaLite.GenerationExpressionKey), f.dataType))
+
+  /** Recompute every generated column from the row's FINAL values —
+    * the write-side half of the generated-column contract (rewrites
+    * that change base columns keep the invariant; untouched rows
+    * recompute to their existing values). Pure expression work, no
+    * extra pass.
+    */
+  private def applyGenerated(df: DataFrame, sch: StructType): DataFrame =
+    generatedCols(sch).foldLeft(df) { case (d, (n, g, dt)) =>
+      d.withColumn(n, org.apache.spark.sql.functions.expr(g).cast(dt))
+    }
+
+  /** Append-side generation: absent or null values compute from the
+    * expression; EXPLICIT values must already equal it (one
+    * O(batch) probe per generated column) — a mismatched batch fails
+    * loudly rather than silently overwriting or silently trusting.
+    */
+  private def fillGenerated(df: DataFrame, sch: StructType): DataFrame = {
+    val gens = generatedCols(sch)
+    if (gens.isEmpty) return df
+    gens.foreach { case (n, g, dt) =>
+      if (df.schema.fieldNames.contains(n))
+        require(df.filter(col(n).isNotNull &&
+          !(col(n) <=> org.apache.spark.sql.functions.expr(g).cast(dt)))
+          .limit(1).count() == 0,
+          s"explicit value for generated column '$n' differs from its " +
+            s"expression ($g) at $root — omit the column and the table " +
+            "computes it")
+    }
+    // one select, aliasing each generated column WITH its metadata —
+    // a plain withColumn would strip GENERATION_EXPRESSION and the
+    // first commit would record a schema without the declaration
+    val genByName = gens.map(g => g._1 -> g).toMap
+    df.select(sch.fields
+      .filter(f => genByName.contains(f.name) ||
+        df.schema.fieldNames.contains(f.name))
+      .map { f =>
+        genByName.get(f.name) match {
+          case Some((n, g, dt)) =>
+            org.apache.spark.sql.functions.expr(g).cast(dt)
+              .as(n, f.metadata)
+          case None => col(f.name)
+        }
+      }.toIndexedSeq: _*)
+  }
+
+  /** Reject assignments that name a generated column (UPDATE SET /
+    * MERGE SET): the expression is the single source of truth.
+    */
+  private def rejectGeneratedAssignments(sch: StructType,
+      set: Seq[String]): Unit = {
+    val gens = generatedCols(sch).map(_._1).toSet
+    set.filter(gens.contains).foreach(n =>
+      throw new IllegalArgumentException(
+        s"cannot SET generated column '$n' at $root — it is computed " +
+          "from its expression"))
+  }
 
   /** Append to a table with IDENTITY columns: absent (or all-null)
     * identity values are ALLOCATED here — the connector's half of the
@@ -1280,8 +1354,11 @@ class DeltaLite(val spark: SparkSession, val root: String,
             .select(tableOrder.filter(sch2.fieldNames.contains)
               .map(col).toIndexedSeq: _*)
         }
-      enforceSchema(out)
-      commit(out, "append", retryable = false,
+      // generation runs AFTER identity allocation, so generated
+      // expressions may reference identity columns
+      val outGen = fillGenerated(out, schema.getOrElse(df.schema))
+      enforceSchema(outGen)
+      commit(outGen, "append", retryable = false,
         propsOverride = if (nextProps == props) None else Some(nextProps))
     } finally { pinned.unpersist(false); () }
   }
@@ -1974,7 +2051,9 @@ class DeltaLite(val spark: SparkSession, val root: String,
       // schema (op flags, CDC stamps — referenced by clause conditions,
       // never written); the table's own columns must match exactly
       case Some(committed) =>
-        committed.fields.foreach { f =>
+        val gens = generatedCols(committed).map(_._1).toSet
+        committed.fields.filterNot(f => gens.contains(f.name) &&
+            !source.schema.fieldNames.contains(f.name)).foreach { f =>
           val got = source.schema.fields.find(_.name == f.name)
           require(got.exists(_.dataType == f.dataType),
             s"merge source missing/mistyped table column '${f.name}' " +
@@ -1987,21 +2066,32 @@ class DeltaLite(val spark: SparkSession, val root: String,
         case (c, _) => require(sch.fieldNames.contains(c),
           s"merge SET names unknown column '$c' at $root")
       }
+      rejectGeneratedAssignments(sch,
+        (updateSet.toSeq ++ bySourceUpdateSet.toSeq ++ insertSet.toSeq)
+          .flatten.map(_._1))
     }
     // project an s-aliased source frame onto the table schema for the
     // insert paths: star form copies same-named columns, assignment
     // form evaluates the INSERT expressions (unassigned columns null —
     // SQL MERGE INSERT(col-list) semantics)
     def insertProj(s: DataFrame, sch: StructType): DataFrame =
-      insertSet match {
+      applyGenerated(insertSet match {
         case Some(m) =>
           val im = m.toMap
           s.select(sch.fields.map { f =>
             im.get(f.name).map(_.cast(f.dataType).as(f.name))
               .getOrElse(lit(null).cast(f.dataType).as(f.name))
           }.toIndexedSeq: _*)
-        case None => s.select(sch.fieldNames.map(col).toIndexedSeq: _*)
-      }
+        case None =>
+          // ONLY a generated column may be absent from a star-form
+          // source (schema check above) — it fills null here and
+          // computes in applyGenerated
+          val gens = generatedCols(sch).map(_._1).toSet
+          s.select(sch.fields.map(f =>
+            if (gens.contains(f.name) && !s.schema.fieldNames.contains(f.name))
+              lit(null).cast(f.dataType).as(f.name)
+            else col(f.name)).toIndexedSeq: _*)
+      }, sch)
     val insOnly = insertWhen.getOrElse(lit(true))
     // pin the batch: the dup-key check, bounds, rewrite join and insert
     // anti-join must all see the SAME rows (a non-deterministic source
@@ -2060,24 +2150,29 @@ class DeltaLite(val spark: SparkSession, val root: String,
       // star form updates take the whole source row; assignment form
       // evaluates each SET expression in the joined (t, s) scope and
       // keeps the TARGET value for unassigned columns (SQL UPDATE SET)
-      val updated = joined.filter(doUpdate)
+      val updated = applyGenerated(joined.filter(doUpdate)
         .select(sch.fields.map { f =>
           updateSet match {
             case Some(m) => m.toMap.get(f.name)
               .map(_.cast(f.dataType).as(f.name))
               .getOrElse(col(s"t.${f.name}").as(f.name))
-            case None => col(s"s.${f.name}").as(f.name)
+            case None =>
+              // star form: a generated column absent from the source
+              // keeps the target value and recomputes below
+              if (!src.schema.fieldNames.contains(f.name))
+                col(s"t.${f.name}").as(f.name)
+              else col(s"s.${f.name}").as(f.name)
           }
-        }.toIndexedSeq: _*)
+        }.toIndexedSeq: _*), sch)
       // BY SOURCE updates see only the target row (assignments and
       // conditions over t.*; the s side is all-NULL by construction)
       val bsUpdated = bySourceUpdateSet.map { m =>
         val bm = m.toMap
-        joined.filter(doBsUpdate)
+        applyGenerated(joined.filter(doBsUpdate)
           .select(sch.fields.map { f =>
             bm.get(f.name).map(_.cast(f.dataType).as(f.name))
               .getOrElse(col(s"t.${f.name}").as(f.name))
-          }.toIndexedSeq: _*)
+          }.toIndexedSeq: _*), sch)
       }
       // expression-form anti join keeps the s alias intact for the
       // insert projections (a using-column join would strip it)
@@ -2480,6 +2575,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
     val sch = DataType.fromJson(all.last.schemaJson).asInstanceOf[StructType]
     set.foreach { case (c, _) => require(sch.fieldNames.contains(c),
       s"no column '$c' to update at $root") }
+    rejectGeneratedAssignments(sch, set.map(_._1))
     val live = liveEntries(all)
     if (live.isEmpty) return None
     val dvs = liveDvFiles(all)
@@ -2501,12 +2597,15 @@ class DeltaLite(val spark: SparkSession, val root: String,
     val touched = live.filter(f => touchedPaths(norm(f.path)))
     val rows = readFiles(touched.map(_.path), sch, dvs, mapping)
     val setMap = set.toMap
-    val updated = rows.select(sch.fields.map { f =>
+    // generated columns recompute from the post-assignment values:
+    // the expression invariant holds through any base-column update
+    // (recomputing an untouched row is the identity)
+    val updated = applyGenerated(rows.select(sch.fields.map { f =>
       setMap.get(f.name)
         .map(c => when(coalesce(cond, lit(false)), c.cast(f.dataType))
           .otherwise(col(f.name)).as(f.name))
         .getOrElse(col(f.name))
-    }.toIndexedSeq: _*)
+    }.toIndexedSeq: _*), sch)
     // change-data sidecar (enableChangeDataFeed): pre/post images of
     // the MATCHED rows only — O(changed rows) extra write
     val cdcPaths =
@@ -2514,10 +2613,10 @@ class DeltaLite(val spark: SparkSession, val root: String,
       else {
         val pre = rows.filter(cond)
           .withColumn("_change_type", lit("update_preimage"))
-        val post = rows.filter(cond).select(sch.fields.map { f =>
+        val post = applyGenerated(rows.filter(cond).select(sch.fields.map { f =>
           setMap.get(f.name).map(_.cast(f.dataType).as(f.name))
             .getOrElse(col(f.name))
-        }.toIndexedSeq: _*)
+        }.toIndexedSeq: _*), sch)
           .withColumn("_change_type", lit("update_postimage"))
         Some(writeCdc(pre.unionByName(post), sch, mapping))
       }
@@ -3076,6 +3175,11 @@ object DeltaLite {
     * VALUES) keeps the physical name off-limits forever.
     */
   private[etl] val DroppedPrefix = "__graft_dropped__"
+
+  /** Spark's canonical column-metadata key for GENERATED ALWAYS AS
+    * (expr) — the same key `GeneratedColumn.isGeneratedColumn` reads.
+    */
+  private[graft] val GenerationExpressionKey = "GENERATION_EXPRESSION"
 
   /** Directory-name prefix of the hive-layout partition dirs: the
     * write duplicates each partition column under this prefix for
