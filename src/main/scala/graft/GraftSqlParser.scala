@@ -16,6 +16,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     version-based, the time-based contract would silently differ)
   *   - `DESCRIBE HISTORY t` / `DESC HISTORY t` / `DESCRIBE DETAIL t`
   *   - `RESTORE [TABLE] t [TO] VERSION AS OF n`
+  *   - `CREATE TABLE t2 SHALLOW|DEEP CLONE t1`
   *
   * Table names resolve against the graft catalog: `graft.db.t` or
   * `db.t` (the leading catalog name is dropped — the procedures
@@ -69,6 +70,8 @@ object GraftSqlParser {
     s"(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Ident\\s*;?\\s*".r
   private val Restore =
     s"(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Ident\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*".r
+  private val Clone =
+    s"(?is)\\s*CREATE\\s+TABLE\\s+$Ident\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$Ident\\s*;?\\s*".r
 
   /** graft-catalog-relative 'db.t' from the statement's identifier;
     * None when the name addresses another catalog (delegate verbatim —
@@ -112,6 +115,11 @@ object GraftSqlParser {
         s"CALL graft.system.detail(${q(n)})")
       case Restore(t, v) => tableArg(t).map(n =>
         s"CALL graft.system.restore(${q(n)}, ${q(v)})")
+      // Delta's CREATE TABLE target [SHALLOW|DEEP] CLONE source
+      case Clone(target, mode, source) =>
+        for (tn <- tableArg(target); sn <- tableArg(source))
+          yield s"CALL graft.system.clone(${q(sn)}, ${q(tn)}, " +
+            s"${q(mode.toLowerCase(java.util.Locale.ROOT))})"
       case _ => None
     }
 }

@@ -78,7 +78,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(
       TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
-      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private def fs = new Path(warehouse)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -222,9 +223,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def columnsToSchema(
       columns: Array[org.apache.spark.sql.connector.catalog.Column]): StructType = {
     val sch = StructType(columns.toIndexedSeq.map { c =>
-      if (c.defaultValue() != null)
-        throw new UnsupportedOperationException(
-          s"column DEFAULT values are not supported (column '${c.name}')")
       val mb = new MetadataBuilder()
       Option(c.metadataInJSON()).foreach(j =>
         mb.withMetadata(Metadata.fromJson(j)))
@@ -236,6 +234,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
       Option(c.generationExpression()).foreach(
         mb.putString(graft.etl.DeltaLite.GenerationExpressionKey, _))
+      // column DEFAULTs ride Spark's canonical metadata keys: the
+      // ANALYZER fills them at INSERT (ResolveDefaultColumns reads the
+      // table schema), the connector only has to not lose them.
+      // CURRENT_DEFAULT = the declared sql; EXISTS_DEFAULT = the
+      // folded literal (what a pre-existing row would read — for
+      // graft, like Delta, old rows read null; the key still must
+      // round-trip for DESCRIBE)
+      Option(c.defaultValue()).foreach { d =>
+        val sql = Option(d.getSql).getOrElse(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            d.getValue.value(), d.getValue.dataType()).sql)
+        mb.putString("CURRENT_DEFAULT", sql)
+        mb.putString("EXISTS_DEFAULT",
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            d.getValue.value(), d.getValue.dataType()).sql)
+      }
       StructField(c.name, c.dataType, c.nullable, mb.build())
     })
     validateGenerated(sch)

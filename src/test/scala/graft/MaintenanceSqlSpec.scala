@@ -70,6 +70,36 @@ class MaintenanceSqlSpec extends SparkSpec {
       .head().getLong(0) == 4)
   }
 
+  test("CREATE TABLE ... SHALLOW/DEEP CLONE runs verbatim") {
+    setup
+    spark.sql("CREATE TABLE graft.m.src (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.m.src VALUES (1, 'a'), (2, 'b')")
+    spark.sql("CREATE TABLE graft.m.dev SHALLOW CLONE graft.m.src")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.m.dev")
+      .head().getLong(0) == 2)
+    spark.sql("CREATE TABLE graft.m.bak DEEP CLONE graft.m.src")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.m.bak")
+      .head().getLong(0) == 2)
+    // clones are independent: writes to the clone leave the source
+    spark.sql("INSERT INTO graft.m.dev VALUES (3, 'c')")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.m.src")
+      .head().getLong(0) == 2)
+  }
+
+  test("column DEFAULT values fill at INSERT through the analyzer") {
+    setup
+    spark.sql("CREATE TABLE graft.m.dflt (" +
+      "k BIGINT, status STRING DEFAULT 'new', n BIGINT DEFAULT 0)")
+    spark.sql("INSERT INTO graft.m.dflt (k) VALUES (1)")
+    spark.sql("INSERT INTO graft.m.dflt VALUES (2, 'done', 5)")
+    spark.sql("INSERT INTO graft.m.dflt (k, status) VALUES (3, DEFAULT)")
+    val got = spark.sql(
+      "SELECT k, status, n FROM graft.m.dflt ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "new", 0L), (2L, "done", 5L), (3L, "new", 0L)),
+      s"got $got")
+  }
+
   test("the rest of the dialect is untouched") {
     setup
     // statements that merely CONTAIN the keywords still parse normally
