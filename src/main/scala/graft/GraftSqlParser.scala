@@ -55,7 +55,7 @@ object GraftSqlParser {
   private val Ident = s"($Part(?:\\.$Part)*)"
 
   private val OptimizeZorder =
-    s"(?is)\\s*OPTIMIZE\\s+$Ident\\s+ZORDER\\s+BY\\s*\\(?\\s*($Part)\\s*,\\s*($Part)\\s*\\)?\\s*;?\\s*".r
+    s"(?is)\\s*OPTIMIZE\\s+$Ident\\s+ZORDER\\s+BY\\s*\\(?\\s*($Part(?:\\s*,\\s*$Part)*)\\s*\\)?\\s*;?\\s*".r
   private val OptimizeWhere =
     s"(?is)\\s*OPTIMIZE\\s+$Ident\\s+WHERE\\s+(.+?)\\s*;?\\s*".r
   private val Optimize =
@@ -92,9 +92,15 @@ object GraftSqlParser {
   /** The CALL translation, or None to delegate the text verbatim. */
   private[graft] def rewriteMaintenance(sql: String): Option[String] =
     sql match {
-      case OptimizeZorder(t, a, b) => tableArg(t).map(n =>
-        s"CALL graft.system.zorder(${q(n)}, ${q(a.stripPrefix("`").stripSuffix("`"))}, " +
-          s"${q(b.stripPrefix("`").stripSuffix("`"))}, '32')")
+      case OptimizeZorder(t, colList) => tableArg(t).map { n =>
+        val cols = colList.split(',').toSeq
+          .map(_.trim.stripPrefix("`").stripSuffix("`"))
+        if (cols.size == 2)
+          s"CALL graft.system.zorder(${q(n)}, ${q(cols.head)}, " +
+            s"${q(cols(1))}, '32')"
+        else
+          s"CALL graft.system.zorder_by(${q(n)}, ${q(cols.mkString(","))}, '32')"
+      }
       case OptimizeWhere(t, pred) => tableArg(t).map(n =>
         s"CALL graft.system.optimize_where(${q(n)}, ${q(pred)})")
       case Optimize(t) => tableArg(t).map(n =>

@@ -500,7 +500,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
 object GraftCatalog {
   val ProcedureNames: Seq[String] = Seq("optimize", "vacuum", "restore",
-    "zorder", "analyze", "checkpoint", "clean_log", "add_constraint",
+    "zorder", "zorder_by", "analyze", "checkpoint", "clean_log", "add_constraint",
     "drop_constraint", "history", "detail", "copy_into", "table_changes",
     "optimize_where", "vacuum_orphans", "clone")
 
@@ -533,6 +533,7 @@ class GraftProcedure(pname: String, catalog: GraftCatalog)
     case "vacuum" => Seq("retain_versions")
     case "restore" => Seq("version")
     case "zorder" => Seq("col_a", "col_b", "num_files")
+    case "zorder_by" => Seq("cols", "num_files")
     case "analyze" => Seq("columns")
     case "add_constraint" => Seq("name", "sql")
     case "drop_constraint" => Seq("name")
@@ -584,6 +585,9 @@ class GraftProcedure(pname: String, catalog: GraftCatalog)
       case "restore" => s"restored at v${t.restore(args(1).toInt)}"
       case "zorder" =>
         s"clustered at v${t.optimizeZOrder(args(1), args(2), args(3).toInt)}"
+      case "zorder_by" =>
+        s"clustered at v${t.optimizeZOrderN(
+          args(1).split(',').map(_.trim).toSeq, args(2).toInt)}"
       case "analyze" =>
         t.restats(args(1).split(',').map(_.trim).toSeq)
           .map(v => s"analyzed at v$v").getOrElse("noop")

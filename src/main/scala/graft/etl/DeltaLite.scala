@@ -2833,10 +2833,21 @@ class DeltaLite(val spark: SparkSession, val root: String,
     * versions stay time-travelable.
     */
   def optimizeZOrder(colA: String, colB: String, numFiles: Int,
+      bits: Int = 16): Int = optimizeZOrderN(Seq(colA, colB), numFiles, bits)
+
+  /** N-column OPTIMIZE ZORDER BY: one column degenerates to a plain
+    * range-cluster (linear sort IS the optimal 1-D layout); 2+ columns
+    * interleave via [[graft.ops.ZOrder.interleaveN]]. Same single
+    * shuffle either way.
+    */
+  def optimizeZOrderN(cols: Seq[String], numFiles: Int,
       bits: Int = 16): Int = {
+    require(cols.nonEmpty, "ZORDER BY needs at least one column")
     val live = liveFiles()
     require(live.nonEmpty, s"empty table at $root")
-    val z = graft.ops.ZOrder.interleave(col(colA), col(colB), bits)
+    val z =
+      if (cols.size == 1) col(cols.head)
+      else graft.ops.ZOrder.interleaveN(cols.map(col), bits)
     val clustered = read()
       .withColumn("__zorder", z)
       .repartitionByRange(numFiles, col("__zorder"))

@@ -89,6 +89,36 @@ class IdentityColumnSpec extends SparkSpec {
     assert(got == Seq((1L, "a"), (2L, "c")), s"got $got")
   }
 
+  test("racing identity appends never double-allocate") {
+    val root = tmp("graft-ident-race")
+    val t = new DeltaLite(spark, root)
+    val sch = StructType(Seq(identityField("id"), StructField("v", StringType)))
+    t.append(spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch))
+    // two handles over the same root, appending concurrently: identity
+    // appends are snapshot-dependent (never auto-retry), so at most
+    // one of a racing pair lands — and ids can never collide
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    val outcomes = (0 until 2).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Option[String]] {
+        override def call(): Option[String] = {
+          val h = DeltaLite(spark, root)
+          gate.await()
+          try { h.append(Seq(s"w$i").toDF("v")); None }
+          catch { case e: Exception => Some(e.getClass.getSimpleName) }
+        }
+      })
+    }
+    gate.countDown()
+    val results = outcomes.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    val ids = t.read().select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids.distinct.size == ids.size, s"duplicate identity ids: $ids")
+    assert(t.read().count() == results.count(_.isEmpty),
+      "every successful append landed exactly once")
+  }
+
   test("SQL surface: CREATE TABLE with GENERATED ALWAYS AS IDENTITY") {
     graft.catalog.GraftCatalog.install(spark,
       Files.createTempDirectory("graft-ident-wh").toString)

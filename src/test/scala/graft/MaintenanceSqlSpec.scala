@@ -60,6 +60,14 @@ class MaintenanceSqlSpec extends SparkSpec {
     assert(z.head.getString(0).startsWith("clustered"), z.toSeq)
     assert(spark.sql("SELECT count(*) AS n FROM graft.m.z")
       .head().getLong(0) == 200)
+    // one column (range-cluster degenerate) and three columns
+    val z1 = spark.sql("OPTIMIZE graft.m.z ZORDER BY (a)").collect()
+    assert(z1.head.getString(0).startsWith("clustered"), z1.toSeq)
+    spark.sql("ALTER TABLE graft.m.z ADD COLUMNS (c BIGINT)")
+    val z3 = spark.sql("OPTIMIZE graft.m.z ZORDER BY (a, b, c)").collect()
+    assert(z3.head.getString(0).startsWith("clustered"), z3.toSeq)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.m.z")
+      .head().getLong(0) == 200)
     // partitioned table + OPTIMIZE WHERE
     spark.sql("CREATE TABLE graft.m.p (k BIGINT, d STRING) PARTITIONED BY (d)")
     spark.sql("INSERT INTO graft.m.p VALUES (1, 'a'), (2, 'b')")
