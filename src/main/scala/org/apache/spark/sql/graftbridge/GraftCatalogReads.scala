@@ -50,11 +50,43 @@ object GraftCatalogReads extends Rule[LogicalPlan] {
       val s = rewrite(m.sourceTable)
       if (s eq m.sourceTable) m else m.copy(sourceTable = s)
     case d: DataSourceV2Relation if d.table.isInstanceOf[GraftTable] =>
-      val src = d.table.asInstanceOf[GraftTable].readDf()
-        .queryExecution.analyzed
+      val gt = d.table.asInstanceOf[GraftTable]
+      // Delta's DataFrame reader options on named tables:
+      //   spark.read.option("versionAsOf", 3).table("graft.db.t")
+      //   spark.read.option("timestampAsOf", "…").table(…)
+      //   spark.read.option("readChangeFeed", "true")
+      //     .option("startingVersion", 0)[.option("endingVersion", n)]
+      //     .table(…)   — the batch CDF read
+      val opts = d.options
+      def opt(k: String) = Option(opts.get(k)).map(_.trim).filter(_.nonEmpty)
+      val srcDf =
+        if (opt("readChangeFeed").exists(_.toBoolean)) {
+          val from = opt("startingVersion").map(_.toInt).getOrElse(0) - 1
+          val to = opt("endingVersion").map(_.toInt)
+            .orElse(gt.delta.latestVersion)
+            .getOrElse(sys.error(s"empty table ${d.table.name}"))
+          gt.delta.changesBetween(from, to)
+        } else (opt("versionAsOf"), opt("timestampAsOf")) match {
+          case (Some(v), _) => gt.delta.readAsOf(v.toInt)
+          case (_, Some(ts)) =>
+            gt.delta.readAsOfTime(java.sql.Timestamp.valueOf(ts))
+          case _ => gt.readDf()
+        }
+      val src = srcDf.queryExecution.analyzed
+      if (src.output.length < d.output.length ||
+        d.output.map(_.name) !=
+          src.output.take(d.output.length).map(_.name))
+        sys.error(s"as-of read of ${d.table.name}: that snapshot's " +
+          s"schema (${src.output.map(_.name).mkString(",")}) does not " +
+          s"line up with the current one " +
+          s"(${d.output.map(_.name).mkString(",")}); use SQL " +
+          "`VERSION AS OF` / `TIMESTAMP AS OF`, which reports the " +
+          "snapshot's own schema")
+      // extra columns (the CDF's _change_type/_commit_version) ride
+      // the substituted output so selects above resolve them by name
       Project(d.output.zip(src.output).map { case (o, n) =>
         Alias(n, o.name)(exprId = o.exprId)
-      }, src)
+      } ++ src.output.drop(d.output.length), src)
     // `spark.readStream.table("graft.db.t")`: the analyzer resolves
     // the named table to a StreamingRelationV2 over the DSv2
     // GraftTable; substitute the V1 DeltaLiteSource relation (path =

@@ -196,6 +196,33 @@ class CdcRewriteSpec extends SparkSpec {
     intercept[Exception](t.changesBetween(v0, vUpd).collect())
   }
 
+  test("reader options: versionAsOf and batch readChangeFeed on named tables") {
+    graft.catalog.GraftCatalog.install(spark,
+      Files.createTempDirectory("graft-ropt-wh").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ropt")
+    spark.sql("CREATE TABLE graft.ropt.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.ropt.t VALUES (1, 'a')")
+    spark.sql("INSERT INTO graft.ropt.t VALUES (2, 'b')")
+    // versionAsOf through the DataFrame reader (Delta's option name)
+    assert(spark.read.option("versionAsOf", "1").table("graft.ropt.t")
+      .count() == 1)
+    assert(spark.read.table("graft.ropt.t").count() == 2)
+    // batch CDF read with startingVersion/endingVersion
+    spark.sql("DELETE FROM graft.ropt.t WHERE k = 1")
+    val feed = spark.read.option("readChangeFeed", "true")
+      .option("startingVersion", "1").table("graft.ropt.t")
+      .select(col("k"), col("_change_type"), col("_commit_version"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(feed == Set((1L, "insert", 1), (2L, "insert", 2),
+      (1L, "delete", 3)), s"got $feed")
+    val capped = spark.read.option("readChangeFeed", "true")
+      .option("startingVersion", "2").option("endingVersion", "2")
+      .table("graft.ropt.t")
+      .select(col("k"), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(capped == Set((2L, "insert")), s"got $capped")
+  }
+
   test("cleanLog reclaims CDC sidecars of trimmed records, keeps survivors") {
     val t = seed(tmp("graft-cdc-clean"))
     t.setTableProperties(Map("enableChangeDataFeed" -> "true"))
