@@ -188,6 +188,7 @@ class GraftTable(tableName: String, val delta: DeltaLite,
     s.add(TableCapability.V1_BATCH_WRITE)
     s.add(TableCapability.TRUNCATE)
     s.add(TableCapability.OVERWRITE_BY_FILTER)
+    s.add(TableCapability.STREAMING_WRITE)
     s
   }
 
@@ -290,6 +291,43 @@ class GraftTable(tableName: String, val delta: DeltaLite,
                 case None => delta.append(data)
               }
           }
+
+        /** `df.writeStream.toTable("graft.db.t")` — per-task parquet
+          * writers + one txn-stamped commit per epoch (exactly-once
+          * across restarts, like the DeltaSink foreachBatch path).
+          * Complete output mode (truncate) publishes overwrite
+          * commits. Partitioned / identity / generated tables need
+          * the append path's driver logic and are rejected loudly —
+          * use [[graft.streaming.DeltaSink]]'s foreachBatch writers.
+          */
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          val committed = delta.schema.getOrElse(sys.error(
+            s"streaming write needs an existing table at ${delta.root}"))
+          require(delta.partitionColumns.isEmpty,
+            s"streaming writes to PARTITIONED table $tableName are not " +
+              "supported; use DeltaSink.compactingWriter/foreachBatch")
+          require(!committed.fields.exists(f =>
+            f.metadata.contains("identity.start") ||
+              f.metadata.contains(graft.etl.DeltaLite.GenerationExpressionKey)),
+            s"streaming writes to $tableName: identity/generated columns " +
+              "allocate in the batch append path; use foreachBatch with " +
+              "DeltaLite.append")
+          val declared = info.schema()
+          require(committed.fields.map(f => (f.name, f.dataType)).toSeq ==
+            declared.fields.map(f => (f.name, f.dataType)).toSeq,
+            s"streaming write schema ${declared.simpleString} does not " +
+              s"match table $tableName ${committed.simpleString}")
+          val mapping = delta.columnMapping
+          val phys = org.apache.spark.sql.types.StructType(
+            committed.fields.map(f =>
+              f.copy(name = mapping.getOrElse(f.name, f.name))))
+          val spark = delta.spark
+          new org.apache.spark.sql.graftbridge.GraftStreamingWrite(
+            delta, phys, delta.root, info.queryId(), overwriteAll,
+            new org.apache.spark.util.SerializableConfiguration(
+              spark.sessionState.newHadoopConf()))
+        }
       }
     }
   }

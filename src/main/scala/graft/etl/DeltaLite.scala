@@ -1898,6 +1898,59 @@ class DeltaLite(val spark: SparkSession, val root: String,
     * `dedupKey` additionally drops rows whose key already exists (the
     * reference's dedup-on-append load, streaming edition).
     */
+  /** Publish ALREADY-WRITTEN parquet files as one txn-stamped commit —
+    * the driver-side half of the DSv2 streaming write
+    * ([[org.apache.spark.sql.graftbridge.GraftStreamingWrite]]): the
+    * epoch's per-task files land first, then this single publication
+    * makes them visible atomically; a replayed epoch returns None (the
+    * per-query high-water mark, same contract as [[txnAppend]]). CHECK
+    * constraints are enforced with one O(epoch) scan of the new files
+    * before anything publishes. Entries record byte sizes but no
+    * key stats (pruning is conservative on streamed files until
+    * `restats`/`optimize`). `overwrite` publishes Complete-mode epochs.
+    */
+  def adoptStreamEpoch(files: Seq[(String, Long)],
+      overwrite: Boolean, appId: String, txnId: Long): Option[Int] = {
+    if (lastTxn(appId).exists(_ >= txnId)) return None
+    var attempts = 0
+    while (true) {
+      val cs = commits()
+      require(cs.nonEmpty, s"empty table at $root")
+      val sch = DataType.fromJson(cs.last.schemaJson).asInstanceOf[StructType]
+      val mapping = colMapAt(cs)
+      val checks = checksAt(cs)
+      if (checks.nonEmpty && files.nonEmpty && attempts == 0) {
+        val df = toLogical(
+          spark.read.schema(physSchema(sch, mapping))
+            .parquet(files.map(_._1): _*), sch, mapping)
+        graft.ops.Expectations.enforce(df,
+          checks.toSeq.sortBy(_._1).map { case (n, c) =>
+            n -> org.apache.spark.sql.functions.expr(c) })
+      }
+      try {
+        return Some(publish(Commit(cs.last.version + 1,
+          if (overwrite) "overwrite" else "append", cs.last.schemaJson,
+          removed = Nil,
+          files = files.sortBy(_._1).map { case (p, sz) =>
+            FileEntry(p, None, None, None, Map.empty, Some(sz)) },
+          Some(appId), Some(txnId),
+          colmap = Some(mapping), parts = Some(partsAt(cs)))))
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts > 20) throw e
+          val cur = commits()
+          // appends commute past concurrent appends; anything that
+          // changed the schema/mapping invalidates the written files
+          require(cur.last.schemaJson == cs.last.schemaJson &&
+            colMapAt(cur) == colMapAt(cs),
+            s"table state changed while committing streamed epoch " +
+              s"$txnId at $root — restart the query")
+      }
+    }
+    None // unreachable
+  }
+
   def txnAppend(df: DataFrame, appId: String, txnId: Long,
       dedupKey: Option[String] = None): Option[Int] = {
     enforceSchema(df)
