@@ -180,6 +180,99 @@ case class NgramHashes(child: Expression, n: Int, mod31: Boolean)
     copy(child = newChild)
 }
 
+/** First 60 bits of md5 for EVERY string in an array, in one call —
+  * the ORACLE-path shingle hash. Bit-identical to the SQL chain
+  * `conv(substring(md5(s), 1, 15), 16, 10)` (DuckDB:
+  * `('0x'||substr(md5(s),1,15))::BIGINT`) but computed straight from
+  * the digest bytes: no hex-string materialization, no decimal parse,
+  * ONE MessageDigest instance per row instead of per shingle. With
+  * `mod > 0` the value folds into [0, mod) like the `% Prime` the
+  * MinHash family needs.
+  */
+case class Md5Long60Array(child: Expression, mod: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  def compute(arr: ArrayData): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      // first 15 hex chars = bytes 0..6 (56 bits) + the HIGH nibble
+      // of byte 7 (4 bits) — exactly what substring(md5, 1, 15) parses
+      var v = 0L
+      var j = 0
+      while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      v = (v << 4) | ((d(7) >> 4) & 0xfL)
+      out(i) = if (mod > 0) v % mod else v
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("md560", this, classOf[Md5Long60Array].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature under an EXPLICIT linear permutation family:
+  * sig[i] = min over x of (a(i)·x + b(i)) mod prime — the oracle
+  * path's family with md5-derived coefficients, evaluated as one
+  * primitive loop per row instead of numPerm interpreted `transform`
+  * passes. Bit-identical to the HOF formulation (pure long math,
+  * products < 2^62 by the family's construction).
+  */
+case class LinearMinHash(child: Expression, as: Array[Long],
+    bs: Array[Long], prime: Long) extends UnaryExpression {
+
+  // containsNull: an EMPTY shingle set minhashes to all-null, exactly
+  // like array_min over an empty transform in the HOF formulation
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val p = as.length
+    if (n == 0) return new GenericArrayData(new Array[Any](p))
+    val out = new Array[Long](p)
+    var i = 0
+    while (i < p) {
+      val a = as(i); val b = bs(i)
+      var mn = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val v = (a * arr.getLong(j) + b) % prime
+        if (v < mn) mn = v
+        j += 1
+      }
+      out(i) = mn
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("linmh", this, classOf[LinearMinHash].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   /** Column API for [[MinHashSignature]]; input: array<long> of 31-bit
     * positive shingle hashes.
@@ -195,4 +288,13 @@ object HashFunctions {
   /** Column API for [[NgramHashes]]; input: array<string> tokens. */
   def ngram_hashes(tokens: Column, n: Int, mod31: Boolean): Column =
     Bridge.column(NgramHashes(Bridge.expression(tokens), n, mod31))
+
+  /** Column API for [[Md5Long60Array]]; input: array<string>. */
+  def md5_long60_array(strs: Column, mod: Long = 0L): Column =
+    Bridge.column(Md5Long60Array(Bridge.expression(strs), mod))
+
+  /** Column API for [[LinearMinHash]]; input: array<long>. */
+  def linear_minhash(hashes: Column, as: Array[Long], bs: Array[Long],
+      prime: Long): Column =
+    Bridge.column(LinearMinHash(Bridge.expression(hashes), as, bs, prime))
 }

@@ -178,14 +178,20 @@ object Dedup {
       .select(col(idCol),
         TextAnalysis.ngramsFromTokens(col("__toks"), nGram).as("__sh"))
       .select(col(idCol),
-        array_distinct(transform(col("__sh"),
-          sh => conv(substring(md5(sh), 1, 15), 16, 10).cast("long") % Prime))
-          .as("__x"))
-      .select(col(idCol), array((0 until numPerm).map { i =>
-        val a = (md5Long60((2 * i).toString) % (Prime - 1)) + 1
-        val b = md5Long60((2 * i + 1).toString) % Prime
-        array_min(transform(col("__x"), x => (lit(a) * x + lit(b)) % Prime))
-      }: _*).as("signature"))
+        // native md5→60-bit chain + one-loop linear minhash: the SAME
+        // values as the conv(substring(md5...)) / array_min(transform)
+        // HOF chain the oracle re-derives, ~an order of magnitude less
+        // per-row interpretation overhead
+        array_distinct(graft.functions.HashFunctions.md5_long60_array(
+          col("__sh"), mod = Prime)).as("__x"))
+      .select(col(idCol), {
+        val as = Array.tabulate(numPerm)(i =>
+          (md5Long60((2 * i).toString) % (Prime - 1)) + 1)
+        val bs = Array.tabulate(numPerm)(i =>
+          md5Long60((2 * i + 1).toString) % Prime)
+        graft.functions.HashFunctions.linear_minhash(col("__x"), as, bs,
+          Prime).as("signature")
+      })
       .persist(StorageLevel.MEMORY_AND_DISK))
     val bandKeys = (0 until bands).map { bnd =>
       concat_ws("|", (0 until rowsPerBand).map(r =>
@@ -253,8 +259,8 @@ object Dedup {
       .select(col(idCol),
         TextAnalysis.ngramsFromTokens(col("__toks"), nGram).as("__sh"))
       .select(col(idCol),
-        array_distinct(transform(col("__sh"),
-          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))).as("__h"))
+        array_distinct(graft.functions.HashFunctions.md5_long60_array(
+          col("__sh"))).as("__h"))
       .select(col(idCol),
         graft.functions.HashFunctions.simhash64(col("__h")).as("simhash"))
   }
