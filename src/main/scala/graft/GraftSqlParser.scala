@@ -17,6 +17,18 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   - `DESCRIBE HISTORY t` / `DESC HISTORY t` / `DESCRIBE DETAIL t`
   *   - `RESTORE [TABLE] t [TO] VERSION AS OF n`
   *   - `CREATE TABLE t2 SHALLOW|DEEP CLONE t1`
+  *   - `VACUUM t [RETAIN n VERSIONS] DRY RUN` (row-set: the paths a
+  *     real vacuum would delete, deleting nothing)
+  *   - `FSCK REPAIR TABLE t [DRY RUN]` (drop refs to data files
+  *     deleted out-of-band)
+  *   - `ANALYZE TABLE graft.db.t COMPUTE STATISTICS [NOSCAN |
+  *     FOR COLUMNS a, b | FOR ALL COLUMNS]` — EXPLICIT graft.-prefixed
+  *     names only: ANALYZE is valid vanilla Spark SQL, a 1/2-part name
+  *     may address the session catalog and must keep working there
+  *   - `CONVERT TO DELTA parquet.`dir`` (also `CONVERT TO GRAFT …`):
+  *     in-place adoption, the log lands inside the directory;
+  *     PARTITIONED BY rejected loudly (hive dirs lack the partition
+  *     columns' bytes)
   *
   * Table names resolve against the graft catalog: `graft.db.t` or
   * `db.t` (the leading catalog name is dropped — the procedures
@@ -72,6 +84,20 @@ object GraftSqlParser {
     s"(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Ident\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*".r
   private val Clone =
     s"(?is)\\s*CREATE\\s+TABLE\\s+$Ident\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$Ident\\s*;?\\s*".r
+  private val VacuumDryRun =
+    s"(?is)\\s*VACUUM\\s+$Ident(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?\\s+DRY\\s+RUN\\s*;?\\s*".r
+  private val Fsck =
+    s"(?is)\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$Ident(\\s+DRY\\s+RUN)?\\s*;?\\s*".r
+  private val AnalyzeNoscan =
+    s"(?is)\\s*ANALYZE\\s+TABLE\\s+$Ident\\s+COMPUTE\\s+STATISTICS\\s+NOSCAN\\s*;?\\s*".r
+  private val AnalyzeCols =
+    s"(?is)\\s*ANALYZE\\s+TABLE\\s+$Ident\\s+COMPUTE\\s+STATISTICS\\s+FOR\\s+COLUMNS\\s+($Part(?:\\s*,\\s*$Part)*)\\s*;?\\s*".r
+  private val AnalyzeAll =
+    s"(?is)\\s*ANALYZE\\s+TABLE\\s+$Ident\\s+COMPUTE\\s+STATISTICS(?:\\s+FOR\\s+ALL\\s+COLUMNS)?\\s*;?\\s*".r
+  private val ConvertDelta =
+    s"(?is)\\s*CONVERT\\s+TO\\s+(?:DELTA|GRAFT)\\s+parquet\\s*\\.\\s*`([^`]+)`(\\s+NO\\s+STATISTICS)?\\s*;?\\s*".r
+  private val ConvertPartitioned =
+    s"(?is)\\s*CONVERT\\s+TO\\s+(?:DELTA|GRAFT)\\s+.*PARTITIONED\\s+BY.*".r
 
   /** graft-catalog-relative 'db.t' from the statement's identifier;
     * None when the name addresses another catalog (delegate verbatim —
@@ -89,6 +115,19 @@ object GraftSqlParser {
 
   private def q(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  /** Strict variant for verbs that are VALID vanilla Spark SQL
+    * (ANALYZE TABLE): only an EXPLICIT `graft.db.t` name rewrites —
+    * a 1/2-part name may address the session catalog, where Spark's
+    * own ANALYZE must keep working.
+    */
+  private def graftTableArg(raw: String): Option[String] = {
+    val parts = raw.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
+    parts match {
+      case Seq("graft", db, t) => Some(s"$db.$t")
+      case _ => None
+    }
+  }
+
   /** The CALL translation, or None to delegate the text verbatim. */
   private[graft] def rewriteMaintenance(sql: String): Option[String] =
     sql match {
@@ -105,6 +144,31 @@ object GraftSqlParser {
         s"CALL graft.system.optimize_where(${q(n)}, ${q(pred)})")
       case Optimize(t) => tableArg(t).map(n =>
         s"CALL graft.system.optimize(${q(n)})")
+      case VacuumDryRun(t, n) => tableArg(t).map(tn =>
+        s"CALL graft.system.vacuum_dry_run(${q(tn)}, " +
+          s"${q(Option(n).getOrElse("1"))})")
+      case Fsck(t, dry) => tableArg(t).map(tn =>
+        s"CALL graft.system.fsck(${q(tn)}, " +
+          s"${q(String.valueOf(dry != null))})")
+      case AnalyzeNoscan(t) => graftTableArg(t).map(tn =>
+        s"CALL graft.system.analyze(${q(tn)}, '__noscan__')")
+      case AnalyzeCols(t, colList) => graftTableArg(t).map { tn =>
+        val cols = colList.split(',').toSeq
+          .map(_.trim.stripPrefix("`").stripSuffix("`"))
+        s"CALL graft.system.analyze(${q(tn)}, ${q(cols.mkString(","))})"
+      }
+      case AnalyzeAll(t) => graftTableArg(t).map(tn =>
+        s"CALL graft.system.analyze(${q(tn)}, '*')")
+      case ConvertPartitioned() =>
+        throw new UnsupportedOperationException(
+          "CONVERT TO DELTA … PARTITIONED BY is unsupported: " +
+            "hive-partitioned files lack the partition columns' bytes " +
+            "— load with spark.read and write through a " +
+            "partition-declared table instead")
+      case ConvertDelta(dir, _) =>
+        // NO STATISTICS is accepted and ignored: adoption is
+        // metadata-only either way, stats arrive via ANALYZE
+        Some(s"CALL graft.system.convert(${q(dir)})")
       case VacuumRetain(t, n, unit) =>
         if (unit.equalsIgnoreCase("HOURS"))
           throw new UnsupportedOperationException(

@@ -79,7 +79,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     util.EnumSet.of(
       TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
       TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
-      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   private def fs = new Path(warehouse)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -373,6 +374,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         t.setTableProperties(Map(sp.property() -> sp.value()))
       case rp: TableChange.RemoveProperty =>
         t.unsetTableProperties(Seq(rp.property()))
+      case ac: TableChange.AddConstraint =>
+        // ALTER TABLE t ADD CONSTRAINT name CHECK (sql): only CHECK
+        // constraints are enforceable table facts here — PK/FK/UNIQUE
+        // are informational in Delta too, and recording a contract we
+        // don't enforce would be a silent lie
+        ac.constraint() match {
+          case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            t.addCheckConstraint(chk.name(), chk.predicateSql())
+          case other => throw new UnsupportedOperationException(
+            s"only CHECK constraints are supported: ${other.toDDL}")
+        }
+      case dcst: TableChange.DropConstraint =>
+        if (!(dcst.ifExists() && !t.checkConstraints.contains(dcst.name())))
+          t.dropCheckConstraint(dcst.name())
       case c => throw new UnsupportedOperationException(
         s"unsupported table change: $c")
     }
@@ -502,7 +517,8 @@ object GraftCatalog {
   val ProcedureNames: Seq[String] = Seq("optimize", "vacuum", "restore",
     "zorder", "zorder_by", "analyze", "checkpoint", "clean_log", "add_constraint",
     "drop_constraint", "history", "detail", "copy_into", "table_changes",
-    "optimize_where", "vacuum_orphans", "clone")
+    "optimize_where", "vacuum_orphans", "clone", "vacuum_dry_run", "fsck",
+    "convert")
 
   /** Register the catalog + extensions-equivalent state on a live
     * session (catalog lookup is lazy per name, so runtime conf works).
@@ -531,6 +547,8 @@ class GraftProcedure(pname: String, catalog: GraftCatalog)
 
   private val extraParams: Seq[String] = pname match {
     case "vacuum" => Seq("retain_versions")
+    case "vacuum_dry_run" => Seq("retain_versions")
+    case "fsck" => Seq("dry_run")
     case "restore" => Seq("version")
     case "zorder" => Seq("col_a", "col_b", "num_files")
     case "zorder_by" => Seq("cols", "num_files")
@@ -544,14 +562,45 @@ class GraftProcedure(pname: String, catalog: GraftCatalog)
     case _ => Nil
   }
 
-  override def parameters(): Array[ProcedureParameter] =
-    (("table" +: extraParams)
-      .map(p => ProcedureParameter.in(p, StringType).build())).toArray
+  override def parameters(): Array[ProcedureParameter] = {
+    // convert addresses a PATH (there is no table yet), not a table
+    val names =
+      if (pname == "convert") Seq("source_dir") else "table" +: extraParams
+    names.map(p => ProcedureParameter.in(p, StringType).build()).toArray
+  }
+
+  private def stringScan(header: String, values: Seq[String]): Scan =
+    new LocalScan {
+      override def readSchema(): StructType =
+        StructType(Seq(StructField(header, StringType, nullable = false)))
+      override def rows(): Array[InternalRow] = values.map(v =>
+        new GenericInternalRow(Array[Any](UTF8String.fromString(v)))
+          : InternalRow).toArray
+    }
 
   override def call(input: InternalRow): util.Iterator[Scan] = {
     val args = (0 until input.numFields).map(i =>
       input.getUTF8String(i).toString)
+    if (pname == "convert") {
+      // CONVERT TO DELTA parquet.`dir`: in-place — the commit log
+      // lands INSIDE the directory (zero data movement, files adopted
+      // by reference); address it afterwards as an external LOCATION
+      // table or through the DeltaLite path API
+      val t = graft.etl.DeltaLite.convert(
+        SparkSession.active, args.head, args.head)
+      return util.Arrays.asList(stringScan("result",
+        Seq(s"converted ${t.detail().head.getAs[Long]("num_live_files")} " +
+          s"files at ${args.head}"))).iterator()
+    }
     val t = catalog.openByName(args.head)
+    if (pname == "vacuum_dry_run")
+      return util.Arrays.asList(
+        stringScan("path", t.vacuumCandidates(args(1).toInt))).iterator()
+    if (pname == "fsck") {
+      val dry = args(1).equalsIgnoreCase("true")
+      val missing = t.fsck(dry)
+      return util.Arrays.asList(stringScan("path", missing)).iterator()
+    }
     // row-set procedures: DESCRIBE HISTORY / DESCRIBE DETAIL as CALLs
     // (the reference's table-audit surface) — the DataFrame's own rows
     // come back as the CALL's result set; both are bounded metadata
@@ -588,9 +637,26 @@ class GraftProcedure(pname: String, catalog: GraftCatalog)
       case "zorder_by" =>
         s"clustered at v${t.optimizeZOrderN(
           args(1).split(',').map(_.trim).toSeq, args(2).toInt)}"
-      case "analyze" =>
-        t.restats(args(1).split(',').map(_.trim).toSeq)
-          .map(v => s"analyzed at v$v").getOrElse("noop")
+      case "analyze" => args(1) match {
+        // ANALYZE … NOSCAN computes size-only stats; the commit log
+        // already records every file's byte size, so there is nothing
+        // to scan — truthful noop
+        case "__noscan__" => "noop (file sizes already in the commit log)"
+        // ANALYZE [FOR ALL COLUMNS]: every orderable atomic column
+        // joins the skipping index
+        case "*" =>
+          val cols = t.schema.map(_.fields.toSeq).getOrElse(Nil)
+            .filter(_.dataType match {
+              case _: NumericType | StringType | DateType |
+                   TimestampType | BooleanType => true
+              case _ => false
+            }).map(_.name)
+          require(cols.nonEmpty, "no atomic columns to analyze")
+          t.restats(cols).map(v => s"analyzed at v$v").getOrElse("noop")
+        case colList =>
+          t.restats(colList.split(',').map(_.trim).toSeq)
+            .map(v => s"analyzed at v$v").getOrElse("noop")
+      }
       case "checkpoint" =>
         t.checkpointNow().map(v => s"checkpointed v$v").getOrElse("noop")
       case "clean_log" => s"trimmed ${t.cleanLog().size} records"

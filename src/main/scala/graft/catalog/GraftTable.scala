@@ -120,7 +120,8 @@ class GraftStagedTable(tableName: String, root: String,
 class GraftTable(tableName: String, val delta: DeltaLite,
     val asOfVersion: Option[Int] = None,
     val asOfTimestampMicros: Option[Long] = None) extends Table
-    with SupportsRead with SupportsWrite with SupportsDelete {
+    with SupportsRead with SupportsWrite with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
 
   /** Anchor scan for row-level commands: `DELETE FROM` planning runs
     * the target relation through scan pushdown before routing to
@@ -165,6 +166,87 @@ class GraftTable(tableName: String, val delta: DeltaLite,
 
   override def partitioning(): Array[Transform] =
     delta.partitionColumns.map(c => Expressions.identity(c)).toArray
+
+  /** The persisted CHECK constraints, surfaced through the DSv2
+    * constraint API: SHOW CREATE TABLE prints them, DESCRIBE shows
+    * them, and the analyzer knows the contract. VALID because
+    * `addCheckConstraint` validated existing data before publishing;
+    * ENFORCED because every data-bearing commit re-checks.
+    */
+  override def constraints():
+      Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
+    import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    delta.checkConstraints.toSeq.sortBy(_._1).map { case (n, sql) =>
+      Constraint.check(n).predicateSql(sql)
+        .enforced(true)
+        .validationStatus(Constraint.ValidationStatus.VALID)
+        .rely(true)
+        .build(): Constraint
+    }.toArray
+  }
+
+  // ---- SupportsPartitionManagement: SHOW PARTITIONS ---------------
+  // Partitions here are a DERIVED listing (distinct tuples from the
+  // live files' dir-encoded paths — bounded log metadata, no file
+  // I/O), not a managed registry: files carry their partitions, so
+  // ADD/DROP PARTITION have no meaning and fail loudly.
+
+  override def partitionSchema(): StructType = {
+    val sch = schema()
+    StructType(delta.partitionColumns.map(p => sch(sch.fieldIndex(p))))
+  }
+
+  private def castPartValue(raw: String,
+      dt: org.apache.spark.sql.types.DataType): Any =
+    if (raw == null) null
+    else org.apache.spark.sql.catalyst.expressions.Cast(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(raw),
+        org.apache.spark.sql.types.StringType),
+      dt, Some(java.util.TimeZone.getDefault.getID)).eval()
+
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val pSchema = partitionSchema()
+    val rows = delta.livePartitionValues().map { tuple =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        tuple.zipWithIndex.map { case ((_, raw), i) =>
+          castPartValue(raw, pSchema(i).dataType)
+        }.toArray)
+    }
+    // prefix filter: `SHOW PARTITIONS t PARTITION (c = v)`
+    val nameIdx = names.map(n => pSchema.fieldIndex(n))
+    rows.filter { r =>
+      nameIdx.zipWithIndex.forall { case (fi, ii) =>
+        val dt = pSchema(fi).dataType
+        val a = r.get(fi, dt); val b = ident.get(ii, dt)
+        (a == null && b == null) || (a != null && a == b)
+      }
+    }.toArray
+  }
+
+  override def createPartition(ident: org.apache.spark.sql.catalyst.InternalRow,
+      props: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      s"$tableName: partitions are derived from file paths — " +
+        "write rows instead of ADD PARTITION")
+
+  override def dropPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+    throw new UnsupportedOperationException(
+      s"$tableName: partitions are derived from file paths — " +
+        "use DELETE FROM … WHERE instead of DROP PARTITION")
+
+  override def replacePartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      props: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      s"$tableName: partition metadata is not managed")
+
+  override def loadPartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : util.Map[String, String] = util.Collections.emptyMap()
 
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()

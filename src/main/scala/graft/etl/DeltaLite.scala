@@ -708,6 +708,24 @@ class DeltaLite(val spark: SparkSession, val root: String,
     if (cs.isEmpty) partitionBy else partsAt(cs)
   }
 
+  /** Distinct live partition tuples (logical column → dir-encoded
+    * string value; null = the default/null partition), derived from
+    * the live file paths — SHOW PARTITIONS' source. Bounded metadata:
+    * one pass over the already-parsed log entries, no file I/O.
+    */
+  def livePartitionValues(): Seq[Seq[(String, String)]] = {
+    val cs = commits()
+    val parts = partsAt(cs)
+    if (parts.isEmpty) return Nil
+    val mapping = colMapAt(cs)
+    val partPhys = parts.map(c => mapping.getOrElse(c, c))
+    liveEntries(cs).map { f =>
+      val vals = org.apache.spark.sql.graftbridge.DeltaLiteScan
+        .partitionValues(f.path, DeltaLite.PartPrefix, partPhys)
+      parts.zip(partPhys).map { case (l, p) => l -> vals.get(p).orNull }
+    }.distinct
+  }
+
   /** The schema as written to parquet: logical field names replaced by
     * their stable physical names.
     */
@@ -2917,6 +2935,16 @@ class DeltaLite(val spark: SparkSession, val root: String,
     * paths.
     */
   def vacuum(retainVersions: Int = 1): Seq[String] = {
+    val doomed = vacuumCandidates(retainVersions)
+    doomed.foreach(p => fs.delete(new Path(p), false))
+    doomed
+  }
+
+  /** The paths a `vacuum(retainVersions)` would delete, deleting
+    * nothing — `VACUUM t DRY RUN`. Same replay as the real vacuum, so
+    * the answer is exact, not an estimate.
+    */
+  def vacuumCandidates(retainVersions: Int = 1): Seq[String] = {
     require(retainVersions >= 1, "must retain at least the current version")
     // full history: the doomed set must include files REMOVED by
     // pre-checkpoint commits (a spliced replay no longer lists them),
@@ -2945,11 +2973,31 @@ class DeltaLite(val spark: SparkSession, val root: String,
     val doomedCdc = all.filter(_.version < cutoff)
       .flatMap(_.cdc.getOrElse(Nil)).distinct
       .filter(p => norm(p).startsWith(ownPrefix))
-    val doomed = (all.flatMap(_.files.map(_.path)).distinct
+    (all.flatMap(_.files.map(_.path)).distinct
       .filterNot(p => retained(norm(p)))
       .filter(p => norm(p).startsWith(ownPrefix))) ++ doomedCdc
-    doomed.foreach(p => fs.delete(new Path(p), false))
-    doomed
+  }
+
+  /** FSCK REPAIR TABLE: drop commit-log references to LIVE data files
+    * that no longer exist on storage (deleted out-of-band) so reads
+    * stop failing on them. One existence probe per live file — that IS
+    * fsck's contract (an explicit repair scan, never on the read
+    * path). `dryRun` lists the missing paths without repairing.
+    * Returns the missing paths; repair publishes one metadata commit
+    * removing them (history keeps the un-repaired snapshots).
+    */
+  def fsck(dryRun: Boolean = false): Seq[String] = {
+    val cs = commits()
+    if (cs.isEmpty) return Nil
+    val missing = liveEntries(cs).map(_.path)
+      .filterNot(p => fs.exists(new Path(p)))
+    if (missing.isEmpty || dryRun) return missing
+    // a "rewrite" with no replacement files: replay drops the refs;
+    // cdc stays None so a change feed across the repair degrades
+    // loudly (the removed rows' content is unrecoverable)
+    publish(Commit(latestVersion.get + 1, "rewrite", cs.last.schemaJson,
+      removed = missing, files = Nil))
+    missing
   }
 
   /** Sweep crash/race orphans: delete `v=*` attempt directories whose

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graftbridge
 
 import graft.catalog.GraftTable
 import org.apache.spark.sql.catalyst.expressions.Alias
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, MergeIntoTable, Project, UpdateTable, V2WriteCommand}
+import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AlterTableCommand, DeleteFromTable, LogicalPlan, MergeIntoTable, Project, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
 import org.apache.spark.sql.execution.datasources.DataSource
@@ -35,6 +35,18 @@ object GraftCatalogReads extends Rule[LogicalPlan] {
       // subtree (e.g. INSERT INTO t SELECT … FROM t) still substitute
       val q = rewrite(w.query)
       if (q eq w.query) w else w.withNewQuery(q)
+    case a: AddCheckConstraint =>
+      // ALTER TABLE … ADD CONSTRAINT … CHECK: the child is the DDL's
+      // TARGET, not a read — substituting it to a file relation makes
+      // ResolveSessionCatalog misread the command as a session-catalog
+      // v1 ALTER (LogicalRelation with no catalogTable → None.get).
+      // Left alone, the constraint resolves to a V2 AddConstraint
+      // change against the DSv2 relation.
+      a
+    case a: AlterTableCommand =>
+      // same: every ALTER TABLE command holds its table in command
+      // position (DropConstraint, AddColumns, …)
+      a
     case d: DeleteFromTable =>
       // DELETE FROM t WHERE …: the relation is the DELETE's target,
       // not a read — DataSourceV2Strategy must see the DSv2 relation

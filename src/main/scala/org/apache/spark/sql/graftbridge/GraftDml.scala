@@ -72,6 +72,27 @@ object GraftDml extends Rule[LogicalPlan] {
         case None => m
       }
 
+    // ALTER TABLE t ADD CONSTRAINT name CHECK (cond): Spark's own
+    // AddCheckConstraintExec would validate existing data through the
+    // DSv2 scan (our anchor-only scan refuses to execute), so the
+    // command converts here and validation runs through
+    // DeltaLite.addCheckConstraint's substituted read instead — same
+    // one-scan price, same loud violation report.
+    case a: AddCheckConstraint if a.childrenResolved =>
+      // the child is the analyzer's validation query —
+      // Filter(NOT cond) over the target relation; the target is what
+      // we need, validation re-runs inside addCheckConstraint
+      val target = a.child match {
+        case Filter(_, c) => c
+        case c => c
+      }
+      graftRelation(target) match {
+        case Some(rel) =>
+          val chk = a.checkConstraint
+          GraftAddConstraintCommand(table(rel), chk.name, chk.condition)
+        case None => a
+      }
+
     case other => other
   }
 
@@ -327,6 +348,16 @@ object GraftDml extends Rule[LogicalPlan] {
 }
 
 /** `UPDATE graft.db.t SET … WHERE …` → file-granular copy-on-write. */
+case class GraftAddConstraintCommand(
+    @transient graftTable: GraftTable,
+    constraintName: String,
+    conditionSql: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graftTable.delta.addCheckConstraint(constraintName, conditionSql)
+    Nil
+  }
+}
+
 case class GraftUpdateCommand(
     @transient graftTable: GraftTable,
     @transient where: Column,
