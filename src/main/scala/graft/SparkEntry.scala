@@ -124,6 +124,7 @@ object SparkEntry {
     "q_quality_band" -> (Text.qualityBand _),
     "q_self_dedup_lines" -> (Text.selfDedupLines _),
     "q_feature_hash" -> (Text.featureHash _),
+    "text_dup_spans" -> (Text.dupSpans _),
     // rows-only: the BPE merge loop is not SQL-expressible; exact
     // segmentation semantics are spec'd in BpeSpec
     "q_bpe" -> (Text.bpe _),
@@ -683,6 +684,23 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
         |GROUP BY doc_id, bucket
         |ORDER BY doc_id, bucket""".stripMargin,
+    "text_dup_spans" ->
+      """WITH spans AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) >= 64
+        |      THEN substring(text, CAST(i * 16 + 1 AS INT), 64)
+        |      ELSE text END AS span
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      unnest(range(0, CASE WHEN length(text) >= 64
+        |        THEN CAST(floor((length(text) - 64) / 16) AS BIGINT) + 1
+        |        ELSE 1 END)) AS i
+        |    FROM documents)),
+        |h AS (SELECT doc_id, md5(span) AS h FROM spans),
+        |dup AS (SELECT h FROM h GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT h.doc_id, COUNT(*) AS n_spans, COUNT(dup.h) AS n_dup
+        |FROM h LEFT JOIN dup ON h.h = dup.h
+        |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
     "q_quality_band" ->
       """WITH t AS (
         |  SELECT doc_id, lang, n_chars,

@@ -563,6 +563,38 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** Exact substring (span) dedup signal — the duplicated-window
+    * detector of training-data span dedup (cf. the exact-substring
+    * dedup of "Deduplicating Training Data Makes Language Models
+    * Better"): slide a 64-char window at stride 16 over each document
+    * (shorter documents contribute themselves), mark every window
+    * whose text occurs in ≥ 2 DISTINCT documents, report per-document
+    * total and duplicated span counts. Scale: the window explode is
+    * map-side codegen (`sequence`/`transform` — no UDF), span identity
+    * travels as a 128-bit md5 (never the window text), duplicate
+    * detection is ONE hash-groupBy with map-side partial aggregation,
+    * and the mark-back is a shuffle join on the hash — never an
+    * all-pairs comparison, no driver state, no broadcast of the
+    * corpus.
+    */
+  def dupSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = 64; val st = 16
+    val spans = Tables.documents(s, dir).select($"doc_id",
+      explode(when(length($"text") >= w,
+        expr(s"transform(sequence(0, cast((length(text) - $w) / $st as int))" +
+          s", i -> substring(text, i * $st + 1, $w))"))
+        .otherwise(array($"text"))).as("span"))
+    val hashed = spans.select($"doc_id", md5($"span").as("h"))
+    val dup = hashed.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .where($"nd" >= 2).select($"h", lit(1).as("dup"))
+    hashed.join(dup, Seq("h"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"), count($"dup").as("n_dup"))
+      .orderBy($"doc_id")
+  }
+
   /** Hashing-trick feature vectors: tokens land in `D` buckets by a
     * content-deterministic hash and per-(doc, bucket) counts form the
     * sparse features (the classic fixed-width text featurizer — no

@@ -210,4 +210,29 @@ class TextDedupSpec extends SparkSpec {
       assert(!pat.findAllIn(head.dropRight(8)).hasNext)
     }
   }
+
+  test("dup spans: counts match a driver recomputation of the window chain") {
+    val rows = Text.dupSpans(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup"))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def windows(t: String): Seq[String] =
+      if (t.length >= 64)
+        (0 to (t.length - 64) / 16).map(i => t.substring(i * 16, i * 16 + 64))
+      else Seq(t)
+    val spansByDoc = docs.map { case (id, t) => id -> windows(t) }.toMap
+    val docsOfSpan = spansByDoc.toSeq
+      .flatMap { case (id, ss) => ss.distinct.map(s => s -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    assert(rows.keySet == spansByDoc.keySet)
+    spansByDoc.foreach { case (id, ss) =>
+      val nDup = ss.count(s => docsOfSpan(s) >= 2)
+      assert(rows(id) == (ss.size.toLong, nDup.toLong),
+        s"doc $id: got ${rows(id)}, want (${ss.size}, $nDup)")
+    }
+    // the synthetic corpus's planted near-dups must surface
+    assert(rows.values.count(_._2 > 0) > 10,
+      "expected duplicated spans across the corpus")
+  }
 }
