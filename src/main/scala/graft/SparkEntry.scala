@@ -125,6 +125,10 @@ object SparkEntry {
     "q_self_dedup_lines" -> (Text.selfDedupLines _),
     "q_feature_hash" -> (Text.featureHash _),
     "text_dup_spans" -> (Text.dupSpans _),
+    "text_span_removal" -> (Text.spanRemoval _),
+    "text_winnow_fp" -> (Text.winnowFp _),
+    "text_bigram_nll" -> (Text.bigramNll _),
+    "q_cooccur_pmi" -> (Text.cooccurPmi _),
     // rows-only: the BPE merge loop is not SQL-expressible; exact
     // segmentation semantics are spec'd in BpeSpec
     "q_bpe" -> (Text.bpe _),
@@ -701,6 +705,94 @@ object SparkEntry {
         |SELECT h.doc_id, COUNT(*) AS n_spans, COUNT(dup.h) AS n_dup
         |FROM h LEFT JOIN dup ON h.h = dup.h
         |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
+    "text_span_removal" ->
+      """WITH win AS (
+        |  SELECT doc_id, text, CAST(i * 16 AS INT) AS s
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(0, CASE WHEN length(text) >= 64
+        |            THEN CAST(floor((length(text) - 64) / 16) AS BIGINT) + 1
+        |            ELSE 0 END)) AS i
+        |        FROM documents)),
+        |h AS (SELECT doc_id, s, md5(substring(text, s + 1, 64)) AS h FROM win),
+        |dup AS (SELECT h FROM h GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |fl AS (SELECT doc_id, s, s + 64 AS e FROM h JOIN dup USING (h)),
+        |m AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s <= coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |    THEN 0 ELSE 1 END AS ng
+        |  FROM fl),
+        |g AS (SELECT doc_id, s, e,
+        |        sum(ng) OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM m),
+        |iv AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM g GROUP BY doc_id, grp),
+        |piv AS (SELECT doc_id, s, e,
+        |          coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+        |        FROM iv),
+        |frag AS (
+        |  SELECT doc_id, pe AS ks, s - pe AS klen, pe AS ord FROM piv
+        |  UNION ALL
+        |  SELECT mx.doc_id, mx.me AS ks, length(d.text) - mx.me AS klen, mx.me AS ord
+        |  FROM (SELECT doc_id, max(e) AS me FROM iv GROUP BY doc_id) mx
+        |  JOIN documents d USING (doc_id)),
+        |cleaned AS (
+        |  SELECT f.doc_id,
+        |    string_agg(substring(d.text, f.ks + 1, f.klen), '' ORDER BY f.ord)
+        |      AS ctext
+        |  FROM frag f JOIN documents d USING (doc_id) GROUP BY f.doc_id)
+        |SELECT d.doc_id, length(d.text) AS n_chars,
+        |  CAST(coalesce(length(d.text) - length(c.ctext), 0) AS BIGINT) AS n_removed,
+        |  md5(coalesce(c.ctext, d.text)) AS cleaned_md5
+        |FROM documents d LEFT JOIN cleaned c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "text_winnow_fp" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |kg AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos,
+        |    md5(array_to_string(a[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' ')) AS h
+        |  FROM (SELECT doc_id, a, unnest(range(0, greatest(len(a) - 2, 0))) AS i
+        |        FROM toks)),
+        |w AS (SELECT doc_id, pos,
+        |        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mh
+        |      FROM kg),
+        |fp AS (SELECT DISTINCT doc_id, mh FROM w WHERE pos >= 3),
+        |shared AS (SELECT mh FROM fp GROUP BY mh HAVING count(*) >= 2)
+        |SELECT fp.doc_id, count(*) AS n_fp, count(shared.mh) AS n_shared
+        |FROM fp LEFT JOIN shared USING (mh)
+        |GROUP BY fp.doc_id ORDER BY fp.doc_id""".stripMargin,
+    "text_bigram_nll" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |bg AS (
+        |  SELECT doc_id, a[CAST(i + 1 AS INT)] AS t1, a[CAST(i + 2 AS INT)] AS t2
+        |  FROM (SELECT doc_id, a, unnest(range(0, greatest(len(a) - 1, 0))) AS i
+        |        FROM toks)),
+        |c12 AS (SELECT t1, t2, count(*) AS c12 FROM bg GROUP BY t1, t2),
+        |c1 AS (SELECT t1, sum(c12) AS c1 FROM c12 GROUP BY t1),
+        |lm AS (SELECT t1, t2,
+        |         CAST(floor(ln(c12 / c1) * 1e6) AS BIGINT) AS lp
+        |       FROM c12 JOIN c1 USING (t1))
+        |SELECT bg.doc_id, count(*) AS n_bigrams,
+        |  CAST(-sum(lm.lp) AS DOUBLE) / (count(*) * 1e6) AS avg_nll
+        |FROM bg JOIN lm USING (t1, t2)
+        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin,
+    "q_cooccur_pmi" ->
+      """WITH dt AS (SELECT DISTINCT doc_id,
+        |              unnest(string_split(text, ' ')) AS token FROM documents),
+        |df AS (SELECT token, count(*) AS df FROM dt GROUP BY token
+        |       HAVING count(*) >= 25),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |vt AS (SELECT doc_id, token FROM dt
+        |       WHERE token IN (SELECT token FROM df)),
+        |pairs AS (
+        |  SELECT a.token AS t1, b.token AS t2, count(*) AS c12
+        |  FROM vt a JOIN vt b USING (doc_id) WHERE a.token < b.token
+        |  GROUP BY 1, 2 HAVING count(*) >= 10)
+        |SELECT t1, t2, c12,
+        |  CAST(floor(ln(CAST(c12 AS DOUBLE) * n.n / (d1.df * d2.df)) * 1e6)
+        |    AS BIGINT) AS pmi_micro
+        |FROM pairs
+        |JOIN df d1 ON d1.token = t1 JOIN df d2 ON d2.token = t2 CROSS JOIN n
+        |ORDER BY pmi_micro DESC, t1, t2 LIMIT 100""".stripMargin,
     "q_quality_band" ->
       """WITH t AS (
         |  SELECT doc_id, lang, n_chars,

@@ -595,6 +595,161 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** Exact substring REMOVAL — the excision stage of exact-substring
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better"): flag every 64-char window (stride 16) whose text
+    * occurs in ≥ 2 distinct documents, merge overlapping flagged
+    * windows into maximal intervals per document (gaps-and-islands),
+    * and excise them, reporting the cleaned text's length delta and
+    * md5. Scale: window hashes generate map-side inside one codegen'd
+    * `transform` (the text never explodes — only (start, md5) pairs
+    * travel), duplicate detection is ONE hash-groupBy, the interval
+    * merge is a per-document window function (winnowing-order scan,
+    * inherent to the operator), and reconstruction is a single
+    * higher-order `aggregate` over the ≤ |text|/16 merged intervals —
+    * no UDF, no driver state, no all-pairs work anywhere.
+    */
+  def spanRemoval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = 64; val st = 16
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+    val hashed = docs.where(length($"text") >= w).select($"doc_id",
+      explode(expr(
+        s"transform(sequence(0, cast((length(text) - $w) / $st as int)), " +
+          s"i -> named_struct('s', i * $st, 'h', md5(substring(text, i * $st + 1, $w))))"))
+        .as("sp"))
+      .select($"doc_id", $"sp.s".as("s"), $"sp.h".as("h"))
+    val dup = hashed.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("nd")).where($"nd" >= 2).select($"h")
+    val fl = hashed.join(dup, "h")
+      .select($"doc_id", $"s", ($"s" + w).as("e"))
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"s")
+    val iv = fl
+      .withColumn("pmax",
+        max($"e").over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ng", when($"s" <= coalesce($"pmax", lit(-1)), 0).otherwise(1))
+      .withColumn("grp", sum($"ng").over(byDoc))
+      .groupBy($"doc_id", $"grp").agg(min($"s").as("s"), max($"e").as("e"))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"s", $"e"))).as("ivs"))
+    docs.join(iv, Seq("doc_id"), "left")
+      .select($"doc_id", length($"text").as("n_chars"),
+        when($"ivs".isNull, $"text").otherwise(concat(
+          expr("aggregate(ivs, named_struct('p', 0, 'acc', ''), " +
+            "(a, x) -> named_struct('p', x.e, " +
+            "'acc', concat(a.acc, substring(text, a.p + 1, x.s - a.p))), " +
+            "a -> a.acc)"),
+          expr("substring(text, element_at(ivs, -1).e + 1, length(text))")))
+          .as("ctext"))
+      .select($"doc_id", $"n_chars",
+        ($"n_chars" - length($"ctext")).cast("long").as("n_removed"),
+        md5($"ctext").as("cleaned_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03): hash every word 3-gram, slide a 4-gram window and
+    * keep each window's MINIMUM hash — the classic guarantee that any
+    * sufficiently long shared run yields a shared fingerprint while
+    * storing ~2/(w+1) of the grams. Reports per document the distinct
+    * fingerprint count and how many are shared with ≥ 1 other
+    * document. Scale: gram hashing is one map-side codegen'd
+    * `transform`; the window minimum is a per-document window function
+    * (the operator's inherent sequential scan); sharing is ONE
+    * hash-groupBy over the ~2/(w+1)-sampled fingerprint space — the
+    * corpus never all-pairs compares.
+    */
+  def winnowFp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val kg = Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("a"))
+      .where(size($"a") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(a) - 3), i -> named_struct('pos', i, " +
+          "'h', md5(concat_ws(' ', slice(a, i + 1, 3)))))")).as("kg"))
+      .select($"doc_id", $"kg.pos".as("pos"), $"kg.h".as("h"))
+    val win = Window.partitionBy($"doc_id").orderBy($"pos").rowsBetween(-3, 0)
+    val fp = kg.withColumn("mh", min($"h").over(win)).where($"pos" >= 3)
+      .select($"doc_id", $"mh").distinct()
+    val shared = fp.groupBy($"mh").agg(count(lit(1)).as("ns"))
+      .where($"ns" >= 2).select($"mh", lit(1).as("sh"))
+    fp.join(shared, Seq("mh"), "left").groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_fp"), count($"sh").as("n_shared"))
+      .orderBy($"doc_id")
+  }
+
+  /** Self-trained bigram-LM scoring — the perplexity-style quality
+    * filter of CCNet ("CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data", Wenzek et al.) with the corpus
+    * itself as the LM: P(t2|t1) = c(t1,t2)/c(t1,·) (MLE — every doc
+    * bigram exists in its own training corpus, so no smoothing term is
+    * needed), per-document average negative log-likelihood as the
+    * score. Log-probs are integer-micro-quantized before the per-doc
+    * sum (the [[unigramLogprob]] determinism contract) so the double
+    * division at the end is exact-integer over exact-integer. Scale:
+    * two hash-groupBys build the LM, the score-back is a shuffle join
+    * on the bigram key (the LM may exceed broadcast size at corpus
+    * scale) with map-side partial aggregation on doc_id after.
+    */
+  def bigramNll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bg = Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("a"))
+      .where(size($"a") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(a) - 2), " +
+          "i -> named_struct('t1', a[i], 't2', a[i + 1]))")).as("b"))
+      .select($"doc_id", $"b.t1".as("t1"), $"b.t2".as("t2"))
+    val c12 = bg.groupBy($"t1", $"t2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy($"t1").agg(sum($"c12").as("c1"))
+    val lm = c12.join(c1, "t1").select($"t1", $"t2",
+      floor(log($"c12".cast("double") / $"c1") * 1e6).as("lp"))
+    bg.join(lm, Seq("t1", "t2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"lp").as("slp"))
+      .select($"doc_id", $"n_bigrams",
+        ((lit(0L) - $"slp") / ($"n_bigrams" * 1e6)).as("avg_nll"))
+      .orderBy($"doc_id")
+  }
+
+  /** Pointwise-mutual-information co-occurrence: the top word pairs
+    * that appear in the same documents far more than independence
+    * predicts — PMI = log(N·c12 / (df1·df2)) over distinct
+    * (doc, token) presence, the standard collocation/term-association
+    * statistic. Scale: the quadratic step (per-document token pairing)
+    * runs ONLY on the df ≥ 25 vocabulary — the document-frequency
+    * filter broadcasts, the pair generation is a self-join co-located
+    * on doc_id (one shuffle each side, per-doc work bounded by the
+    * filtered vocabulary), and the final PMI lookup broadcasts the
+    * tiny df dictionary. Micro-quantized PMI keeps the float
+    * deterministic; ties break on the pair itself.
+    */
+  def cooccurPmi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dt = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("token")).distinct()
+    val df_ = dt.groupBy($"token").agg(count(lit(1)).as("df")).where($"df" >= 25)
+    val n = Tables.documents(s, dir).select(countDistinct($"doc_id").as("n"))
+    val vt = dt.join(broadcast(df_.select($"token")), "token")
+      .select($"doc_id", $"token")
+    val pairs = vt.select($"doc_id", $"token".as("t1"))
+      .join(vt.select($"doc_id", $"token".as("t2")), "doc_id")
+      .where($"t1" < $"t2")
+      .groupBy($"t1", $"t2").agg(count(lit(1)).as("c12"))
+      .where($"c12" >= 10)
+    pairs
+      .join(broadcast(df_.select($"token".as("t1"), $"df".as("df1"))), "t1")
+      .join(broadcast(df_.select($"token".as("t2"), $"df".as("df2"))), "t2")
+      .join(broadcast(n))
+      .select($"t1", $"t2", $"c12",
+        floor(log($"c12".cast("double") * $"n" / ($"df1" * $"df2")) * 1e6)
+          .cast("long").as("pmi_micro"))
+      .orderBy($"pmi_micro".desc, $"t1", $"t2").limit(100)
+  }
+
   /** Hashing-trick feature vectors: tokens land in `D` buckets by a
     * content-deterministic hash and per-(doc, bucket) counts form the
     * sparse features (the classic fixed-width text featurizer — no
