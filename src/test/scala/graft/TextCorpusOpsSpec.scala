@@ -120,4 +120,21 @@ class TextCorpusOpsSpec extends SparkSpec {
     assert(rows == scored,
       s"first diff: ${rows.zip(scored).find(p => p._1 != p._2)}")
   }
+
+  test("plan hygiene: no UDF, no cartesian; PMI vocabulary broadcasts") {
+    Seq(Text.spanRemoval(spark, sf), Text.winnowFp(spark, sf),
+      Text.bigramNll(spark, sf), Text.cooccurPmi(spark, sf)).foreach { df =>
+      val plan = physicalPlan(df)
+      assert(!plan.contains("CartesianProduct"), plan.take(400))
+      // the only keyless join allowed is the single-row corpus-size
+      // broadcast (PMI's N) — never a data-sized nested loop
+      assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 1,
+        plan.take(400))
+      assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"))
+    }
+    // the quadratic pairing's vocabulary filter and the df dictionary
+    // lookups ride broadcasts — the corpus side never broadcasts
+    val pmi = physicalPlan(Text.cooccurPmi(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(pmi).length >= 3, pmi.take(400))
+  }
 }
