@@ -54,6 +54,10 @@ class DeltaLiteModelSpec extends SparkSpec {
     val nameHistory = mutable.Map.empty[Int, String]
     // versions below this are no longer time-travelable (cleanLog)
     var travelFloor = 0
+    // versions below this may have lost files to vacuum — they leave
+    // the recorded/travel-checked set permanently (record() must not
+    // resurrect them with current state)
+    var vacuumFloor = 0
     // intermediate versions where the value column is dropped — the
     // walk's 2-column invariant doesn't hold there, so time travel and
     // restore skip them (their correctness is pinned by ColumnMappingSpec)
@@ -63,7 +67,7 @@ class DeltaLiteModelSpec extends SparkSpec {
       // CURRENT model state (multi-commit ops like materializeDeletes
       // publish rewrite+dvclear with identical visible state)
       t.latestVersion.foreach { latest =>
-        (travelFloor to latest).foreach { v =>
+        (math.max(travelFloor, vacuumFloor) to latest).foreach { v =>
           if (!history.contains(v)) {
             history(v) = model; nameHistory(v) = valCol
             typeHistory(v) = keyType
@@ -244,6 +248,34 @@ class DeltaLiteModelSpec extends SparkSpec {
           else t.setTableProperties(Map("enableChangeDataFeed" -> "true"))
           "toggleCdf"
         case 18 => "noop"
+        case 19 if t.latestVersion.nonEmpty =>
+          // physical file retention: versions below the retain window
+          // may lose their files and leave the travelable set —
+          // everything at/above the cutoff must keep reading
+          // byte-identically (vacuum must never touch a retained
+          // version's files, across DVs, compactions, drops, widens)
+          val retain = rnd.nextInt(3) + 1
+          val latest = t.latestVersion.get
+          t.vacuum(retainVersions = retain)
+          val cutoff = math.max(travelFloor, latest - retain + 1)
+          vacuumFloor = math.max(vacuumFloor, cutoff)
+          history.keys.filter(_ < cutoff).toSeq.foreach { dv =>
+            history.remove(dv); nameHistory.remove(dv)
+          }
+          s"vacuum($retain)"
+        case 19 => "noop"
+        case 20 if t.latestVersion.nonEmpty =>
+          // fsck on an UNDAMAGED table is a strict no-op: nothing
+          // reported, no commit published — whatever mix of DVs,
+          // compactions, checkpoints and vacuums came before, every
+          // live ref must point at a real file (a false positive here
+          // means some op left a dangling ref)
+          val before = t.latestVersion
+          assert(t.fsck().isEmpty,
+            s"seed=$seed step=$step: fsck found dangling refs")
+          assert(t.latestVersion == before)
+          "fsck-noop"
+        case 20 => "noop"
       }
       record()
       check(step, op)
@@ -318,5 +350,13 @@ class DeltaLiteModelSpec extends SparkSpec {
 
   test("random operation walk with CDC sidecars: seventeenth seed") {
     runWalk(seed = 1717, steps = 30, nOps = 19)
+  }
+
+  test("random operation walk with vacuum and fsck: eighteenth seed") {
+    runWalk(seed = 1818, steps = 30, nOps = 21)
+  }
+
+  test("random operation walk with vacuum and fsck: nineteenth seed") {
+    runWalk(seed = 1919, steps = 30, nOps = 21)
   }
 }
