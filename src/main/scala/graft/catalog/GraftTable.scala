@@ -119,7 +119,8 @@ class GraftStagedTable(tableName: String, root: String,
 
 class GraftTable(tableName: String, val delta: DeltaLite,
     val asOfVersion: Option[Int] = None,
-    val asOfTimestampMicros: Option[Long] = None) extends Table
+    val asOfTimestampMicros: Option[Long] = None,
+    externalSchema: Option[StructType] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
 
@@ -155,7 +156,10 @@ class GraftTable(tableName: String, val delta: DeltaLite,
   override def schema(): StructType = {
     val base =
       if (asOfVersion.isEmpty && asOfTimestampMicros.isEmpty)
-        delta.schema.getOrElse(new StructType())
+        // externalSchema: the writing DataFrame's schema, passed by
+        // the path-based TableProvider — lets the first write CREATE
+        // the table (an existing commit log always wins)
+        delta.schema.orElse(externalSchema).getOrElse(new StructType())
       else readDf().schema
     StructType(base.fields.map(f =>
       if (f.metadata.contains("identity.start") ||
@@ -267,6 +271,11 @@ class GraftTable(tableName: String, val delta: DeltaLite,
   override def capabilities(): util.Set[TableCapability] = {
     val s = new util.HashSet[TableCapability]()
     s.add(TableCapability.BATCH_READ)
+    // BATCH_WRITE gates DataFrameWriter.save(path) (it never accepts
+    // the V1 capability alone); the write still EXECUTES through the
+    // V1Write below — the strategy picks the exec from the Write's
+    // type, not this set
+    s.add(TableCapability.BATCH_WRITE)
     s.add(TableCapability.V1_BATCH_WRITE)
     s.add(TableCapability.TRUNCATE)
     s.add(TableCapability.OVERWRITE_BY_FILTER)

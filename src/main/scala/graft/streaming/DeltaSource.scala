@@ -207,13 +207,63 @@ object DeltaLiteSource {
         org.apache.spark.sql.types.IntegerType, nullable = false))
 }
 
-/** `spark.readStream.format(classOf[DeltaSourceProvider].getName)` —
-  * the V1 source registration (options: `path`, `ignoreChanges`,
-  * `maxVersionsPerBatch`).
+/** The `delta-lite` data source, registered for BOTH surfaces a
+  * path-based Delta user reaches for:
+  *
+  *  - V1 streaming ([[StreamSourceProvider]]):
+  *    `spark.readStream.format("delta-lite").option("path", root)` —
+  *    options `path`, `ignoreChanges`, `maxVersionsPerBatch`,
+  *    `readChangeFeed`.
+  *  - DSv2 batch ([[org.apache.spark.sql.connector.catalog.TableProvider]]):
+  *    `spark.read.format("delta-lite").load(root)` (reader options
+  *    `versionAsOf` / `timestampAsOf` / `readChangeFeed` +
+  *    `startingVersion`/`endingVersion` keep their Delta meaning —
+  *    the read substitutes to the skipping-index scan exactly like a
+  *    catalog table's), and
+  *    `df.write.format("delta-lite").mode("append"|"overwrite")
+  *    .save(root)` — the first append CREATES the table (the
+  *    DataFrame's schema becomes the table schema);
+  *    `writeStream.format("delta-lite")` reaches [[GraftTable]]'s
+  *    per-epoch txn streaming write.
+  *
+  * `DataStreamReader.load` prefers the DSv2 table only when it
+  * declares MICRO_BATCH_READ; [[graft.catalog.GraftTable]] does not,
+  * so streaming reads keep resolving through the V1 source above —
+  * one short name, zero ambiguity.
   */
-class DeltaSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class DeltaSourceProvider extends StreamSourceProvider with DataSourceRegister
+    with org.apache.spark.sql.connector.catalog.TableProvider {
 
   override def shortName(): String = "delta-lite"
+
+  private def pathOf(m: java.util.Map[String, String]): String = {
+    val p = Option(m.get("path")).map(_.trim).filter(_.nonEmpty)
+    p.getOrElse(sys.error(
+      "delta-lite needs a single path: .load(<table root>) / .save(<root>)"))
+  }
+
+  // the writing DataFrame's schema arrives via getTable (external
+  // metadata), so a first write can create the table
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : StructType = {
+    val path = pathOf(options)
+    DeltaLite(SparkSession.active, path).schema.getOrElse(sys.error(
+      s"no DeltaLite table at $path — write one first " +
+        "(df.write.format(\"delta-lite\").mode(\"append\").save(path))"))
+  }
+
+  override def getTable(schema: StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.Table = {
+    val path = pathOf(properties)
+    new graft.catalog.GraftTable(s"delta-lite.`$path`",
+      DeltaLite(SparkSession.active, path),
+      externalSchema = Option(schema))
+  }
 
   private def root(params: Map[String, String]): String =
     params.getOrElse("path",

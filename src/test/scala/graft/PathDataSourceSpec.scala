@@ -1,0 +1,104 @@
+package graft
+
+import graft.etl.DeltaLite
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** The path-based `format("delta-lite")` surface — the incantation a
+  * migrating Delta user types for tables that live at a path, not in
+  * a catalog: batch read/write via the DSv2 TableProvider (reads
+  * substitute to the same skipping-index scan as catalog tables),
+  * V1 streaming reads unchanged under the same short name.
+  */
+class PathDataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-pathds").toString + "/t"
+
+  test("first append CREATES the table; load() reads it back") {
+    val root = tmp()
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.format("delta-lite").mode("append").save(root)
+    Seq((3L, "c")).toDF("k", "v")
+      .write.format("delta-lite").mode("append").save(root)
+    val got = spark.read.format("delta-lite").load(root)
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // two append commits — the write went through real versioned commits
+    assert(DeltaLite(spark, root).latestVersion.contains(1))
+  }
+
+  test("mode overwrite replaces; versionAsOf reads the old snapshot") {
+    val root = tmp()
+    Seq((1L, "a")).toDF("k", "v")
+      .write.format("delta-lite").mode("append").save(root)
+    Seq((9L, "z")).toDF("k", "v")
+      .write.format("delta-lite").mode("overwrite").save(root)
+    assert(spark.read.format("delta-lite").load(root)
+      .as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+    assert(spark.read.format("delta-lite").option("versionAsOf", 0)
+      .load(root).as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
+  test("readChangeFeed batch options work on a path table") {
+    val root = tmp()
+    val t = DeltaLite(spark, root, "k")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    t.setTableProperties(Map("enableChangeDataFeed" -> "true"))
+    t.upsert(Seq((2L, "B"), (3L, "c")).toDF("k", "v"), "k")
+    val feed = spark.read.format("delta-lite")
+      .option("readChangeFeed", "true").option("startingVersion", 2)
+      .load(root)
+      .select($"k", $"_change_type").as[(Long, String)].collect().toSet
+    assert(feed == Set((2L, "update_preimage"), (2L, "update_postimage"),
+      (3L, "insert")), feed)
+  }
+
+  test("reading a nonexistent path fails loudly; write needs explicit mode") {
+    val root = tmp()
+    val e = intercept[Exception](
+      spark.read.format("delta-lite").load(root).collect())
+    assert(e.getMessage.contains("no DeltaLite table"), e.getMessage)
+    // default ErrorIfExists is not a DSv2 TableProvider mode — loud
+    intercept[Exception](
+      Seq((1L, "a")).toDF("k", "v").write.format("delta-lite").save(root))
+  }
+
+  test("path reads substitute to the pushdown scan (filters reach parquet)") {
+    val root = tmp()
+    spark.range(1000).selectExpr("id AS k", "cast(id % 7 AS string) AS v")
+      .write.format("delta-lite").mode("append").save(root)
+    val df = spark.read.format("delta-lite").load(root).where($"k" === 42)
+    val plan = physicalPlan(df)
+    assert(plan.contains("PushedFilters") &&
+      "PushedFilters: \\[[^\\]]*EqualTo\\(k,42\\)".r.findFirstIn(plan).nonEmpty,
+      plan.take(600))
+    assert(df.count() == 1)
+  }
+
+  test("writeStream.format path sink + V1 streaming read under one name") {
+    val root = tmp()
+    val ckpt = Files.createTempDirectory("graft-pathds-ck").toString
+    // seed the table (streaming writes need a committed schema)
+    Seq((0L, "seed")).toDF("k", "v")
+      .write.format("delta-lite").mode("append").save(root)
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    src.addData((1L, "a"), (2L, "b"))
+    val q = src.toDF().toDF("k", "v").writeStream
+      .format("delta-lite").option("checkpointLocation", ckpt)
+      .start(root)
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.format("delta-lite").load(root).count() == 3)
+    // the V1 streaming READ still resolves under the same short name
+    val outDir = Files.createTempDirectory("graft-pathds-out").toString
+    val ck2 = Files.createTempDirectory("graft-pathds-ck2").toString
+    val q2 = spark.readStream.format("delta-lite").option("path", root)
+      .load().writeStream.format("memory").queryName("pathds_tail")
+      .option("checkpointLocation", ck2).start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.table("pathds_tail").count() == 3, outDir)
+  }
+}
