@@ -260,8 +260,16 @@ class DeltaSourceProvider extends StreamSourceProvider with DataSourceRegister
       properties: java.util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.Table = {
     val path = pathOf(properties)
+    // `.partitionBy("p")` arrives as identity transforms; they only
+    // BIND at table creation (an existing log's partition spec always
+    // wins — DeltaLite refuses a silent flip on later writes)
+    val parts = partitioning.toSeq.map { t =>
+      if (t.name != "identity") sys.error(
+        s"delta-lite supports identity partitioning only, got $t")
+      t.references()(0).fieldNames().mkString(".")
+    }
     new graft.catalog.GraftTable(s"delta-lite.`$path`",
-      DeltaLite(SparkSession.active, path),
+      new DeltaLite(SparkSession.active, path, partitionBy = parts),
       externalSchema = Option(schema))
   }
 

@@ -78,6 +78,23 @@ class PathDataSourceSpec extends SparkSpec {
     assert(df.count() == 1)
   }
 
+  test("partitionBy on the first save creates a partitioned table; later writes keep it") {
+    val root = tmp()
+    spark.range(100).selectExpr("id AS k", "cast(id % 4 AS string) AS p")
+      .write.format("delta-lite").partitionBy("p").mode("append").save(root)
+    assert(DeltaLite(spark, root).partitionColumns == Seq("p"))
+    // a later un-hinted append keeps the table's spec (no silent flip)
+    spark.range(100, 110).selectExpr("id AS k", "cast(id % 4 AS string) AS p")
+      .write.format("delta-lite").mode("append").save(root)
+    val df = spark.read.format("delta-lite").load(root).where($"p" === "2")
+    assert(df.count() == 27)
+    // partition pruning: the filter prunes to the p=2 files
+    val scanned = df.select(input_file_name()).distinct().collect()
+      .map(_.getString(0))
+    assert(scanned.nonEmpty && scanned.forall(_.contains("p=2")),
+      scanned.take(3).mkString(","))
+  }
+
   test("writeStream.format path sink + V1 streaming read under one name") {
     val root = tmp()
     val ckpt = Files.createTempDirectory("graft-pathds-ck").toString
