@@ -85,7 +85,7 @@ object GraftSqlParser {
   private val Clone =
     s"(?is)\\s*CREATE\\s+TABLE\\s+$Ident\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$Ident\\s*;?\\s*".r
   private val VacuumDryRun =
-    s"(?is)\\s*VACUUM\\s+$Ident(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?\\s+DRY\\s+RUN\\s*;?\\s*".r
+    s"(?is)\\s*VACUUM\\s+$Ident(?:\\s+RETAIN\\s+(\\d+)\\s+(VERSIONS|HOURS))?\\s+DRY\\s+RUN\\s*;?\\s*".r
   private val Fsck =
     s"(?is)\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$Ident(\\s+DRY\\s+RUN)?\\s*;?\\s*".r
   private val AnalyzeNoscan =
@@ -144,9 +144,12 @@ object GraftSqlParser {
         s"CALL graft.system.optimize_where(${q(n)}, ${q(pred)})")
       case Optimize(t) => tableArg(t).map(n =>
         s"CALL graft.system.optimize(${q(n)})")
-      case VacuumDryRun(t, n) => tableArg(t).map(tn =>
-        s"CALL graft.system.vacuum_dry_run(${q(tn)}, " +
-          s"${q(Option(n).getOrElse("1"))})")
+      case VacuumDryRun(t, n, unit) => tableArg(t).map { tn =>
+        val retain =
+          if (n != null && unit.equalsIgnoreCase("HOURS")) s"h:$n"
+          else Option(n).getOrElse("1")
+        s"CALL graft.system.vacuum_dry_run(${q(tn)}, ${q(retain)})"
+      }
       case Fsck(t, dry) => tableArg(t).map(tn =>
         s"CALL graft.system.fsck(${q(tn)}, " +
           s"${q(String.valueOf(dry != null))})")
@@ -170,13 +173,12 @@ object GraftSqlParser {
         // metadata-only either way, stats arrive via ANALYZE
         Some(s"CALL graft.system.convert(${q(dir)})")
       case VacuumRetain(t, n, unit) =>
-        if (unit.equalsIgnoreCase("HOURS"))
-          throw new UnsupportedOperationException(
-            "VACUUM ... RETAIN n HOURS is time-based; graft retention is " +
-              "version-based — use VACUUM t RETAIN n VERSIONS (or CALL " +
-              "graft.system.vacuum)")
+        // HOURS maps onto version retention: keep every version whose
+        // commit record published inside the window (and the current
+        // one) — same clock TIMESTAMP AS OF reads
+        val retain = if (unit.equalsIgnoreCase("HOURS")) s"h:$n" else n
         tableArg(t).map(tn =>
-          s"CALL graft.system.vacuum(${q(tn)}, ${q(n)})")
+          s"CALL graft.system.vacuum(${q(tn)}, ${q(retain)})")
       case Vacuum(t) => tableArg(t).map(n =>
         s"CALL graft.system.vacuum(${q(n)}, '1')")
       case DescHistory(t) => tableArg(t).map(n =>

@@ -313,7 +313,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val parts = identityParts(partitions)
+    val (clusterCols, partTransforms) = splitClustering(partitions)
+    val parts = identityParts(partTransforms)
+    val userProps = userProperties(properties) ++
+      (if (clusterCols.nonEmpty)
+        Map("clusteringColumns" -> clusterCols.mkString(",")) else Map.empty)
     val statsKey = Option(properties.get("statskey"))
     val external = Option(properties.get("location")).map(_.trim).filter(_.nonEmpty)
     val root = external.getOrElse(tablePath(ident).toString)
@@ -343,7 +347,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // v0 records the schema (and partition spec), zero data files
         t.append(spark.createDataFrame(new util.ArrayList[Row](), schema))
     }
+    // TBLPROPERTIES declared AT CREATE persist like SET TBLPROPERTIES
+    // would (one property commit after the schema commit) — including
+    // CLUSTER BY's clusteringColumns, which OPTIMIZE then picks up
+    if (userProps.nonEmpty) t.setTableProperties(userProps)
     new GraftTable(fullName(ident), t)
+  }
+
+  /** `CLUSTER BY (a, b)` arrives as a ClusterByTransform among the
+    * partitioning transforms — split it out (clustering is a LAYOUT
+    * HINT stored as the `clusteringColumns` property and applied by
+    * OPTIMIZE's z-order, never a partition spec).
+    */
+  private def splitClustering(partitions: Array[Transform])
+      : (Seq[String], Array[Transform]) = {
+    import org.apache.spark.sql.connector.expressions.ClusterByTransform
+    val (c, rest) = partitions.partition(_.isInstanceOf[ClusterByTransform])
+    val cols = c.toSeq.flatMap { case ClusterByTransform(refs) =>
+      refs.map(_.fieldNames().mkString("."))
+    }
+    (cols, rest)
+  }
+
+  /** The properties the USER declared, minus the engine-reserved keys
+    * Spark or this catalog injects at CREATE.
+    */
+  private def userProperties(
+      properties: util.Map[String, String]): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    properties.asScala.toMap.filterNot { case (k, _) =>
+      GraftCatalog.ReservedCreateKeys.contains(k) || k.startsWith("option.")
+    }
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
@@ -429,7 +463,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new UnsupportedOperationException(
         "CREATE OR REPLACE with LOCATION is not supported; " +
           "use CREATE TABLE ... LOCATION")
-    val parts = identityParts(partitions)
+    val (clusterCols, partTransforms) = splitClustering(partitions)
+    val parts = identityParts(partTransforms)
+    val userProps = userProperties(properties) ++
+      (if (clusterCols.nonEmpty)
+        Map("clusteringColumns" -> clusterCols.mkString(",")) else Map.empty)
     val root = tableRoot(ident)
     if (replacing) {
       val existing = DeltaLite(spark, root)
@@ -441,7 +479,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"${parts.mkString(",")}); DROP and re-CREATE to change layouts")
     }
     new GraftStagedTable(fullName(ident), root, schema, parts,
-      Option(properties.get("statskey")), spark, replacing)
+      Option(properties.get("statskey")), spark, replacing, userProps)
   }
 
   override def stageCreate(ident: Identifier, schema: StructType,
@@ -514,6 +552,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 }
 
 object GraftCatalog {
+  /** Keys Spark/this catalog injects into CREATE TABLE properties —
+    * never user TBLPROPERTIES.
+    */
+  val ReservedCreateKeys: Set[String] = Set("location", "provider",
+    "owner", "comment", "external", "statskey", "is_managed_location")
+
   val ProcedureNames: Seq[String] = Seq("optimize", "vacuum", "restore",
     "zorder", "zorder_by", "analyze", "checkpoint", "clean_log", "add_constraint",
     "drop_constraint", "history", "detail", "copy_into", "table_changes",
@@ -593,9 +637,14 @@ class GraftProcedure(pname: String, catalog: GraftCatalog)
           s"files at ${args.head}"))).iterator()
     }
     val t = catalog.openByName(args.head)
+    // retain arg: plain int = versions; "h:n" = RETAIN n HOURS mapped
+    // to the versions committed inside the window
+    def retain(a: String): Int =
+      if (a.startsWith("h:")) t.retainVersionsForHours(a.drop(2).toDouble)
+      else a.toInt
     if (pname == "vacuum_dry_run")
       return util.Arrays.asList(
-        stringScan("path", t.vacuumCandidates(args(1).toInt))).iterator()
+        stringScan("path", t.vacuumCandidates(retain(args(1))))).iterator()
     if (pname == "fsck") {
       val dry = args(1).equalsIgnoreCase("true")
       val missing = t.fsck(dry)
@@ -628,9 +677,18 @@ class GraftProcedure(pname: String, catalog: GraftCatalog)
     }
     val result: String = pname match {
       case "optimize" =>
-        t.compact().map(v => s"compacted at v$v").getOrElse("noop")
+        // a CLUSTER BY table's plain OPTIMIZE re-clusters on its
+        // declared columns (the liquid-clustering UX); otherwise
+        // compaction only
+        t.tableProperties.get("clusteringColumns")
+          .map(_.split(',').map(_.trim).toSeq).filter(_.nonEmpty) match {
+          case Some(cols) =>
+            s"clustered at v${t.optimizeZOrderN(cols, 32)}"
+          case None =>
+            t.compact().map(v => s"compacted at v$v").getOrElse("noop")
+        }
       case "vacuum" =>
-        s"removed ${t.vacuum(args(1).toInt).size} files"
+        s"removed ${t.vacuum(retain(args(1))).size} files"
       case "restore" => s"restored at v${t.restore(args(1).toInt)}"
       case "zorder" =>
         s"clustered at v${t.optimizeZOrder(args(1), args(2), args(3).toInt)}"

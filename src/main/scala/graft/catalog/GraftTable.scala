@@ -59,7 +59,8 @@ import java.util
   */
 class GraftStagedTable(tableName: String, root: String,
     declaredSchema: StructType, parts: Seq[String], statsKey: Option[String],
-    spark: org.apache.spark.sql.SparkSession, replacing: Boolean)
+    spark: org.apache.spark.sql.SparkSession, replacing: Boolean,
+    userProps: Map[String, String] = Map.empty)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.StagedTable {
 
@@ -105,7 +106,7 @@ class GraftStagedTable(tableName: String, root: String,
       }
     }
 
-  override def commitStagedChanges(): Unit =
+  override def commitStagedChanges(): Unit = {
     if (!written) {
       // REPLACE/CREATE with a column list and no query: publish the
       // declared schema with zero rows, still one atomic commit
@@ -113,6 +114,12 @@ class GraftStagedTable(tableName: String, root: String,
         new java.util.ArrayList[org.apache.spark.sql.Row](), declaredSchema)
       if (replacing) delta.overwrite(empty) else delta.append(empty)
     }
+    // declared TBLPROPERTIES (incl. CLUSTER BY's clusteringColumns)
+    // persist after the data commit — a reader between the two sees a
+    // complete table that hasn't learned its properties yet, never a
+    // half-built one
+    if (userProps.nonEmpty) delta.setTableProperties(userProps)
+  }
 
   override def abortStagedChanges(): Unit = ()
 }
@@ -168,6 +175,10 @@ class GraftTable(tableName: String, val delta: DeltaLite,
       else f))
   }
 
+  // clustering is deliberately NOT surfaced here: Spark renders any
+  // non-identity transform as `PARTITIONED BY (cluster_by(…))` in
+  // SHOW CREATE TABLE, which misstates the layout — the declaration
+  // round-trips through TBLPROPERTIES('clusteringColumns') instead
   override def partitioning(): Array[Transform] =
     delta.partitionColumns.map(c => Expressions.identity(c)).toArray
 

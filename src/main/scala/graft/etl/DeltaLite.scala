@@ -2940,6 +2940,22 @@ class DeltaLite(val spark: SparkSession, val root: String,
     doomed
   }
 
+  /** `VACUUM … RETAIN n HOURS` mapped onto version retention: the
+    * retained versions are exactly those whose commit records were
+    * published within the window (record mtimes — the same clock
+    * `timestampAsOf` reads), and the current version always stays.
+    * One log listing, no data I/O.
+    */
+  def retainVersionsForHours(hours: Double): Int = {
+    require(hours >= 0, "retention hours must be >= 0")
+    val cutoffMs =
+      System.currentTimeMillis() - (hours * 3600 * 1000).toLong
+    val recent = fs.listStatus(logDir).toSeq.count(st =>
+      st.getPath.getName.matches("\\d+\\.json") &&
+        st.getModificationTime >= cutoffMs)
+    math.max(1, recent)
+  }
+
   /** The paths a `vacuum(retainVersions)` would delete, deleting
     * nothing — `VACUUM t DRY RUN`. Same replay as the real vacuum, so
     * the answer is exact, not an estimate.

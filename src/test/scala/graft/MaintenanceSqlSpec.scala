@@ -45,9 +45,22 @@ class MaintenanceSqlSpec extends SparkSpec {
     spark.sql("VACUUM graft.m.t")
     assert(spark.sql("SELECT count(*) AS n FROM graft.m.t")
       .head().getLong(0) == 1)
-    // RETAIN n HOURS is rejected loudly (version-based retention)
-    val e = intercept[Exception](spark.sql("VACUUM graft.m.t RETAIN 168 HOURS"))
-    assert(e.getMessage.contains("version-based"), e.getMessage)
+    // RETAIN n HOURS maps onto version retention via commit-record
+    // times (a fresh table, so the earlier vacuum can't skew it):
+    // everything committed seconds ago, so a week-wide window retains
+    // every version — deletes nothing, time travel below stays alive
+    spark.sql("CREATE TABLE graft.m.h (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.m.h VALUES (1, 'a')")
+    spark.sql("INSERT OVERWRITE graft.m.h VALUES (2, 'b')")
+    assert(spark.sql("VACUUM graft.m.h RETAIN 168 HOURS").head.getString(0)
+      == "removed 0 files")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.m.h VERSION AS OF 1")
+      .head().getLong(0) == 1)
+    // …and a zero-hour window retains only the current version: the
+    // dry run lists exactly the overwrite's orphans
+    assert(spark.sql("VACUUM graft.m.h RETAIN 0 HOURS DRY RUN").count() > 0)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.m.h VERSION AS OF 1")
+      .head().getLong(0) == 1) // the dry run deleted nothing
   }
 
   test("OPTIMIZE ZORDER BY and OPTIMIZE WHERE route to their procedures") {
