@@ -103,14 +103,21 @@ object GraftSqlParser {
     * None when the name addresses another catalog (delegate verbatim —
     * Spark will produce its own resolution error).
     */
-  private def tableArg(raw: String): Option[String] = {
-    val parts = raw.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
-    parts match {
-      case Seq(db, t) => Some(s"$db.$t")
-      case Seq("graft", db, t) => Some(s"$db.$t")
-      case Seq(_, _, _) => None // another catalog's table
-      case _ => None // single-part: no current-namespace context here
-    }
+  // Delta's `delta.`/path`` addressing: the maintenance verbs accept
+  // `graft.`/abs/path`` (or a bare backquoted path) — openByName
+  // routes a leading '/' to the path directly
+  private val PathRef = "(?:graft\\.)?`(/[^`]*)`".r
+
+  private def tableArg(raw: String): Option[String] = raw match {
+    case PathRef(p) => Some(p)
+    case _ =>
+      val parts = raw.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
+      parts match {
+        case Seq(db, t) => Some(s"$db.$t")
+        case Seq("graft", db, t) => Some(s"$db.$t")
+        case Seq(_, _, _) => None // another catalog's table
+        case _ => None // single-part: no current-namespace context here
+      }
   }
 
   private def q(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -120,12 +127,17 @@ object GraftSqlParser {
     * a 1/2-part name may address the session catalog, where Spark's
     * own ANALYZE must keep working.
     */
-  private def graftTableArg(raw: String): Option[String] = {
-    val parts = raw.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
-    parts match {
-      case Seq("graft", db, t) => Some(s"$db.$t")
-      case _ => None
-    }
+  private val GraftPathRef = "graft\\.`(/[^`]*)`".r
+
+  private def graftTableArg(raw: String): Option[String] = raw match {
+    // an explicit graft.`/path` is unambiguous (never session-catalog)
+    case GraftPathRef(p) => Some(p)
+    case _ =>
+      val parts = raw.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
+      parts match {
+        case Seq("graft", db, t) => Some(s"$db.$t")
+        case _ => None
+      }
   }
 
   /** The CALL translation, or None to delegate the text verbatim. */

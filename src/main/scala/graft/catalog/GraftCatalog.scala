@@ -114,14 +114,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  /** Delta's `delta.`/path`` addressing: a backquoted absolute path in
+    * table position (`SELECT … FROM graft.`/tmp/t``) bypasses the
+    * warehouse — the path IS the table. Unmanaged by design: CREATE/
+    * DROP/RENAME refuse (there is no registration to add or remove),
+    * everything else (reads, time travel, DML, maintenance CALLs)
+    * works exactly like a named table.
+    */
+  private def pathIdent(ident: Identifier): Option[String] =
+    if (ident.namespace().isEmpty && ident.name().startsWith("/"))
+      Some(ident.name()) else None
+
+  private def rejectPath(ident: Identifier, verb: String): Unit =
+    if (pathIdent(ident).isDefined) throw new UnsupportedOperationException(
+      s"$verb on path-addressed table ${ident.name()}: path tables are " +
+        "unmanaged (the path is the table) — write data to create one, " +
+        "delete the directory to drop it, or use a named catalog table")
+
   /** The table's effective DeltaLite root (external pointer wins). */
   private def tableRoot(ident: Identifier): String =
-    externalRoot(ident).getOrElse(tablePath(ident).toString)
+    pathIdent(ident).getOrElse(
+      externalRoot(ident).getOrElse(tablePath(ident).toString))
 
   override def tableExists(ident: Identifier): Boolean =
-    externalRoot(ident) match {
-      case Some(root) => fs.exists(new Path(root, "_log"))
-      case None => isTableDir(tablePath(ident))
+    pathIdent(ident) match {
+      case Some(p) => fs.exists(new Path(p, "_log"))
+      case None => externalRoot(ident) match {
+        case Some(root) => fs.exists(new Path(root, "_log"))
+        case None => isTableDir(tablePath(ident))
+      }
     }
 
   // ----- namespaces ------------------------------------------------
@@ -312,6 +333,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    rejectPath(ident, "CREATE TABLE")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val (clusterCols, partTransforms) = splitClustering(partitions)
     val parts = identityParts(partTransforms)
@@ -429,6 +451,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def dropTable(ident: Identifier): Boolean = {
+    rejectPath(ident, "DROP TABLE")
     if (externalRoot(ident).isDefined)
       // external: unregister only — the caller's data stays
       return fs.delete(tablePath(ident), true)
@@ -504,6 +527,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = {
+    rejectPath(oldIdent, "RENAME TABLE"); rejectPath(newIdent, "RENAME TABLE")
     if (!tableExists(oldIdent))
       throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent))
@@ -529,6 +553,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** `db.table` (relative to this catalog) → DeltaLite handle. */
   private[catalog] def openByName(qualified: String): DeltaLite = {
+    if (qualified.startsWith("/")) {
+      // path-addressed CALL arg (graft.`/path` in the maintenance SQL)
+      require(fs.exists(new Path(qualified, "_log")),
+        s"no DeltaLite table at $qualified")
+      val probe = new DeltaLite(spark, qualified)
+      return probe.recordedStatsKey match {
+        case sk @ Some(_) => new DeltaLite(spark, qualified, statsKey = sk)
+        case None => probe
+      }
+    }
     val segs = qualified.split('.')
     val ident = Identifier.of(segs.init, segs.last)
     if (!isTableDir(tablePath(ident)))

@@ -127,7 +127,8 @@ class GraftStagedTable(tableName: String, root: String,
 class GraftTable(tableName: String, val delta: DeltaLite,
     val asOfVersion: Option[Int] = None,
     val asOfTimestampMicros: Option[Long] = None,
-    externalSchema: Option[StructType] = None) extends Table
+    externalSchema: Option[StructType] = None,
+    mergeIncoming: Boolean = false) extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
 
@@ -162,12 +163,23 @@ class GraftTable(tableName: String, val delta: DeltaLite,
     */
   override def schema(): StructType = {
     val base =
-      if (asOfVersion.isEmpty && asOfTimestampMicros.isEmpty)
+      if (asOfVersion.isEmpty && asOfTimestampMicros.isEmpty) {
         // externalSchema: the writing DataFrame's schema, passed by
         // the path-based TableProvider — lets the first write CREATE
-        // the table (an existing commit log always wins)
-        delta.schema.orElse(externalSchema).getOrElse(new StructType())
-      else readDf().schema
+        // the table (an existing commit log always wins); with
+        // `mergeSchema`, the batch's NEW columns extend the reported
+        // schema so output resolution admits them (the connector-side
+        // appendEvolve then widens the commit log, same rule)
+        val committed = delta.schema
+        val merged = (committed, externalSchema) match {
+          case (Some(c), Some(e)) if mergeIncoming =>
+            val have = c.fieldNames.toSet
+            Some(StructType(c.fields ++
+              e.fields.filterNot(f => have.contains(f.name))))
+          case _ => committed.orElse(externalSchema)
+        }
+        merged.getOrElse(new StructType())
+      } else readDf().schema
     StructType(base.fields.map(f =>
       if (f.metadata.contains("identity.start") ||
         f.metadata.contains(graft.etl.DeltaLite.GenerationExpressionKey))
@@ -390,7 +402,11 @@ class GraftTable(tableName: String, val delta: DeltaLite,
               if (overwriteAll) delta.overwrite(data)
               else overwriteCond match {
                 case Some(cond) => delta.replaceWhere(data, cond)
-                case None => delta.append(data)
+                case None =>
+                  // mergeSchema appends THROUGH schema evolution: new
+                  // columns widen the log, old files read them as null
+                  if (mergeIncoming) delta.appendEvolve(data)
+                  else delta.append(data)
               }
           }
 

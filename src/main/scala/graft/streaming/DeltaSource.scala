@@ -270,7 +270,9 @@ class DeltaSourceProvider extends StreamSourceProvider with DataSourceRegister
     }
     new graft.catalog.GraftTable(s"delta-lite.`$path`",
       new DeltaLite(SparkSession.active, path, partitionBy = parts),
-      externalSchema = Option(schema))
+      externalSchema = Option(schema),
+      mergeIncoming = Option(properties.get("mergeSchema"))
+        .exists(_.trim.equalsIgnoreCase("true")))
   }
 
   private def root(params: Map[String, String]): String =

@@ -78,6 +78,30 @@ class PathDataSourceSpec extends SparkSpec {
     assert(df.count() == 1)
   }
 
+  test("mergeSchema append evolves the table; plain append stays strict") {
+    val root = tmp()
+    Seq((1L, "a")).toDF("k", "v")
+      .write.format("delta-lite").mode("append").save(root)
+    // strict by default: a widened batch is rejected loudly
+    intercept[Exception](
+      Seq((2L, "b", 9.5)).toDF("k", "v", "score")
+        .write.format("delta-lite").mode("append").save(root))
+    // with mergeSchema the new column widens the log; old rows read null
+    Seq((2L, "b", 9.5)).toDF("k", "v", "score")
+      .write.format("delta-lite").option("mergeSchema", "true")
+      .mode("append").save(root)
+    val got = spark.read.format("delta-lite").load(root)
+      .orderBy("k").as[(Long, String, Option[Double])].collect().toSeq
+    assert(got == Seq((1L, "a", None), (2L, "b", Some(9.5))), got)
+    // a conflicting TYPE is still loud, merge or not
+    val e = intercept[Exception](
+      Seq((3L, "c", "oops")).toDF("k", "v", "score")
+        .write.format("delta-lite").option("mergeSchema", "true")
+        .mode("append").save(root))
+    assert(e.getMessage.toLowerCase.contains("cast") ||
+      e.getMessage.contains("score"), e.getMessage)
+  }
+
   test("partitionBy on the first save creates a partitioned table; later writes keep it") {
     val root = tmp()
     spark.range(100).selectExpr("id AS k", "cast(id % 4 AS string) AS p")
