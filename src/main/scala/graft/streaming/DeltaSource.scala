@@ -237,9 +237,15 @@ class DeltaSourceProvider extends StreamSourceProvider with DataSourceRegister
   override def shortName(): String = "delta-lite"
 
   private def pathOf(m: java.util.Map[String, String]): String = {
-    val p = Option(m.get("path")).map(_.trim).filter(_.nonEmpty)
-    p.getOrElse(sys.error(
-      "delta-lite needs a single path: .load(<table root>) / .save(<root>)"))
+    // "path" from load()/save(); "location" when the SESSION catalog
+    // resolves a `CREATE TABLE … USING delta-lite` entry (managed
+    // tables get the metastore's default location)
+    val p = Option(m.get("path")).orElse(Option(m.get("location")))
+      .map(_.trim).filter(_.nonEmpty)
+    p.map(raw => if (raw.startsWith("file:")) new java.net.URI(raw).getPath
+      else raw)
+      .getOrElse(sys.error(
+        "delta-lite needs a single path: .load(<table root>) / .save(<root>)"))
   }
 
   // the writing DataFrame's schema arrives via getTable (external
