@@ -82,6 +82,8 @@ object GraftSqlParser {
     s"(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Ident\\s*;?\\s*".r
   private val Restore =
     s"(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Ident\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*".r
+  private val RestoreTs =
+    s"(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Ident\\s+(?:TO\\s+)?TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*".r
   private val Clone =
     s"(?is)\\s*CREATE\\s+TABLE\\s+$Ident\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$Ident\\s*;?\\s*".r
   private val VacuumDryRun =
@@ -199,6 +201,8 @@ object GraftSqlParser {
         s"CALL graft.system.detail(${q(n)})")
       case Restore(t, v) => tableArg(t).map(n =>
         s"CALL graft.system.restore(${q(n)}, ${q(v)})")
+      case RestoreTs(t, ts) => tableArg(t).map(n =>
+        s"CALL graft.system.restore(${q(n)}, ${q(s"ts:$ts")})")
       // Delta's CREATE TABLE target [SHALLOW|DEEP] CLONE source
       case Clone(target, mode, source) =>
         for (tn <- tableArg(target); sn <- tableArg(source))

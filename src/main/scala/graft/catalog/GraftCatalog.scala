@@ -723,7 +723,14 @@ class GraftProcedure(pname: String, catalog: GraftCatalog)
         }
       case "vacuum" =>
         s"removed ${t.vacuum(retain(args(1))).size} files"
-      case "restore" => s"restored at v${t.restore(args(1).toInt)}"
+      case "restore" =>
+        // "ts:<timestamp>" = RESTORE … TO TIMESTAMP AS OF; plain int =
+        // VERSION AS OF
+        val v =
+          if (args(1).startsWith("ts:"))
+            t.restoreToTime(java.sql.Timestamp.valueOf(args(1).drop(3)))
+          else t.restore(args(1).toInt)
+        s"restored at v$v"
       case "zorder" =>
         s"clustered at v${t.optimizeZOrder(args(1), args(2), args(3).toInt)}"
       case "zorder_by" =>

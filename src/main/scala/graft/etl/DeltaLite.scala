@@ -3274,6 +3274,26 @@ class DeltaLite(val spark: SparkSession, val root: String,
     readAsOf(eligible.max)
   }
 
+  /** The latest version committed at or before `ts` (the
+    * `TIMESTAMP AS OF` resolution rule, shared by reads and RESTORE).
+    */
+  def versionAt(ts: java.sql.Timestamp): Int = {
+    require(fs.exists(logDir) && latestVersion.isDefined,
+      s"empty table at $root")
+    val eligible = fs.listStatus(logDir).toSeq
+      .filter(st => st.getPath.getName.matches("\\d+\\.json") &&
+        st.getModificationTime <= ts.getTime)
+      .map(_.getPath.getName.stripSuffix(".json").toInt)
+    require(eligible.nonEmpty,
+      s"no commit at or before $ts in $root (table is younger)")
+    eligible.max
+  }
+
+  /** `RESTORE TABLE t TO TIMESTAMP AS OF ts` — the same resolution as
+    * a timestamp read, then the ordinary one-commit restore.
+    */
+  def restoreToTime(ts: java.sql.Timestamp): Int = restore(versionAt(ts))
+
   /** Current snapshot. */
   def read(): DataFrame = readAsOf(Int.MaxValue)
 

@@ -63,6 +63,25 @@ class MaintenanceSqlSpec extends SparkSpec {
       .head().getLong(0) == 1) // the dry run deleted nothing
   }
 
+  test("RESTORE TABLE ... TO TIMESTAMP AS OF resolves like a timestamp read") {
+    setup
+    spark.sql("CREATE TABLE graft.m.rts (k BIGINT)")
+    spark.sql("INSERT INTO graft.m.rts VALUES (1)")
+    Thread.sleep(30) // separate the commit-record mtimes
+    val mark = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(30)
+    spark.sql("INSERT INTO graft.m.rts VALUES (2), (3)")
+    assert(spark.sql("SELECT count(*) FROM graft.m.rts").head.getLong(0) == 3)
+    val msg = spark.sql(
+      s"RESTORE TABLE graft.m.rts TO TIMESTAMP AS OF '$mark'").head.getString(0)
+    assert(msg.startsWith("restored"), msg)
+    assert(spark.sql("SELECT count(*) FROM graft.m.rts").head.getLong(0) == 1)
+    // a pre-creation timestamp fails loudly
+    val e = intercept[Exception](spark.sql(
+      "RESTORE graft.m.rts TIMESTAMP AS OF '1999-01-01 00:00:00'"))
+    assert(e.getMessage.contains("younger"), e.getMessage)
+  }
+
   test("OPTIMIZE ZORDER BY and OPTIMIZE WHERE route to their procedures") {
     setup
     spark.sql("CREATE TABLE graft.m.z (a BIGINT, b BIGINT)")
