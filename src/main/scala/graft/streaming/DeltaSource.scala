@@ -35,13 +35,25 @@ case class VersionOffset(v: Long) extends Offset {
 class DeltaLiteSource(spark: SparkSession, root: String,
     ignoreChanges: Boolean, maxVersionsPerBatch: Option[Int] = None,
     metadataPath: Option[String] = None,
-    changeFeed: Boolean = false) extends Source
+    changeFeed: Boolean = false,
+    startingVersion: Option[String] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit,
     Offset => ConnectorOffset}
 
   private val table = DeltaLite(spark, root)
+
+  // Delta's `startingVersion` stream option: skip history and tail
+  // from version n inclusive ("latest" = only commits AFTER stream
+  // start). A checkpoint/persisted high-water mark always wins — the
+  // floor only seeds a FRESH stream.
+  private val startFloor: Long = startingVersion match {
+    case Some(v) if v.equalsIgnoreCase("latest") =>
+      table.latestVersion.map(_.toLong).getOrElse(-1L)
+    case Some(v) => v.toLong - 1
+    case None => -1L
+  }
 
   // ---- admission control (the DSv2 rate-limit/AvailableNow API) ----
   // Implementing SupportsAdmissionControl moves offset proposal from
@@ -67,7 +79,7 @@ class DeltaLiteSource(spark: SparkSession, root: String,
     val start: Long = Option(startOffset).map {
       case VersionOffset(v) => v
       case o => o.json().trim.toLong
-    }.orElse(delivered).getOrElse(-1L)
+    }.orElse(delivered).getOrElse(startFloor)
     val capped = maxVersionsPerBatch match {
       case Some(max) => math.min(latest, start + max)
       case None => latest
@@ -131,7 +143,7 @@ class DeltaLiteSource(spark: SparkSession, root: String,
     table.latestVersion.map { latest =>
       val capped = (maxVersionsPerBatch, delivered) match {
         case (Some(max), Some(last)) => math.min(latest.toLong, last + max)
-        case (Some(max), None) => math.min(latest.toLong, -1L + max)
+        case (Some(max), None) => math.min(latest.toLong, startFloor + max)
         case _ => latest.toLong
       }
       VersionOffset(capped)
@@ -145,7 +157,7 @@ class DeltaLiteSource(spark: SparkSession, root: String,
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(version).getOrElse(-1L)
+    val from = start.map(version).getOrElse(startFloor)
     val endV = math.max(version(end), from) // never regress the cursor
     if (!delivered.exists(_ >= endV)) {
       delivered = Some(endV)
@@ -304,5 +316,6 @@ class DeltaSourceProvider extends StreamSourceProvider with DataSourceRegister
       params.get("ignoreChanges").exists(_.toBoolean),
       params.get("maxVersionsPerBatch").map(_.toInt),
       Some(metadataPath),
-      changeFeed = cdf(params))
+      changeFeed = cdf(params),
+      startingVersion = params.get("startingVersion"))
 }

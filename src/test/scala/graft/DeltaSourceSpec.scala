@@ -42,6 +42,38 @@ class DeltaSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startingVersion skips history; 'latest' tails only new commits") {
+    import spark.implicits._
+    val root = tmp("graft-src-sv")
+    val t = DeltaLite(spark, root)
+    t.append(Seq((1L, "a")).toDF("k", "v")) // v0
+    t.append(Seq((2L, "b")).toDF("k", "v")) // v1
+    t.append(Seq((3L, "c")).toDF("k", "v")) // v2
+    // tail from v2 inclusive: history below never arrives
+    val q = stream(root, "startingVersion" -> "2").writeStream
+      .format("memory").queryName("dl_sv").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dl_sv").select("k").collect()
+        .map(_.getLong(0)).toSeq == Seq(3L))
+      t.append(Seq((4L, "d")).toDF("k", "v"))
+      q.processAllAvailable()
+      assert(spark.table("dl_sv").select("k").collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+    } finally q.stop()
+    // "latest": nothing until a commit lands after stream start
+    val q2 = stream(root, "startingVersion" -> "latest").writeStream
+      .format("memory").queryName("dl_sv_latest").outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("dl_sv_latest").count() == 0)
+      t.append(Seq((9L, "z")).toDF("k", "v"))
+      q2.processAllAvailable()
+      assert(spark.table("dl_sv_latest").select("k").collect()
+        .map(_.getLong(0)).toSeq == Seq(9L))
+    } finally q2.stop()
+  }
+
   test("restart from checkpoint resumes after the last delivered version") {
     import spark.implicits._
     val root = tmp("graft-src-rst")
