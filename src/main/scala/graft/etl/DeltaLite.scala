@@ -1481,7 +1481,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
     * contract as Delta's streaming source.
     */
   private[graft] def appendFilesBetween(sinceExclusive: Long,
-      toInclusive: Long, ignoreChanges: Boolean): Seq[String] = {
+      toInclusive: Long, ignoreChanges: Boolean,
+      ignoreDeletes: Boolean = false): Seq[String] = {
     // full history: a range that reaches below the latest checkpoint
     // must see the REAL append records while they exist; once cleaned,
     // the synthetic base lands in `nonAppend` below and fails the read
@@ -1491,15 +1492,20 @@ class DeltaLite(val spark: SparkSession, val root: String,
     // restats is metadata-only (row-identical) — never a tail hazard;
     // rename is row-identical too: the SOURCE guards it (only a
     // MID-STREAM rename stales a captured schema — a historical one
-    // is already reflected in it)
+    // is already reflected in it). `ignoreDeletes` (Delta's narrower
+    // opt-in) admits ONLY delete commits — a GDPR purge on the
+    // upstream doesn't stall the tail, while a rewrite still fails.
     val nonAppend = cs.filterNot(c =>
       c.mode == "append" || c.mode == "restats" || c.mode == "rename" ||
-        c.mode == "drop" || c.mode == "constraint" || c.mode == "props")
+        c.mode == "drop" || c.mode == "constraint" || c.mode == "props" ||
+        (ignoreDeletes && c.mode == "delete"))
     if (nonAppend.nonEmpty && !ignoreChanges)
       sys.error("DeltaLite streaming source saw non-append commits " +
         nonAppend.map(c => s"v${c.version}(${c.mode})").mkString(", ") +
         s" at $root; pass ignoreChanges=true to stream past them " +
-        "(rewritten/deleted rows will NOT be retracted)")
+        "(rewritten/deleted rows will NOT be retracted)" +
+        (if (nonAppend.forall(_.mode == "delete"))
+          " — or ignoreDeletes=true for delete-only commits" else ""))
     cs.filter(_.mode == "append").flatMap(_.files.map(_.path))
   }
 

@@ -36,7 +36,8 @@ class DeltaLiteSource(spark: SparkSession, root: String,
     ignoreChanges: Boolean, maxVersionsPerBatch: Option[Int] = None,
     metadataPath: Option[String] = None,
     changeFeed: Boolean = false,
-    startingVersion: Option[String] = None) extends Source
+    startingVersion: Option[String] = None,
+    ignoreDeletes: Boolean = false) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit,
@@ -188,7 +189,8 @@ class DeltaLiteSource(spark: SparkSession, root: String,
             "renamed or dropped after the stream started; restart the " +
             "query to pick up the new schema, or pass ignoreChanges=true " +
             "to keep serving the captured one")
-        val files = table.appendFilesBetween(from, version(end), ignoreChanges)
+        val files = table.appendFilesBetween(from, version(end),
+          ignoreChanges, ignoreDeletes)
         if (files.isEmpty)
           spark.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
@@ -317,5 +319,6 @@ class DeltaSourceProvider extends StreamSourceProvider with DataSourceRegister
       params.get("maxVersionsPerBatch").map(_.toInt),
       Some(metadataPath),
       changeFeed = cdf(params),
-      startingVersion = params.get("startingVersion"))
+      startingVersion = params.get("startingVersion"),
+      ignoreDeletes = params.get("ignoreDeletes").exists(_.toBoolean))
 }

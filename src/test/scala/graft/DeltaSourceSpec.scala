@@ -74,6 +74,39 @@ class DeltaSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("ignoreDeletes streams past delete commits; rewrites still fail") {
+    import spark.implicits._
+    val root = tmp("graft-src-igd")
+    val t = DeltaLite(spark, root, "k")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    t.deleteWhere(col("k") === 1) // delete-only (DV) commit
+    t.append(Seq((3L, "c")).toDF("k", "v"))
+    // without the option, the tail fails and NAMES the narrower opt-in
+    val ck0 = tmp("graft-src-igd-ck0")
+    val q0 = stream(root).writeStream.format("memory").queryName("igd0")
+      .option("checkpointLocation", ck0).outputMode("append").start()
+    val e = intercept[Exception] {
+      try q0.processAllAvailable() finally q0.stop()
+    }
+    assert(e.getMessage.contains("ignoreDeletes"), e.getMessage)
+    // with it, appends flow and the deleted row is simply not retracted
+    val q = stream(root, "ignoreDeletes" -> "true").writeStream
+      .format("memory").queryName("igd1").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("igd1").select("k").collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+    // a rewrite (upsert) is NOT covered by ignoreDeletes
+    t.upsert(Seq((2L, "B")).toDF("k", "v"), "k")
+    val q2 = stream(root, "ignoreDeletes" -> "true").writeStream
+      .format("memory").queryName("igd2").outputMode("append").start()
+    val e2 = intercept[Exception] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    assert(e2.getMessage.contains("ignoreChanges"), e2.getMessage)
+  }
+
   test("restart from checkpoint resumes after the last delivered version") {
     import spark.implicits._
     val root = tmp("graft-src-rst")
