@@ -1197,11 +1197,32 @@ class DeltaLite(val spark: SparkSession, val root: String,
   def append(df: DataFrame): Int = {
     val sch = schema.getOrElse(df.schema)
     val idents = identityCols(sch)
-    if (idents.isEmpty) {
-      val out = fillGenerated(df, sch)
-      enforceSchema(out); commit(out, "append")
+    val v =
+      if (idents.isEmpty) {
+        val out = fillGenerated(df, sch)
+        enforceSchema(out); commit(out, "append")
+      }
+      else appendWithIdentity(df, idents)
+    maybeAutoCompact()
+    v
+  }
+
+  /** Opt-in write-path compaction (Delta's autoCompact):
+    * TBLPROPERTIES('autoCompact'='true'[, 'autoCompact.minFiles'='n'])
+    * folds small live files right after an append once at least n
+    * (default 16) are below the compaction target. Cost when enabled:
+    * one live-file metadata pass per append (bounded log metadata) and
+    * an occasional row-preserving rewrite commit — a streaming tail of
+    * this table then needs `ignoreChanges` (or compact off-path), the
+    * same trade Delta documents.
+    */
+  private def maybeAutoCompact(): Unit = {
+    val props = tableProperties
+    if (props.get("autoCompact").exists(_.equalsIgnoreCase("true"))) {
+      val minFiles = props.get("autoCompact.minFiles")
+        .flatMap(_.toIntOption).getOrElse(16)
+      compact(minFiles = math.max(2, minFiles))
     }
-    else appendWithIdentity(df, idents)
   }
 
   // ---- IDENTITY columns (GENERATED ALWAYS/BY DEFAULT AS IDENTITY) --

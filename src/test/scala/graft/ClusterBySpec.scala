@@ -76,6 +76,26 @@ class ClusterBySpec extends SparkSpec {
     assert(total > 4 && touched < total, s"touched=$touched total=$total")
   }
 
+  test("autoCompact property folds small files on the write path") {
+    setup
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-autocompact").toString + "/t"
+    val t = new graft.etl.DeltaLite(spark, root)
+    t.append(Seq((0L, "z")).toDF("k", "v"))
+    t.setTableProperties(Map(
+      "autoCompact" -> "true", "autoCompact.minFiles" -> "4"))
+    (1 to 5).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    val live = t.liveFileSizes().size
+    assert(live < 5, s"autoCompact should fold the small files, live=$live")
+    assert(t.read().count() == 6) // rows survive the folding
+    // off by default: a fresh table accumulates files untouched
+    val u = new graft.etl.DeltaLite(spark,
+      java.nio.file.Files.createTempDirectory("graft-noac").toString + "/t")
+    (1 to 5).foreach(i => u.append(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    assert(u.liveFileSizes().size >= 5)
+  }
+
   test("REPLACE TABLE keeps the clustering declaration") {
     setup
     spark.sql("CREATE TABLE graft.cl.r (a BIGINT, v STRING) CLUSTER BY (a)")
