@@ -119,6 +119,35 @@ class PathDataSourceSpec extends SparkSpec {
       scanned.take(3).mkString(","))
   }
 
+  test("concurrent path appends: OCC retries, no lost update") {
+    val root = tmp()
+    Seq((0L, "seed")).toDF("k", "v")
+      .write.format("delta-lite").mode("append").save(root)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(4)
+    val gate = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (1 to 4).foreach { i =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          gate.await()
+          try Seq((i.toLong, s"w$i")).toDF("k", "v")
+            .write.format("delta-lite").mode("append").save(root)
+          catch { case t: Throwable => errs.add(t) }
+        }
+      })
+    }
+    gate.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(errs.isEmpty, errs.toArray.mkString("; "))
+    // every writer's row landed exactly once — no lost updates
+    val ks = spark.read.format("delta-lite").load(root)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(ks == Seq(0L, 1L, 2L, 3L, 4L), ks)
+    assert(DeltaLite(spark, root).latestVersion.contains(4))
+  }
+
   test("writeStream.format path sink + V1 streaming read under one name") {
     val root = tmp()
     val ckpt = Files.createTempDirectory("graft-pathds-ck").toString
