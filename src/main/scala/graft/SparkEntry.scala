@@ -129,6 +129,7 @@ object SparkEntry {
     "text_winnow_fp" -> (Text.winnowFp _),
     "text_bigram_nll" -> (Text.bigramNll _),
     "q_cooccur_pmi" -> (Text.cooccurPmi _),
+    "q_vocab_growth" -> (Text.vocabGrowth _),
     // rows-only: the BPE merge loop is not SQL-expressible; exact
     // segmentation semantics are spec'd in BpeSpec
     "q_bpe" -> (Text.bpe _),
@@ -793,6 +794,18 @@ object SparkEntry {
         |FROM pairs
         |JOIN df d1 ON d1.token = t1 JOIN df d2 ON d2.token = t2 CROSS JOIN n
         |ORDER BY pmi_micro DESC, t1, t2 LIMIT 100""".stripMargin,
+    "q_vocab_growth" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |cnt AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+        |firsts AS (SELECT token, min(doc_id) AS doc_id FROM tok GROUP BY token),
+        |newc AS (SELECT doc_id, count(*) AS n_new FROM firsts GROUP BY doc_id)
+        |SELECT c.doc_id,
+        |  CAST(sum(c.n_tok) OVER (ORDER BY c.doc_id) AS BIGINT) AS tokens_cum,
+        |  CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY c.doc_id) AS BIGINT)
+        |    AS vocab_cum
+        |FROM cnt c LEFT JOIN newc n USING (doc_id)
+        |ORDER BY c.doc_id""".stripMargin,
     "q_quality_band" ->
       """WITH t AS (
         |  SELECT doc_id, lang, n_chars,

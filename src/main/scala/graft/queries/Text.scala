@@ -750,6 +750,35 @@ object Text {
       .orderBy($"pmi_micro".desc, $"t1", $"t2").limit(100)
   }
 
+  /** Heaps'-law vocabulary-growth curve: cumulative token count vs
+    * cumulative DISTINCT vocabulary as the corpus grows in doc_id
+    * order — the corpus-health diagnostic that shows whether new data
+    * still contributes new vocabulary (sub-linear growth is healthy;
+    * a flat curve means saturation, a linear one duplication). Exact
+    * and integer-only: a token's first appearance is min(doc_id), so
+    * the per-doc new-vocabulary count is ONE hash-groupBy, and both
+    * cumulative sums run through the scale-safe two-level
+    * [[graft.ops.RunningSum.twoLevel]] (shard-local sums + broadcast
+    * offsets — never a single-partition window over the doc axis).
+    */
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+    val cnt = tok.groupBy($"doc_id").agg(count(lit(1)).as("n_tok"))
+    val newc = tok.groupBy($"token").agg(min($"doc_id").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_new"))
+    val perDoc = cnt.join(newc, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tok",
+        coalesce($"n_new", lit(0L)).as("n_new"))
+      .withColumn("g", lit(1))
+    val t1 = graft.ops.RunningSum.twoLevel(perDoc, Seq("g"),
+      Seq($"doc_id"), $"n_tok", "tokens_cum")
+    val t2 = graft.ops.RunningSum.twoLevel(t1, Seq("g"),
+      Seq($"doc_id"), $"n_new", "vocab_cum")
+    t2.select($"doc_id", $"tokens_cum", $"vocab_cum").orderBy($"doc_id")
+  }
+
   /** Hashing-trick feature vectors: tokens land in `D` buckets by a
     * content-deterministic hash and per-(doc, bucket) counts form the
     * sparse features (the classic fixed-width text featurizer — no

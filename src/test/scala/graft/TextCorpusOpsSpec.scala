@@ -121,6 +121,26 @@ class TextCorpusOpsSpec extends SparkSpec {
       s"first diff: ${rows.zip(scored).find(p => p._1 != p._2)}")
   }
 
+  test("vocabulary growth: cumulative curves match a driver replay") {
+    val perDoc = docs.map { case (id, t) => id -> t.split(" ") }
+    val firstDoc = perDoc.flatMap { case (id, ts) => ts.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    var tokCum = 0L; var vocabCum = 0L
+    val expected = perDoc.map { case (id, ts) =>
+      tokCum += ts.length
+      vocabCum += ts.distinct.count(firstDoc(_) == id)
+      id -> (tokCum, vocabCum)
+    }.toMap
+    val rows = Text.vocabGrowth(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("tokens_cum"), r.getAs[Long]("vocab_cum"))).toMap
+    assert(rows == expected,
+      s"first diff: ${expected.find(kv => rows.get(kv._1) != Some(kv._2))}")
+    // Heaps: vocabulary grows sub-linearly — the final vocab is far
+    // below the final token count on a natural corpus
+    assert(vocabCum < tokCum / 2)
+  }
+
   test("plan hygiene: no UDF, no cartesian; PMI vocabulary broadcasts") {
     Seq(Text.spanRemoval(spark, sf), Text.winnowFp(spark, sf),
       Text.bigramNll(spark, sf), Text.cooccurPmi(spark, sf)).foreach { df =>
