@@ -68,6 +68,7 @@ object SparkEntry {
     "q_gap_fill" -> (Events.gapFill _),
     "q_transition_matrix" -> (Events.transitionMatrix _),
     "q_outliers" -> (Events.outliers _),
+    "q_mad_outliers" -> (Events.madOutliers _),
     "q_zorder_pruned" -> (Events.zorderPruned _),
     "text_pii_redact" -> (Text.piiRedact _),
     "emb_centroids" -> (Vectors.embCentroids _),
@@ -994,6 +995,24 @@ object SparkEntry {
         |FROM events JOIN st ON event_type = t
         |WHERE abs(value - mean) > sd * 2
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_mad_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |med AS (SELECT event_type AS t, quantile_cont(cents, 0.5) AS med_cents
+        |        FROM ev GROUP BY event_type),
+        |dev AS (SELECT ev.event_type, abs(ev.cents - med.med_cents) AS dev,
+        |               med.med_cents
+        |        FROM ev JOIN med ON ev.event_type = med.t),
+        |mad AS (SELECT event_type AS t2, quantile_cont(dev, 0.5) AS mad_cents
+        |        FROM dev GROUP BY event_type)
+        |SELECT d.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN d.dev > m.mad_cents * 4.4478
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  MAX(d.med_cents) / 100.0 AS median_v,
+        |  MAX(m.mad_cents) / 100.0 AS mad_v
+        |FROM dev d JOIN mad m ON d.event_type = m.t2
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     "q_zorder_pruned" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value

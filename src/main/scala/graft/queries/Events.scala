@@ -545,6 +545,38 @@ object Events {
     * broadcast joined back map-side — the fact scans twice but never
     * shuffles full rows.
     */
+  /** Robust (MAD) anomaly detection per event type — the
+    * median-absolute-deviation rule that, unlike [[outliers]]'s
+    * z-score, is immune to the outliers' own pull on the threshold
+    * (median breakdown point 50% vs the mean's 0). Exactness across
+    * engines: values quantize to integer CENTS before the medians, so
+    * every interpolated median is an exactly-representable half/quarter
+    * and the deviation arithmetic stays float-deterministic. Scale:
+    * the exact `percentile` aggregate buffers COUNTS PER DISTINCT
+    * VALUE per group (bounded by the cents-domain, not the row count);
+    * two grouped aggregates + one broadcast join back, no windows.
+    */
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", $"event_id",
+        round($"value" * 100).cast("long").as("cents"))
+    val med = ev.groupBy($"event_type".as("t"))
+      .agg(expr("percentile(cents, 0.5)").as("med_cents"))
+    val dev = ev.join(broadcast(med), $"event_type" === $"t")
+      .withColumn("dev", abs($"cents" - $"med_cents"))
+    val mad = dev.groupBy($"t".as("t2"))
+      .agg(expr("percentile(dev, 0.5)").as("mad_cents"))
+    dev.join(broadcast(mad), $"t" === $"t2")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"dev" > $"mad_cents" * 4.4478, 1L).otherwise(0L))
+          .as("n_outliers"),
+        (max($"med_cents") / 100.0).as("median_v"),
+        (max($"mad_cents") / 100.0).as("mad_v"))
+      .orderBy($"event_type")
+  }
+
   def outliers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dec2 = (c: Column) => c.cast(DecimalType(12, 2))

@@ -129,4 +129,30 @@ class EventsSpec extends SparkSpec {
         .map(r.getAs[Long]).sum).sum
     assert(total == Tables.events(spark, sf).count())
   }
+
+  test("MAD outliers: matches a driver replay of the cents-exact rule") {
+    val vals = Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> math.round(r.getDouble(1) * 100))
+      .groupBy(_._1).view.mapValues(_.map(_._2.toDouble).sorted).toMap
+    def medInterp(s: Seq[Double]): Double = {
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    val rows = Events.madOutliers(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_outliers"),
+          r.getAs[Double]("median_v"), r.getAs[Double]("mad_v"))).toMap
+    assert(rows.keySet == vals.keySet)
+    vals.foreach { case (t, cs) =>
+      val med = medInterp(cs)
+      val devs = cs.map(c => math.abs(c - med)).sorted
+      val mad = medInterp(devs)
+      val want = (cs.size.toLong, devs.count(_ > mad * 4.4478).toLong,
+        med / 100.0, mad / 100.0)
+      assert(rows(t) == want, s"$t: got ${rows(t)}, want $want")
+    }
+    // the rule actually fires somewhere on the synthetic values
+    assert(rows.values.exists(_._2 > 0))
+  }
 }
