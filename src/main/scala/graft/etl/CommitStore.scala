@@ -1,0 +1,111 @@
+package graft.etl
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import java.nio.file.{Files, FileAlreadyExistsException, Paths, StandardOpenOption}
+
+/** The commit-publish primitive DeltaLite's optimistic concurrency
+  * stands on: atomically materialize `bytes` at `fin` IF AND ONLY IF
+  * nothing exists there, reporting which writer won. Everything else
+  * in the log protocol (version chaining, retry, conflict
+  * classification) is layered on this one conditional put — exactly
+  * the seam Delta's LogStore abstracts, because the safe primitive
+  * differs per store:
+  *
+  *  - HDFS: `rename` fails when the destination exists → temp-file +
+  *    rename IS a conditional put ([[RenameCommitStore]]).
+  *  - POSIX local filesystems: `rename(2)` silently REPLACES the
+  *    destination — two processes can both "win" and one commit is
+  *    lost. The atomic create-if-absent primitive is `link(2)`:
+  *    hard-linking a fully-written temp file to the final name fails
+  *    with EEXIST when the name is taken, atomically and across
+  *    processes ([[LinkCommitStore]]). Readers never see a partial
+  *    record: the link appears with the temp file's complete bytes.
+  *  - S3-class object stores: rename is copy+delete and NOT
+  *    conditional; a deployment there must plug a store built on the
+  *    store's own conditional put (S3 `If-None-Match`, GCS
+  *    `ifGenerationMatch=0`, ABFS ETag) or an external coordinator —
+  *    the same contract Delta requires of its S3 LogStore. The seam
+  *    is this trait; [[DeltaLite]] takes the store as a constructor
+  *    default resolved per filesystem scheme by [[CommitStore.forFs]].
+  *
+  * Contract (what [[CommitStoreSpec]] drives on every impl):
+  *  1. At most one of any set of concurrent `putIfAbsent(fin, _)`
+  *     callers returns true (across threads AND processes).
+  *  2. After any call returns, `fin` exists with the COMPLETE bytes
+  *     of exactly one caller — never a torn or empty record.
+  *  3. A false return leaves no temp debris behind.
+  */
+trait CommitStore {
+
+  /** Publish `bytes` at `fin` iff absent. True = this writer won;
+    * false = the destination already existed (lost the race).
+    */
+  def putIfAbsent(fin: Path, bytes: Array[Byte]): Boolean
+}
+
+/** Temp-file + exists-check + rename, serialized per target directory
+  * within this JVM. Cross-process atomicity is the filesystem's
+  * rename-if-absent contract — correct on HDFS, where rename onto an
+  * existing path fails; NOT safe cross-process on POSIX local
+  * filesystems (rename replaces) — use [[LinkCommitStore]] there.
+  */
+class RenameCommitStore(fs: FileSystem) extends CommitStore {
+  override def putIfAbsent(fin: Path, bytes: Array[Byte]): Boolean = {
+    val dir = fin.getParent
+    val tmp = new Path(dir,
+      s".${fin.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    CommitStore.dirLock(dir.toString).synchronized {
+      if (fs.exists(fin)) { fs.delete(tmp, false); false }
+      else if (fs.rename(tmp, fin)) true
+      else { fs.delete(tmp, false); sys.error(s"commit rename failed for $fin") }
+    }
+  }
+}
+
+/** POSIX put-if-absent: write a temp file, then `link(2)` it to the
+  * final name — the kernel refuses (EEXIST) atomically when the name
+  * is taken, across processes, with no lock. The only store here that
+  * makes a `file://` table root safe for MULTIPLE JVMs (the
+  * cross-process OCC spec drives two real processes through it).
+  * `fs` is used only for scheme-consistent temp cleanup of the
+  * Hadoop-side `.crc` sidecars local FS writes would otherwise leave.
+  */
+class LinkCommitStore extends CommitStore {
+  override def putIfAbsent(fin: Path, bytes: Array[Byte]): Boolean = {
+    val finLocal = Paths.get(fin.toUri.getPath)
+    Files.createDirectories(finLocal.getParent)
+    val tmp = finLocal.resolveSibling(
+      s".${finLocal.getFileName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    Files.write(tmp, bytes,
+      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    try {
+      try { Files.createLink(finLocal, tmp); true }
+      catch { case _: FileAlreadyExistsException => false }
+    } finally Files.deleteIfExists(tmp)
+  }
+}
+
+object CommitStore {
+
+  // per-target-directory publish serialization within one JVM for the
+  // rename store (exists-check + rename must not interleave between
+  // threads; the link store needs no lock — the kernel arbitrates)
+  private val dirLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[etl] def dirLock(dir: String): Object =
+    dirLocks.computeIfAbsent(dir, _ => new Object)
+
+  /** The safe default store for `fs`: link-based put-if-absent on
+    * local filesystems (cross-process atomic), rename-if-absent
+    * elsewhere (atomic on HDFS-class stores). An S3-class scheme gets
+    * the rename store too — matching Delta's own out-of-the-box
+    * posture — but a production deployment there must supply a
+    * conditional-put store explicitly (see the trait scaladoc).
+    */
+  def forFs(fs: FileSystem): CommitStore =
+    if (fs.getScheme == "file") new LinkCommitStore
+    else new RenameCommitStore(fs)
+}

@@ -15,9 +15,10 @@ import java.nio.charset.StandardCharsets
   * Layout: `<root>/v=<n>-<nonce>/part-*.parquet` data files per commit
   * attempt (nonce-unique, so concurrent writers never collide on a
   * directory) and `<root>/_log/<n>.json` commit records. A commit is
-  * visible only once its log file exists; the log file is written via
-  * temp-file + rename-if-absent, so concurrent readers never see a
-  * half commit. All IO goes through the Hadoop FileSystem API, so the
+  * visible only once its log file exists; the log file is published
+  * via an atomic conditional put ([[CommitStore]]), so concurrent
+  * readers never see a half commit and concurrent writers can never
+  * both claim a version. All IO goes through the Hadoop FileSystem API, so the
   * same code addresses HDFS/S3A/local.
   *
   * Concurrency: OPTIMISTIC — writers race to publish the next version;
@@ -26,11 +27,13 @@ import java.nio.charset.StandardCharsets
   * — appends commute) or fails with `ConcurrentModificationException`
   * (rewrites/deletes/overwrites and metadata ops were computed against
   * a snapshot that no longer is the latest — retrying would lose the
-  * concurrent writer's update). Within one JVM the publish step is
-  * serialized per table root; across processes it relies on
-  * atomic-rename-if-absent (HDFS semantics; plain local/POSIX rename
-  * overwrites, so cross-PROCESS races on file:// need an external
-  * coordinator — the same caveat Delta documents for S3).
+  * concurrent writer's update). The publish step is a conditional put
+  * through a [[CommitStore]] resolved per filesystem scheme:
+  * `link(2)`-based put-if-absent on local filesystems (atomic across
+  * PROCESSES — proven by the two-JVM OCC spec), temp-file +
+  * rename-if-absent on HDFS-class stores. S3-class stores need a
+  * conditional-put CommitStore plugged in (S3 `If-None-Match` / GCS
+  * generation-match) — the same LogStore contract Delta documents.
   *
   * The commit record tracks individual data FILES (with min/max stats
   * of `statsKey` when configured), not whole snapshots:
@@ -50,6 +53,12 @@ class DeltaLite(val spark: SparkSession, val root: String,
   private val logDir = new Path(rootPath, "_log")
   private def fs: FileSystem =
     rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The conditional-put primitive every log publish goes through —
+    * override to plug a store-native put-if-absent (the S3/GCS seam;
+    * see [[CommitStore]] for the contract each impl must honor).
+    */
+  protected lazy val commitStore: CommitStore = CommitStore.forFs(fs)
 
   /** `keyCol` is the column the file's min/max stats describe (the
     * writer's statsKey at commit time) — pruning must check it matches
@@ -601,20 +610,17 @@ class DeltaLite(val spark: SparkSession, val root: String,
       cs.flatMap(_.ingested).distinct, propsAt(cs))
   }
 
-  /** Write the checkpoint for `version` (no-op if present). Temp-file
-    * + rename; a concurrent writer losing the rename just discards its
-    * temp — checkpoint content for a given version is deterministic.
+  /** Write the checkpoint for `version` (no-op if present). Published
+    * through [[commitStore]]; a concurrent writer losing the
+    * conditional put just discards its bytes — checkpoint content for
+    * a given version is deterministic, so either winner is correct.
     */
   private def writeCheckpoint(version: Int): Unit = {
     val fin = new Path(logDir, ckptName(version))
     if (fs.exists(fin)) return
     val cp = checkpointState(version)
-    val tmp = new Path(logDir,
-      s".$version-${java.util.UUID.randomUUID().toString.take(8)}.ckpt.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(renderCheckpoint(cp).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
+    commitStore.putIfAbsent(fin,
+      renderCheckpoint(cp).getBytes(StandardCharsets.UTF_8))
   }
 
   /** Force a checkpoint at the current version regardless of the
@@ -1146,9 +1152,20 @@ class DeltaLite(val spark: SparkSession, val root: String,
           // spec (this writer's files lack the hive layout the
           // winner's declaration implies)
           val sameState =
-            cur.lastOption.map(_.schemaJson) == base.lastOption.map(_.schemaJson) &&
-              colMapAt(cur) == colMapAt(base) && checksAt(cur) == checksAt(base) &&
-              partsAt(cur) == declaredParts
+            if (base.isEmpty)
+              // CREATION race: this writer validated against its own
+              // declaration; the append commutes iff the winner
+              // declared the IDENTICAL table state (schema byte-equal,
+              // no mapping/constraint/property divergence) — then a
+              // retry is a plain second append, not a lost create
+              cur.lastOption.exists(_.schemaJson == recordedSchema.json) &&
+                colMapAt(cur).isEmpty && checksAt(cur).isEmpty &&
+                pendingChecks.isEmpty && propsOverride.isEmpty &&
+                partsAt(cur) == declaredParts
+            else
+              cur.lastOption.map(_.schemaJson) == base.lastOption.map(_.schemaJson) &&
+                colMapAt(cur) == colMapAt(base) && checksAt(cur) == checksAt(base) &&
+                partsAt(cur) == declaredParts
           if (mode != "append" || txn.nonEmpty || !retryable || !sameState) {
             fs.delete(dataDir, true)
             throw e
@@ -1160,27 +1177,19 @@ class DeltaLite(val spark: SparkSession, val root: String,
   }
 
   /** Publish a commit record; throws ConcurrentModificationException
-    * when the version was taken by a concurrent writer. The
-    * exists-check + rename pair runs under a per-root JVM lock
-    * (local/POSIX rename overwrites silently); cross-process the
-    * rename itself must be atomic-if-absent (HDFS).
+    * when the version was taken by a concurrent writer. Atomicity is
+    * [[commitStore]]'s conditional put — put-if-absent via `link(2)`
+    * on local filesystems (cross-process safe), temp+rename on
+    * HDFS-class stores (see [[CommitStore]] for the per-store
+    * contract and the S3 caveat).
     */
   private def publish(record: Commit): Int = {
     val version = record.version
-    val tmp = new Path(logDir,
-      s".$version-${java.util.UUID.randomUUID().toString.take(8)}.json.tmp")
     val fin = new Path(logDir, s"$version.json")
-    val out = fs.create(tmp, true)
-    try out.write(renderCommit(record).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    DeltaLite.publishLock(norm(rootPath.toString)).synchronized {
-      if (fs.exists(fin)) {
-        fs.delete(tmp, false)
-        throw new java.util.ConcurrentModificationException(
-          s"version $version at $root was committed by a concurrent writer")
-      }
-      if (!fs.rename(tmp, fin)) sys.error(s"commit rename failed for v$version")
-    }
+    if (!commitStore.putIfAbsent(fin,
+        renderCommit(record).getBytes(StandardCharsets.UTF_8)))
+      throw new java.util.ConcurrentModificationException(
+        s"version $version at $root was committed by a concurrent writer")
     // the commit is durable above; the checkpoint is an OPTIMIZATION
     // riding behind it — an IO failure here must not make the caller
     // believe the commit failed (a retry would double-apply), and the
@@ -3362,15 +3371,6 @@ object DeltaLite {
     * while the directory tree carries the partition values.
     */
   private[graft] val PartPrefix = "__p_"
-
-  // per-table-root publish serialization within this JVM: local/POSIX
-  // rename overwrites an existing target, so the exists-check + rename
-  // pair must not interleave between threads; cross-process atomicity
-  // is the filesystem's rename-if-absent contract (HDFS)
-  private val publishLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private[etl] def publishLock(root: String): Object =
-    publishLocks.computeIfAbsent(root, _ => new Object)
 
   def apply(spark: SparkSession, root: String): DeltaLite =
     new DeltaLite(spark, root)

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import graft.etl.{CommitStore, LinkCommitStore, RenameCommitStore}
+
+/** The CommitStore contract ([[graft.etl.CommitStore]] scaladoc),
+  * driven on both shipped impls: (1) of N concurrent putIfAbsent
+  * callers exactly one returns true; (2) the destination holds the
+  * COMPLETE bytes of exactly one caller; (3) losers leave no temp
+  * debris. The cross-PROCESS half of the link store's claim is proven
+  * separately by [[CrossProcessOccSpec]] with two real JVMs.
+  */
+class CommitStoreSpec extends SparkSpec {
+
+  private def hadoopFs(dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def raceOnce(store: CommitStore, fin: Path, threads: Int): Unit = {
+    val payloads = (0 until threads)
+      .map(i => s"""{"writer":$i,"body":"${"x" * 256}"}""")
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Boolean]()
+    val pool = (0 until threads).map { i =>
+      val th = new Thread(() => {
+        start.await()
+        results.put(i,
+          store.putIfAbsent(fin, payloads(i).getBytes("UTF-8")))
+      })
+      th.start(); th
+    }
+    start.countDown()
+    pool.foreach(_.join())
+    val winners = results.entrySet().iterator()
+    var won = List.empty[Int]
+    while (winners.hasNext) {
+      val e = winners.next()
+      if (e.getValue) won ::= e.getKey
+    }
+    assert(won.size == 1, s"expected exactly one winner, got $won")
+    val fs = hadoopFs(fin.getParent.toString)
+    val in = fs.open(fin)
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](4096)
+      var r = in.read(tmp)
+      while (r >= 0) { buf.write(tmp, 0, r); r = in.read(tmp) }
+      buf.toByteArray
+    } finally in.close()
+    assert(new String(bytes, "UTF-8") == payloads(won.head),
+      "destination must hold the winner's complete bytes")
+  }
+
+  private def assertNoDebris(dir: String, expectFiles: Int): Unit = {
+    val files = new java.io.File(dir).listFiles().toSeq
+      .map(_.getName).filterNot(_.endsWith(".crc"))
+    assert(files.size == expectFiles,
+      s"losers must clean their temp files; saw $files")
+  }
+
+  test("LinkCommitStore: 32 racing writers, one winner, full bytes, no debris") {
+    val dir = java.nio.file.Files.createTempDirectory("cstore-link").toString
+    val store = new LinkCommitStore
+    (0 until 5).foreach { round =>
+      raceOnce(store, new Path(dir, s"$round.json"), threads = 32)
+    }
+    assertNoDebris(dir, expectFiles = 5)
+  }
+
+  test("RenameCommitStore: 32 racing writers, one winner, full bytes, no debris") {
+    val dir = java.nio.file.Files.createTempDirectory("cstore-ren").toString
+    val store = new RenameCommitStore(hadoopFs(dir))
+    (0 until 5).foreach { round =>
+      raceOnce(store, new Path(dir, s"$round.json"), threads = 32)
+    }
+    assertNoDebris(dir, expectFiles = 5)
+  }
+
+  test("putIfAbsent on an existing destination returns false and preserves content") {
+    val dir = java.nio.file.Files.createTempDirectory("cstore-exist").toString
+    Seq(new LinkCommitStore,
+        new RenameCommitStore(hadoopFs(dir))).zipWithIndex.foreach {
+      case (store, i) =>
+        val fin = new Path(dir, s"only-$i.json")
+        assert(store.putIfAbsent(fin, "first".getBytes("UTF-8")))
+        assert(!store.putIfAbsent(fin, "second".getBytes("UTF-8")))
+        val src = scala.io.Source.fromFile(new java.io.File(dir, s"only-$i.json"))
+        try assert(src.mkString == "first") finally src.close()
+    }
+  }
+
+  test("forFs resolves the link store for file:// (the cross-process-safe local impl)") {
+    val fs = hadoopFs(java.nio.file.Files.createTempDirectory("cstore-fs").toString)
+    assert(CommitStore.forFs(fs).isInstanceOf[LinkCommitStore])
+  }
+}

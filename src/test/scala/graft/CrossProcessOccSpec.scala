@@ -1,0 +1,79 @@
+package graft
+
+import scala.sys.process.{Process, ProcessLogger}
+
+import graft.etl.DeltaLite
+
+/** The cross-PROCESS OCC proof the single-JVM ConcurrencySpec cannot
+  * give: two SEPARATE JVMs ([[graft.tools.OccWriter]]) race 50
+  * appends against one table root with no coordination beyond the
+  * commit protocol itself. Passing means the LinkCommitStore's
+  * `link(2)` conditional put really is atomic across processes —
+  * exactly one writer wins each version, the loser's retry replays
+  * cleanly at the next version, and no append is ever lost or
+  * double-applied. This is the log-level contract a multi-writer
+  * lakehouse deployment stands on (VERDICT r7 item 1).
+  */
+class CrossProcessOccSpec extends SparkSpec {
+
+  // must match build.sbt's jdk17AddOpens — the spawned JVMs create
+  // SparkSessions outside spark-submit, which normally injects these
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  test("two JVM writers race 50 commits: one winner per version, zero lost appends") {
+    val root = java.nio.file.Files.createTempDirectory("graft-occ").toString
+    val perWriter = 25
+    val cp = System.getProperty("java.class.path")
+    def launch(id: String): (Process, StringBuilder) = {
+      val out = new StringBuilder
+      val cwd = java.nio.file.Files.createTempDirectory(s"occ-cwd-$id").toFile
+      val p = Process(
+        Seq("java") ++ addOpens ++ Seq(
+          "-Xmx2g", "-Dspark.ui.enabled=false", "-cp", cp,
+          "graft.tools.OccWriter", root, id, perWriter.toString),
+        cwd).run(ProcessLogger(l => out.append(l).append('\n'),
+                               l => out.append(l).append('\n')))
+      (p, out)
+    }
+    val (p1, log1) = launch("alpha")
+    val (p2, log2) = launch("beta")
+    val (e1, e2) = (p1.exitValue(), p2.exitValue())
+    assert(e1 == 0, s"alpha failed:\n${log1.toString.takeRight(4000)}")
+    assert(e2 == 0, s"beta failed:\n${log2.toString.takeRight(4000)}")
+
+    val total = 2 * perWriter
+    // exactly one log record per version, versions contiguous 0..49
+    val logFiles = new java.io.File(root, "_log").listFiles().toSeq
+      .map(_.getName).filter(_.matches("\\d+\\.json"))
+    assert(logFiles.distinct.size == logFiles.size)
+    assert(logFiles.map(_.stripSuffix(".json").toInt).sorted ==
+      (0 until total).toList,
+      s"versions must be contiguous with one winner each; saw $logFiles")
+
+    val t = new DeltaLite(spark, root)
+    assert(t.latestVersion.contains(total - 1))
+    // every append landed exactly once (no lost or double-applied rows)
+    val counts = t.read().groupBy("writer").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("alpha" -> perWriter.toLong, "beta" -> perWriter.toLong))
+    assert(t.read().distinct().count() == total.toLong)
+
+    // each writer's own report: n distinct versions, union covers 0..49
+    def committed(log: StringBuilder): Set[Int] =
+      log.toString.linesIterator.find(_.startsWith("COMMITTED="))
+        .map(_.stripPrefix("COMMITTED=").split(',').map(_.trim.toInt).toSet)
+        .getOrElse(Set.empty)
+    val (c1, c2) = (committed(log1), committed(log2))
+    assert(c1.size == perWriter && c2.size == perWriter)
+    assert((c1 & c2).isEmpty, s"a version was claimed by both writers: ${c1 & c2}")
+    assert((c1 | c2) == (0 until total).toSet)
+  }
+}
