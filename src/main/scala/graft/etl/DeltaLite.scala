@@ -122,7 +122,18 @@ class DeltaLite(val spark: SparkSession, val root: String,
       // nothing to emit, CDF skips it); Some(paths) = the commit's
       // pre/post-image parquet files (written when the
       // enableChangeDataFeed property is set)
-      cdc: Option[Seq[String]] = None)
+      cdc: Option[Seq[String]] = None,
+      // PROTOCOL FEATURE GATES (Delta's protocol action, per record):
+      // rfeat = features required to READ this record correctly (an
+      // unaware reader would return wrong rows — e.g. ignore deletion
+      // vectors); wfeat = features required to WRITE into a log that
+      // contains it (an unaware writer would break invariants — e.g.
+      // identity high-water marks). publish() stamps both from the
+      // record's CONTENT; readers/writers fail loudly on names outside
+      // their supported set instead of silently misreading. Absent in
+      // pre-gate logs (→ no requirement, full back-compat).
+      rfeat: Option[Seq[String]] = None,
+      wfeat: Option[Seq[String]] = None)
 
   /** Scheme-independent path identity (file:/x vs file:///x vs /x). */
   private def norm(p: String): String = new Path(p).toUri.getPath
@@ -183,6 +194,56 @@ class DeltaLite(val spark: SparkSession, val root: String,
           s"found ${c.version} — refusing to replay a partial history")
     }
 
+  /** READER feature gate over a replay sequence: any record (or
+    * checkpoint synthetic) stamped with a reader-required feature this
+    * build doesn't know means interpreting the log would return wrong
+    * rows (e.g. surface DV-deleted data) — fail loudly with guidance
+    * instead. Pre-gate logs carry no stamps and pass untouched.
+    */
+  private def gateRead(cs: Seq[Commit]): Seq[Commit] = {
+    val unknown = cs.flatMap(_.rfeat.getOrElse(Nil)).distinct
+      .filterNot(DeltaLite.SupportedReaderFeatures)
+    if (unknown.nonEmpty) throw new IllegalStateException(
+      s"table at $root requires reader feature(s) " +
+        unknown.mkString("'", "', '", "'") +
+        " this graft build does not support — reading would silently " +
+        "misinterpret the log (e.g. return deleted rows); upgrade to a " +
+        "build whose DeltaLite.SupportedReaderFeatures lists them")
+    cs
+  }
+
+  /** Stamp a commit record's protocol features from its CONTENT — the
+    * one place every publish site flows through, so stamps can never
+    * drift from what the record actually uses. Reader-required: dv
+    * (ignoring sidecars resurrects deleted rows), colmap (files carry
+    * physical names). Writer-required: the rest — an unaware writer
+    * would break their invariants without misreading current rows.
+    */
+  private def stampFeatures(c: Commit): Commit = {
+    val sch =
+      try DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+      catch { case scala.util.control.NonFatal(_) => new StructType() }
+    val r = Seq.newBuilder[String]
+    val w = Seq.newBuilder[String]
+    if (c.dvs.nonEmpty || c.mode == "delete") r += "dv"
+    if (c.colmap.exists(_.nonEmpty)) r += "colmap"
+    if (c.cdc.exists(_.nonEmpty)) w += "cdc"
+    if (c.checks.exists(_.nonEmpty)) w += "checks"
+    if (c.parts.exists(_.nonEmpty)) w += "parts"
+    if (identityCols(sch).nonEmpty) w += "identity"
+    if (sch.fields.exists(_.metadata.contains(
+        DeltaLite.GenerationExpressionKey))) w += "generated"
+    if (sch.fields.exists(f => f.metadata.contains("CURRENT_DEFAULT") ||
+        f.metadata.contains("EXISTS_DEFAULT"))) w += "defaults"
+    if (c.ingested.nonEmpty) w += "copyinto"
+    val (rs, ws) = (r.result().distinct, w.result().distinct)
+    c.copy(
+      rfeat = if (rs.isEmpty) c.rfeat else
+        Some((c.rfeat.getOrElse(Nil) ++ rs).distinct.sorted),
+      wfeat = if (ws.isEmpty) c.wfeat else
+        Some((c.wfeat.getOrElse(Nil) ++ ws).distinct.sorted))
+  }
+
   /** CURRENT-STATE replay sequence — the fast path behind reads,
     * writes and metadata. With a checkpoint present, replay starts
     * from the checkpoint's synthetic base commit and parses ONLY the
@@ -195,7 +256,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
     * with NO checkpoint fails fast — replaying a partial history
     * would silently fabricate a wrong table state.
     */
-  private def commits(): Seq[Commit] = latestCheckpoint() match {
+  private def commits(): Seq[Commit] = gateRead(latestCheckpoint() match {
     case Some(cp) =>
       val tail = rawRange(cp.version + 1, Int.MaxValue)
       validateChain(cp.version, tail)
@@ -209,7 +270,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
             "table state")
       validateChain(-1, raw)
       raw
-  }
+  })
 
   /** FULL per-commit history, preferred over the checkpoint splice:
     * time travel, change feeds and history audits keep working below
@@ -218,7 +279,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
     * sequence — versions below the checkpoint then collapse into its
     * synthetic base (the log-retention contract).
     */
-  private def commitsAll(): Seq[Commit] = {
+  private def commitsAll(): Seq[Commit] = gateRead {
     val raw = rawCommits()
     if (raw.isEmpty || raw.head.version == 0) { validateChain(-1, raw); raw }
     else checkpointAtOrBefore(raw.head.version) match {
@@ -238,7 +299,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
     * else the raw log from v0 — and failing with a clear error once
     * the needed records are cleaned.
     */
-  private def commitsUpTo(version: Int): Seq[Commit] = {
+  private def commitsUpTo(version: Int): Seq[Commit] = gateRead {
     val fast = commits()
     fast.headOption match {
       case Some(h) if h.version > version =>
@@ -409,9 +470,13 @@ class DeltaLite(val spark: SparkSession, val root: String,
         "\"((?:[^\"\\\\]|\\\\.)*)\"".r
           .findAllMatchIn(m.group(1)).map(x => unesc(x.group(1))).toSeq
       }
+    def featList(k: String): Option[Seq[String]] = optField(k)
+      .map(s => if (s.isEmpty) Seq.empty[String]
+        else s.split('\u001e').toSeq.map(dsep))
     Commit(field("version").toInt, field("mode"), field("schema"),
       removedPaths, files, optField("txnApp"), optField("txnId").map(_.toLong),
-      dvs, colmap, checks, parts, ingested, props, cdc)
+      dvs, colmap, checks, parts, ingested, props, cdc,
+      rfeat = featList("rfeat"), wfeat = featList("wfeat"))
   }
 
   private def renderCommit(c: Commit): String = {
@@ -461,6 +526,12 @@ class DeltaLite(val spark: SparkSession, val root: String,
         .mkString("\u001e")
       s""""props":"${esc(body)}","""
     }.getOrElse("")
+    val rfeat = c.rfeat.map(fsq =>
+      s""""rfeat":"${esc(fsq.sorted.map(escSep).mkString("\u001e"))}","""
+    ).getOrElse("")
+    val wfeat = c.wfeat.map(fsq =>
+      s""""wfeat":"${esc(fsq.sorted.map(escSep).mkString("\u001e"))}","""
+    ).getOrElse("")
     // renders directly before dvs/schema — the parse anchors on that
     val cdcJson = c.cdc.map(paths =>
       paths.map(p => "\"" + esc(p) + "\"")
@@ -472,7 +543,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
       if (c.dvs.isEmpty) ""
       else c.dvs.map(p => "\"" + esc(p) + "\"")
         .mkString("\"dvs\":[", ",", "],")
-    s"""{"version":"${c.version}","mode":"${c.mode}","sepenc":"1",$txn$statsCol$colmap$checks$parts$ingested$props$cdcJson$dvs"schema":"${esc(c.schemaJson)}","removed":$removed,"files":$files}"""
+    s"""{"version":"${c.version}","mode":"${c.mode}","sepenc":"1",$txn$statsCol$colmap$checks$parts$ingested$props$rfeat$wfeat$cdcJson$dvs"schema":"${esc(c.schemaJson)}","removed":$removed,"files":$files}"""
   }
 
   // ---- commit-log checkpoints (bounded-cost table open) ----
@@ -489,7 +560,12 @@ class DeltaLite(val spark: SparkSession, val root: String,
       colmap: Map[String, String], checks: Map[String, String],
       txns: Map[String, Long], parts: Seq[String] = Nil,
       ingested: Seq[String] = Nil,
-      props: Map[String, String] = Map.empty) {
+      props: Map[String, String] = Map.empty,
+      // UNION of the subsumed range's feature stamps — cleanLog
+      // deletes the stamped records, so the requirement must survive
+      // through the checkpoint or an unaware build would open a
+      // trimmed log it cannot interpret
+      rfeat: Seq[String] = Nil, wfeat: Seq[String] = Nil) {
     /** The state as a replay-base commit. `checkpoint` mode resets
       * the live file and DV sets like an overwrite (it IS the whole
       * state) and carries mapping/constraints/partitioning explicitly
@@ -500,7 +576,9 @@ class DeltaLite(val spark: SparkSession, val root: String,
       */
     def synthetic: Commit = Commit(version, "checkpoint", schemaJson,
       Nil, files, None, None, dvs, Some(colmap), Some(checks),
-      parts = Some(parts), ingested = ingested, props = Some(props))
+      parts = Some(parts), ingested = ingested, props = Some(props),
+      rfeat = if (rfeat.isEmpty) None else Some(rfeat),
+      wfeat = if (wfeat.isEmpty) None else Some(wfeat))
   }
 
   private val parsedCheckpoints =
@@ -569,7 +647,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
       .getOrElse(Map.empty)
     Checkpoint(c.version, c.schemaJson, c.files, c.dvs,
       c.colmap.getOrElse(Map.empty), c.checks.getOrElse(Map.empty), txns,
-      c.parts.getOrElse(Nil), c.ingested, c.props.getOrElse(Map.empty))
+      c.parts.getOrElse(Nil), c.ingested, c.props.getOrElse(Map.empty),
+      rfeat = c.rfeat.getOrElse(Nil), wfeat = c.wfeat.getOrElse(Nil))
   }
 
   /** State to checkpoint at `upTo`, built INCREMENTALLY from the
@@ -607,7 +686,9 @@ class DeltaLite(val spark: SparkSession, val root: String,
       else f.copy(min = None, max = None, keyCol = None))
     Checkpoint(upTo, cs.last.schemaJson, files, liveDvFiles(cs),
       colMapAt(cs), checksAt(cs), txns, partsAt(cs),
-      cs.flatMap(_.ingested).distinct, propsAt(cs))
+      cs.flatMap(_.ingested).distinct, propsAt(cs),
+      rfeat = cs.flatMap(_.rfeat.getOrElse(Nil)).distinct.sorted,
+      wfeat = cs.flatMap(_.wfeat.getOrElse(Nil)).distinct.sorted)
   }
 
   /** Write the checkpoint for `version` (no-op if present). Published
@@ -1184,10 +1265,24 @@ class DeltaLite(val spark: SparkSession, val root: String,
     * contract and the S3 caveat).
     */
   private def publish(record: Commit): Int = {
-    val version = record.version
+    // WRITER feature gate: committing into a log whose writer
+    // invariants this build doesn't know (a future build's identity
+    // scheme, say) would corrupt them — fail before publishing.
+    // Reader features are gated by the commits() replay every call
+    // site already performed to pick its version.
+    val priorW = commits().flatMap(_.wfeat.getOrElse(Nil)).distinct
+      .filterNot(DeltaLite.SupportedWriterFeatures)
+    if (priorW.nonEmpty) throw new IllegalStateException(
+      s"table at $root requires writer feature(s) " +
+        priorW.mkString("'", "', '", "'") +
+        " this graft build does not support — writing could break the " +
+        "features' invariants; upgrade to a build whose " +
+        "DeltaLite.SupportedWriterFeatures lists them")
+    val stamped = stampFeatures(record)
+    val version = stamped.version
     val fin = new Path(logDir, s"$version.json")
     if (!commitStore.putIfAbsent(fin,
-        renderCommit(record).getBytes(StandardCharsets.UTF_8)))
+        renderCommit(stamped).getBytes(StandardCharsets.UTF_8)))
       throw new java.util.ConcurrentModificationException(
         s"version $version at $root was committed by a concurrent writer")
     // the commit is durable above; the checkpoint is an OPTIMIZATION
@@ -3351,6 +3446,22 @@ object DeltaLite {
     * regardless of age (Delta uses the same default).
     */
   val DefaultCheckpointInterval = 10
+
+  /** Protocol features this build can READ correctly — the gate set
+    * [[gateRead]] checks every replayed record's `rfeat` stamps
+    * against (Delta's readerFeatures). A future build adds its new
+    * feature name here once the read path understands it.
+    */
+  val SupportedReaderFeatures: Set[String] = Set("dv", "colmap")
+
+  /** Protocol features this build can WRITE without breaking their
+    * invariants (Delta's writerFeatures) — checked against the log's
+    * `wfeat` stamps before any commit publishes. Readers that merely
+    * replay rows need none of these.
+    */
+  val SupportedWriterFeatures: Set[String] = Set(
+    "dv", "colmap", "cdc", "checks", "parts", "identity", "generated",
+    "defaults", "copyinto")
 
   /** Mapping-key prefix reserving a DROPPED column's physical name —
     * no logical column ever starts with this, so tombstones are inert
