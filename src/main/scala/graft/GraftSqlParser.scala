@@ -11,9 +11,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * the delegate (no hand-built plans, the CALL grammar is Spark's).
   *
   *   - `OPTIMIZE t` / `OPTIMIZE t WHERE p` / `OPTIMIZE t ZORDER BY (a, b)`
-  *   - `VACUUM t` / `VACUUM t RETAIN n VERSIONS`
-  *     (`RETAIN n HOURS` is rejected loudly: graft retention is
-  *     version-based, the time-based contract would silently differ)
+  *   - `VACUUM t` / `VACUUM t RETAIN n VERSIONS` /
+  *     `VACUUM t RETAIN n HOURS` — graft retention is natively
+  *     version-based; HOURS maps onto it by keeping every version
+  *     whose commit record published inside the window plus the
+  *     current one (the same commit-time clock `TIMESTAMP AS OF`
+  *     reads — MaintenanceSqlSpec pins the mapping)
   *   - `DESCRIBE HISTORY t` / `DESC HISTORY t` / `DESCRIBE DETAIL t`
   *   - `RESTORE [TABLE] t [TO] VERSION AS OF n`
   *   - `CREATE TABLE t2 SHALLOW|DEEP CLONE t1`

@@ -88,6 +88,7 @@ object SparkEntry {
     "q_deltalite_partition_pruned" -> (Events.deltaPartitionPruned _),
     "q_catalog_table_sql" -> (Events.catalogSql _),
     "q_dml_sql" -> (Events.dmlSql _),
+    "q_session_catalog_sql" -> (Events.sessionCatalogSql _),
     "q_dml_merge_multi" -> (Events.dmlMergeMulti _),
     "q_copy_into" -> (Events.copyIntoSql _),
     "q_sketch_setops" -> (Events.sketchSetops _),
@@ -2275,6 +2276,19 @@ object SparkEntry {
         |  CAST(SUM(total) AS DOUBLE) AS sum_total
         |FROM merged WHERE NOT deleted
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_session_catalog_sql" ->
+      """WITH base AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_type = 'view' AND user_id < 20
+        |         THEN value * 2 ELSE value END AS value
+        |  FROM events
+        |  WHERE event_type <> 'error'
+        |    AND NOT (event_type = 'click' AND user_id < 10))
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM base
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_dml_sql" ->
       """WITH base AS (
         |  SELECT event_id, user_id,

@@ -32,6 +32,19 @@ object Bfs {
     * reuses the dedup's hash(node) exchange instead of re-shuffling.
     * The visited set is a union of per-round checkpoints — linear
     * lineage, never re-materialized whole.
+    *
+    * Round batching: each materialization round expands TWO levels —
+    * level d from the counted frontier, level d+1 from level d's plan
+    * fragment inside the same job (its dedup exchange is written once
+    * and reused by its three consumers) — then checkpoints and counts
+    * once. Halves the per-round checkpoint + count + planning
+    * overhead that dominates an iterative operator at bench SF while
+    * leaving the per-level plan shape (broadcast expansion over the
+    * never-shuffled adjacency) unchanged. The second level's frontier
+    * size is unknown mid-job, so its expansion broadcasts only under
+    * `broadcastFrontierMax / 64` counted rows at level d−1 — a
+    * 64×-growth allowance; past it the round falls back to
+    * single-level steps with exact counts.
     */
   def levels(edges: DataFrame, aCol: String, bCol: String, source: Long,
       maxDepth: Int, broadcastFrontierMax: Long = 4L << 20): DataFrame = {
@@ -41,25 +54,59 @@ object Bfs {
       .union(edges.select(col(bCol).as("u"), col(aCol).as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    def expand(frontier: DataFrame, bcast: Boolean, visited: DataFrame,
+        lvl: Long): DataFrame = {
+      // fresh attribute for the frontier key: the batched second level
+      // feeds a fragment of `und` itself back in, and an unrenamed
+      // column would make the frontier⋈adjacency join self-ambiguous
+      val f0 = frontier.select($"node".as("__bfs_f"))
+      val f = if (bcast) broadcast(f0) else f0
+      // name-based references: the left side exposes only __bfs_f, so
+      // u/v resolve to the adjacency unambiguously (und(...) dataset
+      // references would trip the self-join detector here)
+      f.join(und, $"__bfs_f" === $"u")
+        .select($"v".as("node"))
+        .dropDuplicates("node")
+        .join(visited, Seq("node"), "left_anti")
+        .select($"node", lit(lvl).as("lvl"))
+    }
+
     var visited = Seq((source, 0L)).toDF("node", "lvl").localCheckpoint(true)
     var frontier = visited.select($"node")
     var frontierSize = 1L
     var depth = 0
+    val dbg = sys.env.contains("GRAFT_BFS_DEBUG")
     while (frontierSize > 0 && depth < maxDepth) {
+      val t0 = System.nanoTime()
       depth += 1
-      val f = if (frontierSize <= broadcastFrontierMax) broadcast(frontier)
-              else frontier
-      val next = f.join(und, f("node") === und("u"))
-        .select(und("v").as("node"))
-        .dropDuplicates("node")
-        .join(visited, Seq("node"), "left_anti")
-        .select($"node", lit(depth.toLong).as("lvl"))
-        .localCheckpoint(true)
-      frontierSize = next.count() // cheap: counts the checkpointed RDD
-      if (frontierSize > 0) {
-        visited = visited.unionAll(next)
-        frontier = next.select($"node")
+      val bc = frontierSize <= broadcastFrontierMax
+      val lvl1 = expand(frontier, bc, visited, depth.toLong)
+      val pair = depth < maxDepth &&
+        frontierSize <= (broadcastFrontierMax >> 6)
+      val next =
+        if (!pair) lvl1.localCheckpoint(true)
+        else {
+          depth += 1
+          // level d+1 from level d's fragment: the exclusion set is
+          // visited ∪ lvl1 (nodes at distance ≤ d); lvl1's dedup
+          // exchange serves all three references via ReuseExchange
+          val f1 = lvl1.select($"node")
+          val lvl2 = expand(f1, bcast = true, visited, depth.toLong)
+            .join(f1, Seq("node"), "left_anti")
+          lvl1.unionAll(lvl2).localCheckpoint(true)
+        }
+      // one tiny job over the checkpointed blocks: total rows AND the
+      // deepest level's rows (the next frontier) together
+      val (total, lastCount) = {
+        val r = next.agg(count(lit(1)),
+          count(when($"lvl" === depth.toLong, 1))).head()
+        (r.getLong(0), r.getLong(1))
       }
+      if (total > 0) visited = visited.unionAll(next)
+      frontier = next.filter($"lvl" === depth.toLong).select($"node")
+      frontierSize = lastCount
+      if (dbg) println(f"[bfs] depth=$depth total=$total last=$lastCount " +
+        f"took ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     und.unpersist(false)
     visited

@@ -39,8 +39,21 @@ object RunningSum {
     */
   def twoLevel(df: DataFrame, keys: Seq[String], order: Seq[Column],
       value: Column, out: String, shards: Int = 32,
+      keepShard: Boolean = false): DataFrame =
+    twoLevelMulti(df, keys, order, Seq(value -> out), shards, keepShard)
+
+  /** [[twoLevel]] for SEVERAL value columns over the same keys/order
+    * in ONE pass: one range exchange, one shard-local window, one
+    * totals aggregate and one broadcast offsets join serve every
+    * (value, out) pair — a consumer needing two cumsums over the same
+    * order (vocabGrowth's tokens+vocab) must not pay two full range
+    * shuffles for what is one partitioning.
+    */
+  def twoLevelMulti(df: DataFrame, keys: Seq[String], order: Seq[Column],
+      values: Seq[(Column, String)], shards: Int = 32,
       keepShard: Boolean = false): DataFrame = {
     require(keys.nonEmpty && order.nonEmpty, "keys and order required")
+    require(values.nonEmpty, "at least one (value, out) pair required")
     val keyCols = keys.map(col)
     // order-contiguous slices: partition i holds (key, order) tuples
     // strictly below partition i+1's — computed once on the driver
@@ -65,24 +78,32 @@ object RunningSum {
       .partitionBy((keyCols :+ col("__rs_shard")): _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged.withColumn("__rs_local", sum(value).over(wLocal))
+    val idx = values.indices
+    val local = idx.foldLeft(ranged) { (d, i) =>
+      d.withColumn(s"__rs_local_$i", sum(values(i)._1).over(wLocal))
+    }
     // per-(key, shard) totals: ≤ shards rows per key — driver scale.
     // Computed from the persisted frame directly (a plain aggregate —
     // the cumsum window is not needed to know each shard's total).
+    // All value columns aggregate in the one pass.
+    val totAggs = idx.map(i => sum(values(i)._1).as(s"__rs_tot_$i"))
     val totals = ranged
       .groupBy((keyCols :+ col("__rs_shard")): _*)
-      .agg(sum(value).as("__rs_tot"))
+      .agg(totAggs.head, totAggs.tail: _*)
     // exclusive prefix over shards of the SAME key: shard ids ascend
     // with the range order, so earlier shards are earlier rows
     val wOff = Window.partitionBy(keyCols: _*).orderBy(col("__rs_shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = totals
-      .withColumn("__rs_off", coalesce(sum(col("__rs_tot")).over(wOff), lit(0L)))
-      .select((keyCols :+ col("__rs_shard") :+ col("__rs_off")): _*)
-    val fixed = local
-      .join(broadcast(offsets), keys :+ "__rs_shard")
-      .withColumn(out, col("__rs_local") + col("__rs_off"))
-      .drop("__rs_local", "__rs_off")
+    val offsets = idx.foldLeft(totals) { (d, i) =>
+      d.withColumn(s"__rs_off_$i",
+        coalesce(sum(col(s"__rs_tot_$i")).over(wOff), lit(0L)))
+    }.select((keyCols :+ col("__rs_shard")) ++
+        idx.map(i => col(s"__rs_off_$i")): _*)
+    val fixed = idx.foldLeft(
+        local.join(broadcast(offsets), keys :+ "__rs_shard")) { (d, i) =>
+      d.withColumn(values(i)._2, col(s"__rs_local_$i") + col(s"__rs_off_$i"))
+        .drop(s"__rs_local_$i", s"__rs_off_$i")
+    }
     if (keepShard) fixed else fixed.drop("__rs_shard")
   }
 }

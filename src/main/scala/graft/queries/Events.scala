@@ -11,6 +11,22 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Events {
 
+  /** Hard cap on [[sketchSetops]]' driver-side segment list (the pair
+    * expansion is quadratic in it); past this the query fails with a
+    * clear error instead of OOMing the driver.
+    */
+  val SketchSetopsMaxTypes = 10000
+
+  /** [[madOutliers]] keeps Spark's exact `percentile` (one counter per
+    * DISTINCT cents value per type — cents-exact, what the oracle
+    * hashes) while a cheap domain probe stays at or below this bound
+    * (~16 MB of counter state per group); a wider domain (micro-priced
+    * or unbounded values at 100 TB) would grow that buffer without
+    * limit, so the medians switch to the O(capacity) KLL sketch
+    * instead (rank-error-bounded, spec-asserted past capacity).
+    */
+  val MadExactDomainBound = 1L << 20
+
   private def dsum(c: Column): Column =
     sum(c.cast(DecimalType(12, 2))).cast("double")
 
@@ -162,15 +178,34 @@ object Events {
     * Exact below the sparse threshold — which the oracle's plain
     * COUNT(DISTINCT) arithmetic checks.
     */
-  def sketchSetops(s: SparkSession, dir: String): DataFrame = {
+  def sketchSetops(s: SparkSession, dir: String): DataFrame =
+    sketchSetopsOn(Tables.events(s, dir))
+
+  /** Core of [[sketchSetops]] over any (event_type, user_id) frame;
+    * `maxTypes` is exposed for the guard spec.
+    */
+  private[graft] def sketchSetopsOn(ev: DataFrame,
+      maxTypes: Int = SketchSetopsMaxTypes): DataFrame = {
+    val s = ev.sparkSession
     import s.implicits._
     import graft.functions.SketchFunctions._
-    val states = Tables.events(s, dir)
+    val states = ev
       .groupBy($"event_type")
       .agg(distinct_state($"user_id", exactThreshold = 8192).as("st"),
         distinct_sketch($"user_id", exactThreshold = 8192).as("n"))
+    // bounded-model-state collect WITH a cardinality guard: the type
+    // list is driver metadata and the pair expansion is inherently
+    // quadratic in it — a mis-keyed column (user_id here, say) must
+    // fail loudly, not OOM the driver with a million-row collect. The
+    // limit bounds the fetch itself; the require names the cause.
     val typeRows = states.select($"event_type")
+      .limit(maxTypes + 1)
       .collect().map(_.getString(0)).sorted
+    require(typeRows.length <= maxTypes,
+      s"sketchSetops: more than $maxTypes distinct segment " +
+        "values — pairwise overlap is quadratic in segments and the " +
+        "segment list is driver-side; did you key on a high-cardinality " +
+        "column by mistake?")
     val pairs = for { a <- typeRows; b <- typeRows if a < b } yield (a, b)
     val tag = pairs.toSeq.flatMap { case (a, b) =>
       Seq((a, s"$a|$b"), (b, s"$a|$b"))
@@ -323,6 +358,42 @@ object Events {
       s"""SELECT event_type, COUNT(*) AS n_events,
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM graft.gold.$tbl
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
+  /** The SESSION-catalog `USING delta-lite LOCATION` surface
+    * end-to-end (the last SQL surface that was spec-only): a plain
+    * metastore entry whose provider is the delta-lite TableProvider —
+    * CREATE with an explicit schema + LOCATION, INSERT INTO from the
+    * flat events table, then UPDATE (copy-on-write rewrite) and
+    * DELETE (deletion-vector sidecar) routed through the SAME GraftDml
+    * conversions as graft-catalog tables, and the final aggregate read
+    * back through the commit-log FileIndex. Location + entry are
+    * dropped and recreated each run so the lifecycle is actually
+    * exercised; the oracle re-derives the end state with a CASE +
+    * anti-filter over the flat table.
+    */
+  def sessionCatalogSql(s: SparkSession, dir: String): DataFrame = {
+    val key = dir.hashCode & 0x7fffffff
+    val tbl = s"graft_scdl_$key"
+    val root = s"${sys.props("java.io.tmpdir")}/graft-scdl/$key/t"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootPath)) fs.delete(rootPath, true)
+    Tables.events(s, dir).createOrReplaceTempView("graft_scdl_src")
+    s.sql(s"CREATE TABLE $tbl (event_id BIGINT, user_id BIGINT, " +
+      s"event_type STRING, value DOUBLE) USING `delta-lite` LOCATION '$root'")
+    s.sql(s"INSERT INTO $tbl SELECT event_id, user_id, event_type, value " +
+      "FROM graft_scdl_src WHERE event_type <> 'error'")
+    s.sql(s"UPDATE $tbl SET value = value * 2 " +
+      "WHERE event_type = 'view' AND user_id < 20")
+    s.sql(s"DELETE FROM $tbl WHERE event_type = 'click' AND user_id < 10")
+    s.sql(
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM $tbl
          |GROUP BY event_type
          |ORDER BY event_type""".stripMargin)
   }
@@ -553,20 +624,47 @@ object Events {
     * every interpolated median is an exactly-representable half/quarter
     * and the deviation arithmetic stays float-deterministic. Scale:
     * the exact `percentile` aggregate buffers COUNTS PER DISTINCT
-    * VALUE per group (bounded by the cents-domain, not the row count);
-    * two grouped aggregates + one broadcast join back, no windows.
+    * VALUE per group — bounded ONLY by the cents-domain width, so a
+    * one-row domain probe picks the engine: exact percentile while the
+    * domain is at most [[MadExactDomainBound]] (price-like values —
+    * the gate case, cents-exact for the oracle), the O(capacity) KLL
+    * [[graft.functions.QuantileSketch]] beyond it (unbounded value
+    * domains at 100 TB would otherwise grow the buffer into executor
+    * OOM). Two grouped aggregates + one broadcast join back either
+    * way, no windows.
     */
   def madOutliers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.events(s, dir)
+    madOutliersOn(Tables.events(s, dir)
       .select($"event_type", $"event_id",
-        round($"value" * 100).cast("long").as("cents"))
-    val med = ev.groupBy($"event_type".as("t"))
-      .agg(expr("percentile(cents, 0.5)").as("med_cents"))
-    val dev = ev.join(broadcast(med), $"event_type" === $"t")
+        round($"value" * 100).cast("long").as("cents")))
+  }
+
+  /** Core of [[madOutliers]] over a pre-quantized (event_type,
+    * event_id, cents) frame; `exactDomainBound` is exposed for the
+    * spec that forces the sketch path on a wide synthetic domain.
+    */
+  private[graft] def madOutliersOn(ev: DataFrame,
+      exactDomainBound: Long = MadExactDomainBound): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    // one-row probe (legitimate bounded driver state, like the IVF
+    // centroid reads): ±2% HLL error is fine — the bound is a memory
+    // guard, not a semantic threshold
+    val domainWidth = ev.agg(
+      approx_count_distinct($"cents").as("d")).head.getLong(0)
+    def med(colName: String, alias: String): Column =
+      if (domainWidth <= exactDomainBound)
+        expr(s"percentile($colName, 0.5)").as(alias)
+      else graft.functions.SketchFunctions
+        .quantile_sketch(col(colName), Seq(0.5), capacity = 1 << 17)(0)
+        .as(alias)
+    val m = ev.groupBy($"event_type".as("t"))
+      .agg(med("cents", "med_cents"))
+    val dev = ev.join(broadcast(m), $"event_type" === $"t")
       .withColumn("dev", abs($"cents" - $"med_cents"))
     val mad = dev.groupBy($"t".as("t2"))
-      .agg(expr("percentile(dev, 0.5)").as("mad_cents"))
+      .agg(med("dev", "mad_cents"))
     dev.join(broadcast(mad), $"t" === $"t2")
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),

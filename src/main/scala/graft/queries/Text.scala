@@ -757,9 +757,11 @@ object Text {
     * a flat curve means saturation, a linear one duplication). Exact
     * and integer-only: a token's first appearance is min(doc_id), so
     * the per-doc new-vocabulary count is ONE hash-groupBy, and both
-    * cumulative sums run through the scale-safe two-level
-    * [[graft.ops.RunningSum.twoLevel]] (shard-local sums + broadcast
-    * offsets — never a single-partition window over the doc axis).
+    * cumulative sums run through ONE scale-safe two-level pass
+    * ([[graft.ops.RunningSum.twoLevelMulti]]: a single range exchange
+    * + shard-local sums + broadcast offsets serve both columns — never
+    * a single-partition window over the doc axis, never two shuffles
+    * for one partitioning).
     */
   def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -772,11 +774,10 @@ object Text {
       .select($"doc_id", $"n_tok",
         coalesce($"n_new", lit(0L)).as("n_new"))
       .withColumn("g", lit(1))
-    val t1 = graft.ops.RunningSum.twoLevel(perDoc, Seq("g"),
-      Seq($"doc_id"), $"n_tok", "tokens_cum")
-    val t2 = graft.ops.RunningSum.twoLevel(t1, Seq("g"),
-      Seq($"doc_id"), $"n_new", "vocab_cum")
-    t2.select($"doc_id", $"tokens_cum", $"vocab_cum").orderBy($"doc_id")
+    graft.ops.RunningSum.twoLevelMulti(perDoc, Seq("g"),
+        Seq($"doc_id"),
+        Seq($"n_tok" -> "tokens_cum", $"n_new" -> "vocab_cum"))
+      .select($"doc_id", $"tokens_cum", $"vocab_cum").orderBy($"doc_id")
   }
 
   /** Hashing-trick feature vectors: tokens land in `D` buckets by a

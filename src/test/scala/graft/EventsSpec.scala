@@ -155,4 +155,42 @@ class EventsSpec extends SparkSpec {
     // the rule actually fires somewhere on the synthetic values
     assert(rows.values.exists(_._2 > 0))
   }
+
+  test("MAD outliers: wide value domains route medians through the KLL sketch with bounded rank error") {
+    import spark.implicits._
+    // 300k rows, all-distinct cents — past the sketch capacity (2^17)
+    // so compaction actually happens, and past the forced domain bound
+    // so the sketch path (not exact percentile) runs
+    val n = 300000
+    val ev = spark.range(n.toLong)
+      .select(lit("wide").as("event_type"), col("id").as("event_id"),
+        col("id").as("cents"))
+    val sketch = Events.madOutliersOn(ev, exactDomainBound = 1000)
+      .collect().head
+    val exact = Events.madOutliersOn(ev) // 300k distinct < default bound
+      .collect().head
+    assert(sketch.getAs[Long]("n") == n.toLong)
+    // true median of 0..n-1 = (n-1)/2; KLL rank error over 300k items
+    // at capacity 2^17 is well under 1% — allow 1% of n in value terms
+    // (values are uniform, so rank error ≡ value error here)
+    val trueMed = (n - 1) / 2.0 / 100.0
+    assert(math.abs(sketch.getAs[Double]("median_v") - trueMed) <= n * 0.01 / 100.0,
+      s"sketch median ${sketch.getAs[Double]("median_v")} vs true $trueMed")
+    assert(math.abs(exact.getAs[Double]("median_v") - trueMed) < 1e-9,
+      "exact path must stay exact below the domain bound")
+    // MAD of uniform 0..n-1 is ~n/4 — same 1% rank tolerance
+    val trueMad = n / 4.0 / 100.0
+    assert(math.abs(sketch.getAs[Double]("mad_v") - trueMad) <= n * 0.01 / 100.0)
+  }
+
+  test("sketchSetops: a high-cardinality segment column fails loudly instead of OOMing the driver") {
+    import spark.implicits._
+    val ev = spark.range(5000)
+      .select(concat(lit("seg_"), col("id")).as("event_type"),
+        (col("id") % 97).as("user_id"))
+    val e = intercept[IllegalArgumentException](
+      Events.sketchSetopsOn(ev, maxTypes = 100).collect())
+    assert(e.getMessage.contains("more than 100 distinct segment"))
+    assert(e.getMessage.contains("high-cardinality"))
+  }
 }

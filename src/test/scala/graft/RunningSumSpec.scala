@@ -41,6 +41,40 @@ class RunningSumSpec extends SparkSpec {
       s"hot key must pack across shards, not one task (got $shardsUsed)")
   }
 
+  test("twoLevelMulti: both cumsums equal the naive windows from ONE range exchange") {
+    import spark.implicits._
+    val df = (1L to 3000L).map(i => (s"k${i % 3}", i, i % 7 + 1, i % 5))
+      .toDF("key", "ord", "a", "b")
+    val w = Window.partitionBy($"key").orderBy($"ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df.withColumn("ca", sum($"a").over(w))
+      .withColumn("cb", sum($"b").over(w))
+    val multi = RunningSum.twoLevelMulti(df, Seq("key"), Seq($"ord"),
+      Seq($"a" -> "ca", $"b" -> "cb"), shards = 16)
+    assert(multi.select("key", "ord", "ca", "cb").except(
+      naive.select("key", "ord", "ca", "cb")).isEmpty)
+    assert(naive.select("key", "ord", "ca", "cb").except(
+      multi.select("key", "ord", "ca", "cb")).isEmpty)
+    // the fusion claim: ONE range shuffle is actually WRITTEN for both
+    // cumsums — the second textual occurrence in the static plan must
+    // resolve to a ReusedExchange at runtime (AQE exchange reuse).
+    // Two separate twoLevel passes would write two.
+    multi.collect()
+    val finalPlan = multi.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val written = finalPlan.linesIterator
+      .filter(_.contains("Exchange rangepartitioning"))
+      .filterNot(_.contains("ReusedExchange")).size
+    val reused = finalPlan.linesIterator
+      .filter(_.contains("ReusedExchange"))
+      .count(_.contains("rangepartitioning"))
+    assert(written == 1,
+      s"fused pass must WRITE one range shuffle, saw $written:\n" +
+        finalPlan.take(3000))
+    assert(reused == 1,
+      "the second consumer must ride AQE exchange reuse, not re-shuffle")
+  }
+
   test("expression order columns (md5 order, the domainMix shape)") {
     import spark.implicits._
     val df = (1L to 800L).map(i => (s"s${i % 2}", i, i % 7 + 1)).toDF("key", "id", "v")
