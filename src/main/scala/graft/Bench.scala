@@ -36,15 +36,25 @@ object Bench {
     catch { case _: Throwable => }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // normalized plan fingerprint per query (PlanAudit.fingerprint):
+    // diffable round-over-round, so a lost broadcast or a new Exchange
+    // surfaces as a plan_sha change even when timings are noisy.
+    // Captured AFTER the timed write from the same DataFrame — zero
+    // timing impact, zero extra side effects.
+    val planShas = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      var df: org.apache.spark.sql.DataFrame = null
+      try { df = fn(spark, sfDir); df.write.format("noop").mode("overwrite").save() }
       catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .linesIterator.take(1).mkString.take(200)
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      if (df != null && !planShas.contains(name))
+        try planShas(name) = graft.tools.PlanAudit.fingerprint(df)
+        catch { case scala.util.control.NonFatal(_) => () }
       // release dedup-pass caches so iterations measure cold plans and
       // cached blocks don't accumulate across the run
       graft.ops.Dedup.releaseCaches()
@@ -89,7 +99,9 @@ object Bench {
     val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"noise_ratio":$noise,"noisy_queries":$noisy,"errors":$errJson,"sf":"$sfDir"}"""
+    val shaJson = planShas.map { case (k, v) => "\"" + esc(k) + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"noise_ratio":$noise,"noisy_queries":$noisy,"plan_sha":$shaJson,"errors":$errJson,"sf":"$sfDir"}"""
     // persist the FULL per-query map first so every timing stays
     // auditable even if stdout is lost entirely
     try java.nio.file.Files.writeString(

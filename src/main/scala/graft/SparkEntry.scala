@@ -127,6 +127,7 @@ object SparkEntry {
     "q_self_dedup_lines" -> (Text.selfDedupLines _),
     "q_feature_hash" -> (Text.featureHash _),
     "text_dup_spans" -> (Text.dupSpans _),
+    "text_dup_spans_exact" -> (Text.exactDupSpans _),
     "text_span_removal" -> (Text.spanRemoval _),
     "text_winnow_fp" -> (Text.winnowFp _),
     "text_bigram_nll" -> (Text.bigramNll _),
@@ -708,6 +709,31 @@ object SparkEntry {
         |SELECT h.doc_id, COUNT(*) AS n_spans, COUNT(dup.h) AS n_dup
         |FROM h LEFT JOIN dup ON h.h = dup.h
         |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
+    "text_dup_spans_exact" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, length(text) - 39)) AS s
+        |  FROM documents WHERE length(text) >= 40),
+        |g AS (SELECT doc_id, CAST(s AS INT) AS s,
+        |        md5(substring(text, CAST(s + 1 AS INT), 40)) AS h
+        |      FROM pos),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |fl AS (SELECT doc_id, s, s + 40 AS e FROM g JOIN dup USING (h)),
+        |iv AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s <= COALESCE(MAX(e) OVER (
+        |        PARTITION BY doc_id ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 0 ELSE 1 END AS ng
+        |  FROM fl),
+        |iv2 AS (SELECT doc_id, e, s,
+        |          SUM(ng) OVER (PARTITION BY doc_id ORDER BY s) AS grp
+        |        FROM iv),
+        |m AS (SELECT doc_id, grp, MIN(s) AS gs, MAX(e) AS ge
+        |      FROM iv2 GROUP BY doc_id, grp)
+        |SELECT doc_id, COUNT(*) AS n_spans,
+        |  CAST(SUM(ge - gs) AS BIGINT) AS dup_chars
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_span_removal" ->
       """WITH win AS (
         |  SELECT doc_id, text, CAST(i * 16 AS INT) AS s

@@ -36,23 +36,20 @@ object Graph {
     * deterministic 1/16 by md5 edge hash — both the content-hash
     * subgraph-sampling idiom and a density control (the full co-supply
     * graph tends toward a clique as SF grows). Derivation is two
-    * shuffles: one groupBy(part) builds each part's sorted supplier
-    * set (dim-bounded, ~4 per part), a codegen'd array comprehension
-    * emits its u<v pairs IN PLACE — no self-join, no second pass over
-    * the fact — and one distinct dedups pairs across parts.
+    * shuffles: distinct (part, supplier), then the per-part pair
+    * self-join — co-partitioned on the part key, and per-part supplier
+    * lists are dim-bounded so the pair expansion is, too. (An
+    * array-comprehension variant — groupBy(part) + collect_set +
+    * in-place pair explode — benched equal-to-slower at sf0.1: the
+    * ObjectHashAggregate's array state costs more than the
+    * co-partitioned join it saves.)
     */
   private[graft] def coSupplyEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, dir)
-      .select($"l_partkey".as("p"), $"l_suppkey".as("sk"))
-      .groupBy($"p").agg(sort_array(collect_set($"sk")).as("sks"))
-      // all i<j pairs of the sorted set: sorted order IS the u<v canon
-      .select(explode(expr(
-        """flatten(transform(sks, (x, i) ->
-          |  transform(slice(sks, i + 2, size(sks)),
-          |            y -> struct(x AS u, y AS v))))""".stripMargin))
-        .as("e"))
-      .select($"e.u", $"e.v").distinct()
+    val ps = Tables.lineitem(s, dir)
+      .select($"l_partkey".as("p"), $"l_suppkey".as("sk")).distinct()
+    ps.as("a").join(ps.as("b"), $"a.p" === $"b.p" && $"a.sk" < $"b.sk")
+      .select($"a.sk".as("u"), $"b.sk".as("v")).distinct()
       .filter(substring(md5(concat_ws(",", $"u", $"v")), 1, 2) < "10")
   }
 

@@ -577,10 +577,18 @@ object Text {
     * all-pairs comparison, no driver state, no broadcast of the
     * corpus.
     */
-  def dupSpans(s: SparkSession, dir: String): DataFrame = {
+  def dupSpans(s: SparkSession, dir: String): DataFrame =
+    dupSpansOn(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  /** Core of [[dupSpans]] over any (doc_id, text) frame — exposed so
+    * the exact-tier spec can demonstrate this detector's documented
+    * stride-alignment blind spot on planted duplicates.
+    */
+  private[graft] def dupSpansOn(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val w = 64; val st = 16
-    val spans = Tables.documents(s, dir).select($"doc_id",
+    val spans = docs.select($"doc_id",
       explode(when(length($"text") >= w,
         expr(s"transform(sequence(0, cast((length(text) - $w) / $st as int))" +
           s", i -> substring(text, i * $st + 1, $w))"))
@@ -592,6 +600,56 @@ object Text {
     hashed.join(dup, Seq("h"), "left")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_spans"), count($"dup").as("n_dup"))
+      .orderBy($"doc_id")
+  }
+
+  /** FULL-FIDELITY exact duplicated-span detection — the
+    * suffix-array-grade tier above [[dupSpans]]: a rolling 40-char
+    * gram at STRIDE 1 hashes every position, so any duplicated
+    * substring of length ≥ 40 shared by ≥ 2 documents is caught at
+    * every alignment (the property [[dupSpans]]' 64/16 windows give
+    * up: a misaligned 64..79-char duplicate can fall between strides
+    * there — this tier closes that gap, the same guarantee a suffix
+    * array gives ExactSubstr dedup in Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", at
+    * shuffle-friendly cost). Duplicated grams merge per document into
+    * MAXIMAL spans (gaps-and-islands), reported as span count + total
+    * covered chars. Scale: grams generate map-side in one codegen'd
+    * `transform` (only (pos, md5) pairs travel — |corpus| rows, the
+    * linear cost ExactSubstr pays by construction), duplicate
+    * detection is ONE hash-groupBy with map-side partials, the merge
+    * is a doc-bounded window — no all-pairs, no driver state.
+    */
+  def exactDupSpans(s: SparkSession, dir: String): DataFrame =
+    exactDupSpansOn(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  /** Core of [[exactDupSpans]] over any (doc_id, text) frame —
+    * exposed so the spec can plant misaligned sub-64-char duplicates
+    * and prove the stride-1 tier catches what the 64/16 windows miss.
+    */
+  private[graft] def exactDupSpansOn(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = 40
+    val hashed = docs.where(length($"text") >= w).select($"doc_id",
+      explode(expr(
+        s"transform(sequence(0, length(text) - $w), " +
+          s"i -> named_struct('s', i, 'h', md5(substring(text, i + 1, $w))))"))
+        .as("g"))
+      .select($"doc_id", $"g.s".as("s"), $"g.h".as("h"))
+    val dup = hashed.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("nd")).where($"nd" >= 2).select($"h")
+    val fl = hashed.join(dup, "h").select($"doc_id", $"s", ($"s" + w).as("e"))
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"s")
+    fl.withColumn("pmax",
+        max($"e").over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ng", when($"s" <= coalesce($"pmax", lit(-1)), 0).otherwise(1))
+      .withColumn("grp", sum($"ng").over(byDoc))
+      .groupBy($"doc_id", $"grp").agg(min($"s").as("gs"), max($"e").as("ge"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum($"ge" - $"gs").cast("long").as("dup_chars"))
       .orderBy($"doc_id")
   }
 

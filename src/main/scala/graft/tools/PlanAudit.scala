@@ -35,6 +35,34 @@ object PlanAudit {
     }
   }
 
+  /** Normalized fingerprint of a query's physical plan (12 hex chars
+    * of SHA-256): expression ids, plan ids, paths, statistics and
+    * other run-varying tokens are stripped so the hash is stable for
+    * the same PLAN SHAPE across sessions and rounds — a lost
+    * broadcast, a new Exchange, or a join-strategy flip changes it
+    * even when timings are too noisy to show the regression.
+    * Bench records one per query (`plan_sha` in the JSON artifact);
+    * diff round-over-round to catch silent plan drift.
+    */
+  def fingerprint(df: DataFrame): String = {
+    val raw = df.queryExecution.executedPlan.toString()
+    val norm = raw
+      .replaceAll("#\\d+[A-Za-z]*", "#")        // expression ids
+      .replaceAll("plan_id=\\d+", "plan_id=")
+      .replaceAll("\\bid=#?\\d+\\b", "id=")
+      .replaceAll("(?i)(file|hdfs|s3a?)://?[^\\s,\\)\\]]*", "<path>")
+      .replaceAll("/[-\\w./=*@]+", "<path>")     // absolute paths
+      .replaceAll("Statistics\\([^)]*\\)", "Statistics()")
+      .replaceAll("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}",
+        "<uuid>")
+      .replaceAll("Batched: \\w+", "Batched:")
+      .replaceAll("size=\\d+", "size=")
+      .replaceAll("rowCount=\\d+", "rowCount=")
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(norm.getBytes("UTF-8"))
+    digest.take(6).map(b => f"$b%02x").mkString
+  }
+
   def audit(df: DataFrame): Report = {
     val plan = df.queryExecution.executedPlan.toString()
     def count(marker: String): Int = marker.r.findAllIn(plan).length

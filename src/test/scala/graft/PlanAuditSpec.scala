@@ -350,6 +350,26 @@ class PlanAuditSpec extends SparkSpec {
       "aggregate must combine map-side before the exchange")
   }
 
+  test("plan fingerprint: stable across sessions, changes when the plan shape changes") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+    val parts = Tables.part(spark, sf).select("p_partkey", "p_name")
+    val bhj = li.join(org.apache.spark.sql.functions.broadcast(parts),
+      $"l_partkey" === $"p_partkey")
+    val smj = li.hint("merge").join(parts, $"l_partkey" === $"p_partkey")
+    // same query built twice → same sha (expr ids differ, hash must not)
+    val again = Tables.lineitem(spark, sf).join(
+      org.apache.spark.sql.functions.broadcast(
+        Tables.part(spark, sf).select("p_partkey", "p_name")),
+      $"l_partkey" === $"p_partkey")
+    val f1 = graft.tools.PlanAudit.fingerprint(bhj)
+    assert(f1 == graft.tools.PlanAudit.fingerprint(again),
+      "identical plan shape must fingerprint identically across builds")
+    assert(f1 != graft.tools.PlanAudit.fingerprint(smj),
+      "a join-strategy flip (lost broadcast) must change the fingerprint")
+    assert(f1.matches("[0-9a-f]{12}"))
+  }
+
   test("salted join: spreads a hot key and preserves join semantics") {
     import spark.implicits._
     val li = Tables.lineitem(spark, sf)

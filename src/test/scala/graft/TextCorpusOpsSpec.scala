@@ -18,6 +18,35 @@ class TextCorpusOpsSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("exact dup spans: stride-1 tier catches misaligned sub-64-char duplicates the 64/16 windows miss") {
+    import spark.implicits._
+    // a 45-char duplicate planted at offsets 7 and 23 — stride-16
+    // 64-char windows never align on it (too short for any window to
+    // sit inside it), so dupSpans' detector is blind here by design
+    val shared = "THE-QUICK-BROWN-FOX-JUMPS-OVER-THE-LAZY-DOGS!" // 45 chars
+    require(shared.length == 45)
+    def filler(seed: Int, n: Int): String =
+      Iterator.iterate(seed)(x => x * 1103515245 + 12345)
+        .map(x => ('a' + math.floorMod(x, 26)).toChar).take(n).mkString
+    val d1 = filler(1, 7) + shared + filler(2, 80)
+    val d2 = filler(3, 23) + shared + filler(4, 64)
+    val d3 = filler(5, 120) // no duplicate content
+    val planted = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val exact = Text.exactDupSpansOn(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("dup_chars"))).toMap
+    // both carriers report exactly one merged span of exactly 45 chars
+    // (stride-1 grams of length 40 cover positions p..p+5 → merged
+    // interval [p, p+5+40) = the full 45-char duplicate, no more)
+    assert(exact == Map(1L -> (1L, 45L), 2L -> (1L, 45L)),
+      s"stride-1 tier must localize the planted 45-char duplicate: $exact")
+    // the windowed detector misses it (the documented alignment gap)
+    val windowed = Text.dupSpansOn(planted)
+    assert(windowed.filter($"n_dup" > 0).count() == 0,
+      "64/16 windows should be blind to a misaligned 45-char duplicate " +
+        "— if this fires, the exact tier's reason-to-exist changed")
+  }
+
   test("span removal: interval merge and excision match a driver replay") {
     val w = 64; val st = 16
     def starts(t: String): Seq[Int] =
