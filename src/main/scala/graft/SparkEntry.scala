@@ -128,6 +128,7 @@ object SparkEntry {
     "q_feature_hash" -> (Text.featureHash _),
     "text_dup_spans" -> (Text.dupSpans _),
     "text_dup_spans_exact" -> (Text.exactDupSpans _),
+    "text_span_removal_exact" -> (Text.exactSpanRemoval _),
     "text_span_removal" -> (Text.spanRemoval _),
     "text_winnow_fp" -> (Text.winnowFp _),
     "text_bigram_nll" -> (Text.bigramNll _),
@@ -766,6 +767,43 @@ object SparkEntry {
         |cleaned AS (
         |  SELECT f.doc_id,
         |    string_agg(substring(d.text, f.ks + 1, f.klen), '' ORDER BY f.ord)
+        |      AS ctext
+        |  FROM frag f JOIN documents d USING (doc_id) GROUP BY f.doc_id)
+        |SELECT d.doc_id, length(d.text) AS n_chars,
+        |  CAST(coalesce(length(d.text) - length(c.ctext), 0) AS BIGINT) AS n_removed,
+        |  md5(coalesce(c.ctext, d.text)) AS cleaned_md5
+        |FROM documents d LEFT JOIN cleaned c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "text_span_removal_exact" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(range(0, length(text) - 39)) AS i
+        |  FROM documents WHERE length(text) >= 40),
+        |h AS (SELECT doc_id, CAST(i AS INT) AS s,
+        |        md5(substring(text, CAST(i + 1 AS INT), 40)) AS h
+        |      FROM pos),
+        |dup AS (SELECT h FROM h GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |fl AS (SELECT doc_id, s, s + 40 AS e FROM h JOIN dup USING (h)),
+        |m AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s <= coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |    THEN 0 ELSE 1 END AS ng
+        |  FROM fl),
+        |g AS (SELECT doc_id, s, e,
+        |        sum(ng) OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM m),
+        |iv AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM g GROUP BY doc_id, grp),
+        |piv AS (SELECT doc_id, s, e,
+        |          coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+        |        FROM iv),
+        |frag AS (
+        |  SELECT doc_id, pe AS ks, s - pe AS klen, pe AS ord FROM piv
+        |  UNION ALL
+        |  SELECT mx.doc_id, mx.me AS ks, length(d.text) - mx.me AS klen, mx.me AS ord
+        |  FROM (SELECT doc_id, max(e) AS me FROM iv GROUP BY doc_id) mx
+        |  JOIN documents d USING (doc_id)),
+        |cleaned AS (
+        |  SELECT f.doc_id,
+        |    string_agg(substring(d.text, CAST(f.ks + 1 AS INT), CAST(f.klen AS INT)), '' ORDER BY f.ord)
         |      AS ctext
         |  FROM frag f JOIN documents d USING (doc_id) GROUP BY f.doc_id)
         |SELECT d.doc_id, length(d.text) AS n_chars,

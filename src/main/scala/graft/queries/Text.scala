@@ -632,10 +632,16 @@ object Text {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val w = 40
+    // gram identity travels as xxhash64 (8-byte long, codegen'd) —
+    // hashes never surface in the output, so the oracle's md5 twin
+    // only has to agree on DUPLICATE SETS, which any collision-free
+    // hashing does (xxhash64 collision odds over |corpus| grams are
+    // ~1e-6 at 5M grams — the md5 string would shuffle 4× the bytes
+    // for the same answer)
     val hashed = docs.where(length($"text") >= w).select($"doc_id",
       explode(expr(
         s"transform(sequence(0, length(text) - $w), " +
-          s"i -> named_struct('s', i, 'h', md5(substring(text, i + 1, $w))))"))
+          s"i -> named_struct('s', i, 'h', xxhash64(substring(text, i + 1, $w))))"))
         .as("g"))
       .select($"doc_id", $"g.s".as("s"), $"g.h".as("h"))
     val dup = hashed.groupBy($"h")
@@ -676,6 +682,59 @@ object Text {
       explode(expr(
         s"transform(sequence(0, cast((length(text) - $w) / $st as int)), " +
           s"i -> named_struct('s', i * $st, 'h', md5(substring(text, i * $st + 1, $w))))"))
+        .as("sp"))
+      .select($"doc_id", $"sp.s".as("s"), $"sp.h".as("h"))
+    val dup = hashed.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("nd")).where($"nd" >= 2).select($"h")
+    val fl = hashed.join(dup, "h")
+      .select($"doc_id", $"s", ($"s" + w).as("e"))
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"s")
+    val iv = fl
+      .withColumn("pmax",
+        max($"e").over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ng", when($"s" <= coalesce($"pmax", lit(-1)), 0).otherwise(1))
+      .withColumn("grp", sum($"ng").over(byDoc))
+      .groupBy($"doc_id", $"grp").agg(min($"s").as("s"), max($"e").as("e"))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"s", $"e"))).as("ivs"))
+    docs.join(iv, Seq("doc_id"), "left")
+      .select($"doc_id", length($"text").as("n_chars"),
+        when($"ivs".isNull, $"text").otherwise(concat(
+          expr("aggregate(ivs, named_struct('p', 0, 'acc', ''), " +
+            "(a, x) -> named_struct('p', x.e, " +
+            "'acc', concat(a.acc, substring(text, a.p + 1, x.s - a.p))), " +
+            "a -> a.acc)"),
+          expr("substring(text, element_at(ivs, -1).e + 1, length(text))")))
+          .as("ctext"))
+      .select($"doc_id", $"n_chars",
+        ($"n_chars" - length($"ctext")).cast("long").as("n_removed"),
+        md5($"ctext").as("cleaned_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** FULL-FIDELITY exact substring removal — [[spanRemoval]]'s
+    * excision at [[exactDupSpans]]' stride-1 fidelity: every ≥40-char
+    * substring shared by ≥2 documents is excised at ANY alignment
+    * (the complete Lee-et-al. ExactSubstr loop: detect + remove, no
+    * stride blind spot). Same scale shape as the detector — |corpus|
+    * (pos, xxhash64) gram rows through ONE hash-groupBy, doc-bounded
+    * interval merge, higher-order-aggregate rebuild; the cleaned
+    * text's md5 is the surfaced value (engine-identical with the
+    * oracle).
+    */
+  def exactSpanRemoval(s: SparkSession, dir: String): DataFrame =
+    exactSpanRemovalOn(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  private[graft] def exactSpanRemovalOn(docs0: DataFrame): DataFrame = {
+    val s = docs0.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = 40
+    val docs = docs0.select($"doc_id", $"text")
+    val hashed = docs.where(length($"text") >= w).select($"doc_id",
+      explode(expr(
+        s"transform(sequence(0, length(text) - $w), " +
+          s"i -> named_struct('s', i, 'h', xxhash64(substring(text, i + 1, $w))))"))
         .as("sp"))
       .select($"doc_id", $"sp.s".as("s"), $"sp.h".as("h"))
     val dup = hashed.groupBy($"h")

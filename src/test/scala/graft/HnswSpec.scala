@@ -1,0 +1,68 @@
+package graft
+
+import graft.ops.{Hnsw, Similarity}
+
+/** Sharded HNSW graph index ([[graft.ops.Hnsw]]): recall against the
+  * exact brute force, deterministic rebuilds, and the parquet
+  * round-trip of the materialized index rows.
+  */
+class HnswSpec extends SparkSpec {
+
+  private val k = 10
+  private lazy val corpus = Tables.table(spark, sf01, "embeddings")
+  private lazy val queries = corpus.filter("vec_id < 25")
+
+  private def neighborSets(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, Set[Long]] =
+    df.collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  test("recall@10 vs brute force stays high across shard merges") {
+    val index = Hnsw.buildShardedIndex(corpus, "vec_id", "embedding",
+      shards = 4, m = 8, efConstruction = 64)
+    val got = neighborSets(
+      Hnsw.probe(index, queries, "vec_id", "embedding", k, ef = 96))
+    val want = neighborSets(
+      Similarity.bruteForceTopK(queries, corpus, "embedding", "vec_id", k))
+    assert(got.keySet == want.keySet)
+    val recalls = want.map { case (q, ws) =>
+      (got(q) & ws).size.toDouble / ws.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, f"mean recall@10 $mean%.3f below 0.9")
+    // every neighbor list is exactly k long (the merge never starves)
+    assert(got.values.forall(_.size == k))
+  }
+
+  test("builds are deterministic: two independent indexes probe identically") {
+    def run() = {
+      val idx = Hnsw.buildShardedIndex(corpus, "vec_id", "embedding",
+        shards = 4, m = 8, efConstruction = 64)
+      Hnsw.probe(idx, queries, "vec_id", "embedding", k, ef = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    }
+    assert(run() == run(), "rebuild must reproduce the same top-k")
+  }
+
+  test("the index is plain data: parquet round-trip probes identically") {
+    val dir = java.nio.file.Files.createTempDirectory("hnsw-idx").toString
+    val idx = Hnsw.buildShardedIndex(corpus, "vec_id", "embedding",
+      shards = 4, m = 8, efConstruction = 64)
+    idx.write.mode("overwrite").parquet(dir)
+    val direct = neighborSets(
+      Hnsw.probe(idx, queries, "vec_id", "embedding", k, ef = 64))
+    val reloaded = neighborSets(Hnsw.probe(spark.read.parquet(dir),
+      queries, "vec_id", "embedding", k, ef = 64))
+    assert(direct == reloaded)
+  }
+
+  test("level assignment is geometric-ish and reproducible") {
+    val ls = (0L until 10000L).map(Hnsw.levelOf(_, 8))
+    assert(ls == (0L until 10000L).map(Hnsw.levelOf(_, 8)))
+    val l0 = ls.count(_ == 0).toDouble / ls.size
+    // P(level 0) = 1 - m^-1 = 0.875 for m=8; allow slack
+    assert(l0 > 0.8 && l0 < 0.95, s"P(level0)=$l0")
+    assert(ls.max >= 2, "some nodes must reach upper layers")
+  }
+}

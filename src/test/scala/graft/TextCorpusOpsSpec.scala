@@ -45,6 +45,15 @@ class TextCorpusOpsSpec extends SparkSpec {
     assert(windowed.filter($"n_dup" > 0).count() == 0,
       "64/16 windows should be blind to a misaligned 45-char duplicate " +
         "— if this fires, the exact tier's reason-to-exist changed")
+    // the exact EXCISION removes precisely the planted 45 chars and
+    // reproduces the documents with the span cut out, byte-exactly
+    val removed = Text.exactSpanRemovalOn(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_removed"), r.getAs[String]("cleaned_md5"))).toMap
+    assert(removed(1L)._1 == 45L && removed(2L)._1 == 45L && removed(3L)._1 == 0L)
+    assert(removed(1L)._2 == md5hex(d1.replace(shared, "")))
+    assert(removed(2L)._2 == md5hex(d2.replace(shared, "")))
+    assert(removed(3L)._2 == md5hex(d3))
   }
 
   test("span removal: interval merge and excision match a driver replay") {
