@@ -70,8 +70,8 @@ class RenameCommitStore(fs: FileSystem) extends CommitStore {
   * is taken, across processes, with no lock. The only store here that
   * makes a `file://` table root safe for MULTIPLE JVMs (the
   * cross-process OCC spec drives two real processes through it).
-  * `fs` is used only for scheme-consistent temp cleanup of the
-  * Hadoop-side `.crc` sidecars local FS writes would otherwise leave.
+  * Writes go through java.nio directly — no Hadoop `.crc` sidecars;
+  * readers on the Hadoop local FS simply skip the absent checksum.
   */
 class LinkCommitStore extends CommitStore {
   override def putIfAbsent(fin: Path, bytes: Array[Byte]): Boolean = {
