@@ -12,12 +12,19 @@ import graft.etl.DeltaLite
   * [[graft.CrossProcessOccSpec]] launches two of these in SEPARATE
   * JVMs and then proves every version has exactly one winner and no
   * append was lost. Exit 0 = all n appends committed.
+  *
+  * `mode=mixed` additionally attempts a COMPACTION after every 5th
+  * append with the documented user retry pattern for
+  * snapshot-dependent ops — catch `ConcurrentModificationException`,
+  * re-read, retry — proving row-preserving maintenance racing a
+  * foreign appender never loses or duplicates rows across PROCESSES.
   */
 object OccWriter {
   def main(args: Array[String]): Unit = {
     val root = args(0)
     val writerId = args(1)
     val n = args(2).toInt
+    val mode = if (args.length > 3) args(3) else "append"
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName(s"graft-occ-$writerId")
@@ -28,12 +35,27 @@ object OccWriter {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     val t = new DeltaLite(spark, root)
+    var compactions = 0
     val committed = (0 until n).map { i =>
-      t.append(Seq((writerId, i)).toDF("writer", "seq"))
+      val v = t.append(Seq((writerId, i)).toDF("writer", "seq"))
+      if (mode == "mixed" && i % 5 == 4) {
+        // snapshot-dependent op racing a foreign appender: the loser
+        // must retry from a FRESH snapshot (appends don't commute
+        // with a rewrite computed against a stale live set)
+        var attempts = 0
+        var done = false
+        while (!done && attempts < 20) {
+          attempts += 1
+          try { t.compact(minFiles = 2); done = true; compactions += 1 }
+          catch { case _: java.util.ConcurrentModificationException => () }
+        }
+      }
+      v
     }
     // the committed versions prove this writer's appends landed at n
     // DISTINCT versions (append retry re-targets, never double-lands)
     println("COMMITTED=" + committed.mkString(","))
+    println("COMPACTIONS=" + compactions)
     spark.stop()
     sys.exit(if (committed.distinct.size == n) 0 else 2)
   }

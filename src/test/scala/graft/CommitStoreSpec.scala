@@ -93,4 +93,26 @@ class CommitStoreSpec extends SparkSpec {
     val fs = hadoopFs(java.nio.file.Files.createTempDirectory("cstore-fs").toString)
     assert(CommitStore.forFs(fs).isInstanceOf[LinkCommitStore])
   }
+
+  test("the public CommitStoreContract harness passes on both shipped stores and names a violated law") {
+    val d1 = java.nio.file.Files.createTempDirectory("cstore-c1").toString
+    graft.etl.CommitStoreContract.verify(new LinkCommitStore, d1)
+    val d2 = java.nio.file.Files.createTempDirectory("cstore-c2").toString
+    graft.etl.CommitStoreContract.verify(new RenameCommitStore(hadoopFs(d2)), d2)
+    // a blind-overwrite "store" (what raw S3 PUT or POSIX rename would
+    // do) must be REJECTED by the contract, naming the law
+    val broken = new CommitStore {
+      override def putIfAbsent(fin: org.apache.hadoop.fs.Path,
+          bytes: Array[Byte]): Boolean = {
+        val p = java.nio.file.Paths.get(fin.toUri.getPath)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, bytes) // last writer wins — unsafe
+        true
+      }
+    }
+    val d3 = java.nio.file.Files.createTempDirectory("cstore-c3").toString
+    val e = intercept[AssertionError](
+      graft.etl.CommitStoreContract.verify(broken, d3))
+    assert(e.getMessage.contains("law 1"))
+  }
 }
