@@ -3305,10 +3305,16 @@ class DeltaLite(val spark: SparkSession, val root: String,
     // log-recorded sizes; a stat only for pre-size-log entries
     val bytes = live.map(f => f.size.getOrElse(
       fs.getFileStatus(new Path(f.path)).getLen)).sum
+    // the protocol features the replayed log requires (reader/writer
+    // gate stamps) — what a user checks before pointing an older
+    // build at this table (Delta's DESCRIBE DETAIL tableFeatures)
+    val rfeat = cs.flatMap(_.rfeat.getOrElse(Nil)).distinct.sorted
+    val wfeat = cs.flatMap(_.wfeat.getOrElse(Nil)).distinct.sorted
     Seq((root, latestVersion.getOrElse(-1), live.size.toLong, bytes,
-      liveDvFiles(cs).size.toLong, schema.map(_.simpleString).getOrElse("")))
+      liveDvFiles(cs).size.toLong, schema.map(_.simpleString).getOrElse(""),
+      rfeat.mkString(","), wfeat.mkString(",")))
       .toDF("location", "version", "num_live_files", "size_bytes",
-        "num_live_dvs", "schema")
+        "num_live_dvs", "schema", "reader_features", "writer_features")
   }
 
   /** (path, recorded byte size) of the live files — size is None only

@@ -11,6 +11,10 @@ import org.apache.spark.sql.functions._
   * million cosines stays in WholeStageCodegen. Elements are cast to
   * double before multiply so results match any engine doing double
   * arithmetic (floats widen exactly).
+  *
+  * Tier map: [[bruteForceTopK]] (exact baseline) → sign-LSH /
+  * [[buildIvfIndex]] / PQ (coarse scale paths here) → [[Hnsw]]
+  * (sharded graph index, the recall-critical final-ranking tier).
   */
 object Similarity {
 

@@ -100,6 +100,38 @@ class FeatureGateSpec extends SparkSpec {
     assert(t2.read().count() == 4)
   }
 
+  test("detail() surfaces the table's required features (what an older build checks first)") {
+    val root = tmp()
+    val t = new DeltaLite(spark, root, Some("k"))
+    t.append(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    val before = t.detail().collect().head
+    assert(before.getAs[String]("reader_features") == "")
+    t.deleteWhere(col("k") === 2)
+    t.renameColumn("v", "w")
+    val d = t.detail().collect().head
+    assert(d.getAs[String]("reader_features") == "colmap,dv")
+  }
+
+  test("a future feature stamped in a CHECKPOINT refuses to open too (post-cleanLog path)") {
+    val root = tmp()
+    val t = new DeltaLite(spark, root, checkpointInterval = 1000)
+    (0 until 3).foreach(i => t.append(Seq((i, s"v$i")).toDF("k", "v")))
+    t.checkpointNow()
+    t.cleanLog()
+    // hand-stamp the surviving checkpoint with a future reader feature
+    val ckptPath = s"$root/_log/2.checkpoint.json"
+    val src = scala.io.Source.fromFile(ckptPath)
+    val body = try src.mkString finally src.close()
+    val w = new java.io.FileWriter(ckptPath)
+    try w.write(body.replace("\"schema\":",
+      "\"rfeat\":\"vectored-io-v12\",\"schema\":"))
+    finally w.close()
+    val t2 = new DeltaLite(spark, root)
+    val e = intercept[IllegalStateException](t2.read())
+    assert(e.getMessage.contains("vectored-io-v12"))
+    assert(e.getMessage.contains("reader feature"))
+  }
+
   test("identity/generated/partitioned tables stamp writer features") {
     val root = tmp()
     val t = new DeltaLite(spark, root, partitionBy = Seq("p"))
