@@ -1042,6 +1042,19 @@ class DeltaLite(val spark: SparkSession, val root: String,
       cdc: Option[Seq[String]] = None,
       propsOverride: Option[Map[String, String]] = None): Int = {
     val base = commits()
+    // txn idempotency re-check against the SAME snapshot this commit
+    // versions against: txnAppend's own mark check and this base read
+    // are not atomic — a sibling PROCESS landing the same (app, id)
+    // in between would otherwise double-apply at the next version
+    // (no version collision fires when base already includes it).
+    // Either the sibling's commit is in `base` (this check fires) or
+    // it isn't (the publish collides and the txn batch refuses retry)
+    // — the window is closed from both sides.
+    txn.foreach { case (app, id) =>
+      val mark = (base.filter(_.txnApp.contains(app)).flatMap(_.txnId) ++
+        latestCheckpoint().flatMap(_.txns.get(app))).maxOption
+      if (mark.exists(_ >= id)) throw new DeltaLite.TxnAlreadyApplied(app, id)
+    }
     val version = base.lastOption.map(_.version + 1).getOrElse(0)
     // an overwrite replaces every file, so no physical name survives to
     // map — mapping resets to identity (restore, which also publishes
@@ -2110,7 +2123,11 @@ class DeltaLite(val spark: SparkSession, val root: String,
           DedupAppend.newRows(df, read(), k)
         case _ => df
       }
-      Some(commit(fresh, "append", txn = Some((appId, txnId))))
+      // commit() re-checks the mark against its OWN base snapshot —
+      // a sibling process landing this id between the check above and
+      // the commit surfaces here as already-applied, not a double
+      try Some(commit(fresh, "append", txn = Some((appId, txnId))))
+      catch { case _: DeltaLite.TxnAlreadyApplied => None }
     }
   }
 
@@ -2149,7 +2166,9 @@ class DeltaLite(val spark: SparkSession, val root: String,
   def txnUpsert(df: DataFrame, key: String, appId: String,
       txnId: Long): Option[Int] =
     if (lastTxn(appId).exists(_ >= txnId)) None
-    else Some(upsertImpl(df, Seq(key), Some((appId, txnId))))
+    else
+      try Some(upsertImpl(df, Seq(key), Some((appId, txnId))))
+      catch { case _: DeltaLite.TxnAlreadyApplied => None }
 
   /** Full MERGE INTO with clause conditions — the general form of
     * [[upsert]] (reference: README.md "ACID transactions / incremental
@@ -2430,8 +2449,10 @@ class DeltaLite(val spark: SparkSession, val root: String,
       insertWhen: Option[Column] = None,
       appId: String, txnId: Long): Option[Int] =
     if (lastTxn(appId).exists(_ >= txnId)) None
-    else Some(merge(source, key, deleteWhen, updateWhen, insertWhen,
-      Some((appId, txnId))))
+    else
+      try Some(merge(source, key, deleteWhen, updateWhen, insertWhen,
+        Some((appId, txnId))))
+      catch { case _: DeltaLite.TxnAlreadyApplied => None }
 
   /** Replay-guarded [[mergeOn]] — the composite-key / BY SOURCE form
     * of [[txnMerge]] for streaming micro-batches. */
@@ -2446,9 +2467,11 @@ class DeltaLite(val spark: SparkSession, val root: String,
       bySourceUpdateSet: Option[Seq[(String, Column)]] = None,
       appId: String, txnId: Long): Option[Int] =
     if (lastTxn(appId).exists(_ >= txnId)) None
-    else Some(mergeOn(source, keys, deleteWhen, updateWhen, insertWhen,
-      Some((appId, txnId)), updateSet, insertSet,
-      bySourceDeleteWhen, bySourceUpdateWhen, bySourceUpdateSet))
+    else
+      try Some(mergeOn(source, keys, deleteWhen, updateWhen, insertWhen,
+        Some((appId, txnId)), updateSet, insertSet,
+        bySourceDeleteWhen, bySourceUpdateWhen, bySourceUpdateSet))
+      catch { case _: DeltaLite.TxnAlreadyApplied => None }
 
   private def upsertImpl(df: DataFrame, keys: Seq[String],
       txn: Option[(String, Long)]): Int = {
@@ -3452,6 +3475,14 @@ object DeltaLite {
     * regardless of age (Delta uses the same default).
     */
   val DefaultCheckpointInterval = 10
+
+  /** Thrown by the commit path when a txn-stamped batch's (app, id) is
+    * already covered by the snapshot the commit versions against —
+    * the cross-process half of exactly-once (see commit()'s re-check);
+    * [[DeltaLite.txnAppend]] translates it to `None` (already applied).
+    */
+  private[etl] final class TxnAlreadyApplied(app: String, id: Long)
+    extends RuntimeException(s"txn ($app, $id) already applied")
 
   /** Protocol features this build can READ correctly — the gate set
     * [[gateRead]] checks every replayed record's `rfeat` stamps

@@ -35,6 +35,32 @@ object OccWriter {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     val t = new DeltaLite(spark, root)
+    if (mode == "txn") {
+      // exactly-once replay race: BOTH processes offer every batch id
+      // under ONE app id — the txn high-water mark plus CME-retry must
+      // land each batch exactly once, whichever process wins it (the
+      // cross-process form of the streaming sink's epoch protocol)
+      var landed = 0
+      (0 until n).foreach { i =>
+        var done = false
+        var attempts = 0
+        while (!done && attempts < 30) {
+          attempts += 1
+          try {
+            // txnAppend is a no-op (None) once the mark covers i —
+            // including when the SIBLING process landed it
+            if (t.txnAppend(Seq((writerId, i)).toDF("writer", "seq"),
+                appId = "occ-xp", txnId = i.toLong).isDefined) landed += 1
+            done = true
+          }
+          catch { case _: java.util.ConcurrentModificationException => () }
+        }
+        if (!done) sys.exit(3) // starved — surface loudly
+      }
+      println("LANDED=" + landed)
+      spark.stop()
+      sys.exit(0)
+    }
     var compactions = 0
     val committed = (0 until n).map { i =>
       val v = t.append(Seq((writerId, i)).toDF("writer", "seq"))

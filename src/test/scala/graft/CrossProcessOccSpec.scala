@@ -110,4 +110,29 @@ class CrossProcessOccSpec extends SparkSpec {
       .map(_.stripPrefix("COMPACTIONS=").trim.toInt).getOrElse(0)
     assert(compactions >= 1, "no compaction ever committed — vacuous run")
   }
+
+  test("cross-process EXACTLY-ONCE: two JVMs replaying the same txn batch ids land each batch once") {
+    val root = java.nio.file.Files.createTempDirectory("graft-occ-txn").toString
+    val perWriter = 20
+    // both writers offer batches 0..19 under ONE app id — the
+    // streaming-sink epoch protocol raced across processes
+    val (p1, log1) = launch(root, "alpha", perWriter, mode = "txn")
+    val (p2, log2) = launch(root, "beta", perWriter, mode = "txn")
+    val (e1, e2) = (p1.exitValue(), p2.exitValue())
+    assert(e1 == 0, s"alpha failed:\n${log1.toString.takeRight(4000)}")
+    assert(e2 == 0, s"beta failed:\n${log2.toString.takeRight(4000)}")
+
+    val t = new DeltaLite(spark, root)
+    // each batch id exactly once, from WHICHEVER process won it —
+    // no batch dropped, none double-applied
+    val seqs = t.read().collect().map(r => r.getInt(1)).sorted.toSeq
+    assert(seqs == (0 until perWriter), s"batches must land exactly once: $seqs")
+    // the two processes' landed counts partition the batch set
+    def landed(log: StringBuilder): Int = log.toString.linesIterator
+      .find(_.startsWith("LANDED="))
+      .map(_.stripPrefix("LANDED=").trim.toInt).getOrElse(-1)
+    assert(landed(log1) + landed(log2) == perWriter,
+      s"landed counts must partition the batches: " +
+        s"${landed(log1)} + ${landed(log2)} != $perWriter")
+  }
 }
