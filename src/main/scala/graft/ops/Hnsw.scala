@@ -51,7 +51,8 @@ object Hnsw {
     * `ef` best found. Returns the `ef` best as (node, sim), cosine
     * desc with index tie-break.
     */
-  private def searchLayer(q: Array[Float], vecs: Array[Array[Float]],
+  private def searchLayer(q: Array[Float],
+      vecs: scala.collection.IndexedSeq[Array[Float]],
       adjOf: Int => scala.collection.IndexedSeq[Int], eps: Seq[Int],
       ef: Int): mutable.ArrayBuffer[(Int, Double)] = {
     // max-heap on (sim, -index): equal sims dequeue the smaller index
@@ -109,16 +110,17 @@ object Hnsw {
     /** Greedy top-layer descent, then an `ef`-beam at layer 0. */
     def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] = {
       if (ids.isEmpty) return Nil
+      val vw = scala.collection.immutable.ArraySeq.unsafeWrapArray(vecs)
       var eps = Seq(entry)
       var l = levels(entry)
       while (l > 0) {
         val lvl = l
-        eps = Seq(searchLayer(q, vecs,
+        eps = Seq(searchLayer(q, vw,
           (c: Int) => scala.collection.immutable.ArraySeq.unsafeWrapArray(
             nbrs(lvl)(c)), eps, 1).head._1)
         l -= 1
       }
-      searchLayer(q, vecs,
+      searchLayer(q, vw,
         (c: Int) => scala.collection.immutable.ArraySeq.unsafeWrapArray(
           nbrs(0)(c)), eps, math.max(ef, k))
         .take(k).map { case (i, s) => (ids(i), s) }.toSeq
@@ -146,35 +148,64 @@ object Hnsw {
     * growing adjacency buffers directly — no per-insert graph copy.
     */
   private[ops] def buildGraph(rows: Array[(Long, Array[Float])], m: Int,
+      efConstruction: Int): ShardGraph = insertAll(None, rows, m, efConstruction)
+
+  /** Insert `rows` (sorted by id) into `base` — HNSW inserts are the
+    * paper's own incremental-maintenance path, so appending to an
+    * existing shard graph IS the build loop continued: the base's
+    * nodes, levels, links and entry point carry over untouched except
+    * where a new node's backlinks trim an overflowing neighbor list.
+    */
+  private[ops] def insertAll(base: Option[ShardGraph],
+      rows: Array[(Long, Array[Float])], m: Int,
       efConstruction: Int): ShardGraph = {
-    val sorted = rows.sortBy(_._1)
-    val ids = sorted.map(_._1)
-    val vecs = sorted.map(_._2)
-    val n = ids.length
-    val levels = ids.map(levelOf(_, m))
-    val maxLevel = if (n == 0) 0 else levels.max
-    val adj = Array.tabulate(maxLevel + 1)(_ =>
-      Array.fill(n)(mutable.ArrayBuffer.empty[Int]))
-    def capOf(level: Int) = if (level == 0) 2 * m else m
+    val ids = mutable.ArrayBuffer.empty[Long]
+    val vecs = mutable.ArrayBuffer.empty[Array[Float]]
+    val levels = mutable.ArrayBuffer.empty[Int]
+    // adj(level)(node); levels and nodes both grow
+    val adj = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[mutable.ArrayBuffer[Int]]]
     var entry = -1
     var entryLevel = -1
-    var i = 0
-    while (i < n) {
-      val lvl = levels(i)
+    base.foreach { g =>
+      ids ++= g.ids
+      vecs ++= g.vecs
+      levels ++= g.levels
+      g.nbrs.foreach { lvl =>
+        adj += mutable.ArrayBuffer.from(lvl.map(a => mutable.ArrayBuffer.from(a)))
+      }
+      if (g.ids.nonEmpty) { entry = g.entry; entryLevel = g.levels(g.entry) }
+    }
+    def ensureCapacity(upToLevel: Int): Unit = {
+      val n = ids.length
+      while (adj.length <= upToLevel)
+        adj += mutable.ArrayBuffer.fill(n)(mutable.ArrayBuffer.empty[Int])
+      adj.foreach { la =>
+        while (la.length < n) la += mutable.ArrayBuffer.empty[Int]
+      }
+    }
+    def capOf(level: Int) = if (level == 0) 2 * m else m
+    val sorted = rows.sortBy(_._1)
+    var r = 0
+    while (r < sorted.length) {
+      val (id, v) = sorted(r)
+      val i = ids.length
+      val lvl = levelOf(id, m)
+      ids += id; vecs += v; levels += lvl
+      ensureCapacity(math.max(lvl, math.max(entryLevel, 0)))
       if (entry < 0) { entry = i; entryLevel = lvl }
       else {
         var eps = Seq(entry)
         var l = entryLevel
         while (l > lvl) { // greedy descent above the node's level
           val lv = l
-          eps = Seq(searchLayer(vecs(i), vecs, (c: Int) => adj(lv)(c),
+          eps = Seq(searchLayer(v, vecs, (c: Int) => adj(lv)(c),
             eps, 1).head._1)
           l -= 1
         }
         var level = math.min(lvl, entryLevel)
         while (level >= 0) {
           val lv = level
-          val w = searchLayer(vecs(i), vecs, (c: Int) => adj(lv)(c), eps,
+          val w = searchLayer(v, vecs, (c: Int) => adj(lv)(c), eps,
             efConstruction)
           val chosen = w.take(m).map(_._1)
           chosen.foreach { nb =>
@@ -196,9 +227,10 @@ object Hnsw {
         }
         if (lvl > entryLevel) { entry = i; entryLevel = lvl }
       }
-      i += 1
+      r += 1
     }
-    new ShardGraph(ids, vecs, levels, adj.map(_.map(_.toArray.distinct)),
+    new ShardGraph(ids.toArray, vecs.toArray, levels.toArray,
+      adj.map(_.map(_.toArray.distinct).toArray).toArray,
       math.max(entry, 0))
   }
 
@@ -234,11 +266,48 @@ object Hnsw {
         if (rows.isEmpty) Iterator.empty
         else {
           val g = buildGraph(rows, m, efConstruction)
-          Iterator.single((TaskContext.getPartitionId(), rows.length,
+          Iterator.single((TaskContext.getPartitionId(), rows.length.toLong,
             serialize(g)))
         }
       }
       .toDF("shard", "n", "graph")
+  }
+
+  /** Incremental maintenance — the IVF-append analogue for the graph
+    * tier ([[Similarity.appendToIvfIndex]]): new vectors route to
+    * their shard by the SAME hash rule the build used
+    * (`pmod(hash(id), shards)` is exactly `repartition(shards, id)`'s
+    * partition id), and ONLY the touched shards deserialize, continue
+    * the paper's own incremental insert loop ([[insertAll]]) and
+    * re-serialize — O(new vectors × log shard), untouched shard rows
+    * pass through byte-identical. A shard with no prior row (possible
+    * when the build saw no vector for it) gets a fresh graph. Unlike
+    * IVF's append (assignment to FIXED centroids ≡ whole-built), an
+    * HNSW graph is insert-order dependent, so the contract is recall
+    * parity, not graph identity — the spec asserts it.
+    */
+  def appendToShardedIndex(index: DataFrame, newVectors: DataFrame,
+      idCol: String, vecCol: String, shards: Int,
+      m: Int = 8, efConstruction: Int = 64): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val fresh = newVectors
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("v"))
+      .withColumn("shard", pmod(hash($"id"), lit(shards)).cast("int"))
+      .groupBy($"shard")
+      .agg(collect_list(struct($"id", $"v")).as("incoming"))
+    val untouched = index.join(fresh.select($"shard"), Seq("shard"), "left_anti")
+    val updated = index.join(fresh, Seq("shard"), "right_outer")
+      .select($"shard", $"graph", $"incoming")
+      .as[(Int, Array[Byte], Seq[(Long, Array[Float])])]
+      .map { case (shard, graphBytes, incoming) =>
+        val g = insertAll(Option(graphBytes).map(deserialize),
+          incoming.toArray, m, efConstruction)
+        (shard, g.ids.length.toLong, serialize(g))
+      }
+      .toDF("shard", "n", "graph")
+    untouched.unionByName(updated)
   }
 
   /** Probe every shard graph with every query and merge per-query

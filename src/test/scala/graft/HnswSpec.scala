@@ -57,6 +57,56 @@ class HnswSpec extends SparkSpec {
     assert(direct == reloaded)
   }
 
+  test("incremental append: recall parity with the grown corpus, appended ids retrievable") {
+    val base = corpus.filter("vec_id < 400")
+    val extra = corpus.filter("vec_id >= 400")
+    val idx = Hnsw.buildShardedIndex(base, "vec_id", "embedding",
+      shards = 4, m = 8, efConstruction = 64)
+    val grown = Hnsw.appendToShardedIndex(idx, extra, "vec_id", "embedding",
+      shards = 4, m = 8, efConstruction = 64)
+    // every vector is in exactly one shard afterwards
+    assert(grown.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+      == corpus.count())
+    val got = neighborSets(
+      Hnsw.probe(grown, queries, "vec_id", "embedding", k, ef = 96))
+    val want = neighborSets(
+      Similarity.bruteForceTopK(queries, corpus, "embedding", "vec_id", k))
+    val recalls = want.map { case (q, ws) => (got(q) & ws).size.toDouble / ws.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.85, f"post-append mean recall@10 $mean%.3f below 0.85")
+    // appended vectors are first-class: wherever brute force ranks an
+    // appended id into a top-10, the grown index can find appended ids
+    if (want.values.exists(_.exists(_ >= 400L)))
+      assert(got.values.exists(_.exists(_ >= 400L)),
+        "appended ids never surface although brute force ranks them")
+    // appending twice from the same inputs reproduces the same answers
+    val grown2 = Hnsw.appendToShardedIndex(idx, extra, "vec_id", "embedding",
+      shards = 4, m = 8, efConstruction = 64)
+    assert(neighborSets(Hnsw.probe(grown2, queries, "vec_id", "embedding",
+      k, ef = 96)) == got)
+  }
+
+  test("incremental append touches only the routed shards — the rest pass through byte-identical") {
+    val base = corpus.filter("vec_id < 499")
+    val one = corpus.filter("vec_id = 499")
+    val idx = Hnsw.buildShardedIndex(base, "vec_id", "embedding",
+      shards = 8, m = 8, efConstruction = 64).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getAs[Array[Byte]](2))).toMap
+    val idxDf = {
+      import spark.implicits._
+      idx.toSeq.map { case (s, (n, g)) => (s, n, g) }.toDF("shard", "n", "graph")
+    }
+    val grown = Hnsw.appendToShardedIndex(idxDf, one, "vec_id", "embedding",
+      shards = 8, m = 8, efConstruction = 64).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getAs[Array[Byte]](2))).toMap
+    val touched = grown.filter { case (s, (n, _)) => n != idx.get(s).map(_._1).getOrElse(0L) }
+    assert(touched.size == 1, s"one new vector must touch one shard: ${touched.keySet}")
+    (grown.keySet - touched.keySet.head).foreach { s =>
+      assert(java.util.Arrays.equals(grown(s)._2, idx(s)._2),
+        s"untouched shard $s must pass through byte-identical")
+    }
+  }
+
   test("level assignment is geometric-ish and reproducible") {
     val ls = (0L until 10000L).map(Hnsw.levelOf(_, 8))
     assert(ls == (0L until 10000L).map(Hnsw.levelOf(_, 8)))
