@@ -46,6 +46,14 @@ object PlanAudit {
     */
   def fingerprint(df: DataFrame): String = {
     val raw = df.queryExecution.executedPlan.toString()
+    val norm = normalizedForTest(raw)
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(norm.getBytes("UTF-8"))
+    digest.take(6).map(b => f"$b%02x").mkString
+  }
+
+  /** The normalization behind [[fingerprint]], exposed for diffing. */
+  private[graft] def normalizedForTest(raw: String): String = {
     val norm = raw
       .replaceAll("#\\d+[A-Za-z]*", "#")        // expression ids
       .replaceAll("plan_id=\\d+", "plan_id=")
@@ -58,9 +66,14 @@ object PlanAudit {
       .replaceAll("Batched: \\w+", "Batched:")
       .replaceAll("size=\\d+", "size=")
       .replaceAll("rowCount=\\d+", "rowCount=")
-    val digest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(norm.getBytes("UTF-8"))
-    digest.take(6).map(b => f"$b%02x").mkString
+      // JVM-run-varying identities: synthetic lambda class ids
+      // (MapPartitions graft.ops.X$$Lambda$2678) and object identity
+      // hashes of embedded literals ([B@3095c449 — e.g. a runtime
+      // Bloom filter's bytes) change per session without any plan
+      // change — both must not flap the fingerprint
+      .replaceAll("Lambda\\$\\d+", "Lambda\\$")
+      .replaceAll("@[0-9a-f]{4,}", "@")
+    norm
   }
 
   def audit(df: DataFrame): Report = {
