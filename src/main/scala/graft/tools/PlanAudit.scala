@@ -35,45 +35,61 @@ object PlanAudit {
     }
   }
 
-  /** Normalized fingerprint of a query's physical plan (12 hex chars
-    * of SHA-256): expression ids, plan ids, paths, statistics and
-    * other run-varying tokens are stripped so the hash is stable for
-    * the same PLAN SHAPE across sessions and rounds — a lost
-    * broadcast, a new Exchange, or a join-strategy flip changes it
-    * even when timings are too noisy to show the regression.
-    * Bench records one per query (`plan_sha` in the JSON artifact);
-    * diff round-over-round to catch silent plan drift.
+  /** STRUCTURAL fingerprint of a query's physical plan (12 hex chars
+    * of SHA-256 over the tree's shape): per line, the tree depth plus
+    * the operator tokens that define the plan's strategy — node name,
+    * exchange partitioning kind, join type, scan format. A lost
+    * broadcast, a new Exchange, a join-strategy flip or an
+    * added/removed operator changes it; argument text is deliberately
+    * EXCLUDED because it is unstable for the same shape (Spark
+    * truncates long argument strings at width budgets that shift with
+    * expression-id digits; Catalyst emits equivalent plans with
+    * reordered grouping keys; lambda variables and object identity
+    * hashes differ per run). Bench records one per query (`plan_sha`
+    * in the JSON artifact); diff round-over-round to catch silent plan
+    * drift even when timings are too noisy to show it. Argument-level
+    * hygiene (pushed filters, read schemas) is [[audit]]'s job.
     */
   def fingerprint(df: DataFrame): String = {
-    val raw = df.queryExecution.executedPlan.toString()
-    val norm = normalizedForTest(raw)
+    val norm = normalizedForTest(df.queryExecution.executedPlan.toString())
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(norm.getBytes("UTF-8"))
     digest.take(6).map(b => f"$b%02x").mkString
   }
 
-  /** The normalization behind [[fingerprint]], exposed for diffing. */
+  // strategy-bearing keywords worth keeping beyond the node name
+  private val StrategyTokens = Set(
+    "hashpartitioning", "rangepartitioning", "SinglePartition",
+    "RoundRobinPartitioning", "ENSURE_REQUIREMENTS", "REPARTITION_BY_NUM",
+    "REBALANCE_PARTITIONS_BY_NONE",
+    "Inner", "LeftOuter", "RightOuter", "FullOuter", "LeftSemi",
+    "LeftAnti", "Cross", "ExistenceJoin",
+    "BuildLeft", "BuildRight",
+    "parquet", "orc", "json", "csv", "text")
+
+  /** The line-signature reduction behind [[fingerprint]] — exposed so
+    * a regression can be diffed as text, not just as hashes.
+    */
   private[graft] def normalizedForTest(raw: String): String = {
-    val norm = raw
-      .replaceAll("#\\d+[A-Za-z]*", "#")        // expression ids
-      .replaceAll("plan_id=\\d+", "plan_id=")
-      .replaceAll("\\bid=#?\\d+\\b", "id=")
-      .replaceAll("(?i)(file|hdfs|s3a?)://?[^\\s,\\)\\]]*", "<path>")
-      .replaceAll("/[-\\w./=*@]+", "<path>")     // absolute paths
-      .replaceAll("Statistics\\([^)]*\\)", "Statistics()")
-      .replaceAll("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}",
-        "<uuid>")
-      .replaceAll("Batched: \\w+", "Batched:")
-      .replaceAll("size=\\d+", "size=")
-      .replaceAll("rowCount=\\d+", "rowCount=")
-      // JVM-run-varying identities: synthetic lambda class ids
-      // (MapPartitions graft.ops.X$$Lambda$2678) and object identity
-      // hashes of embedded literals ([B@3095c449 — e.g. a runtime
-      // Bloom filter's bytes) change per session without any plan
-      // change — both must not flap the fingerprint
-      .replaceAll("Lambda\\$\\d+", "Lambda\\$")
-      .replaceAll("@[0-9a-f]{4,}", "@")
-    norm
+    val word = "[A-Za-z_][A-Za-z0-9_]*".r
+    raw.linesIterator
+      // AQE prints "== Final Plan ==" sections when executed; the
+      // section markers and empty lines carry no structure
+      .filterNot(l => l.trim.isEmpty || l.contains("== "))
+      .map { line =>
+        val depth = line.indexOf("+-") match {
+          case -1 => 0
+          case d => d
+        }
+        // strip tree-drawing + the codegen star "*(12) " so the node
+        // name is the first word; keep every strategy-bearing token
+        val body = line.dropWhile(c => !c.isLetter)
+        val words = word.findAllIn(body).toList
+        val name = words.headOption.getOrElse("")
+        val extra = words.drop(1).filter(StrategyTokens)
+        s"$depth ${(name +: extra).mkString(" ")}"
+      }
+      .mkString("\n")
   }
 
   def audit(df: DataFrame): Report = {
