@@ -104,6 +104,9 @@ object SparkEntry {
     "q_gopher_repetition" -> (Text.gopherRepetition _),
     "q_inverted_index" -> (Text.invertedIndex _),
     "q_bm25" -> (Text.bm25 _),
+    // RRF fusion of the bm25 and cosine rankings — two bounded top-50
+    // lists, one tiny full-outer rank join, no corpus re-scan
+    "q_hybrid_rrf" -> (Text.hybridRrf _),
     "q_pack_sequences" -> (Text.packSequences _),
     "q_token_freq" -> (Text.tokenFreq _),
     "q_length_histogram" -> (Text.lengthHistogram _),
@@ -160,6 +163,10 @@ object SparkEntry {
     "dedup_simhash" -> (Text.dedupSimhash _),
     "dedup_ngram_jaccard" -> (Text.dedupNgramJaccard _),
     "dedup_embedding" -> (Text.dedupEmbedding _),
+    // SemDeDup: embedding-space semantic dedup, md5-centroid variant —
+    // assignment + cluster-bounded pruning + min-id survivor re-derive
+    // in SQL (oracled); trained-centroid path spec'd in SimilaritySpec
+    "dedup_semantic" -> (Vectors.dedupSemantic _),
     "ann_bruteforce_topk" -> (Vectors.annBruteForce _),
     // md5-plane variant: the full LSH chain re-derives in SQL (oracled)
     "ann_lsh_topk" -> (Vectors.annLsh _),
@@ -171,6 +178,10 @@ object SparkEntry {
     // re-derive in SQL (oracled); trained-codebook path recall-spec'd
     // in SimilaritySpec
     "ann_pq_topk" -> (Vectors.annPq _),
+    // graph tier, invariant-twin oracled: planted-twin queries make
+    // exact top-k the SQL-derivable truth; recall at approximate
+    // settings stays spec'd in HnswSpec
+    "ann_hnsw_topk" -> (Vectors.annHnsw _),
     "q_events_tumbling" -> (Events.tumbling _),
     "q_retention" -> (Events.retention _),
     "q_funnel" -> (Events.funnel _),
@@ -1147,6 +1158,60 @@ object SparkEntry {
         |SELECT doc_id, SUM(sc_micro) / 1e6 AS bm25
         |FROM partial GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin,
+    // RRF fusion re-derived: the q_bm25 chain verbatim → top-50 rank,
+    // the ann_bruteforce cosine chain against vector 0 → top-50 rank,
+    // one full-outer rank join, score = Σ 1/(60+rank) — a single IEEE
+    // addition of engine-identical doubles, hence hash-exact.
+    "q_hybrid_rrf" ->
+      """WITH dl AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE term IN ('spark', 'vector', 'merge')
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |partial AS (
+        |  SELECT tf.doc_id,
+        |    CAST(FLOOR(
+        |      ln((n_docs - df.df + 5e-1) / (df.df + 5e-1) + 1e0) *
+        |        (tf.tf * 22e-1) /
+        |        (tf.tf + 12e-1 * (25e-2 + 75e-2 * dl.dl / avgdl)) * 1e6
+        |    ) AS BIGINT) AS sc_micro
+        |  FROM tf JOIN df USING (term) CROSS JOIN stats
+        |  JOIN dl ON tf.doc_id = dl.doc_id),
+        |bmtop AS (
+        |  SELECT doc_id, SUM(sc_micro) / 1e6 AS bm25
+        |  FROM partial GROUP BY doc_id
+        |  ORDER BY bm25 DESC, doc_id LIMIT 50),
+        |bmrank AS (
+        |  SELECT doc_id, CAST(ROW_NUMBER() OVER
+        |    (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS bm25_rank
+        |  FROM bmtop),
+        |q AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |costop AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    list_sum(list_transform(list_zip(qv, e.embedding), x -> x[1] * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM embeddings e, q WHERE e.vec_id <> 0
+        |  ORDER BY cosine DESC, doc_id LIMIT 50),
+        |cosrank AS (
+        |  SELECT doc_id, CAST(ROW_NUMBER() OVER
+        |    (ORDER BY cosine DESC, doc_id) AS BIGINT) AS cos_rank
+        |  FROM costop)
+        |SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+        |  COALESCE(b.bm25_rank, 0) AS bm25_rank,
+        |  COALESCE(c.cos_rank, 0) AS cos_rank,
+        |  COALESCE(1e0 / (b.bm25_rank + 60), 0e0) +
+        |    COALESCE(1e0 / (c.cos_rank + 60), 0e0) AS rrf
+        |FROM bmrank b FULL OUTER JOIN cosrank c ON b.doc_id = c.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     "q_pack_sequences" ->
       """WITH d AS (
         |  SELECT doc_id, lang,
@@ -1923,6 +1988,53 @@ object SparkEntry {
         |SELECT id_a, id_b, round(cosine, 6) AS cosine FROM pairs
         |WHERE cosine >= 0.95
         |ORDER BY id_a, id_b""".stripMargin,
+    // SemDeDup re-derived end-to-end: md5 centroid matrix (the ann_ivf
+    // CTEs), argmax-cosine cluster assignment (ties to the lower cell),
+    // cluster-bounded τ-pruning against lower-id mates, min-id
+    // survivor. Full (vec_id, cluster, kept) equality pins assignment,
+    // candidate bounding AND survivor choice.
+    "dedup_semantic" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000 AS vec_id,
+        |    list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) +
+        |      CASE WHEN (i - 1) % 7 = 0 THEN 0.05 ELSE -0.01 END) AS v
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |cent AS (
+        |  SELECT c.c AS cl_id,
+        |    list_transform(generate_series(0, 63), d ->
+        |      ('0x' || substr(md5('ivf,' || CAST(c.c AS VARCHAR) || ',' ||
+        |           CAST(d AS VARCHAR)), 1, 15))::BIGINT
+        |        / 1152921504606846976.0 - 0.5) AS cv
+        |  FROM generate_series(0, 15) c(c)),
+        |cnorm AS (
+        |  SELECT cl_id, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn
+        |  FROM cent),
+        |sims AS (
+        |  SELECT b.vec_id, c.cl_id,
+        |    list_sum(list_transform(list_zip(b.v, c.cv), x -> x[1] * x[2]))
+        |    / (sqrt(list_sum(list_transform(b.v, x -> x * x))) * c.cn) AS sim
+        |  FROM base b CROSS JOIN cnorm c),
+        |assign AS (
+        |  SELECT vec_id, cl_id AS cluster FROM (
+        |    SELECT vec_id, cl_id,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cl_id) AS r
+        |    FROM sims) t WHERE r = 1),
+        |dropped AS (
+        |  SELECT DISTINCT x.vec_id
+        |  FROM assign x
+        |  JOIN assign m ON x.cluster = m.cluster AND m.vec_id < x.vec_id
+        |  JOIN base bx ON bx.vec_id = x.vec_id
+        |  JOIN base bm ON bm.vec_id = m.vec_id
+        |  WHERE list_sum(list_transform(list_zip(bx.v, bm.v), p -> p[1] * p[2]))
+        |    / (sqrt(list_sum(list_transform(bx.v, p -> p * p)))
+        |     * sqrt(list_sum(list_transform(bm.v, p -> p * p)))) >= 0.95)
+        |SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+        |  (d.vec_id IS NULL) AS kept
+        |FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
     // md5-plane sign-LSH re-derived end-to-end: plane coefficients from
     // md5("t,p,d"), bucket bits from the SAME sequential double fold
     // the cosine oracle uses, candidate join per table, exact cosine
@@ -2008,6 +2120,28 @@ object SparkEntry {
         |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
         |  FROM q, embeddings e
         |  WHERE e.vec_id <> query_id)
+        |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM s) t
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    // HNSW invariant twin: queries are the first 8 corpus vectors
+    // re-entered under fresh ids (+100000), so the deterministic
+    // graph probe's exact top-10 — twin at rank 1 with cosine 1,
+    // every pair's cosine recomputed from the raw vectors — IS the
+    // brute-force derivation below; full-ranking equality pins the
+    // build, the shard routing and the beam search end-to-end.
+    "ann_hnsw_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id + 100000 AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(qv, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM q, embeddings e)
         |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM (
         |  SELECT query_id, neighbor_id, cosine,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank

@@ -88,6 +88,78 @@ class LinkCommitStore extends CommitStore {
   }
 }
 
+/** The one call a cloud object store must supply for a safe commit
+  * log: create `key` with `bytes` IFF no object exists there, as ONE
+  * atomic store-side operation. The 1:1 mapping per store:
+  *
+  *  - S3: `PutObject` with header `If-None-Match: *` → true on 200,
+  *    false on 412 `PreconditionFailed` (S3 applies the precondition
+  *    atomically at completion under its strong consistency).
+  *  - GCS: `objects.insert` with `ifGenerationMatch=0` → true on 200,
+  *    false on 412.
+  *  - Azure ADLS/ABFS: `Put Blob` / create with `If-None-Match: *` →
+  *    true on 201, false on 409/412 (ETag precondition).
+  *  - Anything without a conditional put needs an external
+  *    coordinator (e.g. a lock table) presenting this same call.
+  *
+  * Retry guidance for impls: a network timeout AFTER the body was
+  * sent is ambiguous (the put may have landed) — re-GET and compare
+  * bytes before reporting false, or surface the error; never blind-
+  * retry into a false "lost the race".
+  */
+trait ObjectStoreClient {
+  def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean
+}
+
+/** Conditional-put commit store for S3-class object stores — the
+  * worked example behind the trait scaladoc's "plug a store built on
+  * the store's own conditional put". The entire OCC burden reduces to
+  * [[ObjectStoreClient.putIfNoneMatch]]: no temp objects, no renames
+  * (S3 has none that are atomic), no lock — one conditional PUT per
+  * commit. Run [[CommitStoreContract.verify]] against a production
+  * client before trusting it ([[graft.CommitStoreSpec]] drives this
+  * impl through the contract and the 32-thread race on
+  * [[FakeObjectStore]]).
+  */
+class EtagCommitStore(client: ObjectStoreClient) extends CommitStore {
+  override def putIfAbsent(fin: Path, bytes: Array[Byte]): Boolean =
+    client.putIfNoneMatch(fin.toUri.getPath, bytes)
+}
+
+/** In-memory object store with S3-strong-consistency conditional-put
+  * semantics: the key space arbitrates atomically (a concurrent-set
+  * `add` — the fake's stand-in for the store's atomic precondition
+  * check), and a won put materializes the body on the local
+  * filesystem via temp + ATOMIC_MOVE so any reader (DeltaLite's
+  * Hadoop scans included) sees complete-or-absent objects — the
+  * visibility S3 gives an in-flight PUT. Single-JVM by construction
+  * (it is a test double for the store's server-side atomicity, not a
+  * distributed coordinator); the contract harness and the DeltaLite
+  * exactly-once race both drive it.
+  */
+class FakeObjectStore extends ObjectStoreClient {
+  private val keys =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  override def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean = {
+    if (!keys.add(key)) false
+    else {
+      try {
+        val p = Paths.get(key)
+        Files.createDirectories(p.getParent)
+        val tmp = Files.createTempFile(p.getParent,
+          s".${p.getFileName}", ".upload")
+        Files.write(tmp, bytes)
+        Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true
+      } catch {
+        // a failed body write must not strand the key reserved — the
+        // real store has no reserved-but-absent state
+        case e: Throwable => keys.remove(key); throw e
+      }
+    }
+  }
+}
+
 object CommitStore {
 
   // per-target-directory publish serialization within one JVM for the

@@ -48,7 +48,13 @@ class DeltaLite(val spark: SparkSession, val root: String,
     val statsKey: Option[String] = None,
     val checkpointInterval: Int = DeltaLite.DefaultCheckpointInterval,
     val partitionBy: Seq[String] = Nil,
-    val statsColumns: Seq[String] = Nil) {
+    val statsColumns: Seq[String] = Nil,
+    // "parquet" (default): file entries as parquet rows next to a
+    // small JSON meta — distributed-writable/readable, no O(live
+    // files) string work (Delta's parquet-checkpoint economics).
+    // "json": the legacy single-blob format, kept for back-compat
+    // round-trip tests and mixed-build logs; reads accept BOTH.
+    val checkpointFormat: String = "parquet") {
   private val rootPath = new Path(root)
   private val logDir = new Path(rootPath, "_log")
   private def fs: FileSystem =
@@ -585,17 +591,44 @@ class DeltaLite(val spark: SparkSession, val root: String,
     scala.collection.concurrent.TrieMap.empty[String, Checkpoint]
 
   private def ckptName(v: Int) = s"$v.checkpoint.json"
+  private def ckptMetaName(v: Int) = s"$v.checkpoint.meta.json"
+  private def ckptEntriesName(v: Int) = s"$v.checkpoint.entries"
 
-  /** Checkpoint files present, sorted by version. ONE listing; parses
-    * cache by file name (checkpoint files are immutable — temp-file +
-    * rename like commits).
+  /** A Seq that loads on first element access — the v2 checkpoint's
+    * file entries stay ON DISK (parquet) until an operation actually
+    * scans or rewrites the file set, so metadata-only table opens
+    * (schema, properties, latestVersion, feature gates) never
+    * materialize O(live files) anything. Thread-safe via lazy val.
+    */
+  private final class LazySeq[A](thunk: () => Seq[A])
+      extends scala.collection.immutable.AbstractSeq[A] {
+    private lazy val u: Seq[A] = thunk()
+    def apply(i: Int): A = u(i)
+    def length: Int = u.length
+    override def iterator: Iterator[A] = u.iterator
+  }
+
+  /** Checkpoints present, sorted by version — BOTH formats: legacy
+    * `<v>.checkpoint.json` single blobs and v2 `<v>.checkpoint.meta.json`
+    * (+ `<v>.checkpoint.entries` parquet dir). One listing; parses
+    * cache by file name (checkpoint files are immutable — conditional
+    * put like commits). A version present in both formats (mixed-build
+    * writers; content is deterministic per version) dedups to v2.
     */
   private def checkpointPaths(): Seq[(Int, Path)] = {
     if (!fs.exists(logDir)) return Nil
-    fs.listStatus(logDir).toSeq
+    val all = fs.listStatus(logDir).toSeq
       .map(_.getPath)
-      .filter(_.getName.matches("\\d+\\.checkpoint\\.json"))
-      .map(p => p.getName.stripSuffix(".checkpoint.json").toInt -> p)
+      .flatMap { p =>
+        val n = p.getName
+        if (n.matches("\\d+\\.checkpoint\\.json"))
+          Some((n.stripSuffix(".checkpoint.json").toInt, p, 1))
+        else if (n.matches("\\d+\\.checkpoint\\.meta\\.json"))
+          Some((n.stripSuffix(".checkpoint.meta.json").toInt, p, 2))
+        else None
+      }
+    all.groupBy(_._1).view.mapValues(_.maxBy(_._3)).values.toSeq
+      .map { case (v, p, _) => v -> p }
       .sortBy(_._1)
   }
 
@@ -605,7 +638,10 @@ class DeltaLite(val spark: SparkSession, val root: String,
       val in = fs.open(p)
       val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-      parseCheckpoint(body)
+      if (p.getName.endsWith(".checkpoint.meta.json"))
+        parseCheckpointMeta(body,
+          p.getName.stripSuffix(".checkpoint.meta.json").toInt)
+      else parseCheckpoint(body)
     })
 
   /** The highest-versioned checkpoint present, if any. */
@@ -651,6 +687,100 @@ class DeltaLite(val spark: SparkSession, val root: String,
       rfeat = c.rfeat.getOrElse(Nil), wfeat = c.wfeat.getOrElse(Nil))
   }
 
+  // ---- v2 (parquet) checkpoint codec ----
+
+  /** One row per live FileEntry (kind "f") or live DV sidecar (kind
+    * "d"). `idx` preserves replay order across part files (parquet
+    * read order is per-part nondeterministic; entry order feeds the
+    * rendered bytes of later snapshot commits — restore/clone — which
+    * determinism tests compare). Multi-column stats flatten to three
+    * aligned arrays so null bounds need no sentinel encoding.
+    */
+  private val EntriesSchema = StructType(Seq(
+    StructField("idx", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("min", StringType, nullable = true),
+    StructField("max", StringType, nullable = true),
+    StructField("key_col", StringType, nullable = true),
+    StructField("size", LongType, nullable = true),
+    StructField("extra_cols", ArrayType(StringType, false), nullable = true),
+    StructField("extra_mins", ArrayType(StringType, true), nullable = true),
+    StructField("extra_maxs", ArrayType(StringType, true), nullable = true)))
+
+  /** Distributed write of a checkpoint's file entries + DV paths as
+    * parquet rows under `dir` — multi-part by row count (~64k entries
+    * per part keeps any single part's footer/page work bounded), the
+    * shape Delta moved to when single-blob checkpoints hit the
+    * million-file wall. No JSON string of the live set is ever built.
+    */
+  // spec hooks: proves metadata-only opens never load the entries
+  // parquet (bounded-memory open), and lets the multi-part sizing be
+  // exercised without a 65k-file fixture
+  private[graft] val entryLoads = new java.util.concurrent.atomic.AtomicInteger(0)
+  protected def entriesPerPart: Int = 65536
+
+  private def writeEntriesParquet(cp: Checkpoint, dir: Path): Unit = {
+    val rows: Seq[Row] = cp.files.zipWithIndex.map { case (f, i) =>
+      val ex = f.extra.toSeq.sortBy(_._1)
+      Row(i.toLong, "f", f.path, f.min.orNull, f.max.orNull,
+        f.keyCol.orNull, f.size.map(Long.box).orNull,
+        if (ex.isEmpty) null else ex.map(_._1),
+        if (ex.isEmpty) null else ex.map(_._2._1.orNull),
+        if (ex.isEmpty) null else ex.map(_._2._2.orNull))
+    } ++ cp.dvs.zipWithIndex.map { case (p, i) =>
+      Row(i.toLong, "d", p, null, null, null, null, null, null, null)
+    }
+    val parts = math.max(1, math.min(rows.length / entriesPerPart + 1, 256))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, parts), EntriesSchema)
+      .write.mode(SaveMode.Overwrite).parquet(dir.toString)
+  }
+
+  private def readEntriesParquet(version: Int): (Seq[FileEntry], Seq[String]) = {
+    entryLoads.incrementAndGet()
+    val dir = new Path(logDir, ckptEntriesName(version))
+    val rows = spark.read.schema(EntriesSchema).parquet(dir.toString)
+      .collect().sortBy(r => (r.getString(1), r.getLong(0)))
+    val (dvRows, fileRows) = rows.partition(_.getString(1) == "d")
+    val files = fileRows.toSeq.map { r =>
+      val extra: Map[String, (Option[String], Option[String])] =
+        if (r.isNullAt(7)) Map.empty
+        else {
+          val ks = r.getSeq[String](7)
+          val mns = r.getSeq[String](8)
+          val mxs = r.getSeq[String](9)
+          ks.indices.map(i =>
+            ks(i) -> (Option(mns(i)), Option(mxs(i)))).toMap
+        }
+      FileEntry(r.getString(2), Option(r.getString(3)),
+        Option(r.getString(4)), Option(r.getString(5)), extra,
+        if (r.isNullAt(6)) None else Some(r.getLong(6)))
+    }
+    (files, dvRows.toSeq.map(_.getString(2)))
+  }
+
+  /** v2 meta blob: the legacy checkpoint JSON with the file/DV sets
+    * EMPTY (they live in the entries parquet) plus an `entries` format
+    * marker — same txns-prefixed envelope, same parser anchors, so the
+    * small-state fields (schema, mapping, constraints, txn marks,
+    * feature unions) round-trip through the one proven codec.
+    */
+  private def renderCheckpointMeta(cp: Checkpoint): String = {
+    val body = renderCheckpoint(cp.copy(files = Nil, dvs = Nil))
+    "{\"entries\":\"parquet\"," + body.substring(1)
+  }
+
+  private def parseCheckpointMeta(json: String, version: Int): Checkpoint = {
+    val small = parseCheckpoint(json)
+    // both lazy views share ONE on-demand parquet read; nothing loads
+    // until an operation actually touches the file set
+    lazy val loaded = readEntriesParquet(version)
+    small.copy(
+      files = new LazySeq(() => loaded._1),
+      dvs = new LazySeq(() => loaded._2))
+  }
+
   /** State to checkpoint at `upTo`, built INCREMENTALLY from the
     * previous checkpoint plus the log range between — O(interval)
     * parses, so the periodic write never degrades with table age.
@@ -691,17 +821,47 @@ class DeltaLite(val spark: SparkSession, val root: String,
       wfeat = cs.flatMap(_.wfeat.getOrElse(Nil)).distinct.sorted)
   }
 
-  /** Write the checkpoint for `version` (no-op if present). Published
-    * through [[commitStore]]; a concurrent writer losing the
-    * conditional put just discards its bytes — checkpoint content for
-    * a given version is deterministic, so either winner is correct.
+  /** Write the checkpoint for `version` (no-op if present in EITHER
+    * format). The commit point is a conditional put through
+    * [[commitStore]]; a concurrent writer losing it just discards its
+    * bytes — checkpoint content for a given version is deterministic,
+    * so either winner is correct.
+    *
+    * v2 (default) is two-phase: (1) the entries parquet is written
+    * distributed to a uniquely-named temp dir and RENAMED to its final
+    * name — complete-before-visible; a rename loser deletes its temp
+    * (same-version content is deterministic, the winner's dir is
+    * equally correct) — then (2) the small meta JSON publishes through
+    * the conditional put. Readers key on the meta: no meta, no
+    * checkpoint; a crash between (1) and (2) leaves a complete entries
+    * dir the next attempt adopts as-is.
     */
   private def writeCheckpoint(version: Int): Unit = {
-    val fin = new Path(logDir, ckptName(version))
-    if (fs.exists(fin)) return
+    if (fs.exists(new Path(logDir, ckptName(version))) ||
+        fs.exists(new Path(logDir, ckptMetaName(version)))) return
     val cp = checkpointState(version)
-    commitStore.putIfAbsent(fin,
-      renderCheckpoint(cp).getBytes(StandardCharsets.UTF_8))
+    if (checkpointFormat == "json") {
+      commitStore.putIfAbsent(new Path(logDir, ckptName(version)),
+        renderCheckpoint(cp).getBytes(StandardCharsets.UTF_8))
+      return
+    }
+    val entriesDir = new Path(logDir, ckptEntriesName(version))
+    var tries = 0
+    while (!fs.exists(entriesDir) && tries < 3) {
+      tries += 1
+      val tmp = new Path(logDir,
+        s".tmp-$version-${java.util.UUID.randomUUID()}.entries")
+      writeEntriesParquet(cp, tmp)
+      // rename loser: a concurrent writer won the final name with the
+      // same deterministic content — discard ours. The exists re-check
+      // in the loop guard covers the rare loser-without-winner (e.g.
+      // an external sweep removed our tmp mid-flight).
+      if (!fs.rename(tmp, entriesDir)) fs.delete(tmp, true)
+    }
+    require(fs.exists(entriesDir),
+      s"checkpoint entries dir $entriesDir could not be published")
+    commitStore.putIfAbsent(new Path(logDir, ckptMetaName(version)),
+      renderCheckpointMeta(cp).getBytes(StandardCharsets.UTF_8))
   }
 
   /** Force a checkpoint at the current version regardless of the
@@ -725,10 +885,15 @@ class DeltaLite(val spark: SparkSession, val root: String,
     case Some(cp) =>
       val doomed = fs.listStatus(logDir).toSeq.filter { st =>
         val n = st.getPath.getName
+        def below(suffix: String): Boolean =
+          n.endsWith(suffix) && {
+            val v = n.stripSuffix(suffix)
+            v.matches("\\d+") && v.toInt < cp.version
+          }
         (n.matches("\\d+\\.json") &&
           n.stripSuffix(".json").toInt < cp.version) ||
-          (n.matches("\\d+\\.checkpoint\\.json") &&
-            n.stripSuffix(".checkpoint.json").toInt < cp.version)
+          below(".checkpoint.json") || below(".checkpoint.meta.json") ||
+          below(".checkpoint.entries") // the v2 parquet dir
       }
       // CDC sidecars referenced ONLY by the trimmed records become
       // unreachable garbage once the records are gone (vacuum derives
@@ -748,7 +913,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
       val doomedCdc = trimRecs.flatMap(_.cdc.getOrElse(Nil)).distinct
         .filterNot(p => keptCdc(norm(p)))
         .filter(p => norm(p).startsWith(ownPrefix))
-      doomed.foreach(st => fs.delete(st.getPath, false))
+      // recursive: a v2 `.checkpoint.entries` is a parquet DIRECTORY
+      doomed.foreach(st => fs.delete(st.getPath, true))
       doomedCdc.foreach(p => fs.delete(new Path(p), false))
       doomed.map(_.getPath.toString) ++ doomedCdc
   }
@@ -867,8 +1033,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
     // the stable physical id, so renaming a partition column stays
     // metadata-only here too
     val newParts = partsAt(cs).map(p => if (p == oldName) newName else p)
-    publish(Commit(latestVersion.get + 1, "rename", newSch.json, Nil, Nil,
-      None, None, dvs = Nil, colmap = Some(next), parts = Some(newParts)))
+    publish(Commit(cs.last.version + 1, "rename", newSch.json, Nil, Nil,
+      None, None, dvs = Nil, colmap = Some(next), parts = Some(newParts)), cs)
   }
 
   /** DROP COLUMN as a METADATA-ONLY commit (the other half of the
@@ -907,8 +1073,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
     val next = (mapping - name) +
       (s"${DeltaLite.DroppedPrefix}$phys" -> phys)
     val newSch = StructType(sch.fields.filterNot(_.name == name))
-    publish(Commit(latestVersion.get + 1, "drop", newSch.json, Nil, Nil,
-      None, None, dvs = Nil, colmap = Some(next)))
+    publish(Commit(cs.last.version + 1, "drop", newSch.json, Nil, Nil,
+      None, None, dvs = Nil, colmap = Some(next)), cs)
   }
 
   // ---- persisted CHECK constraints (ALTER TABLE ADD CONSTRAINT) ----
@@ -943,9 +1109,9 @@ class DeltaLite(val spark: SparkSession, val root: String,
   def setTableProperties(kv: Map[String, String]): Int = {
     val cs = commits()
     require(cs.nonEmpty, s"empty table at $root")
-    publish(Commit(latestVersion.get + 1, "props",
+    publish(Commit(cs.last.version + 1, "props",
       cs.last.schemaJson, Nil, Nil, None, None,
-      props = Some(propsAt(cs) ++ kv)))
+      props = Some(propsAt(cs) ++ kv)), cs)
   }
 
   /** UNSET TBLPROPERTIES — metadata-only; absent keys are ignored
@@ -953,9 +1119,9 @@ class DeltaLite(val spark: SparkSession, val root: String,
   def unsetTableProperties(keys: Seq[String]): Int = {
     val cs = commits()
     require(cs.nonEmpty, s"empty table at $root")
-    publish(Commit(latestVersion.get + 1, "props",
+    publish(Commit(cs.last.version + 1, "props",
       cs.last.schemaJson, Nil, Nil, None, None,
-      props = Some(propsAt(cs) -- keys)))
+      props = Some(propsAt(cs) -- keys)), cs)
   }
 
   private def cdfEnabled(upTo: Seq[Commit]): Boolean =
@@ -985,9 +1151,9 @@ class DeltaLite(val spark: SparkSession, val root: String,
     require(!existing.contains(name), s"constraint '$name' already exists")
     graft.ops.Expectations.enforce(read(),
       Seq(name -> org.apache.spark.sql.functions.expr(sql)))
-    publish(Commit(latestVersion.get + 1, "constraint",
+    publish(Commit(cs.last.version + 1, "constraint",
       cs.last.schemaJson, Nil, Nil, None, None,
-      checks = Some(existing + (name -> sql))))
+      checks = Some(existing + (name -> sql))), cs)
   }
 
   /** DROP CONSTRAINT name — metadata-only. */
@@ -995,9 +1161,9 @@ class DeltaLite(val spark: SparkSession, val root: String,
     val cs = commits()
     val existing = checksAt(cs)
     require(existing.contains(name), s"no constraint '$name' at $root")
-    publish(Commit(latestVersion.get + 1, "constraint",
+    publish(Commit(cs.last.version + 1, "constraint",
       cs.last.schemaJson, Nil, Nil, None, None,
-      checks = Some(existing - name)))
+      checks = Some(existing - name)), cs)
   }
 
   /** Enforce name+type equality with the committed schema (nullable is
@@ -1225,6 +1391,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
     // from a snapshot that is no longer latest and must fail rather
     // than silently drop the concurrent writer's update.
     var attempt = version
+    var baseNow = base // replay behind the current attempt's version
     while (true) {
       try {
         val v = publish(Commit(attempt, mode,
@@ -1233,7 +1400,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
           checks = if (base.isEmpty && pendingChecks.nonEmpty)
             Some(pendingChecks.toMap) else None,
           parts = Some(declaredParts), ingested = ingested,
-          props = propsOverride, cdc = cdc))
+          props = propsOverride, cdc = cdc), baseNow)
         pendingChecks.clear()
         return v
       }
@@ -1265,6 +1432,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
             throw e
           }
           attempt = cur.last.version + 1
+          baseNow = cur
       }
     }
     -1 // unreachable
@@ -1277,13 +1445,18 @@ class DeltaLite(val spark: SparkSession, val root: String,
     * HDFS-class stores (see [[CommitStore]] for the per-store
     * contract and the S3 caveat).
     */
-  private def publish(record: Commit): Int = {
+  private def publish(record: Commit, base: Seq[Commit]): Int = {
     // WRITER feature gate: committing into a log whose writer
     // invariants this build doesn't know (a future build's identity
     // scheme, say) would corrupt them — fail before publishing.
-    // Reader features are gated by the commits() replay every call
-    // site already performed to pick its version.
-    val priorW = commits().flatMap(_.wfeat.getOrElse(Nil)).distinct
+    // Gated against the BASE REPLAY the caller already performed to
+    // pick its version (every call site has one in hand) — not a
+    // second commits() pass, which doubled per-commit log-listing IO
+    // (a LIST per commit on an object store). Staleness is safe: a
+    // sibling landing a newer wfeat-bearing commit after `base` was
+    // read necessarily took this record's version, so the conditional
+    // put below fails with CME before anything is written.
+    val priorW = base.flatMap(_.wfeat.getOrElse(Nil)).distinct
       .filterNot(DeltaLite.SupportedWriterFeatures)
     if (priorW.nonEmpty) throw new IllegalStateException(
       s"table at $root requires writer feature(s) " +
@@ -1847,7 +2020,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
         "metadata-only; rewrite via overwrite for anything else")
     val widened = StructType(sch.fields.map(x =>
       if (x.name == name) x.copy(dataType = to) else x))
-    publish(Commit(latestVersion.get + 1, "widen", widened.json, Nil, Nil))
+    publish(Commit(cs.last.version + 1, "widen", widened.json, Nil, Nil), cs)
   }
 
   def appendEvolve(df: DataFrame): Int = schema match {
@@ -2096,7 +2269,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
           files = files.sortBy(_._1).map { case (p, sz) =>
             FileEntry(p, None, None, None, Map.empty, Some(sz)) },
           Some(appId), Some(txnId),
-          colmap = Some(mapping), parts = Some(partsAt(cs)))))
+          colmap = Some(mapping), parts = Some(partsAt(cs))), cs))
       } catch {
         case e: java.util.ConcurrentModificationException =>
           attempts += 1
@@ -2874,9 +3047,12 @@ class DeltaLite(val spark: SparkSession, val root: String,
           cdc = Some(Nil)))
       }
     // all live DV rows now reference rewritten-away or already-dead
-    // files; retire them so reads stop anti-joining
-    publish(Commit(latestVersion.get + 1, "dvclear", all.last.schemaJson,
-      Nil, Nil, None, None))
+    // files; retire them so reads stop anti-joining. One fresh replay
+    // (the inner commit above advanced the log past `all`) serves both
+    // the version pick and publish's writer gate.
+    val cur = commits()
+    publish(Commit(cur.last.version + 1, "dvclear", all.last.schemaJson,
+      Nil, Nil, None, None), cur)
     v
   }
 
@@ -2964,11 +3140,11 @@ class DeltaLite(val spark: SparkSession, val root: String,
     // the snapshot's metadata — column mapping AND constraint set —
     // restores with it: the old data was validated under the OLD
     // contract, and Delta's RESTORE restores table properties too
-    publish(Commit(latestVersion.get + 1, "overwrite",
+    publish(Commit(all.last.version + 1, "overwrite",
       upTo.last.schemaJson, removed = cur, files = snapFiles, None, None,
       dvs = dvSnap, colmap = Some(colMapAt(upTo)),
       checks = Some(checksAt(upTo)), parts = Some(partsAt(upTo)),
-      props = Some(propsAt(upTo))))
+      props = Some(propsAt(upTo))), all)
   }
 
   /** Shallow CLONE: a new table at `targetRoot` whose first commit
@@ -3047,7 +3223,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
       files = entries.map { case (p, mn, mx, kc, ex, sz) =>
         FileEntry(p, mn, mx, kc, ex, sz) },
       None, None, dvs = dvPaths, colmap = Some(mapping),
-      checks = Some(checks), parts = Some(parts)))
+      checks = Some(checks), parts = Some(parts)), Nil)
 
   /** OPTIMIZE ZORDER BY (colA, colB): rewrite the live data Z-clustered
     * on the two dimensions (`graft.ops.ZOrder` Morton interleave +
@@ -3165,8 +3341,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
     // a "rewrite" with no replacement files: replay drops the refs;
     // cdc stays None so a change feed across the repair degrades
     // loudly (the removed rows' content is unrecoverable)
-    publish(Commit(latestVersion.get + 1, "rewrite", cs.last.schemaJson,
-      removed = missing, files = Nil))
+    publish(Commit(cs.last.version + 1, "rewrite", cs.last.schemaJson,
+      removed = missing, files = Nil), cs)
     missing
   }
 
@@ -3240,8 +3416,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
       val s = stats.getOrElse(norm(f.path), (None, None))
       FileEntry(f.path, s._1, s._2, Some(key), f.extra, f.size)
     }
-    Some(publish(Commit(latestVersion.get + 1, "restats", sch.json,
-      Nil, entries)))
+    Some(publish(Commit(cs.last.version + 1, "restats", sch.json,
+      Nil, entries), cs))
   }
 
   /** ANALYZE for MULTIPLE columns (Delta's per-column stats): per-file
@@ -3290,8 +3466,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
       val head = perCol.getOrElse(keys.head, (None, None))
       FileEntry(f.path, head._1, head._2, Some(keys.head), perCol, f.size)
     }
-    Some(publish(Commit(latestVersion.get + 1, "restats", sch.json,
-      Nil, entries)))
+    Some(publish(Commit(cs.last.version + 1, "restats", sch.json,
+      Nil, entries), cs))
   }
 
   /** DESCRIBE HISTORY: one row per commit, newest first — version,

@@ -41,10 +41,13 @@ object Bfs {
     * overhead that dominates an iterative operator at bench SF while
     * leaving the per-level plan shape (broadcast expansion over the
     * never-shuffled adjacency) unchanged. The second level's frontier
-    * size is unknown mid-job, so its expansion broadcasts only under
-    * `broadcastFrontierMax / 64` counted rows at level d−1 — a
-    * 64×-growth allowance; past it the round falls back to
-    * single-level steps with exact counts.
+    * size is unknown mid-job, so its broadcast is gated by a PROVABLE
+    * bound, not a growth guess: level d's row count is at most
+    * (level d−1 count) × maxDegree, with maxDegree computed exactly
+    * ONCE from the persisted adjacency. A hub vertex raises maxDegree
+    * and simply disables batching — the round falls back to
+    * single-level steps with exact counts, never a blind broadcast
+    * that could blow the driver on a super-hub expansion.
     */
   def levels(edges: DataFrame, aCol: String, bCol: String, source: Long,
       maxDepth: Int, broadcastFrontierMax: Long = 4L << 20): DataFrame = {
@@ -76,13 +79,23 @@ object Bfs {
     var frontierSize = 1L
     var depth = 0
     val dbg = sys.env.contains("GRAFT_BFS_DEBUG")
+    // exact one-time degree bound for the batched level's broadcast:
+    // |level d| ≤ |level d−1| × maxDeg, so broadcasting level d's
+    // frontier mid-job is safe iff frontierSize × maxDeg fits the cap.
+    // Evaluated lazily (only if a round qualifies for batching) over
+    // the already-persisted adjacency — one tiny aggregate, once.
+    lazy val maxDeg: Long = {
+      val r = und.groupBy($"u").agg(count(lit(1)).as("d"))
+        .agg(max($"d")).head()
+      if (r.isNullAt(0)) 1L else math.max(r.getLong(0), 1L)
+    }
     while (frontierSize > 0 && depth < maxDepth) {
       val t0 = System.nanoTime()
       depth += 1
       val bc = frontierSize <= broadcastFrontierMax
       val lvl1 = expand(frontier, bc, visited, depth.toLong)
-      val pair = depth < maxDepth &&
-        frontierSize <= (broadcastFrontierMax >> 6)
+      val pair = depth < maxDepth && bc &&
+        frontierSize <= broadcastFrontierMax / maxDeg
       val next =
         if (!pair) lvl1.localCheckpoint(true)
         else {

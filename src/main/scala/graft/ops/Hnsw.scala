@@ -338,6 +338,13 @@ object Hnsw {
         }
       }
       .toDF("query_id", "neighbor_id", "cosine")
+      // duplicate ids can enter the index (an append re-inserting an
+      // existing id routes by hash and lands a copy in some shard);
+      // without this a neighbor could hold two top-k slots — match
+      // Similarity.bruteForceTopK's dropDuplicates output contract.
+      // Copies of one id carry the same vector, so cosine agrees and
+      // dedup on the pair is exact.
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy($"query_id")
       .orderBy($"cosine".desc, $"neighbor_id")
     raw.withColumn("rank", row_number().over(w).cast("long"))

@@ -547,4 +547,53 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication") — the embedding-
+    * space dedup tier: near-duplicate MEANING (paraphrases, template
+    * rewrites) that no lexical pass (MinHash/SimHash/suffix grams)
+    * can see. Cluster the corpus in embedding space, then prune
+    * within each cluster any vector whose cosine to a LOWER-ID
+    * cluster-mate reaches `tau` — keep-one-survivor per semantic
+    * group with the min-id as the deterministic representative
+    * (the paper keeps a random one; min-id makes reruns and the SQL
+    * oracle bit-stable).
+    *
+    * Scale: the candidate join keys on the CLUSTER assignment —
+    * O(Σ cluster²) pairs, never corpus², exactly the paper's trick;
+    * cluster count is the knob that bounds the quadratic term (they
+    * use k ≈ √N at web scale). Assignment is one broadcast-centroid
+    * map pass, the pair join one hash shuffle on the cluster id.
+    * Output: (vec_id, cluster, kept) — downstream keeps `kept` rows.
+    */
+  def semDedup(corpus: DataFrame, vecCol: String, idCol: String,
+      centroids: Array[Array[Double]], tau: Double): DataFrame = {
+    import graft.functions.VectorFunctions.nearest_centroids
+    import org.apache.spark.storage.StorageLevel
+    val assigned = corpus.select(
+      col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("v"),
+      element_at(nearest_centroids(col(vecCol), centroids, 1), 1)
+        .cast("long").as("cluster"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val mates = assigned.select(col("cluster"),
+      col("vec_id").as("mate_id"), col("v").as("mv"))
+    val dropped = assigned.join(mates, Seq("cluster"))
+      .filter(col("mate_id") < col("vec_id"))
+      .filter(cosine(col("v"), col("mv")) >= tau)
+      .select(col("vec_id")).distinct()
+    assigned.select("vec_id", "cluster")
+      .join(dropped.withColumn("kept", lit(false)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("kept"), lit(true)).as("kept"))
+  }
+
+  /** [[semDedup]] over the md5-derived centroids — assignment,
+    * cluster-bounded pair pruning and survivor choice all re-derive
+    * in ANSI SQL (the gate variant, like [[ivfTopKMd5]]); production
+    * runs pass [[trainIvfCentroids]] output instead.
+    */
+  def semDedupMd5(corpus: DataFrame, vecCol: String, idCol: String,
+      cells: Int, tau: Double, dim: Int = 64): DataFrame =
+    semDedup(corpus, vecCol, idCol, md5IvfCentroids(cells, dim), tau)
 }

@@ -653,8 +653,17 @@ object Events {
     // guard, not a semantic threshold
     val domainWidth = ev.agg(
       approx_count_distinct($"cents").as("d")).head.getLong(0)
+    val exact = domainWidth <= exactDomainBound
+    // the engine switch changes results DISCONTINUOUSLY with data
+    // width (and the ±2% probe blurs the switch point) — surface the
+    // choice so a consumer comparing against an exact oracle can tell
+    // an approximate run apart instead of chasing a phantom mismatch
+    if (!exact) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"madOutliers: cents domain ≈$domainWidth exceeds exact bound " +
+        s"$exactDomainBound — medians computed via KLL sketch " +
+        "(approximate), not the exact percentile aggregate")
     def med(colName: String, alias: String): Column =
-      if (domainWidth <= exactDomainBound)
+      if (exact)
         expr(s"percentile($colName, 0.5)").as(alias)
       else graft.functions.SketchFunctions
         .quantile_sketch(col(colName), Seq(0.5), capacity = 1 << 17)(0)

@@ -440,6 +440,47 @@ object Text {
       .limit(50)
   }
 
+  /** Hybrid retrieval fusion — BM25 keyword rank × embedding-cosine
+    * rank merged by reciprocal-rank fusion (Cormack et al. 2009:
+    * score = Σ 1/(60 + rank)), the standard way to combine a lexical
+    * and a semantic retriever without score calibration. Both input
+    * rankings are the already-oracled shapes ([[bm25]]; the
+    * brute-force cosine of `ann_bruteforce_topk` against corpus
+    * vector 0): each tops out at 50 via distributed
+    * TakeOrderedAndProject, so the two rank windows run over BOUNDED
+    * 50-row inputs (never a corpus-wide single-partition window), and
+    * the fusion is one tiny full-outer join of two 50-row lists — no
+    * corpus re-scan. The RRF sum is ONE IEEE addition of two exactly
+    * reproducible doubles, so it hash-matches the oracle bit-for-bit.
+    */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bmTop = bm25(s, dir) // bounded: 50 rows enter the rank window
+      .withColumn("bm25_rank", row_number().over(
+        Window.orderBy($"bm25".desc, $"doc_id")).cast("long"))
+      .select($"doc_id", $"bm25_rank")
+    val emb = Tables.embeddings(s, dir)
+    val qv = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>").as("qv"))
+    val cosTop = emb.filter($"vec_id" =!= 0)
+      .join(broadcast(qv))
+      .select($"vec_id".as("doc_id"),
+        graft.ops.Similarity.cosine($"embedding", $"qv").as("cosine"))
+      .orderBy($"cosine".desc, $"doc_id").limit(50)
+      .withColumn("cos_rank", row_number().over(
+        Window.orderBy($"cosine".desc, $"doc_id")).cast("long"))
+      .select($"doc_id", $"cos_rank")
+    bmTop.join(cosTop, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        coalesce($"bm25_rank", lit(0L)).as("bm25_rank"),
+        coalesce($"cos_rank", lit(0L)).as("cos_rank"),
+        (coalesce(lit(1.0) / ($"bm25_rank" + 60), lit(0.0)) +
+          coalesce(lit(1.0) / ($"cos_rank" + 60), lit(0.0))).as("rrf"))
+      .orderBy($"rrf".desc, $"doc_id")
+      .limit(20)
+  }
+
   /** Sequence packing (concat-and-chunk): assign documents, in stable
     * doc order within each language shard, to fixed 2048-token context
     * windows by running-cumsum bin index — the packing pass that turns

@@ -132,6 +132,59 @@ object Vectors {
       .orderBy($"query_id", $"rank")
   }
 
+  /** SemDeDup semantic dedup over the embedding corpus
+    * ([[Similarity.semDedup]]): planted paraphrase-like near-dups
+    * (every 50th vector re-entered under a fresh id with a small
+    * additive perturbation — the same planting as `dedup_embedding`,
+    * additive because multiplicative noise is cosine-invariant) must
+    * be pruned inside their md5-centroid cluster at τ=0.95 while the
+    * rest of the corpus survives. The whole chain — centroid matrix,
+    * argmax-cosine assignment, cluster-bounded pair pruning, min-id
+    * survivor — re-derives in ANSI SQL.
+    */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val planted = emb.filter($"vec_id" % 50 === 0)
+      .withColumn("vec_id", $"vec_id" + 10000)
+      .withColumn("embedding", transform($"embedding",
+        (x, i) => x.cast("double") +
+          when(i % 7 === 0, lit(0.05)).otherwise(lit(-0.01))))
+    val base = emb.withColumn("embedding", $"embedding".cast("array<double>"))
+    graft.ops.Similarity.semDedupMd5(base.unionAll(planted),
+      "embedding", "vec_id", cells = 16, tau = 0.95)
+      .orderBy($"vec_id")
+  }
+
+  /** HNSW graph-index top-10 — the recall-critical final-ranking tier
+    * ([[graft.ops.Hnsw]]), oracled invariant-twin style (the q_bpe
+    * pattern): the graph walk itself cannot re-derive in SQL (it is a
+    * sequential insert-order-dependent structure), so the gate pins
+    * what IS derivable end-to-end. Queries are PLANTED TWINS — the
+    * first 8 corpus vectors re-entered under fresh ids — so the exact
+    * top-k from the raw vectors is the oracle's own brute-force
+    * derivation, and the claim under test is that the deterministic
+    * sharded-graph probe returns exactly that set: twin membership at
+    * rank 1 (cosine 1), every pair's cosine hash-exact from the raw
+    * vectors, full ranking intact. ef covers the shard population at
+    * gate SF, making exact recall a stable property of the
+    * deterministic build, not luck; recall at approximate settings
+    * stays spec'd in HnswSpec.
+    */
+  def annHnsw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter($"vec_id" < 8)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+    val index = graft.ops.Hnsw.buildShardedIndex(
+      emb, "vec_id", "embedding", shards = 4)
+    graft.ops.Hnsw.probe(index, queries, "vec_id", "embedding",
+      k = 10, ef = 128)
+      .select($"query_id", $"rank", $"neighbor_id",
+        round($"cosine", 6).as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Approximate kNN graph over the full embedding corpus (top-3
     * neighbors per vector, LSH bucket self-join) — md5-plane variant,
     * fully oracled like [[annLsh]]; recall vs brute force spec'd in

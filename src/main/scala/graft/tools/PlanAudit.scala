@@ -77,9 +77,15 @@ object PlanAudit {
       // section markers and empty lines carry no structure
       .filterNot(l => l.trim.isEmpty || l.contains("== "))
       .map { line =>
-        val depth = line.indexOf("+-") match {
-          case -1 => 0
-          case d => d
+        // a node's connector is "+-" (last child) OR ":-" (non-last
+        // child, e.g. every join's first child); both mark the depth.
+        // Taking only "+-" collapsed left subtrees to depth 0 and let
+        // reparenting regressions hash identically.
+        val depth = (line.indexOf("+-"), line.indexOf(":-")) match {
+          case (-1, -1) => 0
+          case (-1, c) => c
+          case (p, -1) => p
+          case (p, c) => math.min(p, c)
         }
         // strip tree-drawing + the codegen star "*(12) " so the node
         // name is the first word; keep every strategy-bearing token

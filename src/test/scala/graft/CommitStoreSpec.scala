@@ -2,7 +2,7 @@ package graft
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 
-import graft.etl.{CommitStore, LinkCommitStore, RenameCommitStore}
+import graft.etl.{CommitStore, EtagCommitStore, FakeObjectStore, LinkCommitStore, RenameCommitStore}
 
 /** The CommitStore contract ([[graft.etl.CommitStore]] scaladoc),
   * driven on both shipped impls: (1) of N concurrent putIfAbsent
@@ -76,9 +76,53 @@ class CommitStoreSpec extends SparkSpec {
     assertNoDebris(dir, expectFiles = 5)
   }
 
+  test("EtagCommitStore: 32 racing writers through the conditional put, one winner, full bytes, no debris") {
+    val dir = java.nio.file.Files.createTempDirectory("cstore-etag").toString
+    val store = new EtagCommitStore(new FakeObjectStore)
+    (0 until 5).foreach { round =>
+      raceOnce(store, new Path(dir, s"$round.json"), threads = 32)
+    }
+    assertNoDebris(dir, expectFiles = 5)
+  }
+
+  test("EtagCommitStore is a worked S3-class example: DeltaLite OCC appends are exactly-once through it") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cstore-etag-dl").toString
+    val fake = new FakeObjectStore // ONE store = one bucket's metadata
+    def table() = new graft.etl.DeltaLite(spark, root, Some("k")) {
+      override protected lazy val commitStore: CommitStore =
+        new EtagCommitStore(fake)
+    }
+    val nThreads = 4; val perThread = 5
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    (0 until nThreads).foreach { w =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try {
+            val t = table()
+            (0 until perThread).foreach { i =>
+              val k = (w * perThread + i).toLong
+              t.append(Seq((k, s"w$w-$i")).toDF("k", "v"))
+            }
+          } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(120,
+      java.util.concurrent.TimeUnit.SECONDS), "writers timed out")
+    assert(errs.isEmpty, s"no append may fail: ${Option(errs.peek())}")
+    val t = table()
+    // contiguous versions (no lost or double commit) and every row once
+    assert(t.latestVersion.contains(nThreads * perThread - 1))
+    val ks = t.read().select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks == (0L until (nThreads * perThread).toLong))
+  }
+
   test("putIfAbsent on an existing destination returns false and preserves content") {
     val dir = java.nio.file.Files.createTempDirectory("cstore-exist").toString
     Seq(new LinkCommitStore,
+        new EtagCommitStore(new FakeObjectStore),
         new RenameCommitStore(hadoopFs(dir))).zipWithIndex.foreach {
       case (store, i) =>
         val fin = new Path(dir, s"only-$i.json")
@@ -94,11 +138,14 @@ class CommitStoreSpec extends SparkSpec {
     assert(CommitStore.forFs(fs).isInstanceOf[LinkCommitStore])
   }
 
-  test("the public CommitStoreContract harness passes on both shipped stores and names a violated law") {
+  test("the public CommitStoreContract harness passes on all three shipped stores and names a violated law") {
     val d1 = java.nio.file.Files.createTempDirectory("cstore-c1").toString
     graft.etl.CommitStoreContract.verify(new LinkCommitStore, d1)
     val d2 = java.nio.file.Files.createTempDirectory("cstore-c2").toString
     graft.etl.CommitStoreContract.verify(new RenameCommitStore(hadoopFs(d2)), d2)
+    val d4 = java.nio.file.Files.createTempDirectory("cstore-c4").toString
+    graft.etl.CommitStoreContract.verify(
+      new EtagCommitStore(new FakeObjectStore), d4)
     // a blind-overwrite "store" (what raw S3 PUT or POSIX rename would
     // do) must be REJECTED by the contract, naming the law
     val broken = new CommitStore {

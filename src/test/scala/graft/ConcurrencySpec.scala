@@ -89,7 +89,7 @@ class ConcurrencySpec extends SparkSpec {
     // surviving checkpoints must replay to the SAME state the raw log
     // does, and a cold open must be bounded by them
     val names = new java.io.File(root, "_log").list().toSeq
-    assert(names.count(_.endsWith(".checkpoint.json")) >= 2,
+    assert(names.count(_.endsWith(".checkpoint.meta.json")) >= 2,
       s"interval checkpoints missing under race: $names")
     val t = new DeltaLite(spark, root, Some("k"), checkpointInterval = 5)
     val got = t.read().select("k").collect().map(_.getLong(0)).sorted

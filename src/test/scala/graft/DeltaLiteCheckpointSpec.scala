@@ -31,8 +31,11 @@ class DeltaLiteCheckpointSpec extends SparkSpec {
     val t = DeltaLite(spark, root, "k")
     (0 until 25).foreach(i => t.append(batch(i * 10L, 10)))   // v0..v24
     val names = logFiles(root)
-    assert(names.contains("10.checkpoint.json") && names.contains("20.checkpoint.json"),
-      s"expected interval checkpoints at v10 and v20, got $names")
+    assert(names.contains("10.checkpoint.meta.json") &&
+      names.contains("20.checkpoint.meta.json") &&
+      names.contains("10.checkpoint.entries") &&
+      names.contains("20.checkpoint.entries"),
+      s"expected v2 interval checkpoints at v10 and v20, got $names")
     // a FRESH open (new parse cache) replays checkpoint + tail only
     val t2 = DeltaLite(spark, root, "k")
     assert(t2.read().count() == 250)
@@ -47,7 +50,7 @@ class DeltaLiteCheckpointSpec extends SparkSpec {
     val root = tmp("graft-ckpt-tt")
     val t = DeltaLite(spark, root, "k")
     (0 until 12).foreach(i => t.append(batch(i * 10L, 10)))   // cp at v10
-    assert(logFiles(root).contains("10.checkpoint.json"))
+    assert(logFiles(root).contains("10.checkpoint.meta.json"))
     assert(t.readAsOf(3).count() == 40)    // below cp: raw replay
     assert(t.readAsOf(10).count() == 110)  // at cp
     assert(t.readAsOf(11).count() == 120)  // above cp
@@ -63,8 +66,10 @@ class DeltaLiteCheckpointSpec extends SparkSpec {
     // strictly-below-20 records and the superseded v10 checkpoint gone;
     // 20.json itself stays (history/timestamp anchor)
     assert(!names.contains("0.json") && !names.contains("19.json") &&
-      !names.contains("10.checkpoint.json"))
-    assert(names.contains("20.json") && names.contains("20.checkpoint.json"))
+      !names.contains("10.checkpoint.meta.json") &&
+      !names.contains("10.checkpoint.entries"))
+    assert(names.contains("20.json") && names.contains("20.checkpoint.meta.json") &&
+      names.contains("20.checkpoint.entries"))
     // fresh open: full current state, travel at/above cp fine
     val t2 = DeltaLite(spark, root, "k")
     assert(t2.read().count() == 230)
@@ -141,6 +146,72 @@ class DeltaLiteCheckpointSpec extends SparkSpec {
     intercept[IllegalStateException](
       t2.append(Seq((-1L, "bad")).toDF("k", "w")))
     assert(t2.latestVersion == before)
+  }
+
+  test("v2: metadata-only opens never load the entries parquet (bounded-memory open)") {
+    val root = tmp("graft-ckpt-lazy")
+    val t = DeltaLite(spark, root, "k")
+    (0 until 12).foreach(i => t.append(batch(i * 10L, 10)))   // cp at v10
+    assert(logFiles(root).contains("10.checkpoint.meta.json"))
+    val t2 = DeltaLite(spark, root, "k")
+    // schema / version / properties / constraint surface replay the
+    // small meta only — O(live files) entry state must stay on disk
+    assert(t2.schema.exists(_.fieldNames.sameElements(Array("k", "v"))))
+    assert(t2.latestVersion.contains(11))
+    assert(t2.tableProperties.isEmpty)
+    assert(t2.entryLoads.get() == 0,
+      "metadata-only open materialized the checkpoint's file entries")
+    // the first actual scan forces exactly one entries load
+    assert(t2.read().count() == 120)
+    assert(t2.entryLoads.get() == 1)
+    assert(t2.read().count() == 120)
+    assert(t2.entryLoads.get() == 1, "entries must load at most once per instance")
+  }
+
+  test("v2: entries write is multi-part parquet and round-trips stats/extra/sizes") {
+    val root = tmp("graft-ckpt-parts")
+    // tiny per-part budget: 25 one-file appends → >1 part file, the
+    // million-file layout at fixture scale
+    val t = new DeltaLite(spark, root, Some("k")) {
+      override protected def entriesPerPart: Int = 8
+    }
+    (0 until 12).foreach(i => t.append(batch(i * 10L, 10)))   // cp at v10
+    val entries = new java.io.File(root, "_log/10.checkpoint.entries")
+    assert(entries.isDirectory)
+    val parts = entries.list().count(_.endsWith(".parquet"))
+    assert(parts > 1, s"expected a multi-part entries dir, got $parts part(s)")
+    // fresh open replays from the spliced parquet checkpoint: row set,
+    // per-file stats (min/max pruning input) and sizes all survive
+    val t2 = DeltaLite(spark, root, "k")
+    assert(t2.read().count() == 120)
+    assert(t2.readAsOf(10).count() == 110)
+  }
+
+  test("legacy json checkpoints read back under the parquet-default build; mixed logs dedup to v2") {
+    val root = tmp("graft-ckpt-legacy")
+    val legacy = new DeltaLite(spark, root, Some("k"), checkpointFormat = "json")
+    (0 until 12).foreach(i => legacy.append(batch(i * 10L, 10))) // cp v10 as single blob
+    assert(logFiles(root).contains("10.checkpoint.json") &&
+      !logFiles(root).contains("10.checkpoint.meta.json"))
+    // a parquet-default build opens the legacy checkpoint unchanged
+    val t2 = DeltaLite(spark, root, "k")
+    assert(t2.read().count() == 120)
+    assert(t2.readAsOf(10).count() == 110)
+    val parses = t2.logParses.get()
+    assert(parses <= DeltaLite.DefaultCheckpointInterval + 1,
+      s"legacy checkpoint no longer bounds the open: $parses parses")
+    // …and its next interval writes v2 alongside; both formats at one
+    // version must dedup (v2 preferred), not double-replay
+    (0 until 9).foreach(i => t2.append(batch(1000L + i * 10, 10))) // v12..v20
+    val names = logFiles(root)
+    assert(names.contains("20.checkpoint.meta.json"))
+    t2.checkpointNow() // no-op: already checkpointed at latest
+    val t3 = DeltaLite(spark, root, "k")
+    assert(t3.read().count() == 210)
+    // cleanLog under mixed formats trims the legacy blob below v20
+    t3.cleanLog()
+    assert(!logFiles(root).contains("10.checkpoint.json"))
+    assert(DeltaLite(spark, root, "k").read().count() == 210)
   }
 
   test("checkpointNow is idempotent and concurrent-safe by construction") {

@@ -23,10 +23,12 @@ class DeltaLiteModelSpec extends SparkSpec {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
-  private def runWalk(seed: Int, steps: Int, nOps: Int = 10): Unit = {
+  private def runWalk(seed: Int, steps: Int, nOps: Int = 10,
+      ckptFormat: String = "parquet"): Unit = {
     import spark.implicits._
     val rnd = new scala.util.Random(seed)
-    val t = DeltaLite(spark, tmp(s"graft-model-$seed"), "k")
+    val t = new DeltaLite(spark, tmp(s"graft-model-$seed"), Some("k"),
+      checkpointFormat = ckptFormat)
     var model = Map.empty[Long, String]
     // model state AFTER each committed version
     val history = mutable.Map.empty[Int, Map[Long, String]]
@@ -358,5 +360,14 @@ class DeltaLiteModelSpec extends SparkSpec {
 
   test("random operation walk with vacuum and fsck: nineteenth seed") {
     runWalk(seed = 1919, steps = 30, nOps = 21)
+  }
+
+  // default-format seeds above exercise the v2 parquet checkpoints on
+  // every checkpointNow/cleanLog step; this seed pins the LEGACY
+  // single-blob codec through the same full walk so the back-compat
+  // read path keeps model-level coverage, not just the one round-trip
+  // test in DeltaLiteCheckpointSpec
+  test("random operation walk with legacy json checkpoints: twentieth seed") {
+    runWalk(seed = 2020, steps = 30, nOps = 15, ckptFormat = "json")
   }
 }

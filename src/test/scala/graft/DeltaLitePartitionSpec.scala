@@ -191,7 +191,7 @@ class DeltaLitePartitionSpec extends SparkSpec {
     // the version stream crossed the interval: a checkpoint was written
     assert(t.latestVersion.exists(_ >= 5))
     assert(new java.io.File(root, "_log").list()
-      .exists(_.endsWith(".checkpoint.json")))
+      .exists(_.endsWith(".checkpoint.meta.json")))
     // pruned read over the streamed table
     val clicks = t.readIndexed().filter($"etype" === "click")
     assert(clicks.collect().length == 4)

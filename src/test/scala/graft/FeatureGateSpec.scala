@@ -89,8 +89,8 @@ class FeatureGateSpec extends SparkSpec {
     (4 until 6).foreach(i => t.append(Seq((i, s"v$i")).toDF("k", "v")))
     t.checkpointNow()
     t.cleanLog() // the stamped v3 record is gone; the checkpoint remains
-    val ckpt = {
-      val src = scala.io.Source.fromFile(s"$root/_log/5.checkpoint.json")
+    val ckpt = { // v2: stamps ride the small meta blob
+      val src = scala.io.Source.fromFile(s"$root/_log/5.checkpoint.meta.json")
       try src.mkString finally src.close()
     }
     assert(ckpt.contains("\"rfeat\":\"dv\""),
@@ -118,8 +118,8 @@ class FeatureGateSpec extends SparkSpec {
     (0 until 3).foreach(i => t.append(Seq((i, s"v$i")).toDF("k", "v")))
     t.checkpointNow()
     t.cleanLog()
-    // hand-stamp the surviving checkpoint with a future reader feature
-    val ckptPath = s"$root/_log/2.checkpoint.json"
+    // hand-stamp the surviving checkpoint META with a future reader feature
+    val ckptPath = s"$root/_log/2.checkpoint.meta.json"
     val src = scala.io.Source.fromFile(ckptPath)
     val body = try src.mkString finally src.close()
     val w = new java.io.FileWriter(ckptPath)

@@ -107,6 +107,22 @@ class HnswSpec extends SparkSpec {
     }
   }
 
+  test("probe dedups duplicate ids: re-appending an existing id never yields two top-k slots") {
+    val idx = Hnsw.buildShardedIndex(corpus, "vec_id", "embedding",
+      shards = 4, m = 8, efConstruction = 64)
+    // re-insert ids that already live in the index — the append routes
+    // by hash and lands copies next to (or apart from) the originals
+    val grown = Hnsw.appendToShardedIndex(idx,
+      corpus.filter("vec_id < 50"), "vec_id", "embedding",
+      shards = 4, m = 8, efConstruction = 64)
+    val rows = Hnsw.probe(grown, queries, "vec_id", "embedding", k, ef = 96)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    assert(rows.length == rows.distinct.length,
+      "a (query, neighbor) pair occupied more than one top-k slot")
+    // ranks stay dense 1..k per query after the dedup
+    rows.groupBy(_._1).values.foreach(g => assert(g.length == k))
+  }
+
   test("level assignment is geometric-ish and reproducible") {
     val ls = (0L until 10000L).map(Hnsw.levelOf(_, 8))
     assert(ls == (0L until 10000L).map(Hnsw.levelOf(_, 8)))

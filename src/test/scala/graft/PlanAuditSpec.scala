@@ -350,6 +350,20 @@ class PlanAuditSpec extends SparkSpec {
       "aggregate must combine map-side before the exchange")
   }
 
+  test("q_hybrid_rrf: bounded rank windows over top-50 lists, no cartesian, no corpus-wide window") {
+    val df = Text.hybridRrf(spark, sf)
+    df.collect() // finalize AQE so the executed shapes are visible
+    val plan = df.queryExecution.executedPlan.toString()
+    // both retriever lists bound via distributed top-k BEFORE any
+    // window touches them — the windows then rank 50 rows, not corpus
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-50 cuts must be TakeOrderedAndProject, not a global sort")
+    val windows = "Window".r.findAllIn(plan).length
+    assert(windows >= 2 && windows <= 4,
+      s"expected the two bounded rank windows, saw $windows Window markers")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("plan fingerprint: stable across sessions, changes when the plan shape changes") {
     import spark.implicits._
     val li = Tables.lineitem(spark, sf)
@@ -368,6 +382,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(f1 != graft.tools.PlanAudit.fingerprint(smj),
       "a join-strategy flip (lost broadcast) must change the fingerprint")
     assert(f1.matches("[0-9a-f]{12}"))
+  }
+
+  test("plan fingerprint: non-last children (':-' connectors) carry their depth") {
+    // every join's FIRST child prints with ":-"; before the fix those
+    // lines normalized to depth 0, so reparenting inside a left subtree
+    // hashed identically to the flat shape — defeating the fingerprint
+    val nested =
+      """SortMergeJoin [a], [b], Inner
+        |:- Sort [a ASC]
+        |:  +- Exchange hashpartitioning(a, 32)
+        |:     +- Filter isnotnull(a)
+        |+- Sort [b ASC]""".stripMargin
+    val flat =
+      """SortMergeJoin [a], [b], Inner
+        |:- Sort [a ASC]
+        |:- Exchange hashpartitioning(a, 32)
+        |:- Filter isnotnull(a)
+        |+- Sort [b ASC]""".stripMargin
+    val n = graft.tools.PlanAudit.normalizedForTest(nested)
+    val f = graft.tools.PlanAudit.normalizedForTest(flat)
+    assert(n != f, "left-subtree nesting must change the normalized shape")
+    // and the ':-' lines must not all sit at depth 0
+    val depths = n.linesIterator.map(_.takeWhile(_.isDigit).toInt).toList
+    assert(depths.distinct.size > 2,
+      s"expected distinct depths for nested ':-' children, got $depths")
   }
 
   test("salted join: spreads a hot key and preserves join semantics") {

@@ -319,6 +319,54 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semDedup: planted paraphrase-like near-dups are pruned, originals survive, candidates are cluster-bounded") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+      .withColumn("embedding", transform($"embedding", x => x.cast("double")))
+    // paraphrase-like: same meaning direction, small additive drift —
+    // every 25th vector re-entered under a fresh id (multiplicative
+    // noise would be cosine-invariant and prove nothing)
+    val planted = emb.filter($"vec_id" % 25 === 0)
+      .withColumn("vec_id", $"vec_id" + 50000)
+      .withColumn("embedding", transform($"embedding",
+        (x, i) => x + when(i % 5 === 0, lit(0.04)).otherwise(lit(-0.008))))
+    val corpus = emb.unionAll(planted)
+    val n = corpus.count()
+    // TRAINED centroids (the production path; the gate query pins the
+    // md5 variant) — same k-means the IVF tier uses
+    val centroids = Similarity.trainIvfCentroids(corpus, "embedding", k = 16)
+    val out = Similarity.semDedup(corpus, "embedding", "vec_id",
+      centroids, tau = 0.95)
+    val rows = out.collect()
+    assert(rows.length == n)
+    val keptSet = rows.filter(_.getAs[Boolean]("kept"))
+      .map(_.getAs[Long]("vec_id")).toSet
+    val plantedIds = planted.select($"vec_id").collect()
+      .map(_.getLong(0)).toSet
+    // a planted near-dup is pruned whenever it shares its source's
+    // cluster (SemDeDup's stated within-cluster contract); with a
+    // tiny additive drift that is nearly always — require most
+    val clusterOf = rows.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    val coLocated = plantedIds.filter(p => clusterOf(p) == clusterOf(p - 50000))
+    assert(coLocated.nonEmpty, "no planted pair landed in one cluster — test is vacuous")
+    assert(coLocated.forall(p => !keptSet(p)),
+      s"co-clustered planted dups must be pruned: kept ${coLocated.filter(keptSet)}")
+    // min-id survivor: every pruned vector's source stays
+    assert(coLocated.forall(p => keptSet(p - 50000)),
+      "the lower-id original must survive as the representative")
+    // CLUSTER-BOUNDED candidates: the quadratic term is Σ n_i·(n_i−1)/2
+    // over cluster sizes, a small fraction of the all-pairs n·(n−1)/2
+    val sizes = rows.groupBy(_.getAs[Long]("cluster")).map(_._2.length.toLong)
+    val candPairs = sizes.map(s => s * (s - 1) / 2).sum
+    val allPairs = n * (n - 1) / 2
+    assert(candPairs * 4 < allPairs,
+      s"candidate pairs $candPairs not cluster-bounded vs all-pairs $allPairs")
+    // and the plan joins on the cluster key — never a cartesian
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("hyperplane bucket is deterministic across invocations") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf).limit(50)
