@@ -720,14 +720,18 @@ class DeltaLite(val spark: SparkSession, val root: String,
   private[graft] val entryLoads = new java.util.concurrent.atomic.AtomicInteger(0)
   protected def entriesPerPart: Int = 65536
 
+  private def entryRow(f: FileEntry, idx: Long): Row = {
+    val ex = f.extra.toSeq.sortBy(_._1)
+    Row(idx, "f", f.path, f.min.orNull, f.max.orNull,
+      f.keyCol.orNull, f.size.map(Long.box).orNull,
+      if (ex.isEmpty) null else ex.map(_._1),
+      if (ex.isEmpty) null else ex.map(_._2._1.orNull),
+      if (ex.isEmpty) null else ex.map(_._2._2.orNull))
+  }
+
   private def writeEntriesParquet(cp: Checkpoint, dir: Path): Unit = {
     val rows: Seq[Row] = cp.files.zipWithIndex.map { case (f, i) =>
-      val ex = f.extra.toSeq.sortBy(_._1)
-      Row(i.toLong, "f", f.path, f.min.orNull, f.max.orNull,
-        f.keyCol.orNull, f.size.map(Long.box).orNull,
-        if (ex.isEmpty) null else ex.map(_._1),
-        if (ex.isEmpty) null else ex.map(_._2._1.orNull),
-        if (ex.isEmpty) null else ex.map(_._2._2.orNull))
+      entryRow(f, i.toLong)
     } ++ cp.dvs.zipWithIndex.map { case (p, i) =>
       Row(i.toLong, "d", p, null, null, null, null, null, null, null)
     }
@@ -735,6 +739,78 @@ class DeltaLite(val spark: SparkSession, val root: String,
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, parts), EntriesSchema)
       .write.mode(SaveMode.Overwrite).parquet(dir.toString)
+  }
+
+  /** APPEND-TAIL incremental entries: when the previous checkpoint is
+    * v2 and every tail commit's file effect is purely additive (no
+    * rewrite/overwrite/restats — the streaming-ingest steady state at
+    * 100 TB), the new entry set is the previous checkpoint's parquet
+    * AS A DATAFRAME plus the tail's driver-bounded additions — the
+    * driver never materializes the prior live set AT ALL (the
+    * `entryLoads` spec counter proves it), so checkpointing a
+    * million-file table costs one bounded Spark job, not O(live
+    * files) driver objects. Rewriting tails (compaction, upsert,
+    * repair) fall back to the driver fold, whose file lists those
+    * operations materialized anyway. Returns None when ineligible.
+    */
+  private def incrementalEntriesDf(upTo: Int): Option[DataFrame] = {
+    val prev = checkpointAtOrBefore(upTo) match {
+      case Some(p) if p.version < upTo &&
+        fs.exists(new Path(logDir, ckptEntriesName(p.version))) => p
+      case _ => return None
+    }
+    val tail = rawRange(prev.version + 1, upTo)
+    validateChain(prev.version, tail)
+    // modes whose replay touches the existing file set (reset, remove
+    // or relabel) need the driver fold; everything else only ADDS
+    val mutating = Set("overwrite", "checkpoint", "rewrite", "restats")
+    if (tail.exists(c => mutating(c.mode))) return None
+    val noFileChange =
+      Set("delete", "dvclear", "rename", "drop", "constraint", "widen", "props")
+    val addedFiles = tail.filterNot(c => noFileChange(c.mode)).flatMap(_.files)
+    // DV replay over the tail (liveDvFiles' fold, additive modes only):
+    // delete adds its sidecars, dvclear resets, anything else may
+    // re-reference (clone's adopting append)
+    var dvTail = Vector.empty[String]
+    var sawClear = false
+    tail.foreach { c =>
+      c.mode match {
+        case "delete" => dvTail ++= c.files.map(_.path)
+        case "dvclear" => dvTail = Vector.empty; sawClear = true
+        case _ => dvTail ++= c.dvs
+      }
+    }
+    val prevDf = spark.read.schema(EntriesSchema)
+      .parquet(new Path(logDir, ckptEntriesName(prev.version)).toString)
+    // one tiny agg: the base's statsCol (earliest keyed entry — the
+    // same first-in-fold-order rule the driver fold applies) and the
+    // idx high-water marks the additions continue from
+    val info = prevDf.agg(
+      fmax(when(col("kind") === "f", col("idx"))).as("maxFileIdx"),
+      fmin(when(col("kind") === "f" && col("key_col").isNotNull,
+        org.apache.spark.sql.functions.struct(col("idx"), col("key_col"))))
+        .as("firstKeyed"),
+      fmax(when(col("kind") === "d", col("idx"))).as("maxDvIdx")).head()
+    val maxFileIdx = if (info.isNullAt(0)) -1L else info.getLong(0)
+    val prevSc = Option(info.getStruct(1)).map(_.getString(1))
+    val maxDvIdx = if (info.isNullAt(2)) -1L else info.getLong(2)
+    // single-statsCol hygiene, same rule as the driver fold: the
+    // base's key wins while any keyed base entry exists; additions
+    // recorded under another key keep their rows, lose their stats
+    val sc = prevSc.orElse(addedFiles.flatMap(_.keyCol).headOption)
+    val addRows: Seq[Row] =
+      addedFiles.zipWithIndex.map { case (f, i) =>
+        val g = if (f.keyCol == sc) f
+          else f.copy(min = None, max = None, keyCol = None)
+        entryRow(g, maxFileIdx + 1 + i)
+      } ++ dvTail.zipWithIndex.map { case (p, i) =>
+        Row(maxDvIdx + 1 + i.toLong, "d", p,
+          null, null, null, null, null, null, null)
+      }
+    val keepPrev = if (sawClear) prevDf.filter(col("kind") === "f") else prevDf
+    val adds = spark.createDataFrame(
+      spark.sparkContext.parallelize(addRows, 1), EntriesSchema)
+    Some(keepPrev.unionByName(adds))
   }
 
   private def readEntriesParquet(version: Int): (Seq[FileEntry], Seq[String]) = {
@@ -781,12 +857,13 @@ class DeltaLite(val spark: SparkSession, val root: String,
       dvs = new LazySeq(() => loaded._2))
   }
 
-  /** State to checkpoint at `upTo`, built INCREMENTALLY from the
-    * previous checkpoint plus the log range between — O(interval)
-    * parses, so the periodic write never degrades with table age.
+  /** The replay chain feeding a checkpoint at `upTo`: the base txn
+    * marks plus the commit sequence (previous checkpoint's synthetic
+    * base + tail, or the raw log) — O(interval) parses, so the
+    * periodic write never degrades with table age.
     */
-  private def checkpointState(upTo: Int): Checkpoint = {
-    val (baseTxns, cs) = checkpointAtOrBefore(upTo) match {
+  private def checkpointChain(upTo: Int): (Map[String, Long], Seq[Commit]) =
+    checkpointAtOrBefore(upTo) match {
       case Some(prev) if prev.version < upTo =>
         val tail = rawRange(prev.version + 1, upTo)
         validateChain(prev.version, tail)
@@ -798,6 +875,17 @@ class DeltaLite(val spark: SparkSession, val root: String,
         validateChain(-1, raw)
         (Map.empty[String, Long], raw)
     }
+
+  /** The checkpoint's SMALL state (schema, mapping, constraints, txn
+    * marks, properties, feature unions) — every fold here reads
+    * metadata fields only, so building it never forces a v2 base's
+    * lazily-loaded file entries. The file/DV sets are attached by
+    * [[checkpointState]] (driver fold) or stay as a DataFrame in the
+    * incremental write path.
+    */
+  private def checkpointMetaOf(upTo: Int,
+      chain: (Map[String, Long], Seq[Commit])): Checkpoint = {
+    val (baseTxns, cs) = chain
     val txns = cs.foldLeft(baseTxns) { (m, c) =>
       (c.txnApp, c.txnId) match {
         case (Some(a), Some(i)) =>
@@ -805,6 +893,20 @@ class DeltaLite(val spark: SparkSession, val root: String,
         case _ => m
       }
     }
+    Checkpoint(upTo, cs.last.schemaJson, Nil, Nil,
+      colMapAt(cs), checksAt(cs), txns, partsAt(cs),
+      cs.flatMap(_.ingested).distinct, propsAt(cs),
+      rfeat = cs.flatMap(_.rfeat.getOrElse(Nil)).distinct.sorted,
+      wfeat = cs.flatMap(_.wfeat.getOrElse(Nil)).distinct.sorted)
+  }
+
+  /** Fully-materialized checkpoint state (driver fold over the live
+    * set) — the general path; the append-tail incremental write
+    * bypasses it entirely.
+    */
+  private def checkpointState(upTo: Int): Checkpoint = {
+    val chain = checkpointChain(upTo)
+    val cs = chain._2
     // the render serializes ONE statsCol for all entries (commit-record
     // format) — entries recorded under a different historical key keep
     // their rows but lose their stats rather than be relabeled (the
@@ -814,11 +916,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
     val files = live.map(f =>
       if (f.keyCol == sc) f
       else f.copy(min = None, max = None, keyCol = None))
-    Checkpoint(upTo, cs.last.schemaJson, files, liveDvFiles(cs),
-      colMapAt(cs), checksAt(cs), txns, partsAt(cs),
-      cs.flatMap(_.ingested).distinct, propsAt(cs),
-      rfeat = cs.flatMap(_.rfeat.getOrElse(Nil)).distinct.sorted,
-      wfeat = cs.flatMap(_.wfeat.getOrElse(Nil)).distinct.sorted)
+    checkpointMetaOf(upTo, chain).copy(files = files, dvs = liveDvFiles(cs))
   }
 
   /** Write the checkpoint for `version` (no-op if present in EITHER
@@ -839,10 +937,10 @@ class DeltaLite(val spark: SparkSession, val root: String,
   private def writeCheckpoint(version: Int): Unit = {
     if (fs.exists(new Path(logDir, ckptName(version))) ||
         fs.exists(new Path(logDir, ckptMetaName(version)))) return
-    val cp = checkpointState(version)
     if (checkpointFormat == "json") {
       commitStore.putIfAbsent(new Path(logDir, ckptName(version)),
-        renderCheckpoint(cp).getBytes(StandardCharsets.UTF_8))
+        renderCheckpoint(checkpointState(version))
+          .getBytes(StandardCharsets.UTF_8))
       return
     }
     val entriesDir = new Path(logDir, ckptEntriesName(version))
@@ -851,7 +949,13 @@ class DeltaLite(val spark: SparkSession, val root: String,
       tries += 1
       val tmp = new Path(logDir,
         s".tmp-$version-${java.util.UUID.randomUUID()}.entries")
-      writeEntriesParquet(cp, tmp)
+      // append-tail fast path: entries flow checkpoint→checkpoint as
+      // a Spark job; only mutating tails fold on the driver
+      incrementalEntriesDf(version) match {
+        case Some(df) =>
+          df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        case None => writeEntriesParquet(checkpointState(version), tmp)
+      }
       // rename loser: a concurrent writer won the final name with the
       // same deterministic content — discard ours. The exists re-check
       // in the loop guard covers the rare loser-without-winner (e.g.
@@ -861,7 +965,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
     require(fs.exists(entriesDir),
       s"checkpoint entries dir $entriesDir could not be published")
     commitStore.putIfAbsent(new Path(logDir, ckptMetaName(version)),
-      renderCheckpointMeta(cp).getBytes(StandardCharsets.UTF_8))
+      renderCheckpointMeta(checkpointMetaOf(version, checkpointChain(version)))
+        .getBytes(StandardCharsets.UTF_8))
   }
 
   /** Force a checkpoint at the current version regardless of the

@@ -46,15 +46,25 @@ object ProbeBfs {
       val (_, ta) = time(arrayVariant(spark).write.format("noop").mode("overwrite").save())
       println(f"[probe] rep$rep edges join=$tj%.2f array=$ta%.2f")
     }
-    // BFS loop alone, on a persisted edge frame (derivation excluded)
+    // BFS loop alone, on a persisted edge frame (derivation excluded):
+    // eager checkpoint-then-count (2 jobs/round) vs lazy checkpoint
+    // materialized by the count action (1 job/round), alternating reps
+    // in ONE JVM so machine drift cancels
     val e = arrayVariant(spark)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e.count()
     val src = e.agg(min($"u")).as[Option[Long]].head().get
+    def run(eager: Boolean): (Long, Double) = {
+      val (out, t) = time(Bfs.levelsImpl(e, "u", "v", src, maxDepth = 6,
+        broadcastFrontierMax = 4L << 20, eagerCkpt = eager))
+      (out.count(), t)
+    }
+    run(eager = true); run(eager = false) // warmup both
     (1 to 4).foreach { rep =>
-      val (out, t) = time(Bfs.levels(e, "u", "v", src, maxDepth = 6))
-      val n = out.count()
-      println(f"[probe] rep$rep bfs loop=$t%.2f visited=$n")
+      val (ne, te) = run(eager = true)
+      val (nl, tl) = run(eager = false)
+      assert(ne == nl, s"variants disagree: $ne vs $nl")
+      println(f"[probe] rep$rep bfs eager=$te%.2f lazy=$tl%.2f visited=$ne")
     }
     spark.stop()
   }

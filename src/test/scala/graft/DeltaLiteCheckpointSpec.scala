@@ -187,6 +187,42 @@ class DeltaLiteCheckpointSpec extends SparkSpec {
     assert(t2.readAsOf(10).count() == 110)
   }
 
+  test("v2: append-tail checkpoints flow checkpoint→checkpoint without driver-materializing the prior live set") {
+    val root = tmp("graft-ckpt-incr")
+    val t = DeltaLite(spark, root, "k")
+    (0 until 11).foreach(i => t.append(batch(i * 10L, 10)))   // cp v10 (driver fold: no base)
+    // fresh instance: the v10 base is only ever a lazy parquet handle
+    val t2 = DeltaLite(spark, root, "k")
+    (0 until 10).foreach(i => t2.append(batch(1000L + i * 10, 10))) // v11..v20 → cp v20
+    assert(logFiles(root).contains("20.checkpoint.meta.json"))
+    assert(t2.entryLoads.get() == 0,
+      "append-tail checkpoint must not load the prior entry set on the driver")
+    // the incrementally-built checkpoint replays to the exact state
+    t2.cleanLog()
+    val t3 = DeltaLite(spark, root, "k")
+    assert(t3.read().count() == 210)
+    assert(t3.readAsOf(20).count() == 210)
+  }
+
+  test("v2: a delete in the append tail rides the incremental checkpoint (DV rows flow)") {
+    val root = tmp("graft-ckpt-incr-dv")
+    val t = DeltaLite(spark, root, "k")
+    (0 until 11).foreach(i => t.append(batch(i * 10L, 10)))   // cp v10
+    t.deleteWhere(col("k") === 5L)                            // v11: DV sidecar
+    (0 until 9).foreach(i => t.append(batch(2000L + i * 10, 10))) // v12..v20 → incremental cp
+    t.cleanLog()
+    val t2 = DeltaLite(spark, root, "k")
+    assert(t2.read().count() == 199)
+    assert(t2.read().filter(col("k") === 5L).count() == 0,
+      "the DV-deleted row resurrected through the incremental checkpoint")
+    // a rewriting tail falls back to the driver fold and stays correct
+    t2.compact(minFiles = 2)
+    t2.checkpointNow(); t2.cleanLog()
+    val t3 = DeltaLite(spark, root, "k")
+    assert(t3.read().count() == 199)
+    assert(t3.read().filter(col("k") === 5L).count() == 0)
+  }
+
   test("legacy json checkpoints read back under the parquet-default build; mixed logs dedup to v2") {
     val root = tmp("graft-ckpt-legacy")
     val legacy = new DeltaLite(spark, root, Some("k"), checkpointFormat = "json")
