@@ -223,6 +223,38 @@ class DeltaLiteCheckpointSpec extends SparkSpec {
     assert(t3.read().filter(col("k") === 5L).count() == 0)
   }
 
+  test("v2: a 100k-file table checkpoints and re-opens without driver-materializing the live set") {
+    val root = tmp("graft-ckpt-many")
+    val t = DeltaLite(spark, root, "k")
+    t.append(batch(0, 5)) // v0: real files anchor the schema
+    // adopt 100k (fake-path) file entries in one epoch — the shape of a
+    // long-lived streaming table; nothing ever scans them here, this
+    // pins the METADATA economics at the million-file order
+    val many = (0 until 100000).map(i => (s"$root/v=epoch/part-$i.parquet", 1024L))
+    assert(t.adoptStreamEpoch(many, overwrite = false, "epoch-load", 1L).contains(1))
+    assert(t.checkpointNow().contains(1))
+    val entries = new java.io.File(root, "_log/1.checkpoint.entries")
+    assert(entries.isDirectory)
+    // a FRESH open answers metadata queries with ZERO entry loads —
+    // the O(live files) state stays on disk
+    val t2 = DeltaLite(spark, root, "k")
+    assert(t2.latestVersion.contains(1))
+    assert(t2.schema.exists(_.fieldNames.sameElements(Array("k", "v"))))
+    assert(t2.entryLoads.get() == 0,
+      "metadata-only open of a 100k-file table materialized the live set")
+    // …and the NEXT checkpoint flows incrementally: prev parquet → new
+    // parquet as a Spark job, still zero driver materialization
+    assert(t2.adoptStreamEpoch(Seq((s"$root/v=epoch2/part-0.parquet", 1024L)),
+      overwrite = false, "epoch-load", 2L).contains(2))
+    assert(t2.checkpointNow().contains(2))
+    assert(t2.entryLoads.get() == 0,
+      "the append-tail checkpoint of a 100k-file table hit the driver fold")
+    // the incrementally-written checkpoint carries the whole live set
+    val reopened = spark.read
+      .parquet(s"$root/_log/2.checkpoint.entries")
+    assert(reopened.filter("kind = 'f'").count() >= 100001L)
+  }
+
   test("legacy json checkpoints read back under the parquet-default build; mixed logs dedup to v2") {
     val root = tmp("graft-ckpt-legacy")
     val legacy = new DeltaLite(spark, root, Some("k"), checkpointFormat = "json")
