@@ -102,10 +102,17 @@ class LinkCommitStore extends CommitStore {
   *  - Anything without a conditional put needs an external
   *    coordinator (e.g. a lock table) presenting this same call.
   *
-  * Retry guidance for impls: a network timeout AFTER the body was
-  * sent is ambiguous (the put may have landed) — re-GET and compare
-  * bytes before reporting false, or surface the error; never blind-
-  * retry into a false "lost the race".
+  * Two laws an impl must honor beyond create-iff-absent:
+  *  - VISIBILITY: a `false` return implies the existing object is
+  *    already durable and readable — the caller re-lists the log to
+  *    classify the conflict, and an invisible winner would make it
+  *    replay an empty/short log (S3/GCS/ABFS give this via strong
+  *    read-after-write consistency; anything eventually-consistent
+  *    cannot back a commit log).
+  *  - Retry: a network timeout AFTER the body was sent is ambiguous
+  *    (the put may have landed) — re-GET and compare bytes before
+  *    reporting false, or surface the error; never blind-retry into
+  *    a false "lost the race".
   */
 trait ObjectStoreClient {
   def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean
@@ -127,36 +134,42 @@ class EtagCommitStore(client: ObjectStoreClient) extends CommitStore {
 }
 
 /** In-memory object store with S3-strong-consistency conditional-put
-  * semantics: the key space arbitrates atomically (a concurrent-set
-  * `add` — the fake's stand-in for the store's atomic precondition
-  * check), and a won put materializes the body on the local
-  * filesystem via temp + ATOMIC_MOVE so any reader (DeltaLite's
-  * Hadoop scans included) sees complete-or-absent objects — the
-  * visibility S3 gives an in-flight PUT. Single-JVM by construction
-  * (it is a test double for the store's server-side atomicity, not a
-  * distributed coordinator); the contract harness and the DeltaLite
-  * exactly-once race both drive it.
+  * semantics. The load-bearing property (and the one a weaker fake
+  * gets wrong): a FAILED conditional put implies the winning object
+  * is already DURABLE AND READABLE — S3 serializes concurrent PUTs
+  * and evaluates `If-None-Match` against committed state, so a 412
+  * loser that immediately re-lists the log MUST see the winner's
+  * commit (DeltaLite's conflict-retry logic depends on exactly this
+  * to re-read the conflicting commit before retrying; a fake that
+  * reserved the key before writing the body handed losers an empty
+  * log and broke the retry). Modeled here by performing the body
+  * write INSIDE the per-key atomic `compute`: the loser's call blocks
+  * until the winner's temp + ATOMIC_MOVE completed, so `false`
+  * returns only once the object is visible; a failed write
+  * propagates without establishing the mapping (the real store has
+  * no reserved-but-absent state). Single-JVM by construction (a test
+  * double for the store's server-side atomicity, not a distributed
+  * coordinator); the contract harness and the DeltaLite exactly-once
+  * race both drive it.
   */
 class FakeObjectStore extends ObjectStoreClient {
-  private val keys =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val objects =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
   override def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean = {
-    if (!keys.add(key)) false
-    else {
-      try {
+    var won = false
+    objects.compute(key, (_, existing) => {
+      if (existing == null) {
         val p = Paths.get(key)
         Files.createDirectories(p.getParent)
         val tmp = Files.createTempFile(p.getParent,
           s".${p.getFileName}", ".upload")
         Files.write(tmp, bytes)
         Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        true
-      } catch {
-        // a failed body write must not strand the key reserved — the
-        // real store has no reserved-but-absent state
-        case e: Throwable => keys.remove(key); throw e
+        won = true
       }
-    }
+      java.lang.Boolean.TRUE
+    })
+    won
   }
 }
 
