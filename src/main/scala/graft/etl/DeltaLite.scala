@@ -706,7 +706,13 @@ class DeltaLite(val spark: SparkSession, val root: String,
     StructField("size", LongType, nullable = true),
     StructField("extra_cols", ArrayType(StringType, false), nullable = true),
     StructField("extra_mins", ArrayType(StringType, true), nullable = true),
-    StructField("extra_maxs", ArrayType(StringType, true), nullable = true)))
+    StructField("extra_maxs", ArrayType(StringType, true), nullable = true),
+    // scheme-normalized path ([[norm]]), precomputed at write time so a
+    // REWRITING tail's removes can anti-join incrementally without a
+    // per-row scala function on the read side; nullable for checkpoints
+    // written before the column existed (those fall back to the driver
+    // fold when a remove must be applied)
+    StructField("pathn", StringType, nullable = true)))
 
   /** Distributed write of a checkpoint's file entries + DV paths as
     * parquet rows under `dir` — multi-part by row count (~64k entries
@@ -726,32 +732,40 @@ class DeltaLite(val spark: SparkSession, val root: String,
       f.keyCol.orNull, f.size.map(Long.box).orNull,
       if (ex.isEmpty) null else ex.map(_._1),
       if (ex.isEmpty) null else ex.map(_._2._1.orNull),
-      if (ex.isEmpty) null else ex.map(_._2._2.orNull))
+      if (ex.isEmpty) null else ex.map(_._2._2.orNull),
+      norm(f.path))
   }
+
+  private def dvRow(p: String, idx: Long): Row =
+    Row(idx, "d", p, null, null, null, null, null, null, null, norm(p))
 
   private def writeEntriesParquet(cp: Checkpoint, dir: Path): Unit = {
     val rows: Seq[Row] = cp.files.zipWithIndex.map { case (f, i) =>
       entryRow(f, i.toLong)
-    } ++ cp.dvs.zipWithIndex.map { case (p, i) =>
-      Row(i.toLong, "d", p, null, null, null, null, null, null, null)
-    }
+    } ++ cp.dvs.zipWithIndex.map { case (p, i) => dvRow(p, i.toLong) }
     val parts = math.max(1, math.min(rows.length / entriesPerPart + 1, 256))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, parts), EntriesSchema)
       .write.mode(SaveMode.Overwrite).parquet(dir.toString)
   }
 
-  /** APPEND-TAIL incremental entries: when the previous checkpoint is
-    * v2 and every tail commit's file effect is purely additive (no
-    * rewrite/overwrite/restats — the streaming-ingest steady state at
-    * 100 TB), the new entry set is the previous checkpoint's parquet
-    * AS A DATAFRAME plus the tail's driver-bounded additions — the
-    * driver never materializes the prior live set AT ALL (the
-    * `entryLoads` spec counter proves it), so checkpointing a
-    * million-file table costs one bounded Spark job, not O(live
-    * files) driver objects. Rewriting tails (compaction, upsert,
-    * repair) fall back to the driver fold, whose file lists those
-    * operations materialized anyway. Returns None when ineligible.
+  /** Incremental entries: when the previous checkpoint is v2 and the
+    * tail's file effect is expressible as (remove set, add list) —
+    * appends, REWRITES (compaction/upsert/repair), deletes, metadata;
+    * i.e. everything except a snapshot reset (overwrite/checkpoint)
+    * or a whole-set relabel (restats) — the new entry set is the
+    * previous checkpoint's parquet AS A DATAFRAME, minus the removes
+    * (an anti-join on the precomputed normalized-path column), plus
+    * the tail's driver-bounded additions. The driver never
+    * materializes the prior live set AT ALL (the `entryLoads` spec
+    * counter proves it), so checkpointing a million-file table costs
+    * one bounded Spark job, not O(live files) driver objects.
+    * Conservative corner: if the tail removes EVERY keyed base entry
+    * while adding entries keyed differently, the adds' stats are
+    * stripped where the driver fold would have kept them — stats are
+    * only ever LOST, never mislabeled, so pruning stays correct.
+    * Returns None when ineligible (reset/relabel tails, a legacy or
+    * missing base, or a pre-`pathn` base that a remove must filter).
     */
   private def incrementalEntriesDf(upTo: Int): Option[DataFrame] = {
     val prev = checkpointAtOrBefore(upTo) match {
@@ -761,16 +775,34 @@ class DeltaLite(val spark: SparkSession, val root: String,
     }
     val tail = rawRange(prev.version + 1, upTo)
     validateChain(prev.version, tail)
-    // modes whose replay touches the existing file set (reset, remove
-    // or relabel) need the driver fold; everything else only ADDS
-    val mutating = Set("overwrite", "checkpoint", "rewrite", "restats")
+    // snapshot resets and whole-set relabels need the driver fold
+    val mutating = Set("overwrite", "checkpoint", "restats")
     if (tail.exists(c => mutating(c.mode))) return None
     val noFileChange =
       Set("delete", "dvclear", "rename", "drop", "constraint", "widen", "props")
-    val addedFiles = tail.filterNot(c => noFileChange(c.mode)).flatMap(_.files)
-    // DV replay over the tail (liveDvFiles' fold, additive modes only):
-    // delete adds its sidecars, dvclear resets, anything else may
-    // re-reference (clone's adopting append)
+    // fold the tail's file effect into a remove-set over the BASE and
+    // an ordered add-list — mirroring liveEntries' fold exactly: a
+    // rewrite's removes hit earlier tail adds first (in-tail add+remove
+    // cancels), only then the base; adds append in commit order
+    val removedBase = scala.collection.mutable.LinkedHashSet.empty[String]
+    val added = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
+    tail.foreach { c =>
+      c.mode match {
+        case m if noFileChange(m) => ()
+        case "rewrite" =>
+          c.removed.foreach { r =>
+            val n = norm(r)
+            if (added.remove(n).isEmpty) removedBase += n
+          }
+          c.files.foreach(f => added(norm(f.path)) = f)
+        case _ => c.files.foreach(f => added(norm(f.path)) = f)
+      }
+    }
+    val addedFiles = added.values.toSeq
+    // DV replay over the tail (liveDvFiles' fold): delete adds its
+    // sidecars, dvclear resets, anything else may re-reference
+    // (clone's adopting append). DV rows referencing removed files
+    // are stale-but-harmless, same as the driver fold.
     var dvTail = Vector.empty[String]
     var sawClear = false
     tail.foreach { c =>
@@ -783,17 +815,22 @@ class DeltaLite(val spark: SparkSession, val root: String,
     val prevDf = spark.read.schema(EntriesSchema)
       .parquet(new Path(logDir, ckptEntriesName(prev.version)).toString)
     // one tiny agg: the base's statsCol (earliest keyed entry — the
-    // same first-in-fold-order rule the driver fold applies) and the
-    // idx high-water marks the additions continue from
+    // same first-in-fold-order rule the driver fold applies), the idx
+    // high-water marks the additions continue from, and whether the
+    // base predates the `pathn` column (removes then need the fold)
     val info = prevDf.agg(
       fmax(when(col("kind") === "f", col("idx"))).as("maxFileIdx"),
       fmin(when(col("kind") === "f" && col("key_col").isNotNull,
         org.apache.spark.sql.functions.struct(col("idx"), col("key_col"))))
         .as("firstKeyed"),
-      fmax(when(col("kind") === "d", col("idx"))).as("maxDvIdx")).head()
+      fmax(when(col("kind") === "d", col("idx"))).as("maxDvIdx"),
+      org.apache.spark.sql.functions.sum(
+        when(col("pathn").isNull, 1L).otherwise(0L)).as("nNoPathn")).head()
     val maxFileIdx = if (info.isNullAt(0)) -1L else info.getLong(0)
     val prevSc = Option(info.getStruct(1)).map(_.getString(1))
     val maxDvIdx = if (info.isNullAt(2)) -1L else info.getLong(2)
+    if (removedBase.nonEmpty && !info.isNullAt(3) && info.getLong(3) > 0)
+      return None // pre-pathn base rows cannot be remove-filtered
     // single-statsCol hygiene, same rule as the driver fold: the
     // base's key wins while any keyed base entry exists; additions
     // recorded under another key keep their rows, lose their stats
@@ -804,10 +841,19 @@ class DeltaLite(val spark: SparkSession, val root: String,
           else f.copy(min = None, max = None, keyCol = None)
         entryRow(g, maxFileIdx + 1 + i)
       } ++ dvTail.zipWithIndex.map { case (p, i) =>
-        Row(maxDvIdx + 1 + i.toLong, "d", p,
-          null, null, null, null, null, null, null)
+        dvRow(p, maxDvIdx + 1 + i.toLong)
       }
-    val keepPrev = if (sawClear) prevDf.filter(col("kind") === "f") else prevDf
+    val base0 = if (sawClear) prevDf.filter(col("kind") === "f") else prevDf
+    val keepPrev =
+      if (removedBase.isEmpty) base0
+      else {
+        import spark.implicits._
+        val rem = broadcast(
+          removedBase.toSeq.toDF("__rm").withColumn("__k", lit("f")))
+        base0.join(rem,
+          col("pathn") === col("__rm") && col("kind") === col("__k"),
+          "left_anti")
+      }
     val adds = spark.createDataFrame(
       spark.sparkContext.parallelize(addRows, 1), EntriesSchema)
     Some(keepPrev.unionByName(adds))

@@ -215,12 +215,22 @@ class DeltaLiteCheckpointSpec extends SparkSpec {
     assert(t2.read().count() == 199)
     assert(t2.read().filter(col("k") === 5L).count() == 0,
       "the DV-deleted row resurrected through the incremental checkpoint")
-    // a rewriting tail falls back to the driver fold and stays correct
+    // a REWRITING tail also flows incrementally: the compaction's
+    // removes anti-join the base on the precomputed pathn column —
+    // the checkpoint itself must not re-materialize the base (the
+    // compact's own scan is the only entry load on this instance)
     t2.compact(minFiles = 2)
-    t2.checkpointNow(); t2.cleanLog()
+    val loadsAfterCompact = t2.entryLoads.get()
+    t2.checkpointNow()
+    assert(t2.entryLoads.get() == loadsAfterCompact,
+      "rewrite-tail checkpoint re-materialized the base entry set")
+    t2.cleanLog()
     val t3 = DeltaLite(spark, root, "k")
     assert(t3.read().count() == 199)
     assert(t3.read().filter(col("k") === 5L).count() == 0)
+    // and the compacted-away files are really gone from the checkpoint
+    assert(t3.liveFiles().size < 12,
+      s"removes did not apply through the incremental path: ${t3.liveFiles().size} files")
   }
 
   test("v2: a 100k-file table checkpoints and re-opens without driver-materializing the live set") {
