@@ -773,9 +773,33 @@ class DeltaLite(val spark: SparkSession, val root: String,
         fs.exists(new Path(logDir, ckptEntriesName(p.version))) => p
       case _ => return None
     }
-    val tail = rawRange(prev.version + 1, upTo)
-    validateChain(prev.version, tail)
-    // snapshot resets and whole-set relabels need the driver fold
+    val fullTail = rawRange(prev.version + 1, upTo)
+    validateChain(prev.version, fullTail)
+    // a snapshot RESET in the tail (overwrite/restore) makes the base
+    // irrelevant: the live set is the fold from the last reset onward
+    // — entirely tail-derived, so the checkpoint costs zero base reads
+    // AND zero driver reads of the prior live set. Build it directly.
+    val lastReset = fullTail.lastIndexWhere(_.mode == "overwrite")
+    if (lastReset >= 0) {
+      // the fold over the post-reset segment handles every mode
+      // (rewrite removes, restats relabels) — it is all tail data
+      val seg = fullTail.drop(lastReset)
+      val live = liveEntries(seg)
+      val sc = live.flatMap(_.keyCol).headOption
+      val files = live.map(f =>
+        if (f.keyCol == sc) f
+        else f.copy(min = None, max = None, keyCol = None))
+      val rows: Seq[Row] = files.zipWithIndex.map { case (f, i) =>
+        entryRow(f, i.toLong)
+      } ++ liveDvFiles(seg).zipWithIndex.map { case (p, i) =>
+        dvRow(p, i.toLong)
+      }
+      val parts = math.max(1, math.min(rows.length / entriesPerPart + 1, 256))
+      return Some(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, parts), EntriesSchema))
+    }
+    val tail = fullTail
+    // whole-set relabels (restats) need the driver fold
     val mutating = Set("overwrite", "checkpoint", "restats")
     if (tail.exists(c => mutating(c.mode))) return None
     val noFileChange =

@@ -265,6 +265,26 @@ class DeltaLiteCheckpointSpec extends SparkSpec {
     assert(reopened.filter("kind = 'f'").count() >= 100001L)
   }
 
+  test("v2: an overwrite in the tail short-circuits — the checkpoint never reads the base at all") {
+    val root = tmp("graft-ckpt-reset")
+    val t = DeltaLite(spark, root, "k")
+    (0 until 11).foreach(i => t.append(batch(i * 10L, 10)))   // cp v10
+    val t2 = DeltaLite(spark, root, "k")
+    t2.overwrite(batch(5000L, 20))                            // v11: snapshot reset
+    (0 until 9).foreach(i => t2.append(batch(6000L + i * 10, 10))) // v12..v20 → cp v20
+    assert(logFiles(root).contains("20.checkpoint.meta.json"))
+    // the reset makes the v10 base irrelevant — zero entry loads AND
+    // zero base-parquet reads back the claim that the live set is
+    // entirely tail-derived
+    assert(t2.entryLoads.get() == 0,
+      "a reset tail must not read the previous checkpoint's entries")
+    t2.cleanLog()
+    val t3 = DeltaLite(spark, root, "k")
+    assert(t3.read().count() == 110)
+    assert(t3.read().filter(col("k") < 5000L).count() == 0,
+      "pre-overwrite rows leaked through the reset-tail checkpoint")
+  }
+
   test("legacy json checkpoints read back under the parquet-default build; mixed logs dedup to v2") {
     val root = tmp("graft-ckpt-legacy")
     val legacy = new DeltaLite(spark, root, Some("k"), checkpointFormat = "json")
