@@ -141,6 +141,32 @@ object Curation {
     textClean.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[curateWithEmbeddings]]'s SemDeDup sibling: the semantic stage
+    * runs [[Similarity.semDedup]] — k-means-cluster-bounded pruning
+    * (Σ cluster² candidates) — instead of LSH-bucketed pair search.
+    * Same contract: only text-surviving docs' embeddings participate,
+    * semantic losers (cosine ≥ `tau` to a lower-id cluster-mate) drop
+    * from the curated output, the min-id representative survives.
+    * Prefer this stage when near-duplicates are dense (LSH buckets
+    * degenerate toward all-pairs as duplicate density grows; cluster
+    * count stays the explicit quadratic-term knob here).
+    */
+  def curateSemantic(docs: DataFrame, textCol: String, idCol: String,
+      emb: DataFrame, vecCol: String, embIdCol: String,
+      centroids: Array[Array[Double]], tau: Double = 0.95,
+      minQuality: Double = 0.5, langs: Seq[String] = Seq("en"),
+      jaccard: Double = 0.8, lshThreshold: Double = 0.5): DataFrame = {
+    val textClean = curate(docs, textCol, idCol, minQuality, langs, jaccard,
+      lshThreshold)
+    val survEmb = emb.join(textClean.select(col(idCol).as(embIdCol)),
+      Seq(embIdCol), "left_semi")
+    val losers = Similarity
+      .semDedup(survEmb, vecCol, embIdCol, centroids, tau)
+      .filter(!col("kept"))
+      .select(col("vec_id").as(idCol))
+    textClean.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Per-stage row counts for the same parameters (runs the pipeline's
     * counting twin; small results, driver-safe).
     */

@@ -59,6 +59,32 @@ class CurationSpec extends SparkSpec {
       info("embedding stage removed nothing (text passes caught all)")
   }
 
+  test("curateSemantic: the SemDeDup stage drops cluster-bounded semantic near-dups") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+      .withColumnRenamed("vec_id", "doc_id")
+      .withColumn("embedding",
+        org.apache.spark.sql.functions.transform($"embedding",
+          x => x.cast("double")))
+    val textOnly = Curation.curate(docs, "text", "doc_id",
+      minQuality = 0.3, langs = Seq("en", "de", "fr", "es"), jaccard = 0.8)
+    val centroids = graft.ops.Similarity.trainIvfCentroids(
+      emb, "embedding", k = 16)
+    val semantic = Curation.curateSemantic(docs, "text", "doc_id",
+      emb, "embedding", "doc_id", centroids, tau = 0.95,
+      minQuality = 0.3, langs = Seq("en", "de", "fr", "es"), jaccard = 0.8)
+    val tSet = textOnly.select("doc_id").as[Long].collect().toSet
+    val sSet = semantic.select("doc_id").as[Long].collect().toSet
+    assert(sSet.subsetOf(tSet), "semantic stage must only remove docs")
+    // survivors contain no co-clustered pair above tau (the stage's
+    // own contract — within-cluster, min-id representative)
+    val survEmb = emb.join(semantic.select($"doc_id"), Seq("doc_id"), "left_semi")
+    val verdicts = graft.ops.Similarity.semDedup(
+      survEmb, "embedding", "doc_id", centroids, tau = 0.95)
+    assert(verdicts.filter(!$"kept").isEmpty,
+      "a semantic duplicate pair survived the semantic stage")
+  }
+
   test("curate: stage counters are monotone and near-dedup actually fires") {
     val r = Curation.report(docs, "text", "doc_id",
       minQuality = 0.3, langs = Seq("en", "de", "fr", "es"), jaccard = 0.8)
