@@ -54,6 +54,16 @@ class DeltaLite(val spark: SparkSession, val root: String,
     // files) string work (Delta's parquet-checkpoint economics).
     // "json": the legacy single-blob format, kept for back-compat
     // round-trip tests and mixed-build logs; reads accept BOTH.
+    // DOWNGRADE BOUNDARY (mixed builds): a v2 checkpoint is invisible
+    // to a pre-v2 build (it only recognizes `<v>.checkpoint.json`), so
+    // a table stays fully downgrade-readable UNTIL cleanLog trims the
+    // raw records below a v2 checkpoint — after that a pre-v2 build
+    // fails LOUDLY ("truncated below version X with no checkpoint"),
+    // never silently (its replay refuses partial logs). To keep a
+    // table readable by pre-v2 builds, either run them before
+    // cleanLog, or write with checkpointFormat = "json". Sidecar-backed
+    // COMMIT records are gated harder: they stamp `rfeat:sidecar`, so
+    // a pre-sidecar build refuses the whole log by feature name.
     val checkpointFormat: String = "parquet") {
   private val rootPath = new Path(root)
   private val logDir = new Path(rootPath, "_log")
@@ -139,7 +149,21 @@ class DeltaLite(val spark: SparkSession, val root: String,
       // their supported set instead of silently misreading. Absent in
       // pre-gate logs (→ no requirement, full back-compat).
       rfeat: Option[Seq[String]] = None,
-      wfeat: Option[Seq[String]] = None)
+      wfeat: Option[Seq[String]] = None,
+      // PARQUET SIDECAR for O(live-files) records: when a snapshot
+      // commit (overwrite/restore/restats — or any record whose
+      // file/remove/DV sets reach commitSidecarThreshold) publishes,
+      // its entry sets are written as parquet rows under
+      // `_log/<v>.<uuid>.sidecar.entries` by a DISTRIBUTED job and the
+      // JSON record carries only this reference — the driver never
+      // renders an O(live) string (the wall v2 checkpoints removed,
+      // now removed from per-commit records too). Readers re-attach
+      // the sets lazily ([[LazySeq]]); `counts` keeps history() and
+      // other count-only audits O(1). Stamped `rfeat:sidecar` so a
+      // pre-sidecar build fails loudly instead of replaying empty
+      // file sets.
+      entriesRef: Option[String] = None,
+      counts: Option[(Long, Long, Long)] = None)
 
   /** Scheme-independent path identity (file:/x vs file:///x vs /x). */
   private def norm(p: String): String = new Path(p).toUri.getPath
@@ -479,14 +503,40 @@ class DeltaLite(val spark: SparkSession, val root: String,
     def featList(k: String): Option[Seq[String]] = optField(k)
       .map(s => if (s.isEmpty) Seq.empty[String]
         else s.split('\u001e').toSeq.map(dsep))
-    Commit(field("version").toInt, field("mode"), field("schema"),
+    val base = Commit(field("version").toInt, field("mode"), field("schema"),
       removedPaths, files, optField("txnApp"), optField("txnId").map(_.toLong),
       dvs, colmap, checks, parts, ingested, props, cdc,
       rfeat = featList("rfeat"), wfeat = featList("wfeat"))
+    // sidecar-backed record: the file/remove/DV sets live as parquet
+    // rows under the referenced dir — re-attach them LAZILY so replay
+    // that never touches the sets (metadata ops, feature gates,
+    // history via `counts`) stays O(small meta)
+    optField("entref") match {
+      case Some(name) =>
+        lazy val loaded = readEntryRows(new Path(logDir, name))
+        val cnt = optField("ecnt").map { s =>
+          val a = s.split(',')
+          (a(0).toLong, a(1).toLong, a(2).toLong)
+        }
+        base.copy(files = new LazySeq(() => loaded._1),
+          removed = new LazySeq(() => loaded._2),
+          dvs = new LazySeq(() => loaded._3),
+          entriesRef = Some(name), counts = cnt)
+      case None => base
+    }
   }
 
   private def renderCommit(c: Commit): String = {
+    // spec hook: entry-ish rows serialized INTO JSON record strings by
+    // this instance — the sidecar's whole point is that a snapshot
+    // commit of a million-file table keeps this near zero
+    jsonEntriesRendered.addAndGet(
+      c.files.length.toLong + c.removed.length + c.dvs.length)
     def optJson(o: Option[String]) = o.map(v => "\"" + esc(v) + "\"").getOrElse("null")
+    val entref = c.entriesRef.map { n =>
+      val (nf, nr, nd) = c.counts.getOrElse((0L, 0L, 0L))
+      s""""entref":"${esc(n)}","ecnt":"$nf,$nr,$nd","""
+    }.getOrElse("")
     val removed = c.removed.map(p => "\"" + esc(p) + "\"").mkString("[", ",", "]")
     val files = c.files.map { f =>
       val cols =
@@ -549,7 +599,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
       if (c.dvs.isEmpty) ""
       else c.dvs.map(p => "\"" + esc(p) + "\"")
         .mkString("\"dvs\":[", ",", "],")
-    s"""{"version":"${c.version}","mode":"${c.mode}","sepenc":"1",$txn$statsCol$colmap$checks$parts$ingested$props$rfeat$wfeat$cdcJson$dvs"schema":"${esc(c.schemaJson)}","removed":$removed,"files":$files}"""
+    s"""{"version":"${c.version}","mode":"${c.mode}","sepenc":"1",$entref$txn$statsCol$colmap$checks$parts$ingested$props$rfeat$wfeat$cdcJson$dvs"schema":"${esc(c.schemaJson)}","removed":$removed,"files":$files}"""
   }
 
   // ---- commit-log checkpoints (bounded-cost table open) ----
@@ -726,6 +776,18 @@ class DeltaLite(val spark: SparkSession, val root: String,
   private[graft] val entryLoads = new java.util.concurrent.atomic.AtomicInteger(0)
   protected def entriesPerPart: Int = 65536
 
+  // spec hook: entry rows rendered into JSON strings (see renderCommit)
+  private[graft] val jsonEntriesRendered =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Records whose file+remove+DV row count reaches this publish their
+    * sets as a parquet SIDECAR (distributed write, lazy read) instead
+    * of inline JSON — the per-commit analogue of the v2 checkpoint
+    * format. Below it, inline JSON stays cheaper (one object, no extra
+    * listing) — Delta's own JSON actions make the same size trade.
+    */
+  protected def commitSidecarThreshold: Int = 10000
+
   private def entryRow(f: FileEntry, idx: Long): Row = {
     val ex = f.extra.toSeq.sortBy(_._1)
     Row(idx, "f", f.path, f.min.orNull, f.max.orNull,
@@ -739,171 +801,352 @@ class DeltaLite(val spark: SparkSession, val root: String,
   private def dvRow(p: String, idx: Long): Row =
     Row(idx, "d", p, null, null, null, null, null, null, null, norm(p))
 
-  private def writeEntriesParquet(cp: Checkpoint, dir: Path): Unit = {
-    val rows: Seq[Row] = cp.files.zipWithIndex.map { case (f, i) =>
-      entryRow(f, i.toLong)
-    } ++ cp.dvs.zipWithIndex.map { case (p, i) => dvRow(p, i.toLong) }
+  /** A commit's REMOVED path as a sidecar row — path-only, kind "r"
+    * (never appears in checkpoint entries dirs, which carry the live
+    * set and have nothing to remove).
+    */
+  private def removeRow(p: String, idx: Long): Row =
+    Row(idx, "r", p, null, null, null, null, null, null, null, norm(p))
+
+  /** Name of the completeness marker written INSIDE every entries dir:
+    * the exact row count the writer committed. Underscore-prefixed so
+    * parquet reads ignore it. [[entriesDirComplete]] compares it to the
+    * dir's footer count before a checkpoint attempt ADOPTS a
+    * pre-existing dir — a crash mid-multi-object-rename (S3A renames
+    * are copies) or a racing writer's tmp nested INTO the final dir
+    * must never smuggle a truncated live set into a checkpoint.
+    */
+  private val CountMarker = "_graft_count"
+
+  private def writeCountMarker(dir: Path, n: Long): Unit = {
+    val out = fs.create(new Path(dir, CountMarker), true)
+    try out.write(n.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** True iff `dir` holds a COMPLETE entries write: the writer's count
+    * marker present and matching the parquet footer count (a footer-
+    * only job — no entry rows reach the driver). Anything else —
+    * missing marker (partial copy, a tmp renamed INTO an existing
+    * dir), short row count (crash mid-copy) — is incomplete and must
+    * be deleted and rewritten, never adopted.
+    */
+  private def entriesDirComplete(dir: Path): Boolean =
+    fs.exists(new Path(dir, CountMarker)) && {
+      val in = fs.open(new Path(dir, CountMarker))
+      val expected =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      spark.read.schema(EntriesSchema).parquet(dir.toString)
+        .count() == expected
+    }
+
+  /** Distributed write of entry rows as multi-part parquet under `dir`
+    * (~[[entriesPerPart]] rows per part bounds any single part's
+    * footer/page work) plus the completeness marker. Shared by
+    * checkpoint entries dirs and commit sidecars.
+    */
+  private def writeEntryRowsParquet(rows: Seq[Row], dir: Path): Unit = {
     val parts = math.max(1, math.min(rows.length / entriesPerPart + 1, 256))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, parts), EntriesSchema)
       .write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    writeCountMarker(dir, rows.length.toLong)
   }
 
-  /** Incremental entries: when the previous checkpoint is v2 and the
-    * tail's file effect is expressible as (remove set, add list) —
-    * appends, REWRITES (compaction/upsert/repair), deletes, metadata;
-    * i.e. everything except a snapshot reset (overwrite/checkpoint)
-    * or a whole-set relabel (restats) — the new entry set is the
-    * previous checkpoint's parquet AS A DATAFRAME, minus the removes
-    * (an anti-join on the precomputed normalized-path column), plus
-    * the tail's driver-bounded additions. The driver never
-    * materializes the prior live set AT ALL (the `entryLoads` spec
-    * counter proves it), so checkpointing a million-file table costs
-    * one bounded Spark job, not O(live files) driver objects.
-    * Conservative corner: if the tail removes EVERY keyed base entry
-    * while adding entries keyed differently, the adds' stats are
-    * stripped where the driver fold would have kept them — stats are
-    * only ever LOST, never mislabeled, so pruning stays correct.
-    * Returns None when ineligible (reset/relabel tails, a legacy or
-    * missing base, or a pre-`pathn` base that a remove must filter).
+  private def writeEntriesParquet(cp: Checkpoint, dir: Path): Unit = {
+    val rows: Seq[Row] = cp.files.zipWithIndex.map { case (f, i) =>
+      entryRow(f, i.toLong)
+    } ++ cp.dvs.zipWithIndex.map { case (p, i) => dvRow(p, i.toLong) }
+    writeEntryRowsParquet(rows, dir)
+  }
+
+  /** Externalize a big record's file/remove/DV sets to a parquet
+    * sidecar (unique name — no rename, no adoption; the JSON record
+    * references the exact dir, a publish loser deletes its own). The
+    * returned record carries only the reference and the counts.
     */
-  private def incrementalEntriesDf(upTo: Int): Option[DataFrame] = {
-    val prev = checkpointAtOrBefore(upTo) match {
-      case Some(p) if p.version < upTo &&
-        fs.exists(new Path(logDir, ckptEntriesName(p.version))) => p
-      case _ => return None
+  private def externalizeEntries(c: Commit): Commit = {
+    val name =
+      s"${c.version}.${java.util.UUID.randomUUID().toString.take(8)}.sidecar.entries"
+    val rows: Seq[Row] =
+      c.files.zipWithIndex.map { case (f, i) => entryRow(f, i.toLong) } ++
+      c.removed.zipWithIndex.map { case (p, i) =>
+        removeRow(p, c.files.length + i.toLong) } ++
+      c.dvs.zipWithIndex.map { case (p, i) => dvRow(p, i.toLong) }
+    writeEntryRowsParquet(rows, new Path(logDir, name))
+    c.copy(files = Nil, removed = Nil, dvs = Nil, entriesRef = Some(name),
+      counts = Some((c.files.length.toLong, c.removed.length.toLong,
+        c.dvs.length.toLong)))
+  }
+
+  /** A commit's rows of one `kind` as a DataFrame: the sidecar parquet
+    * when the record is sidecar-backed (zero driver materialization),
+    * else its (already driver-held) inline sets parallelized. Delete
+    * commits store their DV-sidecar paths as `files` — `kind = "d"`
+    * on one recasts them to DV rows.
+    */
+  private def commitRowsDf(c: Commit, kind: String): DataFrame =
+    c.entriesRef match {
+      case Some(name) =>
+        val raw = spark.read.schema(EntriesSchema)
+          .parquet(new Path(logDir, name).toString)
+        if (kind == "d" && c.mode == "delete")
+          raw.filter(col("kind") === "f")
+            .withColumn("kind", lit("d"))
+            .select(EntriesSchema.fieldNames.map(col).toIndexedSeq: _*)
+        else raw.filter(col("kind") === kind)
+      case None =>
+        val rows: Seq[Row] = kind match {
+          case "f" => c.files.zipWithIndex.map { case (f, i) =>
+            entryRow(f, i.toLong) }
+          case "r" => c.removed.zipWithIndex.map { case (p, i) =>
+            removeRow(p, i.toLong) }
+          case _ =>
+            val dvPaths = if (c.mode == "delete") c.files.map(_.path) else c.dvs
+            dvPaths.zipWithIndex.map { case (p, i) => dvRow(p, i.toLong) }
+        }
+        val parts = math.max(1, math.min(rows.length / entriesPerPart + 1, 256))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, parts), EntriesSchema)
     }
-    val fullTail = rawRange(prev.version + 1, upTo)
-    validateChain(prev.version, fullTail)
-    // a snapshot RESET in the tail (overwrite/restore) makes the base
-    // irrelevant: the live set is the fold from the last reset onward
-    // — entirely tail-derived, so the checkpoint costs zero base reads
-    // AND zero driver reads of the prior live set. Build it directly.
+
+  /** The live entry set at `upTo` as a DATAFRAME the driver never
+    * materializes — the scale path behind incremental checkpoints,
+    * DF-native restats and lazily-pruned scans.
+    *
+    * Base resolution: the LAST snapshot reset (overwrite/restore) in
+    * the tail anchors the f-rows (its own sidecar parquet when big,
+    * its driver-held inline sets when small — zero reads of anything
+    * older); else the previous v2 checkpoint's parquet. The tail above
+    * the base applies as a pipeline of bounded steps, mirroring
+    * [[liveEntries]]' fold exactly:
+    *  - plain segments fold to (remove set, ordered add list) — the
+    *    removes anti-join on the precomputed normalized-path column
+    *    (`pathn`), the adds union in commit order;
+    *  - a `restats` commit applies as a RELABEL JOIN on `pathn`
+    *    (matched rows take the record's stats, unmatched keep theirs)
+    *    — analyze-heavy tables checkpoint incrementally too;
+    *  - a sidecar-backed data commit unions/anti-joins its OWN parquet
+    *    (re-indexed after the base high-water mark so fold order is
+    *    preserved) — a million-file compaction tail stays a Spark job.
+    * `forScan = false` (checkpoint writes) finishes with the driver
+    * fold's EXACT statsCol rule: one tiny agg finds the first keyed
+    * row in fold order; every other key's stats strip — so the
+    * incremental and driver-fold writers render BYTE-IDENTICAL
+    * checkpoint content in every case, including the remove-all-keyed
+    * corner that used to strip conservatively. `forScan = true`
+    * (reads) skips the strip — scan pruning checks each row's own
+    * key_col instead.
+    * Returns None when not expressible (no v2 base and no reset
+    * anchor, or a pre-`pathn` base that removes/relabels must match).
+    */
+  private def incrementalEntriesDf(upTo: Int,
+      forScan: Boolean = false): Option[DataFrame] = {
+    val prevOpt = checkpointAtOrBefore(upTo).filter(p => p.version < upTo &&
+      fs.exists(new Path(logDir, ckptEntriesName(p.version))))
+    val fullTail = prevOpt match {
+      case Some(p) =>
+        val t = rawRange(p.version + 1, upTo)
+        validateChain(p.version, t)
+        t
+      case None =>
+        val t = rawRange(0, upTo)
+        if (t.isEmpty || t.head.version != 0) return None
+        validateChain(-1, t)
+        t
+    }
     val lastReset = fullTail.lastIndexWhere(_.mode == "overwrite")
-    if (lastReset >= 0) {
-      // the fold over the post-reset segment handles every mode
-      // (rewrite removes, restats relabels) — it is all tail data
-      val seg = fullTail.drop(lastReset)
-      val live = liveEntries(seg)
-      val sc = live.flatMap(_.keyCol).headOption
-      val files = live.map(f =>
-        if (f.keyCol == sc) f
-        else f.copy(min = None, max = None, keyCol = None))
-      val rows: Seq[Row] = files.zipWithIndex.map { case (f, i) =>
-        entryRow(f, i.toLong)
-      } ++ liveDvFiles(seg).zipWithIndex.map { case (p, i) =>
-        dvRow(p, i.toLong)
+    // no v2 base and no reset anchor: everything is tail-inline — the
+    // driver fold is strictly cheaper than a DF pipeline
+    if (lastReset < 0 && prevOpt.isEmpty) return None
+    val (fBase, dBase0, tail) =
+      if (lastReset >= 0) {
+        val rc = fullTail(lastReset)
+        (commitRowsDf(rc, "f"), commitRowsDf(rc, "d"),
+          fullTail.drop(lastReset + 1))
+      } else {
+        val pdf = spark.read.schema(EntriesSchema)
+          .parquet(new Path(logDir, ckptEntriesName(prevOpt.get.version)).toString)
+        (pdf.filter(col("kind") === "f"), pdf.filter(col("kind") === "d"),
+          fullTail)
       }
-      val parts = math.max(1, math.min(rows.length / entriesPerPart + 1, 256))
-      return Some(spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, parts), EntriesSchema))
-    }
-    val tail = fullTail
-    // whole-set relabels (restats) need the driver fold
-    val mutating = Set("overwrite", "checkpoint", "restats")
-    if (tail.exists(c => mutating(c.mode))) return None
     val noFileChange =
       Set("delete", "dvclear", "rename", "drop", "constraint", "widen", "props")
-    // fold the tail's file effect into a remove-set over the BASE and
-    // an ordered add-list — mirroring liveEntries' fold exactly: a
-    // rewrite's removes hit earlier tail adds first (in-tail add+remove
-    // cancels), only then the base; adds append in commit order
-    val removedBase = scala.collection.mutable.LinkedHashSet.empty[String]
-    val added = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
-    tail.foreach { c =>
-      c.mode match {
-        case m if noFileChange(m) => ()
-        case "rewrite" =>
-          c.removed.foreach { r =>
-            val n = norm(r)
-            if (added.remove(n).isEmpty) removedBase += n
-          }
-          c.files.foreach(f => added(norm(f.path)) = f)
-        case _ => c.files.foreach(f => added(norm(f.path)) = f)
-      }
-    }
-    val addedFiles = added.values.toSeq
-    // DV replay over the tail (liveDvFiles' fold): delete adds its
-    // sidecars, dvclear resets, anything else may re-reference
-    // (clone's adopting append). DV rows referencing removed files
-    // are stale-but-harmless, same as the driver fold.
-    var dvTail = Vector.empty[String]
-    var sawClear = false
-    tail.foreach { c =>
-      c.mode match {
-        case "delete" => dvTail ++= c.files.map(_.path)
-        case "dvclear" => dvTail = Vector.empty; sawClear = true
-        case _ => dvTail ++= c.dvs
-      }
-    }
-    val prevDf = spark.read.schema(EntriesSchema)
-      .parquet(new Path(logDir, ckptEntriesName(prev.version)).toString)
-    // one tiny agg: the base's statsCol (earliest keyed entry — the
-    // same first-in-fold-order rule the driver fold applies), the idx
-    // high-water marks the additions continue from, and whether the
-    // base predates the `pathn` column (removes then need the fold)
-    val info = prevDf.agg(
-      fmax(when(col("kind") === "f", col("idx"))).as("maxFileIdx"),
-      fmin(when(col("kind") === "f" && col("key_col").isNotNull,
-        org.apache.spark.sql.functions.struct(col("idx"), col("key_col"))))
-        .as("firstKeyed"),
-      fmax(when(col("kind") === "d", col("idx"))).as("maxDvIdx"),
+    // base high-water marks + pre-pathn detection, one tiny agg
+    val info = fBase.agg(
+      fmax(col("idx")).as("maxFileIdx"),
       org.apache.spark.sql.functions.sum(
         when(col("pathn").isNull, 1L).otherwise(0L)).as("nNoPathn")).head()
-    val maxFileIdx = if (info.isNullAt(0)) -1L else info.getLong(0)
-    val prevSc = Option(info.getStruct(1)).map(_.getString(1))
-    val maxDvIdx = if (info.isNullAt(2)) -1L else info.getLong(2)
-    if (removedBase.nonEmpty && !info.isNullAt(3) && info.getLong(3) > 0)
-      return None // pre-pathn base rows cannot be remove-filtered
-    // single-statsCol hygiene, same rule as the driver fold: the
-    // base's key wins while any keyed base entry exists; additions
-    // recorded under another key keep their rows, lose their stats
-    val sc = prevSc.orElse(addedFiles.flatMap(_.keyCol).headOption)
-    val addRows: Seq[Row] =
-      addedFiles.zipWithIndex.map { case (f, i) =>
-        val g = if (f.keyCol == sc) f
-          else f.copy(min = None, max = None, keyCol = None)
-        entryRow(g, maxFileIdx + 1 + i)
-      } ++ dvTail.zipWithIndex.map { case (p, i) =>
-        dvRow(p, maxDvIdx + 1 + i.toLong)
-      }
-    val base0 = if (sawClear) prevDf.filter(col("kind") === "f") else prevDf
-    val keepPrev =
-      if (removedBase.isEmpty) base0
-      else {
+    var nextIdx = (if (info.isNullAt(0)) -1L else info.getLong(0)) + 1L
+    val basePrePathn = !info.isNullAt(1) && info.getLong(1) > 0
+    val touchesBasePaths = tail.exists(c =>
+      c.mode == "restats" ||
+        (c.mode == "rewrite" &&
+          (c.counts.exists(_._2 > 0) || (c.entriesRef.isEmpty && c.removed.nonEmpty))))
+    if (basePrePathn && touchesBasePaths)
+      return None // pre-pathn base rows cannot be path-matched
+    val anyFileChange = tail.exists(c => !noFileChange(c.mode))
+    // ---- f-row pipeline ----
+    var fDf = fBase
+    val segRemoves = scala.collection.mutable.LinkedHashSet.empty[String]
+    val segAdds = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
+    def flushSegment(): Unit = {
+      if (segRemoves.nonEmpty) {
         import spark.implicits._
-        val rem = broadcast(
-          removedBase.toSeq.toDF("__rm").withColumn("__k", lit("f")))
-        base0.join(rem,
-          col("pathn") === col("__rm") && col("kind") === col("__k"),
-          "left_anti")
+        val rem = broadcast(segRemoves.toSeq.toDF("__rm"))
+        fDf = fDf.join(rem, col("pathn") === col("__rm"), "left_anti")
+        segRemoves.clear()
       }
-    val adds = spark.createDataFrame(
-      spark.sparkContext.parallelize(addRows, 1), EntriesSchema)
-    Some(keepPrev.unionByName(adds))
+      if (segAdds.nonEmpty) {
+        val rows = segAdds.values.toSeq.zipWithIndex.map { case (f, i) =>
+          entryRow(f, nextIdx + i)
+        }
+        nextIdx += segAdds.size
+        fDf = fDf.unionByName(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), EntriesSchema))
+        segAdds.clear()
+      }
+    }
+    tail.foreach { c =>
+      (c.mode, c.entriesRef) match {
+        case (m, _) if noFileChange(m) => ()
+        case ("restats", _) =>
+          flushSegment()
+          // relabel join: matched rows take the restats record's
+          // stats wholesale (it computed the full entry, extra
+          // included), keep their idx (fold order = acc order)
+          val rl = commitRowsDf(c, "f").select(
+            col("pathn").as("__rp"), col("min").as("__rmn"),
+            col("max").as("__rmx"), col("key_col").as("__rkc"),
+            col("size").as("__rsz"), col("extra_cols").as("__rec"),
+            col("extra_mins").as("__rei"), col("extra_maxs").as("__rea"))
+          val hit = col("__rp").isNotNull
+          fDf = fDf.join(rl, col("pathn") === col("__rp"), "left")
+            .select(col("idx"), col("kind"), col("path"),
+              when(hit, col("__rmn")).otherwise(col("min")).as("min"),
+              when(hit, col("__rmx")).otherwise(col("max")).as("max"),
+              when(hit, col("__rkc")).otherwise(col("key_col")).as("key_col"),
+              when(hit, col("__rsz")).otherwise(col("size")).as("size"),
+              when(hit, col("__rec")).otherwise(col("extra_cols")).as("extra_cols"),
+              when(hit, col("__rei")).otherwise(col("extra_mins")).as("extra_mins"),
+              when(hit, col("__rea")).otherwise(col("extra_maxs")).as("extra_maxs"),
+              col("pathn"))
+        case ("rewrite", Some(_)) =>
+          // a million-file compaction: its removes and adds live in
+          // its own sidecar parquet — apply both as Spark joins
+          flushSegment()
+          fDf = fDf.join(commitRowsDf(c, "r").select(col("pathn").as("__rm")),
+            col("pathn") === col("__rm"), "left_anti")
+          val adds = commitRowsDf(c, "f")
+            .withColumn("idx", col("idx") + lit(nextIdx))
+          nextIdx += c.counts.map(_._1).getOrElse(0L)
+          fDf = fDf.unionByName(adds)
+        case ("rewrite", None) =>
+          c.removed.foreach { r =>
+            val n = norm(r)
+            if (segAdds.remove(n).isEmpty) segRemoves += n
+          }
+          c.files.foreach(f => segAdds(norm(f.path)) = f)
+        case (_, Some(_)) =>
+          // sidecar-backed append-like commit: union its parquet
+          flushSegment()
+          val adds = commitRowsDf(c, "f")
+            .withColumn("idx", col("idx") + lit(nextIdx))
+          nextIdx += c.counts.map(_._1).getOrElse(0L)
+          fDf = fDf.unionByName(adds)
+        case _ => c.files.foreach(f => segAdds(norm(f.path)) = f)
+      }
+    }
+    flushSegment()
+    // ---- statsCol hygiene (checkpoint writes only): the driver
+    // fold's exact rule — first keyed entry in fold order wins, every
+    // other key's stats strip (rows and extra ranges kept) ----
+    if (!forScan && anyFileChange) {
+      val scRow = fDf.filter(col("key_col").isNotNull)
+        .agg(fmin(org.apache.spark.sql.functions.struct(
+          col("idx"), col("key_col"))).as("first")).head()
+      val sc = Option(scRow.getStruct(0)).map(_.getString(1))
+      sc.foreach { k =>
+        val keep = col("key_col") === lit(k)
+        fDf = fDf.select(col("idx"), col("kind"), col("path"),
+          when(keep, col("min")).otherwise(lit(null).cast("string")).as("min"),
+          when(keep, col("max")).otherwise(lit(null).cast("string")).as("max"),
+          when(keep, col("key_col")).otherwise(lit(null).cast("string")).as("key_col"),
+          col("size"), col("extra_cols"), col("extra_mins"),
+          col("extra_maxs"), col("pathn"))
+      }
+    }
+    // ---- DV pipeline ([[liveDvFiles]]' fold): delete adds its
+    // sidecars, dvclear resets, anything else may re-reference
+    // (clone's adopting append); stale rows are harmless, same as the
+    // driver fold. `counts` spares forcing a sidecar-backed record's
+    // lazy sets just to learn it carries no DVs. ----
+    var dDf = dBase0
+    val dvChanges = tail.exists(c => c.mode == "delete" || c.mode == "dvclear" ||
+      c.counts.exists(_._3 > 0L) || (c.entriesRef.isEmpty && c.dvs.nonEmpty))
+    // continue above the base's dv high-water mark (order within a
+    // kind feeds the rendered bytes of later snapshot commits)
+    var dvIdx = if (!dvChanges) 0L else {
+      val m = dBase0.agg(fmax(col("idx"))).head()
+      (if (m.isNullAt(0)) -1L else m.getLong(0)) + 1L
+    }
+    tail.foreach { c =>
+      c.mode match {
+        case "dvclear" =>
+          dDf = dDf.filter(lit(false))
+        case "delete" =>
+          dDf = dDf.unionByName(commitRowsDf(c, "d")
+            .withColumn("idx", col("idx") + lit(dvIdx)))
+          dvIdx += c.counts.map(_._1).getOrElse(
+            if (c.entriesRef.isEmpty) c.files.length.toLong else 0L)
+        case _ if c.counts.exists(_._3 == 0L) => () // sidecar, no DVs
+        case _ if c.entriesRef.isEmpty && c.dvs.isEmpty => ()
+        case _ =>
+          dDf = dDf.unionByName(commitRowsDf(c, "d")
+            .withColumn("idx", col("idx") + lit(dvIdx)))
+          dvIdx += c.counts.map(_._3).getOrElse(
+            if (c.entriesRef.isEmpty) c.dvs.length.toLong else 0L)
+      }
+    }
+    Some(fDf.unionByName(dDf))
+  }
+
+  private def entryOfRow(r: Row): FileEntry = {
+    val extra: Map[String, (Option[String], Option[String])] =
+      if (r.isNullAt(7)) Map.empty
+      else {
+        val ks = r.getSeq[String](7)
+        val mns = r.getSeq[String](8)
+        val mxs = r.getSeq[String](9)
+        ks.indices.map(i =>
+          ks(i) -> (Option(mns(i)), Option(mxs(i)))).toMap
+      }
+    FileEntry(r.getString(2), Option(r.getString(3)),
+      Option(r.getString(4)), Option(r.getString(5)), extra,
+      if (r.isNullAt(6)) None else Some(r.getLong(6)))
+  }
+
+  /** Driver-materialize an entries dir (checkpoint or commit sidecar):
+    * (file entries, removed paths, DV paths), each in its written idx
+    * order. The ONLY place entry rows reach the driver — counted, so
+    * the bounded-open and incremental-checkpoint specs can prove a
+    * path never paid O(live files).
+    */
+  private def readEntryRows(dir: Path)
+      : (Seq[FileEntry], Seq[String], Seq[String]) = {
+    entryLoads.incrementAndGet()
+    val rows = spark.read.schema(EntriesSchema).parquet(dir.toString)
+      .collect().sortBy(r => (r.getString(1), r.getLong(0)))
+    val byKind = rows.groupBy(_.getString(1))
+    (byKind.getOrElse("f", Array.empty[Row]).toSeq.map(entryOfRow),
+      byKind.getOrElse("r", Array.empty[Row]).toSeq.map(_.getString(2)),
+      byKind.getOrElse("d", Array.empty[Row]).toSeq.map(_.getString(2)))
   }
 
   private def readEntriesParquet(version: Int): (Seq[FileEntry], Seq[String]) = {
-    entryLoads.incrementAndGet()
-    val dir = new Path(logDir, ckptEntriesName(version))
-    val rows = spark.read.schema(EntriesSchema).parquet(dir.toString)
-      .collect().sortBy(r => (r.getString(1), r.getLong(0)))
-    val (dvRows, fileRows) = rows.partition(_.getString(1) == "d")
-    val files = fileRows.toSeq.map { r =>
-      val extra: Map[String, (Option[String], Option[String])] =
-        if (r.isNullAt(7)) Map.empty
-        else {
-          val ks = r.getSeq[String](7)
-          val mns = r.getSeq[String](8)
-          val mxs = r.getSeq[String](9)
-          ks.indices.map(i =>
-            ks(i) -> (Option(mns(i)), Option(mxs(i)))).toMap
-        }
-      FileEntry(r.getString(2), Option(r.getString(3)),
-        Option(r.getString(4)), Option(r.getString(5)), extra,
-        if (r.isNullAt(6)) None else Some(r.getLong(6)))
-    }
-    (files, dvRows.toSeq.map(_.getString(2)))
+    val (files, _, dvs) = readEntryRows(new Path(logDir, ckptEntriesName(version)))
+    (files, dvs)
   }
 
   /** v2 meta blob: the legacy checkpoint JSON with the file/DV sets
@@ -1015,8 +1258,17 @@ class DeltaLite(val spark: SparkSession, val root: String,
     }
     val entriesDir = new Path(logDir, ckptEntriesName(version))
     var tries = 0
-    while (!fs.exists(entriesDir) && tries < 3) {
+    // adoption requires COMPLETENESS, not mere existence: Hadoop
+    // renames are not universally atomic or fail-on-existing (S3A
+    // renames are multi-object copies; several impls move src INTO an
+    // existing dest) — a crash mid-rename or a race loser nesting its
+    // tmp inside the winner's dir must never hand the meta publish a
+    // truncated live set. [[entriesDirComplete]] checks the writer's
+    // row-count marker against the dir's footer count; incomplete
+    // dirs are deleted and rewritten.
+    while (!entriesDirComplete(entriesDir) && tries < 3) {
       tries += 1
+      if (fs.exists(entriesDir)) fs.delete(entriesDir, true)
       val tmp = new Path(logDir,
         s".tmp-$version-${java.util.UUID.randomUUID()}.entries")
       // append-tail fast path: entries flow checkpoint→checkpoint as
@@ -1024,16 +1276,21 @@ class DeltaLite(val spark: SparkSession, val root: String,
       incrementalEntriesDf(version) match {
         case Some(df) =>
           df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          // count via parquet footers only — no entry rows collected
+          writeCountMarker(tmp, spark.read.schema(EntriesSchema)
+            .parquet(tmp.toString).count())
         case None => writeEntriesParquet(checkpointState(version), tmp)
       }
       // rename loser: a concurrent writer won the final name with the
-      // same deterministic content — discard ours. The exists re-check
-      // in the loop guard covers the rare loser-without-winner (e.g.
-      // an external sweep removed our tmp mid-flight).
+      // same deterministic content — discard ours. The completeness
+      // re-check in the loop guard covers every other outcome: a
+      // loser-without-winner, a rename that nested our tmp INTO the
+      // winner's dir (the nested dot-dir is invisible to parquet reads
+      // and the winner's marker still matches), or a partial copy.
       if (!fs.rename(tmp, entriesDir)) fs.delete(tmp, true)
     }
-    require(fs.exists(entriesDir),
-      s"checkpoint entries dir $entriesDir could not be published")
+    require(entriesDirComplete(entriesDir),
+      s"checkpoint entries dir $entriesDir could not be published complete")
     commitStore.putIfAbsent(new Path(logDir, ckptMetaName(version)),
       renderCheckpointMeta(checkpointMetaOf(version, checkpointChain(version)))
         .getBytes(StandardCharsets.UTF_8))
@@ -1058,6 +1315,13 @@ class DeltaLite(val spark: SparkSession, val root: String,
   def cleanLog(): Seq[String] = latestCheckpoint() match {
     case None => Nil
     case Some(cp) =>
+      // commit sidecars go with their trimmed records; orphaned
+      // `.tmp-<v>-<uuid>.entries` dirs from crashed checkpoint
+      // attempts can never be adopted once a later checkpoint exists —
+      // sweep both below the retained checkpoint or they accumulate
+      // in _log forever
+      val sidecarRe = "(\\d+)\\.[0-9a-f]{8}\\.sidecar\\.entries".r
+      val tmpRe = "\\.tmp-(\\d+)-.*\\.entries".r
       val doomed = fs.listStatus(logDir).toSeq.filter { st =>
         val n = st.getPath.getName
         def below(suffix: String): Boolean =
@@ -1068,7 +1332,12 @@ class DeltaLite(val spark: SparkSession, val root: String,
         (n.matches("\\d+\\.json") &&
           n.stripSuffix(".json").toInt < cp.version) ||
           below(".checkpoint.json") || below(".checkpoint.meta.json") ||
-          below(".checkpoint.entries") // the v2 parquet dir
+          below(".checkpoint.entries") || // the v2 parquet dir
+          (n match {
+            case sidecarRe(v) => v.toInt < cp.version
+            case tmpRe(v) => v.toInt < cp.version
+            case _ => false
+          })
       }
       // CDC sidecars referenced ONLY by the trimmed records become
       // unreachable garbage once the records are gone (vacuum derives
@@ -1639,13 +1908,36 @@ class DeltaLite(val spark: SparkSession, val root: String,
         " this graft build does not support — writing could break the " +
         "features' invariants; upgrade to a build whose " +
         "DeltaLite.SupportedWriterFeatures lists them")
-    val stamped = stampFeatures(record)
+    val stamped0 = stampFeatures(record)
+    // big records externalize their entry sets to a parquet sidecar
+    // BEFORE rendering — the JSON record stays O(small meta) however
+    // many files a snapshot commit carries. Feature-stamped so a
+    // pre-sidecar build fails loudly instead of replaying the record's
+    // (empty) inline sets. A caller may pre-externalize (DF-native
+    // restats) — its reference passes through and gets the same stamp.
+    val stamped = {
+      val pre = record.entriesRef.isDefined
+      val n = if (pre) Long.MaxValue
+        else stamped0.files.length.toLong + stamped0.removed.length +
+          stamped0.dvs.length
+      if (!pre && n < commitSidecarThreshold) stamped0
+      else {
+        val ext = if (pre) stamped0 else externalizeEntries(stamped0)
+        ext.copy(rfeat =
+          Some((ext.rfeat.getOrElse(Nil) :+ "sidecar").distinct.sorted))
+      }
+    }
     val version = stamped.version
     val fin = new Path(logDir, s"$version.json")
     if (!commitStore.putIfAbsent(fin,
-        renderCommit(stamped).getBytes(StandardCharsets.UTF_8)))
+        renderCommit(stamped).getBytes(StandardCharsets.UTF_8))) {
+      // the record never landed: this writer's sidecar (whoever wrote
+      // it) is an orphan — reclaim it before surfacing the conflict
+      stamped.entriesRef.foreach(n =>
+        fs.delete(new Path(logDir, n), true))
       throw new java.util.ConcurrentModificationException(
         s"version $version at $root was committed by a concurrent writer")
+    }
     // the commit is durable above; the checkpoint is an OPTIMIZATION
     // riding behind it — an IO failure here must not make the caller
     // believe the commit failed (a retry would double-apply), and the
@@ -3662,8 +3954,13 @@ class DeltaLite(val spark: SparkSession, val root: String,
       val ts = new java.sql.Timestamp(
         fs.getFileStatus(new Path(logDir, s"${c.version}.json"))
           .getModificationTime)
-      (c.version, ts, c.mode, c.files.size.toLong, c.removed.size.toLong,
-        c.dvs.size.toLong, c.txnApp, c.txnId)
+      // sidecar-backed records answer from their recorded counts —
+      // the history audit of a million-file snapshot commit must not
+      // materialize its entry rows
+      (c.version, ts, c.mode,
+        c.counts.map(_._1).getOrElse(c.files.size.toLong),
+        c.counts.map(_._2).getOrElse(c.removed.size.toLong),
+        c.counts.map(_._3).getOrElse(c.dvs.size.toLong), c.txnApp, c.txnId)
     }.toDF("version", "timestamp", "operation", "num_added_files",
       "num_removed_files", "num_dvs", "txn_app_id", "txn_id")
   }
@@ -3840,7 +4137,7 @@ object DeltaLite {
     * against (Delta's readerFeatures). A future build adds its new
     * feature name here once the read path understands it.
     */
-  val SupportedReaderFeatures: Set[String] = Set("dv", "colmap")
+  val SupportedReaderFeatures: Set[String] = Set("dv", "colmap", "sidecar")
 
   /** Protocol features this build can WRITE without breaking their
     * invariants (Delta's writerFeatures) — checked against the log's
