@@ -943,6 +943,16 @@ class DeltaLite(val spark: SparkSession, val root: String,
     */
   private def incrementalEntriesDf(upTo: Int,
       forScan: Boolean = false): Option[DataFrame] = {
+    // at exactly the checkpointed version the live set IS the
+    // checkpoint parquet (restats right after a checkpoint, scans of a
+    // freshly-checkpointed table)
+    checkpointAtOrBefore(upTo) match {
+      case Some(p) if p.version == upTo &&
+          fs.exists(new Path(logDir, ckptEntriesName(p.version))) =>
+        return Some(spark.read.schema(EntriesSchema)
+          .parquet(new Path(logDir, ckptEntriesName(p.version)).toString))
+      case _ => ()
+    }
     val prevOpt = checkpointAtOrBefore(upTo).filter(p => p.version < upTo &&
       fs.exists(new Path(logDir, ckptEntriesName(p.version))))
     val fullTail = prevOpt match {
@@ -3863,29 +3873,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
     * data (the usual ANALYZE price) vs rewriting the table to re-key
     * it. Returns None on an empty table.
     */
-  def restats(key: String): Option[Int] = {
-    val cs = commits()
-    val live = liveEntries(cs)
-    if (live.isEmpty) return None
-    val sch = schema.get
-    require(sch.fieldNames.contains(key), s"no column '$key' to analyze")
-    val mapping = colMapAt(cs)
-    val stats = spark.read.schema(physSchema(sch, mapping))
-      .parquet(live.map(_.path): _*)
-      .select(col(mapping.getOrElse(key, key)).as("__k"),
-        input_file_name().as("__f"))
-      .groupBy("__f").agg(fmin("__k").cast("string").as("mn"),
-        fmax("__k").cast("string").as("mx"))
-      .collect()
-      .map(r => norm(r.getString(0)) ->
-        (Option(r.getString(1)), Option(r.getString(2)))).toMap
-    val entries = live.map { f =>
-      val s = stats.getOrElse(norm(f.path), (None, None))
-      FileEntry(f.path, s._1, s._2, Some(key), f.extra, f.size)
-    }
-    Some(publish(Commit(cs.last.version + 1, "restats", sch.json,
-      Nil, entries), cs))
-  }
+  def restats(key: String): Option[Int] =
+    restatsImpl(Seq(key), replaceExtra = false)
 
   /** ANALYZE for MULTIPLE columns (Delta's per-column stats): per-file
     * [min,max] for every key in `keys`, computed in ONE column-pruned
@@ -3900,41 +3889,128 @@ class DeltaLite(val spark: SparkSession, val root: String,
     * upsert) lose their extra ranges until the next analyze —
     * conservative, never wrong.
     */
-  def restats(keys: Seq[String]): Option[Int] = {
+  def restats(keys: Seq[String]): Option[Int] =
+    restatsImpl(keys, replaceExtra = true)
+
+  /** Shared ANALYZE implementation. The stats themselves are one
+    * column-pruned pass over the live data either way; what scales is
+    * the ENTRY handling: when the live set is expressible as a
+    * DataFrame ([[incrementalEntriesDf]] — a v2 checkpoint or reset
+    * anchor), the relabel is a JOIN of the entries DF against the
+    * per-file stats (normalized-path keyed) and the resulting commit
+    * publishes as a parquet SIDECAR when big — the driver never
+    * materializes a FileEntry of the prior live set (`entryLoads`
+    * stays 0 through restats AND the following checkpoint), holding
+    * only the path strings the data scan needs anyway. Tables below
+    * the sidecar threshold collect the relabeled rows and publish the
+    * classic inline record — byte-identical to the old driver path.
+    * `replaceExtra` distinguishes the overloads: multi-key ANALYZE
+    * replaces the per-file extra ranges with the fresh ones; the
+    * single-key form preserves whatever extra ranges were recorded.
+    */
+  private def restatsImpl(keys: Seq[String],
+      replaceExtra: Boolean): Option[Int] = {
     require(keys.nonEmpty, "restats needs at least one column")
     val cs = commits()
-    val live = liveEntries(cs)
-    if (live.isEmpty) return None
+    if (cs.isEmpty) return None
     val sch = schema.get
     keys.foreach(k => require(sch.fieldNames.contains(k),
       s"no column '$k' to analyze"))
     val mapping = colMapAt(cs)
-    // one pass: every key's min/max per file in a single aggregate
     val aggs = keys.flatMap { k =>
       val physK = mapping.getOrElse(k, k)
       Seq(fmin(col(physK)).cast("string").as(s"mn_$k"),
         fmax(col(physK)).cast("string").as(s"mx_$k"))
     }
-    val rows = spark.read.schema(physSchema(sch, mapping))
-      .parquet(live.map(_.path): _*)
-      .groupBy(input_file_name().as("__f"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-    val stats: Map[String, Map[String, (Option[String], Option[String])]] =
-      rows.map { r =>
-        norm(r.getString(0)) -> keys.map { k =>
-          k -> (Option(r.getAs[String](s"mn_$k")),
-            Option(r.getAs[String](s"mx_$k")))
-        }.toMap
-      }.toMap
-    val entries = live.map { f =>
-      val perCol = stats.getOrElse(norm(f.path),
-        Map.empty[String, (Option[String], Option[String])])
-      val head = perCol.getOrElse(keys.head, (None, None))
-      FileEntry(f.path, head._1, head._2, Some(keys.head), perCol, f.size)
+    def statRows(paths: Seq[String]): Array[Row] =
+      spark.read.schema(physSchema(sch, mapping))
+        .parquet(paths: _*)
+        .groupBy(input_file_name().as("__f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+    val version = cs.last.version + 1
+    incrementalEntriesDf(cs.last.version, forScan = true) match {
+      case Some(edf) =>
+        val fdf = edf.filter(col("kind") === "f").persist()
+        try {
+          // path strings only — the data scan needs them on the
+          // driver regardless; no FileEntry objects materialize
+          val paths = fdf.select(col("path")).collect().map(_.getString(0)).toSeq
+          if (paths.isEmpty) return None
+          val rows = statRows(paths)
+          // per-file stats, normalized-path keyed, as a DF for the join
+          val statSchema = StructType(
+            StructField("__sp", StringType, nullable = false) +:
+              keys.flatMap(k => Seq(
+                StructField(s"__mn_$k", StringType, nullable = true),
+                StructField(s"__mx_$k", StringType, nullable = true))))
+          val sdf = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows.toSeq.map { r =>
+              Row.fromSeq(norm(r.getString(0)) +:
+                keys.flatMap(k => Seq(r.getAs[String](s"mn_$k"),
+                  r.getAs[String](s"mx_$k"))))
+            }, math.max(1, math.min(rows.length / entriesPerPart + 1, 256))),
+            statSchema)
+          val sortedKeys = keys.sorted
+          val relabeled = fdf.join(sdf, col("pathn") === col("__sp"), "left")
+            .select(col("idx"), col("kind"), col("path"),
+              col(s"__mn_${keys.head}").as("min"),
+              col(s"__mx_${keys.head}").as("max"),
+              lit(keys.head).as("key_col"),
+              col("size"),
+              (if (replaceExtra)
+                org.apache.spark.sql.functions.array(
+                  sortedKeys.map(lit(_)): _*)
+              else col("extra_cols")).as("extra_cols"),
+              (if (replaceExtra)
+                org.apache.spark.sql.functions.array(
+                  sortedKeys.map(k => col(s"__mn_$k")): _*)
+              else col("extra_mins")).as("extra_mins"),
+              (if (replaceExtra)
+                org.apache.spark.sql.functions.array(
+                  sortedKeys.map(k => col(s"__mx_$k")): _*)
+              else col("extra_maxs")).as("extra_maxs"),
+              col("pathn"))
+          if (paths.length >= commitSidecarThreshold) {
+            // big table: relabeled entries land as a sidecar directly
+            // (distributed write); the record publishes pre-externalized
+            val name = s"$version.${java.util.UUID.randomUUID().toString
+              .take(8)}.sidecar.entries"
+            val dir = new Path(logDir, name)
+            relabeled.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+            writeCountMarker(dir, paths.length.toLong)
+            Some(publish(Commit(version, "restats", sch.json, Nil, Nil,
+              entriesRef = Some(name),
+              counts = Some((paths.length.toLong, 0L, 0L))), cs))
+          } else {
+            val entries = relabeled.collect().sortBy(_.getLong(0))
+              .map(entryOfRow).toSeq
+            Some(publish(Commit(version, "restats", sch.json,
+              Nil, entries), cs))
+          }
+        } finally fdf.unpersist()
+      case None =>
+        // no DF-expressible base: classic driver relabel
+        val live = liveEntries(cs)
+        if (live.isEmpty) return None
+        val rows = statRows(live.map(_.path))
+        val stats: Map[String, Map[String, (Option[String], Option[String])]] =
+          rows.map { r =>
+            norm(r.getString(0)) -> keys.map { k =>
+              k -> (Option(r.getAs[String](s"mn_$k")),
+                Option(r.getAs[String](s"mx_$k")))
+            }.toMap
+          }.toMap
+        val entries = live.map { f =>
+          val perCol = stats.getOrElse(norm(f.path),
+            Map.empty[String, (Option[String], Option[String])])
+          val head = perCol.getOrElse(keys.head, (None, None))
+          FileEntry(f.path, head._1, head._2, Some(keys.head),
+            if (replaceExtra) perCol else f.extra, f.size)
+        }
+        Some(publish(Commit(version, "restats", sch.json,
+          Nil, entries), cs))
     }
-    Some(publish(Commit(cs.last.version + 1, "restats", sch.json,
-      Nil, entries), cs))
   }
 
   /** DESCRIBE HISTORY: one row per commit, newest first — version,

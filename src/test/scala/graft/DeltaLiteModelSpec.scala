@@ -24,11 +24,13 @@ class DeltaLiteModelSpec extends SparkSpec {
     Files.createTempDirectory(prefix).toString
 
   private def runWalk(seed: Int, steps: Int, nOps: Int = 10,
-      ckptFormat: String = "parquet"): Unit = {
+      ckptFormat: String = "parquet", sidecarAt: Int = 10000): Unit = {
     import spark.implicits._
     val rnd = new scala.util.Random(seed)
     val t = new DeltaLite(spark, tmp(s"graft-model-$seed"), Some("k"),
-      checkpointFormat = ckptFormat)
+      checkpointFormat = ckptFormat) {
+      override protected def commitSidecarThreshold: Int = sidecarAt
+    }
     var model = Map.empty[Long, String]
     // model state AFTER each committed version
     val history = mutable.Map.empty[Int, Map[Long, String]]
@@ -369,5 +371,18 @@ class DeltaLiteModelSpec extends SparkSpec {
   // test in DeltaLiteCheckpointSpec
   test("random operation walk with legacy json checkpoints: twentieth seed") {
     runWalk(seed = 2020, steps = 30, nOps = 15, ckptFormat = "json")
+  }
+
+  // sidecarAt = 1 forces EVERY data-bearing record through the parquet
+  // sidecar codec (files, removes, DVs as lazy parquet rows) — the
+  // full walk then exercises replay, time travel, restore, compaction,
+  // DV interplay, checkpoints and cleanLog over sidecar-backed logs,
+  // the same way seed 2020 pins the legacy-json codec
+  test("random operation walk with sidecar-backed commit records: twenty-first seed") {
+    runWalk(seed = 2121, steps = 30, nOps = 17, sidecarAt = 1)
+  }
+
+  test("random operation walk with sidecar records and restats: twenty-second seed") {
+    runWalk(seed = 2222, steps = 30, nOps = 15, sidecarAt = 1)
   }
 }

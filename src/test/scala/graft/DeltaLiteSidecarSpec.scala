@@ -1,0 +1,216 @@
+package graft
+
+import graft.etl.DeltaLite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import java.nio.file.Files
+
+/** Parquet-sidecar COMMIT records — the per-commit completion of the
+  * v2 checkpoint story: a snapshot commit (overwrite/restore/restats)
+  * of a million-file table must not render one O(live-files) JSON
+  * string on the driver. Big records write their file/remove/DV sets
+  * as parquet rows (distributed job) and publish a small JSON
+  * reference; readers re-attach the sets lazily; replay, history,
+  * cleanLog, checkpoints and feature gates all keep working. Plus the
+  * round-10 checkpoint-publication hardening: completeness-checked
+  * entries-dir adoption and orphan sweeping.
+  */
+class DeltaLiteSidecarSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def batch(lo: Long, n: Int): org.apache.spark.sql.DataFrame =
+    (lo until lo + n).map(k => (k, s"v$k")).toDF("k", "v")
+
+  private def logFiles(root: String): Seq[String] = {
+    val d = new java.io.File(root, "_log")
+    Option(d.list()).map(_.toSeq.sorted).getOrElse(Nil)
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.graftbridge.DeltaLiteFileIndex
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec => scans(qs.plan)
+    }.flatten
+    scans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.isInstanceOf[DeltaLiteFileIndex]).head
+  }
+
+  test("a 100k-file overwrite and restore commit with zero O(live) JSON rendering") {
+    val root = tmp("graft-sidecar-big")
+    val t = DeltaLite(spark, root, "k")
+    t.append(batch(0, 5)) // v0: real files anchor the schema
+    val rendered0 = t.jsonEntriesRendered.get()
+    // v1: a 100k-file snapshot RESET (the overwrite/restore shape) —
+    // entries must flow to parquet via a Spark job, never into the
+    // record string
+    val many = (0 until 100000).map(i => (s"$root/v=epoch/part-$i.parquet", 1024L))
+    assert(t.adoptStreamEpoch(many, overwrite = true, "load", 1L).contains(1))
+    assert(t.jsonEntriesRendered.get() - rendered0 < 100,
+      s"the 100k-file overwrite rendered ${t.jsonEntriesRendered.get() - rendered0} " +
+        "entries into JSON — the sidecar did not engage")
+    val rec1 = new java.io.File(root, "_log/1.json")
+    assert(rec1.length() < 16 * 1024,
+      s"1.json is ${rec1.length()} bytes — an O(live files) record")
+    assert(logFiles(root).exists(_.matches("1\\.[0-9a-f]{8}\\.sidecar\\.entries")),
+      s"no sidecar dir for v1 in ${logFiles(root).filterNot(_.endsWith(".crc"))}")
+    // metadata-only audits on a FRESH open: no entry loads, counts
+    // answered from the record
+    val t2 = DeltaLite(spark, root, "k")
+    assert(t2.latestVersion.contains(1))
+    assert(t2.history().filter(col("version") === 1)
+      .select("num_added_files").head().getLong(0) == 100000L)
+    assert(t2.entryLoads.get() == 0,
+      "history of a sidecar-backed log materialized entry rows")
+    // the gate stamp: a pre-sidecar build must refuse this log by name
+    assert(t2.detail().select("reader_features").head().getString(0)
+      .contains("sidecar"))
+    // v2: RESTORE to v0 — 100k removes ride the sidecar as "r" rows
+    val rendered1 = t2.jsonEntriesRendered.get()
+    assert(t2.restore(0) == 2)
+    assert(t2.jsonEntriesRendered.get() - rendered1 < 100,
+      "the restore rendered its O(live) remove set into JSON")
+    assert(new java.io.File(root, "_log/2.json").length() < 16 * 1024)
+    // replay through the sidecar-backed records is exact
+    val t3 = DeltaLite(spark, root, "k")
+    assert(t3.read().collect().map(_.getLong(0)).sorted.toSeq == (0L until 5L))
+  }
+
+  test("cleanLog sweeps commit sidecars and orphaned .tmp entries dirs below the checkpoint") {
+    val root = tmp("graft-sidecar-clean")
+    val t = new DeltaLite(spark, root, Some("k")) {
+      override protected def commitSidecarThreshold: Int = 1
+    }
+    (0 until 13).foreach(i => t.append(batch(i * 10L, 10))) // cp at v10
+    assert(logFiles(root).contains("10.checkpoint.meta.json"))
+    // plant a crashed checkpoint attempt's orphan tmp dir below the cp
+    val orphan = new java.io.File(root, "_log/.tmp-3-deadbeef.entries")
+    assert(orphan.mkdirs())
+    val sidecarsBefore = logFiles(root)
+      .filter(_.matches("\\d+\\.[0-9a-f]{8}\\.sidecar\\.entries"))
+    assert(sidecarsBefore.nonEmpty, "threshold-1 appends should sidecar")
+    t.cleanLog()
+    val after = logFiles(root)
+    assert(!after.contains(".tmp-3-deadbeef.entries"),
+      "orphaned tmp entries dir survived cleanLog")
+    assert(!after.exists(n => n.matches("\\d\\.[0-9a-f]{8}\\.sidecar\\.entries") &&
+      n.takeWhile(_.isDigit).toInt < 10),
+      s"sub-checkpoint sidecars survived: $after")
+    assert(after.exists(_.matches("1[012]\\.[0-9a-f]{8}\\.sidecar\\.entries")),
+      "sidecars of retained records must survive the trim")
+    val t2 = DeltaLite(spark, root, "k")
+    assert(t2.read().count() == 130)
+    assert(t2.readAsOf(11).count() == 120)
+  }
+
+  test("checkpoint publication never adopts an incomplete entries dir") {
+    val root = tmp("graft-sidecar-adopt")
+    val t = new DeltaLite(spark, root, Some("k"), checkpointInterval = 0)
+    (0 until 4).foreach(i => t.append(batch(i * 10L, 10))) // v0..v3
+    // plant a PARTIAL pre-existing entries dir at the version about to
+    // checkpoint — the shape a crashed multi-object rename leaves: a
+    // plausible parquet part but no completeness marker
+    val bogusDir = new org.apache.hadoop.fs.Path(root, "_log/3.checkpoint.entries")
+    Seq((0L, "f", s"$root/nonexistent.parquet"))
+      .toDF("idx", "kind", "path")
+      .write.parquet(bogusDir.toString)
+    assert(t.checkpointNow().contains(3))
+    // the bogus dir was rewritten, not adopted: marker present, row
+    // count matches the real live set, and the planted path is gone
+    val entries = spark.read.parquet(bogusDir.toString)
+    assert(entries.filter(col("path").contains("nonexistent")).count() == 0,
+      "the partial pre-existing entries dir was adopted as-is")
+    assert(entries.filter(col("kind") === "f").count() == t.liveFiles().size)
+    assert(new java.io.File(root, "_log/3.checkpoint.entries/_graft_count").exists())
+    t.cleanLog()
+    val t2 = DeltaLite(spark, root, "k")
+    assert(t2.read().count() == 40)
+  }
+
+  test("remove-all-keyed corner: incremental checkpoint keeps the adds' stats (driver-fold-exact)") {
+    val root = tmp("graft-sidecar-corner")
+    val t = DeltaLite(spark, root, "k")
+    (0 until 3).foreach(i => t.append(batch(i * 10L, 10))) // v0..v2, keyed "k"
+    t.checkpointNow() // v2 checkpoint, all entries key_col = k
+    // a writer configured with a DIFFERENT stats key rewrites EVERY
+    // base file — the tail removes all keyed-under-k entries and adds
+    // entries keyed under v
+    val t2 = DeltaLite(spark, root, "v")
+    assert(t2.compact(minFiles = 2).contains(3))
+    assert(t2.checkpointNow().contains(3))
+    // the round-9 conservative corner stripped the adds' stats here;
+    // the fold-exact rule keeps them: first keyed entry in fold order
+    // is now a "v"-keyed add, so its stats survive — identical to what
+    // the driver fold renders
+    val entries = spark.read
+      .parquet(s"$root/_log/3.checkpoint.entries")
+      .filter(col("kind") === "f")
+    assert(entries.count() >= 1)
+    assert(entries.filter(col("key_col") =!= "v" ||
+      col("min").isNull || col("max").isNull).count() == 0,
+      "the rewrite's stats were stripped or mislabeled by the incremental writer")
+    // and the checkpoint replays to the right rows
+    t2.cleanLog()
+    assert(DeltaLite(spark, root, "v").read().count() == 30)
+  }
+
+  test("DF-native restats: relabel join end-to-end with zero entry loads, pruning on the new stats") {
+    val root = tmp("graft-sidecar-restats")
+    def open() = new DeltaLite(spark, root, Some("k")) {
+      override protected def commitSidecarThreshold: Int = 1
+    }
+    val t = open()
+    (0 until 11).foreach(i => t.append(batch(i * 10L, 10))) // v0..v10, cp v10
+    assert(logFiles(root).contains("10.checkpoint.meta.json"))
+    // fresh instance: the analyze and the following checkpoint flow
+    // entries-parquet → stats-join → sidecar → next entries-parquet
+    // without EVER materializing a FileEntry on the driver
+    val t2 = open()
+    assert(t2.restats(Seq("k", "v")).contains(11))
+    assert(t2.entryLoads.get() == 0,
+      "DF-native restats materialized the live entry set")
+    val rec = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_log", "11.json")), "UTF-8")
+    assert(rec.contains("\"entref\""),
+      "a threshold-1 restats should publish a sidecar-backed record")
+    assert(t2.checkpointNow().contains(11))
+    assert(t2.entryLoads.get() == 0,
+      "the restats-tail checkpoint hit the driver fold")
+    // the relabel applied: the new checkpoint's entries carry the
+    // analyze's stats on every file
+    val entries = spark.read.parquet(s"$root/_log/11.checkpoint.entries")
+      .filter(col("kind") === "f")
+    assert(entries.filter(col("key_col") =!= "k" || col("min").isNull)
+      .count() == 0, "restats stats did not flow through the relabel join")
+    // and scan pruning works against the analyzed ranges on a fresh
+    // open: a point filter plans exactly one file
+    t2.cleanLog()
+    val t3 = open()
+    val q = t3.readIndexed().filter(col("k") === 55L)
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(55L))
+    assert(scanOf(q).metrics("numFiles").value == 1,
+      "analyzed ranges must prune the scan to one file")
+  }
+
+  test("restats on a table below the sidecar threshold publishes the classic inline record") {
+    val root = tmp("graft-sidecar-restats-small")
+    val t = DeltaLite(spark, root, "k")
+    (0 until 3).foreach(i => t.append(batch(i * 10L, 10)))
+    assert(t.restats("k").contains(3))
+    val rec = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_log", "3.json")), "UTF-8")
+    assert(!rec.contains("\"entref\"") && rec.contains("\"files\":[{"),
+      "a small restats should stay an inline record")
+    val stats = t.liveFileStats()
+    assert(stats.nonEmpty && stats.forall { case (_, mn, mx) =>
+      mn.isDefined && mx.isDefined })
+  }
+}
