@@ -780,6 +780,12 @@ class DeltaLite(val spark: SparkSession, val root: String,
   private[graft] val jsonEntriesRendered =
     new java.util.concurrent.atomic.AtomicLong(0)
 
+  // spec hook: entry rows COLLECTED to the driver by lazily-pruned
+  // scans — a point lookup on a checkpointed table must drive
+  // O(survivors), not O(live files)
+  private[graft] val entriesCollected =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Records whose file+remove+DV row count reaches this publish their
     * sets as a parquet SIDECAR (distributed write, lazy read) instead
     * of inline JSON — the per-commit analogue of the v2 checkpoint
@@ -4100,7 +4106,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
     // the degenerate range [v,v] — one survival check serves both
     val statsPhys = statsKey.map(k => mapping.getOrElse(k, k))
     val partPhys = partsAt(all).map(c => mapping.getOrElse(c, c))
-    val entries = liveEntries(all).map { f =>
+    def tupleOf(f: FileEntry)
+        : (String, Option[Long], Map[String, (Option[String], Option[String])]) = {
       val ok = statsKey.exists(k => f.keyCol.contains(k))
       val statsRange = (statsPhys, f.min, f.max) match {
         case (Some(k), Some(_), Some(_)) if ok => Map(k -> (f.min, f.max))
@@ -4121,9 +4128,44 @@ class DeltaLite(val spark: SparkSession, val root: String,
     // and the pushed-down filters it prunes on will carry — Catalyst
     // rewrites a logical-name filter through the alias projection
     // below before it reaches the FileIndex)
-    val rel = org.apache.spark.sql.graftbridge.DeltaLiteScan.relation(
-      spark, rootPath, entries, phys)
-    val dvs = liveDvFiles(all)
+    val (rel, dvs) = incrementalEntriesDf(all.last.version, forScan = true) match {
+      case Some(edf) =>
+        // LAZY scan: the live set stays a DataFrame over the
+        // checkpoint/sidecar entries parquet. The FileIndex hands each
+        // plan's pushed filters to `prune`, which evaluates the
+        // partition/stats-range predicates IN THE SPARK READ of that
+        // parquet and collects only survivors — a point lookup on a
+        // checkpointed million-file table drives O(survivors) driver
+        // rows (`entriesCollected` counts them), then plans the same
+        // pruned scan as the eager path.
+        val fdf = edf.filter(col("kind") === "f")
+        val dvPaths = edf.filter(col("kind") === "d")
+          .select(col("path")).collect().map(_.getString(0)).toSeq
+        val logicalByPhys =
+          sch.fieldNames.map(l => mapping.getOrElse(l, l) -> l).toMap
+        val source = new org.apache.spark.sql.graftbridge.LazyEntriesSource(
+          prune = filters => {
+            val cond = org.apache.spark.sql.graftbridge.DeltaLiteScan
+              .pruneCondition(spark, filters, phys, statsPhys, statsKey,
+                logicalByPhys, partPhys, DeltaLite.PartPrefix)
+            val rows = cond.map(fdf.filter).getOrElse(fdf).collect()
+            entriesCollected.addAndGet(rows.length.toLong)
+            rows.sortBy(_.getLong(0)).map(r => tupleOf(entryOfRow(r))).toSeq
+          },
+          allPaths = () =>
+            fdf.select(col("path")).collect().map(_.getString(0)),
+          totalBytes = () => {
+            val r = fdf.agg(org.apache.spark.sql.functions
+              .sum(coalesce(col("size"), lit(0L)))).head()
+            if (r.isNullAt(0)) 0L else r.getLong(0)
+          })
+        (org.apache.spark.sql.graftbridge.DeltaLiteScan.lazyRelation(
+          spark, rootPath, source, phys), dvPaths)
+      case None =>
+        (org.apache.spark.sql.graftbridge.DeltaLiteScan.relation(
+          spark, rootPath, liveEntries(all).map(tupleOf), phys),
+          liveDvFiles(all))
+    }
     val masked =
       if (dvs.isEmpty) rel
       else rel

@@ -1,12 +1,13 @@
 package org.apache.spark.sql.graftbridge
 
 import org.apache.hadoop.fs.{FileStatus, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions.{array_position, coalesce, col, element_at, lit, regexp_extract}
 import org.apache.spark.sql.types._
 
 /** Scan-integrated file skipping for DeltaLite tables — the same
@@ -22,15 +23,35 @@ import org.apache.spark.sql.types._
   * No manual pre-filtering: `WHERE key = x` on the DataFrame is
   * enough, and the FileSourceScan's numFiles metric reflects the skip.
   *
+  * Two sourcing modes:
+  *  - EAGER: a driver-materialized entry list (small tables, legacy
+  *    logs) — the round-9 shape.
+  *  - LAZY ([[LazyEntriesSource]]): the live set stays a DataFrame
+  *    over the checkpoint/sidecar entries parquet; when Catalyst
+  *    hands this index the pushed filters, the pruning predicates run
+  *    IN THE SPARK READ of that parquet and only the surviving
+  *    entries are collected — a point lookup on a checkpointed
+  *    million-file table drives O(survivors) driver rows, not O(live
+  *    files). The driver-side [[DeltaLiteFileIndex.survives]] check
+  *    re-runs on the survivors for exactness (and for filter shapes
+  *    the DataFrame translation conservatively skipped).
+  *
   * Lives under the spark.sql namespace because the datasource
   * internals (LogicalRelation, HadoopFsRelation) are private[sql] —
   * the standard extension-library placement (see [[Bridge]]).
   */
+final class LazyEntriesSource(
+    val prune: Seq[Expression] =>
+      Seq[(String, Option[Long], Map[String, (Option[String], Option[String])])],
+    val allPaths: () => Array[String],
+    val totalBytes: () => Long)
+
 class DeltaLiteFileIndex(
     spark: SparkSession,
     root: Path,
     entries: Seq[(String, Option[Long], Map[String, (Option[String], Option[String])])],
-    dataSchema: StructType) extends FileIndex {
+    dataSchema: StructType,
+    lazySource: Option[LazyEntriesSource] = None) extends FileIndex {
 
   private val fs = root.getFileSystem(
     spark.sessionState.newHadoopConf())
@@ -45,9 +66,10 @@ class DeltaLiteFileIndex(
     * maxPartitionBytes, not the status block size, and nothing
     * downstream of a custom FileIndex consults modTime.
     */
-  private lazy val statuses
+  private def toStatuses(
+      es: Seq[(String, Option[Long], Map[String, (Option[String], Option[String])])])
       : Seq[(FileStatus, Map[String, (Option[String], Option[String])])] =
-    entries.map { case (p, sz, ranges) =>
+    es.map { case (p, sz, ranges) =>
       val st = sz match {
         case Some(len) =>
           new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L, new Path(p))
@@ -58,11 +80,22 @@ class DeltaLiteFileIndex(
       (st, ranges)
     }
 
+  private lazy val statuses = toStatuses(entries)
+
+  // lazy mode: survivors per pushed-filter set (a plan may list
+  // several times — AQE re-planning, metadata queries)
+  private val pruned = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(FileStatus, Map[String, (Option[String], Option[String])])]]
+  private lazy val lazyBytes = lazySource.map(_.totalBytes()).getOrElse(0L)
+  private lazy val lazyPaths = lazySource.map(_.allPaths()).getOrElse(Array.empty[String])
+
   override def rootPaths: Seq[Path] = Seq(root)
   override def partitionSchema: StructType = StructType(Nil)
-  override def inputFiles: Array[String] = entries.map(_._1).toArray
+  override def inputFiles: Array[String] =
+    if (lazySource.isDefined) lazyPaths else entries.map(_._1).toArray
   override def refresh(): Unit = ()
-  override def sizeInBytes: Long = statuses.map(_._1.getLen).sum
+  override def sizeInBytes: Long =
+    if (lazySource.isDefined) lazyBytes else statuses.map(_._1.getLen).sum
 
   private def colType(c: String): Option[DataType] =
     dataSchema.fields.find(_.name == c).map(_.dataType)
@@ -129,9 +162,15 @@ class DeltaLiteFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val base = lazySource match {
+      case Some(src) =>
+        val key = dataFilters.map(_.semanticHash()).sorted.mkString(",")
+        pruned.getOrElseUpdate(key, toStatuses(src.prune(dataFilters)))
+      case None => statuses
+    }
     val kept =
-      if (dataFilters.isEmpty) statuses
-      else statuses.filter { case (_, ranges) =>
+      if (dataFilters.isEmpty) base
+      else base.filter { case (_, ranges) =>
         ranges.isEmpty || dataFilters.forall(f => survives(ranges, f))
       }
     Seq(PartitionDirectory(InternalRow.empty, kept.map(_._1).toArray))
@@ -171,6 +210,83 @@ object DeltaLiteScan {
     }.toMap
   }
 
+  /** Translate pushed-down data filters into a survival predicate over
+    * the ENTRIES PARQUET's own columns (min/max/key_col, the extra
+    * per-column arrays, and partition values regexp-extracted from the
+    * path) — the DataFrame half of lazy pruning. Strictly conservative:
+    * unsupported filter shapes contribute nothing, inapplicable or
+    * null ranges keep the row, a failed typed cast keeps the row
+    * (coalesce true). The driver-side survives() re-checks survivors,
+    * so this only ever has to be sound, never complete.
+    *
+    * `logicalByPhys` maps a pushed attribute's physical name back to
+    * the logical name the extra ranges were recorded under;
+    * `statsKeyLogical` gates the primary min/max on the entry being
+    * keyed for THIS table's stats column (a historically different
+    * key must not prune).
+    */
+  def pruneCondition(spark: SparkSession, filters: Seq[Expression],
+      dataSchema: StructType, statsPhys: Option[String],
+      statsKeyLogical: Option[String], logicalByPhys: Map[String, String],
+      partPhys: Seq[String], partPrefix: String): Option[Column] = {
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    def litv(l: Literal): Option[String] =
+      Option(Cast(l, StringType, tz).eval(null)).map(_.toString)
+    def colType(c: String): Option[DataType] =
+      dataSchema.fields.find(_.name == c).map(_.dataType)
+    // (lo, hi, applicable) for one attribute, mirroring the driver
+    // map's precedence: partition value > primary stats > extra range
+    def range(p: String): Option[(Column, Column, Column)] =
+      if (partPhys.contains(p)) {
+        val pv = regexp_extract(col("path"),
+          java.util.regex.Pattern.quote(s"$partPrefix$p") + "=([^/]+)", 1)
+        // %-escaped values stay driver-side (unescaping in SQL is not
+        // worth it; survives() handles them exactly)
+        Some((pv, pv, pv =!= lit("") && !pv.contains("%") &&
+          pv =!= lit(ExternalCatalogUtils.DEFAULT_PARTITION_NAME)))
+      } else if (statsPhys.contains(p)) {
+        val app = statsKeyLogical.map(k => col("key_col") === lit(k))
+          .getOrElse(lit(false)) &&
+          col("min").isNotNull && col("max").isNotNull
+        Some((col("min"), col("max"), app))
+      } else logicalByPhys.get(p).map { logical =>
+        val pos = array_position(col("extra_cols"), logical)
+        val lo = element_at(col("extra_mins"), pos.cast("int"))
+        val hi = element_at(col("extra_maxs"), pos.cast("int"))
+        (lo, hi, col("extra_cols").isNotNull && pos > 0 &&
+          lo.isNotNull && hi.isNotNull)
+      }
+    def typed(c: Column, dt: DataType): Column = dt match {
+      case StringType => c
+      case _ => c.cast(dt)
+    }
+    def test(a: Attribute, l: Literal)(
+        overlap: (Column, Column, Column) => Column): Option[Column] =
+      for { (lo, hi, app) <- range(a.name); dt <- colType(a.name); v <- litv(l) }
+        yield !app || coalesce(
+          overlap(typed(lo, dt), typed(hi, dt), typed(lit(v), dt)), lit(true))
+    def one(f: Expression): Option[Column] = f match {
+      case And(l, r) => (one(l), one(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (a, b) => a.orElse(b)
+      }
+      case EqualTo(a: Attribute, l: Literal) =>
+        test(a, l)((lo, hi, v) => v >= lo && v <= hi)
+      case EqualTo(l: Literal, a: Attribute) =>
+        test(a, l)((lo, hi, v) => v >= lo && v <= hi)
+      case GreaterThan(a: Attribute, l: Literal) =>
+        test(a, l)((_, hi, v) => hi > v)
+      case GreaterThanOrEqual(a: Attribute, l: Literal) =>
+        test(a, l)((_, hi, v) => hi >= v)
+      case LessThan(a: Attribute, l: Literal) =>
+        test(a, l)((lo, _, v) => lo < v)
+      case LessThanOrEqual(a: Attribute, l: Literal) =>
+        test(a, l)((lo, _, v) => lo <= v)
+      case _ => None
+    }
+    filters.flatMap(one(_)).reduceOption(_ && _)
+  }
+
   /** DataFrame over the live files through the skipping index.
     * `entries` carries each file's recorded byte size (None only for
     * pre-size logs → one stat fallback) and per-column [min, max]
@@ -179,8 +295,22 @@ object DeltaLiteScan {
     */
   def relation(spark: SparkSession, root: Path,
       entries: Seq[(String, Option[Long], Map[String, (Option[String], Option[String])])],
+      schema: StructType): DataFrame =
+    mkRelation(spark, new DeltaLiteFileIndex(spark, root, entries, schema),
+      schema)
+
+  /** DataFrame over the live files through a LAZY skipping index: the
+    * entry set stays on disk; each planned scan hands its pushed
+    * filters to `source.prune`, which evaluates them in a Spark read
+    * of the entries parquet and collects only survivors.
+    */
+  def lazyRelation(spark: SparkSession, root: Path,
+      source: LazyEntriesSource, schema: StructType): DataFrame =
+    mkRelation(spark,
+      new DeltaLiteFileIndex(spark, root, Nil, schema, Some(source)), schema)
+
+  private def mkRelation(spark: SparkSession, index: DeltaLiteFileIndex,
       schema: StructType): DataFrame = {
-    val index = new DeltaLiteFileIndex(spark, root, entries, schema)
     val rel = HadoopFsRelation(index, partitionSchema = StructType(Nil),
       dataSchema = schema, bucketSpec = None,
       fileFormat = new ParquetFileFormat, options = Map.empty)(spark)

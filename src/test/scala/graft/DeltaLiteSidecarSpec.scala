@@ -200,6 +200,40 @@ class DeltaLiteSidecarSpec extends SparkSpec {
       "analyzed ranges must prune the scan to one file")
   }
 
+  test("lazy scan pruning: a point lookup on a checkpointed table collects only surviving entries") {
+    val root = tmp("graft-sidecar-lazyscan")
+    val t = DeltaLite(spark, root, "k")
+    // ~88 live files across 11 commits, checkpoint at v10, stats on k
+    (0 until 11).foreach(i => t.append(batch(i * 100L, 80)))
+    assert(logFiles(root).contains("10.checkpoint.meta.json"))
+    t.cleanLog()
+    val t2 = DeltaLite(spark, root, "k")
+    val nLive = spark.read.parquet(s"$root/_log/10.checkpoint.entries")
+      .filter(col("kind") === "f").count()
+    assert(nLive > 50)
+    // the point lookup: pruning predicates must run IN the entries
+    // parquet read — only survivors reach the driver, the full live
+    // set never materializes, and the plan scans exactly one file
+    val q = t2.readIndexed().filter(col("k") === 505L)
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(505L))
+    assert(t2.entryLoads.get() == 0,
+      "the lazily-pruned scan materialized the full entry set")
+    val collected = t2.entriesCollected.get()
+    assert(collected > 0 && collected <= nLive / 4,
+      s"point lookup collected $collected of $nLive entries — pruning " +
+        "did not push into the entries parquet")
+    assert(scanOf(q).metrics("numFiles").value == 1)
+    // a range filter prunes proportionally, still without a full load
+    val before = t2.entriesCollected.get()
+    val r = t2.readIndexed().filter(col("k") >= 1000L && col("k") < 1100L)
+    assert(r.count() == 80)
+    assert(t2.entryLoads.get() == 0)
+    assert(t2.entriesCollected.get() - before <= nLive / 4)
+    // an unfiltered scan still answers exactly (collects everything —
+    // that IS the query)
+    assert(t2.readIndexed().count() == 880)
+  }
+
   test("restats on a table below the sidecar threshold publishes the classic inline record") {
     val root = tmp("graft-sidecar-restats-small")
     val t = DeltaLite(spark, root, "k")
