@@ -116,6 +116,13 @@ class LinkCommitStore extends CommitStore {
   */
 trait ObjectStoreClient {
   def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean
+
+  /** Read the object at `key` (None when absent) — S3 `GetObject`,
+    * GCS `objects.get`, ABFS read. The retry law's resolution step:
+    * after an ambiguous timeout, [[EtagCommitStore]] GETs and compares
+    * bytes instead of blind-retrying (see the law above).
+    */
+  def get(key: String): Option[Array[Byte]]
 }
 
 /** Conditional-put commit store for S3-class object stores — the
@@ -129,8 +136,34 @@ trait ObjectStoreClient {
   * [[FakeObjectStore]]).
   */
 class EtagCommitStore(client: ObjectStoreClient) extends CommitStore {
-  override def putIfAbsent(fin: Path, bytes: Array[Byte]): Boolean =
-    client.putIfNoneMatch(fin.toUri.getPath, bytes)
+  override def putIfAbsent(fin: Path, bytes: Array[Byte]): Boolean = {
+    val key = fin.toUri.getPath
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      try return client.putIfNoneMatch(key, bytes)
+      catch {
+        case e: java.io.IOException =>
+          // AMBIGUOUS TIMEOUT: the request may have completed after
+          // the ack was lost. Resolve by re-GET + byte compare — the
+          // retry law. A blind re-put would see its OWN object and
+          // report a false "lost the race": the caller then believes
+          // the commit failed while its record sits in the log, and a
+          // retried batch double-applies at the next version.
+          client.get(key) match {
+            case Some(b) if java.util.Arrays.equals(b, bytes) =>
+              return true // our body landed — we won
+            case Some(_) =>
+              return false // a rival's object is durable and visible
+            case None =>
+              // nothing landed: the send itself failed — safe to
+              // re-send (bounded; then surface the error)
+              if (attempts >= 3) throw e
+          }
+      }
+    }
+    false // unreachable
+  }
 }
 
 /** In-memory object store with S3-strong-consistency conditional-put
@@ -171,6 +204,11 @@ class FakeObjectStore extends ObjectStoreClient {
     })
     won
   }
+  override def get(key: String): Option[Array[Byte]] =
+    // committed-state read (S3 strong consistency): the mapping only
+    // exists once the body is durably visible
+    if (objects.containsKey(key)) Some(Files.readAllBytes(Paths.get(key)))
+    else None
 }
 
 object CommitStore {

@@ -162,4 +162,32 @@ class CommitStoreSpec extends SparkSpec {
       graft.etl.CommitStoreContract.verify(broken, d3))
     assert(e.getMessage.contains("law 1"))
   }
+
+  test("the retry law is executable: EtagCommitStore resolves ambiguous timeouts, a blind-retry impl is rejected") {
+    import graft.etl.ObjectStoreClient
+    // the shipped store resolves all three fault cases (own-body
+    // landed → true via re-GET+compare; rival landed → false; nothing
+    // landed → bounded re-send)
+    val d1 = java.nio.file.Files.createTempDirectory("cstore-retry1").toString
+    graft.etl.CommitStoreContract.verifyRetryLaw(new EtagCommitStore(_), d1)
+    // the subtly-wrong production client: on timeout, blindly re-PUT.
+    // Its own object 412s the retry and it reports a false "lost the
+    // race" — exactly the bug the law names; the harness must reject
+    // it, not pass it
+    def blindRetry(client: ObjectStoreClient): CommitStore = new CommitStore {
+      override def putIfAbsent(fin: org.apache.hadoop.fs.Path,
+          bytes: Array[Byte]): Boolean = {
+        val key = fin.toUri.getPath
+        try client.putIfNoneMatch(key, bytes)
+        catch {
+          case _: java.io.IOException => client.putIfNoneMatch(key, bytes)
+        }
+      }
+    }
+    val d2 = java.nio.file.Files.createTempDirectory("cstore-retry2").toString
+    val e = intercept[AssertionError](
+      graft.etl.CommitStoreContract.verifyRetryLaw(blindRetry, d2))
+    assert(e.getMessage.contains("retry law"))
+    assert(e.getMessage.contains("OWN body landed"))
+  }
 }
