@@ -156,6 +156,12 @@ object SparkEntry {
     "etl_dedup_append" -> (Etl.dedupAppend _),
     "text_token_count" -> (Text.tokenCount _),
     "text_quality" -> (Text.quality _),
+    // learned quality tier, closed-form member: teacher score in
+    // integer micros, integer sufficient statistics, two IEEE
+    // divisions — fit AND scoring re-derive exactly in SQL (oracled);
+    // the general hashed-feature d<=64 ridge is
+    // Curation.fitQualityRidge, spec'd vs a driver reference fit
+    "q_quality_learned" -> (Text.qualityLearned _),
     "text_langid" -> (Text.langid _),
     "text_fingerprint" -> (Text.fingerprint _),
     "dedup_exact" -> (Text.dedupExact _),
@@ -182,6 +188,11 @@ object SparkEntry {
     // exact top-k the SQL-derivable truth; recall at approximate
     // settings stays spec'd in HnswSpec
     "ann_hnsw_topk" -> (Vectors.annHnsw _),
+    // Artetxe & Schwenk ratio-margin bitext mining: micro-quantized
+    // cosines + integer k-sums + one-division margin — the whole mined
+    // ranking re-derives in SQL (oracled); planted translation twins
+    // rank 1 (MarginMiningSpec)
+    "q_margin_mining" -> (Vectors.marginMining _),
     "q_events_tumbling" -> (Events.tumbling _),
     "q_retention" -> (Events.retention _),
     "q_funnel" -> (Events.funnel _),
@@ -1785,6 +1796,45 @@ object SparkEntry {
         |  + 0.1 * (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(nupper AS DOUBLE) / n_chars END) AS quality
         |FROM t
         |ORDER BY doc_id""".stripMargin,
+    // learned quality, closed-form ridge: the teacher score (the
+    // text_quality expression, already hash-proven engine-identical)
+    // quantizes to integer micros; n/Σx/Σy/Σx²/Σxy are exact integer
+    // aggregates; slope and intercept are two fixed IEEE divisions;
+    // the per-doc prediction quantizes back — fit AND scoring
+    // re-derive bit-for-bit
+    "q_quality_learned" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+        |         ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS ntok,
+        |    len(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |        x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS nstop,
+        |    len(regexp_extract_all(text, '[[:punct:]]')) AS npunct,
+        |    len(regexp_extract_all(text, '[A-Z]')) AS nupper
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, CAST(ntok AS BIGINT) AS x,
+        |    CAST(round((0.4 * (CASE WHEN ntok = 0 THEN 0.0 ELSE CAST(nstop AS DOUBLE) / ntok END)
+        |      + 0.3 * (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(npunct AS DOUBLE) / n_chars END)
+        |      + 0.2 * least(1.0, CAST(ntok AS DOUBLE) / 100.0)
+        |      + 0.1 * (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(nupper AS DOUBLE) / n_chars END))
+        |      * 1000000.0) AS BIGINT) AS y
+        |  FROM t),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * x) AS sxx, SUM(x * y) AS sxy FROM f),
+        |w AS (
+        |  SELECT n, sx, sy,
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx + n * 100 AS DOUBLE) AS w1 FROM s),
+        |w2 AS (
+        |  SELECT w1,
+        |    (CAST(sy AS DOUBLE) - w1 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS w0
+        |  FROM w)
+        |SELECT f.doc_id, f.x AS n_tokens,
+        |  CAST(round(w0 + w1 * CAST(f.x AS DOUBLE)) AS BIGINT) AS learned_micro
+        |FROM f, w2
+        |ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,
@@ -2132,6 +2182,63 @@ object SparkEntry {
     // every pair's cosine recomputed from the raw vectors — IS the
     // brute-force derivation below; full-ranking equality pins the
     // build, the shard routing and the beam search end-to-end.
+    // Artetxe & Schwenk ratio margin, re-derived end-to-end: sides by
+    // id parity, 8 planted translation twins on the target side,
+    // per-pair cosines quantized to integer micros BEFORE the k-sums
+    // (order-free integer aggregation in any engine), margin = one
+    // IEEE division of exactly-derived operands, both rankings ordered
+    // by (quantized value, id)
+    "q_margin_mining" ->
+      """WITH src AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+        |tgt AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1
+        |  UNION ALL
+        |  SELECT vec_id + 100001 AS vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 2 = 0 AND vec_id < 16),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM src WHERE vec_id < 16),
+        |fwd AS (
+        |  SELECT q.query_id, t.vec_id AS matched_id,
+        |    CAST(round((list_sum(list_transform(list_zip(q.qv, t.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+        |      * 1000000.0) AS BIGINT) AS cm
+        |  FROM q, tgt t),
+        |franked AS (
+        |  SELECT query_id, matched_id, cm,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cm DESC, matched_id) AS frank
+        |  FROM fwd),
+        |sum_fwd AS (
+        |  SELECT query_id, SUM(cm) AS sum_fwd FROM franked WHERE frank <= 4 GROUP BY query_id),
+        |cands AS (SELECT DISTINCT matched_id FROM franked WHERE frank <= 8),
+        |rev AS (
+        |  SELECT c.matched_id, s.vec_id AS src_id,
+        |    CAST(round((list_sum(list_transform(list_zip(t.embedding, s.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(s.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+        |      * 1000000.0) AS BIGINT) AS rcm
+        |  FROM cands c
+        |  JOIN tgt t ON t.vec_id = c.matched_id
+        |  CROSS JOIN src s),
+        |sum_rev AS (
+        |  SELECT matched_id, SUM(rcm) AS sum_rev FROM (
+        |    SELECT matched_id, rcm,
+        |      ROW_NUMBER() OVER (PARTITION BY matched_id ORDER BY rcm DESC, src_id) AS rrank
+        |    FROM rev) rr
+        |  WHERE rrank <= 4 GROUP BY matched_id),
+        |pairs AS (
+        |  SELECT f.query_id, f.matched_id,
+        |    (CAST(f.cm AS DOUBLE) * 8.0) / CAST(sf.sum_fwd + sr.sum_rev AS DOUBLE) AS margin
+        |  FROM franked f
+        |  JOIN sum_fwd sf ON sf.query_id = f.query_id
+        |  JOIN sum_rev sr ON sr.matched_id = f.matched_id
+        |  WHERE f.frank <= 8)
+        |SELECT query_id, rank, matched_id, round(margin, 6) AS margin FROM (
+        |  SELECT query_id, matched_id, margin,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY margin DESC, matched_id) AS BIGINT) AS rank
+        |  FROM pairs) z
+        |WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
     "ann_hnsw_topk" ->
       """WITH q AS (
         |  SELECT vec_id + 100000 AS query_id, embedding AS qv

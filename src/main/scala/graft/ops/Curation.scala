@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation — the composition a training-data
@@ -49,6 +49,102 @@ object Curation {
     // recompute-on-failure given up, blocks free on GC)
     val exact = Dedup.truncated(exactPlan)
     nearDedup(exact, textCol, idCol, jaccard, lshThreshold)
+  }
+
+  /** LEARNED quality filter, general tier (the DCLM/fastText-style
+    * classifier a curation pipeline trains on "good corpus vs crawl"
+    * labels): ridge least squares over HASHED TOKEN FEATURES, trained
+    * DISTRIBUTED in one aggregation pass and scored in one map pass.
+    *
+    * Features: token t → bucket `pmod(xxhash64(t), d−1)` count, plus a
+    * leading intercept component — the classic hashing trick, so the
+    * model needs no vocabulary and d bounds everything. Training
+    * reduces to the sufficient statistics XᵀX (d×d, flattened outer
+    * products summed elementwise by [[graft.functions.VectorSumAgg]] —
+    * map-side combinable, one shuffle row total) and Xᵀy; with d ≤ 64
+    * the driver-side solve (Gaussian elimination on XᵀX + λI) is
+    * microseconds. At 100 TB: one scan to train, one to score —
+    * nothing driver-side scales with rows.
+    *
+    * Returns the weights and a scorer that appends `scoreCol` (the
+    * linear score; rank or threshold it — e.g. feed
+    * [[graft.queries.Text.qualityBand]]'s banding or `curate`'s
+    * quality floor). Exactness vs a driver-side reference fit is
+    * spec'd in CurationSpec; the 2-parameter closed-form member of
+    * this family is the ORACLED `q_quality_learned` gate key
+    * ([[graft.queries.Text.qualityLearned]]).
+    */
+  def fitQualityRidge(docs: DataFrame, textCol: String, labelCol: String,
+      d: Int = 16, lambda: Double = 1.0,
+      scoreCol: String = "learned_quality"): (Array[Double], DataFrame => DataFrame) = {
+    require(d >= 2 && d <= 64, "hashed feature dim must be in [2, 64]")
+    def features(c: Column): Column = {
+      val toks = split(TextAnalysis.normalize(c), " ")
+      // x(0) = intercept; x(j) = count of tokens hashing to bucket j−1
+      concat(array(lit(1.0)),
+        transform(sequence(lit(1), lit(d - 1)), j =>
+          size(filter(toks, t =>
+            pmod(xxhash64(t), lit(d - 1)) === (j - 1))).cast("double")))
+    }
+    val feat = docs.select(features(col(textCol)).as("__x"),
+      col(labelCol).cast("double").as("__y"))
+    // ONE aggregation: Σ x⊗x (flattened d²) and Σ x·y — the map-side
+    // partial is a (d² + d)-double buffer, independent of row count
+    val row = feat.select(
+      graft.functions.VectorFunctions.vector_sum(
+        flatten(transform(col("__x"), xi =>
+          transform(col("__x"), xj => xi * xj)))).as("xtx"),
+      graft.functions.VectorFunctions.vector_sum(
+        transform(col("__x"), xi => xi * col("__y"))).as("xty")).head()
+    val xtx = row.getSeq[Double](0).toArray
+    val xty = row.getSeq[Double](1).toArray
+    val w = Curation.solveRidge(xtx, xty, d, lambda)
+    val wLit = array(w.map(lit(_)).toIndexedSeq: _*)
+    val scorer = (df: DataFrame) => df.withColumn(scoreCol,
+      aggregate(zip_with(features(col(textCol)), wLit,
+        (x, wi) => x * wi), lit(0.0), (acc, v) => acc + v))
+    (w, scorer)
+  }
+
+  /** Solve (XᵀX + λI)w = Xᵀy by Gaussian elimination with partial
+    * pivoting — d ≤ 64, a driver-side no-op next to the scans. The
+    * intercept row is regularized too (harmless at these λ; keeps the
+    * system symmetric positive definite).
+    */
+  private[graft] def solveRidge(xtxFlat: Array[Double], xty: Array[Double],
+      d: Int, lambda: Double): Array[Double] = {
+    val a = Array.tabulate(d, d)((i, j) =>
+      xtxFlat(i * d + j) + (if (i == j) lambda else 0.0))
+    val b = xty.clone()
+    var i = 0
+    while (i < d) {
+      var p = i
+      var r = i + 1
+      while (r < d) { if (math.abs(a(r)(i)) > math.abs(a(p)(i))) p = r; r += 1 }
+      val t = a(i); a(i) = a(p); a(p) = t
+      val tb = b(i); b(i) = b(p); b(p) = tb
+      val piv = a(i)(i)
+      require(math.abs(piv) > 1e-12, "singular normal equations — raise lambda")
+      r = i + 1
+      while (r < d) {
+        val f = a(r)(i) / piv
+        var c = i
+        while (c < d) { a(r)(c) -= f * a(i)(c); c += 1 }
+        b(r) -= f * b(i)
+        r += 1
+      }
+      i += 1
+    }
+    val w = new Array[Double](d)
+    i = d - 1
+    while (i >= 0) {
+      var s = b(i)
+      var c = i + 1
+      while (c < d) { s -= a(i)(c) * w(c); c += 1 }
+      w(i) = s / a(i)(i)
+      i -= 1
+    }
+    w
   }
 
   /** Stages 1–3 (annotate → filter → exact dedup) as plans, shared by

@@ -400,6 +400,90 @@ object Similarity {
     rankCandidates(a.join(b, Seq("table", "bucket")), k)
   }
 
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings",
+    * ACL 2019 — public literature): score a candidate pair (x, y) —
+    * x from the source side, y from the target side — by the RATIO
+    * margin
+    *
+    *   margin(x, y) = cos(x, y) / ((meanK(x→tgt) + meanK(y→src)) / 2)
+    *
+    * where meanK(v→side) is the mean cosine of v's k nearest neighbors
+    * on the OTHER side. The per-item normalizer cancels "cosine
+    * inflation" (hubness / register effects), which is what makes one
+    * mining threshold transferable across language pairs and domains —
+    * the operator a multilingual 100 TB pretraining pipeline runs to
+    * mine bitext.
+    *
+    * Scale shape: `queries` is the bounded mining batch (broadcast);
+    * the forward ranking is one window per query over the target scan;
+    * the reverse means are computed ONLY for the ≤ |queries|·pool
+    * surviving candidates (broadcast against one source-side scan) —
+    * never corpus × corpus. For full corpus×corpus mining, swap the
+    * exact rankings for any ANN tier above (LSH/IVF/HNSW); the margin
+    * arithmetic is tier-agnostic.
+    *
+    * EXACTNESS (the oracle contract): per-pair cosines quantize to
+    * integer MICRO-units before any aggregation, so both k-sums are
+    * order-free integer arithmetic in any engine, and the margin is
+    * one fixed IEEE tree over exactly-derived operands —
+    *   margin = (cm · 2k) / (sumK_fwd + sumK_rev)
+    * — bit-identical between Spark and the DuckDB oracle. Rankings
+    * order by (quantized cosine, id) and (margin, id), both engine-
+    * stable.
+    */
+  def marginMining(srcCorpus: DataFrame, tgtCorpus: DataFrame,
+      queries: DataFrame, vecCol: String, idCol: String,
+      k: Int = 4, pool: Int = 8, topPairs: Int = 3): DataFrame = {
+    require(pool >= k && pool >= topPairs,
+      "the candidate pool must cover both the k-NN mean and the output pairs")
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val tgt = tgtCorpus.select(col(idCol).as("matched_id"), col(vecCol).as("cv"))
+    val wFwd = Window.partitionBy(col("query_id"))
+      .orderBy(col("cm").desc, col("matched_id"))
+    // forward: each query's pool of nearest target vectors, quantized
+    val fwd = tgt.join(q)
+      .withColumn("cm", round(cosine(col("qv"), col("cv")) * lit(1e6))
+        .cast("long"))
+      .withColumn("frank", row_number().over(wFwd).cast("long"))
+      .filter(col("frank") <= math.max(k, pool))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fwdTracked = Dedup.tracked(fwd)
+    // meanK numerator per query (exact integer k-sum)
+    val sumFwd = fwdTracked.filter(col("frank") <= k)
+      .groupBy("query_id")
+      .agg(org.apache.spark.sql.functions.sum(col("cm")).as("sum_fwd"))
+    // reverse: the bounded candidate set's k nearest SOURCE vectors —
+    // one source scan, candidates broadcast
+    val cands = fwdTracked.filter(col("frank") <= pool)
+      .select(col("matched_id"), col("cv")).distinct()
+    val src = srcCorpus.select(col(idCol).as("src_id"), col(vecCol).as("sv"))
+    val wRev = Window.partitionBy(col("matched_id"))
+      .orderBy(col("rcm").desc, col("src_id"))
+    val sumRev = src.join(broadcast(cands))
+      .withColumn("rcm", round(cosine(col("cv"), col("sv")) * lit(1e6))
+        .cast("long"))
+      .withColumn("rrank", row_number().over(wRev))
+      .filter(col("rrank") <= k)
+      .groupBy("matched_id")
+      .agg(org.apache.spark.sql.functions.sum(col("rcm")).as("sum_rev"))
+    // margin = (cm · 2k) / (sum_fwd + sum_rev): one IEEE division of
+    // exactly-derived integers
+    val wM = Window.partitionBy(col("query_id"))
+      .orderBy(col("margin").desc, col("matched_id"))
+    fwdTracked.filter(col("frank") <= pool)
+      .join(sumFwd, Seq("query_id"))
+      .join(sumRev, Seq("matched_id"))
+      .withColumn("margin",
+        (col("cm").cast("double") * lit(2.0 * k)) /
+          (col("sum_fwd") + col("sum_rev")).cast("double"))
+      .withColumn("rank", row_number().over(wM).cast("long"))
+      .filter(col("rank") <= topPairs)
+      .select(col("query_id"), col("rank"), col("matched_id"),
+        round(col("margin"), 6).as("margin"))
+  }
+
   def lshTopK(queries: DataFrame, candidates: DataFrame, vecCol: String,
       idCol: String, k: Int, planes: Int = 5, tables: Int = 6,
       seed: Long = 11L): DataFrame = {

@@ -25,6 +25,47 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** LEARNED quality scoring, closed-form tier (SURVEY §2d): a ridge
+    * least-squares fit of the (expensive) composite quality score from
+    * a cheap feature — the 2-parameter exactly-SQL-derivable member of
+    * the [[graft.ops.Curation.fitQualityRidge]] family (which trains
+    * the general hashed-feature d ≤ 64 scorer distributed; spec'd
+    * against a driver reference fit in CurationSpec). The whole chain
+    * is engine-exact: the teacher score quantizes to integer micros
+    * (its double tree is the already-oracled text_quality expression),
+    * every sufficient statistic (n, Σx, Σy, Σx², Σxy) is integer
+    * arithmetic, the slope/intercept are two fixed IEEE divisions of
+    * exactly-derived operands (ridge n·λ on the slope denominator),
+    * and the per-doc prediction quantizes back to micros — so DuckDB
+    * re-derives the full fit + scoring bit-for-bit. The one-row fit
+    * broadcast-joins the scan: one pass to fit, one to score, no
+    * driver loop — at 100 TB both passes are plain column scans.
+    */
+  def qualityLearned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", TA.wsTokenCount($"text").as("x"),
+        round(TA.qualityScore($"text", $"n_chars") * lit(1e6))
+          .cast("long").as("y"))
+    val stats = docs.agg(
+      count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+    val fit = stats
+      .withColumn("w1",
+        ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"n" * $"sxx" - $"sx" * $"sx" + $"n" * lit(100L)).cast("double"))
+      .withColumn("w0",
+        ($"sy".cast("double") - $"w1" * $"sx".cast("double")) /
+          $"n".cast("double"))
+      .select($"w0", $"w1")
+    docs.join(broadcast(fit))
+      .select($"doc_id", $"x".as("n_tokens"),
+        round($"w0" + $"w1" * $"x".cast("double"))
+          .cast("long").as("learned_micro"))
+      .orderBy($"doc_id")
+  }
+
   def quality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)

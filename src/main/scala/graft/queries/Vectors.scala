@@ -198,4 +198,27 @@ object Vectors {
         round($"cosine", 6).as("cosine"))
       .orderBy($"query_id", $"rank")
   }
+
+  /** Margin-based bitext mining ([[Similarity.marginMining]], Artetxe
+    * & Schwenk's ratio margin): the corpus splits into a source side
+    * (even ids) and a target side (odd ids), and 8 PLANTED TRANSLATION
+    * TWINS — the query vectors re-entered on the target side under
+    * fresh ids — stand in for true parallel pairs. The whole chain
+    * (micro-quantized cosines, integer k-sums, one-division margin,
+    * both rankings) re-derives in ANSI SQL, so the gate hash-compares
+    * the full mined ranking; MarginMiningSpec asserts the twins mine
+    * at rank 1.
+    */
+  def marginMining(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val src = emb.filter($"vec_id" % 2 === 0).select($"vec_id", $"embedding")
+    val queries = src.filter($"vec_id" < 16)
+    val twins = queries.select(($"vec_id" + 100001L).as("vec_id"), $"embedding")
+    val tgt = emb.filter($"vec_id" % 2 === 1)
+      .select($"vec_id", $"embedding").unionAll(twins)
+    Similarity.marginMining(src, tgt, queries, "embedding", "vec_id",
+      k = 4, pool = 8, topPairs = 3)
+      .orderBy($"query_id", $"rank")
+  }
 }

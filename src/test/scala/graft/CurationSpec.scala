@@ -129,4 +129,69 @@ class CurationSpec extends SparkSpec {
     assert(got.forall(_._4 <= 64 + 15), "bin over the greedy bound")
     Dedup.releaseCaches()
   }
+
+  test("fitQualityRidge: the distributed fit matches a driver-side reference solve; the scorer tracks the teacher") {
+    val d = 8
+    val lambda = 1.0
+    val labeled = docs.withColumn("label",
+      TextAnalysis.qualityScore(col("text"), col("n_chars")))
+    val (w, scorer) = Curation.fitQualityRidge(labeled, "text", "label",
+      d = d, lambda = lambda)
+    assert(w.length == d)
+    // reference: the SAME hashed features (re-expressed here) collected
+    // to the driver, normal equations accumulated naively, solved by an
+    // INDEPENDENT method (Gauss-Jordan, no pivoting) — the distributed
+    // one-pass VectorSumAgg fit must agree to float noise
+    val toks = split(TextAnalysis.normalize(col("text")), " ")
+    val featExpr = concat(array(lit(1.0)),
+      transform(sequence(lit(1), lit(d - 1)), j =>
+        size(filter(toks, t =>
+          pmod(xxhash64(t), lit(d - 1)) === (j - 1))).cast("double")))
+    val rows = labeled.select(featExpr.as("x"), col("label").cast("double"))
+      .collect()
+      .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+    val a = Array.ofDim[Double](d, d)
+    val b = new Array[Double](d)
+    rows.foreach { case (x, y) =>
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { a(i)(j) += x(i) * x(j); j += 1 }
+        b(i) += x(i) * y
+        i += 1
+      }
+    }
+    var i = 0
+    while (i < d) { a(i)(i) += lambda; i += 1 }
+    // Gauss-Jordan
+    i = 0
+    while (i < d) {
+      val piv = a(i)(i)
+      var c = 0
+      while (c < d) { a(i)(c) /= piv; c += 1 }
+      b(i) /= piv
+      var r = 0
+      while (r < d) {
+        if (r != i && a(r)(i) != 0.0) {
+          val f = a(r)(i)
+          var k = 0
+          while (k < d) { a(r)(k) -= f * a(i)(k); k += 1 }
+          b(r) -= f * b(i)
+        }
+        r += 1
+      }
+      i += 1
+    }
+    val scale = math.max(1.0, b.map(math.abs).max)
+    (0 until d).foreach { j =>
+      assert(math.abs(w(j) - b(j)) / scale < 1e-8,
+        s"weight $j: distributed ${w(j)} vs reference ${b(j)}")
+    }
+    // the learned score tracks the teacher over the corpus (it is a
+    // linear distillation, not the teacher itself)
+    val corr = scorer(labeled)
+      .agg(org.apache.spark.sql.functions.corr(
+        col("learned_quality"), col("label"))).head().getDouble(0)
+    assert(corr > 0.4, s"learned score barely correlates with teacher: $corr")
+  }
 }
