@@ -2989,22 +2989,22 @@ class DeltaLite(val spark: SparkSession, val root: String,
       // an empty batch is a no-op — unless a BY SOURCE clause makes
       // every unmatched target row (here: all of them) addressable
       if (srcRows == 0 && !hasBySource) return latestVersion.get
-      val entries = liveEntries(commits())
-      val touched =
-        if (hasBySource) entries // any row anywhere may be unmatched
+      val (touched: Seq[String], dvPaths: Seq[String]) =
+        if (hasBySource) allLivePaths() // any row anywhere may be unmatched
         else {
           val bounds = batchBounds(src, keys)
           // an all-NULL key column means equality can match nothing →
           // pure-insert path, never a table rewrite
-          if (keys.indices.exists(i => bounds.isNullAt(2 * i))) Nil
-          else overlappingEntries(entries, sch, keys, bounds)
+          if (keys.indices.exists(i => bounds.isNullAt(2 * i)))
+            (Nil, Nil)
+          else prunedLivePaths(keys, bounds, sch)
         }
       // nothing to rewrite → the commit is exactly an append (a
       // "rewrite" here would needlessly wedge streaming/CDF tails)
       if (touched.isEmpty)
         return commit(insertProj(src.as("s").filter(insOnly), sch),
           "append", txn = txn)
-      val existing = readFiles(touched.map(_.path), sch, liveDvFiles(commits()),
+      val existing = readFiles(touched, sch, dvPaths,
         colMapAt(commits()))
       val s = maybeBroadcast(src.as("s"), srcRows, src.schema)
       val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
@@ -3088,7 +3088,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
             tagged(inserted, "insert")
           Some(writeCdc(pre.reduce(_ unionByName _), sch, colMapAt(commits())))
         }
-      commit(out, "rewrite", removed = touched.map(_.path), txn = txn,
+      commit(out, "rewrite", removed = touched, txn = txn,
         cdc = cdcPaths)
     } finally {
       val _ = src.unpersist(false)
@@ -3135,13 +3135,12 @@ class DeltaLite(val spark: SparkSession, val root: String,
     enforceSchema(df)
     if (latestVersion.isEmpty) return commit(df, "append", txn = txn)
     val sch = schema.get
-    val entries = liveEntries(commits())
     val bounds = batchBounds(df, keys)
-    val touched =
+    val (touched: Seq[String], dvPaths: Seq[String]) =
       // an all-NULL key column means no equality can match → pure insert
       if (keys.indices.exists(i => bounds.isNullAt(2 * i)))
-        Seq.empty[FileEntry]
-      else overlappingEntries(entries, sch, keys, bounds)
+        (Nil, Nil)
+      else prunedLivePaths(keys, bounds, sch)
     // no file overlaps the batch's key range → pure inserts; commit as
     // an append so streaming/CDF tails (which must guard real
     // rewrites) see it for what it is
@@ -3149,7 +3148,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
     else {
       // DV-aware read: rows deleted merge-on-read must not resurrect
       // through the rewrite of their file
-      val existing = readFiles(touched.map(_.path), sch, liveDvFiles(commits()),
+      val existing = readFiles(touched, sch, dvPaths,
         colMapAt(commits()))
       // the key join would reorder columns (keys first) and silently
       // drift the committed schema — restore the table's column order
@@ -3173,7 +3172,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
           Some(writeCdc(pre.unionByName(post).unionByName(ins), sch,
             colMapAt(commits())))
         }
-      commit(merged, "rewrite", removed = touched.map(_.path), txn = txn,
+      commit(merged, "rewrite", removed = touched, txn = txn,
         cdc = cdcPaths)
     }
   }
@@ -3210,6 +3209,77 @@ class DeltaLite(val spark: SparkSession, val root: String,
         }
       }
     }
+
+  /** Paths of the live files an upsert/merge must rewrite — the
+    * file-granular prune, pushed INTO the entries parquet when the
+    * live set is DF-expressible: the per-key range-overlap predicates
+    * (same semantics as [[overlappingEntries]] — primary stats when
+    * keyed for the column, else the extra ranges; missing/unparsable
+    * ranges keep the file) evaluate in the Spark read and ONLY the
+    * overlapping paths collect, so a point upsert against a
+    * checkpointed million-file table drives O(matched) driver strings,
+    * not O(live) FileEntry objects. Falls back to the driver filter on
+    * legacy logs.
+    */
+  private def prunedLivePaths(keys: Seq[String], bounds: Row,
+      sch: StructType): (Seq[String], Seq[String]) = {
+    val cs = commits()
+    incrementalEntriesDf(cs.last.version, forScan = true) match {
+      case Some(edf) =>
+        import org.apache.spark.sql.functions.{array_position, element_at}
+        val conds = keys.zipWithIndex.map { case (k, i) =>
+          val dt = sch(k).dataType
+          def typed(c: Column): Column =
+            if (dt == StringType) c else c.cast(dt)
+          val pos = array_position(col("extra_cols"), k)
+          // primary label wins when keyed for this column (fileRange's
+          // rule); else the extra ranges; conjunct order short-circuits
+          // so element_at never sees index 0 under ANSI
+          val lo = when(col("key_col") === lit(k), col("min")).otherwise(
+            when(col("extra_cols").isNotNull && pos > 0,
+              element_at(col("extra_mins"), pos.cast("int"))))
+          val hi = when(col("key_col") === lit(k), col("max")).otherwise(
+            when(col("extra_cols").isNotNull && pos > 0,
+              element_at(col("extra_maxs"), pos.cast("int"))))
+          val overlap =
+            typed(hi) >= typed(lit(bounds.getString(2 * i))) &&
+              typed(lo) <= typed(lit(bounds.getString(2 * i + 1)))
+          // missing range or failed typed cast keeps the file
+          lo.isNull || hi.isNull || coalesce(overlap, lit(true))
+        }
+        collectSplit(edf, conds.reduce(_ && _))
+      case None =>
+        (overlappingEntries(liveEntries(cs), sch, keys, bounds).map(_.path),
+          liveDvFiles(cs))
+    }
+  }
+
+  /** Paths of ALL live files (+ the live DV sidecars), collected
+    * through the entries DataFrame when expressible — path strings
+    * only; the BY SOURCE merge and full-scan maintenance need the
+    * list, never the FileEntry stats.
+    */
+  private def allLivePaths(): (Seq[String], Seq[String]) = {
+    val cs = commits()
+    incrementalEntriesDf(cs.last.version, forScan = true) match {
+      case Some(edf) => collectSplit(edf, lit(true))
+      case None => (liveEntries(cs).map(_.path), liveDvFiles(cs))
+    }
+  }
+
+  /** ONE collect over the entries DF: f-rows surviving `fCond` plus
+    * every DV row — the upsert/merge prune and its DV set in a single
+    * job, O(survivors + DVs) driver strings.
+    */
+  private def collectSplit(edf: DataFrame,
+      fCond: Column): (Seq[String], Seq[String]) = {
+    val rows = edf
+      .filter((col("kind") === "f" && fCond) || col("kind") === "d")
+      .select(col("kind"), col("idx"), col("path")).collect()
+    entriesCollected.addAndGet(rows.length.toLong)
+    val (d, f) = rows.sortBy(_.getLong(1)).partition(_.getString(0) == "d")
+    (f.map(_.getString(2)).toSeq, d.map(_.getString(2)).toSeq)
+  }
 
   /** The session's broadcast budget in bytes (-1 = disabled). */
   private def broadcastThreshold(): Long = {

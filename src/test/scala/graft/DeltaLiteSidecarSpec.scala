@@ -234,6 +234,28 @@ class DeltaLiteSidecarSpec extends SparkSpec {
     assert(t2.readIndexed().count() == 880)
   }
 
+  test("file-granular upsert pruning runs in the entries parquet: O(matched) driver rows") {
+    val root = tmp("graft-sidecar-upsert")
+    val t = DeltaLite(spark, root, "k")
+    (0 until 11).foreach(i => t.append(batch(i * 100L, 80))) // cp v10
+    t.cleanLog()
+    val t2 = DeltaLite(spark, root, "k")
+    val nLive = spark.read.parquet(s"$root/_log/10.checkpoint.entries")
+      .filter(col("kind") === "f").count()
+    // a point upsert: the key-range overlap prune must evaluate IN the
+    // entries-parquet read — only the matched file's path reaches the
+    // driver, the live FileEntry set never materializes
+    t2.upsert(Seq((505L, "updated")).toDF("k", "v"), "k")
+    assert(t2.entryLoads.get() == 0,
+      "upsert pruning materialized the full entry set")
+    val collected = t2.entriesCollected.get()
+    assert(collected > 0 && collected <= nLive / 4,
+      s"upsert prune collected $collected of $nLive entries")
+    val got = DeltaLite(spark, root, "k").read()
+      .filter(col("k") === 505L).collect()
+    assert(got.length == 1 && got.head.getString(1) == "updated")
+  }
+
   test("restats on a table below the sidecar threshold publishes the classic inline record") {
     val root = tmp("graft-sidecar-restats-small")
     val t = DeltaLite(spark, root, "k")
