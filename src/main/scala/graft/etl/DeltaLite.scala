@@ -3629,8 +3629,11 @@ class DeltaLite(val spark: SparkSession, val root: String,
     */
   def compact(targetBytes: Long = 128L * 1024 * 1024,
       minFiles: Int = 2): Option[Int] = {
+    // log-recorded byte sizes — a stat round trip only for pre-size-log
+    // entries (same economics as scan planning: zero HEAD calls per
+    // compaction pass at millions of live files)
     val sized = liveEntries(commits()).map { f =>
-      f -> fs.getFileStatus(new Path(f.path)).getLen
+      f -> f.size.getOrElse(fs.getFileStatus(new Path(f.path)).getLen)
     }
     val small = sized.filter(_._2 < targetBytes).map(_._1)
     if (small.size < minFiles) None

@@ -256,6 +256,30 @@ class DeltaLiteSidecarSpec extends SparkSpec {
     assert(got.length == 1 && got.head.getString(1) == "updated")
   }
 
+  test("lazy scan pruning on a PARTITIONED checkpointed table: the path-encoded partition value prunes in the entries read") {
+    val root = tmp("graft-sidecar-lazypart")
+    def open() = new DeltaLite(spark, root, None,
+      partitionBy = Seq("etype"))
+    val t = open()
+    val batchP = (0 until 60).map(i =>
+      (i.toLong, if (i % 3 == 0) "click" else if (i % 3 == 1) "view" else "purchase"))
+      .toDF("id", "etype")
+    (0 until 11).foreach(_ => t.append(batchP)) // cp v10, hive dirs per etype
+    t.cleanLog()
+    val t2 = open()
+    val nLive = spark.read.parquet(s"$root/_log/10.checkpoint.entries")
+      .filter(col("kind") === "f").count()
+    val q = t2.readIndexed().filter(col("etype") === "view")
+    assert(q.count() == 220)
+    assert(t2.entryLoads.get() == 0,
+      "partition-filtered lazy scan materialized the full entry set")
+    val collected = t2.entriesCollected.get()
+    assert(collected > 0 && collected <= (nLive + 2) / 2,
+      s"partition prune collected $collected of $nLive entries — the " +
+        "path-value predicate did not push into the entries read")
+    assert(scanOf(q).metrics("numFiles").value.toDouble <= nLive / 2.0)
+  }
+
   test("restats on a table below the sidecar threshold publishes the classic inline record") {
     val root = tmp("graft-sidecar-restats-small")
     val t = DeltaLite(spark, root, "k")
