@@ -3267,6 +3267,37 @@ class DeltaLite(val spark: SparkSession, val root: String,
     }
   }
 
+  /** Live paths surviving an ARBITRARY user predicate's simple
+    * conjuncts (col ⊙ literal over logical names), pruned in the
+    * entries-parquet read — the deleteWhere/updateWhere prune: a
+    * point DELETE against a checkpointed million-file table scans the
+    * files its predicate can possibly touch, not the table. The same
+    * conservative translation as scan pruning (unsupported shapes keep
+    * everything); None when the live set is not DF-expressible.
+    */
+  private def predicatePrunedPaths(cond: Column, sch: StructType,
+      mapping: Map[String, String],
+      parts: Seq[String]): Option[(Seq[String], Seq[String])] = {
+    val cs = commits()
+    incrementalEntriesDf(cs.last.version, forScan = true).map { edf =>
+      val expr = org.apache.spark.sql.graftbridge.DeltaLiteScan
+        .normalizePredicate(
+          org.apache.spark.sql.graftbridge.Bridge.expression(cond))
+      // user predicates speak LOGICAL names: the primary range applies
+      // when the entry is keyed for that very name (fileRange's rule,
+      // the same gate the upsert prune uses), extras are recorded
+      // under logical names, partition dirs under the physical id
+      val idMap = sch.fieldNames.map(n => n -> n).toMap
+      val fCond = org.apache.spark.sql.graftbridge.DeltaLiteScan
+        .pruneCondition(spark, Seq(expr), sch,
+          primaryKeyName = idMap, extraName = idMap,
+          partDir = parts.map(l => l -> mapping.getOrElse(l, l)).toMap,
+          DeltaLite.PartPrefix)
+        .getOrElse(lit(true))
+      collectSplit(edf, fCond)
+    }
+  }
+
   /** ONE collect over the entries DF: f-rows surviving `fCond` plus
     * every DV row — the upsert/merge prune and its DV set in a single
     * job, O(survivors + DVs) driver strings.
@@ -3438,12 +3469,15 @@ class DeltaLite(val spark: SparkSession, val root: String,
     val all = commits()
     require(all.nonEmpty, s"empty table at $root")
     val sch = DataType.fromJson(all.last.schemaJson).asInstanceOf[StructType]
-    val live = liveEntries(all)
-    if (live.isEmpty) return None
-    val dvs = liveDvFiles(all)
     val mapping = colMapAt(all)
+    // the predicate's simple conjuncts prune the scan's FILE LIST in
+    // the entries-parquet read — a selective delete reads the files it
+    // can possibly touch, not the table
+    val (paths, dvs) = predicatePrunedPaths(cond, sch, mapping, partsAt(all))
+      .getOrElse((liveEntries(all).map(_.path), liveDvFiles(all)))
+    if (paths.isEmpty) return None
     val phys = physSchema(sch, mapping)
-    val base = spark.read.schema(phys).parquet(live.map(_.path): _*)
+    val base = spark.read.schema(phys).parquet(paths: _*)
       .withColumn("__file", col("_metadata.file_path"))
       .withColumn("__pos", col("_metadata.row_index"))
     val masked =
@@ -3527,12 +3561,14 @@ class DeltaLite(val spark: SparkSession, val root: String,
     set.foreach { case (c, _) => require(sch.fieldNames.contains(c),
       s"no column '$c' to update at $root") }
     rejectGeneratedAssignments(sch, set.map(_._1))
-    val live = liveEntries(all)
-    if (live.isEmpty) return None
-    val dvs = liveDvFiles(all)
     val mapping = colMapAt(all)
+    // predicate conjuncts prune the candidate file list in the
+    // entries-parquet read (same translation as deleteWhere/scans)
+    val (candPaths, dvs) = predicatePrunedPaths(cond, sch, mapping, partsAt(all))
+      .getOrElse((liveEntries(all).map(_.path), liveDvFiles(all)))
+    if (candPaths.isEmpty) return None
     val phys = physSchema(sch, mapping)
-    val base = spark.read.schema(phys).parquet(live.map(_.path): _*)
+    val base = spark.read.schema(phys).parquet(candPaths: _*)
       .withColumn("__file", col("_metadata.file_path"))
       .withColumn("__pos", col("_metadata.row_index"))
     val masked =
@@ -3545,8 +3581,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
     val touchedPaths = visible.filter(cond).select(col("__file")).distinct()
       .collect().map(r => norm(r.getString(0))).toSet
     if (touchedPaths.isEmpty) return None
-    val touched = live.filter(f => touchedPaths(norm(f.path)))
-    val rows = readFiles(touched.map(_.path), sch, dvs, mapping)
+    val touched = candPaths.filter(p => touchedPaths(norm(p)))
+    val rows = readFiles(touched, sch, dvs, mapping)
     val setMap = set.toMap
     // generated columns recompute from the post-assignment values:
     // the expression invariant holds through any base-column update
@@ -3571,7 +3607,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
           .withColumn("_change_type", lit("update_postimage"))
         Some(writeCdc(pre.unionByName(post), sch, mapping))
       }
-    Some(commit(updated, "rewrite", removed = touched.map(_.path),
+    Some(commit(updated, "rewrite", removed = touched,
       cdc = cdcPaths))
   }
 
@@ -4219,8 +4255,11 @@ class DeltaLite(val spark: SparkSession, val root: String,
         val source = new org.apache.spark.sql.graftbridge.LazyEntriesSource(
           prune = filters => {
             val cond = org.apache.spark.sql.graftbridge.DeltaLiteScan
-              .pruneCondition(spark, filters, phys, statsPhys, statsKey,
-                logicalByPhys, partPhys, DeltaLite.PartPrefix)
+              .pruneCondition(spark, filters, phys,
+                primaryKeyName = (statsPhys zip statsKey).toList.toMap,
+                extraName = logicalByPhys,
+                partDir = partPhys.map(p => p -> p).toMap,
+                DeltaLite.PartPrefix)
             val rows = cond.map(fdf.filter).getOrElse(fdf).collect()
             entriesCollected.addAndGet(rows.length.toLong)
             rows.sortBy(_.getLong(0)).map(r => tupleOf(entryOfRow(r))).toSeq

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.functions.{array_position, coalesce, col, element_at, lit, regexp_extract}
+import org.apache.spark.sql.functions.{array_position, coalesce, col, element_at, lit, regexp_extract, when}
 import org.apache.spark.sql.types._
 
 /** Scan-integrated file skipping for DeltaLite tables — the same
@@ -210,6 +210,30 @@ object DeltaLiteScan {
     }.toMap
   }
 
+  /** Normalize an UNRESOLVED user predicate (the ColumnNode converter
+    * yields `UnresolvedFunction("and"/"="/">"/…)` nodes, not the
+    * resolved comparison classes [[pruneCondition]] matches) into the
+    * equivalent catalyst comparisons where the shape is simple;
+    * anything unrecognized passes through untouched (and translates to
+    * no pruning — conservative).
+    */
+  def normalizePredicate(e: Expression): Expression = e match {
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.arguments.size == 2 =>
+      val l = normalizePredicate(f.arguments.head)
+      val r = normalizePredicate(f.arguments(1))
+      f.nameParts.last.toLowerCase match {
+        case "and" => And(l, r)
+        case "=" | "==" => EqualTo(l, r)
+        case ">" => GreaterThan(l, r)
+        case ">=" => GreaterThanOrEqual(l, r)
+        case "<" => LessThan(l, r)
+        case "<=" => LessThanOrEqual(l, r)
+        case _ => e
+      }
+    case other => other
+  }
+
   /** Translate pushed-down data filters into a survival predicate over
     * the ENTRIES PARQUET's own columns (min/max/key_col, the extra
     * per-column arrays, and partition values regexp-extracted from the
@@ -219,16 +243,21 @@ object DeltaLiteScan {
     * (coalesce true). The driver-side survives() re-checks survivors,
     * so this only ever has to be sound, never complete.
     *
-    * `logicalByPhys` maps a pushed attribute's physical name back to
-    * the logical name the extra ranges were recorded under;
-    * `statsKeyLogical` gates the primary min/max on the entry being
-    * keyed for THIS table's stats column (a historically different
-    * key must not prune).
+    * Name resolution is caller-supplied so the same translation serves
+    * physical-named scan filters (readIndexed) AND logical-named
+    * user predicates (deleteWhere/updateWhere):
+    *  - `primaryKeyName`: attribute → the `key_col` value that
+    *    validates the entry's primary min/max for it (a historically
+    *    different key must not prune);
+    *  - `extraName`: attribute → the name its extra ranges were
+    *    recorded under;
+    *  - `partDir`: attribute → the hive dir name (physical id) its
+    *    partition value is path-encoded as.
     */
   def pruneCondition(spark: SparkSession, filters: Seq[Expression],
-      dataSchema: StructType, statsPhys: Option[String],
-      statsKeyLogical: Option[String], logicalByPhys: Map[String, String],
-      partPhys: Seq[String], partPrefix: String): Option[Column] = {
+      dataSchema: StructType, primaryKeyName: Map[String, String],
+      extraName: Map[String, String], partDir: Map[String, String],
+      partPrefix: String): Option[Column] = {
     val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
     def litv(l: Literal): Option[String] =
       Option(Cast(l, StringType, tz).eval(null)).map(_.toString)
@@ -237,25 +266,40 @@ object DeltaLiteScan {
     // (lo, hi, applicable) for one attribute, mirroring the driver
     // map's precedence: partition value > primary stats > extra range
     def range(p: String): Option[(Column, Column, Column)] =
-      if (partPhys.contains(p)) {
+      partDir.get(p).map { dir =>
         val pv = regexp_extract(col("path"),
-          java.util.regex.Pattern.quote(s"$partPrefix$p") + "=([^/]+)", 1)
+          java.util.regex.Pattern.quote(s"$partPrefix$dir") + "=([^/]+)", 1)
         // %-escaped values stay driver-side (unescaping in SQL is not
         // worth it; survives() handles them exactly)
-        Some((pv, pv, pv =!= lit("") && !pv.contains("%") &&
-          pv =!= lit(ExternalCatalogUtils.DEFAULT_PARTITION_NAME)))
-      } else if (statsPhys.contains(p)) {
-        val app = statsKeyLogical.map(k => col("key_col") === lit(k))
-          .getOrElse(lit(false)) &&
+        (pv, pv, pv =!= lit("") && !pv.contains("%") &&
+          pv =!= lit(ExternalCatalogUtils.DEFAULT_PARTITION_NAME))
+      }.orElse(primaryKeyName.get(p).map { keyName =>
+        val app = col("key_col") === lit(keyName) &&
           col("min").isNotNull && col("max").isNotNull
-        Some((col("min"), col("max"), app))
-      } else logicalByPhys.get(p).map { logical =>
-        val pos = array_position(col("extra_cols"), logical)
+        (col("min"), col("max"),
+          // the primary range OR the extra ranges may carry p's bounds
+          // — fall through to extra when the primary doesn't apply
+          app)
+      }.map { case base @ (_, _, primaryApp) =>
+        extraName.get(p) match {
+          case None => base
+          case Some(en) =>
+            val pos = array_position(col("extra_cols"), en)
+            val elo = element_at(col("extra_mins"), pos.cast("int"))
+            val ehi = element_at(col("extra_maxs"), pos.cast("int"))
+            val extraApp = col("extra_cols").isNotNull && pos > 0 &&
+              elo.isNotNull && ehi.isNotNull
+            (when(primaryApp, col("min")).otherwise(when(extraApp, elo)),
+              when(primaryApp, col("max")).otherwise(when(extraApp, ehi)),
+              primaryApp || extraApp)
+        }
+      }).orElse(extraName.get(p).map { en =>
+        val pos = array_position(col("extra_cols"), en)
         val lo = element_at(col("extra_mins"), pos.cast("int"))
         val hi = element_at(col("extra_maxs"), pos.cast("int"))
         (lo, hi, col("extra_cols").isNotNull && pos > 0 &&
           lo.isNotNull && hi.isNotNull)
-      }
+      })
     def typed(c: Column, dt: DataType): Column = dt match {
       case StringType => c
       case _ => c.cast(dt)

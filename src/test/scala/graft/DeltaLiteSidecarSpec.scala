@@ -280,6 +280,35 @@ class DeltaLiteSidecarSpec extends SparkSpec {
     assert(scanOf(q).metrics("numFiles").value.toDouble <= nLive / 2.0)
   }
 
+  test("predicate pruning for DELETE/UPDATE runs in the entries parquet") {
+    val root = tmp("graft-sidecar-delup")
+    val t = DeltaLite(spark, root, "k")
+    (0 until 11).foreach(i => t.append(batch(i * 100L, 80))) // cp v10
+    t.cleanLog()
+    val nLive = spark.read.parquet(s"$root/_log/10.checkpoint.entries")
+      .filter(col("kind") === "f").count()
+    // a selective DELETE: the predicate's simple conjuncts prune the
+    // candidate file list in the entries read — the delete scans the
+    // files it can possibly touch, never the table
+    val t2 = DeltaLite(spark, root, "k")
+    assert(t2.deleteWhere(col("k") === 303L).isDefined)
+    assert(t2.entryLoads.get() == 0,
+      "deleteWhere materialized the full entry set")
+    val afterDelete = t2.entriesCollected.get()
+    assert(afterDelete > 0 && afterDelete <= nLive / 4,
+      s"delete prune collected $afterDelete of $nLive entries")
+    // a selective UPDATE through the same translation
+    assert(t2.updateWhere(col("k") === 808L,
+      Seq("v" -> lit("patched"))).isDefined)
+    assert(t2.entryLoads.get() == 0,
+      "updateWhere materialized the full entry set")
+    val t3 = DeltaLite(spark, root, "k")
+    assert(t3.read().filter(col("k") === 303L).count() == 0)
+    val got = t3.read().filter(col("k") === 808L).collect()
+    assert(got.length == 1 && got.head.getString(1) == "patched")
+    assert(t3.read().count() == 879)
+  }
+
   test("restats on a table below the sidecar threshold publishes the classic inline record") {
     val root = tmp("graft-sidecar-restats-small")
     val t = DeltaLite(spark, root, "k")
