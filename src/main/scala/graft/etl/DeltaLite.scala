@@ -3652,8 +3652,20 @@ class DeltaLite(val spark: SparkSession, val root: String,
     * at commit time) — lets a fresh handle (e.g. the catalog's) reopen
     * the table with skipping enabled without being told the key.
     */
-  def recordedStatsKey: Option[String] =
-    liveEntries(commits()).flatMap(_.keyCol).headOption
+  def recordedStatsKey: Option[String] = {
+    val cs = commits()
+    incrementalEntriesDf(cs.last.version, forScan = true) match {
+      case Some(edf) =>
+        // the fold rule (first keyed entry in fold order) as one agg —
+        // a fresh catalog handle learns the key without materializing
+        // the live set
+        val r = edf.filter(col("kind") === "f" && col("key_col").isNotNull)
+          .agg(fmin(org.apache.spark.sql.functions.struct(
+            col("idx"), col("key_col")))).head()
+        Option(r.getStruct(0)).map(_.getString(1))
+      case None => liveEntries(cs).flatMap(_.keyCol).headOption
+    }
+  }
 
   /** Bin-pack small live files (< `targetBytes`) into ~targetBytes
     * outputs via one rewrite commit — the OPTIMIZE/compaction half of
@@ -4163,17 +4175,41 @@ class DeltaLite(val spark: SparkSession, val root: String,
   def detail(): DataFrame = {
     import spark.implicits._
     val cs = commits()
-    val live = liveEntries(cs)
-    // log-recorded sizes; a stat only for pre-size-log entries
-    val bytes = live.map(f => f.size.getOrElse(
-      fs.getFileStatus(new Path(f.path)).getLen)).sum
+    // footprint from ONE entries-DF aggregate when expressible — the
+    // audit of a million-file table stays O(1) driver rows; driver
+    // fold only for legacy logs or pre-size entries (which need a
+    // stat per file regardless)
+    val dfStats: Option[(Long, Long, Long)] =
+      incrementalEntriesDf(cs.last.version, forScan = true).flatMap { edf =>
+        val r = edf.agg(
+          org.apache.spark.sql.functions.sum(
+            when(col("kind") === "f", 1L).otherwise(0L)),
+          org.apache.spark.sql.functions.sum(
+            when(col("kind") === "f", coalesce(col("size"), lit(0L)))
+              .otherwise(0L)),
+          org.apache.spark.sql.functions.sum(
+            when(col("kind") === "f" && col("size").isNull, 1L)
+              .otherwise(0L)),
+          org.apache.spark.sql.functions.sum(
+            when(col("kind") === "d", 1L).otherwise(0L))).head()
+        def l(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+        if (l(2) > 0) None // pre-size entries: fall back to the stat path
+        else Some((l(0), l(1), l(3)))
+      }
+    val (nFiles, bytes, nDvs) = dfStats.getOrElse {
+      val live = liveEntries(cs)
+      (live.size.toLong,
+        live.map(f => f.size.getOrElse(
+          fs.getFileStatus(new Path(f.path)).getLen)).sum,
+        liveDvFiles(cs).size.toLong)
+    }
     // the protocol features the replayed log requires (reader/writer
     // gate stamps) — what a user checks before pointing an older
     // build at this table (Delta's DESCRIBE DETAIL tableFeatures)
     val rfeat = cs.flatMap(_.rfeat.getOrElse(Nil)).distinct.sorted
     val wfeat = cs.flatMap(_.wfeat.getOrElse(Nil)).distinct.sorted
-    Seq((root, latestVersion.getOrElse(-1), live.size.toLong, bytes,
-      liveDvFiles(cs).size.toLong, schema.map(_.simpleString).getOrElse(""),
+    Seq((root, latestVersion.getOrElse(-1), nFiles, bytes,
+      nDvs, schema.map(_.simpleString).getOrElse(""),
       rfeat.mkString(","), wfeat.mkString(",")))
       .toDF("location", "version", "num_live_files", "size_bytes",
         "num_live_dvs", "schema", "reader_features", "writer_features")

@@ -309,6 +309,19 @@ class DeltaLiteSidecarSpec extends SparkSpec {
     assert(t3.read().count() == 879)
   }
 
+  test("detail() and recordedStatsKey answer from one entries aggregate — no live-set materialization") {
+    val root = tmp("graft-sidecar-detail")
+    val t = DeltaLite(spark, root, "k")
+    (0 until 11).foreach(i => t.append(batch(i * 10L, 10))) // cp v10
+    t.cleanLog()
+    val t2 = DeltaLite(spark, root, "k")
+    val d = t2.detail().head()
+    assert(d.getLong(2) > 0 && d.getLong(3) > 0) // files, bytes
+    assert(t2.recordedStatsKey.contains("k"))
+    assert(t2.entryLoads.get() == 0,
+      "the footprint audit materialized the live entry set")
+  }
+
   test("restats on a table below the sidecar threshold publishes the classic inline record") {
     val root = tmp("graft-sidecar-restats-small")
     val t = DeltaLite(spark, root, "k")
