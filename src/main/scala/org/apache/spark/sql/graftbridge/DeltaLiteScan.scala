@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions.{array_position, coalesce, col, element_at, lit, regexp_extract, when}
@@ -138,12 +138,27 @@ class DeltaLiteFileIndex(
       } yield (mn, mx, dt)
     filter match {
       case And(l, r) => survives(ranges, l) && survives(ranges, r)
+      // OR prunes only when BOTH branches prune the file
+      case Or(l, r) => survives(ranges, l) || survives(ranges, r)
       case EqualTo(a: Attribute, l: Literal) =>
         range(a).forall { case (lo, hi, dt) =>
           litv(l).forall(v => cmp(dt, v, lo) >= 0 && cmp(dt, v, hi) <= 0) }
       case EqualTo(l: Literal, a: Attribute) =>
         range(a).forall { case (lo, hi, dt) =>
           litv(l).forall(v => cmp(dt, v, lo) >= 0 && cmp(dt, v, hi) <= 0) }
+      // IN-list: the file survives iff ANY member can be inside its
+      // range (a null member keeps the file — forall over None)
+      case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) &&
+          vs.size <= 256 =>
+        range(a).forall { case (lo, hi, dt) =>
+          vs.exists(l => litv(l.asInstanceOf[Literal]).forall(v =>
+            cmp(dt, v, lo) >= 0 && cmp(dt, v, hi) <= 0)) }
+      // large resolved IN: Catalyst rewrites to InSet of internal values
+      case InSet(a: Attribute, hset) if hset.size <= 4096 =>
+        range(a).forall { case (lo, hi, dt) =>
+          hset.exists(v =>
+            litv(Literal(v, a.dataType)).forall(s =>
+              cmp(dt, s, lo) >= 0 && cmp(dt, s, hi) <= 0)) }
       case GreaterThan(a: Attribute, l: Literal) =>
         range(a).forall { case (_, hi, dt) =>
           litv(l).forall(v => cmp(dt, hi, v) > 0) }
@@ -219,11 +234,16 @@ object DeltaLiteScan {
     */
   def normalizePredicate(e: Expression): Expression = e match {
     case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.nameParts.last.equalsIgnoreCase("in") && f.arguments.size >= 2 =>
+      In(normalizePredicate(f.arguments.head),
+        f.arguments.tail.map(normalizePredicate))
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
         if f.arguments.size == 2 =>
       val l = normalizePredicate(f.arguments.head)
       val r = normalizePredicate(f.arguments(1))
       f.nameParts.last.toLowerCase match {
         case "and" => And(l, r)
+        case "or" => Or(l, r)
         case "=" | "==" => EqualTo(l, r)
         case ">" => GreaterThan(l, r)
         case ">=" => GreaterThanOrEqual(l, r)
@@ -314,10 +334,25 @@ object DeltaLiteScan {
         case (Some(a), Some(b)) => Some(a && b)
         case (a, b) => a.orElse(b)
       }
+      // OR prunes only when BOTH branches translate (a side kept whole
+      // would otherwise be wrongly narrowed)
+      case Or(l, r) => (one(l), one(r)) match {
+        case (Some(a), Some(b)) => Some(a || b)
+        case _ => None
+      }
       case EqualTo(a: Attribute, l: Literal) =>
         test(a, l)((lo, hi, v) => v >= lo && v <= hi)
       case EqualTo(l: Literal, a: Attribute) =>
         test(a, l)((lo, hi, v) => v >= lo && v <= hi)
+      // bounded IN-list: survive iff any member can be in range —
+      // (!app || m1) || (!app || m2) ≡ !app || (m1 || m2); every
+      // member must translate or the whole IN keeps the file
+      case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) &&
+          vs.size <= 64 =>
+        val ts = vs.map(l => test(a, l.asInstanceOf[Literal])(
+          (lo, hi, v) => v >= lo && v <= hi))
+        if (ts.nonEmpty && ts.forall(_.isDefined)) Some(ts.flatten.reduce(_ || _))
+        else None
       case GreaterThan(a: Attribute, l: Literal) =>
         test(a, l)((_, hi, v) => hi > v)
       case GreaterThanOrEqual(a: Attribute, l: Literal) =>

@@ -322,6 +322,29 @@ class DeltaLiteSidecarSpec extends SparkSpec {
       "the footprint audit materialized the live entry set")
   }
 
+  test("IN-lists and ORs prune too — lazily in the entries read and exactly in the index") {
+    val root = tmp("graft-sidecar-inlist")
+    val t = DeltaLite(spark, root, "k")
+    (0 until 11).foreach(i => t.append(batch(i * 100L, 80))) // cp v10
+    t.cleanLog()
+    val t2 = DeltaLite(spark, root, "k")
+    val nLive = spark.read.parquet(s"$root/_log/10.checkpoint.entries")
+      .filter(col("kind") === "f").count()
+    val q = t2.readIndexed().filter(col("k").isin(5L, 205L, 1005L))
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 205L, 1005L))
+    assert(t2.entryLoads.get() == 0)
+    assert(t2.entriesCollected.get() <= nLive / 4,
+      s"IN-list collected ${t2.entriesCollected.get()} of $nLive")
+    assert(scanOf(q).metrics("numFiles").value <= 3)
+    // OR of two point deletes prunes the delete's candidate scan
+    val before = t2.entriesCollected.get()
+    assert(t2.deleteWhere(col("k") === 7L || col("k") === 1007L).isDefined)
+    assert(t2.entryLoads.get() == 0)
+    assert(t2.entriesCollected.get() - before <= nLive / 4)
+    assert(DeltaLite(spark, root, "k").read()
+      .filter(col("k").isin(7L, 1007L)).count() == 0)
+  }
+
   test("restats on a table below the sidecar threshold publishes the classic inline record") {
     val root = tmp("graft-sidecar-restats-small")
     val t = DeltaLite(spark, root, "k")
