@@ -350,6 +350,26 @@ class PlanAuditSpec extends SparkSpec {
       "aggregate must combine map-side before the exchange")
   }
 
+  test("q_margin_mining: every window key-partitioned, broadcast fan-outs only, no shuffled cartesian") {
+    val df = graft.queries.Vectors.marginMining(spark, sf)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString()
+    // the forward/reverse scorings fan a BOUNDED broadcast side over a
+    // corpus scan (the bruteForce shape) — a shuffled CartesianProduct
+    // would mean the broadcast guard was lost
+    assert(!plan.contains("CartesianProduct"),
+      "margin mining must broadcast its bounded side, never shuffle a cartesian")
+    // every Window is partitioned by a key (query_id / matched_id) —
+    // no corpus-wide single-partition rank
+    val analyzed = df.queryExecution.optimizedPlan
+    val badWindow = analyzed.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(badWindow.isEmpty,
+      "margin mining planned an unpartitioned (single-partition) window")
+  }
+
   test("q_hybrid_rrf: bounded rank windows over top-50 lists, no cartesian, no corpus-wide window") {
     val df = Text.hybridRrf(spark, sf)
     df.collect() // finalize AQE so the executed shapes are visible
