@@ -89,11 +89,51 @@ class DeltaLite(val spark: SparkSession, val root: String,
     * of live files a per-file getFileStatus is O(files) metadata-store
     * round trips per table open; absent only in pre-size logs, where
     * the scan falls back to one stat per file.
+    *
+    * `keyPhys`/`extraPhys` stamp the PHYSICAL column id (the stable
+    * parquet name under column mapping) next to each recorded stats
+    * name. Matching ranges by the physical id instead of the logical
+    * name closes the rename ALIAS-SWAP hazard: after `k→j` then
+    * `a→k`, an entry recorded `keyCol = "k"` describes the OLD k's
+    * bytes — a name match would re-validate it for the NEW k
+    * (physically the old a) and could WRONGLY PRUNE an upsert/DELETE/
+    * scan, silently dropping matches. The physical id never moves, so
+    * a stamped range stays valid across any rename sequence (and a
+    * single rename no longer disables pruning — the stamp keeps
+    * matching through the new name's physical id). Entries from
+    * pre-stamp logs carry None and keep the legacy name-match rule,
+    * conservative for single renames; `restats` re-stamps them.
     */
   private case class FileEntry(path: String, min: Option[String],
       max: Option[String], keyCol: Option[String] = None,
       extra: Map[String, (Option[String], Option[String])] = Map.empty,
-      size: Option[Long] = None)
+      size: Option[Long] = None,
+      keyPhys: Option[String] = None,
+      extraPhys: Map[String, String] = Map.empty)
+
+  /** Does `f`'s primary [min,max] describe logical column `k` (whose
+    * CURRENT physical id is `physK`)? Stamped entries match by the
+    * stable physical id — immune to rename swaps; pre-stamp entries
+    * fall back to the recorded-name rule (the pre-rev behavior).
+    */
+  private def primaryApplies(f: FileEntry, k: String, physK: String): Boolean =
+    f.keyPhys match {
+      case Some(p) => f.keyCol.isDefined && p == physK
+      case None => f.keyCol.contains(k)
+    }
+
+  /** `f`'s extra [min,max] range applicable to logical column `k`
+    * (current physical id `physK`): per recorded name, a stamped name
+    * matches by physical id, an unstamped one by the logical name.
+    */
+  private def extraRangeFor(f: FileEntry, k: String,
+      physK: String): Option[(Option[String], Option[String])] = {
+    def applies(n: String): Boolean = f.extraPhys.get(n) match {
+      case Some(p) => p == physK
+      case None => n == k
+    }
+    f.extra.collectFirst { case (n, r) if applies(n) => r }
+  }
   /** `dvs` re-references deletion-vector sidecars atomically WITH the
     * commit's file-set change — restore/clone need the snapshot and
     * its DVs in ONE commit, or time travel to the intermediate version
@@ -441,20 +481,31 @@ class DeltaLite(val spark: SparkSession, val root: String,
     // pre-statsCol logs parse with keyCol=None → pruning stays off
     // for those files (conservative)
     val statsCol = optField("statsCol")
+    // physical id of statsCol, stamped by physstats-aware renderers
+    // (record-level: renderCommit only emits it when every keyed entry
+    // agrees); absent in pre-stamp logs -> legacy name-match rule
+    val statsPhys = optField("statsPhys")
     val files = fileRe.findAllMatchIn(filesBody).map { m =>
-      // optional per-file multi-column stats: k<US>mn<US>mx records
-      // joined by <RS>; the NUL sentinel encodes a null bound
-      val extra = Option(m.group(4)).map(unesc).filter(_.nonEmpty)
-        .map(_.split("\u001e", -1).map { e =>
+      // optional per-file multi-column stats: k<US>mn<US>mx[<US>phys]
+      // records joined by <RS>; the NUL sentinel encodes a null bound.
+      // The optional 4th field is the column's PHYSICAL id (physstats
+      // rev) -- pre-rev parsers split the same way and ignore it, so
+      // the rev stays readable in both directions
+      val exPairs = Option(m.group(4)).map(unesc).filter(_.nonEmpty)
+        .map(_.split("\u001e", -1).toSeq.map { e =>
           // keep-empties split: an empty-string stat is a legal value
           val p = e.split("\u001f", -1)
           def dec(s: String): Option[String] =
             if (s == "\u0000") None else Some(dsep(s))
-          dsep(p(0)) -> (dec(p(1)), dec(p(2)))
-        }.toMap)
-        .getOrElse(Map.empty[String, (Option[String], Option[String])])
+          val phys = if (p.length > 3) Some(dsep(p(3))) else None
+          (dsep(p(0)), (dec(p(1)), dec(p(2))), phys)
+        })
+        .getOrElse(Nil)
       FileEntry(unesc(m.group(1)), opt(m.group(2)), opt(m.group(3)),
-        statsCol, extra, size = Option(m.group(5)).map(_.toLong))
+        statsCol, exPairs.map(t => t._1 -> t._2).toMap,
+        size = Option(m.group(5)).map(_.toLong),
+        keyPhys = statsPhys,
+        extraPhys = exPairs.collect { case (n, _, Some(p)) => n -> p }.toMap)
     }.toSeq
     // optional (absent in pre-DV logs); rendered just before "schema"
     val dvsBody = "\"dvs\":\\[(.*?)\\],\"schema\"".r
@@ -538,6 +589,16 @@ class DeltaLite(val spark: SparkSession, val root: String,
       s""""entref":"${esc(n)}","ecnt":"$nf,$nr,$nd","""
     }.getOrElse("")
     val removed = c.removed.map(p => "\"" + esc(p) + "\"").mkString("[", ",", "]")
+    // physstats: the record stamps ONE statsPhys (like statsCol) — the
+    // first keyed entry's. Writer commits are uniform (one mapping per
+    // commit); mixed stamps can only reach a JSON render via snapshot
+    // records built from mixed-era entries (json-format checkpoints,
+    // small inline restore/clone). A keyed entry whose stamp disagrees
+    // strips its primary stats rather than re-parse under the wrong
+    // rule — a lost range only costs pruning, a relabeled one could
+    // misprune.
+    val statsPhysOpt = c.files.find(_.keyCol.isDefined).flatMap(_.keyPhys)
+    def keepPrimary(f: FileEntry): Boolean = f.keyPhys == statsPhysOpt
     val files = c.files.map { f =>
       val cols =
         if (f.extra.isEmpty) ""
@@ -545,12 +606,15 @@ class DeltaLite(val spark: SparkSession, val root: String,
           def enc(o: Option[String]) = o.map(escSep).getOrElse("\u0000")
           val body = f.extra.toSeq.sortBy(_._1)
             .map { case (k, (mn, mx)) =>
-              escSep(k) + "\u001f" + enc(mn) + "\u001f" + enc(mx) }
+              escSep(k) + "\u001f" + enc(mn) + "\u001f" + enc(mx) +
+                f.extraPhys.get(k).map("\u001f" + escSep(_)).getOrElse("") }
             .mkString("\u001e")
           s""","cols":"${esc(body)}""""
         }
       val sz = f.size.map(s => s""","size":$s""").getOrElse("")
-      s"""{"path":"${esc(f.path)}","min":${optJson(f.min)},"max":${optJson(f.max)}$cols$sz}"""
+      val (mn, mx) =
+        if (keepPrimary(f)) (f.min, f.max) else (None, None)
+      s"""{"path":"${esc(f.path)}","min":${optJson(mn)},"max":${optJson(mx)}$cols$sz}"""
     }.mkString("[", ",", "]")
     val txn = (c.txnApp, c.txnId) match {
       case (Some(app), Some(id)) => s""""txnApp":"${esc(app)}","txnId":"$id","""
@@ -558,6 +622,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
     }
     val statsCol = c.files.flatMap(_.keyCol).headOption
       .map(k => s""""statsCol":"${esc(k)}",""").getOrElse("")
+    val statsPhys = statsPhysOpt
+      .map(p => s""""statsPhys":"${esc(p)}",""").getOrElse("")
     val colmap = c.colmap.map { m =>
       val body = m.toSeq.sorted
         .map { case (l, p) => escSep(l) + "" + escSep(p) }
@@ -599,7 +665,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
       if (c.dvs.isEmpty) ""
       else c.dvs.map(p => "\"" + esc(p) + "\"")
         .mkString("\"dvs\":[", ",", "],")
-    s"""{"version":"${c.version}","mode":"${c.mode}","sepenc":"1",$entref$txn$statsCol$colmap$checks$parts$ingested$props$rfeat$wfeat$cdcJson$dvs"schema":"${esc(c.schemaJson)}","removed":$removed,"files":$files}"""
+    s"""{"version":"${c.version}","mode":"${c.mode}","sepenc":"1",$entref$txn$statsCol$statsPhys$colmap$checks$parts$ingested$props$rfeat$wfeat$cdcJson$dvs"schema":"${esc(c.schemaJson)}","removed":$removed,"files":$files}"""
   }
 
   // ---- commit-log checkpoints (bounded-cost table open) ----
@@ -762,7 +828,15 @@ class DeltaLite(val spark: SparkSession, val root: String,
     // per-row scala function on the read side; nullable for checkpoints
     // written before the column existed (those fall back to the driver
     // fold when a remove must be applied)
-    StructField("pathn", StringType, nullable = true)))
+    StructField("pathn", StringType, nullable = true),
+    // physstats rev: PHYSICAL column id of key_col and of each
+    // extra_cols name (aligned array) — range matching by the stable
+    // physical id survives rename alias swaps (see FileEntry.keyPhys).
+    // Null in rows written pre-rev (parquet fills absent columns with
+    // null) -> legacy name-match rule, appended at the END so every
+    // positional Row construction/read above index 10 stays valid
+    StructField("key_phys", StringType, nullable = true),
+    StructField("extra_phys", ArrayType(StringType, true), nullable = true)))
 
   /** Distributed write of a checkpoint's file entries + DV paths as
     * parquet rows under `dir` — multi-part by row count (~64k entries
@@ -801,18 +875,23 @@ class DeltaLite(val spark: SparkSession, val root: String,
       if (ex.isEmpty) null else ex.map(_._1),
       if (ex.isEmpty) null else ex.map(_._2._1.orNull),
       if (ex.isEmpty) null else ex.map(_._2._2.orNull),
-      norm(f.path))
+      norm(f.path),
+      f.keyPhys.orNull,
+      if (ex.isEmpty || f.extraPhys.isEmpty) null
+      else ex.map(t => f.extraPhys.get(t._1).orNull))
   }
 
   private def dvRow(p: String, idx: Long): Row =
-    Row(idx, "d", p, null, null, null, null, null, null, null, norm(p))
+    Row(idx, "d", p, null, null, null, null, null, null, null, norm(p),
+      null, null)
 
   /** A commit's REMOVED path as a sidecar row — path-only, kind "r"
     * (never appears in checkpoint entries dirs, which carry the live
     * set and have nothing to remove).
     */
   private def removeRow(p: String, idx: Long): Row =
-    Row(idx, "r", p, null, null, null, null, null, null, null, norm(p))
+    Row(idx, "r", p, null, null, null, null, null, null, null, norm(p),
+      null, null)
 
   /** Name of the completeness marker written INSIDE every entries dir:
     * the exact row count the writer committed. Underscore-prefixed so
@@ -1036,7 +1115,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
             col("pathn").as("__rp"), col("min").as("__rmn"),
             col("max").as("__rmx"), col("key_col").as("__rkc"),
             col("size").as("__rsz"), col("extra_cols").as("__rec"),
-            col("extra_mins").as("__rei"), col("extra_maxs").as("__rea"))
+            col("extra_mins").as("__rei"), col("extra_maxs").as("__rea"),
+            col("key_phys").as("__rkp"), col("extra_phys").as("__rep"))
           val hit = col("__rp").isNotNull
           fDf = fDf.join(rl, col("pathn") === col("__rp"), "left")
             .select(col("idx"), col("kind"), col("path"),
@@ -1047,7 +1127,9 @@ class DeltaLite(val spark: SparkSession, val root: String,
               when(hit, col("__rec")).otherwise(col("extra_cols")).as("extra_cols"),
               when(hit, col("__rei")).otherwise(col("extra_mins")).as("extra_mins"),
               when(hit, col("__rea")).otherwise(col("extra_maxs")).as("extra_maxs"),
-              col("pathn"))
+              col("pathn"),
+              when(hit, col("__rkp")).otherwise(col("key_phys")).as("key_phys"),
+              when(hit, col("__rep")).otherwise(col("extra_phys")).as("extra_phys"))
         case ("rewrite", Some(_)) =>
           // a million-file compaction: its removes and adds live in
           // its own sidecar parquet — apply both as Spark joins
@@ -1090,7 +1172,9 @@ class DeltaLite(val spark: SparkSession, val root: String,
           when(keep, col("max")).otherwise(lit(null).cast("string")).as("max"),
           when(keep, col("key_col")).otherwise(lit(null).cast("string")).as("key_col"),
           col("size"), col("extra_cols"), col("extra_mins"),
-          col("extra_maxs"), col("pathn"))
+          col("extra_maxs"), col("pathn"),
+          when(keep, col("key_phys")).otherwise(lit(null).cast("string")).as("key_phys"),
+          col("extra_phys"))
       }
     }
     // ---- DV pipeline ([[liveDvFiles]]' fold): delete adds its
@@ -1129,18 +1213,29 @@ class DeltaLite(val spark: SparkSession, val root: String,
   }
 
   private def entryOfRow(r: Row): FileEntry = {
+    val ks: Seq[String] = if (r.isNullAt(7)) Nil else r.getSeq[String](7)
     val extra: Map[String, (Option[String], Option[String])] =
-      if (r.isNullAt(7)) Map.empty
+      if (ks.isEmpty) Map.empty
       else {
-        val ks = r.getSeq[String](7)
         val mns = r.getSeq[String](8)
         val mxs = r.getSeq[String](9)
         ks.indices.map(i =>
           ks(i) -> (Option(mns(i)), Option(mxs(i)))).toMap
       }
+    // physstats columns sit past pathn (10); rows from pre-rev parquet
+    // read as null through the explicit schema -> legacy name rule
+    val extraPhys: Map[String, String] =
+      if (ks.isEmpty || r.length <= 12 || r.isNullAt(12)) Map.empty
+      else {
+        val ps = r.getSeq[String](12)
+        ks.indices.flatMap(i =>
+          Option(ps(i)).map(ks(i) -> _)).toMap
+      }
     FileEntry(r.getString(2), Option(r.getString(3)),
       Option(r.getString(4)), Option(r.getString(5)), extra,
-      if (r.isNullAt(6)) None else Some(r.getLong(6)))
+      if (r.isNullAt(6)) None else Some(r.getLong(6)),
+      keyPhys = if (r.length <= 11) None else Option(r.getString(11)),
+      extraPhys = extraPhys)
   }
 
   /** Driver-materialize an entries dir (checkpoint or commit sidecar):
@@ -1244,7 +1339,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
     val sc = live.flatMap(_.keyCol).headOption
     val files = live.map(f =>
       if (f.keyCol == sc) f
-      else f.copy(min = None, max = None, keyCol = None))
+      else f.copy(min = None, max = None, keyCol = None, keyPhys = None))
     checkpointMetaOf(upTo, chain).copy(files = files, dvs = liveDvFiles(cs))
   }
 
@@ -1820,9 +1915,14 @@ class DeltaLite(val spark: SparkSession, val root: String,
       val perCol = stats.getOrElse(norm(p.toString),
         Map.empty[String, (Option[String], Option[String])])
       val s = primary.flatMap(perCol.get).getOrElse((None, None))
+      val ex = perCol.filter { case (k, _) => extraKeys.contains(k) }
       FileEntry(p.toString, s._1, s._2, statsColUsed,
-        extra = perCol.filter { case (k, _) => extraKeys.contains(k) },
-        size = fileSizes.get(p.toString))
+        extra = ex,
+        size = fileSizes.get(p.toString),
+        // physstats: stamp each recorded name's CURRENT physical id —
+        // range matching stays correct across any later rename sequence
+        keyPhys = statsColUsed.map(k => mapping.getOrElse(k, k)),
+        extraPhys = ex.keys.map(k => k -> mapping.getOrElse(k, k)).toMap)
     }
     // The schema a data commit RECORDS is the TABLE's, not the
     // batch's: a batch whose fields match the committed schema
@@ -3187,11 +3287,15 @@ class DeltaLite(val spark: SparkSession, val root: String,
     df.agg(aggs.head, aggs.tail: _*).collect()(0)
   }
 
-  /** The file's recorded [min,max] for column `k`, from the primary
-    * stats label or the multi-column `extra` ranges. */
-  private def fileRange(f: FileEntry, k: String): Option[(String, String)] =
-    if (f.keyCol.contains(k)) f.min.zip(f.max)
-    else f.extra.get(k).flatMap { case (mn, mx) => mn.zip(mx) }
+  /** The file's recorded [min,max] for logical column `k` whose
+    * CURRENT physical id is `physK`, from the primary stats label or
+    * the multi-column `extra` ranges. Stamped labels match by the
+    * stable physical id (rename-swap-proof); unstamped ones by name
+    * (pre-rev logs, the legacy rule). */
+  private def fileRange(f: FileEntry, k: String,
+      physK: String): Option[(String, String)] =
+    if (primaryApplies(f, k, physK)) f.min.zip(f.max)
+    else extraRangeFor(f, k, physK).flatMap { case (mn, mx) => mn.zip(mx) }
 
   /** Files that may hold a row matching the batch under conjunctive
     * key equality: a file is PRUNED as soon as any single key column
@@ -3200,10 +3304,11 @@ class DeltaLite(val spark: SparkSession, val root: String,
     * without stats).
     */
   private def overlappingEntries(entries: Seq[FileEntry], sch: StructType,
-      keys: Seq[String], bounds: Row): Seq[FileEntry] =
+      keys: Seq[String], bounds: Row,
+      physOf: String => String): Seq[FileEntry] =
     entries.filter { f =>
       !keys.zipWithIndex.exists { case (k, i) =>
-        fileRange(f, k).exists { case (fMin, fMax) =>
+        fileRange(f, k, physOf(k)).exists { case (fMin, fMax) =>
           !rangesOverlap(sch(k).dataType, fMin, fMax,
             bounds.getString(2 * i), bounds.getString(2 * i + 1))
         }
@@ -3224,6 +3329,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
   private def prunedLivePaths(keys: Seq[String], bounds: Row,
       sch: StructType): (Seq[String], Seq[String]) = {
     val cs = commits()
+    val mapping = colMapAt(cs)
+    def physOf(k: String): String = mapping.getOrElse(k, k)
     incrementalEntriesDf(cs.last.version, forScan = true) match {
       case Some(edf) =>
         import org.apache.spark.sql.functions.{array_position, element_at}
@@ -3231,14 +3338,23 @@ class DeltaLite(val spark: SparkSession, val root: String,
           val dt = sch(k).dataType
           def typed(c: Column): Column =
             if (dt == StringType) c else c.cast(dt)
-          val pos = array_position(col("extra_cols"), k)
+          // label matching mirrors fileRange's rule: stamped rows
+          // (key_phys/extra_phys non-null, physstats rev) match by the
+          // stable PHYSICAL id — rename-swap-proof; pre-rev rows by
+          // the recorded name
+          val primApp = when(col("key_phys").isNotNull,
+            col("key_phys") === lit(physOf(k)))
+            .otherwise(col("key_col") === lit(k))
+          val pos = when(col("extra_phys").isNotNull,
+            array_position(col("extra_phys"), lit(physOf(k))))
+            .otherwise(array_position(col("extra_cols"), lit(k)))
           // primary label wins when keyed for this column (fileRange's
           // rule); else the extra ranges; conjunct order short-circuits
           // so element_at never sees index 0 under ANSI
-          val lo = when(col("key_col") === lit(k), col("min")).otherwise(
+          val lo = when(primApp, col("min")).otherwise(
             when(col("extra_cols").isNotNull && pos > 0,
               element_at(col("extra_mins"), pos.cast("int"))))
-          val hi = when(col("key_col") === lit(k), col("max")).otherwise(
+          val hi = when(primApp, col("max")).otherwise(
             when(col("extra_cols").isNotNull && pos > 0,
               element_at(col("extra_maxs"), pos.cast("int"))))
           val overlap =
@@ -3249,8 +3365,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
         }
         collectSplit(edf, conds.reduce(_ && _))
       case None =>
-        (overlappingEntries(liveEntries(cs), sch, keys, bounds).map(_.path),
-          liveDvFiles(cs))
+        (overlappingEntries(liveEntries(cs), sch, keys, bounds, physOf)
+          .map(_.path), liveDvFiles(cs))
     }
   }
 
@@ -3292,7 +3408,9 @@ class DeltaLite(val spark: SparkSession, val root: String,
         .pruneCondition(spark, Seq(expr), sch,
           primaryKeyName = idMap, extraName = idMap,
           partDir = parts.map(l => l -> mapping.getOrElse(l, l)).toMap,
-          DeltaLite.PartPrefix)
+          DeltaLite.PartPrefix,
+          physName = sch.fieldNames
+            .map(n => n -> mapping.getOrElse(n, n)).toMap)
         .getOrElse(lit(true))
       collectSplit(edf, fCond)
     }
@@ -3717,10 +3835,14 @@ class DeltaLite(val spark: SparkSession, val root: String,
     // (the table was opened with another statsKey historically) must
     // lose their stats rather than have them relabeled — an upsert
     // pruning on mislabeled ranges would silently keep stale rows
+    val snapMapping = colMapAt(upTo)
     val snapFiles = liveEntries(upTo).map { f =>
-      if (statsKey.isDefined && f.keyCol == statsKey) f
+      // stamped entries validate by physical id under the mapping the
+      // restore brings back; legacy ones by recorded name (pre-rev rule)
+      if (statsKey.exists(k =>
+          primaryApplies(f, k, snapMapping.getOrElse(k, k)))) f
       // multi-column extra ranges stay valid for the same bytes
-      else f.copy(min = None, max = None, keyCol = None)
+      else f.copy(min = None, max = None, keyCol = None, keyPhys = None)
     }
     snapFiles.foreach { f =>
       require(fs.exists(new Path(f.path)),
@@ -3767,10 +3889,13 @@ class DeltaLite(val spark: SparkSession, val root: String,
     require(target.latestVersion.isEmpty,
       s"clone target $targetRoot is not empty")
     // same stats hygiene as restore: never relabel another key's stats
+    val cloneMapping = colMapAt(all)
     val entries = liveEntries(all).map { f =>
-      if (statsKey.isDefined && f.keyCol == statsKey)
-        (f.path, f.min, f.max, f.keyCol, f.extra, f.size)
-      else (f.path, None, None, None, f.extra, f.size)
+      if (statsKey.exists(k =>
+          primaryApplies(f, k, cloneMapping.getOrElse(k, k))))
+        (f.path, f.min, f.max, f.keyCol, f.extra, f.size, f.keyPhys,
+          f.extraPhys)
+      else (f.path, None, None, None, f.extra, f.size, None, f.extraPhys)
     }
     // live deletion vectors ride in the SAME adopting commit — without
     // them the clone would resurrect merge-on-read-deleted rows, and a
@@ -3820,12 +3945,13 @@ class DeltaLite(val spark: SparkSession, val root: String,
     */
   private def adoptSnapshot(schemaJson: String,
       entries: Seq[(String, Option[String], Option[String], Option[String],
-        Map[String, (Option[String], Option[String])], Option[Long])],
+        Map[String, (Option[String], Option[String])], Option[Long],
+        Option[String], Map[String, String])],
       dvPaths: Seq[String], mapping: Map[String, String],
       checks: Map[String, String], parts: Seq[String]): Int =
     publish(Commit(0, "append", schemaJson, removed = Nil,
-      files = entries.map { case (p, mn, mx, kc, ex, sz) =>
-        FileEntry(p, mn, mx, kc, ex, sz) },
+      files = entries.map { case (p, mn, mx, kc, ex, sz, kp, ep) =>
+        FileEntry(p, mn, mx, kc, ex, sz, keyPhys = kp, extraPhys = ep) },
       None, None, dvs = dvPaths, colmap = Some(mapping),
       checks = Some(checks), parts = Some(parts)), Nil)
 
@@ -4097,7 +4223,15 @@ class DeltaLite(val spark: SparkSession, val root: String,
                 org.apache.spark.sql.functions.array(
                   sortedKeys.map(k => col(s"__mx_$k")): _*)
               else col("extra_maxs")).as("extra_maxs"),
-              col("pathn"))
+              col("pathn"),
+              // physstats: a fresh analyze stamps every recorded
+              // name's CURRENT physical id (re-arming stamped matching
+              // for pre-rev entries too)
+              lit(mapping.getOrElse(keys.head, keys.head)).as("key_phys"),
+              (if (replaceExtra)
+                org.apache.spark.sql.functions.array(
+                  sortedKeys.map(k => lit(mapping.getOrElse(k, k))): _*)
+              else col("extra_phys")).as("extra_phys"))
           if (paths.length >= commitSidecarThreshold) {
             // big table: relabeled entries land as a sidecar directly
             // (distributed write); the record publishes pre-externalized
@@ -4132,8 +4266,13 @@ class DeltaLite(val spark: SparkSession, val root: String,
           val perCol = stats.getOrElse(norm(f.path),
             Map.empty[String, (Option[String], Option[String])])
           val head = perCol.getOrElse(keys.head, (None, None))
+          val ex = if (replaceExtra) perCol else f.extra
           FileEntry(f.path, head._1, head._2, Some(keys.head),
-            if (replaceExtra) perCol else f.extra, f.size)
+            ex, f.size,
+            keyPhys = Some(mapping.getOrElse(keys.head, keys.head)),
+            extraPhys =
+              if (replaceExtra) ex.keys.map(k => k -> mapping.getOrElse(k, k)).toMap
+              else f.extraPhys)
         }
         Some(publish(Commit(version, "restats", sch.json,
           Nil, entries), cs))
@@ -4226,11 +4365,14 @@ class DeltaLite(val spark: SparkSession, val root: String,
     * recorded for THIS table's statsKey (metadata for scan
     * integration and layout audits).
     */
-  def liveFileStats(): Seq[(String, Option[String], Option[String])] =
+  def liveFileStats(): Seq[(String, Option[String], Option[String])] = {
+    val mapping = colMapAt(commits())
     liveEntries(commits()).map { f =>
-      val ok = statsKey.exists(k => f.keyCol.contains(k))
+      val ok = statsKey.exists(k =>
+        primaryApplies(f, k, mapping.getOrElse(k, k)))
       (f.path, if (ok) f.min else None, if (ok) f.max else None)
     }
+  }
 
   /** Scan-integrated read: the live files served through a custom
     * [[org.apache.spark.sql.graftbridge.DeltaLiteFileIndex]], so the
@@ -4253,16 +4395,27 @@ class DeltaLite(val spark: SparkSession, val root: String,
     val partPhys = partsAt(all).map(c => mapping.getOrElse(c, c))
     def tupleOf(f: FileEntry)
         : (String, Option[Long], Map[String, (Option[String], Option[String])]) = {
-      val ok = statsKey.exists(k => f.keyCol.contains(k))
-      val statsRange = (statsPhys, f.min, f.max) match {
-        case (Some(k), Some(_), Some(_)) if ok => Map(k -> (f.min, f.max))
-        case _ => Map.empty[String, (Option[String], Option[String])]
-      }
-      // multi-column analyze ranges: recorded under logical names; a
-      // name a later rename made stale maps to no schema column and
-      // stays conservatively inert in the index
+      // stamped entries (physstats rev) expose their primary range
+      // under the RECORDED physical id — valid for those bytes across
+      // any rename sequence, whatever statsKey this handle was opened
+      // with; pre-stamp entries keep the legacy gate (range usable
+      // only when the recorded name matches the instance statsKey)
+      val statsRange: Map[String, (Option[String], Option[String])] =
+        (f.keyPhys, f.min, f.max) match {
+          case (Some(p), Some(_), Some(_)) => Map(p -> (f.min, f.max))
+          case (None, Some(_), Some(_))
+            if statsKey.exists(k => f.keyCol.contains(k)) =>
+            Map(statsPhys.get -> (f.min, f.max))
+          case _ => Map.empty
+        }
+      // multi-column analyze ranges: stamped names key by their
+      // RECORDED physical id (stable across renames — the range
+      // describes those bytes forever); unstamped (pre-rev) names
+      // resolve through the current mapping — a name a later rename
+      // made stale maps to no schema column and stays conservatively
+      // inert in the index
       val extraRanges = f.extra.map { case (k, r) =>
-        mapping.getOrElse(k, k) -> r
+        f.extraPhys.getOrElse(k, mapping.getOrElse(k, k)) -> r
       }
       val partRanges = org.apache.spark.sql.graftbridge.DeltaLiteScan
         .partitionValues(f.path, DeltaLite.PartPrefix, partPhys)
@@ -4295,7 +4448,10 @@ class DeltaLite(val spark: SparkSession, val root: String,
                 primaryKeyName = (statsPhys zip statsKey).toList.toMap,
                 extraName = logicalByPhys,
                 partDir = partPhys.map(p => p -> p).toMap,
-                DeltaLite.PartPrefix)
+                DeltaLite.PartPrefix,
+                // scan attributes ARE physical names — stamped rows
+                // match them directly
+                physName = phys.fieldNames.map(n => n -> n).toMap)
             val rows = cond.map(fdf.filter).getOrElse(fdf).collect()
             entriesCollected.addAndGet(rows.length.toLong)
             rows.sortBy(_.getLong(0)).map(r => tupleOf(entryOfRow(r))).toSeq
@@ -4489,7 +4645,8 @@ object DeltaLite {
     val schema = spark.read.parquet(files.map(_._1.toString): _*).schema
     t.adoptSnapshot(schema.json,
       files.map { case (p, len) => (p.toString, None, None, None,
-        Map.empty[String, (Option[String], Option[String])], Some(len)) },
+        Map.empty[String, (Option[String], Option[String])], Some(len),
+        None, Map.empty[String, String]) },
       Nil, Map.empty, Map.empty, Nil)
     t
   }

@@ -277,12 +277,33 @@ object DeltaLiteScan {
   def pruneCondition(spark: SparkSession, filters: Seq[Expression],
       dataSchema: StructType, primaryKeyName: Map[String, String],
       extraName: Map[String, String], partDir: Map[String, String],
-      partPrefix: String): Option[Column] = {
+      partPrefix: String,
+      // attribute -> its CURRENT physical id: entries stamped with
+      // physical ids (physstats rev: key_phys / extra_phys columns)
+      // match by the stable id — immune to rename alias swaps; rows
+      // with null stamps fall back to the name rule above. Callers
+      // that speak physical names pass the identity map.
+      physName: Map[String, String] = Map.empty): Option[Column] = {
     val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
     def litv(l: Literal): Option[String] =
       Option(Cast(l, StringType, tz).eval(null)).map(_.toString)
     def colType(c: String): Option[DataType] =
       dataSchema.fields.find(_.name == c).map(_.dataType)
+    // label matchers: stamped rows by physical id, unstamped by name
+    def primaryLabelOk(p: String, keyName: String): Column =
+      physName.get(p) match {
+        case Some(ph) => when(col("key_phys").isNotNull,
+          col("key_phys") === lit(ph))
+          .otherwise(col("key_col") === lit(keyName))
+        case None => col("key_col") === lit(keyName)
+      }
+    def extraPos(p: String, en: String): Column =
+      physName.get(p) match {
+        case Some(ph) => when(col("extra_phys").isNotNull,
+          array_position(col("extra_phys"), lit(ph)))
+          .otherwise(array_position(col("extra_cols"), en))
+        case None => array_position(col("extra_cols"), en)
+      }
     // (lo, hi, applicable) for one attribute, mirroring the driver
     // map's precedence: partition value > primary stats > extra range
     def range(p: String): Option[(Column, Column, Column)] =
@@ -294,7 +315,7 @@ object DeltaLiteScan {
         (pv, pv, pv =!= lit("") && !pv.contains("%") &&
           pv =!= lit(ExternalCatalogUtils.DEFAULT_PARTITION_NAME))
       }.orElse(primaryKeyName.get(p).map { keyName =>
-        val app = col("key_col") === lit(keyName) &&
+        val app = primaryLabelOk(p, keyName) &&
           col("min").isNotNull && col("max").isNotNull
         (col("min"), col("max"),
           // the primary range OR the extra ranges may carry p's bounds
@@ -304,7 +325,7 @@ object DeltaLiteScan {
         extraName.get(p) match {
           case None => base
           case Some(en) =>
-            val pos = array_position(col("extra_cols"), en)
+            val pos = extraPos(p, en)
             val elo = element_at(col("extra_mins"), pos.cast("int"))
             val ehi = element_at(col("extra_maxs"), pos.cast("int"))
             val extraApp = col("extra_cols").isNotNull && pos > 0 &&
@@ -314,7 +335,7 @@ object DeltaLiteScan {
               primaryApp || extraApp)
         }
       }).orElse(extraName.get(p).map { en =>
-        val pos = array_position(col("extra_cols"), en)
+        val pos = extraPos(p, en)
         val lo = element_at(col("extra_mins"), pos.cast("int"))
         val hi = element_at(col("extra_maxs"), pos.cast("int"))
         (lo, hi, col("extra_cols").isNotNull && pos > 0 &&

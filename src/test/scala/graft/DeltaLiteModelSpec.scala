@@ -24,7 +24,8 @@ class DeltaLiteModelSpec extends SparkSpec {
     Files.createTempDirectory(prefix).toString
 
   private def runWalk(seed: Int, steps: Int, nOps: Int = 10,
-      ckptFormat: String = "parquet", sidecarAt: Int = 10000): Unit = {
+      ckptFormat: String = "parquet", sidecarAt: Int = 10000,
+      mustFire: Set[String] = Set.empty): Unit = {
     import spark.implicits._
     val rnd = new scala.util.Random(seed)
     val t = new DeltaLite(spark, tmp(s"graft-model-$seed"), Some("k"),
@@ -44,6 +45,11 @@ class DeltaLiteModelSpec extends SparkSpec {
     // current logical name of the value column (flipped by the rename
     // op); reads are positional, so the model never needs to know
     var valCol = "v"
+    // current logical name of the KEY column (flipped by the alias-
+    // swap op, which exchanges the key and value column names — the
+    // adversarial rename sequence for stats labels: entries recorded
+    // under the old key name suddenly name-match the VALUE column)
+    var keyName = "k"
     // key column's CURRENT type: walks with the widen op (nOps >= 18)
     // start narrow (int) and may widen to long mid-walk; every batch
     // casts to the current type so appends match the table schema
@@ -52,10 +58,11 @@ class DeltaLiteModelSpec extends SparkSpec {
     // brings the narrow type back, like names)
     val typeHistory = mutable.Map.empty[Int, DataType]
     def kdf(rows: Seq[(Long, String)]) =
-      rows.toDF("k", valCol)
-        .select(col("k").cast(keyType).as("k"), col(valCol))
-    // column name as of each version, for time-travel schema checks
+      rows.toDF(keyName, valCol)
+        .select(col(keyName).cast(keyType).as(keyName), col(valCol))
+    // column names as of each version, for time-travel schema checks
     val nameHistory = mutable.Map.empty[Int, String]
+    val keyNameHistory = mutable.Map.empty[Int, String]
     // versions below this are no longer time-travelable (cleanLog)
     var travelFloor = 0
     // versions below this may have lost files to vacuum — they leave
@@ -74,6 +81,7 @@ class DeltaLiteModelSpec extends SparkSpec {
         (math.max(travelFloor, vacuumFloor) to latest).foreach { v =>
           if (!history.contains(v)) {
             history(v) = model; nameHistory(v) = valCol
+            keyNameHistory(v) = keyName
             typeHistory(v) = keyType
           }
         }
@@ -103,9 +111,13 @@ class DeltaLiteModelSpec extends SparkSpec {
         assert(tt.schema.fieldNames(1) == nameHistory(v),
           s"seed=$seed step=$step after $op: v$v column name " +
             s"${tt.schema.fieldNames(1)} != recorded ${nameHistory(v)}")
+        assert(tt.schema.fieldNames(0) == keyNameHistory(v),
+          s"seed=$seed step=$step after $op: v$v key column name " +
+            s"${tt.schema.fieldNames(0)} != recorded ${keyNameHistory(v)}")
       }
     }
 
+    val fired = mutable.Set.empty[String]
     (0 until steps).foreach { step =>
       val op = rnd.nextInt(nOps) match {
         case 0 | 1 | 2 =>
@@ -119,7 +131,7 @@ class DeltaLiteModelSpec extends SparkSpec {
             .take(rnd.nextInt(model.size + 1) / 3)
           val ks = existing ++ freshKeys(rnd.nextInt(5))
           if (ks.nonEmpty) {
-            t.upsert(kdf(ks.map(k => (k, s"u$step-$k"))), "k")
+            t.upsert(kdf(ks.map(k => (k, s"u$step-$k"))), keyName)
             model = model ++ ks.map(k => k -> s"u$step-$k")
           }
           "upsert"
@@ -127,7 +139,7 @@ class DeltaLiteModelSpec extends SparkSpec {
           // merge-on-read delete of a random residue class
           val m = rnd.nextInt(5) + 2
           val r = rnd.nextInt(m)
-          t.deleteWhere(col("k") % m === r)
+          t.deleteWhere(col(keyName) % m === r)
           model = model.filter { case (k, _) => k % m != r }
           s"deleteWhere(k%$m==$r)"
         case 5 | 6 => "noop"
@@ -146,6 +158,7 @@ class DeltaLiteModelSpec extends SparkSpec {
             t.restore(v)
             model = history(v)
             valCol = nameHistory(v) // restore brings back the old name too
+            keyName = keyNameHistory.getOrElse(v, keyName)
             keyType = typeHistory.getOrElse(v, keyType) // …and the old type
             s"restore($v)"
           } else "noop"
@@ -158,7 +171,7 @@ class DeltaLiteModelSpec extends SparkSpec {
           if (ks.nonEmpty) {
             val rows = ks.map(k =>
               (k, if (rnd.nextBoolean()) s"m$step-$k" else s"DEL-$k"))
-            t.merge(kdf(rows), "k",
+            t.merge(kdf(rows), keyName,
               deleteWhen = Some(col(s"s.$valCol").startsWith("DEL")),
               insertWhen = Some(!col(s"s.$valCol").startsWith("DEL")))
             rows.foreach { case (k, v) =>
@@ -172,14 +185,15 @@ class DeltaLiteModelSpec extends SparkSpec {
           // column away from (and back to) the upsert key — visible
           // state must never move, and later upserts stay correct
           // whether or not the stats match their key
-          t.restats(if (rnd.nextBoolean()) valCol else "k")
+          t.restats(if (rnd.nextBoolean()) valCol else keyName)
           "restats"
         case 11 => "noop"
         case 12 if t.latestVersion.nonEmpty =>
           // metadata-only RENAME of the value column: zero data moves,
           // every later op speaks the new name, time travel keeps the
           // old one (checked via nameHistory)
-          val to = if (valCol == "v") "w" else "v"
+          val to = Seq("v", "w", "u")
+            .filter(n => n != valCol && n != keyName).head
           t.renameColumn(valCol, to)
           valCol = to
           s"rename($to)"
@@ -225,7 +239,7 @@ class DeltaLiteModelSpec extends SparkSpec {
           // dropped-and-readded column's pre-drop rows.
           val m = rnd.nextInt(5) + 2
           val r = rnd.nextInt(m)
-          t.updateWhere(col("k") % m === r,
+          t.updateWhere(col(keyName) % m === r,
             Seq(valCol -> concat(lit(s"U$step-"), col(valCol))))
           model = model.map { case (k, v) =>
             k -> (if (k % m == r && v != null) s"U$step-$v" else v)
@@ -237,7 +251,7 @@ class DeltaLiteModelSpec extends SparkSpec {
           // moves, every later batch speaks long, earlier int files
           // widen in the reader, compact rewrites them long, restore /
           // time travel below the widen serve the narrow type again
-          t.widenColumn("k", LongType)
+          t.widenColumn(keyName, LongType)
           keyType = LongType
           "widen(k→long)"
         case 17 => "noop"
@@ -280,10 +294,45 @@ class DeltaLiteModelSpec extends SparkSpec {
           assert(t.latestVersion == before)
           "fsck-noop"
         case 20 => "noop"
+        case 21 if t.latestVersion.nonEmpty =>
+          // ALIAS SWAP of the key and value column NAMES (three
+          // metadata-only renames): entries recorded under the old key
+          // name now name-match the VALUE column, and vice versa — the
+          // exact sequence that could re-validate stale stats labels.
+          // Physical-id stamps must keep every later upsert/delete/
+          // update pruning on the RIGHT bytes; visible state never
+          // moves. The two intermediate rename versions carry a temp
+          // name, so they leave the travel-checked set (like drop).
+          t.renameColumn(keyName, "swp")
+          skipTravel += t.latestVersion.get
+          t.renameColumn(valCol, keyName)
+          skipTravel += t.latestVersion.get
+          t.renameColumn("swp", valCol)
+          val oldKey = keyName; keyName = valCol; valCol = oldKey
+          s"aliasSwap($valCol<->$keyName)"
+        case 21 => "noop"
+        case 22 if model.values.exists(_ != null) =>
+          // DELETE by EQUALITY on the value column: post-alias-swap the
+          // value column may wear the old key's NAME while the stats
+          // labels describe the old key's BYTES — a name-matched prune
+          // would compare a string value against numeric ranges and
+          // wrongly skip the file, leaving the row undeleted. The model
+          // diff catches exactly that.
+          val nonNull = model.values.filter(_ != null).toSeq
+          val victim = nonNull(rnd.nextInt(nonNull.size))
+          t.deleteWhere(col(valCol) === victim)
+          model = model.filter { case (_, v) => v != victim }
+          s"deleteByValue($victim)"
+        case 22 => "noop"
       }
       record()
       check(step, op)
+      fired += op.takeWhile(_ != '(')
     }
+    // seeds added FOR a specific op assert it actually fired — the
+    // walks are seed-deterministic, so this can never flake
+    mustFire.foreach(m => assert(fired(m),
+      s"seed=$seed never drew op '$m' — pick another seed"))
   }
 
   test("random operation walk: table equals the reference model at every step") {
@@ -384,5 +433,19 @@ class DeltaLiteModelSpec extends SparkSpec {
 
   test("random operation walk with sidecar records and restats: twenty-second seed") {
     runWalk(seed = 2222, steps = 30, nOps = 15, sidecarAt = 1)
+  }
+
+  // nOps = 23 arms the alias-swap op (key/value column names exchange)
+  // and the value-equality delete — the pair that would expose a
+  // stale-stats-label re-validation as a model divergence (a wrongly
+  // pruned delete leaves its row behind)
+  test("random operation walk with alias swaps: twenty-third seed") {
+    runWalk(seed = 2323, steps = 30, nOps = 23,
+      mustFire = Set("aliasSwap", "deleteByValue"))
+  }
+
+  test("random operation walk with alias swaps over sidecar logs: twenty-fourth seed") {
+    runWalk(seed = 2424, steps = 45, nOps = 23, sidecarAt = 1,
+      mustFire = Set("aliasSwap", "deleteByValue"))
   }
 }
