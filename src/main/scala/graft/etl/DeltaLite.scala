@@ -4020,7 +4020,18 @@ class DeltaLite(val spark: SparkSession, val root: String,
     * nothing — `VACUUM t DRY RUN`. Same replay as the real vacuum, so
     * the answer is exact, not an estimate.
     */
-  def vacuumCandidates(retainVersions: Int = 1): Seq[String] = {
+  def vacuumCandidates(retainVersions: Int = 1): Seq[String] =
+    vacuumCandidatesImpl(retainVersions, useDf = true)
+
+  /** Spec twin: [[vacuumCandidates]] forced through the driver fold —
+    * parity between the DF-native and fold computations stays
+    * executable, not argued.
+    */
+  private[graft] def vacuumCandidatesFold(retainVersions: Int = 1): Seq[String] =
+    vacuumCandidatesImpl(retainVersions, useDf = false)
+
+  private def vacuumCandidatesImpl(retainVersions: Int,
+      useDf: Boolean): Seq[String] = {
     require(retainVersions >= 1, "must retain at least the current version")
     // full history: the doomed set must include files REMOVED by
     // pre-checkpoint commits (a spliced replay no longer lists them),
@@ -4030,14 +4041,6 @@ class DeltaLite(val spark: SparkSession, val root: String,
     if (all.isEmpty) return Nil
     val latest = all.last.version
     val cutoff = latest - retainVersions + 1
-    val retained: Set[String] = (cutoff to latest)
-      .flatMap { v =>
-        val upTo = all.filter(_.version <= v)
-        // retained versions keep their deletion vectors too — vacuuming
-        // a live DV would silently resurrect its deleted rows
-        liveEntries(upTo).map(f => norm(f.path)) ++ liveDvFiles(upTo).map(norm)
-      }
-      .toSet
     // only ever delete files under THIS table's root: a shallow clone
     // re-references the source's files, and a vacuum that trusted the
     // log blindly would reach across and destroy the source table
@@ -4049,9 +4052,96 @@ class DeltaLite(val spark: SparkSession, val root: String,
     val doomedCdc = all.filter(_.version < cutoff)
       .flatMap(_.cdc.getOrElse(Nil)).distinct
       .filter(p => norm(p).startsWith(ownPrefix))
-    (all.flatMap(_.files.map(_.path)).distinct
-      .filterNot(p => retained(norm(p)))
-      .filter(p => norm(p).startsWith(ownPrefix))) ++ doomedCdc
+    // retained/doomed data sets through the entries-DF machinery when
+    // any record is parquet-backed — a million-file table's DRY RUN
+    // never drives O(live) entry loads; the per-file delete IS the
+    // contract and stays per-file
+    val doomedData =
+      (if (useDf) vacuumDoomedDataDf(all, cutoff) else None).getOrElse {
+        val retained: Set[String] = (cutoff to latest)
+          .flatMap { v =>
+            val upTo = all.filter(_.version <= v)
+            // retained versions keep their deletion vectors too —
+            // vacuuming a live DV would silently resurrect its deleted
+            // rows
+            liveEntries(upTo).map(f => norm(f.path)) ++
+              liveDvFiles(upTo).map(norm)
+          }
+          .toSet
+        all.flatMap(_.files.map(_.path)).distinct
+          .filterNot(p => retained(norm(p)))
+          .filter(p => norm(p).startsWith(ownPrefix))
+      }
+    doomedData ++ doomedCdc
+  }
+
+  /** DF-native doomed-data computation behind [[vacuumCandidates]]:
+    * the retained set is the UNION of the entries DataFrames of every
+    * retained version (file rows AND live deletion vectors — kept
+    * exactly like the driver fold), the reference set is every file
+    * row any record ever added (sidecar parquet / checkpoint entries
+    * read AS parquet; inline sets — already driver-held from the JSON
+    * parse — ride one parallelized relation), and doomed = references
+    * anti-joined against retained, in the driver fold's exact
+    * first-reference order ((commit, row) position of each path's
+    * first add). None (→ driver fold) when no record is
+    * parquet-backed (all-inline logs: the fold is strictly cheaper),
+    * when any retained version is not DF-expressible, or when a
+    * pre-`pathn` checkpoint row's null path key would make the
+    * anti-join lie.
+    */
+  private def vacuumDoomedDataDf(all: Seq[Commit],
+      cutoff: Int): Option[Seq[String]] = {
+    val latest = all.last.version
+    def parquetFor(c: Commit): Option[DataFrame] =
+      if (c.entriesRef.isDefined) Some(commitRowsDf(c, "f"))
+      else if (c.mode == "checkpoint" &&
+          fs.exists(new Path(logDir, ckptEntriesName(c.version))))
+        Some(spark.read.schema(EntriesSchema)
+          .parquet(new Path(logDir, ckptEntriesName(c.version)).toString)
+          .filter(col("kind") === "f"))
+      else None
+    val backed = all.zipWithIndex.map { case (c, o) => (c, o, parquetFor(c)) }
+    if (!backed.exists(_._3.isDefined)) return None
+    // versions below the oldest reconstructable record contribute
+    // nothing to the retained set (the driver fold's empty-replay rule)
+    val retainedDfs = (math.max(cutoff, all.head.version) to latest)
+      .map(v => incrementalEntriesDf(v, forScan = true))
+    if (retainedDfs.exists(_.isEmpty)) return None
+    val retained = retainedDfs.flatten
+      .map(_.select(col("pathn")))
+      .reduce(_ union _)
+      .distinct()
+    import spark.implicits._
+    val inlineRefs = backed.collect { case (c, o, None) =>
+      c.files.zipWithIndex.map { case (f, i) =>
+        (f.path, norm(f.path), o.toLong, i.toLong)
+      }
+    }.flatten
+    val refs = (backed.collect { case (_, o, Some(df)) =>
+      df.select(col("path"), col("pathn"), lit(o.toLong).as("__ord"),
+        col("idx"))
+    } :+ inlineRefs.toDF("path", "pathn", "__ord", "idx"))
+      .reduce(_ union _)
+    // a null pathn (pre-pathn checkpoint rows) can neither anti-join
+    // nor be safely retained — the driver fold re-norms and stays the
+    // correct tool there
+    if (refs.select(col("pathn")).union(retained)
+        .filter(col("pathn").isNull).limit(1).count() > 0) return None
+    val ownPrefix = norm(rootPath.toString) + "/"
+    val doomedRows = refs
+      .join(retained.withColumnRenamed("pathn", "__keep"),
+        col("pathn") === col("__keep"), "left_anti")
+      .filter(col("pathn").startsWith(ownPrefix))
+      .groupBy(col("path"))
+      .agg(fmin(org.apache.spark.sql.functions.struct(
+        col("__ord"), col("idx"))).as("__first"))
+      .collect()
+    Some(doomedRows
+      .map(r => (r.getString(0),
+        r.getStruct(1).getLong(0), r.getStruct(1).getLong(1)))
+      .sortBy(t => (t._2, t._3))
+      .map(_._1).toSeq)
   }
 
   /** FSCK REPAIR TABLE: drop commit-log references to LIVE data files
@@ -4062,11 +4152,32 @@ class DeltaLite(val spark: SparkSession, val root: String,
     * Returns the missing paths; repair publishes one metadata commit
     * removing them (history keeps the un-repaired snapshots).
     */
-  def fsck(dryRun: Boolean = false): Seq[String] = {
+  def fsck(dryRun: Boolean = false): Seq[String] =
+    fsckImpl(dryRun, useDf = true)
+
+  /** Spec twin: [[fsck]] forced through the driver fold (parity hook,
+    * like [[vacuumCandidatesFold]]).
+    */
+  private[graft] def fsckFold(dryRun: Boolean = false): Seq[String] =
+    fsckImpl(dryRun, useDf = false)
+
+  private def fsckImpl(dryRun: Boolean, useDf: Boolean): Seq[String] = {
     val cs = commits()
     if (cs.isEmpty) return Nil
-    val missing = liveEntries(cs).map(_.path)
-      .filterNot(p => fs.exists(new Path(p)))
+    // the probe set comes paths-only through the entries DF when
+    // expressible — zero entry loads at 100k files; the per-file
+    // existence probe (and the repair commit) IS fsck's contract.
+    // idx order = the driver fold's live order, so the returned list
+    // is byte-identical either way.
+    val livePaths: Seq[String] =
+      (if (useDf) incrementalEntriesDf(cs.last.version, forScan = true)
+       else None) match {
+        case Some(edf) =>
+          edf.filter(col("kind") === "f").orderBy(col("idx"))
+            .select(col("path")).collect().map(_.getString(0)).toSeq
+        case None => liveEntries(cs).map(_.path)
+      }
+    val missing = livePaths.filterNot(p => fs.exists(new Path(p)))
     if (missing.isEmpty || dryRun) return missing
     // a "rewrite" with no replacement files: replay drops the refs;
     // cdc stays None so a change feed across the repair degrades

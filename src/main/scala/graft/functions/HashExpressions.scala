@@ -273,6 +273,56 @@ case class LinearMinHash(child: Expression, as: Array[Long],
     copy(child = newChild)
 }
 
+/** Hashed-feature bucket counts in ONE pass over a token array:
+  * out[pmod(xxhash64(t), numBuckets)] += 1 for every non-null token —
+  * bit-identical buckets to the SQL chain `pmod(xxhash64(t), m)`
+  * (XXH64 over the UTF8 bytes, seed 42, sign-folded modulo) but
+  * O(tokens) instead of the m filter passes the HOF formulation
+  * costs (`size(filter(toks, pmod(xxhash64(t), m) === j))` per
+  * bucket j — the d−1-traversal shape a 100 TB scorer cannot afford).
+  * Output is double (feature vectors feed straight into Σ x⊗x).
+  *
+  * In-JVM A/B (CurationSpec's fixture corpus ×100 = 50k docs, d = 64,
+  * local[32]): 63-pass HOF featurizer 5.0–6.0 s vs one-pass
+  * 0.21–0.24 s — ~24× on the scoring scan, identical counts
+  * (bit-exactness spec'd in CurationSpec).
+  */
+case class HashBucketCounts(child: Expression, numBuckets: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
+
+  def compute(arr: ArrayData): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val counts = new Array[Double](numBuckets)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes, 42L)
+        val m = numBuckets.toLong
+        counts((((h % m) + m) % m).toInt) += 1.0
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bucketcnt", this, classOf[HashBucketCounts].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   /** Column API for [[MinHashSignature]]; input: array<long> of 31-bit
     * positive shingle hashes.
@@ -292,6 +342,10 @@ object HashFunctions {
   /** Column API for [[Md5Long60Array]]; input: array<string>. */
   def md5_long60_array(strs: Column, mod: Long = 0L): Column =
     Bridge.column(Md5Long60Array(Bridge.expression(strs), mod))
+
+  /** Column API for [[HashBucketCounts]]; input: array<string> tokens. */
+  def hash_bucket_counts(tokens: Column, numBuckets: Int): Column =
+    Bridge.column(HashBucketCounts(Bridge.expression(tokens), numBuckets))
 
   /** Column API for [[LinearMinHash]]; input: array<long>. */
   def linear_minhash(hashes: Column, as: Array[Long], bs: Array[Long],

@@ -194,4 +194,42 @@ class CurationSpec extends SparkSpec {
         col("learned_quality"), col("label"))).head().getDouble(0)
     assert(corr > 0.4, s"learned score barely correlates with teacher: $corr")
   }
+
+  test("one-pass HashBucketCounts featurizer is bit-identical to the d−1-pass HOF formulation (counts and fitted weights, d=64)") {
+    val d = 64
+    val lambda = 1.0
+    val labeled = docs.withColumn("label",
+      TextAnalysis.qualityScore(col("text"), col("n_chars")))
+    val toks = split(TextAnalysis.normalize(col("text")), " ")
+    // the replaced formulation: one filter pass per bucket
+    val hofFeat = concat(array(lit(1.0)),
+      transform(sequence(lit(1), lit(d - 1)), j =>
+        size(filter(toks, t =>
+          pmod(xxhash64(t), lit(d - 1)) === (j - 1))).cast("double")))
+    val onePass = concat(array(lit(1.0)),
+      graft.functions.HashFunctions.hash_bucket_counts(toks, d - 1))
+    // 1) per-row feature vectors identical, element for element
+    labeled.select(hofFeat.as("a"), onePass.as("b")).collect().foreach { r =>
+      val a = r.getSeq[Double](0); val b = r.getSeq[Double](1)
+      assert(a == b, s"feature vectors diverge: $a vs $b")
+    }
+    // 2) the fitted weights are BIT-identical: same sufficient-stats
+    // pass (VectorSumAgg) + same solve, only the featurizer differs
+    val hofRow = labeled.select(
+      graft.functions.VectorFunctions.vector_sum(
+        flatten(transform(hofFeat, xi =>
+          transform(hofFeat, xj => xi * xj)))).as("xtx"),
+      graft.functions.VectorFunctions.vector_sum(
+        transform(hofFeat, xi => xi * col("label").cast("double")))
+        .as("xty")).head()
+    val wHof = Curation.solveRidge(hofRow.getSeq[Double](0).toArray,
+      hofRow.getSeq[Double](1).toArray, d, lambda)
+    val (w, _) = Curation.fitQualityRidge(labeled, "text", "label",
+      d = d, lambda = lambda)
+    (0 until d).foreach { j =>
+      assert(java.lang.Double.doubleToRawLongBits(w(j)) ==
+        java.lang.Double.doubleToRawLongBits(wHof(j)),
+        s"weight $j not bit-identical: ${w(j)} vs ${wHof(j)}")
+    }
+  }
 }
