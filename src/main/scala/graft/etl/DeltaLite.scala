@@ -860,6 +860,12 @@ class DeltaLite(val spark: SparkSession, val root: String,
   private[graft] val entriesCollected =
     new java.util.concurrent.atomic.AtomicLong(0)
 
+  // per-snapshot open-side facts of a lazily-indexed read: (live DV
+  // sidecar paths, Σ live file bytes) — ONE combined Spark job on
+  // first open at a version, zero on repeats (see readIndexed)
+  private val lazyOpenCache = scala.collection.concurrent.TrieMap
+    .empty[Int, (Seq[String], Long)]
+
   /** Records whose file+remove+DV row count reaches this publish their
     * sets as a parquet SIDECAR (distributed write, lazy read) instead
     * of inline JSON — the per-commit analogue of the v2 checkpoint
@@ -4548,8 +4554,23 @@ class DeltaLite(val spark: SparkSession, val root: String,
         // rows (`entriesCollected` counts them), then plans the same
         // pruned scan as the eager path.
         val fdf = edf.filter(col("kind") === "f")
-        val dvPaths = edf.filter(col("kind") === "d")
-          .select(col("path")).collect().map(_.getString(0)).toSeq
+        // the two open-side facts — live DV paths and the relation's
+        // sizeInBytes — come from ONE combined job over the entries
+        // parquet, cached per snapshot version: a repeat open at the
+        // same version launches zero jobs, and the first query's
+        // planning never pays a separate size aggregate (it used to be
+        // a second small job right when Catalyst asked for stats)
+        val (dvPaths, totalBytesV) =
+          lazyOpenCache.getOrElseUpdate(all.last.version, {
+            val r = edf.agg(
+              org.apache.spark.sql.functions.collect_list(
+                when(col("kind") === "d", col("path"))).as("dvs"),
+              org.apache.spark.sql.functions.sum(
+                when(col("kind") === "f", coalesce(col("size"), lit(0L))))
+                .as("bytes")).head()
+            (if (r.isNullAt(0)) Nil else r.getSeq[String](0).toSeq,
+              if (r.isNullAt(1)) 0L else r.getLong(1))
+          })
         val logicalByPhys =
           sch.fieldNames.map(l => mapping.getOrElse(l, l) -> l).toMap
         val source = new org.apache.spark.sql.graftbridge.LazyEntriesSource(
@@ -4569,11 +4590,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
           },
           allPaths = () =>
             fdf.select(col("path")).collect().map(_.getString(0)),
-          totalBytes = () => {
-            val r = fdf.agg(org.apache.spark.sql.functions
-              .sum(coalesce(col("size"), lit(0L)))).head()
-            if (r.isNullAt(0)) 0L else r.getLong(0)
-          })
+          totalBytes = () => totalBytesV)
         (org.apache.spark.sql.graftbridge.DeltaLiteScan.lazyRelation(
           spark, rootPath, source, phys), dvPaths)
       case None =>

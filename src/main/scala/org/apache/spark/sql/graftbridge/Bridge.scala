@@ -45,6 +45,12 @@ object Bridge {
   def analyzed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Drain the async listener bus (private[spark]) — job-count spec
+    * hooks must observe every posted event before sampling a counter.
+    */
+  def waitListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** A STREAMING DataFrame over already-computed InternalRows — what a
     * V1 `Source.getBatch` must return (the engine rejects plain batch
     * frames). `internalCreateDataFrame` is private[sql]; every file

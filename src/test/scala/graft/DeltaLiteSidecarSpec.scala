@@ -234,6 +234,59 @@ class DeltaLiteSidecarSpec extends SparkSpec {
     assert(t2.readIndexed().count() == 880)
   }
 
+  test("lazy readIndexed open costs ONE action (DV paths + sizeInBytes combined), zero on repeat opens, none during query planning") {
+    val root = tmp("graft-sidecar-openjobs")
+    val t = DeltaLite(spark, root, "k")
+    (0 until 11).foreach(i => t.append(batch(i * 100L, 80))) // cp v10
+    t.cleanLog()
+    // count ACTIONS (SQL executions): a single distributed aggregate
+    // legitimately schedules several AQE jobs, but one action is one
+    // round of driver->cluster work — that is the lazy-open currency
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          jobs.incrementAndGet(); ()
+        case _ => ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def counted[A](body: => A): (A, Int) = {
+        org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark)
+        val before = jobs.get()
+        val r = body
+        org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark)
+        (r, jobs.get() - before)
+      }
+      val t2 = DeltaLite(spark, root, "k")
+      // first open: the combined DV+size job, nothing else
+      val (df1, openJobs) = counted(t2.readIndexed())
+      assert(openJobs == 1,
+        s"first lazy open launched $openJobs actions — DV paths and " +
+          "sizeInBytes must ride ONE combined job")
+      // repeat open at the same version: served from the snapshot cache
+      val (_, reopenJobs) = counted(t2.readIndexed())
+      assert(reopenJobs == 0,
+        s"repeat open launched $reopenJobs actions — the snapshot cache " +
+          "did not serve")
+      // two same-shape point queries (different literals → each pays
+      // its own prune job): equal job counts prove planning launches
+      // no one-time size aggregate on the first
+      val (r1, q1Jobs) = counted(
+        df1.filter(col("k") === 505L).collect().toSeq)
+      assert(r1.map(_.getLong(0)) == Seq(505L))
+      val (r2, q2Jobs) = counted(
+        df1.filter(col("k") === 606L).collect().toSeq)
+      assert(r2.map(_.getLong(0)) == Seq(606L))
+      assert(q1Jobs == q2Jobs,
+        s"first query launched $q1Jobs actions vs $q2Jobs for the second — " +
+          "a one-time side job still rides the first plan")
+      assert(t2.entryLoads.get() == 0)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("file-granular upsert pruning runs in the entries parquet: O(matched) driver rows") {
     val root = tmp("graft-sidecar-upsert")
     val t = DeltaLite(spark, root, "k")
