@@ -712,12 +712,24 @@ class GraftProcedure(pname: String, catalog: GraftCatalog)
     val result: String = pname match {
       case "optimize" =>
         // a CLUSTER BY table's plain OPTIMIZE re-clusters on its
-        // declared columns (the liquid-clustering UX); otherwise
-        // compaction only
+        // declared columns (the liquid-clustering UX) — INCREMENTALLY:
+        // only post-clustering appends + boundary-overlapping files
+        // rewrite (full rewrite stays reachable via CALL zorder/
+        // zorder_by); otherwise compaction only
         t.tableProperties.get("clusteringColumns")
           .map(_.split(',').map(_.trim).toSeq).filter(_.nonEmpty) match {
           case Some(cols) =>
-            s"clustered at v${t.optimizeZOrderN(cols, 32)}"
+            // target file size: 128 MB cap (the scale default), but
+            // never fewer than ~32 output files while the table is
+            // small — clustering must pay off as file pruning from the
+            // first demo-sized OPTIMIZE, and at 100 TB the cap wins
+            val total = t.liveFileSizes().flatMap(_._2).sum
+            val target = math.min(128L * 1024 * 1024,
+              math.max(1L, total / 32))
+            t.optimizeClustered(cols, targetBytes = target) match {
+              case Some((v, n)) => s"clustered $n files at v$v"
+              case None => "noop (layout already clustered)"
+            }
           case None =>
             t.compact().map(v => s"compacted at v$v").getOrElse("noop")
         }

@@ -3993,6 +3993,148 @@ class DeltaLite(val spark: SparkSession, val root: String,
     commit(clustered, "rewrite", removed = live, cdc = Some(Nil))
   }
 
+  /** INCREMENTAL clustered OPTIMIZE — the liquid-clustering
+    * maintenance verb for `CLUSTER BY` tables. A plain `OPTIMIZE t` on
+    * a 100 TB clustered table must not rewrite 100 TB because one
+    * day's append landed unclustered; this rewrites ONLY
+    *
+    *  - files outside the current clustered layout (appends since the
+    *    last clustering pass, tracked as top-level data-dir "cubes" in
+    *    [[DeltaLite.ClusteringCubesProp]] — plus any file missing a
+    *    recorded range on a clustering column), and
+    *  - clustered files whose recorded bounding box intersects the
+    *    fresh data's box on EVERY clustering column (the boundary
+    *    overlap — leaving them would interleave two layouts over the
+    *    same key region and double point-scan fan-out there),
+    *
+    * clusters that subset in one `repartitionByRange` pass sized by
+    * the log-recorded bytes, and commits a rewrite removing exactly
+    * those files. Clustered files disjoint from the fresh box are
+    * UNTOUCHED — rewrite I/O is O(new + overlapping), the table's
+    * first measured-not-argued maintenance-at-scale verb. The first
+    * call (or a clustering-column change) degrades to the full
+    * rewrite; [[optimizeZOrder]]/[[optimizeZOrderN]] stay the explicit
+    * full-rewrite path. Deletion vectors of rewritten files fold in
+    * (same contract as [[compact]]); the rewrite records min/max on
+    * every clustering column, so later incremental passes and scan
+    * pruning always have boxes. Returns (commit version, files
+    * rewritten), or None when the layout is already fully clustered.
+    *
+    * Cube bookkeeping is a SEPARATE tiny props commit after the
+    * rewrite: a crash between the two leaves the new files outside the
+    * cube list, so the next OPTIMIZE re-clusters them — conservative,
+    * never wrong (pruning correctness lives in per-file stats, not in
+    * the cube list).
+    */
+  def optimizeClustered(cols: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024,
+      bits: Int = 16): Option[(Int, Int)] = {
+    require(cols.nonEmpty, "clustering needs at least one column")
+    val all = commits()
+    require(all.nonEmpty, s"empty table at $root")
+    val sch = DataType.fromJson(all.last.schemaJson).asInstanceOf[StructType]
+    require(cols.forall(sch.fieldNames.contains),
+      s"clustering column(s) ${cols.filterNot(sch.fieldNames.contains)
+        .mkString(",")} not in schema at $root")
+    val mapping = colMapAt(all)
+    def physOf(k: String): String = mapping.getOrElse(k, k)
+    val props = propsAt(all)
+    val live = liveEntries(all)
+    require(live.nonEmpty, s"empty table at $root")
+    // the cube list is valid only for the SAME clustering columns — a
+    // re-key re-clusters everything
+    val cubeDirs: Set[String] =
+      if (!props.get(DeltaLite.ClusteringColsProp).contains(cols.mkString(",")))
+        Set.empty
+      else props.get(DeltaLite.ClusteringCubesProp)
+        .map(_.split(',').filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    def boxed(f: FileEntry): Boolean =
+      cols.forall(k => fileRange(f, k, physOf(k)).isDefined)
+    val (clustered, fresh) = live.partition(f =>
+      cubeDirOf(f.path).exists(cubeDirs.contains) && boxed(f))
+    if (fresh.isEmpty) return None // layout is already fully clustered
+    val twin = clusterStatsTwin(cols)
+    val dvs = liveDvFiles(all)
+    val targets: Seq[FileEntry] =
+      if (clustered.isEmpty) live // first pass / re-key: full cluster
+      else {
+        // ONE column-pruned, DV-aware scan of the fresh files gives the
+        // fresh data's bounding box; null bounds (all rows deleted) fold
+        // the tombstoned files away without touching clustered ones
+        val b = batchBounds(
+          readFiles(fresh.map(_.path), sch, dvs, mapping)
+            .select(cols.map(col): _*), cols)
+        val anyNull = cols.indices.exists(i => b.isNullAt(2 * i))
+        val overlapping =
+          if (anyNull) Nil
+          else clustered.filter { f =>
+            cols.zipWithIndex.forall { case (k, i) =>
+              fileRange(f, k, physOf(k)).forall { case (mn, mx) =>
+                rangesOverlap(sch(k).dataType, mn, mx,
+                  b.getString(2 * i), b.getString(2 * i + 1))
+              }
+            }
+          }
+        fresh ++ overlapping
+      }
+    val bytes = targets.map(f =>
+      f.size.getOrElse(fs.getFileStatus(new Path(f.path)).getLen)).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val z =
+      if (cols.size == 1) col(cols.head)
+      else graft.ops.ZOrder.interleaveN(cols.map(col), bits)
+    val data = readFiles(targets.map(_.path), sch, dvs, mapping)
+      .withColumn("__zorder", z)
+      .repartitionByRange(nOut, col("__zorder"))
+      .sortWithinPartitions(col("__zorder"))
+      .drop("__zorder")
+    val version = twin.commit(data, "rewrite",
+      removed = targets.map(_.path), cdc = Some(Nil))
+    // cube bookkeeping: cubes that still hold live files, plus the new
+    // commit's data dir (all its adds share one)
+    val gone = targets.map(f => norm(f.path)).toSet
+    val surviving = live.filterNot(f => gone(norm(f.path)))
+      .flatMap(f => cubeDirOf(f.path)).toSet.intersect(cubeDirs)
+    val newDir = firstAddedPath(version).flatMap(cubeDirOf)
+    setTableProperties(Map(
+      DeltaLite.ClusteringColsProp -> cols.mkString(","),
+      DeltaLite.ClusteringCubesProp ->
+        (surviving ++ newDir).toSeq.sorted.mkString(",")))
+    Some((version, targets.size))
+  }
+
+  /** Top-level data-dir segment of a file under THIS table's root —
+    * the cube identity [[optimizeClustered]] tracks. None for adopted
+    * files outside the root (never cube members; always re-clustered).
+    */
+  private def cubeDirOf(p: String): Option[String] = {
+    val rp = norm(rootPath.toString) + "/"
+    val n = norm(p)
+    if (!n.startsWith(rp)) None
+    else n.stripPrefix(rp).split('/').headOption.filter(_.nonEmpty)
+  }
+
+  /** A write handle whose commits record min/max for every clustering
+    * column (rides the existing statsColumns machinery) — this
+    * instance itself when it already covers them.
+    */
+  private def clusterStatsTwin(cols: Seq[String]): DeltaLite =
+    if (cols.forall(k => statsKey.contains(k) || statsColumns.contains(k)))
+      this
+    else new DeltaLite(spark, root, statsKey, checkpointInterval,
+      partitionBy, (statsColumns ++ cols).distinct, checkpointFormat)
+
+  /** One added path of a commit without forcing a sidecar-backed
+    * record's whole set (all of a commit's adds share one data dir).
+    */
+  private def firstAddedPath(version: Int): Option[String] =
+    rawRange(version, version).headOption.flatMap { c =>
+      if (c.entriesRef.isDefined)
+        commitRowsDf(c, "f").select(col("path")).limit(1)
+          .collect().headOption.map(_.getString(0))
+      else c.files.headOption.map(_.path)
+    }
+
   /** Delete data files not referenced by the live set of any of the
     * last `retainVersions` versions — the storage-reclaim half of the
     * maintenance cycle. Time travel to a vacuumed version no longer
@@ -4710,6 +4852,17 @@ object DeltaLite {
     * (expr) — the same key `GeneratedColumn.isGeneratedColumn` reads.
     */
   private[graft] val GenerationExpressionKey = "GENERATION_EXPRESSION"
+
+  /** Table properties tracking the incremental-clustering state (see
+    * [[DeltaLite.optimizeClustered]]): the clustering columns the cube
+    * list is valid for, and the comma-joined top-level data-dir names
+    * whose live files belong to the clustered layout. Conservative by
+    * construction — a lost/stale cube entry only means files get
+    * RE-clustered, never mis-pruned (pruning reads per-file stats, not
+    * cubes).
+    */
+  private[graft] val ClusteringColsProp = "graft.clustering.cols"
+  private[graft] val ClusteringCubesProp = "graft.clustering.cubes"
 
   /** Directory-name prefix of the hive-layout partition dirs: the
     * write duplicates each partition column under this prefix for
