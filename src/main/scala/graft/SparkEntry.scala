@@ -193,6 +193,10 @@ object SparkEntry {
     // ranking re-derives in SQL (oracled); planted translation twins
     // rank 1 (MarginMiningSpec)
     "q_margin_mining" -> (Vectors.marginMining _),
+    // the ANN-composed corpus-scale tier: whole source side mined
+    // through sharded HNSW probes (no query broadcast); exhaustive ef
+    // at gate scales makes the same SQL derivation the oracle
+    "q_margin_mining_ann" -> (Vectors.marginMiningAnn _),
     "q_events_tumbling" -> (Events.tumbling _),
     "q_retention" -> (Events.retention _),
     "q_funnel" -> (Events.funnel _),
@@ -2197,6 +2201,59 @@ object SparkEntry {
         |  SELECT vec_id + 100001 AS vec_id, embedding FROM embeddings
         |  WHERE vec_id % 2 = 0 AND vec_id < 16),
         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM src WHERE vec_id < 16),
+        |fwd AS (
+        |  SELECT q.query_id, t.vec_id AS matched_id,
+        |    CAST(round((list_sum(list_transform(list_zip(q.qv, t.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+        |      * 1000000.0) AS BIGINT) AS cm
+        |  FROM q, tgt t),
+        |franked AS (
+        |  SELECT query_id, matched_id, cm,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cm DESC, matched_id) AS frank
+        |  FROM fwd),
+        |sum_fwd AS (
+        |  SELECT query_id, SUM(cm) AS sum_fwd FROM franked WHERE frank <= 4 GROUP BY query_id),
+        |cands AS (SELECT DISTINCT matched_id FROM franked WHERE frank <= 8),
+        |rev AS (
+        |  SELECT c.matched_id, s.vec_id AS src_id,
+        |    CAST(round((list_sum(list_transform(list_zip(t.embedding, s.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(s.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+        |      * 1000000.0) AS BIGINT) AS rcm
+        |  FROM cands c
+        |  JOIN tgt t ON t.vec_id = c.matched_id
+        |  CROSS JOIN src s),
+        |sum_rev AS (
+        |  SELECT matched_id, SUM(rcm) AS sum_rev FROM (
+        |    SELECT matched_id, rcm,
+        |      ROW_NUMBER() OVER (PARTITION BY matched_id ORDER BY rcm DESC, src_id) AS rrank
+        |    FROM rev) rr
+        |  WHERE rrank <= 4 GROUP BY matched_id),
+        |pairs AS (
+        |  SELECT f.query_id, f.matched_id,
+        |    (CAST(f.cm AS DOUBLE) * 8.0) / CAST(sf.sum_fwd + sr.sum_rev AS DOUBLE) AS margin
+        |  FROM franked f
+        |  JOIN sum_fwd sf ON sf.query_id = f.query_id
+        |  JOIN sum_rev sr ON sr.matched_id = f.matched_id
+        |  WHERE f.frank <= 8)
+        |SELECT query_id, rank, matched_id, round(margin, 6) AS margin FROM (
+        |  SELECT query_id, matched_id, margin,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY margin DESC, matched_id) AS BIGINT) AS rank
+        |  FROM pairs) z
+        |WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+    // corpus-scale ANN twin: the whole source side is the query set;
+    // exhaustive ef makes the exact derivation the oracle
+    "q_margin_mining_ann" ->
+      """WITH src AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+        |tgt AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1
+        |  UNION ALL
+        |  SELECT vec_id + 100001 AS vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 2 = 0 AND vec_id < 16),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM src),
         |fwd AS (
         |  SELECT q.query_id, t.vec_id AS matched_id,
         |    CAST(round((list_sum(list_transform(list_zip(q.qv, t.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))

@@ -317,6 +317,94 @@ object Hnsw {
     * deserializes its shard's graph ONCE and runs all queries through
     * it.
     */
+  /** Persist a sharded index as ONE raw binary object per shard under
+    * `dir` (`shard-<id>.bin`, rewritten in place) — the side-channel
+    * layout [[probeStreaming]] tasks read directly through the Hadoop
+    * FS API. This is what lets a CORPUS-SCALE query stream meet the
+    * graphs without broadcasting either side: the index lives on
+    * shared storage, each probe task pulls only the shard it serves.
+    */
+  def saveShardedIndex(index: DataFrame, dir: String): Unit = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    index.select(col("shard").cast("int"), col("graph"))
+      .as[(Int, Array[Byte])]
+      .foreachPartition { it: Iterator[(Int, Array[Byte])] =>
+        it.foreach { case (s, bytes) =>
+          val p = new org.apache.hadoop.fs.Path(dir, f"shard-$s%05d.bin")
+          // executor-side FS resolution from the path's own scheme —
+          // cluster deployments carry core-site on the classpath
+          val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val out = fs.create(p, true)
+          try out.write(bytes) finally out.close()
+        }
+      }
+  }
+
+  private def loadShard(dir: String, shard: Int): Option[ShardGraph] = {
+    val p = new org.apache.hadoop.fs.Path(dir, f"shard-$shard%05d.bin")
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val bytes = new Array[Byte](len)
+        in.readFully(bytes)
+        Some(deserialize(bytes))
+      } finally in.close()
+    }
+  }
+
+  /** CORPUS-SCALE probe: the query side stays a DataFrame end to end —
+    * no driver collect, no broadcast. Each query row fans out to every
+    * shard id (|Q|·shards probe rows, the sharding fan-out — NOT
+    * corpus × corpus), repartitions by shard so a task serves one
+    * shard's whole query stream, loads that shard's graph ONCE from
+    * the [[saveShardedIndex]] side channel, and streams searches
+    * through it. Per-query top-k merges across shards with the same
+    * (cosine desc, id) rule as [[probe]]. `excludeSelf = false` keeps
+    * same-id matches — cross-lingual mining uses aligned id spaces
+    * where dropping them would drop true pairs.
+    */
+  def probeStreaming(queries: DataFrame, indexDir: String, shards: Int,
+      idCol: String, vecCol: String, k: Int, ef: Int = 64,
+      excludeSelf: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val tagged = queries
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("v"))
+      .withColumn("shard", explode(sequence(lit(0), lit(shards - 1))))
+      .repartition(shards, col("shard"))
+      // a hash partition can hold several shards' rows — group them so
+      // each graph loads once per task, not once per interleaving run
+      .sortWithinPartitions(col("shard"))
+    val raw = tagged.select($"shard", $"id", $"v")
+      .as[(Int, Long, Array[Float])]
+      .mapPartitions { it =>
+        var cached = -1
+        var g: Option[ShardGraph] = None
+        it.flatMap { case (s, qid, qv) =>
+          if (s != cached) { cached = s; g = loadShard(indexDir, s) }
+          g.iterator.flatMap { graph =>
+            val kk = if (excludeSelf) k + 1 else k
+            graph.search(qv, kk, ef).iterator
+              .filter { case (nid, _) => !excludeSelf || nid != qid }
+              .take(k)
+              .map { case (nid, sc) => (qid, nid, sc) }
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"neighbor_id")
+    raw.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", $"cosine")
+  }
+
   def probe(index: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, ef: Int = 64): DataFrame = {
     val spark = index.sparkSession

@@ -484,6 +484,88 @@ object Similarity {
         round(col("margin"), 6).as("margin"))
   }
 
+  /** CORPUS-SCALE margin mining — [[marginMining]]'s ANN composition,
+    * the runnable path the exact tier's scaladoc promised: both the
+    * forward pool and the reverse k-NN means come from sharded HNSW
+    * indexes ([[Hnsw.probeStreaming]]), so EVERY source item mines
+    * against the whole target corpus with
+    *
+    *  - no corpus broadcast: the query side stays a DataFrame into the
+    *    shard probes (the exact tier broadcasts its bounded query
+    *    batch — correct there, fatal at corpus scale),
+    *  - no corpus × corpus: probe work is |src|·shards + |cands|·shards
+    *    graph searches; the reverse means touch ONLY the ≤ |src|·pool
+    *    distinct forward candidates,
+    *  - bounded shard probes: a task serves one shard's query stream
+    *    against one graph loaded once from the index side channel.
+    *
+    * The margin arithmetic is the exact tier's, applied to the ANN
+    * rankings: cosines quantize to integer micros, both k-sums are
+    * order-free integer aggregation, margin = (cm·2k)/(sumFwd+sumRev).
+    * With exhaustive search parameters (ef ≥ shard size) the candidate
+    * sets equal the exact tier's and the mined margins match it
+    * bit-for-bit (spec'd); at production ef the contract is recall
+    * parity on true pairs, the standard ANN trade. Indexes persist
+    * under `indexDir/{src,tgt}` — re-mining after an append rebuilds
+    * only via [[Hnsw.appendToShardedIndex]] + [[Hnsw.saveShardedIndex]].
+    */
+  def marginMiningAnn(srcCorpus: DataFrame, tgtCorpus: DataFrame,
+      vecCol: String, idCol: String, indexDir: String,
+      k: Int = 4, pool: Int = 8, topPairs: Int = 3, shards: Int = 4,
+      m: Int = 8, efConstruction: Int = 64, ef: Int = 64): DataFrame = {
+    require(pool >= k && pool >= topPairs,
+      "the candidate pool must cover both the k-NN mean and the output pairs")
+    Hnsw.saveShardedIndex(
+      Hnsw.buildShardedIndex(tgtCorpus, idCol, vecCol, shards, m,
+        efConstruction), s"$indexDir/tgt")
+    Hnsw.saveShardedIndex(
+      Hnsw.buildShardedIndex(srcCorpus, idCol, vecCol, shards, m,
+        efConstruction), s"$indexDir/src")
+    // forward: every source item's candidate pool over the target
+    // index — the query stream is the source CORPUS, never collected
+    // the probe merges shards by raw cosine; the mining pool re-ranks
+    // by (quantized micros, id) — the EXACT tier's (and the oracle's)
+    // order, so a micro-tie never splits differently across engines
+    val wFwd = Window.partitionBy(col("query_id"))
+      .orderBy(col("cm").desc, col("matched_id"))
+    val fwd = Hnsw.probeStreaming(
+        srcCorpus.select(col(idCol), col(vecCol)),
+        s"$indexDir/tgt", shards, idCol, vecCol,
+        math.max(k, pool), ef, excludeSelf = false)
+      .withColumnRenamed("neighbor_id", "matched_id")
+      .withColumn("cm", round(col("cosine") * lit(1e6)).cast("long"))
+      .withColumn("frank", row_number().over(wFwd).cast("long"))
+      .drop("rank")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fwdTracked = Dedup.tracked(fwd)
+    val sumFwd = fwdTracked.filter(col("frank") <= k)
+      .groupBy("query_id")
+      .agg(org.apache.spark.sql.functions.sum(col("cm")).as("sum_fwd"))
+    // reverse: the bounded forward-candidate set re-acquires its
+    // vectors by an id join (shuffle, no broadcast of either corpus)
+    // and streams through the SOURCE index
+    val cands = fwdTracked.filter(col("frank") <= pool)
+      .select(col("matched_id").as(idCol)).distinct()
+      .join(tgtCorpus.select(col(idCol), col(vecCol)), Seq(idCol))
+    val sumRev = Hnsw.probeStreaming(cands, s"$indexDir/src", shards,
+        idCol, vecCol, k, ef, excludeSelf = false)
+      .withColumn("rcm", round(col("cosine") * lit(1e6)).cast("long"))
+      .groupBy(col("query_id").as("matched_id"))
+      .agg(org.apache.spark.sql.functions.sum(col("rcm")).as("sum_rev"))
+    val wM = Window.partitionBy(col("query_id"))
+      .orderBy(col("margin").desc, col("matched_id"))
+    fwdTracked.filter(col("frank") <= pool).drop("frank")
+      .join(sumFwd, Seq("query_id"))
+      .join(sumRev, Seq("matched_id"))
+      .withColumn("margin",
+        (col("cm").cast("double") * lit(2.0 * k)) /
+          (col("sum_fwd") + col("sum_rev")).cast("double"))
+      .withColumn("rank", row_number().over(wM).cast("long"))
+      .filter(col("rank") <= topPairs)
+      .select(col("query_id"), col("rank"), col("matched_id"),
+        round(col("margin"), 6).as("margin"))
+  }
+
   def lshTopK(queries: DataFrame, candidates: DataFrame, vecCol: String,
       idCol: String, k: Int, planes: Int = 5, tables: Int = 6,
       seed: Long = 11L): DataFrame = {

@@ -221,4 +221,26 @@ object Vectors {
       k = 4, pool = 8, topPairs = 3)
       .orderBy($"query_id", $"rank")
   }
+
+  /** CORPUS-SCALE margin mining through the sharded-HNSW composition
+    * ([[Similarity.marginMiningAnn]]): the ENTIRE source side mines —
+    * the query stream never collects or broadcasts — and with
+    * exhaustive search parameters (ef ≥ shard size at the gate scales)
+    * the mined ranking equals the exact tier's, so the same SQL
+    * derivation oracles it hash-exactly.
+    */
+  def marginMiningAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val src = emb.filter($"vec_id" % 2 === 0).select($"vec_id", $"embedding")
+    val twins = src.filter($"vec_id" < 16)
+      .select(($"vec_id" + 100001L).as("vec_id"), $"embedding")
+    val tgt = emb.filter($"vec_id" % 2 === 1)
+      .select($"vec_id", $"embedding").unionAll(twins)
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-mine-ann").toString
+    Similarity.marginMiningAnn(src, tgt, "embedding", "vec_id", indexDir,
+      k = 4, pool = 8, topPairs = 3, shards = 3, ef = 2048)
+      .orderBy($"query_id", $"rank")
+  }
 }
