@@ -73,8 +73,11 @@ object Bench {
       // can poison every base iteration of one query. A slow min gets
       // up to two extra chances so the reported figure reflects the
       // plan, not the episode (genuinely slow queries just confirm).
+      // scale-curve windows (every key legitimately slow) disable the
+      // retry budget via SPARK_GRAFT_BENCH_RETRIES=0
+      val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt
       var extra = 0
-      while (times.min > 4.0 && extra < 2 && !errors.contains(name)) {
+      while (times.min > 4.0 && extra < maxRetries && !errors.contains(name)) {
         val t = timeOnce(name, fn)
         // a retry that FAILED measured time-to-error, not the query —
         // it must not become the reported min
