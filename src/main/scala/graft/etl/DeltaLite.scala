@@ -4037,10 +4037,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
       s"clustering column(s) ${cols.filterNot(sch.fieldNames.contains)
         .mkString(",")} not in schema at $root")
     val mapping = colMapAt(all)
-    def physOf(k: String): String = mapping.getOrElse(k, k)
     val props = propsAt(all)
-    val live = liveEntries(all)
-    require(live.nonEmpty, s"empty table at $root")
     // the cube list is valid only for the SAME clustering columns — a
     // re-key re-clusters everything
     val cubeDirs: Set[String] =
@@ -4048,12 +4045,76 @@ class DeltaLite(val spark: SparkSession, val root: String,
         Set.empty
       else props.get(DeltaLite.ClusteringCubesProp)
         .map(_.split(',').filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    // candidate selection through the entries DF when expressible —
+    // a million-file table's OPTIMIZE drives O(fresh + overlapping)
+    // driver rows, never an O(live) metadata fold; legacy logs fall
+    // back to the driver partition
+    val picked =
+      incrementalEntriesDf(all.last.version, forScan = true) match {
+        case Some(edf) =>
+          optimizeTargetsDf(edf, cols, sch, mapping, cubeDirs)
+        case None => None
+      }
+    val (targets, dvs) = picked.getOrElse {
+      optimizeTargetsDriver(all, cols, sch, mapping, cubeDirs)
+        .getOrElse(return None)
+    }
+    if (targets.isEmpty) return None // layout is already fully clustered
+    val twin = clusterStatsTwin(cols)
+    val bytes = targets.map { case (p, sz) =>
+      sz.getOrElse(fs.getFileStatus(new Path(p)).getLen)
+    }.sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val z =
+      if (cols.size == 1) col(cols.head)
+      else graft.ops.ZOrder.interleaveN(cols.map(col), bits)
+    val data = readFiles(targets.map(_._1), sch, dvs, mapping)
+      .withColumn("__zorder", z)
+      .repartitionByRange(nOut, col("__zorder"))
+      .sortWithinPartitions(col("__zorder"))
+      .drop("__zorder")
+    val version = twin.commit(data, "rewrite",
+      removed = targets.map(_._1), cdc = Some(Nil))
+    // cube bookkeeping from the POST-commit snapshot: a cube survives
+    // iff it still holds a live file (tiny distinct-dirs aggregate in
+    // the DF path; fold on legacy logs), plus the new commit's data
+    // dir (all its adds share one)
+    val surviving: Set[String] =
+      if (cubeDirs.isEmpty) Set.empty
+      else incrementalEntriesDf(version, forScan = true) match {
+        case Some(edf2) =>
+          val dir = cubeDirCol()
+          edf2.filter(col("kind") === "f" && dir.isin(cubeDirs.toSeq: _*))
+            .select(dir.as("__d")).distinct().collect()
+            .map(_.getString(0)).toSet
+        case None =>
+          liveEntries(commits()).flatMap(f => cubeDirOf(f.path))
+            .toSet.intersect(cubeDirs)
+      }
+    val newDir = firstAddedPath(version).flatMap(cubeDirOf)
+    setTableProperties(Map(
+      DeltaLite.ClusteringColsProp -> cols.mkString(","),
+      DeltaLite.ClusteringCubesProp ->
+        (surviving ++ newDir).toSeq.sorted.mkString(",")))
+    Some((version, targets.size))
+  }
+
+  /** [[optimizeClustered]]'s candidate selection as a DRIVER partition
+    * of the live set — the legacy-log fallback and the parity
+    * reference for the DF path. None when the table is empty; Some(Nil)
+    * when already fully clustered.
+    */
+  private def optimizeTargetsDriver(all: Seq[Commit], cols: Seq[String],
+      sch: StructType, mapping: Map[String, String], cubeDirs: Set[String])
+      : Option[(Seq[(String, Option[Long])], Seq[String])] = {
+    def physOf(k: String): String = mapping.getOrElse(k, k)
+    val live = liveEntries(all)
+    require(live.nonEmpty, s"empty table at $root")
     def boxed(f: FileEntry): Boolean =
       cols.forall(k => fileRange(f, k, physOf(k)).isDefined)
     val (clustered, fresh) = live.partition(f =>
       cubeDirOf(f.path).exists(cubeDirs.contains) && boxed(f))
-    if (fresh.isEmpty) return None // layout is already fully clustered
-    val twin = clusterStatsTwin(cols)
+    if (fresh.isEmpty) return Some((Nil, Nil))
     val dvs = liveDvFiles(all)
     val targets: Seq[FileEntry] =
       if (clustered.isEmpty) live // first pass / re-key: full cluster
@@ -4077,30 +4138,103 @@ class DeltaLite(val spark: SparkSession, val root: String,
           }
         fresh ++ overlapping
       }
-    val bytes = targets.map(f =>
-      f.size.getOrElse(fs.getFileStatus(new Path(f.path)).getLen)).sum
-    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val z =
-      if (cols.size == 1) col(cols.head)
-      else graft.ops.ZOrder.interleaveN(cols.map(col), bits)
-    val data = readFiles(targets.map(_.path), sch, dvs, mapping)
-      .withColumn("__zorder", z)
-      .repartitionByRange(nOut, col("__zorder"))
-      .sortWithinPartitions(col("__zorder"))
-      .drop("__zorder")
-    val version = twin.commit(data, "rewrite",
-      removed = targets.map(_.path), cdc = Some(Nil))
-    // cube bookkeeping: cubes that still hold live files, plus the new
-    // commit's data dir (all its adds share one)
-    val gone = targets.map(f => norm(f.path)).toSet
-    val surviving = live.filterNot(f => gone(norm(f.path)))
-      .flatMap(f => cubeDirOf(f.path)).toSet.intersect(cubeDirs)
-    val newDir = firstAddedPath(version).flatMap(cubeDirOf)
-    setTableProperties(Map(
-      DeltaLite.ClusteringColsProp -> cols.mkString(","),
-      DeltaLite.ClusteringCubesProp ->
-        (surviving ++ newDir).toSeq.sorted.mkString(",")))
-    Some((version, targets.size))
+    Some((targets.map(f => (f.path, f.size)), dvs))
+  }
+
+  /** The top-level data-dir segment of `pathn` as a Column — the cube
+    * identity, null for files outside this table's root. */
+  private def cubeDirCol(): Column = {
+    val rp = norm(rootPath.toString) + "/"
+    when(col("pathn").startsWith(rp),
+      org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.split(
+          col("pathn").substr(lit(rp.length + 1), lit(Int.MaxValue)), "/"), 1))
+  }
+
+  /** [[optimizeClustered]]'s candidate selection pushed INTO the
+    * entries parquet: classification (cube membership by path dir,
+    * boxedness by the physstats label rule) and the box-overlap
+    * predicate evaluate in Spark reads, and ONLY the fresh + DV rows,
+    * one tiny count, and the overlapping subset ever reach the driver
+    * — O(rewritten) driver rows per OPTIMIZE. The fresh-data bounding
+    * box still comes from the same DV-aware data scan as the driver
+    * path (O(fresh) data I/O — exact under deletion vectors, which
+    * recorded ranges cannot be). Misclassification is impossible by
+    * construction for stamped labels and conservative (→ rewrite) for
+    * unparsable ranges: optimize is layout-only, so any partition of
+    * the live set is row-correct. None when a pre-`pathn` row makes
+    * dir classification impossible. Some((Nil, _)) = already clustered.
+    */
+  private def optimizeTargetsDf(edf: DataFrame, cols: Seq[String],
+      sch: StructType, mapping: Map[String, String], cubeDirs: Set[String])
+      : Option[(Seq[(String, Option[Long])], Seq[String])] = {
+    import org.apache.spark.sql.functions.{array_position, element_at => elemAt}
+    def physOf(k: String): String = mapping.getOrElse(k, k)
+    // recorded range of column k under the physstats label rule
+    // (prunedLivePaths' exact pattern)
+    def loHi(k: String): (Column, Column) = {
+      val primApp = when(col("key_phys").isNotNull,
+        col("key_phys") === lit(physOf(k)))
+        .otherwise(col("key_col") === lit(k))
+      val pos = when(col("extra_phys").isNotNull,
+        array_position(col("extra_phys"), lit(physOf(k))))
+        .otherwise(array_position(col("extra_cols"), lit(k)))
+      val lo = when(primApp, col("min")).otherwise(
+        when(col("extra_cols").isNotNull && pos > 0,
+          elemAt(col("extra_mins"), pos.cast("int"))))
+      val hi = when(primApp, col("max")).otherwise(
+        when(col("extra_cols").isNotNull && pos > 0,
+          elemAt(col("extra_maxs"), pos.cast("int"))))
+      (lo, hi)
+    }
+    val dir = cubeDirCol()
+    val inCube =
+      if (cubeDirs.isEmpty) lit(false) else dir.isin(cubeDirs.toSeq: _*)
+    val boxedCond = cols.map { k =>
+      val (lo, hi) = loHi(k); lo.isNotNull && hi.isNotNull
+    }.reduce(_ && _)
+    val clusteredCond = coalesce(inCube && boxedCond, lit(false))
+    val fRows = edf.filter(col("kind") === "f")
+    // a pre-pathn row cannot be dir-classified — fall back whole
+    if (fRows.filter(col("pathn").isNull).limit(1).count() > 0) return None
+    val nClustered = fRows.filter(clusteredCond).count()
+    // fresh files + live DVs in one collect — O(fresh + dvs)
+    val rows = edf.filter(
+      (col("kind") === "f" && !clusteredCond) || col("kind") === "d")
+      .select(col("kind"), col("idx"), col("path"), col("size")).collect()
+    entriesCollected.addAndGet(rows.length.toLong)
+    val (dRows, fFresh) = rows.sortBy(_.getLong(1))
+      .partition(_.getString(0) == "d")
+    val fresh = fFresh.map(r => (r.getString(2),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    val dvs = dRows.map(_.getString(2)).toSeq
+    require(fresh.nonEmpty || nClustered > 0, s"empty table at $root")
+    if (fresh.isEmpty) return Some((Nil, dvs))
+    if (nClustered == 0) return Some((fresh, dvs)) // full cluster
+    // fresh bounds from the data (DV-exact), then the overlap
+    // predicate runs IN the entries read — only overlapping clustered
+    // rows collect
+    val b = batchBounds(
+      readFiles(fresh.map(_._1), sch, dvs, mapping)
+        .select(cols.map(col): _*), cols)
+    val anyNull = cols.indices.exists(i => b.isNullAt(2 * i))
+    if (anyNull) return Some((fresh, dvs))
+    val overlapCond = cols.zipWithIndex.map { case (k, i) =>
+      val dt = sch(k).dataType
+      def typed(c: Column): Column =
+        if (dt == StringType) c else c.cast(dt)
+      val (lo, hi) = loHi(k)
+      val ov = typed(hi) >= typed(lit(b.getString(2 * i))) &&
+        typed(lo) <= typed(lit(b.getString(2 * i + 1)))
+      // an unparsable recorded range rewrites conservatively
+      coalesce(ov, lit(true))
+    }.reduce(_ && _)
+    val oRows = fRows.filter(clusteredCond && overlapCond)
+      .select(col("idx"), col("path"), col("size")).collect()
+    entriesCollected.addAndGet(oRows.length.toLong)
+    val overlapping = oRows.sortBy(_.getLong(0)).map(r => (r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    Some((fresh ++ overlapping, dvs))
   }
 
   /** Top-level data-dir segment of a file under THIS table's root —

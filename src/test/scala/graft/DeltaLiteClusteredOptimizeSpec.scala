@@ -124,6 +124,40 @@ class DeltaLiteClusteredOptimizeSpec extends SparkSpec {
     assert(n3 == live, s"a clustering-column change must re-cluster everything: $n3 vs $live")
   }
 
+  test("checkpointed table: candidate selection runs in the entries parquet — zero entry loads, O(rewritten) driver rows") {
+    val root = tmp("graft-cluster-df")
+    val t = new DeltaLite(spark, root, Some("k"), checkpointInterval = 0) {
+      override protected def commitSidecarThreshold: Int = 1
+    }
+    t.append(batch(0, 1000))
+    val Some((_, _)) = t.optimizeClustered(Seq("k"), targetBytes = 4096)
+    val clustered = t.liveFiles().toSet
+    assert(clustered.size >= 4)
+    val av = t.append(batch(5000, 80).repartition(2)) // disjoint fresh batch
+    val freshFiles = t.commitInfo(av)._2
+    assert(t.checkpointNow().isDefined)
+    t.cleanLog()
+    // fresh open: classification, the fresh+DV collect and the overlap
+    // predicate must all run in the entries-parquet read
+    val t2 = DeltaLite(spark, root, "k")
+    val nLive = t2.liveFiles().size // fold once to size the bound
+    val t3 = DeltaLite(spark, root, "k")
+    val Some((v2, n2)) = t3.optimizeClustered(Seq("k"), targetBytes = 4096)
+    assert(t3.entryLoads.get() == 0,
+      "DF-path OPTIMIZE materialized the live entry set")
+    assert(n2 == freshFiles.size,
+      s"disjoint fresh batch must rewrite only itself: $n2")
+    // exactly the fresh rows (no DVs, disjoint => no overlap rows)
+    val collected = t3.entriesCollected.get()
+    assert(collected == n2 && collected < nLive,
+      s"OPTIMIZE collected $collected of $nLive entries for $n2 rewrites " +
+        "— candidate selection did not push into the entries parquet")
+    // byte-identical rewritten set vs the driver partition's rule
+    assert(t3.commitInfo(v2)._3 == freshFiles)
+    assert(clustered.subsetOf(DeltaLite(spark, root, "k").liveFiles().toSet))
+    assert(DeltaLite(spark, root, "k").read().count() == 1080)
+  }
+
   test("catalog: plain OPTIMIZE on a CLUSTER BY table goes incremental; zorder CALL stays the full rewrite") {
     graft.catalog.GraftCatalog.install(spark,
       Files.createTempDirectory("graft-cluster-inc-wh").toString)
