@@ -722,10 +722,11 @@ class GraftProcedure(pname: String, catalog: GraftCatalog)
             // target file size: 128 MB cap (the scale default), but
             // never fewer than ~32 output files while the table is
             // small — clustering must pay off as file pruning from the
-            // first demo-sized OPTIMIZE, and at 100 TB the cap wins
-            val total = t.liveFileSizes().flatMap(_._2).sum
+            // first demo-sized OPTIMIZE, and at 100 TB the cap wins.
+            // totalLiveBytes answers from the entries DF (no O(live)
+            // driver fold on a checkpointed million-file table)
             val target = math.min(128L * 1024 * 1024,
-              math.max(1L, total / 32))
+              math.max(1L, t.totalLiveBytes() / 32))
             t.optimizeClustered(cols, targetBytes = target) match {
               case Some((v, n)) => s"clustered $n files at v$v"
               case None => "noop (layout already clustered)"

@@ -866,6 +866,19 @@ class DeltaLite(val spark: SparkSession, val root: String,
   private val lazyOpenCache = scala.collection.concurrent.TrieMap
     .empty[Int, (Seq[String], Long)]
 
+  private def lazyOpenFacts(version: Int,
+      edf: DataFrame): (Seq[String], Long) =
+    lazyOpenCache.getOrElseUpdate(version, {
+      val r = edf.agg(
+        org.apache.spark.sql.functions.collect_list(
+          when(col("kind") === "d", col("path"))).as("dvs"),
+        org.apache.spark.sql.functions.sum(
+          when(col("kind") === "f", coalesce(col("size"), lit(0L))))
+          .as("bytes")).head()
+      (if (r.isNullAt(0)) Nil else r.getSeq[String](0).toSeq,
+        if (r.isNullAt(1)) 0L else r.getLong(1))
+    })
+
   /** Records whose file+remove+DV row count reaches this publish their
     * sets as a parquet SIDECAR (distributed write, lazy read) instead
     * of inline JSON — the per-commit analogue of the v2 checkpoint
@@ -4754,6 +4767,23 @@ class DeltaLite(val spark: SparkSession, val root: String,
   def liveFileSizes(): Seq[(String, Option[Long])] =
     liveEntries(commits()).map(f => (f.path, f.size))
 
+  /** Σ live file bytes from the commit log — through the entries DF
+    * (one small aggregate, cached per snapshot with the lazy-open
+    * facts) when expressible, the driver fold on legacy logs. The
+    * sizing input maintenance heuristics (catalog OPTIMIZE's target
+    * file size) read without an O(live) driver fold. Pre-size-log
+    * entries count as 0 here (heuristic input, not an exact audit —
+    * `detail()` remains the exact surface).
+    */
+  def totalLiveBytes(): Long = {
+    val cs = commits()
+    if (cs.isEmpty) return 0L
+    incrementalEntriesDf(cs.last.version, forScan = true) match {
+      case Some(edf) => lazyOpenFacts(cs.last.version, edf)._2
+      case None => liveEntries(cs).flatMap(_.size).sum
+    }
+  }
+
   /** (path, min, max) of the live files — stats present only when
     * recorded for THIS table's statsKey (metadata for scan
     * integration and layout audits).
@@ -4836,17 +4866,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
         // same version launches zero jobs, and the first query's
         // planning never pays a separate size aggregate (it used to be
         // a second small job right when Catalyst asked for stats)
-        val (dvPaths, totalBytesV) =
-          lazyOpenCache.getOrElseUpdate(all.last.version, {
-            val r = edf.agg(
-              org.apache.spark.sql.functions.collect_list(
-                when(col("kind") === "d", col("path"))).as("dvs"),
-              org.apache.spark.sql.functions.sum(
-                when(col("kind") === "f", coalesce(col("size"), lit(0L))))
-                .as("bytes")).head()
-            (if (r.isNullAt(0)) Nil else r.getSeq[String](0).toSeq,
-              if (r.isNullAt(1)) 0L else r.getLong(1))
-          })
+        val (dvPaths, totalBytesV) = lazyOpenFacts(all.last.version, edf)
         val logicalByPhys =
           sch.fieldNames.map(l => mapping.getOrElse(l, l) -> l).toMap
         val source = new org.apache.spark.sql.graftbridge.LazyEntriesSource(

@@ -99,6 +99,21 @@ class DeltaLiteMaintenanceDfSpec extends SparkSpec {
     assert(after.count() > 0)
   }
 
+  test("totalLiveBytes answers from the entries DF with zero entry loads, equal to the fold") {
+    val root = tmp("graft-maint-bytes")
+    val t = new DeltaLite(spark, root, Some("k")) {
+      override protected def commitSidecarThreshold: Int = 1
+    }
+    (0 until 3).foreach(i => t.append(batch(i * 10L, 10)))
+    assert(t.deleteWhere(col("k") === 5L).isDefined)
+    assert(t.checkpointNow().isDefined) // DF-expressible live set
+    val expected = t.liveFileSizes().flatMap(_._2).sum
+    val t2 = DeltaLite(spark, root, "k")
+    assert(t2.totalLiveBytes() == expected)
+    assert(t2.entryLoads.get() == 0,
+      "totalLiveBytes materialized the live entry set")
+  }
+
   test("vacuum (real delete) through the DF path reclaims exactly the fold's doomed set and keeps retained versions readable") {
     val root = tmp("graft-maint-vac")
     val t = new DeltaLite(spark, root, Some("k")) {

@@ -324,6 +324,17 @@ class DeltaLiteModelSpec extends SparkSpec {
           model = model.filter { case (_, v) => v != victim }
           s"deleteByValue($victim)"
         case 22 => "noop"
+        case 23 if t.latestVersion.nonEmpty && t.liveFiles().nonEmpty =>
+          // incremental clustered OPTIMIZE on the CURRENT key name: a
+          // layout-only rewrite + a props commit — visible state and
+          // every recorded snapshot must never move, across DVs,
+          // renames, alias swaps, restores, checkpoints and vacuums;
+          // repeated draws exercise the fresh/overlap partition (and
+          // the cube-list invalidation after an alias swap moves the
+          // clustering NAME onto different bytes)
+          t.optimizeClustered(Seq(keyName), targetBytes = 8192)
+          "optimizeClustered"
+        case 23 => "noop"
       }
       record()
       check(step, op)
@@ -447,5 +458,17 @@ class DeltaLiteModelSpec extends SparkSpec {
   test("random operation walk with alias swaps over sidecar logs: twenty-fourth seed") {
     runWalk(seed = 2424, steps = 45, nOps = 23, sidecarAt = 1,
       mustFire = Set("aliasSwap", "deleteByValue"))
+  }
+
+  // nOps = 24 arms incremental clustered OPTIMIZE (layout-only rewrite
+  // + cube-props commit) against the full op mix
+  test("random operation walk with clustered OPTIMIZE: twenty-fifth seed") {
+    runWalk(seed = 2525, steps = 40, nOps = 24,
+      mustFire = Set("optimizeClustered", "aliasSwap"))
+  }
+
+  test("random operation walk with clustered OPTIMIZE over sidecar logs: twenty-sixth seed") {
+    runWalk(seed = 2626, steps = 40, nOps = 24, sidecarAt = 1,
+      mustFire = Set("optimizeClustered", "restore", "checkpointNow"))
   }
 }
