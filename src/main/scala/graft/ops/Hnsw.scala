@@ -324,7 +324,22 @@ object Hnsw {
     * graphs without broadcasting either side: the index lives on
     * shared storage, each probe task pulls only the shard it serves.
     */
-  def saveShardedIndex(index: DataFrame, dir: String): Unit = {
+  /** Executor-side Hadoop configuration: classpath defaults (the
+    * standard cluster deployment) plus the caller's serialized
+    * overrides — the hook a custom-conf deployment (exotic credentials
+    * provider, non-classpath object store) threads its settings
+    * through; `fsConf` is a plain String map, so it ships inside the
+    * task closure with no Configuration serialization.
+    */
+  private def taskConf(fsConf: Map[String, String])
+      : org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration()
+    fsConf.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  def saveShardedIndex(index: DataFrame, dir: String,
+      fsConf: Map[String, String] = Map.empty): Unit = {
     val spark = index.sparkSession
     import spark.implicits._
     index.select(col("shard").cast("int"), col("graph"))
@@ -332,18 +347,39 @@ object Hnsw {
       .foreachPartition { it: Iterator[(Int, Array[Byte])] =>
         it.foreach { case (s, bytes) =>
           val p = new org.apache.hadoop.fs.Path(dir, f"shard-$s%05d.bin")
-          // executor-side FS resolution from the path's own scheme —
-          // cluster deployments carry core-site on the classpath
-          val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val fs = p.getFileSystem(taskConf(fsConf))
           val out = fs.create(p, true)
           try out.write(bytes) finally out.close()
         }
       }
   }
 
-  private def loadShard(dir: String, shard: Int): Option[ShardGraph] = {
+  /** Read a [[saveShardedIndex]] side-channel layout back into the
+    * (shard, n, graph) DataFrame shape the build/append APIs speak —
+    * the round trip behind incremental re-mining: load, append the
+    * new vectors ([[appendToShardedIndex]] touches only their
+    * shards), save. One binaryFile row per shard; `n` recomputes from
+    * the graph (executor-side, no driver deserialization).
+    */
+  def loadShardedIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "shard-*.bin").load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (p, bytes) =>
+        val shard = p.substring(p.lastIndexOf("shard-") + 6,
+          p.lastIndexOf(".bin")).toInt
+        (shard, deserialize(bytes).ids.length.toLong, bytes)
+      }
+      .toDF("shard", "n", "graph")
+  }
+
+  private def loadShard(dir: String, shard: Int,
+      fsConf: Map[String, String]): Option[ShardGraph] = {
     val p = new org.apache.hadoop.fs.Path(dir, f"shard-$shard%05d.bin")
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(taskConf(fsConf))
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
@@ -369,7 +405,8 @@ object Hnsw {
     */
   def probeStreaming(queries: DataFrame, indexDir: String, shards: Int,
       idCol: String, vecCol: String, k: Int, ef: Int = 64,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      fsConf: Map[String, String] = Map.empty): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val tagged = queries
@@ -386,7 +423,7 @@ object Hnsw {
         var cached = -1
         var g: Option[ShardGraph] = None
         it.flatMap { case (s, qid, qv) =>
-          if (s != cached) { cached = s; g = loadShard(indexDir, s) }
+          if (s != cached) { cached = s; g = loadShard(indexDir, s, fsConf) }
           g.iterator.flatMap { graph =>
             val kk = if (excludeSelf) k + 1 else k
             graph.search(qv, kk, ef).iterator

@@ -512,15 +512,30 @@ object Similarity {
   def marginMiningAnn(srcCorpus: DataFrame, tgtCorpus: DataFrame,
       vecCol: String, idCol: String, indexDir: String,
       k: Int = 4, pool: Int = 8, topPairs: Int = 3, shards: Int = 4,
-      m: Int = 8, efConstruction: Int = 64, ef: Int = 64): DataFrame = {
+      m: Int = 8, efConstruction: Int = 64, ef: Int = 64,
+      reuseIndexes: Boolean = false): DataFrame = {
     require(pool >= k && pool >= topPairs,
       "the candidate pool must cover both the k-NN mean and the output pairs")
-    Hnsw.saveShardedIndex(
-      Hnsw.buildShardedIndex(tgtCorpus, idCol, vecCol, shards, m,
-        efConstruction), s"$indexDir/tgt")
-    Hnsw.saveShardedIndex(
-      Hnsw.buildShardedIndex(srcCorpus, idCol, vecCol, shards, m,
-        efConstruction), s"$indexDir/src")
+    // `reuseIndexes` skips the build when the side channel is already
+    // populated — the incremental re-mining path: after an append,
+    // Hnsw.loadShardedIndex → appendToShardedIndex (touched shards
+    // only) → saveShardedIndex refreshes the layout in O(new), then
+    // this call mines against it without rebuilding either side
+    def haveIndex(side: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/$side")
+      val fs = p.getFileSystem(
+        srcCorpus.sparkSession.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.listStatus(p).exists(
+        _.getPath.getName.matches("shard-[0-9]+[.]bin"))
+    }
+    if (!reuseIndexes || !haveIndex("tgt"))
+      Hnsw.saveShardedIndex(
+        Hnsw.buildShardedIndex(tgtCorpus, idCol, vecCol, shards, m,
+          efConstruction), s"$indexDir/tgt")
+    if (!reuseIndexes || !haveIndex("src"))
+      Hnsw.saveShardedIndex(
+        Hnsw.buildShardedIndex(srcCorpus, idCol, vecCol, shards, m,
+          efConstruction), s"$indexDir/src")
     // forward: every source item's candidate pool over the target
     // index — the query stream is the source CORPUS, never collected
     // the probe merges shards by raw cosine; the mining pool re-ranks

@@ -87,6 +87,40 @@ class MarginMiningSpec extends SparkSpec {
         "without a broadcast:\n" + probePlan)
   }
 
+  test("incremental re-mining: load → append (touched shards only) → save → mine with reused indexes finds the new twins") {
+    val src = emb.filter($"vec_id" % 2 === 0).select($"vec_id", $"embedding")
+      .filter($"vec_id" < 64)
+    val twins = src.filter($"vec_id" < 16)
+      .select(($"vec_id" + 100001L).as("vec_id"), $"embedding")
+    val tgt0 = emb.filter($"vec_id" % 2 === 1)
+      .select($"vec_id", $"embedding").unionAll(twins)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mine-inc").toString
+    // first mining pass builds and persists both side channels
+    Similarity.marginMiningAnn(src, tgt0, "embedding", "vec_id", dir,
+      k = 4, pool = 8, topPairs = 1, shards = 3, ef = 512).collect()
+    // a NEW batch of target twins arrives (for queries 16..31): append
+    // into the persisted target index without rebuilding it
+    val newTwins = src.filter($"vec_id" >= 16 && $"vec_id" < 32)
+      .select(($"vec_id" + 100001L).as("vec_id"), $"embedding")
+    val loaded = graft.ops.Hnsw.loadShardedIndex(spark, s"$dir/tgt")
+    assert(loaded.count() == 3, "side-channel round trip lost shards")
+    graft.ops.Hnsw.saveShardedIndex(
+      graft.ops.Hnsw.appendToShardedIndex(loaded, newTwins,
+        "vec_id", "embedding", shards = 3), s"$dir/tgt")
+    // re-mine REUSING the refreshed indexes (no rebuild): every query
+    // that now has a twin mines it at rank 1
+    val tgt1 = tgt0.unionAll(newTwins)
+    val mined = Similarity.marginMiningAnn(src, tgt1, "embedding",
+      "vec_id", dir, k = 4, pool = 8, topPairs = 1, shards = 3,
+      ef = 512, reuseIndexes = true).collect()
+    val top = mined.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0L until 32L by 2L).foreach { qid =>
+      assert(top.get(qid).contains(qid + 100001L),
+        s"query $qid: twin not mined at rank 1 after the incremental append")
+    }
+  }
+
   test("margin normalizes cosine inflation: identical pairs score ~2/(1+meanK), never a fixed 1.0") {
     // two queries in different hubness regimes get DIFFERENT raw
     // twin cosine... both exactly 1, but different margins — the
