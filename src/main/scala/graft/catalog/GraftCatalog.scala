@@ -724,9 +724,14 @@ class GraftProcedure(pname: String, catalog: GraftCatalog)
             // small — clustering must pay off as file pruning from the
             // first demo-sized OPTIMIZE, and at 100 TB the cap wins.
             // totalLiveBytes answers from the entries DF (no O(live)
-            // driver fold on a checkpointed million-file table)
-            val target = math.min(128L * 1024 * 1024,
-              math.max(1L, t.totalLiveBytes() / 32))
+            // driver fold on a checkpointed million-file table); zero
+            // (pre-size-log entries carry no recorded bytes) means
+            // no sizing information — take the scale default rather
+            // than a degenerate 1-byte target
+            val total = t.totalLiveBytes()
+            val target =
+              if (total <= 0) 128L * 1024 * 1024
+              else math.min(128L * 1024 * 1024, math.max(1L, total / 32))
             t.optimizeClustered(cols, targetBytes = target) match {
               case Some((v, n)) => s"clustered $n files at v$v"
               case None => "noop (layout already clustered)"

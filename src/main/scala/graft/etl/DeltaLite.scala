@@ -860,24 +860,34 @@ class DeltaLite(val spark: SparkSession, val root: String,
   private[graft] val entriesCollected =
     new java.util.concurrent.atomic.AtomicLong(0)
 
-  // per-snapshot open-side facts of a lazily-indexed read: (live DV
+  // open-side facts of a lazily-indexed read at a version: (live DV
   // sidecar paths, Σ live file bytes) — ONE combined Spark job on
-  // first open at a version, zero on repeats (see readIndexed)
-  private val lazyOpenCache = scala.collection.concurrent.TrieMap
-    .empty[Int, (Seq[String], Long)]
+  // first open at a version, zero on repeats (see readIndexed).
+  // SINGLE-slot: only the latest version is ever re-opened on a live
+  // handle, and a per-version map would pin every superseded
+  // snapshot's DV list forever on a long-lived streaming writer
+  @volatile private var lazyOpenSlot: Option[(Int, (Seq[String], Long))] =
+    None
 
   private def lazyOpenFacts(version: Int,
       edf: DataFrame): (Seq[String], Long) =
-    lazyOpenCache.getOrElseUpdate(version, {
-      val r = edf.agg(
-        org.apache.spark.sql.functions.collect_list(
-          when(col("kind") === "d", col("path"))).as("dvs"),
-        org.apache.spark.sql.functions.sum(
-          when(col("kind") === "f", coalesce(col("size"), lit(0L))))
-          .as("bytes")).head()
-      (if (r.isNullAt(0)) Nil else r.getSeq[String](0).toSeq,
-        if (r.isNullAt(1)) 0L else r.getLong(1))
-    })
+    lazyOpenSlot match {
+      case Some((v, facts)) if v == version => facts
+      case _ =>
+        val r = edf.agg(
+          org.apache.spark.sql.functions.collect_list(
+            when(col("kind") === "d", col("path"))).as("dvs"),
+          org.apache.spark.sql.functions.sum(
+            when(col("kind") === "f", coalesce(col("size"), lit(0L))))
+            .as("bytes")).head()
+        val facts = (
+          if (r.isNullAt(0)) Seq.empty[String] else r.getSeq[String](0).toSeq,
+          if (r.isNullAt(1)) 0L else r.getLong(1))
+        // racy replace is harmless: the computation is idempotent per
+        // version and the slot only ever caches
+        lazyOpenSlot = Some((version, facts))
+        facts
+    }
 
   /** Records whose file+remove+DV row count reaches this publish their
     * sets as a parquet SIDECAR (distributed write, lazy read) instead
@@ -3352,30 +3362,13 @@ class DeltaLite(val spark: SparkSession, val root: String,
     def physOf(k: String): String = mapping.getOrElse(k, k)
     incrementalEntriesDf(cs.last.version, forScan = true) match {
       case Some(edf) =>
-        import org.apache.spark.sql.functions.{array_position, element_at}
         val conds = keys.zipWithIndex.map { case (k, i) =>
           val dt = sch(k).dataType
           def typed(c: Column): Column =
             if (dt == StringType) c else c.cast(dt)
-          // label matching mirrors fileRange's rule: stamped rows
-          // (key_phys/extra_phys non-null, physstats rev) match by the
-          // stable PHYSICAL id — rename-swap-proof; pre-rev rows by
-          // the recorded name
-          val primApp = when(col("key_phys").isNotNull,
-            col("key_phys") === lit(physOf(k)))
-            .otherwise(col("key_col") === lit(k))
-          val pos = when(col("extra_phys").isNotNull,
-            array_position(col("extra_phys"), lit(physOf(k))))
-            .otherwise(array_position(col("extra_cols"), lit(k)))
-          // primary label wins when keyed for this column (fileRange's
-          // rule); else the extra ranges; conjunct order short-circuits
-          // so element_at never sees index 0 under ANSI
-          val lo = when(primApp, col("min")).otherwise(
-            when(col("extra_cols").isNotNull && pos > 0,
-              element_at(col("extra_mins"), pos.cast("int"))))
-          val hi = when(primApp, col("max")).otherwise(
-            when(col("extra_cols").isNotNull && pos > 0,
-              element_at(col("extra_maxs"), pos.cast("int"))))
+          // recorded-range lookup under the physstats label rule —
+          // the one shared DF-side statement ([[recordedRangeCols]])
+          val (lo, hi) = recordedRangeCols(k, physOf(k))
           val overlap =
             typed(hi) >= typed(lit(bounds.getString(2 * i))) &&
               typed(lo) <= typed(lit(bounds.getString(2 * i + 1)))
@@ -3387,6 +3380,36 @@ class DeltaLite(val spark: SparkSession, val root: String,
         (overlappingEntries(liveEntries(cs), sch, keys, bounds, physOf)
           .map(_.path), liveDvFiles(cs))
     }
+  }
+
+  /** The recorded [lo, hi] range of logical column `k` (current
+    * physical id `physK`) as entries-DF Columns — THE one DF-side
+    * statement of the physstats label rule ([[fileRange]]'s driver
+    * twin; DeltaLiteScan.pruneCondition re-states it over Catalyst
+    * Expressions for pushed scan filters): stamped rows (key_phys /
+    * extra_phys non-null) match by the stable PHYSICAL id —
+    * rename-swap-proof — pre-rev rows by the recorded name; the
+    * primary label wins when keyed for the column, else the extra
+    * ranges; conjunct order short-circuits so element_at never sees
+    * index 0 under ANSI. Any change to the label rule lands here and
+    * in the two driver/Expression twins together.
+    */
+  private def recordedRangeCols(k: String,
+      physK: String): (Column, Column) = {
+    import org.apache.spark.sql.functions.{array_position, element_at}
+    val primApp = when(col("key_phys").isNotNull,
+      col("key_phys") === lit(physK))
+      .otherwise(col("key_col") === lit(k))
+    val pos = when(col("extra_phys").isNotNull,
+      array_position(col("extra_phys"), lit(physK)))
+      .otherwise(array_position(col("extra_cols"), lit(k)))
+    val lo = when(primApp, col("min")).otherwise(
+      when(col("extra_cols").isNotNull && pos > 0,
+        element_at(col("extra_mins"), pos.cast("int"))))
+    val hi = when(primApp, col("max")).otherwise(
+      when(col("extra_cols").isNotNull && pos > 0,
+        element_at(col("extra_maxs"), pos.cast("int"))))
+    (lo, hi)
   }
 
   /** Paths of ALL live files (+ the live DV sidecars), collected
@@ -4074,10 +4097,18 @@ class DeltaLite(val spark: SparkSession, val root: String,
     }
     if (targets.isEmpty) return None // layout is already fully clustered
     val twin = clusterStatsTwin(cols)
+    require(targetBytes > 0, "targetBytes must be positive")
     val bytes = targets.map { case (p, sz) =>
       sz.getOrElse(fs.getFileStatus(new Path(p)).getLen)
     }.sum
-    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    // guard the partition count against a degenerate tiny target
+    // (e.g. a sizing heuristic fed zero recorded bytes asking a
+    // 100 MB table for 100 million output files): the clamp only
+    // bites when the request exceeds BOTH 1024 files and a 1 MB
+    // average — explicit small targets on small tables pass through
+    val nOut = math.max(1, math.min(
+      math.ceil(bytes.toDouble / targetBytes),
+      math.max(bytes.toDouble / (1024 * 1024), 1024.0)).toInt)
     val z =
       if (cols.size == 1) col(cols.head)
       else graft.ops.ZOrder.interleaveN(cols.map(col), bits)
@@ -4181,25 +4212,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
   private def optimizeTargetsDf(edf: DataFrame, cols: Seq[String],
       sch: StructType, mapping: Map[String, String], cubeDirs: Set[String])
       : Option[(Seq[(String, Option[Long])], Seq[String])] = {
-    import org.apache.spark.sql.functions.{array_position, element_at => elemAt}
     def physOf(k: String): String = mapping.getOrElse(k, k)
-    // recorded range of column k under the physstats label rule
-    // (prunedLivePaths' exact pattern)
-    def loHi(k: String): (Column, Column) = {
-      val primApp = when(col("key_phys").isNotNull,
-        col("key_phys") === lit(physOf(k)))
-        .otherwise(col("key_col") === lit(k))
-      val pos = when(col("extra_phys").isNotNull,
-        array_position(col("extra_phys"), lit(physOf(k))))
-        .otherwise(array_position(col("extra_cols"), lit(k)))
-      val lo = when(primApp, col("min")).otherwise(
-        when(col("extra_cols").isNotNull && pos > 0,
-          elemAt(col("extra_mins"), pos.cast("int"))))
-      val hi = when(primApp, col("max")).otherwise(
-        when(col("extra_cols").isNotNull && pos > 0,
-          elemAt(col("extra_maxs"), pos.cast("int"))))
-      (lo, hi)
-    }
+    def loHi(k: String): (Column, Column) = recordedRangeCols(k, physOf(k))
     val dir = cubeDirCol()
     val inCube =
       if (cubeDirs.isEmpty) lit(false) else dir.isin(cubeDirs.toSeq: _*)
@@ -4789,8 +4803,9 @@ class DeltaLite(val spark: SparkSession, val root: String,
     * integration and layout audits).
     */
   def liveFileStats(): Seq[(String, Option[String], Option[String])] = {
-    val mapping = colMapAt(commits())
-    liveEntries(commits()).map { f =>
+    val cs = commits() // one replay serves both the mapping and the fold
+    val mapping = colMapAt(cs)
+    liveEntries(cs).map { f =>
       val ok = statsKey.exists(k =>
         primaryApplies(f, k, mapping.getOrElse(k, k)))
       (f.path, if (ok) f.min else None, if (ok) f.max else None)

@@ -331,23 +331,37 @@ object Hnsw {
     * through; `fsConf` is a plain String map, so it ships inside the
     * task closure with no Configuration serialization.
     */
-  private def taskConf(fsConf: Map[String, String])
+  private[ops] def taskConf(fsConf: Map[String, String])
       : org.apache.hadoop.conf.Configuration = {
     val c = new org.apache.hadoop.conf.Configuration()
     fsConf.foreach { case (k, v) => c.set(k, v) }
     c
   }
 
+  /** The session's `spark.hadoop.*` settings as executor-shippable
+    * overrides — the standard way object-store credentials reach a
+    * Spark session. Merged UNDER the caller's explicit `fsConf`, so
+    * a session-configured s3a deployment works with zero extra
+    * plumbing while an explicit override still wins.
+    */
+  private[ops] def sessionFsOverrides(
+      spark: org.apache.spark.sql.SparkSession): Map[String, String] =
+    spark.conf.getAll.collect {
+      case (k, v) if k.startsWith("spark.hadoop.") =>
+        k.stripPrefix("spark.hadoop.") -> v
+    }
+
   def saveShardedIndex(index: DataFrame, dir: String,
       fsConf: Map[String, String] = Map.empty): Unit = {
     val spark = index.sparkSession
     import spark.implicits._
+    val conf = sessionFsOverrides(spark) ++ fsConf
     index.select(col("shard").cast("int"), col("graph"))
       .as[(Int, Array[Byte])]
       .foreachPartition { it: Iterator[(Int, Array[Byte])] =>
         it.foreach { case (s, bytes) =>
           val p = new org.apache.hadoop.fs.Path(dir, f"shard-$s%05d.bin")
-          val fs = p.getFileSystem(taskConf(fsConf))
+          val fs = p.getFileSystem(taskConf(conf))
           val out = fs.create(p, true)
           try out.write(bytes) finally out.close()
         }
@@ -409,6 +423,23 @@ object Hnsw {
       fsConf: Map[String, String] = Map.empty): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
+    val conf = sessionFsOverrides(spark) ++ fsConf
+    // a shards argument below the persisted layout's shard count
+    // would silently skip whole shards — refuse loudly instead
+    // (missing files BELOW the count are legitimately empty shards)
+    locally {
+      val dp = new org.apache.hadoop.fs.Path(indexDir)
+      val fsD = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fsD.exists(dp)) {
+        val ids = fsD.listStatus(dp).map(_.getPath.getName)
+          .filter(_.matches("shard-[0-9]+[.]bin"))
+          .map(n => n.stripPrefix("shard-").stripSuffix(".bin").toInt)
+        require(ids.forall(_ < shards),
+          s"index at $indexDir holds shard ${ids.max} but the probe " +
+            s"was asked for $shards shards — whole shards would be " +
+            "silently skipped; pass the layout's own shard count")
+      }
+    }
     val tagged = queries
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("v"))
@@ -423,7 +454,7 @@ object Hnsw {
         var cached = -1
         var g: Option[ShardGraph] = None
         it.flatMap { case (s, qid, qv) =>
-          if (s != cached) { cached = s; g = loadShard(indexDir, s, fsConf) }
+          if (s != cached) { cached = s; g = loadShard(indexDir, s, conf) }
           g.iterator.flatMap { graph =>
             val kk = if (excludeSelf) k + 1 else k
             graph.search(qv, kk, ef).iterator

@@ -513,7 +513,8 @@ object Similarity {
       vecCol: String, idCol: String, indexDir: String,
       k: Int = 4, pool: Int = 8, topPairs: Int = 3, shards: Int = 4,
       m: Int = 8, efConstruction: Int = 64, ef: Int = 64,
-      reuseIndexes: Boolean = false): DataFrame = {
+      reuseIndexes: Boolean = false,
+      fsConf: Map[String, String] = Map.empty): DataFrame = {
     require(pool >= k && pool >= topPairs,
       "the candidate pool must cover both the k-NN mean and the output pairs")
     // `reuseIndexes` skips the build when the side channel is already
@@ -523,30 +524,35 @@ object Similarity {
     // this call mines against it without rebuilding either side
     def haveIndex(side: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(s"$indexDir/$side")
-      val fs = p.getFileSystem(
-        srcCorpus.sparkSession.sparkContext.hadoopConfiguration)
+      // the same conf resolution the executor-side shard I/O uses —
+      // the existence check must not pass where the tasks would fail
+      val fs = p.getFileSystem(Hnsw.taskConf(
+        Hnsw.sessionFsOverrides(srcCorpus.sparkSession) ++ fsConf))
       fs.exists(p) && fs.listStatus(p).exists(
         _.getPath.getName.matches("shard-[0-9]+[.]bin"))
     }
     if (!reuseIndexes || !haveIndex("tgt"))
       Hnsw.saveShardedIndex(
         Hnsw.buildShardedIndex(tgtCorpus, idCol, vecCol, shards, m,
-          efConstruction), s"$indexDir/tgt")
+          efConstruction), s"$indexDir/tgt", fsConf)
     if (!reuseIndexes || !haveIndex("src"))
       Hnsw.saveShardedIndex(
         Hnsw.buildShardedIndex(srcCorpus, idCol, vecCol, shards, m,
-          efConstruction), s"$indexDir/src")
+          efConstruction), s"$indexDir/src", fsConf)
     // forward: every source item's candidate pool over the target
     // index — the query stream is the source CORPUS, never collected
     // the probe merges shards by raw cosine; the mining pool re-ranks
     // by (quantized micros, id) — the EXACT tier's (and the oracle's)
-    // order, so a micro-tie never splits differently across engines
+    // order — over a beam probed with +8 SLACK, so a micro-tie at the
+    // pool boundary cannot split membership differently across
+    // engines unless >8 candidates tie within one micro (vanishing;
+    // within-pool ordering is exactly the oracle's regardless)
     val wFwd = Window.partitionBy(col("query_id"))
       .orderBy(col("cm").desc, col("matched_id"))
     val fwd = Hnsw.probeStreaming(
         srcCorpus.select(col(idCol), col(vecCol)),
         s"$indexDir/tgt", shards, idCol, vecCol,
-        math.max(k, pool), ef, excludeSelf = false)
+        math.max(k, pool) + 8, ef, excludeSelf = false, fsConf = fsConf)
       .withColumnRenamed("neighbor_id", "matched_id")
       .withColumn("cm", round(col("cosine") * lit(1e6)).cast("long"))
       .withColumn("frank", row_number().over(wFwd).cast("long"))
@@ -563,7 +569,7 @@ object Similarity {
       .select(col("matched_id").as(idCol)).distinct()
       .join(tgtCorpus.select(col(idCol), col(vecCol)), Seq(idCol))
     val sumRev = Hnsw.probeStreaming(cands, s"$indexDir/src", shards,
-        idCol, vecCol, k, ef, excludeSelf = false)
+        idCol, vecCol, k, ef, excludeSelf = false, fsConf = fsConf)
       .withColumn("rcm", round(col("cosine") * lit(1e6)).cast("long"))
       .groupBy(col("query_id").as("matched_id"))
       .agg(org.apache.spark.sql.functions.sum(col("rcm")).as("sum_rev"))
