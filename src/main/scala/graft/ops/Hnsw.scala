@@ -351,21 +351,45 @@ object Hnsw {
         k.stripPrefix("spark.hadoop.") -> v
     }
 
+  /** Serialization format version, written as a `_graft_hnsw_format`
+    * marker next to the shard files: a reused index dir from an OLDER
+    * build whose graph codec differs must rebuild, never deserialize
+    * garbage ([[Similarity.marginMiningAnn]]'s `reuseIndexes` checks
+    * the marker). Bump when [[serialize]] changes shape.
+    */
+  private[ops] val FormatVersion = "1"
+  private[ops] val FormatMarker = "_graft_hnsw_format"
+
   def saveShardedIndex(index: DataFrame, dir: String,
       fsConf: Map[String, String] = Map.empty): Unit = {
     val spark = index.sparkSession
     import spark.implicits._
     val conf = sessionFsOverrides(spark) ++ fsConf
-    index.select(col("shard").cast("int"), col("graph"))
+    // pin the rows BEFORE clearing the destination: the index DF may
+    // itself read this dir (the load → append → save-in-place flow) —
+    // a lazy plan over files the pre-clean just deleted would read
+    // nothing
+    val rows = index.select(col("shard").cast("int"), col("graph"))
       .as[(Int, Array[Byte])]
-      .foreachPartition { it: Iterator[(Int, Array[Byte])] =>
-        it.foreach { case (s, bytes) =>
-          val p = new org.apache.hadoop.fs.Path(dir, f"shard-$s%05d.bin")
-          val fs = p.getFileSystem(taskConf(conf))
-          val out = fs.create(p, true)
-          try out.write(bytes) finally out.close()
-        }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rows.count()
+    // pre-clean: a re-save with FEWER shards must not leave stale
+    // higher-numbered shard files that a later probe would refuse (or
+    // worse, search)
+    val dp = new org.apache.hadoop.fs.Path(dir)
+    val fsD = dp.getFileSystem(taskConf(conf))
+    if (fsD.exists(dp)) fsD.delete(dp, true)
+    rows.foreachPartition { it: Iterator[(Int, Array[Byte])] =>
+      it.foreach { case (s, bytes) =>
+        val p = new org.apache.hadoop.fs.Path(dir, f"shard-$s%05d.bin")
+        val fs = p.getFileSystem(taskConf(conf))
+        val out = fs.create(p, true)
+        try out.write(bytes) finally out.close()
       }
+    }
+    rows.unpersist(false)
+    val out = fsD.create(new org.apache.hadoop.fs.Path(dp, FormatMarker), true)
+    try out.write(FormatVersion.getBytes("UTF-8")) finally out.close()
   }
 
   /** Read a [[saveShardedIndex]] side-channel layout back into the

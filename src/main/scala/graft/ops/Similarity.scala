@@ -528,7 +528,19 @@ object Similarity {
       // the existence check must not pass where the tasks would fail
       val fs = p.getFileSystem(Hnsw.taskConf(
         Hnsw.sessionFsOverrides(srcCorpus.sparkSession) ++ fsConf))
-      fs.exists(p) && fs.listStatus(p).exists(
+      // the format marker gates reuse: a layout saved by a build with
+      // a different graph codec rebuilds instead of deserializing
+      // garbage
+      def formatOk: Boolean = {
+        val mp = new org.apache.hadoop.fs.Path(p, Hnsw.FormatMarker)
+        fs.exists(mp) && {
+          val in = fs.open(mp)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim ==
+            Hnsw.FormatVersion
+          finally in.close()
+        }
+      }
+      fs.exists(p) && formatOk && fs.listStatus(p).exists(
         _.getPath.getName.matches("shard-[0-9]+[.]bin"))
     }
     if (!reuseIndexes || !haveIndex("tgt"))

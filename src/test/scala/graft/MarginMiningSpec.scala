@@ -119,6 +119,21 @@ class MarginMiningSpec extends SparkSpec {
       assert(top.get(qid).contains(qid + 100001L),
         s"query $qid: twin not mined at rank 1 after the incremental append")
     }
+    // a STALE format marker (an index dir left by a build with a
+    // different graph codec) gates reuse: the call rebuilds instead
+    // of deserializing garbage, and restamps the marker
+    val marker = new java.io.File(s"$dir/tgt", "_graft_hnsw_format")
+    java.nio.file.Files.writeString(marker.toPath, "0")
+    // the raw write bypassed Hadoop's checksum sidecar — drop it so
+    // the LocalFS read sees the tampered content, not a crc error
+    new java.io.File(s"$dir/tgt", "._graft_hnsw_format.crc").delete()
+    val remined = Similarity.marginMiningAnn(src, tgt1, "embedding",
+      "vec_id", dir, k = 4, pool = 8, topPairs = 1, shards = 3,
+      ef = 512, reuseIndexes = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(remined(0L) == 100001L, "stale-format rebuild lost the twins")
+    assert(java.nio.file.Files.readString(marker.toPath).trim == "1",
+      "the rebuild did not restamp the format marker")
   }
 
   test("margin normalizes cosine inflation: identical pairs score ~2/(1+meanK), never a fixed 1.0") {
