@@ -247,18 +247,63 @@ object Hnsw {
     try in.readObject().asInstanceOf[ShardGraph] finally in.close()
   }
 
+  /** Default per-shard memory budget for [[buildShardedIndex]]'s
+    * pre-flight guard: a shard materializes whole inside one build
+    * task (`it.toArray` — the graph is a sequential pointer structure;
+    * "shard = executor-fit unit" is the design), so an under-sharded
+    * billion-vector build would OOM mid-task with no guidance. 4 GiB
+    * leaves headroom in a typical 8–16 GiB executor for the graph's
+    * link arrays and the serialization buffer on top of the raw
+    * vectors.
+    */
+  val DefaultMaxShardBytes: Long = 4L << 30
+
+  /** Estimated in-memory bytes per indexed vector: the float payload
+    * plus id/level bookkeeping and the per-level adjacency lists
+    * (≤ 2m ints at layer 0, m per upper layer, ~1.06 expected levels)
+    * with JVM object overhead.
+    */
+  private def bytesPerVector(dims: Int, m: Int): Long =
+    4L * dims + 16L * m + 96L
+
   /** Materialize the sharded index: one row per shard —
     * (shard, n, graph bytes). Plain parquet-writable; build once,
     * probe many times (the pattern of [[Similarity.buildIvfIndex]],
     * with a navigable graph instead of cell files).
+    *
+    * SCALE RAIL: each shard builds in ONE task and must fit that
+    * task's memory. A pre-flight estimate (one tiny count+dims
+    * aggregate) refuses an under-sharded build LOUDLY, naming the
+    * shard count that would fit `maxShardBytes` — instead of OOMing
+    * an executor hours into a corpus-scale build. Pass
+    * `maxShardBytes <= 0` to skip the guard (micro-benchmarks that
+    * deliberately overpack a shard).
     */
   def buildShardedIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      shards: Int, m: Int = 8, efConstruction: Int = 64): DataFrame = {
+      shards: Int, m: Int = 8, efConstruction: Int = 64,
+      maxShardBytes: Long = DefaultMaxShardBytes): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    corpus
+    val rows = corpus
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("v"))
+    if (maxShardBytes > 0) {
+      val head = rows.select(count(lit(1)).as("n"),
+        first(size(col("v"))).as("dims")).collect()(0)
+      val n = head.getLong(0)
+      if (n > 0) {
+        val dims = head.getInt(1)
+        val perVec = bytesPerVector(dims, m)
+        val perShard = (n + shards - 1) / shards
+        val est = perShard * perVec
+        require(est <= maxShardBytes,
+          s"HNSW shard budget exceeded: ~$perShard vectors/shard x " +
+            s"$perVec B/vector = $est B > $maxShardBytes B budget. " +
+            s"Use shards >= ${(n * perVec + maxShardBytes - 1) / maxShardBytes} " +
+            "(or raise maxShardBytes if the executors have the memory)")
+      }
+    }
+    rows
       .as[(Long, Array[Float])]
       .repartition(shards, col("id"))
       .mapPartitions { it =>
@@ -351,45 +396,154 @@ object Hnsw {
         k.stripPrefix("spark.hadoop.") -> v
     }
 
-  /** Serialization format version, written as a `_graft_hnsw_format`
-    * marker next to the shard files: a reused index dir from an OLDER
-    * build whose graph codec differs must rebuild, never deserialize
-    * garbage ([[Similarity.marginMiningAnn]]'s `reuseIndexes` checks
-    * the marker). Bump when [[serialize]] changes shape.
+  /** Serialization/layout format version, written into the
+    * `_graft_hnsw_format` marker INSIDE each published version subdir:
+    * a reused index dir from an OLDER build whose graph codec or
+    * layout differs must rebuild, never deserialize garbage
+    * ([[Similarity.marginMiningAnn]]'s `reuseIndexes` checks it;
+    * [[probeStreaming]] and [[loadShardedIndex]] REQUIRE it). Bump
+    * when [[serialize]] or the layout changes shape.
+    *
+    * Layout (format 2 — versioned publish): `dir/_graft_hnsw_current`
+    * names the live version subdir (`v-<n>`); the subdir holds the
+    * shard files plus the marker, whose first line is the format
+    * version and whose second line is the MANIFEST — the space-
+    * separated ids of the shards that exist. Publication order is
+    * write-everything-then-swap-pointer, so a probe racing a re-save
+    * resolves either the old COMPLETE layout or (if the old subdir
+    * was already reclaimed under it) fails loudly on a manifest-listed
+    * shard file — never a silent partial top-k. A manifest miss =
+    * legitimately empty shard; a manifest HIT with a missing file =
+    * corruption, refused loudly.
     */
-  private[ops] val FormatVersion = "1"
+  private[ops] val FormatVersion = "2"
   private[ops] val FormatMarker = "_graft_hnsw_format"
+  private[ops] val CurrentPointer = "_graft_hnsw_current"
 
+  /** Resolve the live version subdir of a [[saveShardedIndex]] layout:
+    * (subdir path, manifest of present shard ids). Every failure mode
+    * is LOUD and names the path — a missing root, a missing pointer
+    * (pre-versioned or half-published layout), a missing subdir (probe
+    * raced a re-save past its reclaim), a missing or version-
+    * mismatched marker. Silent-empty is never an option: the repo rule
+    * is that a missing path reads loudly.
+    */
+  private[ops] def resolveCurrent(dir: String,
+      conf: org.apache.hadoop.conf.Configuration)
+      : (org.apache.hadoop.fs.Path, Set[Int]) = {
+    val dp = new org.apache.hadoop.fs.Path(dir)
+    val fs = dp.getFileSystem(conf)
+    require(fs.exists(dp), s"no HNSW index at $dir — build and " +
+      "saveShardedIndex first (a typo'd or deleted side channel must " +
+      "not probe as empty)")
+    val ptr = new org.apache.hadoop.fs.Path(dp, CurrentPointer)
+    require(fs.exists(ptr), s"$dir has no $CurrentPointer pointer — " +
+      "not a published index layout (or a pre-format-2 layout): " +
+      "re-save with the current saveShardedIndex")
+    val sub = {
+      val in = fs.open(ptr)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    val sp = new org.apache.hadoop.fs.Path(dp, sub)
+    require(fs.exists(sp), s"$dir points at version subdir $sub which " +
+      "does not exist — a probe raced a re-save past its reclaim, or " +
+      "the side channel is corrupted; retry or re-save")
+    val mp = new org.apache.hadoop.fs.Path(sp, FormatMarker)
+    require(fs.exists(mp), s"$sp has no $FormatMarker marker — " +
+      "half-published or corrupted index layout")
+    val lines = {
+      val in = fs.open(mp)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    val ver = lines.headOption.getOrElse("").trim
+    require(ver == FormatVersion,
+      s"index at $sp has format '$ver' but this build reads format " +
+        s"'$FormatVersion' — rebuild the index with this version")
+    val manifest = lines.drop(1).headOption.getOrElse("").trim match {
+      case "" => Set.empty[Int]
+      case s => s.split(' ').map(_.toInt).toSet
+    }
+    (sp, manifest)
+  }
+
+  /** True iff `dir` holds a complete, current-format index layout —
+    * the reuse gate [[Similarity.marginMiningAnn]] checks before
+    * skipping a rebuild (quiet by design: "not ready" means rebuild,
+    * not fail).
+    */
+  private[ops] def indexReady(dir: String,
+      conf: org.apache.hadoop.conf.Configuration): Boolean =
+    scala.util.Try(resolveCurrent(dir, conf)).isSuccess
+
+  /** Publish the index ATOMICALLY against concurrent probes: shard
+    * files and marker are written COMPLETE into a fresh `v-<n>` subdir
+    * first, then the `_graft_hnsw_current` pointer swings to it, then
+    * stale subdirs (and any pre-format-2 flat files) are reclaimed. A
+    * probe that resolved the pointer before the swap reads the old
+    * complete layout while it exists and fails LOUDLY (manifest-listed
+    * shard missing) if the reclaim won the race — the commit-log
+    * publish pattern the rest of the repo uses; silent partial top-k
+    * is impossible by construction.
+    */
   def saveShardedIndex(index: DataFrame, dir: String,
       fsConf: Map[String, String] = Map.empty): Unit = {
     val spark = index.sparkSession
     import spark.implicits._
     val conf = sessionFsOverrides(spark) ++ fsConf
-    // pin the rows BEFORE clearing the destination: the index DF may
-    // itself read this dir (the load → append → save-in-place flow) —
-    // a lazy plan over files the pre-clean just deleted would read
-    // nothing
+    val dp = new org.apache.hadoop.fs.Path(dir)
+    val fsD = dp.getFileSystem(taskConf(conf))
+    // next monotonic version: the old layout stays live (and readable
+    // by in-flight probes, including the load → append → save-in-place
+    // flow whose input plan reads the CURRENT subdir) until the swap
+    val prior: Seq[String] =
+      if (!fsD.exists(dp)) Nil
+      else fsD.listStatus(dp).toSeq.map(_.getPath.getName)
+    val nextN = prior.filter(_.matches("v-[0-9]+"))
+      .map(_.stripPrefix("v-").toInt)
+      .foldLeft(0)(math.max) + 1
+    val sub = f"v-$nextN%08d"
+    val sp = new org.apache.hadoop.fs.Path(dp, sub)
+    // pin the rows: the manifest collect and the shard write must see
+    // the same build exactly once (an unpersisted fresh build would
+    // run its expensive mapPartitions twice)
     val rows = index.select(col("shard").cast("int"), col("graph"))
       .as[(Int, Array[Byte])]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rows.count()
-    // pre-clean: a re-save with FEWER shards must not leave stale
-    // higher-numbered shard files that a later probe would refuse (or
-    // worse, search)
-    val dp = new org.apache.hadoop.fs.Path(dir)
-    val fsD = dp.getFileSystem(taskConf(conf))
-    if (fsD.exists(dp)) fsD.delete(dp, true)
+    val manifest = rows.map(_._1).collect().sorted
+    val subS = sp.toString
     rows.foreachPartition { it: Iterator[(Int, Array[Byte])] =>
       it.foreach { case (s, bytes) =>
-        val p = new org.apache.hadoop.fs.Path(dir, f"shard-$s%05d.bin")
+        val p = new org.apache.hadoop.fs.Path(subS, f"shard-$s%05d.bin")
         val fs = p.getFileSystem(taskConf(conf))
         val out = fs.create(p, true)
         try out.write(bytes) finally out.close()
       }
     }
     rows.unpersist(false)
-    val out = fsD.create(new org.apache.hadoop.fs.Path(dp, FormatMarker), true)
-    try out.write(FormatVersion.getBytes("UTF-8")) finally out.close()
+    val mk = fsD.create(new org.apache.hadoop.fs.Path(sp, FormatMarker), true)
+    try mk.write(
+      s"$FormatVersion\n${manifest.mkString(" ")}\n".getBytes("UTF-8"))
+    finally mk.close()
+    // pointer swap: write-temp + rename (rename is the closest-to-
+    // atomic primitive shared by HDFS/local/object-store FS contracts;
+    // the delete-before-rename window resolves to a LOUD missing-
+    // pointer error on a racing probe, never a silent empty)
+    val ptr = new org.apache.hadoop.fs.Path(dp, CurrentPointer)
+    val tmp = new org.apache.hadoop.fs.Path(dp, s"$CurrentPointer.tmp")
+    val pt = fsD.create(tmp, true)
+    try pt.write(s"$sub\n".getBytes("UTF-8")) finally pt.close()
+    if (fsD.exists(ptr)) fsD.delete(ptr, false)
+    require(fsD.rename(tmp, ptr),
+      s"failed to publish $ptr — pointer swap rename refused")
+    // reclaim stale layouts: older version subdirs and any
+    // pre-format-2 flat shard files/marker
+    prior.foreach { n =>
+      if ((n.matches("v-[0-9]+") && n != sub) ||
+        n.matches("shard-[0-9]+[.]bin") || n == FormatMarker)
+        fsD.delete(new org.apache.hadoop.fs.Path(dp, n), true)
+    }
   }
 
   /** Read a [[saveShardedIndex]] side-channel layout back into the
@@ -400,10 +554,12 @@ object Hnsw {
     * the graph (executor-side, no driver deserialization).
     */
   def loadShardedIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
+      dir: String, fsConf: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
+    val (sub, _) = resolveCurrent(dir,
+      taskConf(sessionFsOverrides(spark) ++ fsConf))
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "shard-*.bin").load(dir)
+      .option("pathGlobFilter", "shard-*.bin").load(sub.toString)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .map { case (p, bytes) =>
@@ -414,20 +570,33 @@ object Hnsw {
       .toDF("shard", "n", "graph")
   }
 
-  private def loadShard(dir: String, shard: Int,
+  /** Task-side shard read against a RESOLVED version subdir. The
+    * manifest decides what absence means: an unlisted shard is
+    * legitimately empty (None); a LISTED shard whose file is gone is
+    * corruption or a lost re-save race and throws, naming the path —
+    * a partial top-k must never look like an answer.
+    */
+  private def loadShard(subDir: String, shard: Int, manifest: Set[Int],
       fsConf: Map[String, String]): Option[ShardGraph] = {
-    val p = new org.apache.hadoop.fs.Path(dir, f"shard-$shard%05d.bin")
+    if (!manifest.contains(shard)) return None
+    val p = new org.apache.hadoop.fs.Path(subDir, f"shard-$shard%05d.bin")
     val fs = p.getFileSystem(taskConf(fsConf))
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val len = fs.getFileStatus(p).getLen.toInt
-        val bytes = new Array[Byte](len)
-        in.readFully(bytes)
-        Some(deserialize(bytes))
-      } finally in.close()
-    }
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"HNSW index layout at $subDir lists shard $shard in its " +
+          s"manifest but $p is missing — concurrent re-save reclaimed " +
+          "it mid-probe, or the side channel is corrupted; retry the " +
+          "probe (it will resolve the new layout) or re-save")
+    val len = fs.getFileStatus(p).getLen
+    require(len <= Int.MaxValue,
+      s"shard file $p is $len bytes (> 2 GiB) — the byte-array codec " +
+        "cannot represent it; rebuild with more shards")
+    val in = fs.open(p)
+    try {
+      val bytes = new Array[Byte](len.toInt)
+      in.readFully(bytes)
+      Some(deserialize(bytes))
+    } finally in.close()
   }
 
   /** CORPUS-SCALE probe: the query side stays a DataFrame end to end —
@@ -448,46 +617,51 @@ object Hnsw {
     val spark = queries.sparkSession
     import spark.implicits._
     val conf = sessionFsOverrides(spark) ++ fsConf
-    // a shards argument below the persisted layout's shard count
-    // would silently skip whole shards — refuse loudly instead
-    // (missing files BELOW the count are legitimately empty shards)
-    locally {
-      val dp = new org.apache.hadoop.fs.Path(indexDir)
-      val fsD = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fsD.exists(dp)) {
-        val ids = fsD.listStatus(dp).map(_.getPath.getName)
-          .filter(_.matches("shard-[0-9]+[.]bin"))
-          .map(n => n.stripPrefix("shard-").stripSuffix(".bin").toInt)
-        require(ids.forall(_ < shards),
-          s"index at $indexDir holds shard ${ids.max} but the probe " +
-            s"was asked for $shards shards — whole shards would be " +
-            "silently skipped; pass the layout's own shard count")
-      }
-    }
-    val tagged = queries
+    // resolve the live layout ONCE, driver-side, with the SAME conf
+    // resolution the tasks use (a custom-conf deployment must not pass
+    // the driver check where tasks would fail, or vice versa) — every
+    // task then reads this consistent snapshot. A missing dir, missing
+    // pointer or wrong-format marker refuses loudly here.
+    val (sub, manifest) = resolveCurrent(indexDir, taskConf(conf))
+    // a shards argument below the layout's manifest would silently
+    // skip whole shards — refuse loudly instead
+    require(manifest.forall(_ < shards),
+      s"index at $indexDir holds shard ${manifest.max} but the probe " +
+        s"was asked for $shards shards — whole shards would be " +
+        "silently skipped; pass the layout's own shard count")
+    val subS = sub.toString
+    // PARTITION-ID packing: hash repartition on shard id packs two
+    // shards into one task while another idles (balls-in-bins at small
+    // shard counts) — an identity partitioner guarantees task i serves
+    // EXACTLY shard i, so effective parallelism is the full shard
+    // count and each graph loads exactly once per probe
+    val fanned = queries
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("v"))
       .withColumn("shard", explode(sequence(lit(0), lit(shards - 1))))
-      .repartition(shards, col("shard"))
-      // a hash partition can hold several shards' rows — group them so
-      // each graph loads once per task, not once per interleaving run
-      .sortWithinPartitions(col("shard"))
-    val raw = tagged.select($"shard", $"id", $"v")
+      .select($"shard", $"id", $"v")
       .as[(Int, Long, Array[Float])]
-      .mapPartitions { it =>
-        var cached = -1
-        var g: Option[ShardGraph] = None
-        it.flatMap { case (s, qid, qv) =>
-          if (s != cached) { cached = s; g = loadShard(indexDir, s, conf) }
-          g.iterator.flatMap { graph =>
-            val kk = if (excludeSelf) k + 1 else k
-            graph.search(qv, kk, ef).iterator
-              .filter { case (nid, _) => !excludeSelf || nid != qid }
-              .take(k)
-              .map { case (nid, sc) => (qid, nid, sc) }
-          }
+      .rdd
+      .map { case (s, qid, qv) => (s, (qid, qv)) }
+      .partitionBy(new org.apache.spark.Partitioner {
+        def numPartitions: Int = shards
+        def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+    val probed = fanned.mapPartitions { it =>
+      var cached = -1
+      var g: Option[ShardGraph] = None
+      it.flatMap { case (s, (qid, qv)) =>
+        if (s != cached) { cached = s; g = loadShard(subS, s, manifest, conf) }
+        g.iterator.flatMap { graph =>
+          val kk = if (excludeSelf) k + 1 else k
+          graph.search(qv, kk, ef).iterator
+            .filter { case (nid, _) => !excludeSelf || nid != qid }
+            .take(k)
+            .map { case (nid, sc) => (qid, nid, sc) }
         }
       }
+    }
+    val raw = spark.createDataset(probed)
       .toDF("query_id", "neighbor_id", "cosine")
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy($"query_id")

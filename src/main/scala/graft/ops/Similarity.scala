@@ -522,27 +522,14 @@ object Similarity {
     // Hnsw.loadShardedIndex → appendToShardedIndex (touched shards
     // only) → saveShardedIndex refreshes the layout in O(new), then
     // this call mines against it without rebuilding either side
-    def haveIndex(side: String): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(s"$indexDir/$side")
-      // the same conf resolution the executor-side shard I/O uses —
-      // the existence check must not pass where the tasks would fail
-      val fs = p.getFileSystem(Hnsw.taskConf(
+    // ready = a complete, current-format, pointer-published layout
+    // (same conf resolution as the executor-side shard I/O — the
+    // check must not pass where the tasks would fail); anything else —
+    // absent, half-published, pre-format-2, wrong codec — rebuilds
+    // instead of deserializing garbage or probing empty
+    def haveIndex(side: String): Boolean =
+      Hnsw.indexReady(s"$indexDir/$side", Hnsw.taskConf(
         Hnsw.sessionFsOverrides(srcCorpus.sparkSession) ++ fsConf))
-      // the format marker gates reuse: a layout saved by a build with
-      // a different graph codec rebuilds instead of deserializing
-      // garbage
-      def formatOk: Boolean = {
-        val mp = new org.apache.hadoop.fs.Path(p, Hnsw.FormatMarker)
-        fs.exists(mp) && {
-          val in = fs.open(mp)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim ==
-            Hnsw.FormatVersion
-          finally in.close()
-        }
-      }
-      fs.exists(p) && formatOk && fs.listStatus(p).exists(
-        _.getPath.getName.matches("shard-[0-9]+[.]bin"))
-    }
     if (!reuseIndexes || !haveIndex("tgt"))
       Hnsw.saveShardedIndex(
         Hnsw.buildShardedIndex(tgtCorpus, idCol, vecCol, shards, m,

@@ -239,16 +239,50 @@ object Vectors {
       .select($"vec_id", $"embedding").unionAll(twins)
     // STABLE per-dataset index dir + reuse: repeat invocations (bench
     // iterations, verify re-runs over the same sf dir) measure the
-    // steady-state probe path instead of rebuilding — and re-building
-    // is unnecessary because shard builds are fully deterministic
-    // (same data → byte-identical graphs)
+    // steady-state probe path instead of rebuilding — safe because
+    // shard builds are fully deterministic (same data → byte-identical
+    // graphs) AND the key is a CONTENT fingerprint of the input
+    // parquet (file names + lengths + mtimes): regenerated data at the
+    // same path gets a fresh key, so a stale index can never answer
+    // for new data. The username in the dir name plus a data-tag file
+    // checked before reuse keep a shared world-writable tmpdir from
+    // serving someone else's (or a pre-planted) layout.
+    val src0 = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = src0.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val listing = fs.listStatus(src0).map(st =>
+      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("\n")
     val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(8)
+      .digest(listing.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
+    val user = sys.props.getOrElse("user.name", "anon")
     val indexDir = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft-mine-ann-$tag").toString
-    Similarity.marginMiningAnn(src, tgt, "embedding", "vec_id", indexDir,
-      k = 4, pool = 8, topPairs = 3, shards = 3, ef = 2048,
-      reuseIndexes = true)
+      sys.props("java.io.tmpdir"), s"graft-mine-ann-$user-$tag")
+    val tagFile = new java.io.File(indexDir, "_graft_data_tag")
+    val tagOk = tagFile.isFile &&
+      new String(java.nio.file.Files.readAllBytes(tagFile.toPath),
+        "UTF-8").trim == tag
+    if (indexDir.exists() && !tagOk) {
+      // key collision without a matching data tag — never trust it
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(indexDir)
+    }
+    // EXACTNESS GUARD (the oracle contract): the SQL derivation is the
+    // EXACT tier, so every shard search must be exhaustive — ef must
+    // cover the largest shard at ANY scale this runs at, not just the
+    // gate's. One cheap count pins it to the corpus size.
+    val efExhaustive = math.max(2048L,
+      tgt.count() + 16L).min(Int.MaxValue.toLong).toInt
+    val mined = Similarity.marginMiningAnn(src, tgt, "embedding", "vec_id",
+      indexDir.toString, k = 4, pool = 8, topPairs = 3, shards = 3,
+      ef = efExhaustive, reuseIndexes = true)
       .orderBy($"query_id", $"rank")
+    if (!tagOk) {
+      // the call above just (re)built the side channel for this data
+      java.nio.file.Files.write(tagFile.toPath, tag.getBytes("UTF-8"))
+    }
+    mined
   }
 }

@@ -123,6 +123,150 @@ class HnswSpec extends SparkSpec {
     rows.groupBy(_._1).values.foreach(g => assert(g.length == k))
   }
 
+  // ---------------------------------------------------- side channel
+
+  private def currentSubdir(dir: String): java.io.File = {
+    val ptr = new java.io.File(dir, "_graft_hnsw_current")
+    new java.io.File(dir,
+      new String(java.nio.file.Files.readAllBytes(ptr.toPath), "UTF-8").trim)
+  }
+
+  test("probeStreaming refuses a missing index dir loudly, naming the path") {
+    val ghost = new java.io.File(
+      java.nio.file.Files.createTempDirectory("hnsw-none").toFile,
+      "never-saved").toString
+    val e = intercept[IllegalArgumentException] {
+      Hnsw.probeStreaming(queries, ghost, 4, "vec_id", "embedding", k)
+    }
+    assert(e.getMessage.contains(ghost),
+      s"the refusal must name the missing path: ${e.getMessage}")
+  }
+
+  test("probeStreaming refuses a dir without the published pointer/marker") {
+    val dir = java.nio.file.Files.createTempDirectory("hnsw-bare").toString
+    // dir exists but holds no published layout (e.g. a typo'd path that
+    // happens to exist, or a crashed pre-format save)
+    val e = intercept[IllegalArgumentException] {
+      Hnsw.probeStreaming(queries, dir, 4, "vec_id", "embedding", k)
+    }
+    assert(e.getMessage.contains("_graft_hnsw_current"),
+      s"must refuse on the missing pointer: ${e.getMessage}")
+    // a stale FORMAT marker inside the version subdir refuses too
+    val idx = Hnsw.buildShardedIndex(corpus, "vec_id", "embedding",
+      shards = 4, m = 8, efConstruction = 64)
+    Hnsw.saveShardedIndex(idx, dir)
+    val marker = new java.io.File(currentSubdir(dir), "_graft_hnsw_format")
+    java.nio.file.Files.write(marker.toPath, "0\n0 1 2 3\n".getBytes("UTF-8"))
+    new java.io.File(currentSubdir(dir),
+      "._graft_hnsw_format.crc").delete()
+    val e2 = intercept[IllegalArgumentException] {
+      Hnsw.probeStreaming(queries, dir, 4, "vec_id", "embedding", k)
+    }
+    assert(e2.getMessage.contains("format"),
+      s"must refuse on a format mismatch: ${e2.getMessage}")
+  }
+
+  test("a manifest-listed shard file gone missing fails the probe loudly — never a silent partial top-k") {
+    val dir = java.nio.file.Files.createTempDirectory("hnsw-torn").toString
+    val idx = Hnsw.buildShardedIndex(corpus, "vec_id", "embedding",
+      shards = 4, m = 8, efConstruction = 64)
+    Hnsw.saveShardedIndex(idx, dir)
+    val victim = new java.io.File(currentSubdir(dir), "shard-00002.bin")
+    assert(victim.isFile)
+    victim.delete()
+    new java.io.File(currentSubdir(dir), ".shard-00002.bin.crc").delete()
+    val e = intercept[org.apache.spark.SparkException] {
+      Hnsw.probeStreaming(queries, dir, 4, "vec_id", "embedding", k)
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("shard-00002.bin")),
+      s"the task failure must name the torn shard file: ${e.getMessage}")
+  }
+
+  test("re-save publishes atomically: pointer swings to a complete new layout, stale subdirs reclaimed, probes keep answering") {
+    val dir = java.nio.file.Files.createTempDirectory("hnsw-swap").toString
+    val idx = Hnsw.buildShardedIndex(corpus, "vec_id", "embedding",
+      shards = 4, m = 8, efConstruction = 64)
+    Hnsw.saveShardedIndex(idx, dir)
+    val firstSub = currentSubdir(dir).getName
+    val before = neighborSets(Hnsw.probeStreaming(queries, dir, 4,
+      "vec_id", "embedding", k, ef = 96))
+    // re-save (the append → save-in-place flow reads the CURRENT
+    // layout while writing the next — the old subdir must stay intact
+    // until the swap)
+    Hnsw.saveShardedIndex(Hnsw.loadShardedIndex(spark, dir), dir)
+    val secondSub = currentSubdir(dir).getName
+    assert(secondSub != firstSub, "re-save must publish a NEW version subdir")
+    assert(!new java.io.File(dir, firstSub).exists(),
+      "the stale version subdir must be reclaimed after the swap")
+    val after = neighborSets(Hnsw.probeStreaming(queries, dir, 4,
+      "vec_id", "embedding", k, ef = 96))
+    assert(after == before, "a re-save of the same index must answer identically")
+  }
+
+  test("probeStreaming packs one shard per task — no balls-in-bins collision caps parallelism") {
+    val dir = java.nio.file.Files.createTempDirectory("hnsw-pack").toString
+    val shards = 6
+    Hnsw.saveShardedIndex(Hnsw.buildShardedIndex(corpus, "vec_id",
+      "embedding", shards = shards, m = 8, efConstruction = 64), dir)
+    // count distinct shards served per task by instrumenting the same
+    // fan-out the probe uses: identity partitioning on the shard id
+    // must put exactly one shard's stream in each partition
+    import spark.implicits._
+    val perPartition = queries
+      .select(org.apache.spark.sql.functions.col("vec_id").cast("long"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .as[(Long, Array[Float])]
+      .rdd
+      .flatMap { case (id, v) => (0 until shards).map(s => (s, (id, v))) }
+      .partitionBy(new org.apache.spark.Partitioner {
+        def numPartitions: Int = shards
+        def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .mapPartitionsWithIndex { (pid, it) =>
+        Iterator.single(pid -> it.map(_._1).toSet)
+      }
+      .collect().toMap
+    perPartition.foreach { case (pid, served) =>
+      assert(served.subsetOf(Set(pid)),
+        s"partition $pid serves shards $served — must serve exactly itself")
+    }
+    assert(perPartition.values.count(_.nonEmpty) == shards,
+      "every shard must land in its own task")
+    // and the end-to-end probe over that layout stays correct
+    val got = neighborSets(Hnsw.probeStreaming(queries, dir, shards,
+      "vec_id", "embedding", k, ef = 96))
+    val want = neighborSets(
+      Similarity.bruteForceTopK(queries, corpus, "embedding", "vec_id", k))
+    val recalls = want.map { case (q, ws) => (got(q) & ws).size.toDouble / ws.size }
+    assert(recalls.sum / recalls.size >= 0.9)
+  }
+
+  test("buildShardedIndex pre-flight refuses an under-sharded build, naming the shard count that fits") {
+    // 500 vectors x 64 dims ≈ (256 + 128 + 96) B each; a 10 KiB budget
+    // cannot hold them in 2 shards — the guard must say how many would
+    val e = intercept[IllegalArgumentException] {
+      Hnsw.buildShardedIndex(corpus, "vec_id", "embedding", shards = 2,
+        maxShardBytes = 10240)
+    }
+    assert(e.getMessage.contains("shards >="),
+      s"the refusal must suggest a shard count: ${e.getMessage}")
+    val suggested = "shards >= ([0-9]+)".r
+      .findFirstMatchIn(e.getMessage).get.group(1).toInt
+    // the suggestion must actually fit the budget
+    val n = corpus.count()
+    val perVec = 4 * 64 + 16 * 8 + 96
+    assert((n + suggested - 1) / suggested * perVec <= 10240,
+      s"suggested $suggested shards still exceed the budget")
+    // maxShardBytes <= 0 skips the guard
+    assert(Hnsw.buildShardedIndex(corpus, "vec_id", "embedding",
+      shards = 2, maxShardBytes = 0).count() == 2)
+  }
+
   test("level assignment is geometric-ish and reproducible") {
     val ls = (0L until 10000L).map(Hnsw.levelOf(_, 8))
     assert(ls == (0L until 10000L).map(Hnsw.levelOf(_, 8)))

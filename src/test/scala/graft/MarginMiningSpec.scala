@@ -121,19 +121,26 @@ class MarginMiningSpec extends SparkSpec {
     }
     // a STALE format marker (an index dir left by a build with a
     // different graph codec) gates reuse: the call rebuilds instead
-    // of deserializing garbage, and restamps the marker
-    val marker = new java.io.File(s"$dir/tgt", "_graft_hnsw_format")
+    // of deserializing garbage, and republishes a fresh layout
+    def curSub(root: String): java.io.File = {
+      val ptr = new java.io.File(root, "_graft_hnsw_current")
+      new java.io.File(root, new String(
+        java.nio.file.Files.readAllBytes(ptr.toPath), "UTF-8").trim)
+    }
+    val marker = new java.io.File(curSub(s"$dir/tgt"), "_graft_hnsw_format")
     java.nio.file.Files.writeString(marker.toPath, "0")
     // the raw write bypassed Hadoop's checksum sidecar — drop it so
     // the LocalFS read sees the tampered content, not a crc error
-    new java.io.File(s"$dir/tgt", "._graft_hnsw_format.crc").delete()
+    new java.io.File(curSub(s"$dir/tgt"), "._graft_hnsw_format.crc").delete()
     val remined = Similarity.marginMiningAnn(src, tgt1, "embedding",
       "vec_id", dir, k = 4, pool = 8, topPairs = 1, shards = 3,
       ef = 512, reuseIndexes = true).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(remined(0L) == 100001L, "stale-format rebuild lost the twins")
-    assert(java.nio.file.Files.readString(marker.toPath).trim == "1",
-      "the rebuild did not restamp the format marker")
+    val restamped = new java.io.File(curSub(s"$dir/tgt"), "_graft_hnsw_format")
+    assert(java.nio.file.Files.readAllLines(restamped.toPath)
+      .get(0).trim == "2",
+      "the rebuild did not republish a current-format layout")
   }
 
   test("margin normalizes cosine inflation: identical pairs score ~2/(1+meanK), never a fixed 1.0") {
