@@ -154,6 +154,9 @@ object SparkEntry {
       GraftSession.withTables(s, dir).sql(LateralTopNQuery)),
     "etl_json_extract" -> (Etl.jsonExtract _),
     "etl_dedup_append" -> (Etl.dedupAppend _),
+    // zero-copy adoption of a real _delta_log (multi-commit, remove
+    // applied) — the migration path for the reference's own format
+    "etl_convert_from_delta" -> (Etl.convertFromDelta _),
     "text_token_count" -> (Text.tokenCount _),
     "text_quality" -> (Text.quality _),
     // learned quality tier, closed-form member: teacher score in
@@ -1774,6 +1777,13 @@ object SparkEntry {
         |FROM documents d
         |WHERE NOT EXISTS (SELECT 1 FROM documents e
         |                  WHERE e.doc_id = d.doc_id AND e.doc_id % 10 = 0)
+        |ORDER BY doc_id""".stripMargin,
+    // the adopted Delta live set is batches A (doc_id%3=0) and B (%3=1)
+    // — batch C was added at v1 and REMOVED at v2 of the source log
+    "etl_convert_from_delta" ->
+      """SELECT doc_id, source, n_chars
+        |FROM documents
+        |WHERE doc_id % 3 < 2
         |ORDER BY doc_id""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,

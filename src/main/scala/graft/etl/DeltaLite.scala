@@ -5100,4 +5100,46 @@ object DeltaLite {
       Nil, Map.empty, Map.empty, Nil)
     t
   }
+
+  /** CONVERT FROM DELTA: adopt a REAL Delta Lake table (a `_delta_log`
+    * of JSON actions plus optional parquet checkpoints — the
+    * reference's own table format) as a DeltaLite table METADATA-ONLY.
+    * [[DeltaInterop.snapshot]] replays add/remove/metaData actions to
+    * `versionAsOf` (default: latest) and the v0 commit re-references
+    * the live parquet files IN PLACE — zero bytes copied at any size,
+    * the migration path for an existing lake.
+    *
+    * The adopted table starts its OWN history at version 0: Delta
+    * versions below the adoption point are not time-travelable through
+    * this table (ask for them by re-adopting at `versionAsOf` to a
+    * different root — the source log stays untouched and readable).
+    * Stats are not carried (Delta's JSON stats don't round-trip into
+    * this format's typed ranges) — run [[DeltaLite.restats]] afterward
+    * to light up file skipping, the same CONVERT-then-ANALYZE workflow
+    * as [[convert]]. Partitioned, column-mapped and deletion-vector
+    * tables refuse loudly in [[DeltaInterop]] with the workaround
+    * named.
+    */
+  def convertFromDelta(spark: SparkSession, sourceDir: String, root: String,
+      versionAsOf: Option[Long] = None,
+      statsKey: Option[String] = None): DeltaLite = {
+    val snap = DeltaInterop.snapshot(spark, sourceDir, versionAsOf)
+    require(snap.partitionColumns.isEmpty,
+      s"$sourceDir is partitioned by ${snap.partitionColumns.mkString(", ")}" +
+        " — its data files lack the partition columns' bytes (the values" +
+        " live only in the log), which this table format's leaf-file" +
+        " reads require; load it with spark.read and write through a" +
+        " partition-declared table instead")
+    require(snap.files.nonEmpty,
+      s"Delta table $sourceDir has no live files at version ${snap.version}")
+    val t = new DeltaLite(spark, root, statsKey)
+    require(t.latestVersion.isEmpty,
+      s"convert target $root is already a DeltaLite table")
+    t.adoptSnapshot(snap.schema.json,
+      snap.files.map(f => (f.path, None, None, None,
+        Map.empty[String, (Option[String], Option[String])], f.size,
+        None, Map.empty[String, String])),
+      Nil, Map.empty, Map.empty, Nil)
+    t
+  }
 }

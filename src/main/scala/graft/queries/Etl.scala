@@ -38,6 +38,74 @@ object Etl {
       .orderBy($"doc_id")
   }
 
+  /** Zero-copy adoption of a REAL Delta Lake table
+    * ([[graft.etl.DeltaLite.convertFromDelta]]): a faithful
+    * `_delta_log` is synthesized over three single-file document
+    * batches (v0 adds batch A, v1 adds B and C, v2 REMOVES C — the
+    * multi-commit + remove shape of a live table), then adopted
+    * metadata-only and read back. The live set is exactly the rows
+    * with doc_id % 3 < 2, which is what the oracle derives from the
+    * flat table — a replay bug (remove not applied, batch dropped,
+    * path mis-resolved) hash-mismatches immediately. Fresh dirs each
+    * run so the log replay is actually exercised, not cached.
+    */
+  def convertFromDelta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft-delta-adopt/" +
+      s"${dir.hashCode & 0x7fffffff}"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"n_chars")
+    def land(tag: Int): (String, Long) = {
+      val stage = s"$base/stage/b$tag"
+      docs.filter($"doc_id" % 3 === tag).coalesce(1)
+        .write.parquet(stage)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      val dst = new org.apache.hadoop.fs.Path(s"$base/tbl", part.getName)
+      org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dst, false,
+        s.sparkContext.hadoopConfiguration)
+      (part.getName, fs.getFileStatus(dst).getLen)
+    }
+    val (fa, sa) = land(0); val (fb, sb) = land(1); val (fc, sc) = land(2)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def add(name: String, size: Long): String = {
+      val root = mapper.createObjectNode()
+      val a = root.putObject("add")
+      a.put("path", name); a.putObject("partitionValues")
+      a.put("size", size); a.put("modificationTime", 0L)
+      a.put("dataChange", true)
+      mapper.writeValueAsString(root)
+    }
+    val meta = {
+      val root = mapper.createObjectNode()
+      val m = root.putObject("metaData")
+      m.put("id", "graft-adopt-fixture")
+      m.putObject("format").put("provider", "parquet")
+      m.put("schemaString", docs.schema.json)
+      m.putArray("partitionColumns"); m.putObject("configuration")
+      mapper.writeValueAsString(root)
+    }
+    def commit(v: Long, lines: Seq[String]): Unit = {
+      val p = new org.apache.hadoop.fs.Path(
+        s"$base/tbl/_delta_log", f"$v%020d.json")
+      val out = fs.create(p, true)
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    commit(0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      meta, add(fa, sa)))
+    commit(1, Seq(add(fb, sb), add(fc, sc)))
+    commit(2, Seq(s"""{"remove":{"path":"$fc","deletionTimestamp":1,"dataChange":true}}"""))
+    graft.etl.DeltaLite
+      .convertFromDelta(s, s"$base/tbl", s"$base/root")
+      .read()
+      .orderBy($"doc_id")
+  }
+
   /** Data-quality expectations over the load: per-rule pass/fail
     * counts in ONE aggregate over one scan (`ops.Expectations`) — the
     * quality gate a managed pipeline attaches to every table

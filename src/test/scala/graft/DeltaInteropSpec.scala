@@ -1,0 +1,259 @@
+package graft
+
+import graft.etl.{DeltaInterop, DeltaLite}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** CONVERT FROM DELTA: zero-copy adoption of a real `_delta_log`
+  * (the open Delta protocol's JSON actions + parquet checkpoints —
+  * the reference project's own table format) into a DeltaLite table.
+  * The fixture is synthetic but faithful: 20-digit commit names, one
+  * JSON action per line, URI-relative add/remove paths, Spark
+  * schemaString, checkpoint parquet with add/metaData/protocol struct
+  * columns.
+  */
+class DeltaInteropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** One data file per call: write a single-part parquet batch under
+    * the table dir and return its relative file name.
+    */
+  private def dataFile(dir: String, rows: Seq[(Long, String)]): String = {
+    val stage = tmp("delta-stage")
+    rows.toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val name = part.getName
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(dir, name).toPath)
+    name
+  }
+
+  private def schemaString: String =
+    Seq((1L, "x")).toDF("k", "v").schema.json
+
+  private def writeCommit(dir: String, version: Long,
+      lines: Seq[String]): Unit = {
+    val log = new java.io.File(dir, "_delta_log")
+    log.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(log, f"$version%020d.json").toPath,
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+  }
+
+  private def metaAction(parts: Seq[String] = Nil,
+      conf: Map[String, String] = Map.empty): String = {
+    val root = mapper.createObjectNode()
+    val m = root.putObject("metaData")
+    m.put("id", "00000000-0000-0000-0000-000000000001")
+    val fmt = m.putObject("format")
+    fmt.put("provider", "parquet")
+    m.put("schemaString", schemaString)
+    val pc = m.putArray("partitionColumns")
+    parts.foreach(pc.add)
+    val cf = m.putObject("configuration")
+    conf.foreach { case (k, v) => cf.put(k, v) }
+    mapper.writeValueAsString(root)
+  }
+
+  private def protocolAction: String =
+    """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+
+  private def addAction(path: String, size: Long,
+      dv: Boolean = false): String = {
+    val root = mapper.createObjectNode()
+    val a = root.putObject("add")
+    a.put("path", path)
+    a.putObject("partitionValues")
+    a.put("size", size)
+    a.put("modificationTime", 1700000000000L)
+    a.put("dataChange", true)
+    if (dv) {
+      val d = a.putObject("deletionVector")
+      d.put("storageType", "u")
+      d.put("pathOrInlineDv", "ab^-aqEH.-t@S}K{vb[*k^")
+      d.put("offset", 4)
+      d.put("sizeInBytes", 40)
+      d.put("cardinality", 6)
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  private def removeAction(path: String): String =
+    s"""{"remove":{"path":"$path","deletionTimestamp":1700000000001,"dataChange":true}}"""
+
+  /** Standard three-commit fixture: v0 adds f1, v1 adds f2+f3, v2
+    * removes f2. Live at latest: f1 + f3. Returns (dir, f1, f2, f3).
+    */
+  private def fixture(): (String, String, String, String) = {
+    val dir = tmp("delta-src")
+    val f1 = dataFile(dir, (1L to 10L).map(k => (k, s"a$k")))
+    val f2 = dataFile(dir, (11L to 20L).map(k => (k, s"b$k")))
+    val f3 = dataFile(dir, (21L to 30L).map(k => (k, s"c$k")))
+    def sz(n: String) = new java.io.File(dir, n).length()
+    writeCommit(dir, 0, Seq(protocolAction, metaAction(),
+      addAction(f1, sz(f1))))
+    writeCommit(dir, 1, Seq(addAction(f2, sz(f2)), addAction(f3, sz(f3))))
+    writeCommit(dir, 2, Seq(removeAction(f2)))
+    (dir, f1, f2, f3)
+  }
+
+  test("adopts the live set of a multi-commit log with removes, byte-identical to the Delta state") {
+    val (dir, f1, f2, f3) = fixture()
+    val t = DeltaLite.convertFromDelta(spark, dir, tmp("delta-root"),
+      statsKey = Some("k"))
+    assert(t.latestVersion.contains(0))
+    // zero-copy: the live files ARE the source's f1 and f3, in place
+    val liveNames = t.liveFiles().map(p =>
+      new org.apache.hadoop.fs.Path(p).getName).toSet
+    assert(liveNames == Set(f1, f3), s"live set $liveNames")
+    val got = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = spark.read.parquet(s"$dir/$f1", s"$dir/$f3")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want, "adopted read diverges from the Delta live set")
+    assert(!got.keySet.exists(k => k >= 11L && k <= 20L),
+      "rows of the removed file leaked into the adopted snapshot")
+    // the adopted table is a full citizen (the ConvertSpec contract)
+    t.upsert(Seq((1L, "updated"), (999L, "new")).toDF("k", "v"), "k")
+    assert(t.read().count() == 21)
+    assert(t.readAsOf(0).count() == 20)
+    // Delta versions below the adoption point are NOT this table's
+    // history — travel below v0 refuses loudly
+    val e = intercept[Exception](t.readAsOf(-1))
+    assert(e.isInstanceOf[IllegalArgumentException] ||
+      e.isInstanceOf[IllegalStateException],
+      s"travel below the adoption must refuse loudly, got $e")
+    // CONVERT-then-ANALYZE: restats lights up skipping on the adopted
+    // files exactly like plain convert
+    t.restats("k")
+    assert(t.liveFileStats().exists(_._2.isDefined))
+  }
+
+  test("versionAsOf adopts an earlier Delta snapshot; bad versions refuse") {
+    val (dir, f1, f2, f3) = fixture()
+    val t1 = DeltaLite.convertFromDelta(spark, dir, tmp("delta-root-v1"),
+      versionAsOf = Some(1L))
+    assert(t1.read().count() == 30, "version 1 must still include f2")
+    val t0 = DeltaLite.convertFromDelta(spark, dir, tmp("delta-root-v0"),
+      versionAsOf = Some(0L))
+    assert(t0.read().count() == 10)
+    val e = intercept[IllegalArgumentException](
+      DeltaLite.convertFromDelta(spark, dir, tmp("delta-root-v9"),
+        versionAsOf = Some(9L)))
+    assert(e.getMessage.contains("latest: 2"))
+  }
+
+  test("checkpoint parquet splices the replay: JSON below it may be gone") {
+    val (dir, f1, f2, f3) = fixture()
+    // checkpoint at version 2 = the reconciled state (f1 + f3 live)
+    def sz(n: String) = new java.io.File(dir, n).length()
+    val addT = org.apache.spark.sql.types.StructType.fromDDL(
+      "path string, partitionValues map<string,string>, size long, " +
+        "modificationTime long, dataChange boolean")
+    val metaT = org.apache.spark.sql.types.StructType.fromDDL(
+      "id string, schemaString string, partitionColumns array<string>, " +
+        "configuration map<string,string>")
+    val protoT = org.apache.spark.sql.types.StructType.fromDDL(
+      "minReaderVersion int, minWriterVersion int")
+    val cpT = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("add", addT),
+      org.apache.spark.sql.types.StructField("metaData", metaT),
+      org.apache.spark.sql.types.StructField("protocol", protoT)))
+    import org.apache.spark.sql.Row
+    val rows = Seq(
+      Row(null, null, Row(1, 2)),
+      Row(null, Row("id-1", schemaString, Seq.empty[String],
+        Map.empty[String, String]), null),
+      Row(Row(f1, Map.empty[String, String], sz(f1), 1700000000000L, true),
+        null, null),
+      Row(Row(f3, Map.empty[String, String], sz(f3), 1700000000000L, true),
+        null, null))
+    // place as a single-part checkpoint file
+    val cpStage = tmp("cp-out")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpT)
+      .coalesce(1).write.mode("overwrite").parquet(cpStage)
+    val part = new java.io.File(cpStage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath, new java.io.File(
+      s"$dir/_delta_log", f"${2L}%020d.checkpoint.parquet").toPath)
+    // vacuum the JSON commits the checkpoint covers — and add a JSON
+    // delta ABOVE it re-adding f2
+    Seq(0L, 1L, 2L).foreach { v =>
+      new java.io.File(s"$dir/_delta_log", f"$v%020d.json").delete()
+    }
+    writeCommit(dir, 3, Seq(addAction(f2, sz(f2))))
+    val t = DeltaLite.convertFromDelta(spark, dir, tmp("delta-root-cp"))
+    assert(t.read().count() == 30,
+      "checkpoint base + JSON delta must reconstruct f1+f3+f2")
+    // a version BELOW the checkpoint with its JSON gone is unreadable
+    // and says so
+    val e = intercept[IllegalArgumentException](
+      DeltaLite.convertFromDelta(spark, dir, tmp("delta-root-cp0"),
+        versionAsOf = Some(1L)))
+    assert(e.getMessage.contains("missing"),
+      s"must refuse the vacuumed version loudly: ${e.getMessage}")
+  }
+
+  test("partitioned, column-mapped and deletion-vector tables refuse loudly by name") {
+    // partitioned
+    val dirP = tmp("delta-part")
+    val fP = dataFile(dirP, Seq((1L, "x")))
+    writeCommit(dirP, 0, Seq(protocolAction,
+      metaAction(parts = Seq("v")), addAction(fP, 1L)))
+    val eP = intercept[IllegalArgumentException](
+      DeltaLite.convertFromDelta(spark, dirP, tmp("delta-part-root")))
+    assert(eP.getMessage.contains("partitioned"), eP.getMessage)
+    // column mapping
+    val dirC = tmp("delta-cm")
+    val fC = dataFile(dirC, Seq((1L, "x")))
+    writeCommit(dirC, 0, Seq(protocolAction,
+      metaAction(conf = Map("delta.columnMapping.mode" -> "name")),
+      addAction(fC, 1L)))
+    val eC = intercept[IllegalArgumentException](
+      DeltaLite.convertFromDelta(spark, dirC, tmp("delta-cm-root")))
+    assert(eC.getMessage.contains("column mapping"), eC.getMessage)
+    // deletion vectors
+    val dirD = tmp("delta-dv")
+    val fD = dataFile(dirD, Seq((1L, "x")))
+    writeCommit(dirD, 0, Seq(protocolAction, metaAction(),
+      addAction(fD, 1L, dv = true)))
+    val eD = intercept[IllegalArgumentException](
+      DeltaLite.convertFromDelta(spark, dirD, tmp("delta-dv-root")))
+    assert(eD.getMessage.contains("deletion vectors"), eD.getMessage)
+    // reader features beyond the base protocol
+    val dirF = tmp("delta-feat")
+    val fF = dataFile(dirF, Seq((1L, "x")))
+    writeCommit(dirF, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"],"writerFeatures":[]}}""",
+      metaAction(), addAction(fF, 1L)))
+    val eF = intercept[IllegalArgumentException](
+      DeltaLite.convertFromDelta(spark, dirF, tmp("delta-feat-root")))
+    assert(eF.getMessage.contains("v2Checkpoint"), eF.getMessage)
+    // plain parquet (no _delta_log) refuses with the convert() pointer
+    val eN = intercept[IllegalArgumentException](
+      DeltaLite.convertFromDelta(spark, tmp("delta-none"),
+        tmp("delta-none-root")))
+    assert(eN.getMessage.contains("DeltaLite.convert"), eN.getMessage)
+  }
+
+  test("URI-encoded relative paths and absolute paths resolve to the same files") {
+    val dir = tmp("delta-uri")
+    val f1 = dataFile(dir, (1L to 5L).map(k => (k, s"a$k")))
+    // encode one char of the name URI-style (Delta URL-encodes paths);
+    // also reference a second file ABSOLUTELY
+    val f2 = dataFile(dir, (6L to 9L).map(k => (k, s"b$k")))
+    val enc = f1.replaceFirst("part", "p%61rt") // 'a' -> %61
+    writeCommit(dir, 0, Seq(protocolAction, metaAction(),
+      addAction(enc, new java.io.File(dir, f1).length()),
+      addAction(s"$dir/$f2", new java.io.File(dir, f2).length())))
+    val t = DeltaLite.convertFromDelta(spark, dir, tmp("delta-uri-root"))
+    assert(t.read().count() == 9)
+  }
+}
