@@ -860,6 +860,71 @@ class DeltaLite(val spark: SparkSession, val root: String,
   private[graft] val entriesCollected =
     new java.util.concurrent.atomic.AtomicLong(0)
 
+  // spec hook: per-file FS round-trips made SERIALLY on the driver by
+  // the maintenance verbs (fsck probes, vacuum deletes) — at millions
+  // of files these dominate wall-clock, so past the threshold they run
+  // as a bounded-parallelism executor job and this stays 0
+  private[graft] val serialFsOps =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Path count above which fsck's existence probes and vacuum's
+    * deletes fan out to executors; below it one driver loop is
+    * strictly cheaper than a job launch. Spec hook: overridable to
+    * force either path on small fixtures.
+    */
+  protected def maintenanceDistributeThreshold: Int = 1024
+
+  /** The session's `spark.hadoop.*` settings as executor-shippable
+    * string overrides (the standard way object-store credentials reach
+    * tasks — same pattern as the HNSW side channel's shard I/O):
+    * `Configuration` itself is not serializable, a String map is.
+    */
+  private def fsTaskOverrides: Map[String, String] =
+    spark.conf.getAll.collect {
+      case (k, v) if k.startsWith("spark.hadoop.") =>
+        k.stripPrefix("spark.hadoop.") -> v
+    }
+
+  /** The subset of `paths` that does NOT exist on storage, probed by a
+    * bounded-parallelism executor job (~512 paths per task), returned
+    * in the INPUT order — byte-identical to the driver loop's answer.
+    * Semantics unchanged from the per-file probe: that per-file check
+    * IS fsck's contract; only where it runs moved.
+    */
+  private def distributedMissing(paths: Seq[String]): Seq[String] = {
+    val overrides = fsTaskOverrides
+    val slices = math.min(64, math.max(1, paths.size / 512))
+    spark.sparkContext
+      .parallelize(paths.zipWithIndex, slices)
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        overrides.foreach { case (k, v) => conf.set(k, v) }
+        it.filterNot { case (p, _) =>
+          val hp = new Path(p)
+          hp.getFileSystem(conf).exists(hp)
+        }
+      }
+      .collect().sortBy(_._2).map(_._1).toSeq
+  }
+
+  /** Delete `paths` (non-recursive, the vacuum contract) through the
+    * same bounded-parallelism job shape as [[distributedMissing]].
+    */
+  private def distributedDelete(paths: Seq[String]): Unit = {
+    val overrides = fsTaskOverrides
+    val slices = math.min(64, math.max(1, paths.size / 512))
+    spark.sparkContext
+      .parallelize(paths, slices)
+      .foreachPartition { it: Iterator[String] =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        overrides.foreach { case (k, v) => conf.set(k, v) }
+        it.foreach { p =>
+          val hp = new Path(p)
+          hp.getFileSystem(conf).delete(hp, false)
+        }
+      }
+  }
+
   // open-side facts of a lazily-indexed read at a version: (live DV
   // sidecar paths, Σ live file bytes) — ONE combined Spark job on
   // first open at a version, zero on repeats (see readIndexed).
@@ -4305,7 +4370,15 @@ class DeltaLite(val spark: SparkSession, val root: String,
     */
   def vacuum(retainVersions: Int = 1): Seq[String] = {
     val doomed = vacuumCandidates(retainVersions)
-    doomed.foreach(p => fs.delete(new Path(p), false))
+    // past the threshold the per-file deletes fan out to executors —
+    // a million-file reclaim must not be a million serial driver
+    // round-trips; same doomed set, same return value either way
+    if (doomed.size >= maintenanceDistributeThreshold)
+      distributedDelete(doomed)
+    else doomed.foreach { p =>
+      serialFsOps.incrementAndGet()
+      fs.delete(new Path(p), false)
+    }
     doomed
   }
 
@@ -4457,9 +4530,12 @@ class DeltaLite(val spark: SparkSession, val root: String,
     * that no longer exist on storage (deleted out-of-band) so reads
     * stop failing on them. One existence probe per live file — that IS
     * fsck's contract (an explicit repair scan, never on the read
-    * path). `dryRun` lists the missing paths without repairing.
-    * Returns the missing paths; repair publishes one metadata commit
-    * removing them (history keeps the un-repaired snapshots).
+    * path); past [[maintenanceDistributeThreshold]] the probes run as
+    * a bounded-parallelism executor job instead of a serial driver
+    * loop (same answer, same order). `dryRun` lists the missing paths
+    * without repairing. Returns the missing paths; repair publishes
+    * one metadata commit removing them (history keeps the un-repaired
+    * snapshots).
     */
   def fsck(dryRun: Boolean = false): Seq[String] =
     fsckImpl(dryRun, useDf = true)
@@ -4486,7 +4562,16 @@ class DeltaLite(val spark: SparkSession, val root: String,
             .select(col("path")).collect().map(_.getString(0)).toSeq
         case None => liveEntries(cs).map(_.path)
       }
-    val missing = livePaths.filterNot(p => fs.exists(new Path(p)))
+    // the per-file existence probe fans out to executors past the
+    // threshold (the fold twin keeps the driver loop — it is the
+    // byte-identical reference the parity spec compares against)
+    val missing =
+      if (useDf && livePaths.size >= maintenanceDistributeThreshold)
+        distributedMissing(livePaths)
+      else livePaths.filterNot { p =>
+        serialFsOps.incrementAndGet()
+        fs.exists(new Path(p))
+      }
     if (missing.isEmpty || dryRun) return missing
     // a "rewrite" with no replacement files: replay drops the refs;
     // cdc stays None so a change feed across the repair degrades

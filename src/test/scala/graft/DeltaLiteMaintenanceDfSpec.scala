@@ -42,14 +42,63 @@ class DeltaLiteMaintenanceDfSpec extends SparkSpec {
     assert(doomed == v0Files, s"doomed diverged: $doomed vs $v0Files")
 
     // fsck DRY RUN: the 100k adopted paths never existed — all missing,
-    // in live (idx) order, still zero entry loads
+    // in live (idx) order, still zero entry loads AND zero serial
+    // driver FS probes (100k paths >> threshold → the probes ran as a
+    // bounded-parallelism executor job)
     val missing = t2.fsck(dryRun = true)
     assert(t2.entryLoads.get() == 0,
       s"fsck drove ${t2.entryLoads.get()} entry loads")
+    assert(t2.serialFsOps.get() == 0,
+      s"fsck made ${t2.serialFsOps.get()} serial driver FS probes at " +
+        "100k files — the probe loop did not distribute")
     // adoptStreamEpoch publishes its files lexically sorted — live
     // (idx) order is the sorted order
     assert(missing == many.map(_._1).sorted, "fsck probe set diverged " +
       "from the adopted epoch's live order")
+  }
+
+  test("distributed probe/delete parity: forced distribution answers byte-identically to the driver loop and leaves zero serial FS ops") {
+    val root = tmp("graft-maint-dist")
+    def handle(threshold: Int) = new DeltaLite(spark, root, Some("k")) {
+      override protected def maintenanceDistributeThreshold: Int = threshold
+    }
+    val t = handle(Int.MaxValue)
+    t.append(batch(0, 10))     // v0
+    t.overwrite(batch(50, 10)) // v1: v0's files doomed at retain=1
+    t.append(batch(70, 5))     // v2
+    // out-of-band deletion for the fsck half
+    val victim = t.commitInfo(2)._2.head
+    val victimRows = spark.read.parquet(victim).count()
+    assert(new java.io.File(
+      new org.apache.hadoop.fs.Path(victim).toUri.getPath).delete())
+    // fsck: driver loop (high threshold) vs distributed (threshold 1)
+    val serial = handle(Int.MaxValue)
+    val missSerial = serial.fsck(dryRun = true)
+    assert(serial.serialFsOps.get() > 0,
+      "reference run did not exercise the driver loop — parity vacuous")
+    val dist = handle(1)
+    val missDist = dist.fsck(dryRun = true)
+    assert(dist.serialFsOps.get() == 0,
+      s"forced-distributed fsck still made ${dist.serialFsOps.get()} " +
+        "serial driver probes")
+    assert(missDist == missSerial && missDist == Seq(victim),
+      s"distributed fsck diverged: $missDist vs $missSerial")
+    // repair (drops the dangling reference) so the post-vacuum read
+    // has a consistent live set to verify against
+    assert(handle(Int.MaxValue).fsck() == Seq(victim))
+    // vacuum: same doomed set through the distributed delete, files
+    // actually reclaimed, zero serial driver deletes
+    val expected = handle(Int.MaxValue).vacuumCandidates(1)
+    assert(expected.nonEmpty)
+    val vd = handle(1)
+    val deleted = vd.vacuum(1)
+    assert(vd.serialFsOps.get() == 0,
+      s"forced-distributed vacuum made ${vd.serialFsOps.get()} serial deletes")
+    assert(deleted == expected)
+    expected.foreach(p => assert(!new java.io.File(
+      new org.apache.hadoop.fs.Path(p).toUri.getPath).exists(),
+      s"$p survived the distributed vacuum"))
+    assert(handle(Int.MaxValue).read().count() == 15 - victimRows)
   }
 
   test("mixed history (checkpoint, DVs, restats, overwrite): DF path is byte-identical to the driver fold at several retentions") {
