@@ -155,11 +155,15 @@ object GenData {
         (hmod(25, 103, seed) + 7).cast("int")),
         i => element_at(vocabCol,
           (hmod(26, Vocab.size.toLong, seed, i) + 1).cast("int"))), " ")
+    // duplicate SOURCES are restricted to ids < 1000 — those always
+    // take the otherwise branch, so their stored text IS textOf(id);
+    // an id-relative source (id-500) could itself be a plant whose
+    // stored text differs, silently shaving the stated plant rates
     val baseDoc = spark.range(nDocs).select(col("id").as("doc_id"),
       when(col("id") >= 1000 && hmod(27, 312, col("id")) === 0,
-        textOf(col("id") - 500)) // exact duplicate of an earlier doc
+        textOf(hmod(90, 1000, col("id")))) // exact duplicate of an early doc
         .when(col("id") >= 1000 && hmod(28, 200, col("id")) === 0,
-          concat(textOf(col("id") - 700), lit(" extra"))) // near-dup
+          concat(textOf(hmod(91, 1000, col("id"))), lit(" extra"))) // near-dup
         .otherwise(textOf(col("id"))).as("text"),
       element_at(array(Seq("en", "en", "en", "en", "de", "zh", "fr",
         "es").map(lit): _*), (hmod(29, 8, col("id")) + 1).cast("int"))
@@ -167,13 +171,21 @@ object GenData {
       concat(lit("src"), hmod(30, 20, col("id"))).as("source"))
     write(baseDoc.withColumn("n_chars", length(col("text"))), "documents")
 
-    // embeddings: 10 hash-derived centroids in 64-dim, float noise —
-    // the cluster structure IVF/semdedup/knn timings depend on
+    // embeddings: 10 hash-derived centroids in 64-dim plus per-vector
+    // noise of the SAME magnitude as the centroid — intra-cluster
+    // cosine lands near 0.5 (clusters stay clearly separable for
+    // IVF/semdedup cell assignment: inter-cluster ≈ 0) while staying
+    // FAR below the 0.95 near-dup threshold, so the only pairs the
+    // dedup/near-pair keys find are the ones their queries PLANT.
+    // This calibrates the family's near-pair density to the driver's
+    // (whose base corpus contributes ~zero ≥0.95 pairs); the earlier
+    // ±0.25 noise put intra-cluster cosine at ~0.94 and made the
+    // output-bound keys' answers ~5000x denser than the gate's.
     write(spark.range(nEmb).select(col("id").as("vec_id"),
       transform(sequence(lit(0), lit(63)), i =>
         ((hmod(31, 2000, pmod(col("id"), lit(10)), i).cast("double")
           / 1000.0 - 1.0) +
-          (hmod(32, 500, col("id"), i).cast("double") / 1000.0 - 0.25))
+          (hmod(32, 2000, col("id"), i).cast("double") / 1000.0 - 1.0))
           .cast("float")).as("embedding"),
       pmod(col("id"), lit(10)).cast("int").as("label")), "embeddings")
 

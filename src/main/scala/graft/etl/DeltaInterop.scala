@@ -279,4 +279,54 @@ object DeltaInterop {
     }
     Snapshot(target, schema, partitionCols, configuration, files)
   }
+
+  /** READ-ONLY DataFrame over a Delta table — including PARTITIONED
+    * tables, the case [[DeltaLite.convertFromDelta]] refuses to adopt
+    * (partition column bytes live only in the log). Files group by
+    * their partition-value tuple; each group scans with the partition
+    * columns injected as typed literals (cast from the log's string
+    * encoding through the declared schema — the same resolution Delta
+    * readers perform), and the groups union. Distinct-tuple count
+    * bounds the plan (one scan node per tuple — fine for the
+    * date/region-partitioned norm; a degenerate million-tuple layout
+    * refuses loudly rather than building a million-legged union).
+    * Column order and names match the declared schema, so a migrating
+    * user's queries run unchanged.
+    */
+  def readDelta(spark: SparkSession, tableDir: String,
+      versionAsOf: Option[Long] = None,
+      maxPartitionTuples: Int = 10000): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val snap = snapshot(spark, tableDir, versionAsOf)
+    require(snap.files.nonEmpty,
+      s"Delta table $tableDir has no live files at version ${snap.version}")
+    if (snap.partitionColumns.isEmpty)
+      return spark.read.schema(snap.schema)
+        .parquet(snap.files.map(_.path): _*)
+        .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+    val dataSchema = StructType(snap.schema.fields.filterNot(f =>
+      snap.partitionColumns.contains(f.name)))
+    val byTuple = snap.files.groupBy(f =>
+      snap.partitionColumns.map(c => f.partitionValues.getOrElse(c, null)))
+    require(byTuple.size <= maxPartitionTuples,
+      s"$tableDir has ${byTuple.size} distinct partition tuples — " +
+        s"above the $maxPartitionTuples-scan-legs bound; raise " +
+        "maxPartitionTuples or rewrite through a partition-declared table")
+    val parts = byTuple.toSeq.sortBy(_._1.map(String.valueOf).mkString(" "))
+    val legs = parts.map { case (tuple, fs) =>
+      val base = spark.read.schema(dataSchema).parquet(fs.map(_.path): _*)
+      // inject each partition column as a literal cast to its declared
+      // type (Delta encodes values as strings; null = the null/default
+      // partition — Delta's __HIVE_DEFAULT_PARTITION__ arrives as null
+      // in partitionValues)
+      snap.partitionColumns.zip(tuple).foldLeft(base) {
+        case (df, (c, v)) =>
+          val f = snap.schema(c)
+          df.withColumn(c,
+            (if (v == null) lit(null) else lit(v)).cast(f.dataType))
+      }
+    }
+    legs.reduce(_ unionByName _)
+      .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
 }

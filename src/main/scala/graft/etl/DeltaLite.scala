@@ -5213,7 +5213,8 @@ object DeltaLite {
       s"$sourceDir is partitioned by ${snap.partitionColumns.mkString(", ")}" +
         " — its data files lack the partition columns' bytes (the values" +
         " live only in the log), which this table format's leaf-file" +
-        " reads require; load it with spark.read and write through a" +
+        " reads require; read it with DeltaInterop.readDelta (partition" +
+        " values injected from the log) and write through a" +
         " partition-declared table instead")
     require(snap.files.nonEmpty,
       s"Delta table $sourceDir has no live files at version ${snap.version}")

@@ -256,7 +256,16 @@ object Text {
       .orderBy($"vertex")
   }
 
-  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingKnobs(s, dir, planes = 6, tables = 12)
+
+  /** Knob-parameterized twin of [[dedupEmbedding]] (see
+    * [[graft.ScaleKnobs]]): the gate key pins (6, 12); scale runs
+    * raise `planes` with corpus size — the documented LSH-candidate
+    * control.
+    */
+  def dedupEmbeddingKnobs(s: SparkSession, dir: String, planes: Int,
+      tables: Int): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
     // additive perturbation — multiplicative would be cosine-invariant
@@ -267,7 +276,7 @@ object Text {
           when(i % 7 === 0, lit(0.05)).otherwise(lit(-0.01))))
     val base = emb.withColumn("embedding", $"embedding".cast("array<double>"))
     Dedup.embeddingPairs(base.unionAll(planted), "embedding", "vec_id",
-      threshold = 0.95)
+      threshold = 0.95, planes = planes, tables = tables)
       .select($"id_a", $"id_b", round($"cosine", 6).as("cosine"))
       .orderBy($"id_a", $"id_b")
   }
@@ -307,7 +316,11 @@ object Text {
       .select($"doc_id", posexplode(split($"text", "\\. ")).as(Seq("pos", "line")))
     val counts = lines.groupBy($"line")
       .agg(countDistinct($"doc_id").as("n_docs"))
-    lines.join(counts, "line")
+    // the per-sentence counts are corpus-sized — pin a sort-merge join
+    // so a size mis-estimate can never broadcast them (the n_docs <= 2
+    // predicate needs the true distinct count, so the min≠max window
+    // trick of the span detectors does not apply here)
+    lines.join(counts.hint("merge"), "line")
       .filter($"n_docs" <= 2)
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_kept"),
@@ -653,11 +666,14 @@ object Text {
     * whose text occurs in ≥ 2 DISTINCT documents, report per-document
     * total and duplicated span counts. Scale: the window explode is
     * map-side codegen (`sequence`/`transform` — no UDF), span identity
-    * travels as a 128-bit md5 (never the window text), duplicate
-    * detection is ONE hash-groupBy with map-side partial aggregation,
-    * and the mark-back is a shuffle join on the hash — never an
-    * all-pairs comparison, no driver state, no broadcast of the
-    * corpus.
+    * travels as a 128-bit md5 (never the window text), and duplicate
+    * detection is a WINDOW over the hash partition (≥ 2 distinct docs
+    * ⟺ min(doc) ≠ max(doc)) — ONE shuffle of the span stream, one
+    * span generation, no join at all; the old groupBy-then-join-back
+    * shape generated the spans twice and let the planner BROADCAST
+    * the duplicated-hash set, whose size is data-dependent and
+    * unbounded (it OOM'd a ×30 scale run — the fatal-at-100 TB
+    * plan this rewrite removes). No all-pairs, no driver state.
     */
   def dupSpans(s: SparkSession, dir: String): DataFrame =
     dupSpansOn(Tables.documents(s, dir).select(col("doc_id"), col("text")))
@@ -676,10 +692,12 @@ object Text {
           s", i -> substring(text, i * $st + 1, $w))"))
         .otherwise(array($"text"))).as("span"))
     val hashed = spans.select($"doc_id", md5($"span").as("h"))
-    val dup = hashed.groupBy($"h")
-      .agg(countDistinct($"doc_id").as("nd"))
-      .where($"nd" >= 2).select($"h", lit(1).as("dup"))
-    hashed.join(dup, Seq("h"), "left")
+    // ≥2 distinct docs share h ⟺ min(doc) ≠ max(doc) over the h
+    // partition — the countDistinct ≥ 2 predicate without a join
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy($"h")
+    hashed
+      .withColumn("dup", when(
+        min($"doc_id").over(wh) =!= max($"doc_id").over(wh), 1))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_spans"), count($"dup").as("n_dup"))
       .orderBy($"doc_id")
@@ -726,9 +744,16 @@ object Text {
           s"i -> named_struct('s', i, 'h', xxhash64(substring(text, i + 1, $w))))"))
         .as("g"))
       .select($"doc_id", $"g.s".as("s"), $"g.h".as("h"))
-    val dup = hashed.groupBy($"h")
-      .agg(countDistinct($"doc_id").as("nd")).where($"nd" >= 2).select($"h")
-    val fl = hashed.join(dup, "h").select($"doc_id", $"s", ($"s" + w).as("e"))
+    // duplicated gram (≥2 distinct docs) ⟺ min(doc) ≠ max(doc) over
+    // the h partition: ONE shuffle of the gram stream, one gram
+    // generation, and no data-dependent duplicated-set join the
+    // planner could fatally broadcast at corpus scale (see dupSpansOn)
+    val wh = Window.partitionBy($"h")
+    val fl = hashed
+      .withColumn("dmin", min($"doc_id").over(wh))
+      .withColumn("dmax", max($"doc_id").over(wh))
+      .where($"dmin" =!= $"dmax")
+      .select($"doc_id", $"s", ($"s" + w).as("e"))
     val byDoc = Window.partitionBy($"doc_id").orderBy($"s")
     fl.withColumn("pmax",
         max($"e").over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
@@ -766,9 +791,14 @@ object Text {
           s"i -> named_struct('s', i * $st, 'h', md5(substring(text, i * $st + 1, $w))))"))
         .as("sp"))
       .select($"doc_id", $"sp.s".as("s"), $"sp.h".as("h"))
-    val dup = hashed.groupBy($"h")
-      .agg(countDistinct($"doc_id").as("nd")).where($"nd" >= 2).select($"h")
-    val fl = hashed.join(dup, "h")
+    // duplicated window (≥2 distinct docs) ⟺ min(doc) ≠ max(doc) over
+    // the h partition — no duplicated-set join to mis-broadcast at
+    // corpus scale (see dupSpansOn), one shuffle, one hash generation
+    val whDup = Window.partitionBy($"h")
+    val fl = hashed
+      .withColumn("dmin", min($"doc_id").over(whDup))
+      .withColumn("dmax", max($"doc_id").over(whDup))
+      .where($"dmin" =!= $"dmax")
       .select($"doc_id", $"s", ($"s" + w).as("e"))
     val byDoc = Window.partitionBy($"doc_id").orderBy($"s")
     val iv = fl
@@ -819,9 +849,14 @@ object Text {
           s"i -> named_struct('s', i, 'h', xxhash64(substring(text, i + 1, $w))))"))
         .as("sp"))
       .select($"doc_id", $"sp.s".as("s"), $"sp.h".as("h"))
-    val dup = hashed.groupBy($"h")
-      .agg(countDistinct($"doc_id").as("nd")).where($"nd" >= 2).select($"h")
-    val fl = hashed.join(dup, "h")
+    // duplicated window (≥2 distinct docs) ⟺ min(doc) ≠ max(doc) over
+    // the h partition — no duplicated-set join to mis-broadcast at
+    // corpus scale (see dupSpansOn), one shuffle, one hash generation
+    val whDup = Window.partitionBy($"h")
+    val fl = hashed
+      .withColumn("dmin", min($"doc_id").over(whDup))
+      .withColumn("dmax", max($"doc_id").over(whDup))
+      .where($"dmin" =!= $"dmax")
       .select($"doc_id", $"s", ($"s" + w).as("e"))
     val byDoc = Window.partitionBy($"doc_id").orderBy($"s")
     val iv = fl
@@ -873,9 +908,13 @@ object Text {
     val win = Window.partitionBy($"doc_id").orderBy($"pos").rowsBetween(-3, 0)
     val fp = kg.withColumn("mh", min($"h").over(win)).where($"pos" >= 3)
       .select($"doc_id", $"mh").distinct()
-    val shared = fp.groupBy($"mh").agg(count(lit(1)).as("ns"))
-      .where($"ns" >= 2).select($"mh", lit(1).as("sh"))
-    fp.join(shared, Seq("mh"), "left").groupBy($"doc_id")
+    // fp rows are DISTINCT (doc, mh), so "≥2 rows share mh" ⟺ ≥2
+    // distinct docs ⟺ min(doc) ≠ max(doc) over the mh partition — the
+    // shared-set join (broadcast hazard at corpus scale) disappears
+    val wm = Window.partitionBy($"mh")
+    fp.withColumn("sh", when(
+        min($"doc_id").over(wm) =!= max($"doc_id").over(wm), 1))
+      .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_fp"), count($"sh").as("n_shared"))
       .orderBy($"doc_id")
   }
@@ -969,7 +1008,9 @@ object Text {
     val cnt = tok.groupBy($"doc_id").agg(count(lit(1)).as("n_tok"))
     val newc = tok.groupBy($"token").agg(min($"doc_id").as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n_new"))
-    val perDoc = cnt.join(newc, Seq("doc_id"), "left")
+    // both sides are |docs|-sized aggregates — pin sort-merge so a
+    // mis-estimate can never broadcast a corpus-sized set
+    val perDoc = cnt.join(newc.hint("merge"), Seq("doc_id"), "left")
       .select($"doc_id", $"n_tok",
         coalesce($"n_new", lit(0L)).as("n_new"))
       .withColumn("g", lit(1))

@@ -190,10 +190,20 @@ object Vectors {
     * fully oracled like [[annLsh]]; recall vs brute force spec'd in
     * SimilaritySpec.
     */
-  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+  def knnGraph(s: SparkSession, dir: String): DataFrame =
+    knnGraphKnobs(s, dir, planes = 5, tables = 8)
+
+  /** Knob-parameterized twin of [[knnGraph]] — the scale experiment's
+    * entry ([[graft.ScaleKnobs]]): `planes` is THE production control
+    * for the LSH-candidate volume (buckets halve per plane; raise it
+    * with corpus size so per-bucket pairs stay bounded). The gate key
+    * pins (5, 8).
+    */
+  def knnGraphKnobs(s: SparkSession, dir: String, planes: Int,
+      tables: Int): DataFrame = {
     import s.implicits._
     Similarity.knnGraphMd5(Tables.embeddings(s, dir), "embedding", "vec_id",
-      k = 3, planes = 5, tables = 8)
+      k = 3, planes = planes, tables = tables)
       .select($"query_id", $"rank", $"neighbor_id",
         round($"cosine", 6).as("cosine"))
       .orderBy($"query_id", $"rank")

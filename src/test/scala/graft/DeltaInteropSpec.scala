@@ -243,6 +243,54 @@ class DeltaInteropSpec extends SparkSpec {
     assert(eN.getMessage.contains("DeltaLite.convert"), eN.getMessage)
   }
 
+  test("readDelta serves a PARTITIONED table read-only: partition values injected from the log as typed columns") {
+    val dir = tmp("delta-readpart")
+    // two partitions of (k BIGINT, v STRING, region STRING) where the
+    // DATA files carry only (k, v) — region lives in the log, the
+    // faithful Delta layout convertFromDelta refuses
+    val fE = dataFile(dir, (1L to 5L).map(k => (k, s"e$k")))
+    val fW = dataFile(dir, (6L to 9L).map(k => (k, s"w$k")))
+    val partSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k bigint, v string, region string").json
+    val meta = {
+      val root = mapper.createObjectNode()
+      val m = root.putObject("metaData")
+      m.put("id", "part-fixture")
+      m.putObject("format").put("provider", "parquet")
+      m.put("schemaString", partSchema)
+      m.putArray("partitionColumns").add("region")
+      m.putObject("configuration")
+      mapper.writeValueAsString(root)
+    }
+    def addPart(name: String, region: String): String = {
+      val root = mapper.createObjectNode()
+      val a = root.putObject("add")
+      a.put("path", name)
+      a.putObject("partitionValues").put("region", region)
+      a.put("size", new java.io.File(dir, name).length())
+      a.put("modificationTime", 0L); a.put("dataChange", true)
+      mapper.writeValueAsString(root)
+    }
+    writeCommit(dir, 0, Seq(protocolAction, meta,
+      addPart(fE, "east"), addPart(fW, "west")))
+    val df = DeltaInterop.readDelta(spark, dir)
+    assert(df.schema.fieldNames.toSeq == Seq("k", "v", "region"),
+      "declared schema order must be preserved")
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val want = ((1L to 5L).map(k => (k, s"e$k", "east")) ++
+      (6L to 9L).map(k => (k, s"w$k", "west"))).toSet
+    assert(got == want, s"partition injection diverged: $got")
+    // the adoption refusal names this read path
+    val e = intercept[IllegalArgumentException](
+      DeltaLite.convertFromDelta(spark, dir, tmp("delta-readpart-root")))
+    assert(e.getMessage.contains("readDelta"), e.getMessage)
+    // a degenerate tuple count refuses rather than building the union
+    val eT = intercept[IllegalArgumentException](
+      DeltaInterop.readDelta(spark, dir, maxPartitionTuples = 1))
+    assert(eT.getMessage.contains("partition tuples"), eT.getMessage)
+  }
+
   test("URI-encoded relative paths and absolute paths resolve to the same files") {
     val dir = tmp("delta-uri")
     val f1 = dataFile(dir, (1L to 5L).map(k => (k, s"a$k")))
