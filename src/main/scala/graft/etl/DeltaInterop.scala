@@ -173,8 +173,26 @@ object DeltaInterop {
 
     // ---- base state from the checkpoint parquet, if any
     base.foreach { v =>
-      val parts = names.filter(n => checkpointVersion(n).contains(v))
-        .map(n => new Path(log, n).toString)
+      val partNames = names.filter(n => checkpointVersion(n).contains(v))
+      // multi-part completeness: each part file carries its total in
+      // the name (n.checkpoint.<part>.<of>.parquet) — reading whatever
+      // parts happen to exist would silently replay from a partial
+      // base state and adopt a live set missing files
+      val multiRe = "\\d{20}\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet".r
+      val multi = partNames.collect { case multiRe(p, of) => (p.toInt, of.toInt) }
+      if (multi.nonEmpty) {
+        val of = multi.head._2
+        require(multi.map(_._2).distinct == Seq(of) &&
+          multi.map(_._1).sorted == (1 to of).toList,
+          s"checkpoint $v of $tableDir is incomplete: have parts " +
+            s"${multi.map(_._1).sorted.mkString(",")} of $of — " +
+            "interrupted checkpoint write or partial copy; replay " +
+            "cannot proceed from a torn base")
+        require(multi.size == partNames.size,
+          s"checkpoint $v of $tableDir mixes single- and multi-part " +
+            "files — torn layout")
+      }
+      val parts = partNames.map(n => new Path(log, n).toString)
       val cp = spark.read.parquet(parts: _*)
       val cols = cp.schema.fieldNames.toSet
       if (cols.contains("protocol")) {

@@ -5208,6 +5208,20 @@ object DeltaLite {
   def convertFromDelta(spark: SparkSession, sourceDir: String, root: String,
       versionAsOf: Option[Long] = None,
       statsKey: Option[String] = None): DeltaLite = {
+    // IN-PLACE adoption is refused: with root == sourceDir (or the
+    // source nested under root) the adopted data files live under the
+    // table's own root, where vacuum's own-prefix guard would happily
+    // reclaim them after an overwrite — destroying the still-readable
+    // source Delta table. A SIDE root keeps the files foreign to
+    // vacuum forever (the shallow-clone contract), at the same zero
+    // copy cost.
+    def normD(p: String) = new Path(p).toUri.getPath.stripSuffix("/")
+    require(normD(sourceDir) != normD(root) &&
+      !(normD(sourceDir) + "/").startsWith(normD(root) + "/"),
+      s"convertFromDelta target $root contains the source Delta table " +
+        s"$sourceDir — adopt to a SIDE root instead (zero-copy either " +
+        "way); in-place adoption would let vacuum reclaim the source's " +
+        "data files")
     val snap = DeltaInterop.snapshot(spark, sourceDir, versionAsOf)
     require(snap.partitionColumns.isEmpty,
       s"$sourceDir is partitioned by ${snap.partitionColumns.mkString(", ")}" +

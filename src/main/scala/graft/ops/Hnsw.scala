@@ -288,19 +288,31 @@ object Hnsw {
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("v"))
     if (maxShardBytes > 0) {
-      val head = rows.select(count(lit(1)).as("n"),
-        first(size(col("v"))).as("dims")).collect()(0)
-      val n = head.getLong(0)
+      // two CHEAP actions: a column-pruned count (no vector bytes
+      // decoded) and a one-row limit for the dimensionality — a
+      // combined count+first aggregate would decode the corpus'
+      // largest column end to end just to guard it
+      val n = rows.count()
       if (n > 0) {
-        val dims = head.getInt(1)
+        val dims = rows.select(size(col("v")).as("d"))
+          .limit(1).collect()(0).getInt(0)
         val perVec = bytesPerVector(dims, m)
         val perShard = (n + shards - 1) / shards
         val est = perShard * perVec
-        require(est <= maxShardBytes,
-          s"HNSW shard budget exceeded: ~$perShard vectors/shard x " +
-            s"$perVec B/vector = $est B > $maxShardBytes B budget. " +
-            s"Use shards >= ${(n * perVec + maxShardBytes - 1) / maxShardBytes} " +
-            "(or raise maxShardBytes if the executors have the memory)")
+        if (est > maxShardBytes) {
+          // vectors that fit one shard's budget; the suggestion must
+          // itself pass the ceil(n/shards) check above
+          val fitPerShard = maxShardBytes / perVec
+          require(fitPerShard > 0,
+            s"a single vector (~$perVec B at $dims dims) exceeds the " +
+              s"$maxShardBytes B shard budget — raise maxShardBytes")
+          val suggest = (n + fitPerShard - 1) / fitPerShard
+          throw new IllegalArgumentException(
+            s"HNSW shard budget exceeded: ~$perShard vectors/shard x " +
+              s"$perVec B/vector = $est B > $maxShardBytes B budget. " +
+              s"Use shards >= $suggest (or raise maxShardBytes if the " +
+              "executors have the memory)")
+        }
       }
     }
     rows
@@ -471,11 +483,19 @@ object Hnsw {
   /** True iff `dir` holds a complete, current-format index layout —
     * the reuse gate [[Similarity.marginMiningAnn]] checks before
     * skipping a rebuild (quiet by design: "not ready" means rebuild,
-    * not fail).
+    * not fail). Completeness includes EVERY manifest-listed shard
+    * file existing: a marker-intact layout whose shard files were
+    * deleted out-of-band must rebuild here, not crash the probe
+    * mid-job later.
     */
   private[ops] def indexReady(dir: String,
       conf: org.apache.hadoop.conf.Configuration): Boolean =
-    scala.util.Try(resolveCurrent(dir, conf)).isSuccess
+    scala.util.Try {
+      val (sub, manifest) = resolveCurrent(dir, conf)
+      val fs = sub.getFileSystem(conf)
+      manifest.forall(s =>
+        fs.exists(new org.apache.hadoop.fs.Path(sub, f"shard-$s%05d.bin")))
+    }.getOrElse(false)
 
   /** Publish the index ATOMICALLY against concurrent probes: shard
     * files and marker are written COMPLETE into a fresh `v-<n>` subdir
@@ -556,8 +576,23 @@ object Hnsw {
   def loadShardedIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, fsConf: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
-    val (sub, _) = resolveCurrent(dir,
-      taskConf(sessionFsOverrides(spark) ++ fsConf))
+    val conf = taskConf(sessionFsOverrides(spark) ++ fsConf)
+    val (sub, manifest) = resolveCurrent(dir, conf)
+    // the loaded set must BE the manifest: a listed-but-absent shard
+    // loaded silently would flow through the append → save round trip
+    // and republish a valid-LOOKING layout that permanently dropped
+    // the missing shard's vectors; an unlisted extra file is equally
+    // a torn layout. Same loudness rule as the probe.
+    val present = sub.getFileSystem(conf).listStatus(sub)
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("shard-[0-9]+[.]bin") =>
+        n.stripPrefix("shard-").stripSuffix(".bin").toInt
+      }.toSet
+    require(present == manifest,
+      s"index layout at $sub is torn: manifest lists shards " +
+        s"${manifest.toSeq.sorted.mkString(",")} but the dir holds " +
+        s"${present.toSeq.sorted.mkString(",")} — concurrent re-save " +
+        "or out-of-band damage; re-save or rebuild before loading")
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "shard-*.bin").load(sub.toString)
       .select(col("path"), col("content"))

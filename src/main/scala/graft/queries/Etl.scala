@@ -51,11 +51,18 @@ object Etl {
     */
   def convertFromDelta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = s"${sys.props("java.io.tmpdir")}/graft-delta-adopt/" +
+    // per-user path in the shared tmpdir (the mineAnn hardening rule)
+    // and a VERIFIED pre-clean: building the fixture over another
+    // run's leftovers would adopt a log over mixed batches
+    val base = s"${sys.props("java.io.tmpdir")}/graft-delta-adopt-" +
+      s"${sys.props.getOrElse("user.name", "anon")}/" +
       s"${dir.hashCode & 0x7fffffff}"
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(base)),
+      s"fixture dir $base could not be cleared — refusing to adopt " +
+        "over leftovers")
     val docs = Tables.documents(s, dir)
       .select($"doc_id", $"source", $"n_chars")
     def land(tag: Int): (String, Long) = {

@@ -272,12 +272,18 @@ object Vectors {
       new String(java.nio.file.Files.readAllBytes(tagFile.toPath),
         "UTF-8").trim == tag
     if (indexDir.exists() && !tagOk) {
-      // key collision without a matching data tag — never trust it
+      // key collision without a matching data tag — never trust it,
+      // and never PROCEED if it cannot be removed (a foreign layout
+      // that survives the delete must not be mined against and then
+      // stamped trusted)
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete()
       }
       rm(indexDir)
+      require(!indexDir.exists(),
+        s"stale/foreign index layout at $indexDir could not be " +
+          "removed — refusing to mine against an untrusted side channel")
     }
     // EXACTNESS GUARD (the oracle contract): the SQL derivation is the
     // EXACT tier, so every shard search must be exhaustive — ef must

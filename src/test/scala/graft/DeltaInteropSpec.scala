@@ -241,6 +241,40 @@ class DeltaInteropSpec extends SparkSpec {
       DeltaLite.convertFromDelta(spark, tmp("delta-none"),
         tmp("delta-none-root")))
     assert(eN.getMessage.contains("DeltaLite.convert"), eN.getMessage)
+    // IN-PLACE adoption refused: with the source under the table root,
+    // a later vacuum would reclaim the source's own data files
+    val dirI = tmp("delta-inplace")
+    val fI = dataFile(dirI, Seq((1L, "x")))
+    writeCommit(dirI, 0, Seq(protocolAction, metaAction(),
+      addAction(fI, 1L)))
+    val eI = intercept[IllegalArgumentException](
+      DeltaLite.convertFromDelta(spark, dirI, dirI))
+    assert(eI.getMessage.contains("SIDE root"), eI.getMessage)
+    val eI2 = intercept[IllegalArgumentException](
+      DeltaLite.convertFromDelta(spark, dirI,
+        new java.io.File(dirI).getParent))
+    assert(eI2.getMessage.contains("SIDE root"), eI2.getMessage)
+  }
+
+  test("an incomplete multi-part checkpoint refuses loudly instead of replaying a torn base") {
+    val (dir, f1, f2, f3) = fixture()
+    // fabricate part 1-of-2 of a checkpoint at v2 (part 2 missing),
+    // then vacuum the JSON it claims to cover
+    def sz(n: String) = new java.io.File(dir, n).length()
+    val cpStage = tmp("cp-torn")
+    Seq((f1, sz(f1))).toDF("path", "size").coalesce(1)
+      .write.mode("overwrite").parquet(cpStage)
+    val part = new java.io.File(cpStage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath, new java.io.File(
+      s"$dir/_delta_log",
+      f"${2L}%020d.checkpoint.${1}%010d.${2}%010d.parquet").toPath)
+    Seq(0L, 1L, 2L).foreach { v =>
+      new java.io.File(s"$dir/_delta_log", f"$v%020d.json").delete()
+    }
+    val e = intercept[IllegalArgumentException](
+      DeltaLite.convertFromDelta(spark, dir, tmp("delta-torn-root")))
+    assert(e.getMessage.contains("incomplete"), e.getMessage)
   }
 
   test("readDelta serves a PARTITIONED table read-only: partition values injected from the log as typed columns") {

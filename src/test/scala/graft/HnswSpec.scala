@@ -185,6 +185,13 @@ class HnswSpec extends SparkSpec {
       c.isInstanceOf[IllegalStateException] &&
         c.getMessage.contains("shard-00002.bin")),
       s"the task failure must name the torn shard file: ${e.getMessage}")
+    // loadShardedIndex must refuse the same torn layout — loading it
+    // silently would flow through append → save and republish a
+    // valid-looking layout that permanently dropped shard 2's vectors
+    val eL = intercept[IllegalArgumentException] {
+      Hnsw.loadShardedIndex(spark, dir)
+    }
+    assert(eL.getMessage.contains("torn"), eL.getMessage)
   }
 
   test("re-save publishes atomically: pointer swings to a complete new layout, stale subdirs reclaimed, probes keep answering") {
