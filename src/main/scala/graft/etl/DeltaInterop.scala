@@ -41,10 +41,12 @@ object DeltaInterop {
     * `partitionValues` carries the add entry's values (non-empty only
     * on partitioned tables, which [[DeltaLite.convertFromDelta]]
     * refuses — surfaced so a caller building its own migration can see
-    * them).
+    * them); `stats` is the add action's raw per-file stats JSON
+    * (minValues/maxValues/numRecords) when the writer recorded one.
     */
   final case class AddFile(path: String,
-      partitionValues: Map[String, String], size: Option[Long])
+      partitionValues: Map[String, String], size: Option[Long],
+      stats: Option[String] = None)
 
   /** A replayed Delta snapshot: the live file set as of `version`,
     * with the schema and partitioning declared by the latest metaData
@@ -162,13 +164,14 @@ object DeltaInterop {
     }
 
     def applyAdd(path: JsonNode, pv: Map[String, String],
-        size: Option[Long], dvPresent: Boolean): Unit = {
+        size: Option[Long], dvPresent: Boolean,
+        stats: Option[String]): Unit = {
       require(!dvPresent,
         s"$tableDir carries deletion vectors — adopting would " +
           "resurrect deleted rows; run a Delta OPTIMIZE/rewrite to " +
           "materialize the deletes first")
       val abs = resolvePath(tableDir, path.asText())
-      live.put(abs, AddFile(abs, pv, size))
+      live.put(abs, AddFile(abs, pv, size, stats))
     }
 
     // ---- base state from the checkpoint parquet, if any
@@ -247,8 +250,9 @@ object DeltaInterop {
           s"$tableDir carries deletion vectors — adopting would " +
             "resurrect deleted rows; run a Delta OPTIMIZE/rewrite to " +
             "materialize the deletes first")
-        live.put(abs, AddFile(abs, pv,
-          size))
+        val st = if (fi.contains("stats") && !a.isNullAt(a.fieldIndex("stats")))
+          Some(a.getString(a.fieldIndex("stats"))) else None
+        live.put(abs, AddFile(abs, pv, size, st))
       }
     }
 
@@ -278,7 +282,8 @@ object DeltaInterop {
         if (!add.isMissingNode)
           applyAdd(add.path("path"), textMap(add.get("partitionValues")),
             Option(add.get("size")).map(_.asLong()),
-            add.hasNonNull("deletionVector"))
+            add.hasNonNull("deletionVector"),
+            Option(add.get("stats")).filter(!_.isNull).map(_.asText()))
         val rem = node.path("remove")
         if (!rem.isMissingNode)
           live.remove(resolvePath(tableDir, rem.path("path").asText()))
@@ -296,6 +301,44 @@ object DeltaInterop {
       b.result()
     }
     Snapshot(target, schema, partitionCols, configuration, files)
+  }
+
+  /** Per-column (min, max) ranges adoptable from a Delta add action's
+    * stats JSON, in the string encoding DeltaLite's range machinery
+    * expects (a Spark string cast of the value). Only types whose
+    * Delta JSON rendering is compatible with that encoding are
+    * carried: integral/floating/decimal columns (the compare is
+    * numeric, so any parseable rendering works), strings (Delta's
+    * truncated bounds remain valid BOUNDS under lexical compare —
+    * wider is conservative, never wrong) and dates (ISO is the cast
+    * form). TIMESTAMPS are skipped — Delta renders them ISO-with-Z
+    * while the cast form is session-zone "yyyy-MM-dd HH:mm:ss", and a
+    * lexically mis-ordered range would silently mis-prune upserts;
+    * restats covers them. Malformed stats adopt nothing (conservative).
+    */
+  private[graft] def adoptableRanges(statsJson: String,
+      schema: StructType): Map[String, (String, String)] = {
+    import org.apache.spark.sql.types._
+    val node =
+      try new ObjectMapper().readTree(statsJson)
+      catch { case _: Exception => return Map.empty }
+    val mins = node.path("minValues")
+    val maxs = node.path("maxValues")
+    if (!mins.isObject || !maxs.isObject) return Map.empty
+    schema.fields.flatMap { f =>
+      val safe = f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType |
+             DoubleType | FloatType | StringType | DateType => true
+        case _: DecimalType => true
+        case _ => false // timestamp, boolean, binary, nested: restats
+      }
+      val mn = mins.get(f.name)
+      val mx = maxs.get(f.name)
+      if (safe && mn != null && !mn.isNull && mn.isValueNode &&
+        mx != null && !mx.isNull && mx.isValueNode)
+        Some(f.name -> (mn.asText(), mx.asText()))
+      else None
+    }.toMap
   }
 
   /** READ-ONLY DataFrame over a Delta table — including PARTITIONED
@@ -320,6 +363,31 @@ object DeltaInterop {
       s"Delta table $tableDir has no live files at version ${snap.version}")
     if (snap.partitionColumns.isEmpty)
       return spark.read.schema(snap.schema)
+        .parquet(snap.files.map(_.path): _*)
+        .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+    // FAST PATH — hive directory layout (what standard Delta writers
+    // produce): when every file's path carries a `/<col>=<value>/`
+    // segment agreeing with its logged partitionValues, ONE parquet
+    // relation with `basePath` serves the whole table — Spark's own
+    // partition discovery injects the typed partition columns and
+    // partition FILTERS prune natively, no per-tuple union legs.
+    // Any disagreement (exotic escaping, log-only values) falls back
+    // to the always-correct union-of-literals path below.
+    def hiveSeg(path: String, c: String): Option[String] =
+      path.split('/').collectFirst {
+        case s if s.startsWith(c + "=") =>
+          try java.net.URLDecoder.decode(s.substring(c.length + 1), "UTF-8")
+          catch { case _: IllegalArgumentException => s.substring(c.length + 1) }
+      }
+    val hiveLayout = snap.files.forall { f =>
+      snap.partitionColumns.forall { c =>
+        val v = Option(f.partitionValues.getOrElse(c, null))
+          .getOrElse("__HIVE_DEFAULT_PARTITION__")
+        hiveSeg(f.path, c).contains(v)
+      }
+    }
+    if (hiveLayout)
+      return spark.read.option("basePath", tableDir).schema(snap.schema)
         .parquet(snap.files.map(_.path): _*)
         .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
     val dataSchema = StructType(snap.schema.fields.filterNot(f =>

@@ -5235,10 +5235,29 @@ object DeltaLite {
     val t = new DeltaLite(spark, root, statsKey)
     require(t.latestVersion.isEmpty,
       s"convert target $root is already a DeltaLite table")
+    // carry the source log's per-file stats where the encodings agree
+    // (DeltaInterop.adoptableRanges — numeric/string/date; timestamps
+    // et al. wait for restats): the adopted table is SKIP-READY with
+    // zero data scans, the same ranges upsert pruning reads
     t.adoptSnapshot(snap.schema.json,
-      snap.files.map(f => (f.path, None, None, None,
-        Map.empty[String, (Option[String], Option[String])], f.size,
-        None, Map.empty[String, String])),
+      snap.files.map { f =>
+        val ranges = f.stats
+          .map(DeltaInterop.adoptableRanges(_, snap.schema))
+          .getOrElse(Map.empty)
+        val primary = statsKey.flatMap(ranges.get)
+        val extras = (statsKey match {
+          case Some(k) => ranges - k
+          case None => ranges
+        }).map { case (c, (mn, mx)) =>
+          c -> (Some(mn): Option[String], Some(mx): Option[String])
+        }
+        (f.path,
+          primary.map(_._1), primary.map(_._2),
+          statsKey.filter(_ => primary.isDefined),
+          extras, f.size,
+          statsKey.filter(_ => primary.isDefined),
+          extras.keys.map(c => c -> c).toMap)
+      },
       Nil, Map.empty, Map.empty, Nil)
     t
   }

@@ -58,6 +58,27 @@ object Similarity {
     graft.functions.VectorFunctions.hyperplane_buckets(vec, planes, tables,
       seed, dim)
 
+  /** The PRODUCTION plane-count rule, as API instead of folklore:
+    * per-table candidate volume is Σ bucket², and expected bucket size
+    * ≈ n / 2^planes on spread data, so planes must grow with
+    * log2(corpus) to keep per-bucket pairs bounded —
+    * `planes = clamp(ceil(log2(n / targetBucket)), 4, 24)`. With the
+    * default target of 64 this reproduces the measured-good settings
+    * of the scale curve: ~5 at 2k vectors, 9 at 20k, 10 at 60k
+    * (SURVEY §21 knob table: planes 8-10 turned the fixed-knob
+    * quadratic into the tamed path). Tightly-clustered vectors still
+    * co-bucket regardless of plane count — the remaining candidate
+    * volume IS the answer's near-pair structure, which no bucketing
+    * can shrink.
+    */
+  def autoPlanes(corpusCount: Long, targetBucket: Int = 64): Int = {
+    require(corpusCount >= 0 && targetBucket >= 1,
+      "autoPlanes needs a non-negative count and a positive target")
+    val buckets = math.max(1.0, corpusCount.toDouble / targetBucket)
+    math.min(24, math.max(4,
+      math.ceil(math.log(buckets) / math.log(2.0)).toInt))
+  }
+
   /** Exact brute-force cosine top-k: broadcast the (small) query set,
     * one pass over candidates computing cosine map-side, then rank.
     * The only shuffle is the final per-query top-k (tiny).

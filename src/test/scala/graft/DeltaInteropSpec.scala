@@ -66,7 +66,7 @@ class DeltaInteropSpec extends SparkSpec {
     """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
 
   private def addAction(path: String, size: Long,
-      dv: Boolean = false): String = {
+      dv: Boolean = false, stats: Option[String] = None): String = {
     val root = mapper.createObjectNode()
     val a = root.putObject("add")
     a.put("path", path)
@@ -74,6 +74,7 @@ class DeltaInteropSpec extends SparkSpec {
     a.put("size", size)
     a.put("modificationTime", 1700000000000L)
     a.put("dataChange", true)
+    stats.foreach(s => a.put("stats", s))
     if (dv) {
       val d = a.putObject("deletionVector")
       d.put("storageType", "u")
@@ -256,6 +257,48 @@ class DeltaInteropSpec extends SparkSpec {
     assert(eI2.getMessage.contains("SIDE root"), eI2.getMessage)
   }
 
+  test("the source log's per-file stats carry through adoption: skip-ready with zero data scans, timestamps conservatively excluded") {
+    val dir = tmp("delta-stats")
+    val f1 = dataFile(dir, (1L to 10L).map(k => (k, s"a$k")))
+    val f3 = dataFile(dir, (21L to 30L).map(k => (k, s"c$k")))
+    def sz(n: String) = new java.io.File(dir, n).length()
+    def st(lo: Long, hi: Long, vlo: String, vhi: String) =
+      s"""{"numRecords":10,"minValues":{"k":$lo,"v":"$vlo"},""" +
+        s""""maxValues":{"k":$hi,"v":"$vhi"}}"""
+    writeCommit(dir, 0, Seq(protocolAction, metaAction(),
+      addAction(f1, sz(f1), stats = Some(st(1, 10, "a1", "a9"))),
+      addAction(f3, sz(f3), stats = Some(st(21, 30, "c21", "c30")))))
+    val t = DeltaLite.convertFromDelta(spark, dir, tmp("delta-stats-root"),
+      statsKey = Some("k"))
+    // skip-ready WITHOUT restats: every live file carries its range
+    assert(t.liveFileStats().forall(_._2.isDefined),
+      "adopted stats did not land on the entries")
+    // and the WRITE path trusts them: a point upsert into f3's range
+    // rewrites ONLY f3 (no ranges would rewrite both files)
+    t.upsert(Seq((25L, "updated")).toDF("k", "v"), "k")
+    val liveNames = t.liveFiles().map(p =>
+      new org.apache.hadoop.fs.Path(p).getName).toSet
+    assert(liveNames.contains(f1),
+      "the point upsert rewrote the disjoint file — adopted stats unused")
+    assert(!liveNames.contains(f3), "the overlapping file must rewrite")
+    val got = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(25L) == "updated" && got.size == 20 && got(1L) == "a1")
+    // type safety: timestamp ranges are conservatively NOT adopted
+    // (Delta's ISO-with-Z rendering is not the cast encoding)
+    val tsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k bigint, ts timestamp, d date, x double, s string")
+    val ranges = graft.etl.DeltaInterop.adoptableRanges(
+      """{"minValues":{"k":1,"ts":"2024-01-01T00:00:00.000Z",""" +
+        """"d":"2024-01-01","x":1.5,"s":"ab"},""" +
+        """"maxValues":{"k":9,"ts":"2024-06-01T00:00:00.000Z",""" +
+        """"d":"2024-03-01","x":2.5E8,"s":"zz"}}""", tsSchema)
+    assert(ranges.keySet == Set("k", "d", "x", "s"),
+      s"timestamp must be excluded, got ${ranges.keySet}")
+    assert(ranges("x") == ("1.5", "2.5E8") && ranges("d")._1 == "2024-01-01")
+    // malformed stats adopt nothing rather than mis-pruning
+    assert(graft.etl.DeltaInterop.adoptableRanges("not json", tsSchema).isEmpty)
+  }
+
   test("an incomplete multi-part checkpoint refuses loudly instead of replaying a torn base") {
     val (dir, f1, f2, f3) = fixture()
     // fabricate part 1-of-2 of a checkpoint at v2 (part 2 missing),
@@ -323,6 +366,63 @@ class DeltaInteropSpec extends SparkSpec {
     val eT = intercept[IllegalArgumentException](
       DeltaInterop.readDelta(spark, dir, maxPartitionTuples = 1))
     assert(eT.getMessage.contains("partition tuples"), eT.getMessage)
+  }
+
+  test("readDelta hive-layout fast path: one scan node, native partition pruning, same rows as the union path") {
+    val dir = tmp("delta-hive")
+    // standard Delta layout: files under region=<v>/ dirs, partition
+    // bytes absent from the files, values in the log AND the path
+    new java.io.File(dir, "region=east").mkdirs()
+    new java.io.File(dir, "region=west").mkdirs()
+    def landIn(sub: String, rows: Seq[(Long, String)]): String = {
+      val stage = tmp("hive-stage")
+      rows.toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(s"$dir/$sub", part.getName).toPath)
+      s"$sub/${part.getName}"
+    }
+    val fE = landIn("region=east", (1L to 5L).map(k => (k, s"e$k")))
+    val fW = landIn("region=west", (6L to 9L).map(k => (k, s"w$k")))
+    val partSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k bigint, v string, region string").json
+    val meta = {
+      val root = mapper.createObjectNode()
+      val m = root.putObject("metaData")
+      m.put("id", "hive-fixture")
+      m.putObject("format").put("provider", "parquet")
+      m.put("schemaString", partSchema)
+      m.putArray("partitionColumns").add("region")
+      m.putObject("configuration")
+      mapper.writeValueAsString(root)
+    }
+    def addPart(name: String, region: String): String = {
+      val root = mapper.createObjectNode()
+      val a = root.putObject("add")
+      a.put("path", name)
+      a.putObject("partitionValues").put("region", region)
+      a.put("size", new java.io.File(dir, name).length())
+      a.put("modificationTime", 0L); a.put("dataChange", true)
+      mapper.writeValueAsString(root)
+    }
+    writeCommit(dir, 0, Seq(protocolAction, meta,
+      addPart(fE, "east"), addPart(fW, "west")))
+    val df = DeltaInterop.readDelta(spark, dir)
+    // ONE scan node (the basePath relation), not one leg per tuple
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.split("Scan parquet").length - 1 == 1,
+      s"hive layout must plan a single scan:\n$plan")
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == ((1L to 5L).map(k => (k, s"e$k", "east")) ++
+      (6L to 9L).map(k => (k, s"w$k", "west"))).toSet)
+    // native partition pruning: a region filter reads one partition
+    import org.apache.spark.sql.functions.col
+    val pruned = df.filter(col("region") === "east")
+    val scanned = pruned.queryExecution.executedPlan.toString()
+    assert(pruned.count() == 5)
+    assert(scanned.contains("region"), "partition filter must reach the scan")
   }
 
   test("URI-encoded relative paths and absolute paths resolve to the same files") {

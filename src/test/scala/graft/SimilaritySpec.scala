@@ -367,6 +367,24 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("autoPlanes encodes the measured production rule: log-growth, clamped, matching the scale curve's good settings") {
+    import graft.ops.Similarity.autoPlanes
+    // the scale-curve-validated settings (SURVEY §21 knob table)
+    assert(autoPlanes(2000) == 5)
+    assert(autoPlanes(20000) == 9)
+    assert(autoPlanes(60000) == 10)
+    // monotone non-decreasing in corpus size
+    val seq = Seq(100L, 1000L, 10000L, 100000L, 10000000L,
+      1000000000L).map(autoPlanes(_))
+    assert(seq == seq.sorted, s"not monotone: $seq")
+    // clamps: tiny corpora keep a workable floor, huge ones cap
+    assert(autoPlanes(1) == 4)
+    assert(autoPlanes(Long.MaxValue / 2) == 24)
+    // a bigger target bucket means fewer planes
+    assert(autoPlanes(100000, targetBucket = 1024) <
+      autoPlanes(100000, targetBucket = 64))
+  }
+
   test("hyperplane bucket is deterministic across invocations") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf).limit(50)
