@@ -157,6 +157,7 @@ object SparkEntry {
     // zero-copy adoption of a real _delta_log (multi-commit, remove
     // applied) — the migration path for the reference's own format
     "etl_convert_from_delta" -> (Etl.convertFromDelta _),
+    "etl_convert_from_delta_part" -> (Etl.convertFromDeltaPartitioned _),
     "text_token_count" -> (Text.tokenCount _),
     "text_quality" -> (Text.quality _),
     // learned quality tier, closed-form member: teacher score in
@@ -1784,6 +1785,13 @@ object SparkEntry {
       """SELECT doc_id, source, n_chars
         |FROM documents
         |WHERE doc_id % 3 < 2
+        |ORDER BY doc_id""".stripMargin,
+    // the adopted PARTITIONED live set: src7's file was REMOVED at v1
+    // of the source log, so the filtered read returns src3+src12 only
+    "etl_convert_from_delta_part" ->
+      """SELECT doc_id, source, n_chars
+        |FROM documents
+        |WHERE source IN ('src3', 'src12')
         |ORDER BY doc_id""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,

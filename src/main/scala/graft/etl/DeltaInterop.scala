@@ -144,6 +144,13 @@ object DeltaInterop {
     val live = new java.util.LinkedHashMap[String, AddFile]()
 
     def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
+      // PINNED ASSUMPTION: minReaderVersion <= 2 is trusted because
+      // the Delta protocol gates all LISTED reader features behind
+      // v3 (readerFeatures exists only at v3+), and the two v<=2
+      // read-path semantics that exist — column mapping and deletion
+      // vectors — are refused separately by their own checks. A future
+      // spec revision adding v2-gated read semantics would need a new
+      // refusal here.
       val unsupported = readerFeatures.filterNot(_ == "timestampNtz")
       require(minReader <= 2 || unsupported.isEmpty,
         s"$tableDir requires Delta reader features " +
@@ -303,6 +310,229 @@ object DeltaInterop {
     Snapshot(target, schema, partitionCols, configuration, files)
   }
 
+  /** Checkpoint-backed snapshot whose ADD SET STAYS A DATAFRAME — the
+    * adoption path for multi-million-file sources, where collecting
+    * every checkpoint add row to the driver (what [[snapshot]] does)
+    * is the bottleneck. The metadata actions (protocol, metaData) and
+    * the JSON tail above the checkpoint still replay driver-side —
+    * they are O(log), bounded by the checkpoint cadence — but the
+    * checkpoint's add rows are returned as `ckptAdds` (columns:
+    * `path` absolute, `pvals` map, `size`, `stats`), already
+    * filtered of tail removes/replacements.
+    *
+    * Returns None — caller falls back to the driver replay — when the
+    * layout has no checkpoint at the target, or when exactness would
+    * need per-row driver logic the DataFrame route does not express:
+    * %-encoded or absolute-URI checkpoint paths (resolution is a
+    * string concat here), or a tail exclusion set too large to inline.
+    * Every refusal [[snapshot]] makes (DVs, column mapping, reader
+    * features, torn checkpoints, broken chains) is made here too.
+    */
+  private[etl] final case class DfSnapshot(version: Long,
+      schema: StructType, partitionColumns: Seq[String],
+      configuration: Map[String, String],
+      ckptAdds: org.apache.spark.sql.DataFrame,
+      tailAdds: Seq[AddFile])
+
+  private[etl] def snapshotDf(spark: SparkSession, tableDir: String,
+      versionAsOf: Option[Long] = None): Option[DfSnapshot] = {
+    import org.apache.spark.sql.functions.{col, concat, lit, not}
+    val root = new Path(tableDir)
+    val log = new Path(root, LogDir)
+    val fs = log.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(log),
+      s"no $LogDir under $tableDir — not a Delta table (for plain " +
+        "parquet directories use DeltaLite.convert)")
+    val names = fs.listStatus(log).map(_.getPath.getName).toSeq
+    val jsonVersions = names.flatMap(jsonCommitVersion).distinct.sorted
+    val ckptVersions = names.flatMap(checkpointVersion).distinct.sorted
+    val latest = (jsonVersions ++ ckptVersions).maxOption.getOrElse(
+      sys.error(s"empty $LogDir under $tableDir — no commits to adopt"))
+    val target = versionAsOf.getOrElse(latest)
+    require(target >= 0 && target <= latest,
+      s"version $target does not exist in $tableDir (latest: $latest)")
+    val base = ckptVersions.filter(_ <= target).maxOption
+      .getOrElse(return None) // no checkpoint: driver replay is exact
+    val needed = (base + 1) to target
+    val missing = needed.filterNot(jsonVersions.contains)
+    require(missing.isEmpty,
+      s"commit ${missing.head} of $tableDir is missing from $LogDir " +
+        s"(checkpoint at $base cannot cover it) — the log chain is " +
+        "broken or was vacuumed past this version")
+
+    // ---- checkpoint relation + the same torn-layout completeness
+    // checks as the driver replay
+    val partNames = names.filter(n => checkpointVersion(n).contains(base))
+    val multiRe = "\\d{20}\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet".r
+    val multi = partNames.collect { case multiRe(p, of) => (p.toInt, of.toInt) }
+    if (multi.nonEmpty) {
+      val of = multi.head._2
+      require(multi.map(_._2).distinct == Seq(of) &&
+        multi.map(_._1).sorted == (1 to of).toList,
+        s"checkpoint $base of $tableDir is incomplete: have parts " +
+          s"${multi.map(_._1).sorted.mkString(",")} of $of — " +
+          "interrupted checkpoint write or partial copy; replay " +
+          "cannot proceed from a torn base")
+      require(multi.size == partNames.size,
+        s"checkpoint $base of $tableDir mixes single- and multi-part " +
+          "files — torn layout")
+    }
+    val cp = spark.read.parquet(
+      partNames.map(n => new Path(log, n).toString): _*)
+    val cols = cp.schema.fieldNames.toSet
+    require(cols.contains("metaData") && cols.contains("add"),
+      s"checkpoint $base of $tableDir lacks metaData/add columns — " +
+        "not a Delta checkpoint layout")
+
+    var schemaJson: Option[String] = None
+    var partitionCols: Seq[String] = Nil
+    var configuration: Map[String, String] = Map.empty
+    def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
+      // PINNED ASSUMPTION: minReaderVersion <= 2 is trusted because
+      // the Delta protocol gates all LISTED reader features behind
+      // v3 (readerFeatures exists only at v3+), and the two v<=2
+      // read-path semantics that exist — column mapping and deletion
+      // vectors — are refused separately by their own checks. A future
+      // spec revision adding v2-gated read semantics would need a new
+      // refusal here.
+      val unsupported = readerFeatures.filterNot(_ == "timestampNtz")
+      require(minReader <= 2 || unsupported.isEmpty,
+        s"$tableDir requires Delta reader features " +
+          s"${unsupported.mkString(", ")} (minReaderVersion $minReader) " +
+          "— not supported by this adoption path")
+    }
+    def applyMeta(ss: String, parts: Seq[String],
+        conf: Map[String, String]): Unit = {
+      schemaJson = Some(ss); partitionCols = parts; configuration = conf
+      val cmMode = conf.getOrElse("delta.columnMapping.mode", "none")
+      require(cmMode == "none",
+        s"$tableDir uses column mapping mode '$cmMode' — its parquet " +
+          "columns carry physical ids this adoption path cannot " +
+          "resolve; disable column mapping (or rewrite) before adopting")
+    }
+    if (cols.contains("protocol"))
+      cp.select("protocol").filter("protocol is not null").collect()
+        .foreach { r =>
+          val p = r.getStruct(0)
+          val fi = p.schema.fieldNames
+          val mr = if (fi.contains("minReaderVersion") &&
+            !p.isNullAt(p.fieldIndex("minReaderVersion")))
+            p.getInt(p.fieldIndex("minReaderVersion")) else 1
+          val rf = if (fi.contains("readerFeatures") &&
+            !p.isNullAt(p.fieldIndex("readerFeatures")))
+            p.getSeq[String](p.fieldIndex("readerFeatures")) else Nil
+          checkProtocol(mr, rf)
+        }
+    cp.select("metaData").filter("metaData is not null").collect()
+      .foreach { r =>
+        val m = r.getStruct(0)
+        val fi = m.schema.fieldNames
+        val parts = if (fi.contains("partitionColumns") &&
+          !m.isNullAt(m.fieldIndex("partitionColumns")))
+          m.getSeq[String](m.fieldIndex("partitionColumns")).toSeq else Nil
+        val conf = if (fi.contains("configuration") &&
+          !m.isNullAt(m.fieldIndex("configuration")))
+          m.getMap[String, String](m.fieldIndex("configuration")).toMap
+        else Map.empty[String, String]
+        applyMeta(m.getString(m.fieldIndex("schemaString")), parts, conf)
+      }
+    val addFields = cp.schema("add").dataType
+      .asInstanceOf[StructType].fieldNames.toSet
+    // DV presence probed IN the read, not via a collect
+    if (addFields.contains("deletionVector"))
+      require(cp.filter(
+        "add is not null and add.deletionVector is not null")
+        .limit(1).isEmpty,
+        s"$tableDir carries deletion vectors — adopting would " +
+          "resurrect deleted rows; run a Delta OPTIMIZE/rewrite to " +
+          "materialize the deletes first")
+    // DF preconditions: paths must resolve by concat — %-encoded or
+    // absolute-URI rows need the driver's URI logic
+    val adds0 = cp.filter("add is not null")
+    val oddPaths = adds0.filter(
+      col("add.path").contains("%") ||
+        col("add.path").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:") ||
+        col("add.path").startsWith("/"))
+    if (!oddPaths.limit(1).isEmpty) return None
+
+    // ---- JSON tail, driver-side (bounded by the checkpoint cadence)
+    val mapper = new ObjectMapper()
+    val tail = new java.util.LinkedHashMap[String, AddFile]()
+    val excluded = scala.collection.mutable.LinkedHashSet.empty[String]
+    needed.foreach { v =>
+      val p = new Path(log, f"$v%020d.json")
+      val in = fs.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.filter(_.trim.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        val proto = node.path("protocol")
+        if (!proto.isMissingNode) {
+          val rf = Option(proto.get("readerFeatures")).toSeq
+            .flatMap(a => (0 until a.size()).map(a.get(_).asText()))
+          checkProtocol(proto.path("minReaderVersion").asInt(1), rf)
+        }
+        val meta = node.path("metaData")
+        if (!meta.isMissingNode) {
+          val parts = Option(meta.get("partitionColumns")).toSeq
+            .flatMap(a => (0 until a.size()).map(a.get(_).asText()))
+          applyMeta(meta.path("schemaString").asText(), parts,
+            textMap(meta.get("configuration")))
+        }
+        val add = node.path("add")
+        if (!add.isMissingNode) {
+          require(!add.hasNonNull("deletionVector"),
+            s"$tableDir carries deletion vectors — adopting would " +
+              "resurrect deleted rows; run a Delta OPTIMIZE/rewrite " +
+              "to materialize the deletes first")
+          val abs = resolvePath(tableDir, add.path("path").asText())
+          tail.put(abs, AddFile(abs, textMap(add.get("partitionValues")),
+            Option(add.get("size")).map(_.asLong()),
+            Option(add.get("stats")).filter(!_.isNull).map(_.asText())))
+          excluded += abs
+        }
+        val rem = node.path("remove")
+        if (!rem.isMissingNode) {
+          val abs = resolvePath(tableDir, rem.path("path").asText())
+          tail.remove(abs)
+          excluded += abs
+        }
+      }
+    }
+    // the exclusion set inlines into the checkpoint read as a literal
+    // predicate — past this bound the driver replay is the honest path
+    if (excluded.size > 100000) return None
+    val schemaStr = schemaJson.getOrElse(sys.error(
+      s"no metaData action found replaying $tableDir to $target — " +
+        "cannot determine the schema"))
+    val schema = DataType.fromJson(schemaStr).asInstanceOf[StructType]
+    val prefix = tableDir.stripSuffix("/") + "/"
+    // scheme-normalized twin of each path (the entries' `pathn`
+    // column semantics), computed as a driver-side prefix concat
+    val normPrefix =
+      new Path(tableDir).toUri.getPath.stripSuffix("/") + "/"
+    def normP(p: String): String = new Path(p).toUri.getPath
+    var live = adds0.select(
+      concat(lit(prefix), col("add.path")).as("path"),
+      concat(lit(normPrefix), col("add.path")).as("pathn"),
+      col("add.partitionValues").as("pvals"),
+      col("add.size").as("size"),
+      (if (addFields.contains("stats")) col("add.stats")
+       else lit(null).cast("string")).as("stats"))
+    if (excluded.nonEmpty)
+      live = live.filter(
+        not(col("pathn").isin(excluded.toSeq.map(normP): _*)))
+    val tailAdds = {
+      val b = Seq.newBuilder[AddFile]
+      val it = tail.values().iterator()
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    Some(DfSnapshot(target, schema, partitionCols, configuration,
+      live, tailAdds))
+  }
+
   /** Per-column (min, max) ranges adoptable from a Delta add action's
     * stats JSON, in the string encoding DeltaLite's range machinery
     * expects (a Spark string cast of the value). Only types whose
@@ -310,14 +540,23 @@ object DeltaInterop {
     * carried: integral/floating/decimal columns (the compare is
     * numeric, so any parseable rendering works), strings (Delta's
     * truncated bounds remain valid BOUNDS under lexical compare —
-    * wider is conservative, never wrong) and dates (ISO is the cast
-    * form). TIMESTAMPS are skipped — Delta renders them ISO-with-Z
-    * while the cast form is session-zone "yyyy-MM-dd HH:mm:ss", and a
-    * lexically mis-ordered range would silently mis-prune upserts;
-    * restats covers them. Malformed stats adopt nothing (conservative).
+    * wider is conservative, never wrong), dates (ISO is the cast
+    * form) — and TIMESTAMPS, re-encoded: Delta renders them
+    * ISO-with-offset (UTC instants) while the cast form is the
+    * SESSION-zone "yyyy-MM-dd HH:mm:ss[.ffffff]" (micros, trailing
+    * zeros trimmed — Spark's own cast rendering), so each bound is
+    * parsed as an instant and re-rendered through `zoneId`. A bound
+    * that fails to parse adopts nothing for that column
+    * (conservative). The re-encode is session-zone-AT-ADOPTION — the
+    * same contract as DeltaLite's natively recorded stats, which
+    * stringify under the committing session's zone. Timestamp_ntz
+    * bounds are zone-free; their ISO 'T' separator re-renders as the
+    * cast form's space. Boolean/binary/nested stay out (restats
+    * covers them). Malformed stats adopt nothing (conservative).
     */
   private[graft] def adoptableRanges(statsJson: String,
-      schema: StructType): Map[String, (String, String)] = {
+      schema: StructType,
+      zoneId: String = "UTC"): Map[String, (String, String)] = {
     import org.apache.spark.sql.types._
     val node =
       try new ObjectMapper().readTree(statsJson)
@@ -325,94 +564,111 @@ object DeltaInterop {
     val mins = node.path("minValues")
     val maxs = node.path("maxValues")
     if (!mins.isObject || !maxs.isObject) return Map.empty
+    val zone = java.time.ZoneId.of(zoneId)
+    // Spark's cast-to-string form of a timestamp: space separator,
+    // micro precision, trailing fraction zeros trimmed
+    def castForm(ldt: java.time.LocalDateTime): String = {
+      val base = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss").format(ldt)
+      val micros = ldt.getNano / 1000
+      if (micros == 0) base
+      else s"$base." + f"$micros%06d".reverse.dropWhile(_ == '0').reverse
+    }
+    def reencodeTs(s: String): Option[String] = {
+      val instant =
+        try Some(java.time.OffsetDateTime.parse(s).toInstant)
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            // offset-less rendering: the Delta spec's stats timestamps
+            // are UTC instants
+            try Some(java.time.LocalDateTime.parse(s)
+              .atOffset(java.time.ZoneOffset.UTC).toInstant)
+            catch { case _: java.time.format.DateTimeParseException => None }
+        }
+      instant.map(i => castForm(
+        java.time.LocalDateTime.ofInstant(i, zone)))
+    }
+    def reencodeNtz(s: String): Option[String] =
+      try Some(castForm(java.time.LocalDateTime.parse(s)))
+      catch { case _: java.time.format.DateTimeParseException => None }
     schema.fields.flatMap { f =>
-      val safe = f.dataType match {
+      val direct = f.dataType match {
         case LongType | IntegerType | ShortType | ByteType |
              DoubleType | FloatType | StringType | DateType => true
         case _: DecimalType => true
-        case _ => false // timestamp, boolean, binary, nested: restats
+        case _ => false // boolean, binary, nested: restats
+      }
+      val reenc: Option[String => Option[String]] = f.dataType match {
+        case TimestampType => Some(reencodeTs)
+        case TimestampNTZType => Some(reencodeNtz)
+        case _ => None
       }
       val mn = mins.get(f.name)
       val mx = maxs.get(f.name)
-      if (safe && mn != null && !mn.isNull && mn.isValueNode &&
-        mx != null && !mx.isNull && mx.isValueNode)
-        Some(f.name -> (mn.asText(), mx.asText()))
-      else None
+      if (mn != null && !mn.isNull && mn.isValueNode &&
+        mx != null && !mx.isNull && mx.isValueNode) {
+        if (direct) Some(f.name -> (mn.asText(), mx.asText()))
+        else reenc.flatMap(enc =>
+          enc(mn.asText()).zip(enc(mx.asText()))
+            .map(r => f.name -> r))
+      } else None
     }.toMap
   }
 
   /** READ-ONLY DataFrame over a Delta table — including PARTITIONED
-    * tables, the case [[DeltaLite.convertFromDelta]] refuses to adopt
-    * (partition column bytes live only in the log). Files group by
-    * their partition-value tuple; each group scans with the partition
-    * columns injected as typed literals (cast from the log's string
-    * encoding through the declared schema — the same resolution Delta
-    * readers perform), and the groups union. Distinct-tuple count
-    * bounds the plan (one scan node per tuple — fine for the
-    * date/region-partitioned norm; a degenerate million-tuple layout
-    * refuses loudly rather than building a million-legged union).
-    * Column order and names match the declared schema, so a migrating
-    * user's queries run unchanged.
+    * tables (partition column bytes live only in the log). ONE
+    * relation serves ANY layout — hive-pathed, log-only values,
+    * absolute URIs — through
+    * [[org.apache.spark.sql.graftbridge.DeltaLiteScan
+    * .partitionedRelation]]: a `DeltaLitePartitionedFileIndex` carries
+    * each file's partition-value tuple straight from the log's
+    * `add.partitionValues` (the shape Delta's own TahoeFileIndex
+    * uses), so the scan injects the typed partition columns itself and
+    * partition FILTERS eliminate tuples before a single file is
+    * touched. The add actions' per-file stats ride as data-filter
+    * ranges ([[adoptableRanges]]) — point/range predicates on
+    * stats-covered columns skip files too. Column order and names
+    * match the declared schema, so a migrating user's queries run
+    * unchanged. An empty live set (a valid, fully-deleted table) reads
+    * as an EMPTY DataFrame with the declared schema — the same
+    * readable state any Delta reader serves.
     */
   def readDelta(spark: SparkSession, tableDir: String,
-      versionAsOf: Option[Long] = None,
-      maxPartitionTuples: Int = 10000): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+      versionAsOf: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
     val snap = snapshot(spark, tableDir, versionAsOf)
-    require(snap.files.nonEmpty,
-      s"Delta table $tableDir has no live files at version ${snap.version}")
-    if (snap.partitionColumns.isEmpty)
-      return spark.read.schema(snap.schema)
-        .parquet(snap.files.map(_.path): _*)
+    if (snap.files.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        snap.schema)
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val ranges = snap.files.map(f =>
+      f.stats.map(adoptableRanges(_, snap.schema, tz)).getOrElse(
+        Map.empty[String, (String, String)])
+        .map { case (c, (mn, mx)) =>
+          c -> (Some(mn): Option[String], Some(mx): Option[String])
+        })
+    if (snap.partitionColumns.isEmpty) {
+      val entries = snap.files.zip(ranges).map { case (f, r) =>
+        (f.path, f.size, r)
+      }
+      return org.apache.spark.sql.graftbridge.DeltaLiteScan.relation(
+        spark, new Path(tableDir), entries, snap.schema)
         .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
-    // FAST PATH — hive directory layout (what standard Delta writers
-    // produce): when every file's path carries a `/<col>=<value>/`
-    // segment agreeing with its logged partitionValues, ONE parquet
-    // relation with `basePath` serves the whole table — Spark's own
-    // partition discovery injects the typed partition columns and
-    // partition FILTERS prune natively, no per-tuple union legs.
-    // Any disagreement (exotic escaping, log-only values) falls back
-    // to the always-correct union-of-literals path below.
-    def hiveSeg(path: String, c: String): Option[String] =
-      path.split('/').collectFirst {
-        case s if s.startsWith(c + "=") =>
-          try java.net.URLDecoder.decode(s.substring(c.length + 1), "UTF-8")
-          catch { case _: IllegalArgumentException => s.substring(c.length + 1) }
-      }
-    val hiveLayout = snap.files.forall { f =>
-      snap.partitionColumns.forall { c =>
-        val v = Option(f.partitionValues.getOrElse(c, null))
-          .getOrElse("__HIVE_DEFAULT_PARTITION__")
-        hiveSeg(f.path, c).contains(v)
-      }
     }
-    if (hiveLayout)
-      return spark.read.option("basePath", tableDir).schema(snap.schema)
-        .parquet(snap.files.map(_.path): _*)
-        .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
     val dataSchema = StructType(snap.schema.fields.filterNot(f =>
       snap.partitionColumns.contains(f.name)))
-    val byTuple = snap.files.groupBy(f =>
-      snap.partitionColumns.map(c => f.partitionValues.getOrElse(c, null)))
-    require(byTuple.size <= maxPartitionTuples,
-      s"$tableDir has ${byTuple.size} distinct partition tuples — " +
-        s"above the $maxPartitionTuples-scan-legs bound; raise " +
-        "maxPartitionTuples or rewrite through a partition-declared table")
-    val parts = byTuple.toSeq.sortBy(_._1.map(String.valueOf).mkString(" "))
-    val legs = parts.map { case (tuple, fs) =>
-      val base = spark.read.schema(dataSchema).parquet(fs.map(_.path): _*)
-      // inject each partition column as a literal cast to its declared
-      // type (Delta encodes values as strings; null = the null/default
-      // partition — Delta's __HIVE_DEFAULT_PARTITION__ arrives as null
-      // in partitionValues)
-      snap.partitionColumns.zip(tuple).foldLeft(base) {
-        case (df, (c, v)) =>
-          val f = snap.schema(c)
-          df.withColumn(c,
-            (if (v == null) lit(null) else lit(v)).cast(f.dataType))
-      }
+    val partSchema = StructType(
+      snap.partitionColumns.map(c => snap.schema(c)).toIndexedSeq)
+    val entries = snap.files.zip(ranges).map { case (f, r) =>
+      // partition columns prune natively through partitionFilters —
+      // keep only genuine data columns in the per-file ranges
+      (f.path, f.size,
+        r.view.filterKeys(dataSchema.fieldNames.contains).toMap)
     }
-    legs.reduce(_ unionByName _)
+    org.apache.spark.sql.graftbridge.DeltaLiteScan.partitionedRelation(
+      spark, new Path(tableDir), entries,
+      snap.files.map(_.partitionValues), dataSchema, partSchema)
       .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 }

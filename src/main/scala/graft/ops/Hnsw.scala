@@ -289,14 +289,23 @@ object Hnsw {
         col(vecCol).cast("array<float>").as("v"))
     if (maxShardBytes > 0) {
       // two CHEAP actions: a column-pruned count (no vector bytes
-      // decoded) and a one-row limit for the dimensionality — a
-      // combined count+first aggregate would decode the corpus'
-      // largest column end to end just to guard it
+      // decoded) and a BOUNDED null-filtered sample for the
+      // dimensionality — a full max(size(v)) aggregate would decode
+      // the corpus' largest column end to end just to guard it. The
+      // sample is null-filtered (a null leading vector must not NPE
+      // or feed size()=-1 into the byte estimate) and takes the MAX
+      // over 1024 rows so mildly ragged dimensionality can't
+      // under-estimate the budget off one short leading vector.
       val n = rows.count()
       if (n > 0) {
-        val dims = rows.select(size(col("v")).as("d"))
-          .limit(1).collect()(0).getInt(0)
-        val perVec = bytesPerVector(dims, m)
+        val dimSample = rows.filter(col("v").isNotNull)
+          .select(size(col("v")).as("d"))
+          .limit(1024).agg(org.apache.spark.sql.functions.max(col("d")))
+          .collect()(0)
+        // an all-null sample leaves nothing to size — the build below
+        // will surface the null vectors itself; skip the guard
+        val dims = if (dimSample.isNullAt(0)) 0 else dimSample.getInt(0)
+        val perVec = if (dims > 0) bytesPerVector(dims, m) else 0L
         val perShard = (n + shards - 1) / shards
         val est = perShard * perVec
         if (est > maxShardBytes) {
@@ -506,6 +515,15 @@ object Hnsw {
     * shard missing) if the reclaim won the race — the commit-log
     * publish pattern the rest of the repo uses; silent partial top-k
     * is impossible by construction.
+    *
+    * WRITER CONTRACT: one saver at a time per `dir`. Each save writes
+    * into a subdir uniquified with a random suffix, so two concurrent
+    * saves can never interleave shard files in ONE subdir (each
+    * publishes a complete layout; the last pointer swap wins, and
+    * neither reclaim can touch the other's new subdir — it wasn't in
+    * the prior listing). Concurrent saves are therefore safe but
+    * wasteful: coordinate re-saves externally (the reuse gate in
+    * [[Similarity.marginMiningAnn]] already serializes per-session).
     */
   def saveShardedIndex(index: DataFrame, dir: String,
       fsConf: Map[String, String] = Map.empty): Unit = {
@@ -520,10 +538,13 @@ object Hnsw {
     val prior: Seq[String] =
       if (!fsD.exists(dp)) Nil
       else fsD.listStatus(dp).toSeq.map(_.getPath.getName)
-    val nextN = prior.filter(_.matches("v-[0-9]+"))
-      .map(_.stripPrefix("v-").toInt)
+    val nextN = prior.filter(_.matches("v-[0-9]+(-[0-9a-f]+)?"))
+      .map(_.stripPrefix("v-").takeWhile(_.isDigit).toInt)
       .foldLeft(0)(math.max) + 1
-    val sub = f"v-$nextN%08d"
+    // random uniquifier: two concurrent saves that both computed this
+    // nextN land in DIFFERENT subdirs — complete layouts either way,
+    // never interleaved shard files under one marker
+    val sub = f"v-$nextN%08d-${java.util.UUID.randomUUID().toString.take(8)}"
     val sp = new org.apache.hadoop.fs.Path(dp, sub)
     // pin the rows: the manifest collect and the shard write must see
     // the same build exactly once (an unpersisted fresh build would
@@ -560,7 +581,7 @@ object Hnsw {
     // reclaim stale layouts: older version subdirs and any
     // pre-format-2 flat shard files/marker
     prior.foreach { n =>
-      if ((n.matches("v-[0-9]+") && n != sub) ||
+      if ((n.matches("v-[0-9]+(-[0-9a-f]+)?") && n != sub) ||
         n.matches("shard-[0-9]+[.]bin") || n == FormatMarker)
         fsD.delete(new org.apache.hadoop.fs.Path(dp, n), true)
     }

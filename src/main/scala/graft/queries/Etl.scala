@@ -113,6 +113,91 @@ object Etl {
       .orderBy($"doc_id")
   }
 
+  /** Zero-copy adoption of a PARTITIONED Delta table — the layout real
+    * migrations start with (a daily/source-partitioned lake, its
+    * partition column bytes living only in the `_delta_log`). The
+    * fixture is ONE `partitionBy` write of the documents table (Spark
+    * drops the partition column from the file bytes — exactly Delta's
+    * physical layout), a synthesized log mapping each `source=<v>/`
+    * file to its `partitionValues`, and a v1 REMOVE of the src7
+    * partition's file. Adoption carries the values as per-file [v,v]
+    * ranges + the valuesInLog property; the query then filters a
+    * source set THROUGH the injected column — src7 must be gone (the
+    * remove applied) and the partition filter plans only the matching
+    * files. The oracle derives the same rows from the flat table.
+    */
+  def convertFromDeltaPartitioned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft-delta-adopt-part-" +
+      s"${sys.props.getOrElse("user.name", "anon")}/" +
+      s"${dir.hashCode & 0x7fffffff}"
+    val hconf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(hconf)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(base)),
+      s"fixture dir $base could not be cleared — refusing to adopt " +
+        "over leftovers")
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"n_chars")
+    // ONE hive-partitioned write: file bytes carry (doc_id, n_chars)
+    // only — the faithful Delta physical layout, in a single job
+    docs.repartition($"source").write.partitionBy("source")
+      .parquet(s"$base/tbl")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = {
+      val root = mapper.createObjectNode()
+      val m = root.putObject("metaData")
+      m.put("id", "graft-adopt-part-fixture")
+      m.putObject("format").put("provider", "parquet")
+      m.put("schemaString", docs.schema.json)
+      m.putArray("partitionColumns").add("source")
+      m.putObject("configuration")
+      mapper.writeValueAsString(root)
+    }
+    // per-partition files from the write's own layout
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/tbl"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("source="))
+      .sortBy(_.getPath.getName)
+    def adds(p: org.apache.hadoop.fs.FileStatus): Seq[String] = {
+      val src = p.getPath.getName.stripPrefix("source=")
+      fs.listStatus(p.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+        .map { f =>
+          val root = mapper.createObjectNode()
+          val a = root.putObject("add")
+          a.put("path", s"${p.getPath.getName}/${f.getPath.getName}")
+          a.putObject("partitionValues").put("source", src)
+          a.put("size", f.getLen)
+          a.put("modificationTime", 0L); a.put("dataChange", true)
+          mapper.writeValueAsString(root)
+        }.toSeq
+    }
+    def commit(v: Long, lines: Seq[String]): Unit = {
+      val p = new org.apache.hadoop.fs.Path(
+        s"$base/tbl/_delta_log", f"$v%020d.json")
+      val out = fs.create(p, true)
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    commit(0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      meta) ++ parts.flatMap(adds))
+    val src7 = parts.find(_.getPath.getName == "source=src7")
+      .map(p => fs.listStatus(p.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet")).head)
+      .getOrElse(sys.error("fixture lacks the src7 partition"))
+    commit(1, Seq(
+      s"""{"remove":{"path":"source=src7/${src7.getPath.getName}","deletionTimestamp":1,"dataChange":true}}"""))
+    graft.etl.DeltaLite
+      .convertFromDelta(s, s"$base/tbl", s"$base/root")
+      .read()
+      // the filter includes the REMOVED partition: its rows must be
+      // gone, and the surviving two prune to their files in the scan
+      .filter($"source".isin("src3", "src7", "src12"))
+      .orderBy($"doc_id")
+  }
+
   /** Data-quality expectations over the load: per-rule pass/fail
     * counts in ONE aggregate over one scan (`ops.Expectations`) — the
     * quality gate a managed pipeline attaches to every table

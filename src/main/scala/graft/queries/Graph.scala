@@ -44,13 +44,14 @@ object Graph {
     * ObjectHashAggregate's array state costs more than the
     * co-partitioned join it saves.)
     */
-  private[graft] def coSupplyEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def coSupplyEdges(s: SparkSession, dir: String,
+      keepHex: String = "10"): DataFrame = {
     import s.implicits._
     val ps = Tables.lineitem(s, dir)
       .select($"l_partkey".as("p"), $"l_suppkey".as("sk")).distinct()
     ps.as("a").join(ps.as("b"), $"a.p" === $"b.p" && $"a.sk" < $"b.sk")
       .select($"a.sk".as("u"), $"b.sk".as("v")).distinct()
-      .filter(substring(md5(concat_ws(",", $"u", $"v")), 1, 2) < "10")
+      .filter(substring(md5(concat_ws(",", $"u", $"v")), 1, 2) < keepHex)
   }
 
   /** Triangle census of the co-supply graph: node/edge counts, wedge
@@ -64,10 +65,22 @@ object Graph {
     * at its minimum-rank vertex; the oracle counts the same set via the
     * a<b<c canonical join.
     */
-  def qTriangles(s: SparkSession, dir: String): DataFrame = {
+  def qTriangles(s: SparkSession, dir: String): DataFrame =
+    qTrianglesKnob(s, dir, "10")
+
+  /** [[qTriangles]] with the edge-thinning threshold as a KNOB: the
+    * md5-prefix keep fraction is keepHex/0x100 (the oracled key pins
+    * "10" = 1/16). Used by [[graft.TriangleKnobs]] to measure the
+    * time-vs-wedge trend at several densities of the SAME graph — the
+    * cheap complement to another 10x scale point, and the density
+    * control a 100 TB run would turn when the co-occurrence graph
+    * approaches a clique.
+    */
+  def qTrianglesKnob(s: SparkSession, dir: String,
+      keepHex: String): DataFrame = {
     import s.implicits._
     val e = graft.ops.Dedup.tracked(
-      coSupplyEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK))
+      coSupplyEdges(s, dir, keepHex).persist(StorageLevel.MEMORY_AND_DISK))
     val und = e.select($"u", $"v").unionAll(e.select($"v".as("u"), $"u".as("v")))
     val deg = und.groupBy($"u".as("n")).agg(count(lit(1)).as("d"))
     val ranked = e

@@ -275,9 +275,13 @@ object Vectors {
       // key collision without a matching data tag — never trust it,
       // and never PROCEED if it cannot be removed (a foreign layout
       // that survives the delete must not be mined against and then
-      // stamped trusted)
+      // stamped trusted). NEVER recurse through a symlink: in this
+      // shared world-writable tmpdir a pre-planted link named like our
+      // layout would otherwise turn the cleanup into attacker-directed
+      // deletion of the link's target — unlink the link itself only.
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        if (!java.nio.file.Files.isSymbolicLink(f.toPath) && f.isDirectory)
+          Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete()
       }
       rm(indexDir)

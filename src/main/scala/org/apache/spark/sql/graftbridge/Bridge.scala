@@ -51,6 +51,18 @@ object Bridge {
   def waitListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** The session's Hadoop configuration in executor-shippable form
+    * (`SerializableConfiguration` is private[spark]). Settings applied
+    * PROGRAMMATICALLY to `sparkContext.hadoopConfiguration` — a common
+    * way object-store credentials arrive — don't appear as
+    * `spark.hadoop.*` session conf entries, so distributed FS work must
+    * ship the real Configuration object, not a rebuilt one.
+    */
+  def shippableHadoopConf(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+
   /** A STREAMING DataFrame over already-computed InternalRows — what a
     * V1 `Source.getBatch` must return (the engine rejects plain batch
     * frames). `internalCreateDataFrame` is private[sql]; every file

@@ -66,7 +66,7 @@ class DeltaLiteFileIndex(
     * maxPartitionBytes, not the status block size, and nothing
     * downstream of a custom FileIndex consults modTime.
     */
-  private def toStatuses(
+  protected def toStatuses(
       es: Seq[(String, Option[Long], Map[String, (Option[String], Option[String])])])
       : Seq[(FileStatus, Map[String, (Option[String], Option[String])])] =
     es.map { case (p, sz, ranges) =>
@@ -117,7 +117,7 @@ class DeltaLiteFileIndex(
     * prune; anything else keeps the file. Null stats keep the file
     * (correctness over skipping).
     */
-  private def survives(
+  protected def survives(
       ranges: Map[String, (Option[String], Option[String])],
       filter: Expression): Boolean = {
     // The literal must reach the SAME string form the ranges were
@@ -200,7 +200,182 @@ object DeltaLiteFileIndex {
   val fallbackStats = new java.util.concurrent.atomic.AtomicLong(0)
 }
 
+/** Skipping index for files whose PARTITION COLUMN BYTES ARE NOT IN
+  * THE FILES — adopted Delta tables, where the values live only in the
+  * transaction log ([[graft.etl.DeltaInterop]]). The relation declares
+  * a real `partitionSchema`, so Spark itself
+  *  - appends the partition columns to every row from this index's
+  *    per-tuple [[PartitionDirectory]] values (typed injection inside
+  *    the scan — zero joins, codegen'd), and
+  *  - splits pushed filters into partitionFilters (evaluated here
+  *    against the tuple rows — partition elimination without touching
+  *    a single file) and dataFilters (pruned per file via the same
+  *    conservative range check as the flat index).
+  * One relation serves ANY layout — hive-pathed, log-only values,
+  * absolute URIs — the shape Delta's own TahoeFileIndex uses.
+  *
+  * `partVals` is aligned with `entries` (same order): string-encoded
+  * values per partition column; a missing key (or null value) is the
+  * null/default partition. Values cast to the declared type through
+  * the session time zone — the same resolution a Delta reader
+  * performs.
+  */
+class DeltaLitePartitionedFileIndex(
+    spark: SparkSession,
+    root: Path,
+    entries: Seq[(String, Option[Long], Map[String, (Option[String], Option[String])])],
+    partVals: Seq[Map[String, String]],
+    dataSchema: StructType,
+    partSchema: StructType)
+  extends DeltaLiteFileIndex(spark, root, entries, dataSchema) {
+
+  require(entries.length == partVals.length,
+    s"entries (${entries.length}) and partition-value rows " +
+      s"(${partVals.length}) must align")
+
+  override def partitionSchema: StructType = partSchema
+
+  /** Distinct partition tuples with their typed rows and member files
+    * (+ per-file data-column ranges). Grouping keys on the STRING
+    * tuple; the typed row materializes once per tuple.
+    */
+  private lazy val groups: Seq[(InternalRow,
+      Seq[(FileStatus, Map[String, (Option[String], Option[String])])])] = {
+    val byTuple = entries.zip(partVals).groupBy { case (_, vals) =>
+      partSchema.fields.map(f => vals.getOrElse(f.name, null)).toSeq
+    }
+    byTuple.toSeq.sortBy(_._1.map(String.valueOf).mkString(" "))
+      .map { case (tuple, members) =>
+        (DeltaLiteScan.partitionRow(spark, partSchema, tuple),
+          toStatuses(members.map(_._1)))
+      }
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val pred =
+      DeltaLiteScan.partitionPredicate(partSchema, partitionFilters)
+    groups.flatMap { case (row, members) =>
+      if (pred.exists(!_.eval(row))) None
+      else {
+        val kept =
+          if (dataFilters.isEmpty) members
+          else members.filter { case (_, ranges) =>
+            ranges.isEmpty || dataFilters.forall(f => survives(ranges, f))
+          }
+        if (kept.isEmpty) None
+        else Some(PartitionDirectory(row, kept.map(_._1).toArray))
+      }
+    }
+  }
+}
+
+/** Lazy twin of [[DeltaLitePartitionedFileIndex]]: the entry set stays
+  * a DataFrame over the checkpoint/sidecar entries parquet. Each
+  * planned scan hands BOTH its partition filters and data filters to
+  * `prune` (partition predicates translate over the log-recorded
+  * per-file [v,v] ranges, the same pushdown as stats), collects only
+  * survivors WITH their partition-value tuples, and builds the typed
+  * [[PartitionDirectory]] groups from those: a partition-filtered
+  * point lookup on a checkpointed million-file table drives
+  * O(survivors) driver rows while the scan still injects the partition
+  * columns natively.
+  */
+final class LazyPartEntriesSource(
+    val prune: Seq[Expression] =>
+      Seq[((String, Option[Long], Map[String, (Option[String], Option[String])]),
+        Map[String, String])],
+    val allPaths: () => Array[String],
+    val totalBytes: () => Long)
+
+class DeltaLiteLazyPartitionedFileIndex(
+    spark: SparkSession,
+    root: Path,
+    source: LazyPartEntriesSource,
+    dataSchema: StructType,
+    partSchema: StructType)
+  extends DeltaLiteFileIndex(spark, root, Nil, dataSchema) {
+
+  override def partitionSchema: StructType = partSchema
+  private lazy val lpPaths = source.allPaths()
+  private lazy val lpBytes = source.totalBytes()
+  override def inputFiles: Array[String] = lpPaths
+  override def sizeInBytes: Long = lpBytes
+
+  private val lpCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[PartitionDirectory]]
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val key = (partitionFilters ++ dataFilters)
+      .map(_.semanticHash()).sorted.mkString(",")
+    lpCache.getOrElseUpdate(key, {
+      val prunedE = source.prune(partitionFilters ++ dataFilters)
+      // exact driver-side re-check of the partition predicate on the
+      // survivors (the DF-side translation is conservative, not
+      // complete), then per-file data-range survival
+      val pred =
+        DeltaLiteScan.partitionPredicate(partSchema, partitionFilters)
+      val byTuple = prunedE.groupBy { case (_, vals) =>
+        partSchema.fields.map(f => vals.getOrElse(f.name, null)).toSeq
+      }
+      byTuple.toSeq.sortBy(_._1.map(String.valueOf).mkString(" "))
+        .flatMap { case (tuple, members) =>
+          val row = DeltaLiteScan.partitionRow(spark, partSchema, tuple)
+          if (pred.exists(!_.eval(row))) None
+          else {
+            val kept0 = members.map(_._1)
+            val kept =
+              if (dataFilters.isEmpty) kept0
+              else kept0.filter { case (_, _, ranges) =>
+                ranges.isEmpty || dataFilters.forall(f => survives(ranges, f))
+              }
+            if (kept.isEmpty) None
+            else Some(PartitionDirectory(row,
+              toStatuses(kept).map(_._1).toArray))
+          }
+        }
+    })
+  }
+}
+
+
 object DeltaLiteScan {
+
+  /** Typed InternalRow for one partition tuple: each string value cast
+    * to its declared type through the DEFAULT session time zone (the
+    * same resolution a Delta reader performs); null = the null/default
+    * partition.
+    */
+  def partitionRow(spark: SparkSession, partSchema: StructType,
+      tuple: Seq[String]): InternalRow =
+    InternalRow.fromSeq(
+      partSchema.fields.zip(tuple).map { case (f, v) =>
+        if (v == null) null
+        else Cast(Literal.create(v, StringType), f.dataType,
+          Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+      }.toIndexedSeq)
+
+  /** Interpreted predicate over a partition tuple row, bound to
+    * `partSchema`'s field order — how a FileIndex evaluates pushed
+    * partitionFilters against its tuples (tuple counts are
+    * metadata-sized; codegen would cost more than it saves).
+    */
+  def partitionPredicate(partSchema: StructType,
+      partitionFilters: Seq[Expression])
+      : Option[org.apache.spark.sql.catalyst.expressions.BasePredicate] = {
+    val pred = partitionFilters.reduceOption(And).map { e =>
+      val bound = e.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          org.apache.spark.sql.catalyst.expressions.BoundReference(
+            partSchema.fieldIndex(a.name), a.dataType, a.nullable)
+      }
+      org.apache.spark.sql.catalyst.expressions.Predicate
+        .createInterpreted(bound)
+    }
+    pred.foreach(_.initialize(0))
+    pred
+  }
 
   /** Partition values encoded in `path`'s hive-layout segments for
     * `partCols` (PHYSICAL column names, matched against the write
@@ -304,6 +479,16 @@ object DeltaLiteScan {
           .otherwise(array_position(col("extra_cols"), en))
         case None => array_position(col("extra_cols"), en)
       }
+    // extras lookup for one attribute (shared by the partition
+    // fallthrough below and the no-partition chain)
+    def extraRangeOf(p: String): Option[(Column, Column, Column)] =
+      extraName.get(p).map { en =>
+        val pos = extraPos(p, en)
+        val lo = element_at(col("extra_mins"), pos.cast("int"))
+        val hi = element_at(col("extra_maxs"), pos.cast("int"))
+        (lo, hi, col("extra_cols").isNotNull && pos > 0 &&
+          lo.isNotNull && hi.isNotNull)
+      }
     // (lo, hi, applicable) for one attribute, mirroring the driver
     // map's precedence: partition value > primary stats > extra range
     def range(p: String): Option[(Column, Column, Column)] =
@@ -312,8 +497,20 @@ object DeltaLiteScan {
           java.util.regex.Pattern.quote(s"$partPrefix$dir") + "=([^/]+)", 1)
         // %-escaped values stay driver-side (unescaping in SQL is not
         // worth it; survives() handles them exactly)
-        (pv, pv, pv =!= lit("") && !pv.contains("%") &&
-          pv =!= lit(ExternalCatalogUtils.DEFAULT_PARTITION_NAME))
+        val pathApp = pv =!= lit("") && !pv.contains("%") &&
+          pv =!= lit(ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+        // fall through to the RECORDED [v,v] extras when the path
+        // doesn't encode the value — adopted Delta files carry their
+        // partition values in the log, not in `__p_` segments, and
+        // without this their partition filters would only prune in the
+        // driver re-check, collecting O(all adopted files) rows
+        extraRangeOf(p) match {
+          case Some((elo, ehi, eapp)) =>
+            (when(pathApp, pv).otherwise(when(eapp, elo)),
+              when(pathApp, pv).otherwise(when(eapp, ehi)),
+              pathApp || eapp)
+          case None => (pv, pv, pathApp)
+        }
       }.orElse(primaryKeyName.get(p).map { keyName =>
         val app = primaryLabelOk(p, keyName) &&
           col("min").isNotNull && col("max").isNotNull
@@ -322,25 +519,14 @@ object DeltaLiteScan {
           // — fall through to extra when the primary doesn't apply
           app)
       }.map { case base @ (_, _, primaryApp) =>
-        extraName.get(p) match {
+        extraRangeOf(p) match {
           case None => base
-          case Some(en) =>
-            val pos = extraPos(p, en)
-            val elo = element_at(col("extra_mins"), pos.cast("int"))
-            val ehi = element_at(col("extra_maxs"), pos.cast("int"))
-            val extraApp = col("extra_cols").isNotNull && pos > 0 &&
-              elo.isNotNull && ehi.isNotNull
+          case Some((elo, ehi, extraApp)) =>
             (when(primaryApp, col("min")).otherwise(when(extraApp, elo)),
               when(primaryApp, col("max")).otherwise(when(extraApp, ehi)),
               primaryApp || extraApp)
         }
-      }).orElse(extraName.get(p).map { en =>
-        val pos = extraPos(p, en)
-        val lo = element_at(col("extra_mins"), pos.cast("int"))
-        val hi = element_at(col("extra_maxs"), pos.cast("int"))
-        (lo, hi, col("extra_cols").isNotNull && pos > 0 &&
-          lo.isNotNull && hi.isNotNull)
-      })
+      }).orElse(extraRangeOf(p))
     def typed(c: Column, dt: DataType): Column = dt match {
       case StringType => c
       case _ => c.cast(dt)
@@ -413,6 +599,39 @@ object DeltaLiteScan {
       schema: StructType): DataFrame = {
     val rel = HadoopFsRelation(index, partitionSchema = StructType(Nil),
       dataSchema = schema, bucketSpec = None,
+      fileFormat = new ParquetFileFormat, options = Map.empty)(spark)
+    Bridge.ofRows(spark, LogicalRelation(rel, isStreaming = false))
+  }
+
+  /** DataFrame over files whose partition columns are INJECTED from
+    * per-file metadata values (adopted Delta layouts — the bytes are
+    * not in the files). Output columns: `dataSchema` fields then
+    * `partSchema` fields; callers reorder to the declared schema.
+    * Partition filters prune tuples driver-side before any file is
+    * touched; data filters prune per file through the recorded ranges.
+    */
+  def partitionedRelation(spark: SparkSession, root: Path,
+      entries: Seq[(String, Option[Long], Map[String, (Option[String], Option[String])])],
+      partVals: Seq[Map[String, String]],
+      dataSchema: StructType, partSchema: StructType): DataFrame = {
+    val index = new DeltaLitePartitionedFileIndex(spark, root, entries,
+      partVals, dataSchema, partSchema)
+    val rel = HadoopFsRelation(index, partitionSchema = partSchema,
+      dataSchema = dataSchema, bucketSpec = None,
+      fileFormat = new ParquetFileFormat, options = Map.empty)(spark)
+    Bridge.ofRows(spark, LogicalRelation(rel, isStreaming = false))
+  }
+
+  /** Lazy variant of [[partitionedRelation]] — entries stay in the
+    * checkpoint/sidecar parquet; see [[DeltaLiteLazyPartitionedFileIndex]].
+    */
+  def lazyPartitionedRelation(spark: SparkSession, root: Path,
+      source: LazyPartEntriesSource,
+      dataSchema: StructType, partSchema: StructType): DataFrame = {
+    val index = new DeltaLiteLazyPartitionedFileIndex(spark, root, source,
+      dataSchema, partSchema)
+    val rel = HadoopFsRelation(index, partitionSchema = partSchema,
+      dataSchema = dataSchema, bucketSpec = None,
       fileFormat = new ParquetFileFormat, options = Map.empty)(spark)
     Bridge.ofRows(spark, LogicalRelation(rel, isStreaming = false))
   }

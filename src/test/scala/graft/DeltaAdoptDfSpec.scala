@@ -1,0 +1,221 @@
+package graft
+
+import graft.etl.{DeltaInterop, DeltaLite}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** DF-NATIVE adoption replay: a checkpoint-backed Delta source adopts
+  * with the checkpoint's add rows relabeled into the v0 sidecar BY A
+  * SPARK JOB — the driver never renders an O(live-files) entry list
+  * (`jsonEntriesRendered` stays 0 through the adoption) and the
+  * adopted table's read/detail match the driver-fold adoption of the
+  * same source exactly.
+  */
+class DeltaAdoptDfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Checkpoint-backed source: `n` one-row files under the table dir,
+    * a checkpoint parquet at v0 listing them all (with k-stats and a
+    * partition value), one JSON tail commit adding one more file and
+    * removing one checkpoint file.
+    */
+  private def checkpointedSource(n: Int): (String, Int) = {
+    val dir = tmp("dl-df-src")
+    // land n tiny files in ONE write, then reference them individually
+    val stage = tmp("dl-df-stage")
+    (1 to n).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartition(n, col("k")).write.mode("overwrite").parquet(stage)
+    val fsLocal = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+    fsLocal.foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(dir, f.getName).toPath)
+    }
+    val names = fsLocal.map(_.getName)
+    val schemaString = org.apache.spark.sql.types.StructType.fromDDL(
+      "k bigint, v string").json
+    val addT = org.apache.spark.sql.types.StructType.fromDDL(
+      "path string, partitionValues map<string,string>, size long, " +
+        "modificationTime long, dataChange boolean, stats string")
+    val metaT = org.apache.spark.sql.types.StructType.fromDDL(
+      "id string, schemaString string, partitionColumns array<string>, " +
+        "configuration map<string,string>")
+    val protoT = org.apache.spark.sql.types.StructType.fromDDL(
+      "minReaderVersion int, minWriterVersion int")
+    val cpT = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("add", addT),
+      org.apache.spark.sql.types.StructField("metaData", metaT),
+      org.apache.spark.sql.types.StructField("protocol", protoT)))
+    def szOf(name: String) = new java.io.File(dir, name).length()
+    val rows =
+      Seq(Row(null, null, Row(1, 2)),
+        Row(null, Row("df-fixture", schemaString, Seq.empty[String],
+          Map.empty[String, String]), null)) ++
+        names.map { nm =>
+          Row(Row(nm, Map.empty[String, String], szOf(nm),
+            0L, true, null), null, null)
+        }
+    val log = new java.io.File(dir, "_delta_log"); log.mkdirs()
+    val cpStage = tmp("dl-df-cp")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), cpT)
+      .write.mode("overwrite").parquet(cpStage)
+    // multi-part checkpoint: rename the parts into the Delta naming
+    val parts = new java.io.File(cpStage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.copy(p.toPath, new java.io.File(log,
+        f"${0L}%020d.checkpoint.${i + 1}%010d.${parts.length}%010d.parquet")
+        .toPath)
+    }
+    java.nio.file.Files.write(new java.io.File(log,
+      f"${0L}%020d.json").toPath, "\n".getBytes("UTF-8"))
+    // JSON tail: v1 removes the first checkpoint file
+    java.nio.file.Files.write(new java.io.File(log,
+      f"${1L}%020d.json").toPath,
+      (s"""{"remove":{"path":"${names.head}","deletionTimestamp":1,"dataChange":true}}""" +
+        "\n").getBytes("UTF-8"))
+    // expected live ROWS: the hash repartition skews rows per file, so
+    // derive the count from the surviving files themselves
+    val liveRows = spark.read.parquet(
+      names.tail.map(nm => s"$dir/$nm"): _*).count()
+    (dir, liveRows.toInt)
+  }
+
+  test("checkpoint adds relabel in a Spark job: zero driver-rendered entries, sidecar-backed v0, fold parity") {
+    val (dir, liveN) = checkpointedSource(24)
+    spark.conf.set("spark.graft.adopt.sidecarThreshold", "8")
+    try {
+      val t = DeltaLite.convertFromDelta(spark, dir, tmp("dl-df-root"))
+      assert(t.jsonEntriesRendered.get() == 0,
+        "DF-native adoption must not render entry rows into JSON " +
+          "driver-side")
+      // the v0 commit is sidecar-backed (pre-externalized record)
+      val logFiles = new java.io.File(s"${t.root}/_log").listFiles()
+        .map(_.getName)
+      assert(logFiles.exists(_.endsWith(".sidecar.entries")),
+        s"v0 must externalize its entries: ${logFiles.toSeq}")
+      assert(t.read().count() == liveN)
+      // fold parity: the driver-route adoption of the SAME source
+      spark.conf.set("spark.graft.adopt.sidecarThreshold",
+        Int.MaxValue.toString)
+      val fold = DeltaLite.convertFromDelta(spark, dir, tmp("dl-df-fold"))
+      val a = t.read().collect().map(r =>
+        (r.getLong(0), r.getString(1))).toSet
+      val b = fold.read().collect().map(r =>
+        (r.getLong(0), r.getString(1))).toSet
+      assert(a == b, "DF route must adopt the same live set as the fold")
+      assert(t.liveFiles().map(p => new org.apache.hadoop.fs.Path(p)
+        .getName).toSet ==
+        fold.liveFiles().map(p => new org.apache.hadoop.fs.Path(p)
+          .getName).toSet)
+    } finally spark.conf.unset("spark.graft.adopt.sidecarThreshold")
+  }
+
+  test("DF route carries stats and PARTITION values; inexpressible layouts fall back to the fold") {
+    // partitioned + stats checkpoint source
+    val dir = tmp("dl-dfp-src")
+    def land(sub: String, rows: Seq[(Long, String)]): (String, Long) = {
+      new java.io.File(dir, sub).mkdirs()
+      val stage = tmp("dl-dfp-stage")
+      rows.toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(stage)
+      val p = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(p.toPath,
+        new java.io.File(s"$dir/$sub", p.getName).toPath)
+      (s"$sub/${p.getName}", p.length())
+    }
+    val (fE, szE) = land("region=east", (1L to 5L).map(k => (k, s"e$k")))
+    val (fW, szW) = land("region=west", (6L to 9L).map(k => (k, s"w$k")))
+    val schemaString = org.apache.spark.sql.types.StructType.fromDDL(
+      "k bigint, v string, region string").json
+    val addT = org.apache.spark.sql.types.StructType.fromDDL(
+      "path string, partitionValues map<string,string>, size long, " +
+        "modificationTime long, dataChange boolean, stats string")
+    val metaT = org.apache.spark.sql.types.StructType.fromDDL(
+      "id string, schemaString string, partitionColumns array<string>, " +
+        "configuration map<string,string>")
+    val protoT = org.apache.spark.sql.types.StructType.fromDDL(
+      "minReaderVersion int, minWriterVersion int")
+    val cpT = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("add", addT),
+      org.apache.spark.sql.types.StructField("metaData", metaT),
+      org.apache.spark.sql.types.StructField("protocol", protoT)))
+    def st(lo: Long, hi: Long) =
+      s"""{"numRecords":5,"minValues":{"k":$lo},"maxValues":{"k":$hi}}"""
+    val rows = Seq(
+      Row(null, null, Row(1, 2)),
+      Row(null, Row("dfp-fixture", schemaString, Seq("region"),
+        Map.empty[String, String]), null),
+      Row(Row(fE, Map("region" -> "east"), szE, 0L, true, st(1, 5)),
+        null, null),
+      Row(Row(fW, Map("region" -> "west"), szW, 0L, true, st(6, 9)),
+        null, null))
+    val log = new java.io.File(dir, "_delta_log"); log.mkdirs()
+    val cpStage = tmp("dl-dfp-cp")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpT)
+      .coalesce(1).write.mode("overwrite").parquet(cpStage)
+    val part = new java.io.File(cpStage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath, new java.io.File(log,
+      f"${0L}%020d.checkpoint.parquet").toPath)
+    java.nio.file.Files.write(new java.io.File(log,
+      f"${0L}%020d.json").toPath, "\n".getBytes("UTF-8"))
+    spark.conf.set("spark.graft.adopt.sidecarThreshold", "2")
+    try {
+      val t = DeltaLite.convertFromDelta(spark, dir, tmp("dl-dfp-root"),
+        statsKey = Some("k"))
+      // injected partition values through the sidecar-backed entries
+      assert(t.read().filter(col("region") === "east").count() == 5)
+      assert(t.read().count() == 9)
+      // adopted k-stats prune a point upsert file-granularly
+      val before = t.liveFiles().toSet
+      t.upsert(Seq((7L, "updated", "west")).toDF("k", "v", "region"), "k")
+      val after = t.liveFiles().toSet
+      assert((before intersect after).size == 1,
+        s"east's file must survive a west-range upsert: $before -> $after")
+      assert(t.read().count() == 9)
+    } finally spark.conf.unset("spark.graft.adopt.sidecarThreshold")
+    // %-encoded checkpoint path -> the DF route declines, fold adopts
+    val dir2 = tmp("dl-dfq-src")
+    val (f2, sz2) = {
+      val stage = tmp("dl-dfq-stage")
+      Seq((1L, "x")).toDF("k", "v").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val p = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(p.toPath,
+        new java.io.File(dir2, p.getName).toPath)
+      (p.getName, p.length())
+    }
+    val schemaString2 = org.apache.spark.sql.types.StructType.fromDDL(
+      "k bigint, v string").json
+    val rows2 = Seq(
+      Row(null, null, Row(1, 2)),
+      Row(null, Row("dfq-fixture", schemaString2, Seq.empty[String],
+        Map.empty[String, String]), null),
+      Row(Row(f2.replaceFirst("part", "p%61rt"),
+        Map.empty[String, String], sz2, 0L, true, null), null, null))
+    val log2 = new java.io.File(dir2, "_delta_log"); log2.mkdirs()
+    val cpStage2 = tmp("dl-dfq-cp")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows2, 1), cpT)
+      .coalesce(1).write.mode("overwrite").parquet(cpStage2)
+    val part2 = new java.io.File(cpStage2).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part2.toPath, new java.io.File(log2,
+      f"${0L}%020d.checkpoint.parquet").toPath)
+    java.nio.file.Files.write(new java.io.File(log2,
+      f"${0L}%020d.json").toPath, "\n".getBytes("UTF-8"))
+    spark.conf.set("spark.graft.adopt.sidecarThreshold", "1")
+    try {
+      val t2 = DeltaLite.convertFromDelta(spark, dir2, tmp("dl-dfq-root"))
+      assert(t2.read().count() == 1,
+        "the %-encoded layout must still adopt through the fold")
+    } finally spark.conf.unset("spark.graft.adopt.sidecarThreshold")
+  }
+}

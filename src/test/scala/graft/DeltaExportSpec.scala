@@ -1,0 +1,132 @@
+package graft
+
+import graft.etl.{DeltaInterop, DeltaLite}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** EXPORT a real `_delta_log` ([[DeltaLite.exportToDelta]]) — the
+  * write side of zero-copy Delta interop. The round-trip oracle is our
+  * own reader: [[DeltaInterop.snapshot]] replays the exported log and
+  * must see exactly the live set; [[DeltaLite.convertFromDelta]]
+  * re-adopts it skip-ready (stats carried). Non-goals (snapshot
+  * export, no DVs, no column mapping) refuse loudly.
+  */
+class DeltaExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def norm(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  test("export round-trips: snapshot re-adopts the byte-identical live set; re-export diffs") {
+    val root = tmp("dl-export")
+    val t = new DeltaLite(spark, root, Some("k"))
+    t.append((1L to 10L).map(k => (k, s"a$k")).toDF("k", "v").coalesce(1))
+    t.append((11L to 20L).map(k => (k, s"b$k")).toDF("k", "v").coalesce(1))
+    val v0 = t.exportToDelta()
+    assert(v0 == 0L)
+    val snap = DeltaInterop.snapshot(spark, root)
+    assert(snap.files.map(f => norm(f.path)).toSet ==
+      t.liveFiles().map(norm).toSet,
+      "exported live set must be byte-identical to the table's")
+    assert(snap.partitionColumns.isEmpty)
+    // a Delta reader's view equals the table's rows
+    val got = DeltaInterop.readDelta(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == t.read().collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet && got.size == 20)
+    // stats carried: the re-adopted table prunes a point upsert
+    val re = DeltaLite.convertFromDelta(spark, root, tmp("dl-reimport"),
+      statsKey = Some("k"))
+    assert(re.liveFileStats().forall(_._2.isDefined),
+      "exported stats must re-adopt skip-ready")
+    val before = re.liveFiles().map(p =>
+      new org.apache.hadoop.fs.Path(p).getName).toSet
+    assert(before.size == 2)
+    re.upsert(Seq((15L, "updated")).toDF("k", "v"), "k")
+    val after = re.liveFiles().map(p =>
+      new org.apache.hadoop.fs.Path(p).getName).toSet
+    assert((before intersect after).size == 1,
+      s"point upsert must keep the disjoint file: $before -> $after")
+    assert(re.read().count() == 20)
+    // RE-EXPORT after an upsert: version 1 carries the diff (removes
+    // of the rewritten file, adds of the new) and replays correctly
+    t.upsert(Seq((5L, "updated")).toDF("k", "v"), "k")
+    val v1 = t.exportToDelta()
+    assert(v1 == 1L)
+    val snap1 = DeltaInterop.snapshot(spark, root)
+    assert(snap1.files.map(f => norm(f.path)).toSet ==
+      t.liveFiles().map(norm).toSet,
+      "re-export must diff to the new live set")
+    val got1 = DeltaInterop.readDelta(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got1(5L) == "updated" && got1.size == 20)
+  }
+
+  test("partitioned export: partitionValues from the hive layout, reader injects them") {
+    val root = tmp("dl-export-part")
+    val t = new DeltaLite(spark, root, partitionBy = Seq("etype"))
+    t.append(Seq((1L, "click", 1.0), (2L, "view", 2.0), (3L, "click", 3.0))
+      .toDF("id", "etype", "v"))
+    t.exportToDelta()
+    val snap = DeltaInterop.snapshot(spark, root)
+    assert(snap.partitionColumns == Seq("etype"))
+    assert(snap.files.forall(_.partitionValues.contains("etype")),
+      s"every add must carry its partition value: ${snap.files}")
+    val got = DeltaInterop.readDelta(spark, root)
+      .select("id", "etype", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, "click", 1.0), (2L, "view", 2.0),
+      (3L, "click", 3.0)))
+  }
+
+  test("timestamp stats export as ISO instants and re-adopt skip-ready") {
+    val root = tmp("dl-export-ts")
+    val t = new DeltaLite(spark, root, Some("ts"))
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    t.append(Seq((1L, ts("2024-01-01T06:30:00Z")),
+      (2L, ts("2024-01-02T06:30:00.250Z"))).toDF("k", "ts").coalesce(1))
+    t.append(Seq((3L, ts("2024-06-01T06:30:00Z")),
+      (4L, ts("2024-06-02T06:30:00Z"))).toDF("k", "ts").coalesce(1))
+    t.exportToDelta()
+    val snap = DeltaInterop.snapshot(spark, root)
+    val statsSeen = snap.files.flatMap(_.stats)
+    assert(statsSeen.nonEmpty && statsSeen.forall(_.contains("Z")),
+      s"timestamp bounds must render as ISO instants: $statsSeen")
+    val re = DeltaLite.convertFromDelta(spark, root, tmp("dl-reimport-ts"),
+      statsKey = Some("ts"))
+    assert(re.liveFileStats().forall(_._2.isDefined),
+      "exported timestamp stats must re-adopt")
+    // the re-adopted ranges prune: a June point upsert keeps the
+    // January file untouched (only June's rewrites)
+    val before = re.liveFiles().toSet
+    assert(before.size == 2)
+    re.upsert(Seq((3L, ts("2024-06-01T06:30:00Z"))).toDF("k", "ts"), "ts")
+    val after = re.liveFiles().toSet
+    assert((before intersect after).size == 1,
+      s"January's file must survive a June point upsert: $before -> $after")
+    assert(re.read().count() == 4)
+  }
+
+  test("non-goals refuse loudly: live DVs, column mapping") {
+    val rootD = tmp("dl-export-dv")
+    val tD = new DeltaLite(spark, rootD)
+    tD.append((1L to 10L).map(k => (k, s"a$k")).toDF("k", "v"))
+    tD.deleteWhere(col("k") === 3L)
+    val eD = intercept[IllegalArgumentException](tD.exportToDelta())
+    assert(eD.getMessage.contains("deletion vectors"), eD.getMessage)
+    tD.materializeDeletes()
+    assert(tD.exportToDelta() == 0L) // after materialize it exports
+    assert(DeltaInterop.readDelta(spark, rootD).count() == 9)
+
+    val rootC = tmp("dl-export-cm")
+    val tC = new DeltaLite(spark, rootC)
+    tC.append((1L to 5L).map(k => (k, s"a$k")).toDF("k", "v"))
+    tC.renameColumn("v", "w")
+    val eC = intercept[IllegalArgumentException](tC.exportToDelta())
+    assert(eC.getMessage.contains("column mapping"), eC.getMessage)
+  }
+}

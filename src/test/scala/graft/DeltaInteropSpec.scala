@@ -201,15 +201,7 @@ class DeltaInteropSpec extends SparkSpec {
       s"must refuse the vacuumed version loudly: ${e.getMessage}")
   }
 
-  test("partitioned, column-mapped and deletion-vector tables refuse loudly by name") {
-    // partitioned
-    val dirP = tmp("delta-part")
-    val fP = dataFile(dirP, Seq((1L, "x")))
-    writeCommit(dirP, 0, Seq(protocolAction,
-      metaAction(parts = Seq("v")), addAction(fP, 1L)))
-    val eP = intercept[IllegalArgumentException](
-      DeltaLite.convertFromDelta(spark, dirP, tmp("delta-part-root")))
-    assert(eP.getMessage.contains("partitioned"), eP.getMessage)
+  test("column-mapped and deletion-vector tables refuse loudly by name") {
     // column mapping
     val dirC = tmp("delta-cm")
     val fC = dataFile(dirC, Seq((1L, "x")))
@@ -283,20 +275,37 @@ class DeltaInteropSpec extends SparkSpec {
     assert(!liveNames.contains(f3), "the overlapping file must rewrite")
     val got = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got(25L) == "updated" && got.size == 20 && got(1L) == "a1")
-    // type safety: timestamp ranges are conservatively NOT adopted
-    // (Delta's ISO-with-Z rendering is not the cast encoding)
+    // timestamps RE-ENCODE into the session zone's cast form (Delta
+    // renders ISO-with-Z); booleans/nested stay out for restats
     val tsSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "k bigint, ts timestamp, d date, x double, s string")
+      "k bigint, ts timestamp, d date, x double, s string, b boolean")
+    val statsJson =
+      """{"minValues":{"k":1,"ts":"2024-01-01T06:30:00.000Z",""" +
+        """"d":"2024-01-01","x":1.5,"s":"ab","b":false},""" +
+        """"maxValues":{"k":9,"ts":"2024-06-01T06:30:00.250Z",""" +
+        """"d":"2024-03-01","x":2.5E8,"s":"zz","b":true}}"""
     val ranges = graft.etl.DeltaInterop.adoptableRanges(
-      """{"minValues":{"k":1,"ts":"2024-01-01T00:00:00.000Z",""" +
-        """"d":"2024-01-01","x":1.5,"s":"ab"},""" +
-        """"maxValues":{"k":9,"ts":"2024-06-01T00:00:00.000Z",""" +
-        """"d":"2024-03-01","x":2.5E8,"s":"zz"}}""", tsSchema)
-    assert(ranges.keySet == Set("k", "d", "x", "s"),
-      s"timestamp must be excluded, got ${ranges.keySet}")
+      statsJson, tsSchema, "UTC")
+    assert(ranges.keySet == Set("k", "ts", "d", "x", "s"),
+      s"got ${ranges.keySet}")
+    assert(ranges("ts") == ("2024-01-01 06:30:00", "2024-06-01 06:30:00.25"),
+      s"UTC re-encode diverged: ${ranges("ts")}")
+    // a non-UTC zone re-renders the INSTANT in that zone (the form the
+    // session's cast-string compares use) — raw lexical ISO would
+    // mis-order against those
+    val rangesLA = graft.etl.DeltaInterop.adoptableRanges(
+      statsJson, tsSchema, "America/Los_Angeles")
+    assert(rangesLA("ts") ==
+      ("2023-12-31 22:30:00", "2024-05-31 23:30:00.25"),
+      s"LA re-encode diverged: ${rangesLA("ts")}")
     assert(ranges("x") == ("1.5", "2.5E8") && ranges("d")._1 == "2024-01-01")
+    // an unparsable timestamp bound adopts nothing for that column
+    assert(!graft.etl.DeltaInterop.adoptableRanges(
+      """{"minValues":{"ts":"garbage"},"maxValues":{"ts":"2024-06-01T06:30:00Z"}}""",
+      tsSchema, "UTC").contains("ts"))
     // malformed stats adopt nothing rather than mis-pruning
-    assert(graft.etl.DeltaInterop.adoptableRanges("not json", tsSchema).isEmpty)
+    assert(graft.etl.DeltaInterop.adoptableRanges(
+      "not json", tsSchema, "UTC").isEmpty)
   }
 
   test("an incomplete multi-part checkpoint refuses loudly instead of replaying a torn base") {
@@ -320,11 +329,11 @@ class DeltaInteropSpec extends SparkSpec {
     assert(e.getMessage.contains("incomplete"), e.getMessage)
   }
 
-  test("readDelta serves a PARTITIONED table read-only: partition values injected from the log as typed columns") {
+  test("readDelta serves a PARTITIONED table through ONE relation: typed injection, native pruning, any layout") {
     val dir = tmp("delta-readpart")
-    // two partitions of (k BIGINT, v STRING, region STRING) where the
-    // DATA files carry only (k, v) — region lives in the log, the
-    // faithful Delta layout convertFromDelta refuses
+    // LOG-ONLY layout: two partitions of (k BIGINT, v STRING, region
+    // STRING) where the DATA files carry only (k, v) and sit FLAT in
+    // the table dir — no hive segments; values live only in the log
     val fE = dataFile(dir, (1L to 5L).map(k => (k, s"e$k")))
     val fW = dataFile(dir, (6L to 9L).map(k => (k, s"w$k")))
     val partSchema = org.apache.spark.sql.types.StructType.fromDDL(
@@ -343,7 +352,8 @@ class DeltaInteropSpec extends SparkSpec {
       val root = mapper.createObjectNode()
       val a = root.putObject("add")
       a.put("path", name)
-      a.putObject("partitionValues").put("region", region)
+      val pv = a.putObject("partitionValues")
+      if (region == null) pv.putNull("region") else pv.put("region", region)
       a.put("size", new java.io.File(dir, name).length())
       a.put("modificationTime", 0L); a.put("dataChange", true)
       mapper.writeValueAsString(root)
@@ -353,22 +363,52 @@ class DeltaInteropSpec extends SparkSpec {
     val df = DeltaInterop.readDelta(spark, dir)
     assert(df.schema.fieldNames.toSeq == Seq("k", "v", "region"),
       "declared schema order must be preserved")
+    // ONE scan node even for the log-only layout — the partitioned
+    // FileIndex serves per-file tuples; no per-tuple union legs
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.split("Scan parquet").length - 1 == 1,
+      s"log-only layout must plan a single scan:\n$plan")
     val got = df.collect().map(r =>
       (r.getLong(0), r.getString(1), r.getString(2))).toSet
     val want = ((1L to 5L).map(k => (k, s"e$k", "east")) ++
       (6L to 9L).map(k => (k, s"w$k", "west"))).toSet
     assert(got == want, s"partition injection diverged: $got")
-    // the adoption refusal names this read path
-    val e = intercept[IllegalArgumentException](
-      DeltaLite.convertFromDelta(spark, dir, tmp("delta-readpart-root")))
-    assert(e.getMessage.contains("readDelta"), e.getMessage)
-    // a degenerate tuple count refuses rather than building the union
-    val eT = intercept[IllegalArgumentException](
-      DeltaInterop.readDelta(spark, dir, maxPartitionTuples = 1))
-    assert(eT.getMessage.contains("partition tuples"), eT.getMessage)
+    // a partition filter ELIMINATES the other tuple's file in the scan
+    val pruned = df.filter(col("region") === "east")
+    assert(pruned.collect().length == 5) // pruned's own plan runs -> metrics
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scan.nonEmpty && scan.head.metrics("numFiles").value == 1,
+      s"partition filter must plan one file, got " +
+        s"${scan.map(_.metrics("numFiles").value)}")
+    // a NULL partition value injects as null and filters as such
+    val dirN = tmp("delta-readpart-null")
+    val fN = dataFile(dirN, Seq((100L, "n")))
+    val fE2 = dataFile(dirN, Seq((101L, "e")))
+    new java.io.File(dirN, "_delta_log").mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(s"$dirN/_delta_log", f"${0L}%020d.json").toPath,
+      (Seq(protocolAction, meta.replace("part-fixture", "null-fixture"),
+        addPart2(dirN, fN, null), addPart2(dirN, fE2, "east"))
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    val dfn = DeltaInterop.readDelta(spark, dirN)
+    assert(dfn.filter(col("region").isNull).collect()
+      .map(_.getLong(0)).toSeq == Seq(100L))
   }
 
-  test("readDelta hive-layout fast path: one scan node, native partition pruning, same rows as the union path") {
+  private def addPart2(dir: String, name: String, region: String): String = {
+    val root = mapper.createObjectNode()
+    val a = root.putObject("add")
+    a.put("path", name)
+    val pv = a.putObject("partitionValues")
+    if (region == null) pv.putNull("region") else pv.put("region", region)
+    a.put("size", new java.io.File(dir, name).length())
+    a.put("modificationTime", 0L); a.put("dataChange", true)
+    mapper.writeValueAsString(root)
+  }
+
+  test("readDelta hive layout plans the same single scan; an EMPTY live set reads as an empty frame") {
     val dir = tmp("delta-hive")
     // standard Delta layout: files under region=<v>/ dirs, partition
     // bytes absent from the files, values in the log AND the path
@@ -397,19 +437,9 @@ class DeltaInteropSpec extends SparkSpec {
       m.putObject("configuration")
       mapper.writeValueAsString(root)
     }
-    def addPart(name: String, region: String): String = {
-      val root = mapper.createObjectNode()
-      val a = root.putObject("add")
-      a.put("path", name)
-      a.putObject("partitionValues").put("region", region)
-      a.put("size", new java.io.File(dir, name).length())
-      a.put("modificationTime", 0L); a.put("dataChange", true)
-      mapper.writeValueAsString(root)
-    }
     writeCommit(dir, 0, Seq(protocolAction, meta,
-      addPart(fE, "east"), addPart(fW, "west")))
+      addPart2(dir, fE, "east"), addPart2(dir, fW, "west")))
     val df = DeltaInterop.readDelta(spark, dir)
-    // ONE scan node (the basePath relation), not one leg per tuple
     val plan = df.queryExecution.executedPlan.toString()
     assert(plan.split("Scan parquet").length - 1 == 1,
       s"hive layout must plan a single scan:\n$plan")
@@ -417,12 +447,19 @@ class DeltaInteropSpec extends SparkSpec {
       (r.getLong(0), r.getString(1), r.getString(2))).toSet
     assert(got == ((1L to 5L).map(k => (k, s"e$k", "east")) ++
       (6L to 9L).map(k => (k, s"w$k", "west"))).toSet)
-    // native partition pruning: a region filter reads one partition
-    import org.apache.spark.sql.functions.col
+    // native partition pruning: a region filter plans one file
     val pruned = df.filter(col("region") === "east")
-    val scanned = pruned.queryExecution.executedPlan.toString()
-    assert(pruned.count() == 5)
-    assert(scanned.contains("region"), "partition filter must reach the scan")
+    assert(pruned.collect().length == 5)
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scan.nonEmpty && scan.head.metrics("numFiles").value == 1)
+    // remove everything: a fully-deleted table is a VALID readable
+    // state — empty frame with the declared schema, never a refusal
+    writeCommit(dir, 1, Seq(removeAction(fE), removeAction(fW)))
+    val empty = DeltaInterop.readDelta(spark, dir)
+    assert(empty.schema.fieldNames.toSeq == Seq("k", "v", "region"))
+    assert(empty.count() == 0)
   }
 
   test("URI-encoded relative paths and absolute paths resolve to the same files") {
