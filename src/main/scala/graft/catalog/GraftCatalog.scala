@@ -596,7 +596,7 @@ object GraftCatalog {
     "zorder", "zorder_by", "analyze", "checkpoint", "clean_log", "add_constraint",
     "drop_constraint", "history", "detail", "copy_into", "table_changes",
     "optimize_where", "vacuum_orphans", "clone", "vacuum_dry_run", "fsck",
-    "convert")
+    "convert", "convert_from_delta", "export_to_delta")
 
   /** Register the catalog + extensions-equivalent state on a live
     * session (catalog lookup is lazy per name, so runtime conf works).
@@ -641,9 +641,12 @@ class GraftProcedure(pname: String, catalog: GraftCatalog)
   }
 
   override def parameters(): Array[ProcedureParameter] = {
-    // convert addresses a PATH (there is no table yet), not a table
+    // convert/convert_from_delta address PATHS (no table yet)
     val names =
-      if (pname == "convert") Seq("source_dir") else "table" +: extraParams
+      if (pname == "convert") Seq("source_dir")
+      else if (pname == "convert_from_delta")
+        Seq("source_dir", "target_dir")
+      else "table" +: extraParams
     names.map(p => ProcedureParameter.in(p, StringType).build()).toArray
   }
 
@@ -659,6 +662,16 @@ class GraftProcedure(pname: String, catalog: GraftCatalog)
   override def call(input: InternalRow): util.Iterator[Scan] = {
     val args = (0 until input.numFields).map(i =>
       input.getUTF8String(i).toString)
+    if (pname == "convert_from_delta") {
+      // zero-copy adoption of a REAL Delta table to a SIDE root
+      // (in-place refuses — vacuum would reclaim the source's files);
+      // address the result as an external LOCATION table afterwards
+      val t = graft.etl.DeltaLite.convertFromDelta(
+        SparkSession.active, args(0), args(1))
+      return util.Arrays.asList(stringScan("result",
+        Seq(s"adopted ${t.detail().head.getAs[Long]("num_live_files")} " +
+          s"files from ${args(0)} at ${args(1)}"))).iterator()
+    }
     if (pname == "convert") {
       // CONVERT TO DELTA parquet.`dir`: in-place — the commit log
       // lands INSIDE the directory (zero data movement, files adopted
@@ -783,6 +796,9 @@ class GraftProcedure(pname: String, catalog: GraftCatalog)
         s"dropped at v${t.dropCheckConstraint(args(1))}"
       case "copy_into" =>
         t.copyInto(args(1)).map(v => s"ingested at v$v").getOrElse("noop")
+      case "export_to_delta" =>
+        s"exported Delta version ${t.exportToDelta()} " +
+          s"under ${t.root}/_delta_log"
       case "optimize_where" =>
         // partition-scoped OPTIMIZE: the predicate string parses with
         // Spark's own expression parser (same dialect as any WHERE)

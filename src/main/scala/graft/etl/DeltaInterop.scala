@@ -99,6 +99,35 @@ object DeltaInterop {
       b.result()
     }
 
+  /** Reader-protocol gate shared by BOTH replay routes ([[snapshot]]
+    * and [[snapshotDf]]) — one copy so the refusal surface cannot
+    * drift between them. PINNED ASSUMPTION: minReaderVersion <= 2 is
+    * trusted because the Delta protocol gates all LISTED reader
+    * features behind v3 (readerFeatures exists only at v3+), and the
+    * two v<=2 read-path semantics that exist — column mapping and
+    * deletion vectors — are refused separately by their own checks. A
+    * future spec revision adding v2-gated read semantics would need a
+    * new refusal here.
+    */
+  private def checkReaderProtocol(tableDir: String, minReader: Int,
+      readerFeatures: Seq[String]): Unit = {
+    val unsupported = readerFeatures.filterNot(_ == "timestampNtz")
+    require(minReader <= 2 || unsupported.isEmpty,
+      s"$tableDir requires Delta reader features " +
+        s"${unsupported.mkString(", ")} (minReaderVersion $minReader) " +
+        "— not supported by this adoption path")
+  }
+
+  /** Column-mapping refusal shared by both replay routes. */
+  private def checkColumnMapping(tableDir: String,
+      conf: Map[String, String]): Unit = {
+    val cmMode = conf.getOrElse("delta.columnMapping.mode", "none")
+    require(cmMode == "none",
+      s"$tableDir uses column mapping mode '$cmMode' — its parquet " +
+        "columns carry physical ids this adoption path cannot " +
+        "resolve; disable column mapping (or rewrite) before adopting")
+  }
+
   /** Replay the `_delta_log` under `tableDir` to `versionAsOf` (or the
     * latest commit). Every unsupported input refuses loudly, naming
     * what it saw.
@@ -143,31 +172,15 @@ object DeltaInterop {
     // the order the source table grew, like DeltaLite's own replay
     val live = new java.util.LinkedHashMap[String, AddFile]()
 
-    def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
-      // PINNED ASSUMPTION: minReaderVersion <= 2 is trusted because
-      // the Delta protocol gates all LISTED reader features behind
-      // v3 (readerFeatures exists only at v3+), and the two v<=2
-      // read-path semantics that exist — column mapping and deletion
-      // vectors — are refused separately by their own checks. A future
-      // spec revision adding v2-gated read semantics would need a new
-      // refusal here.
-      val unsupported = readerFeatures.filterNot(_ == "timestampNtz")
-      require(minReader <= 2 || unsupported.isEmpty,
-        s"$tableDir requires Delta reader features " +
-          s"${unsupported.mkString(", ")} (minReaderVersion $minReader) " +
-          "— not supported by this adoption path")
-    }
+    def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit =
+      checkReaderProtocol(tableDir, minReader, readerFeatures)
 
     def applyMeta(schemaString: String, parts: Seq[String],
         conf: Map[String, String]): Unit = {
       schemaJson = Some(schemaString)
       partitionCols = parts
       configuration = conf
-      val cmMode = conf.getOrElse("delta.columnMapping.mode", "none")
-      require(cmMode == "none",
-        s"$tableDir uses column mapping mode '$cmMode' — its parquet " +
-          "columns carry physical ids this adoption path cannot " +
-          "resolve; disable column mapping (or rewrite) before adopting")
+      checkColumnMapping(tableDir, conf)
     }
 
     def applyAdd(path: JsonNode, pv: Map[String, String],
@@ -387,45 +400,37 @@ object DeltaInterop {
     var schemaJson: Option[String] = None
     var partitionCols: Seq[String] = Nil
     var configuration: Map[String, String] = Map.empty
-    def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
-      // PINNED ASSUMPTION: minReaderVersion <= 2 is trusted because
-      // the Delta protocol gates all LISTED reader features behind
-      // v3 (readerFeatures exists only at v3+), and the two v<=2
-      // read-path semantics that exist — column mapping and deletion
-      // vectors — are refused separately by their own checks. A future
-      // spec revision adding v2-gated read semantics would need a new
-      // refusal here.
-      val unsupported = readerFeatures.filterNot(_ == "timestampNtz")
-      require(minReader <= 2 || unsupported.isEmpty,
-        s"$tableDir requires Delta reader features " +
-          s"${unsupported.mkString(", ")} (minReaderVersion $minReader) " +
-          "— not supported by this adoption path")
-    }
+    def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit =
+      checkReaderProtocol(tableDir, minReader, readerFeatures)
     def applyMeta(ss: String, parts: Seq[String],
         conf: Map[String, String]): Unit = {
       schemaJson = Some(ss); partitionCols = parts; configuration = conf
-      val cmMode = conf.getOrElse("delta.columnMapping.mode", "none")
-      require(cmMode == "none",
-        s"$tableDir uses column mapping mode '$cmMode' — its parquet " +
-          "columns carry physical ids this adoption path cannot " +
-          "resolve; disable column mapping (or rewrite) before adopting")
+      checkColumnMapping(tableDir, conf)
     }
-    if (cols.contains("protocol"))
-      cp.select("protocol").filter("protocol is not null").collect()
-        .foreach { r =>
-          val p = r.getStruct(0)
-          val fi = p.schema.fieldNames
-          val mr = if (fi.contains("minReaderVersion") &&
-            !p.isNullAt(p.fieldIndex("minReaderVersion")))
-            p.getInt(p.fieldIndex("minReaderVersion")) else 1
-          val rf = if (fi.contains("readerFeatures") &&
-            !p.isNullAt(p.fieldIndex("readerFeatures")))
-            p.getSeq[String](p.fieldIndex("readerFeatures")) else Nil
-          checkProtocol(mr, rf)
-        }
-    cp.select("metaData").filter("metaData is not null").collect()
-      .foreach { r =>
-        val m = r.getStruct(0)
+    // metadata actions in ONE collect (protocol + metaData rows are a
+    // handful; separate per-column collects would each re-scan a
+    // multi-GB object-store checkpoint)
+    val metaRows =
+      (if (cols.contains("protocol"))
+        cp.filter("protocol is not null or metaData is not null")
+          .select("protocol", "metaData")
+      else cp.filter("metaData is not null")
+        .select(org.apache.spark.sql.functions.lit(null).as("protocol"),
+          col("metaData"))).collect()
+    metaRows.foreach { r =>
+      if (!r.isNullAt(0)) {
+        val p = r.getStruct(0)
+        val fi = p.schema.fieldNames
+        val mr = if (fi.contains("minReaderVersion") &&
+          !p.isNullAt(p.fieldIndex("minReaderVersion")))
+          p.getInt(p.fieldIndex("minReaderVersion")) else 1
+        val rf = if (fi.contains("readerFeatures") &&
+          !p.isNullAt(p.fieldIndex("readerFeatures")))
+          p.getSeq[String](p.fieldIndex("readerFeatures")) else Nil
+        checkProtocol(mr, rf)
+      }
+      if (!r.isNullAt(1)) {
+        val m = r.getStruct(1)
         val fi = m.schema.fieldNames
         val parts = if (fi.contains("partitionColumns") &&
           !m.isNullAt(m.fieldIndex("partitionColumns")))
@@ -436,24 +441,31 @@ object DeltaInterop {
         else Map.empty[String, String]
         applyMeta(m.getString(m.fieldIndex("schemaString")), parts, conf)
       }
+    }
     val addFields = cp.schema("add").dataType
       .asInstanceOf[StructType].fieldNames.toSet
-    // DV presence probed IN the read, not via a collect
-    if (addFields.contains("deletionVector"))
-      require(cp.filter(
-        "add is not null and add.deletionVector is not null")
-        .limit(1).isEmpty,
-        s"$tableDir carries deletion vectors — adopting would " +
-          "resurrect deleted rows; run a Delta OPTIMIZE/rewrite to " +
-          "materialize the deletes first")
-    // DF preconditions: paths must resolve by concat — %-encoded or
-    // absolute-URI rows need the driver's URI logic
+    // DV presence + DF-precondition paths probed in ONE aggregate pass
+    // (%-encoded or absolute-URI rows need the driver's URI logic)
     val adds0 = cp.filter("add is not null")
-    val oddPaths = adds0.filter(
-      col("add.path").contains("%") ||
-        col("add.path").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:") ||
-        col("add.path").startsWith("/"))
-    if (!oddPaths.limit(1).isEmpty) return None
+    val oddCond = col("add.path").contains("%") ||
+      col("add.path").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:") ||
+      col("add.path").startsWith("/")
+    val dvCond =
+      if (addFields.contains("deletionVector"))
+        col("add.deletionVector").isNotNull
+      else org.apache.spark.sql.functions.lit(false)
+    val probe = adds0.agg(
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(dvCond, 1L).otherwise(0L))
+        .as("dv"),
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(oddCond, 1L).otherwise(0L))
+        .as("odd")).head()
+    require(probe.isNullAt(0) || probe.getLong(0) == 0L,
+      s"$tableDir carries deletion vectors — adopting would " +
+        "resurrect deleted rows; run a Delta OPTIMIZE/rewrite to " +
+        "materialize the deletes first")
+    if (!probe.isNullAt(1) && probe.getLong(1) > 0L) return None
 
     // ---- JSON tail, driver-side (bounded by the checkpoint cadence)
     val mapper = new ObjectMapper()

@@ -2425,7 +2425,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
         s"$what at $root includes the adoption commit (v0) of a " +
           "partitioned Delta adoption — its files carry no partition " +
           "column bytes and a per-commit leaf read would serve NULLs; " +
-          "start above v0, or compact() first to materialize the bytes")
+          "start the read above v0 (the adopted snapshot itself is " +
+          "served by read()/readIndexed)")
 
   def readAppendsSince(sinceVersion: Int): DataFrame = {
     // full per-commit history: a checkpoint splice would silently
@@ -2636,8 +2637,9 @@ class DeltaLite(val spark: SparkSession, val root: String,
             if (foreign.nonEmpty) throw new IllegalStateException(
               s"change feed at $root must materialize deleted rows " +
                 s"from adopted byte-less files (e.g. ${foreign.head}) " +
-                "— their partition columns live only in the log; " +
-                "compact() first to materialize the bytes")
+                "— their partition columns live only in the log; this " +
+                "range cannot serve row-level deletes (deletes issued " +
+                "AFTER a compact() rewrite decode fine)")
           }
           if (holders.isEmpty) None
           else {
@@ -4258,18 +4260,36 @@ class DeltaLite(val spark: SparkSession, val root: String,
             mns.put(c, mn); mxs.put(c, mx); any = true
           case TimestampType =>
             // session-zone cast form -> ISO-8601 UTC instant (the
-            // rendering Delta writers use and adoptableRanges re-reads)
-            def iso(s: String): Option[String] =
+            // rendering Delta writers use and adoptableRanges
+            // re-reads). The local rendering is DST-LOSSY: an
+            // ambiguous wall time (fall-back overlap) maps to TWO
+            // instants and a nonexistent one (spring-forward gap) to
+            // none — a single-instant resolution could emit a
+            // non-conservative bound that makes an external reader
+            // mis-prune. So each bound resolves to its CANDIDATE
+            // instants (both valid offsets; transition-widened for a
+            // gap) and the min bound takes the earliest, the max the
+            // latest — always a valid, possibly wider, bound.
+            def candidates(s: String): Option[Seq[java.time.Instant]] =
               try {
                 val f = java.time.format.DateTimeFormatter.ofPattern(
                   "yyyy-MM-dd HH:mm:ss[.SSSSSS][.SSSSS][.SSSS][.SSS][.SS][.S]")
-                Some(java.time.LocalDateTime.parse(s, f).atZone(zone)
-                  .toInstant.toString)
+                val ldt = java.time.LocalDateTime.parse(s, f)
+                val rules = zone.getRules
+                val offs = rules.getValidOffsets(ldt)
+                if (!offs.isEmpty)
+                  Some((0 until offs.size).map(i => ldt.toInstant(offs.get(i))))
+                else {
+                  val tr = rules.getTransition(ldt)
+                  val d = tr.getDuration.abs()
+                  Some(Seq(tr.getInstant.minus(d), tr.getInstant.plus(d)))
+                }
               } catch {
                 case _: java.time.format.DateTimeParseException => None
               }
-            iso(mn).zip(iso(mx)).foreach { case (a, b) =>
-              mns.put(c, a); mxs.put(c, b); any = true
+            candidates(mn).zip(candidates(mx)).foreach { case (lo, hi) =>
+              mns.put(c, lo.min.toString); mxs.put(c, hi.max.toString)
+              any = true
             }
           case _ => () // boolean/binary/nested: skipped, like adoption
         }
@@ -4439,8 +4459,10 @@ class DeltaLite(val spark: SparkSession, val root: String,
         when(col("__ok"), lit(statsKey.orNull)).cast("string")
           .as("key_phys"),
         col("extra_phys"))
-    // bounded JSON-tail survivors ride as driver rows, idx-offset past
-    // any checkpoint id (mono ids are < 2^40 per their partition stride)
+    // bounded JSON-tail survivors ride as driver rows with NEGATIVE
+    // idx — deterministically ordered before the checkpoint rows at
+    // ANY partition count (mono ids embed partitionId << 33, so a
+    // fixed positive offset could collide past 2^17 partitions)
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     val tailRows = ds.tailAdds.zipWithIndex.map { case (f, i) =>
       val ranges = (f.stats
@@ -4458,7 +4480,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
         }
       }.toMap
       val ex = (dataEx ++ partEx).toSeq.sortBy(_._1)
-      Row((1L << 50) + i, "f", f.path,
+      Row(i.toLong - ds.tailAdds.size, "f", f.path,
         primary.map(_._1).orNull, primary.map(_._2).orNull,
         statsKey.filter(_ => primary.isDefined).orNull,
         f.size.map(java.lang.Long.valueOf).orNull,
@@ -5470,24 +5492,6 @@ class DeltaLite(val spark: SparkSession, val root: String,
         val (dvPaths, totalBytesV) = lazyOpenFacts(all.last.version, edf)
         val logicalByPhys =
           sch.fieldNames.map(l => mapping.getOrElse(l, l) -> l).toMap
-        val source = new org.apache.spark.sql.graftbridge.LazyEntriesSource(
-          prune = filters => {
-            val cond = org.apache.spark.sql.graftbridge.DeltaLiteScan
-              .pruneCondition(spark, filters, phys,
-                primaryKeyName = (statsPhys zip statsKey).toList.toMap,
-                extraName = logicalByPhys,
-                partDir = partPhys.map(p => p -> p).toMap,
-                DeltaLite.PartPrefix,
-                // scan attributes ARE physical names — stamped rows
-                // match them directly
-                physName = phys.fieldNames.map(n => n -> n).toMap)
-            val rows = cond.map(fdf.filter).getOrElse(fdf).collect()
-            entriesCollected.addAndGet(rows.length.toLong)
-            rows.sortBy(_.getLong(0)).map(r => tupleOf(entryOfRow(r))).toSeq
-          },
-          allPaths = () =>
-            fdf.select(col("path")).collect().map(_.getString(0)),
-          totalBytes = () => totalBytesV)
         if (inject) {
           val psource =
             new org.apache.spark.sql.graftbridge.LazyPartEntriesSource(
@@ -5511,9 +5515,28 @@ class DeltaLite(val spark: SparkSession, val root: String,
             .lazyPartitionedRelation(spark, rootPath, psource, dataPhys,
               partSchemaI)
             .select(phys.fieldNames.map(col).toIndexedSeq: _*), dvPaths)
-        } else
+        } else {
+        val source = new org.apache.spark.sql.graftbridge.LazyEntriesSource(
+          prune = filters => {
+            val cond = org.apache.spark.sql.graftbridge.DeltaLiteScan
+              .pruneCondition(spark, filters, phys,
+                primaryKeyName = (statsPhys zip statsKey).toList.toMap,
+                extraName = logicalByPhys,
+                partDir = partPhys.map(p => p -> p).toMap,
+                DeltaLite.PartPrefix,
+                // scan attributes ARE physical names — stamped rows
+                // match them directly
+                physName = phys.fieldNames.map(n => n -> n).toMap)
+            val rows = cond.map(fdf.filter).getOrElse(fdf).collect()
+            entriesCollected.addAndGet(rows.length.toLong)
+            rows.sortBy(_.getLong(0)).map(r => tupleOf(entryOfRow(r))).toSeq
+          },
+          allPaths = () =>
+            fdf.select(col("path")).collect().map(_.getString(0)),
+          totalBytes = () => totalBytesV)
         (org.apache.spark.sql.graftbridge.DeltaLiteScan.lazyRelation(
           spark, rootPath, source, phys), dvPaths)
+        }
       case None =>
         if (inject) {
           val ents = liveEntries(all)
@@ -5779,15 +5802,20 @@ object DeltaLite {
     // sources and DF-inexpressible layouts fall through to the exact
     // driver replay below.
     DeltaInterop.snapshotDf(spark, sourceDir, versionAsOf).foreach { ds =>
-      val nCkpt = ds.ckptAdds.count()
-      require(nCkpt + ds.tailAdds.size > 0,
-        s"Delta table $sourceDir has no live files at version ${ds.version}")
       // spark.graft.adopt.sidecarThreshold: spec hook + ops knob to
       // force/size the DF route without subclassing
       val threshold = spark.conf
         .getOption("spark.graft.adopt.sidecarThreshold")
         .map(_.trim.toInt).getOrElse(t.commitSidecarThreshold)
-      if (nCkpt + ds.tailAdds.size >= threshold) {
+      // BOUNDED probe first — a small checkpointed table must not pay
+      // a full checkpoint scan just to learn it belongs on the driver
+      // fold (which re-reads the checkpoint anyway)
+      val probe = ds.ckptAdds
+        .limit(math.max(threshold - ds.tailAdds.size, 1)).count()
+      require(probe + ds.tailAdds.size > 0,
+        s"Delta table $sourceDir has no live files at version ${ds.version}")
+      if (probe + ds.tailAdds.size >= threshold) {
+        val nCkpt = ds.ckptAdds.count()
         t.adoptFromDfSnapshot(ds, nCkpt,
           props = if (ds.partitionColumns.isEmpty) Map.empty
             else Map(DeltaLite.PartValsInLogProp -> "true"))

@@ -78,6 +78,11 @@ object Graph {
     */
   def qTrianglesKnob(s: SparkSession, dir: String,
       keepHex: String): DataFrame = {
+    // the threshold compares LEXICALLY against lowercase md5 hex — an
+    // uppercase or odd-length value would silently shift the keep
+    // fraction instead of erroring
+    require(keepHex.matches("[0-9a-f]{2}"),
+      s"keepHex must be two lowercase hex digits, got '$keepHex'")
     import s.implicits._
     val e = graft.ops.Dedup.tracked(
       coSupplyEdges(s, dir, keepHex).persist(StorageLevel.MEMORY_AND_DISK))

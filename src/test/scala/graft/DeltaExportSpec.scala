@@ -111,6 +111,37 @@ class DeltaExportSpec extends SparkSpec {
     assert(re.read().count() == 4)
   }
 
+  test("DST-ambiguous timestamp bounds export WIDENED, never wrong") {
+    // America/Los_Angeles fall-back: 2024-11-03 01:30 local occurs
+    // TWICE (08:30Z as PDT, 09:30Z as PST) and both instants render
+    // to the same session-zone cast form. A single-instant resolution
+    // would emit a max bound an hour early and external readers would
+    // prune files holding the later row; the export must take the
+    // earliest candidate for min and the latest for max.
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      val root = tmp("dl-export-dst")
+      val t = new DeltaLite(spark, root, Some("ts"))
+      def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+      t.append(Seq((1L, ts("2024-11-03T08:30:00Z")),
+        (2L, ts("2024-11-03T09:30:00Z"))).toDF("k", "ts").coalesce(1))
+      t.exportToDelta()
+      val st = DeltaInterop.snapshot(spark, root).files.flatMap(_.stats)
+      assert(st.size == 1, s"expected one stats blob: $st")
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(st.head)
+      val lo = java.time.Instant.parse(
+        node.path("minValues").path("ts").asText())
+      val hi = java.time.Instant.parse(
+        node.path("maxValues").path("ts").asText())
+      assert(!lo.isAfter(java.time.Instant.parse("2024-11-03T08:30:00Z")),
+        s"min bound must cover the earlier instant: $lo")
+      assert(!hi.isBefore(java.time.Instant.parse("2024-11-03T09:30:00Z")),
+        s"max bound must cover the later instant: $hi")
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+  }
+
   test("non-goals refuse loudly: live DVs, column mapping") {
     val rootD = tmp("dl-export-dv")
     val tD = new DeltaLite(spark, rootD)

@@ -208,6 +208,26 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table("graft.gold.maint").count() == 3)
   }
 
+  test("CALL export_to_delta / convert_from_delta: the zero-copy interop round trip as SQL") {
+    wh
+    spark.sql("CREATE TABLE graft.gold.exp (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.gold.exp VALUES (1,'a'), (2,'b'), (3,'c')")
+    val r = spark.sql("CALL graft.system.export_to_delta('gold.exp')")
+      .head().getString(0)
+    assert(r.startsWith("exported Delta version 0"), r)
+    // the exported _delta_log replays through the interop reader
+    assert(graft.etl.DeltaInterop.readDelta(spark, s"$wh/gold/exp")
+      .count() == 3)
+    // adopt it back, zero copy, via CALL (side root — in-place refuses)
+    val side = java.nio.file.Files
+      .createTempDirectory("graft-calladopt").toString + "/t"
+    val r2 = spark.sql(
+      s"CALL graft.system.convert_from_delta('$wh/gold/exp', '$side')")
+      .head().getString(0)
+    assert(r2.startsWith("adopted"), r2)
+    assert(new DeltaLite(spark, side).read().count() == 3)
+  }
+
   test("DELETE FROM routes to the deletion-vector path; TRUNCATE keeps history") {
     wh
     spark.sql("CREATE TABLE graft.gold.del (k BIGINT, v STRING)")
