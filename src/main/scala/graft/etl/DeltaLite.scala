@@ -3728,18 +3728,38 @@ class DeltaLite(val spark: SparkSession, val root: String,
   }
 
   /** Live FileEntries for exactly `wanted` (normalized paths) at this
-    * snapshot — the injection path's metadata lookup. Through the
-    * entries DF when expressible and the set is isin-able
-    * (O(survivors) driver rows); the driver fold otherwise.
+    * snapshot — the injection path's metadata lookup, O(survivors)
+    * driver rows at ANY size when the live set is DF-expressible:
+    * small sets prune with an `isin` literal in the entries read;
+    * larger ones SEMI-JOIN the entries DF against a parallelized
+    * paths frame (an isin over 100k literals would explode the plan,
+    * and a driver fold would materialize O(live) FileEntries — the
+    * very cost the entries machinery exists to avoid). Legacy
+    * non-DF-expressible logs fall back to the driver fold.
     */
   private def entriesForPaths(upTo: Seq[Commit],
       wanted: Set[String]): Seq[FileEntry] =
-    (if (wanted.size <= 10000)
-      incrementalEntriesDf(upTo.last.version, forScan = true)
-    else None) match {
+    incrementalEntriesDf(upTo.last.version, forScan = true) match {
       case Some(edf) =>
-        val rows = edf.filter(col("kind") === lit("f") &&
-          col("pathn").isin(wanted.toSeq: _*)).collect()
+        val fdf = edf.filter(col("kind") === lit("f"))
+        // spark.graft.inject.isinLimit: spec hook + ops knob for the
+        // isin-vs-semi-join crossover
+        val isinLimit = spark.conf
+          .getOption("spark.graft.inject.isinLimit")
+          .map(_.trim.toInt).getOrElse(10000)
+        val pruned =
+          if (wanted.size <= isinLimit)
+            fdf.filter(col("pathn").isin(wanted.toSeq: _*))
+          else {
+            val wdf = spark.createDataFrame(
+              spark.sparkContext.parallelize(
+                wanted.toSeq.map(Row(_)),
+                math.max(1, wanted.size / entriesPerPart + 1)),
+              StructType(Seq(StructField("__wp", StringType,
+                nullable = false))))
+            fdf.join(wdf, col("pathn") === col("__wp"), "left_semi")
+          }
+        val rows = pruned.collect()
         entriesCollected.addAndGet(rows.length.toLong)
         rows.sortBy(_.getLong(0)).map(entryOfRow).toSeq
       case None => liveEntries(upTo).filter(f => wanted(norm(f.path)))
@@ -4337,20 +4357,24 @@ class DeltaLite(val spark: SparkSession, val root: String,
       m.putObject("configuration")
       mapper.writeValueAsString(root2)
     }
-    val adds = live.filterNot(f => priorLive.contains(norm(f.path)))
-      .map(addAction)
-    val removes = priorLive.collect {
-      case (n, ap) if !nowLive.contains(n) => removeAction(ap)
-    }.toSeq
-    val lines = Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-      meta) ++ removes ++ adds
     fs.mkdirs(logDirD)
     val out = new Path(logDirD, f"$nextV%020d.json")
-    // no-overwrite create: a concurrent exporter loses LOUDLY
+    // no-overwrite create: a concurrent exporter loses LOUDLY. Action
+    // lines STREAM to the file — a million-file export writes O(live)
+    // JSON text (inherent to the Delta log format) without ever
+    // holding it all as one driver string
     val os = fs.create(out, false)
-    try os.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally os.close()
+    try {
+      def line(s: String): Unit = os.write((s + "\n").getBytes("UTF-8"))
+      line("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+      line(meta)
+      priorLive.foreach { case (n, ap) =>
+        if (!nowLive.contains(n)) line(removeAction(ap))
+      }
+      live.foreach { f =>
+        if (!priorLive.contains(norm(f.path))) line(addAction(f))
+      }
+    } finally os.close()
     nextV
   }
 

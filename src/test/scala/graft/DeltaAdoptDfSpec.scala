@@ -218,4 +218,85 @@ class DeltaAdoptDfSpec extends SparkSpec {
         "the %-encoded layout must still adopt through the fold")
     } finally spark.conf.unset("spark.graft.adopt.sidecarThreshold")
   }
+
+  test("100k-file checkpointed source adopts DF-natively: bounded driver rows, partition pruning plans from the log") {
+    // adoption is METADATA-ONLY, so the fixture needs no data bytes:
+    // a real checkpoint parquet listing 100k synthetic adds across
+    // 200 partitions (sizes + per-file k-stats + partitionValues in
+    // the log) adopts and PLANS without a single data-file stat
+    val n = 100000
+    val parts = 200
+    val dir = tmp("dl-df100k-src")
+    val schemaString = org.apache.spark.sql.types.StructType.fromDDL(
+      "k bigint, v string, p string").json
+    val addT = org.apache.spark.sql.types.StructType.fromDDL(
+      "path string, partitionValues map<string,string>, size long, " +
+        "modificationTime long, dataChange boolean, stats string")
+    val metaT = org.apache.spark.sql.types.StructType.fromDDL(
+      "id string, schemaString string, partitionColumns array<string>, " +
+        "configuration map<string,string>")
+    val protoT = org.apache.spark.sql.types.StructType.fromDDL(
+      "minReaderVersion int, minWriterVersion int")
+    val cpT = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("add", addT),
+      org.apache.spark.sql.types.StructField("metaData", metaT),
+      org.apache.spark.sql.types.StructField("protocol", protoT)))
+    val head: Seq[Row] = Seq(
+      Row(null, null, Row(1, 2)),
+      Row(null, Row("df100k", schemaString, Seq("p"),
+        Map.empty[String, String]), null))
+    // adds built DISTRIBUTED — the fixture itself must not be a
+    // driver loop over 100k objects
+    val addRows = spark.range(n).rdd.map { idRow =>
+      val i = idRow
+      val part = s"p${i % parts}"
+      Row(Row(s"$part/f$i.parquet", Map("p" -> part), 1000L, 0L, true,
+        s"""{"numRecords":10,"minValues":{"k":${i * 10}},""" +
+          s""""maxValues":{"k":${i * 10 + 9}}}"""), null, null)
+    }
+    val log = new java.io.File(dir, "_delta_log"); log.mkdirs()
+    val cpStage = tmp("dl-df100k-cp")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(head, 1).union(addRows), cpT)
+      .write.mode("overwrite").parquet(cpStage)
+    val partsF = new java.io.File(cpStage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    partsF.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.copy(f.toPath, new java.io.File(log,
+        f"${0L}%020d.checkpoint.${i + 1}%010d.${partsF.length}%010d.parquet")
+        .toPath)
+    }
+    java.nio.file.Files.write(new java.io.File(log,
+      f"${0L}%020d.json").toPath, "\n".getBytes("UTF-8"))
+    val t0 = System.nanoTime()
+    val t = DeltaLite.convertFromDelta(spark, dir, tmp("dl-df100k-root"),
+      statsKey = Some("k"))
+    val secs = (System.nanoTime() - t0) / 1e9
+    // zero O(live) driver work: no entry row was ever rendered to
+    // JSON, and the v0 record is sidecar-backed with exact counts
+    assert(t.jsonEntriesRendered.get() == 0,
+      "100k-file adoption must not render entries driver-side")
+    val d = t.detail().head
+    assert(d.getAs[Long]("num_live_files") == n, d.toString)
+    // a partition filter PLANS only p42's 500 files straight from the
+    // log metadata — no filesystem call, no data byte (the files do
+    // not even exist); the index is asked directly so nothing executes
+    val q = t.readIndexed().filter(col("p") === "p42")
+    val scan = q.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val collected0 = t.entriesCollected.get()
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+    val attr = AttributeReference("p",
+      org.apache.spark.sql.types.StringType)()
+    val listed = scan.relation.location.listFiles(
+      Seq(EqualTo(attr, Literal("p42"))), Nil)
+    assert(listed.map(_.files.length).sum == n / parts,
+      s"partition filter must plan ${n / parts} files")
+    // and the lazy prune collected O(partition), never O(live)
+    val collected = t.entriesCollected.get() - collected0
+    assert(collected <= 2L * n / parts,
+      s"driver rows for one partition's listing: $collected")
+    assert(secs < 120, s"100k-file adoption took ${secs}s")
+  }
 }

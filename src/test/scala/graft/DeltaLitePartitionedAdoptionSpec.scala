@@ -245,6 +245,17 @@ class DeltaLitePartitionedAdoptionSpec extends SparkSpec {
     // and the injected values survive the checkpoint round-trip
     assert(t2.read().filter(col("region") === "west").count() == 10)
     assert(t2.read().count() == 30)
+    // the SEMI-JOIN metadata lookup (the past-isin-bound path a
+    // million-file rewrite takes) resolves the same values: force it
+    // and run a rewrite read end to end
+    spark.conf.set("spark.graft.inject.isinLimit", "1")
+    try {
+      t2.upsert(Seq((5L, "joined", "east")).toDF("k", "v", "region"), "k")
+      val got = t2.read().filter(col("k") === 5L).collect()
+      assert(got.length == 1 && got.head.getString(1) == "joined" &&
+        got.head.getString(2) == "east",
+        s"join-path injection diverged: ${got.toSeq}")
+    } finally spark.conf.unset("spark.graft.inject.isinLimit")
   }
 
   test("adopted TIMESTAMP stats prune upserts correctly across session zones") {
