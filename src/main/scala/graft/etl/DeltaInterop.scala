@@ -512,9 +512,10 @@ object DeltaInterop {
         }
       }
     }
-    // the exclusion set inlines into the checkpoint read as a literal
-    // predicate — past this bound the driver replay is the honest path
-    if (excluded.size > 100000) return None
+    // exclusion strategy picked below: a literal isin for small sets,
+    // a left-anti join for large ones (an isin over ~100k literals
+    // makes Catalyst planning pathologically slow long before it
+    // breaks — the same crossover DeltaLite.entriesForPaths uses)
     val schemaStr = schemaJson.getOrElse(sys.error(
       s"no metaData action found replaying $tableDir to $target — " +
         "cannot determine the schema"))
@@ -532,9 +533,27 @@ object DeltaInterop {
       col("add.size").as("size"),
       (if (addFields.contains("stats")) col("add.stats")
        else lit(null).cast("string")).as("stats"))
-    if (excluded.nonEmpty)
-      live = live.filter(
-        not(col("pathn").isin(excluded.toSeq.map(normP): _*)))
+    if (excluded.nonEmpty) {
+      val exNorm = excluded.toSeq.map(normP)
+      // spark.graft.adopt.isinLimit: spec hook + ops knob for the
+      // isin-vs-anti-join crossover (mirrors entriesForPaths)
+      val isinLimit = spark.conf
+        .getOption("spark.graft.adopt.isinLimit")
+        .map(_.trim.toInt).getOrElse(10000)
+      live =
+        if (exNorm.size <= isinLimit)
+          live.filter(not(col("pathn").isin(exNorm: _*)))
+        else {
+          val exDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              exNorm.map(org.apache.spark.sql.Row(_)),
+              math.max(1, exNorm.size / 65536 + 1)),
+            StructType(Seq(org.apache.spark.sql.types.StructField(
+              "__xp", org.apache.spark.sql.types.StringType,
+              nullable = false))))
+          live.join(exDf, col("pathn") === col("__xp"), "left_anti")
+        }
+    }
     val tailAdds = {
       val b = Seq.newBuilder[AddFile]
       val it = tail.values().iterator()
@@ -556,10 +575,12 @@ object DeltaInterop {
     * form) — and TIMESTAMPS, re-encoded: Delta renders them
     * ISO-with-offset (UTC instants) while the cast form is the
     * SESSION-zone "yyyy-MM-dd HH:mm:ss[.ffffff]" (micros, trailing
-    * zeros trimmed — Spark's own cast rendering), so each bound is
-    * parsed as an instant and re-rendered through `zoneId`. A bound
-    * that fails to parse adopts nothing for that column
-    * (conservative). The re-encode is session-zone-AT-ADOPTION — the
+    * zeros trimmed — Spark's own cast rendering), so each bound PAIR
+    * is parsed as instants and re-rendered through `zoneId` with the
+    * ms-truncation pad and DST-transition envelope widening
+    * ([[reencodeTsPair]]). A bound that fails to parse adopts nothing
+    * for that column (conservative). The re-encode is
+    * session-zone-AT-ADOPTION — the
     * same contract as DeltaLite's natively recorded stats, which
     * stringify under the committing session's zone. Timestamp_ntz
     * bounds are zone-free; their ISO 'T' separator re-renders as the
@@ -576,33 +597,6 @@ object DeltaInterop {
     val mins = node.path("minValues")
     val maxs = node.path("maxValues")
     if (!mins.isObject || !maxs.isObject) return Map.empty
-    val zone = java.time.ZoneId.of(zoneId)
-    // Spark's cast-to-string form of a timestamp: space separator,
-    // micro precision, trailing fraction zeros trimmed
-    def castForm(ldt: java.time.LocalDateTime): String = {
-      val base = java.time.format.DateTimeFormatter
-        .ofPattern("yyyy-MM-dd HH:mm:ss").format(ldt)
-      val micros = ldt.getNano / 1000
-      if (micros == 0) base
-      else s"$base." + f"$micros%06d".reverse.dropWhile(_ == '0').reverse
-    }
-    def reencodeTs(s: String): Option[String] = {
-      val instant =
-        try Some(java.time.OffsetDateTime.parse(s).toInstant)
-        catch {
-          case _: java.time.format.DateTimeParseException =>
-            // offset-less rendering: the Delta spec's stats timestamps
-            // are UTC instants
-            try Some(java.time.LocalDateTime.parse(s)
-              .atOffset(java.time.ZoneOffset.UTC).toInstant)
-            catch { case _: java.time.format.DateTimeParseException => None }
-        }
-      instant.map(i => castForm(
-        java.time.LocalDateTime.ofInstant(i, zone)))
-    }
-    def reencodeNtz(s: String): Option[String] =
-      try Some(castForm(java.time.LocalDateTime.parse(s)))
-      catch { case _: java.time.format.DateTimeParseException => None }
     schema.fields.flatMap { f =>
       val direct = f.dataType match {
         case LongType | IntegerType | ShortType | ByteType |
@@ -610,22 +604,113 @@ object DeltaInterop {
         case _: DecimalType => true
         case _ => false // boolean, binary, nested: restats
       }
-      val reenc: Option[String => Option[String]] = f.dataType match {
-        case TimestampType => Some(reencodeTs)
-        case TimestampNTZType => Some(reencodeNtz)
-        case _ => None
-      }
+      val reencPair: Option[(String, String) => Option[(String, String)]] =
+        f.dataType match {
+          case TimestampType =>
+            Some((mn, mx) => reencodeTsPair(mn, mx, zoneId))
+          case TimestampNTZType => Some(reencodeNtzPair)
+          case _ => None
+        }
       val mn = mins.get(f.name)
       val mx = maxs.get(f.name)
       if (mn != null && !mn.isNull && mn.isValueNode &&
         mx != null && !mx.isNull && mx.isValueNode) {
         if (direct) Some(f.name -> (mn.asText(), mx.asText()))
-        else reenc.flatMap(enc =>
-          enc(mn.asText()).zip(enc(mx.asText()))
-            .map(r => f.name -> r))
+        else reencPair.flatMap(enc =>
+          enc(mn.asText(), mx.asText()).map(r => f.name -> r))
       } else None
     }.toMap
   }
+
+  /** Spark's cast-to-string form of a timestamp: space separator,
+    * micro precision, trailing fraction zeros trimmed.
+    */
+  private def castForm(ldt: java.time.LocalDateTime): String = {
+    val base = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").format(ldt)
+    val micros = ldt.getNano / 1000
+    if (micros == 0) base
+    else s"$base." + f"$micros%06d".reverse.dropWhile(_ == '0').reverse
+  }
+
+  private def parseStatsInstant(s: String): Option[java.time.Instant] =
+    try Some(java.time.OffsetDateTime.parse(s).toInstant)
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        // offset-less rendering: the Delta spec's stats timestamps
+        // are UTC instants
+        try Some(java.time.LocalDateTime.parse(s)
+          .atOffset(java.time.ZoneOffset.UTC).toInstant)
+        catch { case _: java.time.format.DateTimeParseException => None }
+    }
+
+  /** The ms-truncation pad: Delta writers (delta-spark) truncate
+    * timestamp stats to MILLISECOND precision and compensate in their
+    * own reader by padding max on read — a max bound adopted verbatim
+    * as an exact micro bound could make equality/range pruning skip a
+    * file whose true max has sub-ms digits (silently wrong results).
+    * A bound that still CARRIES sub-ms digits was recorded at finer
+    * precision (our own export does) and needs no pad; a bound at
+    * exact-ms is padded +1ms — always a valid, possibly wider, bound.
+    */
+  private def padMsTruncation(i: java.time.Instant): java.time.Instant =
+    if (i.getNano % 1000000 == 0) i.plusMillis(1L) else i
+
+  /** Re-encode a Delta stats timestamp bound PAIR (ISO instants, UTC
+    * when offset-less) into the session zone's cast form, with two
+    * conservative widenings:
+    *  - the max bound gets the ms-truncation pad ([[padMsTruncation]]);
+    *  - when the zone has an offset TRANSITION inside [min, max], the
+    *    instant→wall-string map is non-monotonic (a fall-back hour
+    *    renders EARLIER wall strings than instants before it), so the
+    *    re-encoded strings are widened to the transition-safe envelope:
+    *    the min/max over the candidate wall renderings at both
+    *    endpoints and at each transition boundary (just-before and at
+    *    the gap/overlap) — mirroring [[DeltaLite.exportToDelta]]'s
+    *    candidates logic in the opposite direction. Without this the
+    *    lexical range check can mis-prune files straddling the
+    *    2024-11-03-style overlap.
+    * Bounds that fail to parse adopt nothing (conservative).
+    */
+  private[graft] def reencodeTsPair(mnIso: String, mxIso: String,
+      zoneId: String): Option[(String, String)] =
+    parseStatsInstant(mnIso).zip(parseStatsInstant(mxIso)).map {
+      case (lo0, hi0) =>
+        val zone = java.time.ZoneId.of(zoneId)
+        val hi = padMsTruncation(hi0)
+        val lo = if (lo0.isAfter(hi)) hi else lo0
+        val rules = zone.getRules
+        var cands = List(
+          java.time.LocalDateTime.ofInstant(lo, zone),
+          java.time.LocalDateTime.ofInstant(hi, zone))
+        if (!rules.isFixedOffset) {
+          var t = rules.nextTransition(lo)
+          while (t != null && !t.getInstant.isAfter(hi)) {
+            // wall rendering 1µs before the transition (old offset)
+            // and at it (new offset) — the envelope's extreme points
+            cands ::= java.time.LocalDateTime.ofInstant(
+              t.getInstant.minusNanos(1000), zone)
+            cands ::= java.time.LocalDateTime.ofInstant(t.getInstant, zone)
+            t = rules.nextTransition(t.getInstant)
+          }
+        }
+        (castForm(cands.reduce((a, b) => if (a.isBefore(b)) a else b)),
+          castForm(cands.reduce((a, b) => if (a.isAfter(b)) a else b)))
+    }
+
+  /** NTZ twin of [[reencodeTsPair]]: zone-free, so only the
+    * ms-truncation pad applies; the ISO 'T' separator re-renders as
+    * the cast form's space.
+    */
+  private[graft] def reencodeNtzPair(mnIso: String,
+      mxIso: String): Option[(String, String)] =
+    try {
+      val lo = java.time.LocalDateTime.parse(mnIso)
+      val hi0 = java.time.LocalDateTime.parse(mxIso)
+      val hi = if (hi0.getNano % 1000000 == 0) hi0.plusNanos(1000000L)
+        else hi0
+      Some((castForm(lo), castForm(hi)))
+    } catch { case _: java.time.format.DateTimeParseException => None }
 
   /** READ-ONLY DataFrame over a Delta table — including PARTITIONED
     * tables (partition column bytes live only in the log). ONE

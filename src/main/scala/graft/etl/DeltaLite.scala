@@ -4366,7 +4366,25 @@ class DeltaLite(val spark: SparkSession, val root: String,
     val os = fs.create(out, false)
     try {
       def line(s: String): Unit = os.write((s + "\n").getBytes("UTF-8"))
-      line("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+      // timestamp_ntz is a Delta TABLE FEATURE: a schemaString carrying
+      // it under the base protocol(1,2) is non-compliant and a strict
+      // reader may reject or misread the column — gate the protocol up
+      // to (3,7) with the feature named in BOTH lists (the shape
+      // delta-spark publishes). The adoption path accepts ntz sources,
+      // so the adopt → export round trip needs this to stay compliant.
+      def hasNtz(dt: DataType): Boolean = dt match {
+        case TimestampNTZType => true
+        case s: StructType => s.fields.exists(f => hasNtz(f.dataType))
+        case a: ArrayType => hasNtz(a.elementType)
+        case m: MapType => hasNtz(m.keyType) || hasNtz(m.valueType)
+        case _ => false
+      }
+      if (hasNtz(sch))
+        line("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["timestampNtz"],""" +
+          """"writerFeatures":["timestampNtz"]}}""")
+      else
+        line("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
       line(meta)
       priorLive.foreach { case (n, ap) =>
         if (!nowLive.contains(n)) line(removeAction(ap))
@@ -4392,12 +4410,11 @@ class DeltaLite(val spark: SparkSession, val root: String,
     * the bounded JSON tail above the checkpoint rides as driver rows).
     * Stats parse from the add actions' JSON via `from_json` into
     * string maps; per-column gating mirrors
-    * [[DeltaInterop.adoptableRanges]] exactly, except timestamps,
-    * where Spark itself does the re-encode
-    * (`cast(cast(raw as timestamp) as string)` IS the session-zone
-    * cast form) and an OFFSET-LESS rendering is skipped (the driver
-    * route assumes UTC; a cast would read it session-zone — skipping
-    * is conservative, restats covers). Entries are PATH-ORDERED (the
+    * [[DeltaInterop.adoptableRanges]] exactly — timestamps included:
+    * their bound pairs go through the SAME
+    * [[DeltaInterop.reencodeTsPair]] (ms-truncation pad +
+    * DST-transition envelope) lifted into a UDF, so both routes adopt
+    * byte-identical ranges. Entries are PATH-ORDERED (the
     * driver route preserves first-add order; both are deterministic).
     */
   private def adoptFromDfSnapshot(ds: DeltaInterop.DfSnapshot,
@@ -4410,27 +4427,41 @@ class DeltaLite(val spark: SparkSession, val root: String,
       StructField("minValues", MapType(StringType, StringType)),
       StructField("maxValues", MapType(StringType, StringType))))
     val parsed = from_json(col("stats"), statsT)
-    // per-column encoded bound, mirroring adoptableRanges' type gate
-    def enc(side: String)(f: StructField): Option[Column] = {
-      val raw = parsed.getField(side).getItem(f.name)
+    // timestamp bound pairs re-encode through the EXACT driver logic
+    // ([[DeltaInterop.reencodeTsPair]] — ms-truncation pad +
+    // DST-transition envelope) lifted into a UDF: a cast expression
+    // cannot see zone transitions, and this runs once per add row in
+    // the adoption relabel job, not on any query path
+    val tzz = spark.sessionState.conf.sessionLocalTimeZone
+    val tsPairU = org.apache.spark.sql.functions.udf(
+      (mn: String, mx: String) =>
+        if (mn == null || mx == null) None
+        else DeltaInterop.reencodeTsPair(mn, mx, tzz))
+    val ntzPairU = org.apache.spark.sql.functions.udf(
+      (mn: String, mx: String) =>
+        if (mn == null || mx == null) None
+        else DeltaInterop.reencodeNtzPair(mn, mx))
+    // per-column encoded (min, max) pair, mirroring adoptableRanges'
+    // type gate
+    def bounds(f: StructField): Option[(Column, Column)] = {
+      val rawMn = parsed.getField("minValues").getItem(f.name)
+      val rawMx = parsed.getField("maxValues").getItem(f.name)
       f.dataType match {
         case LongType | IntegerType | ShortType | ByteType |
              DoubleType | FloatType | StringType | DateType =>
-          Some(raw)
-        case _: DecimalType => Some(raw)
+          Some((rawMn, rawMx))
+        case _: DecimalType => Some((rawMn, rawMx))
         case TimestampType =>
-          // offset-bearing ISO casts to the same instant under any
-          // session zone; offset-less would read session-zone (the
-          // driver assumes UTC) — skip it, conservatively
-          Some(when(raw.rlike("([Zz]|[+\\-][0-9]{2}:?[0-9]{2})$"),
-            raw.cast("timestamp").cast("string")))
+          val p = tsPairU(rawMn, rawMx)
+          Some((p.getField("_1"), p.getField("_2")))
         case TimestampNTZType =>
-          Some(raw.cast("timestamp_ntz").cast("string"))
+          val p = ntzPairU(rawMn, rawMx)
+          Some((p.getField("_1"), p.getField("_2")))
         case _ => None
       }
     }
     val dataFields = sch.fields.toSeq
-      .filter(f => enc("minValues")(f).isDefined)
+      .filter(f => bounds(f).isDefined)
       .filterNot(f => parts.contains(f.name))
     val primaryF = statsKey.filterNot(parts.contains)
       .flatMap(k => dataFields.find(_.name == k))
@@ -4438,8 +4469,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
       .filterNot(f => primaryF.exists(_.name == f.name))
       .sortBy(_.name)
     val emptyArr = array().cast("array<string>")
-    def boundPair(f: StructField): (Column, Column) =
-      (enc("minValues")(f).get, enc("maxValues")(f).get)
+    def boundPair(f: StructField): (Column, Column) = bounds(f).get
     def present(f: StructField): Column = {
       val (mn, mx) = boundPair(f)
       mn.isNotNull && mx.isNotNull

@@ -519,10 +519,14 @@ object Hnsw {
     * WRITER CONTRACT: one saver at a time per `dir`. Each save writes
     * into a subdir uniquified with a random suffix, so two concurrent
     * saves can never interleave shard files in ONE subdir (each
-    * publishes a complete layout; the last pointer swap wins, and
-    * neither reclaim can touch the other's new subdir — it wasn't in
-    * the prior listing). Concurrent saves are therefore safe but
-    * wasteful: coordinate re-saves externally (the reuse gate in
+    * publishes a complete layout; the last pointer swap wins). Each
+    * reclaim RE-READS the pointer just before deleting and spares the
+    * subdir it names, so a racing saver's winning layout survives the
+    * loser's cleanup; only a pointer swap landing INSIDE the re-read →
+    * delete window can still orphan the pointer, which the next probe
+    * reports LOUDLY (missing subdir) — an availability break, never a
+    * silent partial read. Concurrent saves remain wasteful: coordinate
+    * re-saves externally (the reuse gate in
     * [[Similarity.marginMiningAnn]] already serializes per-session).
     */
   def saveShardedIndex(index: DataFrame, dir: String,
@@ -579,9 +583,23 @@ object Hnsw {
     require(fsD.rename(tmp, ptr),
       s"failed to publish $ptr — pointer swap rename refused")
     // reclaim stale layouts: older version subdirs and any
-    // pre-format-2 flat shard files/marker
+    // pre-format-2 flat shard files/marker. The pointer is RE-READ
+    // here: a concurrent saver that published before our listing and
+    // swapped after our swap has made ITS subdir current — deleting it
+    // would leave the live pointer dangling (a loud failure on the
+    // next probe, but an availability break). Skipping whatever the
+    // pointer names now keeps the winner's layout alive; the loser's
+    // subdir becomes the stale one the NEXT save reclaims.
+    val currentNow =
+      try {
+        val in = fsD.open(ptr)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toList.headOption.map(_.trim).getOrElse(sub)
+        finally in.close()
+      } catch { case _: java.io.IOException => sub }
     prior.foreach { n =>
-      if ((n.matches("v-[0-9]+(-[0-9a-f]+)?") && n != sub) ||
+      if ((n.matches("v-[0-9]+(-[0-9a-f]+)?") && n != sub &&
+        n != currentNow) ||
         n.matches("shard-[0-9]+[.]bin") || n == FormatMarker)
         fsD.delete(new org.apache.hadoop.fs.Path(dp, n), true)
     }

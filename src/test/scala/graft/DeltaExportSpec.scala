@@ -142,6 +142,41 @@ class DeltaExportSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
 
+  test("timestamp_ntz export gates the protocol to (3,7) with the feature named; base tables stay (1,2)") {
+    // ntz is a Delta TABLE FEATURE: publishing it under protocol(1,2)
+    // is non-compliant and a strict reader may reject or misread the
+    // column — the exported log must carry minReader 3 / minWriter 7
+    // with timestampNtz in BOTH feature lists (the delta-spark shape)
+    val root = tmp("dl-export-ntz")
+    val t = new DeltaLite(spark, root)
+    t.append(spark.sql(
+      "SELECT 1L AS k, timestamp_ntz'2024-01-01 06:30:00' AS tn"))
+    t.exportToDelta()
+    def protoLine(r: String): String = {
+      val src = scala.io.Source.fromFile(
+        new java.io.File(s"$r/_delta_log", f"${0L}%020d.json"))
+      try src.getLines().find(_.contains("protocol")).get finally src.close()
+    }
+    val p = protoLine(root)
+    assert(p.contains("\"minReaderVersion\":3") &&
+      p.contains("\"minWriterVersion\":7") &&
+      p.contains("\"readerFeatures\":[\"timestampNtz\"]") &&
+      p.contains("\"writerFeatures\":[\"timestampNtz\"]"), p)
+    // our own adoption accepts the feature-gated log (timestampNtz is
+    // in the supported reader set) and reads the ntz value intact
+    val re = DeltaLite.convertFromDelta(spark, root, tmp("dl-ntz-re"))
+    assert(re.read().select("tn").as[java.time.LocalDateTime].head() ==
+      java.time.LocalDateTime.parse("2024-01-01T06:30:00"))
+    // a plain table still publishes the base protocol
+    val root2 = tmp("dl-export-base")
+    val t2 = new DeltaLite(spark, root2)
+    t2.append(Seq((1L, "a")).toDF("k", "v"))
+    t2.exportToDelta()
+    val p2 = protoLine(root2)
+    assert(p2.contains("\"minReaderVersion\":1") &&
+      p2.contains("\"minWriterVersion\":2"), p2)
+  }
+
   test("non-goals refuse loudly: live DVs, column mapping") {
     val rootD = tmp("dl-export-dv")
     val tD = new DeltaLite(spark, rootD)

@@ -288,7 +288,11 @@ class DeltaInteropSpec extends SparkSpec {
       statsJson, tsSchema, "UTC")
     assert(ranges.keySet == Set("k", "ts", "d", "x", "s"),
       s"got ${ranges.keySet}")
-    assert(ranges("ts") == ("2024-01-01 06:30:00", "2024-06-01 06:30:00.25"),
+    // the MAX bound lands ms-PADDED (+1ms): delta-spark truncates
+    // timestamp stats to millisecond precision, so an exact-ms max may
+    // hide sub-ms rows — .250 adopts as .251; the min needs no pad
+    // (truncation only lowers it, already conservative)
+    assert(ranges("ts") == ("2024-01-01 06:30:00", "2024-06-01 06:30:00.251"),
       s"UTC re-encode diverged: ${ranges("ts")}")
     // a non-UTC zone re-renders the INSTANT in that zone (the form the
     // session's cast-string compares use) — raw lexical ISO would
@@ -296,8 +300,17 @@ class DeltaInteropSpec extends SparkSpec {
     val rangesLA = graft.etl.DeltaInterop.adoptableRanges(
       statsJson, tsSchema, "America/Los_Angeles")
     assert(rangesLA("ts") ==
-      ("2023-12-31 22:30:00", "2024-05-31 23:30:00.25"),
+      ("2023-12-31 22:30:00", "2024-05-31 23:30:00.251"),
       s"LA re-encode diverged: ${rangesLA("ts")}")
+    // a max bound CARRYING sub-ms digits was recorded at finer
+    // precision (our own export does) — no pad, adopts exactly
+    val subMs = graft.etl.DeltaInterop.adoptableRanges(
+      """{"minValues":{"ts":"2024-01-01T06:30:00.000123Z"},""" +
+        """"maxValues":{"ts":"2024-06-01T06:30:00.250999Z"}}""",
+      tsSchema, "UTC")
+    assert(subMs("ts") ==
+      ("2024-01-01 06:30:00.000123", "2024-06-01 06:30:00.250999"),
+      s"sub-ms bounds must adopt unpadded: ${subMs("ts")}")
     assert(ranges("x") == ("1.5", "2.5E8") && ranges("d")._1 == "2024-01-01")
     // an unparsable timestamp bound adopts nothing for that column
     assert(!graft.etl.DeltaInterop.adoptableRanges(
@@ -306,6 +319,46 @@ class DeltaInteropSpec extends SparkSpec {
     // malformed stats adopt nothing rather than mis-pruning
     assert(graft.etl.DeltaInterop.adoptableRanges(
       "not json", tsSchema, "UTC").isEmpty)
+  }
+
+  test("adopted timestamp bounds WIDEN to the DST-transition envelope: the 2024-11-03 LA fall-back cannot mis-prune") {
+    // file bounds straddling the fall-back at 2024-11-03 09:00:00Z
+    // (01:59:59 PDT -> 01:00:00 PST): instant 08:30Z renders 01:30:00
+    // (PDT) and 09:30Z renders 01:30:00 (PST) — a naive per-bound
+    // re-encode collapses the range to ~[01:30:00, 01:30:00.001] while
+    // the file holds rows rendering at 01:45:00 (both offsets), which
+    // a lexical range check would then skip. The envelope must cover
+    // the whole overlap hour.
+    val tsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "ts timestamp")
+    val straddle = graft.etl.DeltaInterop.adoptableRanges(
+      """{"minValues":{"ts":"2024-11-03T08:30:00.000Z"},""" +
+        """"maxValues":{"ts":"2024-11-03T09:30:00.000Z"}}""",
+      tsSchema, "America/Los_Angeles")
+    assert(straddle("ts") ==
+      ("2024-11-03 01:00:00", "2024-11-03 01:59:59.999999"),
+      s"fall-back envelope diverged: ${straddle("ts")}")
+    // in-range rows (PDT 01:45 = 08:45Z, PST 01:45 = 09:45Z is outside
+    // the file; PST 01:15 = 09:15Z) render inside the envelope
+    val (lo, hi) = straddle("ts")
+    Seq("2024-11-03 01:45:00", "2024-11-03 01:15:00").foreach { w =>
+      assert(lo <= w && w <= hi, s"$w escaped the envelope [$lo, $hi]")
+    }
+    // a spring-forward GAP straddle widens symmetrically: 2024-03-10
+    // 10:00:00Z jumps 01:59:59 PST -> 03:00:00 PDT; bounds 09:30Z
+    // (01:30 PST) .. 10:30Z (03:30 PDT) keep their endpoint envelope
+    val gap = graft.etl.DeltaInterop.adoptableRanges(
+      """{"minValues":{"ts":"2024-03-10T09:30:00.000Z"},""" +
+        """"maxValues":{"ts":"2024-03-10T10:30:00.000Z"}}""",
+      tsSchema, "America/Los_Angeles")
+    assert(gap("ts") == ("2024-03-10 01:30:00", "2024-03-10 03:30:00.001"),
+      s"gap envelope diverged: ${gap("ts")}")
+    // a FIXED-offset zone never widens beyond the pad
+    val fixed = graft.etl.DeltaInterop.adoptableRanges(
+      """{"minValues":{"ts":"2024-11-03T08:30:00.000Z"},""" +
+        """"maxValues":{"ts":"2024-11-03T09:30:00.000Z"}}""",
+      tsSchema, "UTC")
+    assert(fixed("ts") == ("2024-11-03 08:30:00", "2024-11-03 09:30:00.001"))
   }
 
   test("an incomplete multi-part checkpoint refuses loudly instead of replaying a torn base") {
