@@ -2,7 +2,7 @@ package graft.etl
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, input_file_name, lit, when, max => fmax, min => fmin}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, input_file_name, lit, regexp_replace, when, max => fmax, min => fmin}
 import org.apache.spark.sql.types._
 
 import java.nio.charset.StandardCharsets
@@ -2645,7 +2645,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
           else {
             val (df, cols) = decode(holders, commitSch, m)
             Some(df
-              .withColumn("__file", col("_metadata.file_path"))
+              .withColumn("__file", normFileCol(col("_metadata.file_path")))
               .withColumn("__pos", col("_metadata.row_index"))
               .join(dv, Seq("__file", "__pos"))
               .select(cols: _*)
@@ -3647,6 +3647,23 @@ class DeltaLite(val spark: SparkSession, val root: String,
     StructField("__file", StringType, nullable = false),
     StructField("__pos", LongType, nullable = false)))
 
+  /** Canonical DATA-PLANE form of a file path — the DV join key.
+    * `_metadata.file_path` renders a file as the serving relation
+    * listed it: fs-QUALIFIED ("file:/x", "s3a://bucket/x") through the
+    * standard parquet datasource, VERBATIM through the graftbridge
+    * FileIndex (adopted entries are posix "/x") — so the SAME file can
+    * render differently across read routes, and a DV recorded under
+    * one rendering would silently fail to mask rows served under the
+    * other (resurrected deletes). Both DV recording and DV application
+    * therefore strip scheme+authority down to [[norm]]'s path form —
+    * one regexp per row, only on scans that actually carry live DVs.
+    * Pre-canonicalization sidecars (qualified "file:/x" strings from
+    * the datasource route) normalize on READ, so old logs keep
+    * masking correctly.
+    */
+  private def normFileCol(c: Column): Column =
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.\\-]*:(//[^/]*)?", "")
+
   /** Live DV sidecar files at a snapshot. `delete` adds, `dvclear`
     * (published after [[materializeDeletes]]) and `overwrite`/restore
     * reset — a data-file path never recurs across commits (each commit
@@ -3672,6 +3689,9 @@ class DeltaLite(val spark: SparkSession, val root: String,
 
   private def dvDf(dvFiles: Seq[String]): DataFrame =
     spark.read.schema(DvSchema).parquet(dvFiles: _*)
+      // canonicalize on read: sidecars written before normFileCol (or
+      // by adoption, which records norm'd paths) all join identically
+      .withColumn("__file", normFileCol(col("__file")))
 
   /** Guarded broadcast of the DV set: the merge-on-read contract is
     * O(deleted) read-side overhead, amortized by [[materializeDeletes]]
@@ -3813,7 +3833,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
     val visible =
       if (dvFiles.isEmpty) base
       else base
-        .withColumn("__file", col("_metadata.file_path"))
+        .withColumn("__file", normFileCol(col("_metadata.file_path")))
         .withColumn("__pos", col("_metadata.row_index"))
         .join(dvBroadcastGuarded(dvFiles), Seq("__file", "__pos"), "left_anti")
         .select(phys.fieldNames.map(col).toIndexedSeq: _*)
@@ -3844,7 +3864,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
     if (paths.isEmpty) return None
     val phys = physSchema(sch, mapping)
     val base = physScan(paths, phys, mapping, all)
-      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__file", normFileCol(col("_metadata.file_path")))
       .withColumn("__pos", col("_metadata.row_index"))
     val masked =
       if (dvs.isEmpty) base
@@ -3935,7 +3955,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
     if (candPaths.isEmpty) return None
     val phys = physSchema(sch, mapping)
     val base = physScan(candPaths, phys, mapping, all)
-      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__file", normFileCol(col("_metadata.file_path")))
       .withColumn("__pos", col("_metadata.row_index"))
     val masked =
       if (dvs.isEmpty) base
@@ -5608,7 +5628,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
     val masked =
       if (dvs.isEmpty) rel
       else rel
-        .withColumn("__file", col("_metadata.file_path"))
+        .withColumn("__file", normFileCol(col("_metadata.file_path")))
         .withColumn("__pos", col("_metadata.row_index"))
         .join(dvBroadcastGuarded(dvs), Seq("__file", "__pos"), "left_anti")
         .select(phys.fieldNames.map(col).toIndexedSeq: _*)

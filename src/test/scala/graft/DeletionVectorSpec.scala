@@ -128,6 +128,55 @@ class DeletionVectorSpec extends SparkSpec {
       .filter(col("_change_type") === "delete").count() == 100)
   }
 
+  test("DVs on an ADOPTED table mask on every read route — file_path rendering differences cannot resurrect rows") {
+    // an adopted (convert) table's entry paths are posix "/x" while
+    // deleteWhere's scan records `_metadata.file_path` — which the
+    // standard datasource route renders fs-QUALIFIED ("file:/x") and
+    // the graftbridge FileIndex renders VERBATIM. Without a canonical
+    // DV join key the readIndexed anti-join would miss every DV row
+    // and silently resurrect the deleted rows on exactly one route.
+    import spark.implicits._
+    val src = tmp("graft-dv-adopt-src")
+    (1L to 50L).map(k => (k, s"r$k")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(src)
+    val dataName = new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getName
+    val schemaJson = org.apache.spark.sql.types.StructType.fromDDL(
+      "k bigint, v string").json.replace("\"", "\\\"")
+    val log = new java.io.File(src, "_delta_log")
+    log.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(log, f"${0L}%020d.json").toPath,
+      (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
+        "\n" +
+        s"""{"metaData":{"id":"t","format":{"provider":"parquet"},""" +
+        s""""schemaString":"$schemaJson","partitionColumns":[],""" +
+        s""""configuration":{}}}""" + "\n" +
+        s"""{"add":{"path":"$dataName","partitionValues":{},""" +
+        s""""size":${new java.io.File(src, dataName).length()},""" +
+        s""""modificationTime":0,"dataChange":true}}""" + "\n")
+        .getBytes("UTF-8"))
+    val t = DeltaLite.convertFromDelta(spark, src, tmp("graft-dv-adopt"),
+      statsKey = Some("k"))
+    assert(t.liveFiles().forall(_.startsWith("/")),
+      s"fixture must exercise posix entry paths: ${t.liveFiles()}")
+    t.deleteWhere(col("k") % 5L === 0L)
+    val viaRead = t.read().select("k").collect().map(_.getLong(0)).toSet
+    val viaIndexed = t.readIndexed().select("k").collect()
+      .map(_.getLong(0)).toSet
+    assert(viaRead == viaIndexed,
+      s"routes diverged: read=${viaRead.size} indexed=${viaIndexed.size}")
+    assert(viaIndexed.size == 40 && viaIndexed.forall(_ % 5 != 0),
+      s"deleted rows resurrected through readIndexed: " +
+        s"${viaIndexed.filter(_ % 5 == 0)}")
+    // the change feed's inner join decodes the same deleted rows
+    val deleted = t.changesBetween(0, t.latestVersion.get)
+      .filter(col("_change_type") === "delete")
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(deleted == (1L to 50L).filter(_ % 5 == 0).toSet,
+      s"CDF missed adopted-file deletes: $deleted")
+  }
+
   test("vacuum retains live DV sidecars; readIndexed applies DVs") {
     val t = mkTable(tmp("graft-dv-vac"))
     t.deleteWhere(col("k") === 7L)
