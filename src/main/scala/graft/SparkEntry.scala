@@ -158,6 +158,7 @@ object SparkEntry {
     // applied) — the migration path for the reference's own format
     "etl_convert_from_delta" -> (Etl.convertFromDelta _),
     "etl_convert_from_delta_part" -> (Etl.convertFromDeltaPartitioned _),
+    "etl_convert_from_delta_dv" -> (Etl.convertFromDeltaDv _),
     "text_token_count" -> (Text.tokenCount _),
     "text_quality" -> (Text.quality _),
     // learned quality tier, closed-form member: teacher score in
@@ -1792,6 +1793,23 @@ object SparkEntry {
       """SELECT doc_id, source, n_chars
         |FROM documents
         |WHERE source IN ('src3', 'src12')
+        |ORDER BY doc_id""".stripMargin,
+    // the adopted DV-bearing live set: batch A (doc_id%3=0, sorted)
+    // masks row positions idx%7=0 via a .bin RoaringBitmap sidecar,
+    // batch B (%3=1) masks idx%11=3 inline, batch C (%3=2) unmasked —
+    // row_number over each sorted batch IS the file row position
+    "etl_convert_from_delta_dv" ->
+      """WITH a AS (SELECT doc_id, source, n_chars,
+        |             row_number() OVER (ORDER BY doc_id) - 1 AS idx
+        |           FROM documents WHERE doc_id % 3 = 0),
+        |     b AS (SELECT doc_id, source, n_chars,
+        |             row_number() OVER (ORDER BY doc_id) - 1 AS idx
+        |           FROM documents WHERE doc_id % 3 = 1)
+        |SELECT doc_id, source, n_chars FROM a WHERE idx % 7 <> 0
+        |UNION ALL
+        |SELECT doc_id, source, n_chars FROM b WHERE idx % 11 <> 3
+        |UNION ALL
+        |SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 3 = 2
         |ORDER BY doc_id""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,

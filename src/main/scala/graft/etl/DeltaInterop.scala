@@ -23,13 +23,17 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   *  - Parquet checkpoints (single- and multi-part) splice the replay
   *    exactly like DeltaLite's own checkpoints: base state from the
   *    checkpoint, JSON deltas above it.
-  *  - Partitioned tables are REFUSED here (their data files lack the
-  *    partition columns' bytes — the values live in
-  *    `add.partitionValues` — which DeltaLite's leaf-file reads
-  *    require; the refusal names the workaround).
-  *  - Reader features beyond the base protocol (column mapping,
-  *    deletion vectors, v3 reader features) are REFUSED by name,
-  *    never silently misread.
+  *  - Partitioned tables adopt with their `add.partitionValues`
+  *    carried per file (the bytes are not in the files — DeltaLite
+  *    injects the columns from this metadata on every read).
+  *  - DELETION VECTORS adopt: descriptors (inline and `.bin`
+  *    RoaringBitmap sidecars — [[DeltaDv]]) ride each [[AddFile]] and
+  *    decode into DeltaLite's own merge-on-read sidecars at
+  *    conversion, so the default output of modern Databricks runtimes
+  *    migrates without a source-side rewrite.
+  *  - Remaining reader features beyond the base protocol (column
+  *    mapping, other v3 reader features) are REFUSED by name, never
+  *    silently misread.
   *
   * Replay is driver-side over O(log) metadata — the same contract as
   * DeltaLite's own commit machinery; the DATA stays distributed and
@@ -38,15 +42,18 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 object DeltaInterop {
 
   /** One live file of the replayed snapshot. `path` is absolute;
-    * `partitionValues` carries the add entry's values (non-empty only
-    * on partitioned tables, which [[DeltaLite.convertFromDelta]]
-    * refuses — surfaced so a caller building its own migration can see
-    * them); `stats` is the add action's raw per-file stats JSON
-    * (minValues/maxValues/numRecords) when the writer recorded one.
+    * `partitionValues` carries the add entry's values (adopted as
+    * per-file [v,v] extras on partitioned tables); `stats` is the add
+    * action's raw per-file stats JSON (minValues/maxValues/numRecords)
+    * when the writer recorded one; `dv` is the live DELETION-VECTOR
+    * descriptor masking rows of this file (modern Databricks runtimes
+    * write DVs by default — [[DeltaLite.convertFromDelta]] decodes
+    * them into its own merge-on-read sidecars at adoption).
     */
   final case class AddFile(path: String,
       partitionValues: Map[String, String], size: Option[Long],
-      stats: Option[String] = None)
+      stats: Option[String] = None,
+      dv: Option[DeltaDv.Descriptor] = None)
 
   /** A replayed Delta snapshot: the live file set as of `version`,
     * with the schema and partitioning declared by the latest metaData
@@ -111,12 +118,57 @@ object DeltaInterop {
     */
   private def checkReaderProtocol(tableDir: String, minReader: Int,
       readerFeatures: Seq[String]): Unit = {
-    val unsupported = readerFeatures.filterNot(_ == "timestampNtz")
+    // supported reader features: timestampNtz (plain typed column) and
+    // deletionVectors (descriptors decode into our own DV sidecars at
+    // adoption — DeltaDv); anything else refuses by name
+    val unsupported = readerFeatures
+      .filterNot(Set("timestampNtz", "deletionVectors"))
     require(minReader <= 2 || unsupported.isEmpty,
       s"$tableDir requires Delta reader features " +
         s"${unsupported.mkString(", ")} (minReaderVersion $minReader) " +
         "— not supported by this adoption path")
   }
+
+  /** Parse an add action's `deletionVector` node (JSON commit form)
+    * into a descriptor; absent/null → no DV.
+    */
+  private def parseDvJson(n: JsonNode): Option[DeltaDv.Descriptor] =
+    if (n == null || n.isNull || n.isMissingNode) None
+    else Some(DeltaDv.Descriptor(
+      n.path("storageType").asText(),
+      n.path("pathOrInlineDv").asText(),
+      Option(n.get("offset")).filterNot(_.isNull).map(_.asInt()),
+      n.path("sizeInBytes").asInt(),
+      n.path("cardinality").asLong()))
+
+  /** Parse a checkpoint add row's `deletionVector` struct value. */
+  private def parseDvStruct(
+      d: org.apache.spark.sql.Row): Option[DeltaDv.Descriptor] =
+    if (d == null) None
+    else {
+      val dfi = d.schema.fieldNames
+      def str(k: String): String =
+        if (dfi.contains(k) && !d.isNullAt(d.fieldIndex(k)))
+          d.getString(d.fieldIndex(k)) else ""
+      def num(k: String): Option[Long] =
+        if (dfi.contains(k) && !d.isNullAt(d.fieldIndex(k)))
+          Some(d.get(d.fieldIndex(k)) match {
+            case i: Int => i.toLong
+            case l: Long => l
+            case o => o.toString.toLong
+          })
+        else None
+      Some(DeltaDv.Descriptor(str("storageType"), str("pathOrInlineDv"),
+        num("offset").map(_.toInt),
+        num("sizeInBytes").map(_.toInt).getOrElse(0),
+        num("cardinality").getOrElse(0L)))
+    }
+
+  private def parseDvRow(a: org.apache.spark.sql.Row,
+      fi: Array[String]): Option[DeltaDv.Descriptor] =
+    if (!fi.contains("deletionVector") ||
+      a.isNullAt(a.fieldIndex("deletionVector"))) None
+    else parseDvStruct(a.getStruct(a.fieldIndex("deletionVector")))
 
   /** Column-mapping refusal shared by both replay routes. */
   private def checkColumnMapping(tableDir: String,
@@ -184,14 +236,13 @@ object DeltaInterop {
     }
 
     def applyAdd(path: JsonNode, pv: Map[String, String],
-        size: Option[Long], dvPresent: Boolean,
+        size: Option[Long], dv: Option[DeltaDv.Descriptor],
         stats: Option[String]): Unit = {
-      require(!dvPresent,
-        s"$tableDir carries deletion vectors — adopting would " +
-          "resurrect deleted rows; run a Delta OPTIMIZE/rewrite to " +
-          "materialize the deletes first")
+      // the LATEST add for a path wins (Delta's replay rule) — a
+      // re-add without a DV clears an earlier descriptor, with one
+      // replaces it
       val abs = resolvePath(tableDir, path.asText())
-      live.put(abs, AddFile(abs, pv, size, stats))
+      live.put(abs, AddFile(abs, pv, size, stats, dv))
     }
 
     // ---- base state from the checkpoint parquet, if any
@@ -263,16 +314,11 @@ object DeltaInterop {
         else Map.empty[String, String]
         val size = if (fi.contains("size") && !a.isNullAt(a.fieldIndex("size")))
           Some(a.getLong(a.fieldIndex("size"))) else None
-        val dv = fi.contains("deletionVector") &&
-          !a.isNullAt(a.fieldIndex("deletionVector"))
+        val dv = parseDvRow(a, fi)
         val abs = resolvePath(tableDir, a.getString(a.fieldIndex("path")))
-        require(!dv,
-          s"$tableDir carries deletion vectors — adopting would " +
-            "resurrect deleted rows; run a Delta OPTIMIZE/rewrite to " +
-            "materialize the deletes first")
         val st = if (fi.contains("stats") && !a.isNullAt(a.fieldIndex("stats")))
           Some(a.getString(a.fieldIndex("stats"))) else None
-        live.put(abs, AddFile(abs, pv, size, st))
+        live.put(abs, AddFile(abs, pv, size, st, dv))
       }
     }
 
@@ -302,7 +348,7 @@ object DeltaInterop {
         if (!add.isMissingNode)
           applyAdd(add.path("path"), textMap(add.get("partitionValues")),
             Option(add.get("size")).map(_.asLong()),
-            add.hasNonNull("deletionVector"),
+            parseDvJson(add.get("deletionVector")),
             Option(add.get("stats")).filter(!_.isNull).map(_.asText()))
         val rem = node.path("remove")
         if (!rem.isMissingNode)
@@ -337,15 +383,21 @@ object DeltaInterop {
     * layout has no checkpoint at the target, or when exactness would
     * need per-row driver logic the DataFrame route does not express:
     * %-encoded or absolute-URI checkpoint paths (resolution is a
-    * string concat here), or a tail exclusion set too large to inline.
-    * Every refusal [[snapshot]] makes (DVs, column mapping, reader
-    * features, torn checkpoints, broken chains) is made here too.
+    * string concat here), or more DV'd files than descriptors the
+    * driver should hold. Every refusal [[snapshot]] makes (column
+    * mapping, reader features, torn checkpoints, broken chains) is
+    * made here too; DV descriptors collect driver-side (bounded) while
+    * their positions decode distributed at adoption.
     */
   private[etl] final case class DfSnapshot(version: Long,
       schema: StructType, partitionColumns: Seq[String],
       configuration: Map[String, String],
       ckptAdds: org.apache.spark.sql.DataFrame,
-      tailAdds: Seq[AddFile])
+      tailAdds: Seq[AddFile],
+      // live deletion vectors by absolute file path: DV'd files stay
+      // IN the ckptAdds live set (they are live files), their
+      // descriptors ride driver-side (bounded — see the route gate)
+      dvAdds: Seq[(String, DeltaDv.Descriptor)] = Nil)
 
   private[etl] def snapshotDf(spark: SparkSession, tableDir: String,
       versionAsOf: Option[Long] = None): Option[DfSnapshot] = {
@@ -461,11 +513,24 @@ object DeltaInterop {
       org.apache.spark.sql.functions.sum(
         org.apache.spark.sql.functions.when(oddCond, 1L).otherwise(0L))
         .as("odd")).head()
-    require(probe.isNullAt(0) || probe.getLong(0) == 0L,
-      s"$tableDir carries deletion vectors — adopting would " +
-        "resurrect deleted rows; run a Delta OPTIMIZE/rewrite to " +
-        "materialize the deletes first")
     if (!probe.isNullAt(1) && probe.getLong(1) > 0L) return None
+    // DV descriptors ride DRIVER-side (each is ~a hundred bytes; the
+    // POSITIONS they name decode distributed later) — a checkpoint
+    // with more DV'd files than the driver should hold falls back to
+    // the exact driver replay, which bounds its memory the same way
+    // it bounds the full add set
+    val dvCount = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    if (dvCount > 100000L) return None
+    val ckptDvs: Seq[(String, DeltaDv.Descriptor)] =
+      if (dvCount == 0L) Nil
+      else adds0.filter(dvCond)
+        .select(col("add.path"), col("add.deletionVector"))
+        .collect().toSeq.map { r =>
+          val abs = resolvePath(tableDir, r.getString(0))
+          val d = parseDvStruct(r.getStruct(1)).getOrElse(
+            sys.error(s"DV row for ${r.getString(0)} failed to parse"))
+          (abs, d)
+        }
 
     // ---- JSON tail, driver-side (bounded by the checkpoint cadence)
     val mapper = new ObjectMapper()
@@ -494,14 +559,11 @@ object DeltaInterop {
         }
         val add = node.path("add")
         if (!add.isMissingNode) {
-          require(!add.hasNonNull("deletionVector"),
-            s"$tableDir carries deletion vectors — adopting would " +
-              "resurrect deleted rows; run a Delta OPTIMIZE/rewrite " +
-              "to materialize the deletes first")
           val abs = resolvePath(tableDir, add.path("path").asText())
           tail.put(abs, AddFile(abs, textMap(add.get("partitionValues")),
             Option(add.get("size")).map(_.asLong()),
-            Option(add.get("stats")).filter(!_.isNull).map(_.asText())))
+            Option(add.get("stats")).filter(!_.isNull).map(_.asText()),
+            parseDvJson(add.get("deletionVector"))))
           excluded += abs
         }
         val rem = node.path("remove")
@@ -560,8 +622,15 @@ object DeltaInterop {
       while (it.hasNext) b += it.next()
       b.result()
     }
+    // live DVs = checkpoint descriptors whose file the tail did not
+    // touch (a tail re-add/remove supersedes — `excluded` holds every
+    // tail-touched path) plus the tail survivors' own descriptors
+    val excludedN = excluded.toSet.map(normP)
+    val dvAdds =
+      ckptDvs.filterNot { case (abs, _) => excludedN(normP(abs)) } ++
+        tailAdds.flatMap(f => f.dv.map(d => (f.path, d)))
     Some(DfSnapshot(target, schema, partitionCols, configuration,
-      live, tailAdds))
+      live, tailAdds, dvAdds))
   }
 
   /** Per-column (min, max) ranges adoptable from a Delta add action's
@@ -728,7 +797,9 @@ object DeltaInterop {
     * match the declared schema, so a migrating user's queries run
     * unchanged. An empty live set (a valid, fully-deleted table) reads
     * as an EMPTY DataFrame with the declared schema — the same
-    * readable state any Delta reader serves.
+    * readable state any Delta reader serves. Live DELETION VECTORS
+    * apply merge-on-read: each DV'd file's positions decode in their
+    * own task ([[DeltaDv.sidecarRows]]) and anti-join the scan.
     */
   def readDelta(spark: SparkSession, tableDir: String,
       versionAsOf: Option[Long] = None): org.apache.spark.sql.DataFrame = {
@@ -745,27 +816,48 @@ object DeltaInterop {
         .map { case (c, (mn, mx)) =>
           c -> (Some(mn): Option[String], Some(mx): Option[String])
         })
-    if (snap.partitionColumns.isEmpty) {
-      val entries = snap.files.zip(ranges).map { case (f, r) =>
-        (f.path, f.size, r)
+    val rel =
+      if (snap.partitionColumns.isEmpty) {
+        val entries = snap.files.zip(ranges).map { case (f, r) =>
+          (f.path, f.size, r)
+        }
+        org.apache.spark.sql.graftbridge.DeltaLiteScan.relation(
+          spark, new Path(tableDir), entries, snap.schema)
+          .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+      } else {
+        val dataSchema = StructType(snap.schema.fields.filterNot(f =>
+          snap.partitionColumns.contains(f.name)))
+        val partSchema = StructType(
+          snap.partitionColumns.map(c => snap.schema(c)).toIndexedSeq)
+        val entries = snap.files.zip(ranges).map { case (f, r) =>
+          // partition columns prune natively through partitionFilters —
+          // keep only genuine data columns in the per-file ranges
+          (f.path, f.size,
+            r.view.filterKeys(dataSchema.fieldNames.contains).toMap)
+        }
+        org.apache.spark.sql.graftbridge.DeltaLiteScan.partitionedRelation(
+          spark, new Path(tableDir), entries,
+          snap.files.map(_.partitionValues), dataSchema, partSchema)
+          .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
       }
-      return org.apache.spark.sql.graftbridge.DeltaLiteScan.relation(
-        spark, new Path(tableDir), entries, snap.schema)
+    // live DELETION VECTORS mask rows merge-on-read: positions decode
+    // distributed (one task per DV'd file) and anti-join the scan on
+    // the canonical (file, row-index) address — the same O(deleted)
+    // read-side contract as DeltaLite's own DVs
+    val dvd = snap.files.flatMap(f =>
+      f.dv.map(d => (DeltaDv.canonPath(f.path), d)))
+    if (dvd.isEmpty) rel
+    else {
+      val dvRows = DeltaDv.sidecarRows(spark, tableDir, dvd,
+        org.apache.spark.sql.graftbridge.Bridge.shippableHadoopConf(spark))
+      rel
+        .withColumn("__file", org.apache.spark.sql.functions
+          .regexp_replace(col("_metadata.file_path"),
+            DeltaDv.SchemeAuthorityRe, ""))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(org.apache.spark.sql.functions.broadcast(dvRows),
+          Seq("__file", "__pos"), "left_anti")
         .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
     }
-    val dataSchema = StructType(snap.schema.fields.filterNot(f =>
-      snap.partitionColumns.contains(f.name)))
-    val partSchema = StructType(
-      snap.partitionColumns.map(c => snap.schema(c)).toIndexedSeq)
-    val entries = snap.files.zip(ranges).map { case (f, r) =>
-      // partition columns prune natively through partitionFilters —
-      // keep only genuine data columns in the per-file ranges
-      (f.path, f.size,
-        r.view.filterKeys(dataSchema.fieldNames.contains).toMap)
-    }
-    org.apache.spark.sql.graftbridge.DeltaLiteScan.partitionedRelation(
-      spark, new Path(tableDir), entries,
-      snap.files.map(_.partitionValues), dataSchema, partSchema)
-      .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 }

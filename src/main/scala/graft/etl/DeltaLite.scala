@@ -3662,7 +3662,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
     * masking correctly.
     */
   private def normFileCol(c: Column): Column =
-    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.\\-]*:(//[^/]*)?", "")
+    regexp_replace(c, DeltaDv.SchemeAuthorityRe, "")
 
   /** Live DV sidecar files at a snapshot. `delete` adds, `dvclear`
     * (published after [[materializeDeletes]]) and `overwrite`/restore
@@ -4438,7 +4438,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
     * driver route preserves first-add order; both are deterministic).
     */
   private def adoptFromDfSnapshot(ds: DeltaInterop.DfSnapshot,
-      nCkpt: Long, props: Map[String, String]): Int = {
+      nCkpt: Long, props: Map[String, String],
+      sourceDir: String): Int = {
     import org.apache.spark.sql.functions.{array, concat, from_json, lit,
       monotonically_increasing_id, when}
     val sch = ds.schema
@@ -4570,14 +4571,55 @@ class DeltaLite(val spark: SparkSession, val root: String,
     val name = s"0.${java.util.UUID.randomUUID().toString.take(8)}" +
       ".sidecar.entries"
     val dir = new Path(logDir, name)
-    allEntries.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    // adopted deletion vectors decode into our own sidecars FIRST —
+    // a sidecar-backed record carries its DV paths as kind-"d" ROWS in
+    // the entries parquet (the lazy re-attach and the incremental DV
+    // fold both read them from there; inline `dvs` on an entriesRef
+    // record would be invisible), so the paths must exist before the
+    // entries write
+    val dvPaths = writeAdoptionDvSidecars(sourceDir,
+      ds.dvAdds.map { case (p, d) => (DeltaDv.canonPath(p), d) })
+    val withDvs =
+      if (dvPaths.isEmpty) allEntries
+      else allEntries.unionByName(spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          dvPaths.zipWithIndex.map { case (p, i) => dvRow(p, i.toLong) }, 1),
+        EntriesSchema))
+    withDvs.write.mode(SaveMode.Overwrite).parquet(dir.toString)
     val nTotal = nCkpt + ds.tailAdds.size
-    writeCountMarker(dir, nTotal)
+    writeCountMarker(dir, nTotal + dvPaths.size)
     publish(Commit(0, "append", sch.json, removed = Nil, files = Nil,
       None, None, dvs = Nil, colmap = Some(Map.empty),
       checks = Some(Map.empty), parts = Some(parts),
       props = if (props.isEmpty) None else Some(props),
-      entriesRef = Some(name), counts = Some((nTotal, 0L, 0L))), Nil)
+      entriesRef = Some(name),
+      counts = Some((nTotal, 0L, dvPaths.size.toLong))), Nil)
+  }
+
+  /** Decode an adopted Delta source's deletion vectors into THIS
+    * table's own merge-on-read sidecar parquet, written under a
+    * `v=0-*-dv` dir before the v0 commit references them (the same
+    * lifecycle as a delete commit's sidecars — vacuum retains them
+    * while referenced). One task per DV'd file decodes its RoaringBitmap
+    * executor-side ([[DeltaDv.sidecarRows]]); the driver holds only
+    * descriptors, never positions.
+    */
+  private[etl] def writeAdoptionDvSidecars(sourceDir: String,
+      dvs: Seq[(String, DeltaDv.Descriptor)]): Seq[String] = {
+    if (dvs.isEmpty) return Nil
+    val dir = new Path(rootPath,
+      s"v=0-${java.util.UUID.randomUUID().toString.take(8)}-dv")
+    DeltaDv.sidecarRows(spark, sourceDir, dvs,
+      org.apache.spark.sql.graftbridge.Bridge.shippableHadoopConf(spark))
+      .write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
+    val it = fs.listFiles(dir, false)
+    val buf = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        buf += st.getPath.toString
+    }
+    buf.result().sorted
   }
 
   /** First commit of a clone: re-reference the given files (inner
@@ -5844,9 +5886,13 @@ object DeltaLite {
     * Stats are not carried (Delta's JSON stats don't round-trip into
     * this format's typed ranges) — run [[DeltaLite.restats]] afterward
     * to light up file skipping, the same CONVERT-then-ANALYZE workflow
-    * as [[convert]]. Partitioned, column-mapped and deletion-vector
-    * tables refuse loudly in [[DeltaInterop]] with the workaround
-    * named.
+    * as [[convert]]. DELETION-VECTOR-bearing sources (the default
+    * output of modern Databricks runtimes) adopt correctly: each DV
+    * decodes into this format's own merge-on-read sidecar
+    * ([[DeltaDv]] — one distributed task per DV'd file) and the
+    * deleted rows stay gone through read/readIndexed/upsert;
+    * column-mapped tables refuse loudly in [[DeltaInterop]] with the
+    * workaround named.
     */
   def convertFromDelta(spark: SparkSession, sourceDir: String, root: String,
       versionAsOf: Option[Long] = None,
@@ -5892,7 +5938,8 @@ object DeltaLite {
         val nCkpt = ds.ckptAdds.count()
         t.adoptFromDfSnapshot(ds, nCkpt,
           props = if (ds.partitionColumns.isEmpty) Map.empty
-            else Map(DeltaLite.PartValsInLogProp -> "true"))
+            else Map(DeltaLite.PartValsInLogProp -> "true"),
+          sourceDir = sourceDir)
         return t
       }
     }
@@ -5938,7 +5985,11 @@ object DeltaLite {
           statsKey.filter(_ => primary.isDefined),
           extras.keys.map(c => c -> c).toMap)
       },
-      Nil, Map.empty, Map.empty, parts,
+      // the source's live deletion vectors, decoded into this table's
+      // own merge-on-read sidecars (committed atomically with v0)
+      t.writeAdoptionDvSidecars(sourceDir, snap.files.flatMap(f =>
+        f.dv.map(d => (DeltaDv.canonPath(f.path), d)))),
+      Map.empty, Map.empty, parts,
       props = if (parts.isEmpty) Map.empty
         else Map(DeltaLite.PartValsInLogProp -> "true"))
     t

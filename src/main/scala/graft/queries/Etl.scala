@@ -198,6 +198,102 @@ object Etl {
       .orderBy($"doc_id")
   }
 
+  /** Zero-copy adoption of a DELETION-VECTOR-bearing Delta table — the
+    * default output of modern Databricks runtimes (DVs on). The
+    * fixture writes two SORTED single-file document batches (A:
+    * doc_id%3=0, B: %3=1) plus an unmasked batch C (%3=2), then masks
+    * batch A's row positions idx%7=0 through a `.bin` RoaringBitmap
+    * sidecar ("u" storage, Z85 uuid path) and batch B's idx%11=3
+    * INLINE ("i" storage) — both real Delta DV forms ([[graft.etl
+    * .DeltaDv]]). Adoption decodes them into the engine's own
+    * merge-on-read sidecars; the oracle derives the same surviving
+    * rows with row_number over each sorted batch — any decode/framing
+    * /position bug hash-mismatches immediately.
+    */
+  def convertFromDeltaDv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft-delta-adopt-dv-" +
+      s"${sys.props.getOrElse("user.name", "anon")}/" +
+      s"${dir.hashCode & 0x7fffffff}"
+    val hconf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(hconf)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(base)),
+      s"fixture dir $base could not be cleared — refusing to adopt " +
+        "over leftovers")
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"n_chars")
+    // SORTED single-file batches: the oracle addresses DV positions as
+    // row_number() over doc_id, so the file's physical row order must
+    // be doc_id-ascending
+    def land(tag: Int): (String, Long, Long) = {
+      val stage = s"$base/stage/b$tag"
+      val b = docs.filter($"doc_id" % 3 === tag)
+        .repartition(1).sortWithinPartitions("doc_id")
+      b.write.parquet(stage)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      val dst = new org.apache.hadoop.fs.Path(s"$base/tbl", part.getName)
+      org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dst, false, hconf)
+      (part.getName, fs.getFileStatus(dst).getLen, b.count())
+    }
+    val (fa, sa, na) = land(0); val (fb, sb, nb) = land(1)
+    val (fc, sc, _) = land(2)
+    // batch A: positions idx%7=0 masked via a .bin sidecar
+    val posA = (0L until na by 7).toArray
+    val payloadA = graft.etl.DeltaDv.serializeBitmapArray(posA)
+    val (binBytes, offs) = graft.etl.DeltaDv.frameDvFile(Seq(payloadA))
+    val uuid = java.util.UUID.randomUUID()
+    val binP = new org.apache.hadoop.fs.Path(
+      s"$base/tbl", s"deletion_vector_$uuid.bin")
+    val os = fs.create(binP, true)
+    try os.write(binBytes) finally os.close()
+    val dvA = s"""{"storageType":"u","pathOrInlineDv":"${
+      graft.etl.DeltaDv.encodeUuidPath(uuid)}","offset":${offs.head},""" +
+      s""""sizeInBytes":${payloadA.length},"cardinality":${posA.length}}"""
+    // batch B: positions idx%11=3 masked inline
+    val posB = (3L until nb by 11).toArray
+    val payloadB = graft.etl.DeltaDv.serializeBitmapArray(posB)
+    val padB = payloadB ++ new Array[Byte]((4 - payloadB.length % 4) % 4)
+    val dvB = s"""{"storageType":"i","pathOrInlineDv":"${
+      graft.etl.DeltaDv.z85Encode(padB)}","sizeInBytes":${
+      payloadB.length},"cardinality":${posB.length}}"""
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def add(name: String, size: Long, dv: Option[String]): String = {
+      val root = mapper.createObjectNode()
+      val a = root.putObject("add")
+      a.put("path", name); a.putObject("partitionValues")
+      a.put("size", size); a.put("modificationTime", 0L)
+      a.put("dataChange", true)
+      dv.foreach(j => a.set[com.fasterxml.jackson.databind.JsonNode](
+        "deletionVector", mapper.readTree(j)))
+      mapper.writeValueAsString(root)
+    }
+    val meta = {
+      val root = mapper.createObjectNode()
+      val m = root.putObject("metaData")
+      m.put("id", "graft-adopt-dv-fixture")
+      m.putObject("format").put("provider", "parquet")
+      m.put("schemaString", docs.schema.json)
+      m.putArray("partitionColumns"); m.putObject("configuration")
+      mapper.writeValueAsString(root)
+    }
+    val p = new org.apache.hadoop.fs.Path(
+      s"$base/tbl/_delta_log", f"${0L}%020d.json")
+    val out = fs.create(p, true)
+    try out.write((Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}""",
+      meta, add(fa, sa, Some(dvA)), add(fb, sb, Some(dvB)),
+      add(fc, sc, None)).mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    graft.etl.DeltaLite
+      .convertFromDelta(s, s"$base/tbl", s"$base/root")
+      .read()
+      .orderBy($"doc_id")
+  }
+
   /** Data-quality expectations over the load: per-rule pass/fail
     * counts in ONE aggregate over one scan (`ops.Expectations`) — the
     * quality gate a managed pipeline attaches to every table
