@@ -31,9 +31,12 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   *    decode into DeltaLite's own merge-on-read sidecars at
   *    conversion, so the default output of modern Databricks runtimes
   *    migrates without a source-side rewrite.
-  *  - Remaining reader features beyond the base protocol (column
-  *    mapping, other v3 reader features) are REFUSED by name, never
-  *    silently misread.
+  *  - COLUMN MAPPING (modes name/id) adopts: each field's
+  *    physicalName metadata becomes an entry of DeltaLite's own
+  *    logical→physical mapping, so renamed-column histories migrate
+  *    metadata-only.
+  *  - Remaining reader features beyond the base protocol are REFUSED
+  *    by name, never silently misread.
   *
   * Replay is driver-side over O(log) metadata — the same contract as
   * DeltaLite's own commit machinery; the DATA stays distributed and
@@ -61,7 +64,13 @@ object DeltaInterop {
     */
   final case class Snapshot(version: Long, schema: StructType,
       partitionColumns: Seq[String], configuration: Map[String, String],
-      files: Seq[AddFile])
+      files: Seq[AddFile],
+      // logical→physical column mapping translated from the source's
+      // delta.columnMapping metadata (empty = unmapped). The `schema`
+      // is LOGICAL and scrubbed; file bytes and stats keys speak the
+      // physical names; `partitionValues` keys are translated back to
+      // LOGICAL here (Delta records them physical under mapping)
+      colMapping: Map[String, String] = Map.empty)
 
   private val LogDir = "_delta_log"
 
@@ -112,17 +121,18 @@ object DeltaInterop {
     * trusted because the Delta protocol gates all LISTED reader
     * features behind v3 (readerFeatures exists only at v3+), and the
     * two v<=2 read-path semantics that exist — column mapping and
-    * deletion vectors — are refused separately by their own checks. A
-    * future spec revision adding v2-gated read semantics would need a
-    * new refusal here.
+    * deletion vectors — are both SUPPORTED by this adoption path
+    * (translated/decoded, not ignored). A future spec revision adding
+    * v2-gated read semantics would need a new refusal here.
     */
   private def checkReaderProtocol(tableDir: String, minReader: Int,
       readerFeatures: Seq[String]): Unit = {
-    // supported reader features: timestampNtz (plain typed column) and
+    // supported reader features: timestampNtz (plain typed column),
     // deletionVectors (descriptors decode into our own DV sidecars at
-    // adoption — DeltaDv); anything else refuses by name
+    // adoption — DeltaDv) and columnMapping (physicalNames translate
+    // into our own mapping); anything else refuses by name
     val unsupported = readerFeatures
-      .filterNot(Set("timestampNtz", "deletionVectors"))
+      .filterNot(Set("timestampNtz", "deletionVectors", "columnMapping"))
     require(minReader <= 2 || unsupported.isEmpty,
       s"$tableDir requires Delta reader features " +
         s"${unsupported.mkString(", ")} (minReaderVersion $minReader) " +
@@ -170,14 +180,71 @@ object DeltaInterop {
       a.isNullAt(a.fieldIndex("deletionVector"))) None
     else parseDvStruct(a.getStruct(a.fieldIndex("deletionVector")))
 
-  /** Column-mapping refusal shared by both replay routes. */
-  private def checkColumnMapping(tableDir: String,
-      conf: Map[String, String]): Unit = {
+  /** COLUMN MAPPING translation (modes `name` and `id`): each schema
+    * field's `delta.columnMapping.physicalName` metadata becomes an
+    * entry of DeltaLite's own logical→physical mapping, and the field
+    * metadata is scrubbed (the adopted table speaks its own mapping,
+    * not Delta's keys). Returns (clean logical schema, mapping with
+    * identity entries dropped — DeltaLite's convention).
+    *
+    * PINNED ASSUMPTION for mode `id`: files are resolved by PHYSICAL
+    * NAME, not parquet field id. delta-spark writes the physical names
+    * into the parquet columns in BOTH modes (ids ride alongside for
+    * Iceberg-compat readers), so name resolution is exact for
+    * delta-written files; a hypothetical writer emitting id-only
+    * parquet columns would need field-id resolution this path does not
+    * do — its columns would read as null, which the first read makes
+    * obvious, and restats/reads never prune on an unresolvable name.
+    *
+    * NESTED mapped columns refuse: the inner fields carry their own
+    * physical names and DeltaLite's mapping is top-level-only — a
+    * silent adopt would read nested nulls.
+    */
+  private def extractColumnMapping(tableDir: String,
+      conf: Map[String, String], schema: StructType)
+      : (StructType, Map[String, String]) = {
     val cmMode = conf.getOrElse("delta.columnMapping.mode", "none")
-    require(cmMode == "none",
-      s"$tableDir uses column mapping mode '$cmMode' — its parquet " +
-        "columns carry physical ids this adoption path cannot " +
-        "resolve; disable column mapping (or rewrite) before adopting")
+    if (cmMode == "none") return (schema, Map.empty)
+    require(cmMode == "name" || cmMode == "id",
+      s"$tableDir uses unknown column mapping mode '$cmMode' — " +
+        "refusing to guess its physical resolution")
+    def nested(dt: DataType): Boolean = dt match {
+      case _: StructType => true
+      case a: org.apache.spark.sql.types.ArrayType => nested(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        nested(m.keyType) || nested(m.valueType)
+      case _ => false
+    }
+    val nestedCols = schema.fields.filter(f => nested(f.dataType))
+    require(nestedCols.isEmpty,
+      s"$tableDir maps NESTED column(s) " +
+        s"${nestedCols.map(_.name).mkString(", ")} — their inner " +
+        "physical names are not translated by this adoption path; " +
+        "flatten or rewrite before adopting")
+    val PhysKey = "delta.columnMapping.physicalName"
+    val mapper = new ObjectMapper()
+    val pairs = schema.fields.map { f =>
+      require(f.metadata.contains(PhysKey),
+        s"$tableDir column '${f.name}' (mapping mode '$cmMode') " +
+          "carries no physicalName — its parquet column cannot be " +
+          "resolved; rewrite before adopting")
+      val phys = f.metadata.getString(PhysKey)
+      // scrub the delta mapping keys — keep any other metadata
+      val node = mapper.readTree(f.metadata.json)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val it = node.fieldNames()
+      val drop = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val k = it.next()
+        if (k.startsWith("delta.columnMapping.")) drop += k
+      }
+      drop.result().foreach(node.remove)
+      (f.copy(metadata =
+        org.apache.spark.sql.types.Metadata.fromJson(node.toString)),
+        f.name -> phys)
+    }
+    (StructType(pairs.map(_._1).toIndexedSeq),
+      pairs.map(_._2).filter { case (l, p) => l != p }.toMap)
   }
 
   /** Replay the `_delta_log` under `tableDir` to `versionAsOf` (or the
@@ -232,7 +299,6 @@ object DeltaInterop {
       schemaJson = Some(schemaString)
       partitionCols = parts
       configuration = conf
-      checkColumnMapping(tableDir, conf)
     }
 
     def applyAdd(path: JsonNode, pv: Map[String, String],
@@ -359,14 +425,26 @@ object DeltaInterop {
     val schemaStr = schemaJson.getOrElse(sys.error(
       s"no metaData action found replaying $tableDir to $target — " +
         "cannot determine the schema"))
-    val schema = DataType.fromJson(schemaStr).asInstanceOf[StructType]
+    val schema0 = DataType.fromJson(schemaStr).asInstanceOf[StructType]
+    val (schema, colMapping) =
+      extractColumnMapping(tableDir, configuration, schema0)
+    val physToLog = colMapping.map(_.swap)
     val files = {
       val b = Seq.newBuilder[AddFile]
       val it = live.values().iterator()
-      while (it.hasNext) b += it.next()
+      while (it.hasNext) {
+        val f = it.next()
+        // partitionValues keys are PHYSICAL under column mapping —
+        // translate to the logical names the Snapshot contract speaks
+        b += (if (colMapping.isEmpty) f
+        else f.copy(partitionValues = f.partitionValues.map {
+          case (k, v) => physToLog.getOrElse(k, k) -> v
+        }))
+      }
       b.result()
     }
-    Snapshot(target, schema, partitionCols, configuration, files)
+    Snapshot(target, schema, partitionCols, configuration, files,
+      colMapping)
   }
 
   /** Checkpoint-backed snapshot whose ADD SET STAYS A DATAFRAME — the
@@ -457,7 +535,6 @@ object DeltaInterop {
     def applyMeta(ss: String, parts: Seq[String],
         conf: Map[String, String]): Unit = {
       schemaJson = Some(ss); partitionCols = parts; configuration = conf
-      checkColumnMapping(tableDir, conf)
     }
     // metadata actions in ONE collect (protocol + metaData rows are a
     // handful; separate per-column collects would each re-scan a
@@ -581,6 +658,11 @@ object DeltaInterop {
     val schemaStr = schemaJson.getOrElse(sys.error(
       s"no metaData action found replaying $tableDir to $target — " +
         "cannot determine the schema"))
+    // column-mapped sources decline to the driver replay: the stats /
+    // partitionValues relabel would need per-column physical→logical
+    // translation this DF route does not express yet
+    if (configuration.getOrElse("delta.columnMapping.mode", "none")
+      != "none") return None
     val schema = DataType.fromJson(schemaStr).asInstanceOf[StructType]
     val prefix = tableDir.stripSuffix("/") + "/"
     // scheme-normalized twin of each path (the entries' `pathn`
@@ -810,35 +892,49 @@ object DeltaInterop {
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         snap.schema)
     val tz = spark.sessionState.conf.sessionLocalTimeZone
+    // the scan speaks PHYSICAL names (what the parquet columns and the
+    // stats keys carry under column mapping; identity when unmapped) —
+    // the final projection aliases back to the logical schema
+    def physName(l: String): String = snap.colMapping.getOrElse(l, l)
+    val physSch = StructType(snap.schema.fields.map(f =>
+      f.copy(name = physName(f.name))))
     val ranges = snap.files.map(f =>
-      f.stats.map(adoptableRanges(_, snap.schema, tz)).getOrElse(
+      f.stats.map(adoptableRanges(_, physSch, tz)).getOrElse(
         Map.empty[String, (String, String)])
         .map { case (c, (mn, mx)) =>
           c -> (Some(mn): Option[String], Some(mx): Option[String])
         })
+    val logicalCols = snap.schema.fieldNames
+      .map(l => col(physName(l)).as(l)).toIndexedSeq
     val rel =
       if (snap.partitionColumns.isEmpty) {
         val entries = snap.files.zip(ranges).map { case (f, r) =>
           (f.path, f.size, r)
         }
         org.apache.spark.sql.graftbridge.DeltaLiteScan.relation(
-          spark, new Path(tableDir), entries, snap.schema)
-          .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+          spark, new Path(tableDir), entries, physSch)
+          .select(logicalCols: _*)
       } else {
-        val dataSchema = StructType(snap.schema.fields.filterNot(f =>
-          snap.partitionColumns.contains(f.name)))
+        val partPhys = snap.partitionColumns.map(physName)
+        val dataSchema = StructType(physSch.fields.filterNot(f =>
+          partPhys.contains(f.name)))
         val partSchema = StructType(
-          snap.partitionColumns.map(c => snap.schema(c)).toIndexedSeq)
+          partPhys.map(p => physSch(p)).toIndexedSeq)
         val entries = snap.files.zip(ranges).map { case (f, r) =>
           // partition columns prune natively through partitionFilters —
           // keep only genuine data columns in the per-file ranges
           (f.path, f.size,
             r.view.filterKeys(dataSchema.fieldNames.contains).toMap)
         }
+        // Snapshot partitionValues are keyed LOGICAL — re-key to the
+        // partition schema's physical names for the injecting index
+        val partValsPhys = snap.files.map(_.partitionValues.map {
+          case (k, v) => physName(k) -> v
+        })
         org.apache.spark.sql.graftbridge.DeltaLiteScan.partitionedRelation(
           spark, new Path(tableDir), entries,
-          snap.files.map(_.partitionValues), dataSchema, partSchema)
-          .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+          partValsPhys, dataSchema, partSchema)
+          .select(logicalCols: _*)
       }
     // live DELETION VECTORS mask rows merge-on-read: positions decode
     // distributed (one task per DV'd file) and anti-join the scan on

@@ -5890,9 +5890,12 @@ object DeltaLite {
     * output of modern Databricks runtimes) adopt correctly: each DV
     * decodes into this format's own merge-on-read sidecar
     * ([[DeltaDv]] — one distributed task per DV'd file) and the
-    * deleted rows stay gone through read/readIndexed/upsert;
-    * column-mapped tables refuse loudly in [[DeltaInterop]] with the
-    * workaround named.
+    * deleted rows stay gone through read/readIndexed/upsert.
+    * COLUMN-MAPPED sources (modes name/id) adopt too: the
+    * physicalName metadata translates into this table's own
+    * logical→physical mapping, stats re-key to logical with the
+    * physical id stamped, and later renames/drops compose on the
+    * adopted mapping unchanged.
     */
   def convertFromDelta(spark: SparkSession, sourceDir: String, root: String,
       versionAsOf: Option[Long] = None,
@@ -5947,6 +5950,19 @@ object DeltaLite {
     require(snap.files.nonEmpty,
       s"Delta table $sourceDir has no live files at version ${snap.version}")
     val parts = snap.partitionColumns
+    // COLUMN-MAPPED sources: the translated logical→physical mapping
+    // becomes this table's own (rename/drop machinery picks it up
+    // unchanged); stats keys in the source log are PHYSICAL, so the
+    // range adoption below reads them through a physical-named schema
+    // and records them under the logical name with the physical id
+    // stamped — the same entry shape restats writes
+    val srcMapping = snap.colMapping
+    def physOf(l: String): String = srcMapping.getOrElse(l, l)
+    val physToLog = srcMapping.map(_.swap)
+    val physNamedSchema =
+      if (srcMapping.isEmpty) snap.schema
+      else org.apache.spark.sql.types.StructType(snap.schema.fields.map(
+        f => f.copy(name = physOf(f.name))))
     // a PARTITIONED source adopts with its partition values carried as
     // per-file [v,v] extras (a recorded (null,null) pair IS the null
     // partition) and the valuesInLog property set: every read path
@@ -5959,10 +5975,14 @@ object DeltaLite {
         // agree (DeltaInterop.adoptableRanges — numeric/string/date
         // directly; timestamps re-encoded into this session zone's
         // cast form): the adopted table is SKIP-READY with zero data
-        // scans, the same ranges upsert pruning reads
+        // scans, the same ranges upsert pruning reads. Stats keys are
+        // PHYSICAL under column mapping — resolved through the
+        // physical-named schema and recorded logical (+ stamped id)
         val ranges = (f.stats
-          .map(DeltaInterop.adoptableRanges(_, snap.schema, tz))
-          .getOrElse(Map.empty) -- parts)
+          .map(DeltaInterop.adoptableRanges(_, physNamedSchema, tz))
+          .getOrElse(Map.empty)
+          .map { case (k, r) => physToLog.getOrElse(k, k) -> r }
+          -- parts)
         val primary = statsKey.filterNot(parts.contains).flatMap(ranges.get)
         val partExtras: Map[String, (Option[String], Option[String])] =
           parts.map { c =>
@@ -5982,14 +6002,14 @@ object DeltaLite {
           primary.map(_._1), primary.map(_._2),
           statsKey.filter(_ => primary.isDefined),
           extras, f.size,
-          statsKey.filter(_ => primary.isDefined),
-          extras.keys.map(c => c -> c).toMap)
+          statsKey.filter(_ => primary.isDefined).map(physOf),
+          extras.keys.map(c => c -> physOf(c)).toMap)
       },
       // the source's live deletion vectors, decoded into this table's
       // own merge-on-read sidecars (committed atomically with v0)
       t.writeAdoptionDvSidecars(sourceDir, snap.files.flatMap(f =>
         f.dv.map(d => (DeltaDv.canonPath(f.path), d)))),
-      Map.empty, Map.empty, parts,
+      srcMapping, Map.empty, parts,
       props = if (parts.isEmpty) Map.empty
         else Map(DeltaLite.PartValsInLogProp -> "true"))
     t

@@ -201,8 +201,11 @@ class DeltaInteropSpec extends SparkSpec {
       s"must refuse the vacuumed version loudly: ${e.getMessage}")
   }
 
-  test("column-mapped and deletion-vector tables refuse loudly by name") {
-    // column mapping
+  test("malformed mapped/DV inputs refuse loudly; unknown features by name") {
+    // column mapping WITHOUT physicalName metadata: the declared mode
+    // promises physical resolution the schema does not deliver —
+    // refuse naming the column (well-formed mapped tables ADOPT — see
+    // DeltaColumnMappedAdoptionSpec)
     val dirC = tmp("delta-cm")
     val fC = dataFile(dirC, Seq((1L, "x")))
     writeCommit(dirC, 0, Seq(protocolAction,
@@ -210,15 +213,18 @@ class DeltaInteropSpec extends SparkSpec {
       addAction(fC, 1L)))
     val eC = intercept[IllegalArgumentException](
       DeltaLite.convertFromDelta(spark, dirC, tmp("delta-cm-root")))
-    assert(eC.getMessage.contains("column mapping"), eC.getMessage)
-    // deletion vectors
+    assert(eC.getMessage.contains("physicalName"), eC.getMessage)
+    // a GARBAGE deletion-vector descriptor refuses at decode (the
+    // fixture's pathOrInlineDv is not a valid uuid encoding) rather
+    // than resurrecting the masked rows (well-formed DVs ADOPT — see
+    // DeltaDvAdoptionSpec)
     val dirD = tmp("delta-dv")
     val fD = dataFile(dirD, Seq((1L, "x")))
     writeCommit(dirD, 0, Seq(protocolAction, metaAction(),
       addAction(fD, 1L, dv = true)))
-    val eD = intercept[IllegalArgumentException](
-      DeltaLite.convertFromDelta(spark, dirD, tmp("delta-dv-root")))
-    assert(eD.getMessage.contains("deletion vectors"), eD.getMessage)
+    intercept[Exception](
+      DeltaLite.convertFromDelta(spark, dirD, tmp("delta-dv-root"))
+        .read().collect())
     // reader features beyond the base protocol
     val dirF = tmp("delta-feat")
     val fF = dataFile(dirF, Seq((1L, "x")))
