@@ -460,12 +460,15 @@ object DeltaInterop {
     * Returns None — caller falls back to the driver replay — when the
     * layout has no checkpoint at the target, or when exactness would
     * need per-row driver logic the DataFrame route does not express:
-    * %-encoded or absolute-URI checkpoint paths (resolution is a
-    * string concat here), or more DV'd files than descriptors the
-    * driver should hold. Every refusal [[snapshot]] makes (column
-    * mapping, reader features, torn checkpoints, broken chains) is
-    * made here too; DV descriptors collect driver-side (bounded) while
-    * their positions decode distributed at adoption.
+    * more DV'd files than descriptors the driver should hold, or a
+    * column-mapped source (per-column relabel translation stays on
+    * the driver route). Path resolution — %-encoded, absolute-URI,
+    * absolute-posix — is fully expressed in the relabel columns, so
+    * no path SHAPE declines the route. Every refusal [[snapshot]]
+    * makes (reader features, torn checkpoints, broken chains,
+    * malformed mapping) is made here too; DV descriptors collect
+    * driver-side (bounded) while their positions decode distributed
+    * at adoption.
     */
   private[etl] final case class DfSnapshot(version: Long,
       schema: StructType, partitionColumns: Seq[String],
@@ -573,12 +576,10 @@ object DeltaInterop {
     }
     val addFields = cp.schema("add").dataType
       .asInstanceOf[StructType].fieldNames.toSet
-    // DV presence + DF-precondition paths probed in ONE aggregate pass
-    // (%-encoded or absolute-URI rows need the driver's URI logic)
+    // DV presence probed in ONE aggregate pass (path resolution —
+    // %-encoded, absolute-URI, absolute-posix — is fully expressed in
+    // the relabel columns below, so no path shape declines the route)
     val adds0 = cp.filter("add is not null")
-    val oddCond = col("add.path").contains("%") ||
-      col("add.path").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:") ||
-      col("add.path").startsWith("/")
     val dvCond =
       if (addFields.contains("deletionVector"))
         col("add.deletionVector").isNotNull
@@ -586,11 +587,7 @@ object DeltaInterop {
     val probe = adds0.agg(
       org.apache.spark.sql.functions.sum(
         org.apache.spark.sql.functions.when(dvCond, 1L).otherwise(0L))
-        .as("dv"),
-      org.apache.spark.sql.functions.sum(
-        org.apache.spark.sql.functions.when(oddCond, 1L).otherwise(0L))
-        .as("odd")).head()
-    if (!probe.isNullAt(1) && probe.getLong(1) > 0L) return None
+        .as("dv")).head()
     // DV descriptors ride DRIVER-side (each is ~a hundred bytes; the
     // POSITIONS they name decode distributed later) — a checkpoint
     // with more DV'd files than the driver should hold falls back to
@@ -670,9 +667,34 @@ object DeltaInterop {
     val normPrefix =
       new Path(tableDir).toUri.getPath.stripSuffix("/") + "/"
     def normP(p: String): String = new Path(p).toUri.getPath
+    // [[resolvePath]]'s exact semantics as column expressions, so
+    // %-encoded and absolute(-URI) adds take this route instead of
+    // declining to the driver fold:
+    //  - Delta action paths are URI-encoded; url_decode is form
+    //    decoding ("+" -> space), so literal "+" pre-encodes to %2B
+    //    first — the decode is then byte-identical to URI decoding;
+    //  - a scheme'd path stays VERBATIM (the driver keeps absolute
+    //    URIs encoded; Hadoop Path decodes at open), its `pathn`
+    //    strips scheme+authority and decodes (norm's form);
+    //  - a decoded path starting "/" is already absolute;
+    //  - anything else resolves under the table root.
+    import org.apache.spark.sql.functions.{url_decode, regexp_replace,
+      when => cWhen}
+    val rawP = col("add.path")
+    val decodedP = url_decode(regexp_replace(rawP, "\\+", "%2B"))
+    val hasScheme = rawP.rlike("^[a-zA-Z][a-zA-Z0-9+.\\-]*:")
+    val pathCol = cWhen(hasScheme, rawP)
+      .when(decodedP.startsWith("/"), decodedP)
+      .otherwise(concat(lit(prefix), decodedP))
+    val pathnCol = cWhen(hasScheme,
+        url_decode(regexp_replace(
+          regexp_replace(rawP, DeltaDv.SchemeAuthorityRe, ""),
+          "\\+", "%2B")))
+      .when(decodedP.startsWith("/"), decodedP)
+      .otherwise(concat(lit(normPrefix), decodedP))
     var live = adds0.select(
-      concat(lit(prefix), col("add.path")).as("path"),
-      concat(lit(normPrefix), col("add.path")).as("pathn"),
+      pathCol.as("path"),
+      pathnCol.as("pathn"),
       col("add.partitionValues").as("pvals"),
       col("add.size").as("size"),
       (if (addFields.contains("stats")) col("add.stats")
@@ -772,6 +794,17 @@ object DeltaInterop {
       } else None
     }.toMap
   }
+
+  /** The add stats' `numRecords`, when the writer recorded one — a
+    * PHYSICAL row count (includes DV-masked rows). Adoption carries it
+    * as the [[DeltaLite.RowsPseudoCol]] extra so rowCount()/re-export
+    * answer COUNT(*) from metadata.
+    */
+  private[graft] def statsNumRecords(statsJson: String): Option[Long] =
+    try {
+      val n = new ObjectMapper().readTree(statsJson).path("numRecords")
+      if (n.isIntegralNumber) Some(n.asLong()) else None
+    } catch { case _: Exception => None }
 
   /** Spark's cast-to-string form of a timestamp: space separator,
     * micro precision, trailing fraction zeros trimmed.

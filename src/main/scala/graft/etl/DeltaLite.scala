@@ -1977,14 +1977,27 @@ class DeltaLite(val spark: SparkSession, val root: String,
       .filter(df.schema.fieldNames.contains)
       .filterNot(primary.contains).distinct
     val allKeys = primary.toSeq ++ extraKeys
+    // per-file ROW COUNT rides the same one-pass aggregation as the
+    // reserved [[DeltaLite.RowsPseudoCol]] extra: export emits it as
+    // Delta's numRecords and [[rowCount]] answers COUNT(*) from
+    // metadata. Skipped for delete-mode records (their "files" are DV
+    // sidecars, not table rows) and for a schema naming a real __rows
+    // column (the pseudo-range must never shadow one). For files
+    // written before this rev the count is absent until a rewrite
+    // (compact/upsert/optimize) re-records them.
+    val recordRows = mode != "delete" &&
+      !df.schema.fieldNames.contains(DeltaLite.RowsPseudoCol)
     val stats: Map[String, Map[String, (Option[String], Option[String])]] =
-      if (allKeys.isEmpty || dataFiles.isEmpty) Map.empty
+      if ((allKeys.isEmpty && !recordRows) || dataFiles.isEmpty) Map.empty
       else {
         val aggs = allKeys.flatMap { k =>
           val physK = mapping.getOrElse(k, k)
           Seq(fmin(col(physK)).cast("string").as(s"mn_$k"),
             fmax(col(physK)).cast("string").as(s"mx_$k"))
-        }
+        } ++ (if (recordRows)
+          Seq(org.apache.spark.sql.functions.count(lit(1))
+            .cast("string").as("__rows_n"))
+        else Nil)
         // leaf-file paths, not the dir: a partitioned layout would
         // otherwise trigger partition discovery of the __p_ dirs
         spark.read.schema(physDf.schema)
@@ -1992,10 +2005,13 @@ class DeltaLite(val spark: SparkSession, val root: String,
           .groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
-          .map(r => norm(r.getString(0)) -> allKeys.map { k =>
+          .map(r => norm(r.getString(0)) -> (allKeys.map { k =>
             k -> (Option(r.getAs[String](s"mn_$k")),
               Option(r.getAs[String](s"mx_$k")))
-          }.toMap)
+          }.toMap ++ (if (recordRows) {
+            val n = Option(r.getAs[String]("__rows_n"))
+            Map(DeltaLite.RowsPseudoCol -> (n, n))
+          } else Map.empty)))
           .toMap
       }
     // keyCol is recorded as the LOGICAL name — pruning compares it to
@@ -2006,7 +2022,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
       val perCol = stats.getOrElse(norm(p.toString),
         Map.empty[String, (Option[String], Option[String])])
       val s = primary.flatMap(perCol.get).getOrElse((None, None))
-      val ex = perCol.filter { case (k, _) => extraKeys.contains(k) }
+      val ex = perCol.filter { case (k, _) =>
+        extraKeys.contains(k) || k == DeltaLite.RowsPseudoCol }
       FileEntry(p.toString, s._1, s._2, statsColUsed,
         extra = ex,
         size = fileSizes.get(p.toString),
@@ -2408,26 +2425,6 @@ class DeltaLite(val spark: SparkSession, val root: String,
     * reorganize existing rows and are by design not row-level change
     * events in an append-oriented feed.
     */
-  /** Refuse a per-commit LEAF read that would include the byte-less
-    * adoption commit of a valuesInLog table: v0's files carry no
-    * partition column bytes (they live in the log), and the
-    * per-commit decode paths (streaming tail, incremental read,
-    * change feed) read leaf files directly — they would silently
-    * serve NULL partition columns. Post-adoption commits wrote real
-    * bytes and stream fine; compact() materializes the adopted files'
-    * bytes too.
-    */
-  private def refuseBytelessCommitRead(cs: Seq[Commit],
-      all: Seq[Commit], what: String): Unit =
-    if (cs.exists(c => c.version == 0 && c.mode == "append") &&
-      partValsInLog(all))
-      throw new IllegalStateException(
-        s"$what at $root includes the adoption commit (v0) of a " +
-          "partitioned Delta adoption — its files carry no partition " +
-          "column bytes and a per-commit leaf read would serve NULLs; " +
-          "start the read above v0 (the adopted snapshot itself is " +
-          "served by read()/readIndexed)")
-
   def readAppendsSince(sinceVersion: Int): DataFrame = {
     // full per-commit history: a checkpoint splice would silently
     // collapse pre-checkpoint appends into its synthetic base
@@ -2443,7 +2440,6 @@ class DeltaLite(val spark: SparkSession, val root: String,
     val appends = all
       .filter(c => c.version > sinceVersion && c.mode == "append" &&
         c.files.nonEmpty)
-    refuseBytelessCommitRead(appends, all, "incremental read")
     val out = StructType(sch.fields :+
       StructField("_commit_version", IntegerType, nullable = false))
     if (appends.isEmpty)
@@ -2465,8 +2461,9 @@ class DeltaLite(val spark: SparkSession, val root: String,
         // union aligns the epochs; a missing column is explicitly null.
         val commitSch = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
         val m = colMapAt(all.filter(_.version <= c.version))
-        spark.read.schema(physSchema(commitSch, m))
-          .parquet(c.files.map(_.path): _*)
+        leafDecode(c.files, physSchema(commitSch, m),
+          partsAt(all.filter(_.version <= c.version)), m,
+          partValsInLog(all))
           .select(commitSch.fields.map { f =>
             // current name of the stable id: the latest mapping's name,
             // else the id itself (identity-mapped — covers rename-back
@@ -2496,8 +2493,6 @@ class DeltaLite(val spark: SparkSession, val root: String,
     val csA = commitsAll()
     val cs = csA.filter(c =>
       c.version > sinceExclusive && c.version <= toInclusive)
-    refuseBytelessCommitRead(cs.filter(_.mode == "append"), csA,
-      "streaming read")
     // restats is metadata-only (row-identical) — never a tail hazard;
     // rename is row-identical too: the SOURCE guards it (only a
     // MID-STREAM rename stales a captured schema — a historical one
@@ -2516,6 +2511,38 @@ class DeltaLite(val spark: SparkSession, val root: String,
         (if (nonAppend.forall(_.mode == "delete"))
           " — or ignoreDeletes=true for delete-only commits" else ""))
     cs.filter(_.mode == "append").flatMap(_.files.map(_.path))
+  }
+
+  /** DECODED rows of the append commits in (sinceExclusive,
+    * toInclusive] under the CAPTURED schema/mapping — the streaming
+    * tail's batch read ([[graft.streaming.DeltaLiteSource]]). Shares
+    * [[appendFilesBetween]]'s gating (non-append commits fail unless
+    * `ignoreChanges`/`ignoreDeletes`), and decodes through
+    * [[leafDecode]]: a partitioned Delta adoption's byte-less v0
+    * commit streams from the start with its partition columns
+    * INJECTED from the log — no compact() prerequisite.
+    */
+  private[graft] def readAppendsBetween(sinceExclusive: Long,
+      toInclusive: Long, ignoreChanges: Boolean, ignoreDeletes: Boolean,
+      captured: StructType,
+      capturedMapping: Map[String, String]): DataFrame = {
+    // the same gate as the path API (it throws on inexpressible tails)
+    appendFilesBetween(sinceExclusive, toInclusive, ignoreChanges,
+      ignoreDeletes)
+    val csA = commitsAll()
+    val ents = csA.filter(c =>
+      c.version > sinceExclusive && c.version <= toInclusive &&
+        c.mode == "append").flatMap(_.files)
+    val phys = StructType(captured.fields.map(f =>
+      f.copy(name = capturedMapping.getOrElse(f.name, f.name))))
+    if (ents.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), captured)
+    leafDecode(ents, phys, partsAt(csA), capturedMapping,
+      partValsInLog(csA))
+      .select(captured.fields.map(f =>
+        col(capturedMapping.getOrElse(f.name, f.name)).as(f.name))
+        .toIndexedSeq: _*)
   }
 
   /** Row-level change feed for (sinceExclusive, toInclusive]: one row
@@ -2563,8 +2590,6 @@ class DeltaLite(val spark: SparkSession, val root: String,
     val cs = all.filter(c =>
       c.version > sinceExclusive && c.version <= toInclusive)
     require(cs.nonEmpty, s"no commits in ($sinceExclusive, $toInclusive]")
-    refuseBytelessCommitRead(cs.filter(_.mode == "append"), all,
-      "change feed")
     // a synthetic checkpoint base in range means the per-commit
     // records below it are gone — a row feed over it would silently
     // misreport the aggregate state as one giant insert
@@ -2586,9 +2611,10 @@ class DeltaLite(val spark: SparkSession, val root: String,
     // post-rename rows line up on the same output column
     val endRev = colMapAt(all.filter(_.version <= toInclusive))
       .filterNot(_._1.startsWith(DeltaLite.DroppedPrefix)).map(_.swap)
-    def decode(paths: Seq[String], commitSch: StructType,
+    def decode(ents: Seq[FileEntry], commitSch: StructType,
         m: Map[String, String]): (DataFrame, Seq[Column]) = {
-      val df = spark.read.schema(physSchema(commitSch, m)).parquet(paths: _*)
+      val df = leafDecode(ents, physSchema(commitSch, m),
+        partsAt(all), m, partValsInLog(all))
       val cols = commitSch.fields.toSeq.map { f =>
         val p = m.getOrElse(f.name, f.name)
         col(p).as(endRev.getOrElse(p, p))
@@ -2600,7 +2626,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
       val m = colMapAt(all.filter(_.version <= c.version))
       c.mode match {
         case "append" if c.files.nonEmpty =>
-          val (df, cols) = decode(c.files.map(_.path), commitSch, m)
+          val (df, cols) = decode(c.files, commitSch, m)
           Some(df.select(cols: _*)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(c.version)))
@@ -2626,21 +2652,12 @@ class DeltaLite(val spark: SparkSession, val root: String,
           val dv = dvBroadcastGuarded(c.files.map(_.path))
           val referenced = dv.select(col("__file")).distinct()
             .collect().map(r => norm(r.getString(0))).toSet
+          // holder ENTRIES (not just paths): adopted byte-less files
+          // decode with their log-recorded partition values injected
+          // through leafDecode — the feed serves real columns, no
+          // compact() prerequisite
           val holders = liveEntries(all.filter(_.version < c.version))
-            .map(_.path).filter(p => referenced(norm(p)))
-          // valuesInLog: a holder OUTSIDE the table root is an adopted
-          // byte-less file — its deleted rows cannot leaf-decode with
-          // real partition columns; refuse rather than emit NULLs
-          if (partValsInLog(all)) {
-            val rp = norm(rootPath.toString) + "/"
-            val foreign = holders.filterNot(p => norm(p).startsWith(rp))
-            if (foreign.nonEmpty) throw new IllegalStateException(
-              s"change feed at $root must materialize deleted rows " +
-                s"from adopted byte-less files (e.g. ${foreign.head}) " +
-                "— their partition columns live only in the log; this " +
-                "range cannot serve row-level deletes (deletes issued " +
-                "AFTER a compact() rewrite decode fine)")
-          }
+            .filter(f => referenced(norm(f.path)))
           if (holders.isEmpty) None
           else {
             val (df, cols) = decode(holders, commitSch, m)
@@ -3818,6 +3835,34 @@ class DeltaLite(val spark: SparkSession, val root: String,
       .select(phys.fieldNames.map(col).toIndexedSeq: _*)
   }
 
+  /** Per-commit LEAF decode of `ents` with partition-value injection
+    * on valuesInLog tables — the per-commit analogue of [[physScan]],
+    * except the values come from each entry's OWN recorded extras /
+    * `__p_` path encoding (no snapshot lookup), so a historical tail
+    * read decodes files the current snapshot has since rewritten.
+    * Streaming tail, incremental read and change feed all route here:
+    * the byte-less adoption commit of a partitioned Delta adoption
+    * serves its partition columns injected instead of refusing (or,
+    * worse, serving NULLs).
+    */
+  private def leafDecode(ents: Seq[FileEntry], phys: StructType,
+      partsL: Seq[String], mapping: Map[String, String],
+      inject: Boolean): DataFrame = {
+    if (!inject || partsL.isEmpty)
+      return spark.read.schema(phys).parquet(ents.map(_.path): _*)
+    val partPhys = partsL.map(p => mapping.getOrElse(p, p))
+    val dataPhys = StructType(phys.fields.filterNot(f =>
+      partPhys.contains(f.name)))
+    val partSchema = StructType(partPhys.map(p => phys(p)))
+    org.apache.spark.sql.graftbridge.DeltaLiteScan.partitionedRelation(
+      spark, rootPath,
+      ents.map(f => (f.path, f.size,
+        Map.empty[String, (Option[String], Option[String])])),
+      ents.map(f => entryPartVals(f, partsL, partPhys)),
+      dataPhys, partSchema)
+      .select(phys.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
   /** Read `paths` with live deletion vectors applied: each row is
     * addressed as (_metadata.file_path, _metadata.row_index) and
     * anti-joined against the (broadcast, O(deleted)) DV set — the
@@ -4236,6 +4281,12 @@ class DeltaLite(val spark: SparkSession, val root: String,
     * CHECK constraints do not carry (re-declare them Delta-side).
     */
   def exportToDelta(): Long = {
+    // RETENTION CONTRACT: the exported log references the CURRENT live
+    // files by absolute path. After later rewrites, RE-EXPORT BEFORE
+    // VACUUM — vacuum refuses (naming the files) when the latest
+    // export still references a doomed file, unless
+    // spark.graft.vacuum.breakExport=true explicitly breaks the
+    // export's readers.
     val all = commits()
     require(all.nonEmpty, s"empty table at $root")
     val sch = DataType.fromJson(all.last.schemaJson).asInstanceOf[StructType]
@@ -4281,11 +4332,16 @@ class DeltaLite(val spark: SparkSession, val root: String,
             if sch.fieldNames.contains(c) && !parts.contains(c) =>
             c -> (mn, mx)
         }
-      if (ranges.isEmpty) return None
+      // the recorded per-file row count exports as Delta's numRecords
+      // — readers short-circuit COUNT(*) from the log alone
+      val nRecs = f.extra.get(DeltaLite.RowsPseudoCol).flatMap(_._1)
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+      if (ranges.isEmpty && nRecs.isEmpty) return None
       val root2 = mapper.createObjectNode()
+      nRecs.foreach(n => root2.put("numRecords", n))
       val mns = root2.putObject("minValues")
       val mxs = root2.putObject("maxValues")
-      var any = false
+      var any = nRecs.isDefined
       ranges.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
         import org.apache.spark.sql.types._
         sch(c).dataType match {
@@ -4445,9 +4501,13 @@ class DeltaLite(val spark: SparkSession, val root: String,
     val sch = ds.schema
     val parts = ds.partitionColumns
     val statsT = StructType(Seq(
+      StructField("numRecords", LongType),
       StructField("minValues", MapType(StringType, StringType)),
       StructField("maxValues", MapType(StringType, StringType))))
     val parsed = from_json(col("stats"), statsT)
+    // the writer's per-file numRecords carries as the reserved __rows
+    // extra (degenerate [n, n]) — rowCount()/re-export read it back
+    val numRec = parsed.getField("numRecords")
     // timestamp bound pairs re-encode through the EXACT driver logic
     // ([[DeltaInterop.reencodeTsPair]] — ms-truncation pad +
     // DST-transition envelope) lifted into a UDF: a cast expression
@@ -4498,13 +4558,15 @@ class DeltaLite(val spark: SparkSession, val root: String,
     // extras: recorded data columns with BOTH bounds, then partition
     // entries ([v,v]; null bounds = the null-partition marker)
     def arr(of: StructField => Column,
-        pOf: String => Column): Column = {
+        pOf: String => Column, rOf: Column): Column = {
       val dataParts = extraFields.map(f =>
         when(present(f), array(of(f))).otherwise(emptyArr))
+      // the __rows pseudo-extra, present when the writer recorded
+      // numRecords — same slot discipline as a recorded data column
+      val rowsPart = Seq(
+        when(numRec.isNotNull, array(rOf)).otherwise(emptyArr))
       val partParts = parts.map(c => array(pOf(c)))
-      val all = dataParts ++ partParts
-      if (all.isEmpty) lit(null).cast("array<string>")
-      else concat(all: _*)
+      concat(dataParts ++ rowsPart ++ partParts: _*)
     }
     val pm = primaryF.map(boundPair)
     val entriesDf = ds.ckptAdds.select(
@@ -4514,12 +4576,14 @@ class DeltaLite(val spark: SparkSession, val root: String,
       // the primary-applicability flag materializes HERE — the second
       // select below no longer sees the raw `stats` column
       primaryF.map(present).getOrElse(lit(false)).as("__ok"),
-      arr(f => boundPair(f)._1, c => col("pvals").getItem(c))
-        .as("extra_mins"),
-      arr(f => boundPair(f)._2, c => col("pvals").getItem(c))
-        .as("extra_maxs"),
-      arr(f => lit(f.name), c => lit(c)).as("extra_cols"),
-      arr(f => lit(f.name), c => lit(c)).as("extra_phys"))
+      arr(f => boundPair(f)._1, c => col("pvals").getItem(c),
+        numRec.cast("string")).as("extra_mins"),
+      arr(f => boundPair(f)._2, c => col("pvals").getItem(c),
+        numRec.cast("string")).as("extra_maxs"),
+      arr(f => lit(f.name), c => lit(c),
+        lit(DeltaLite.RowsPseudoCol)).as("extra_cols"),
+      arr(f => lit(f.name), c => lit(c),
+        lit(DeltaLite.RowsPseudoCol)).as("extra_phys"))
     val ordered = entriesDf.orderBy(col("path"))
       .select(
         monotonically_increasing_id().as("idx"),
@@ -4554,7 +4618,10 @@ class DeltaLite(val spark: SparkSession, val root: String,
           case _ => c -> (None, None)
         }
       }.toMap
-      val ex = (dataEx ++ partEx).toSeq.sortBy(_._1)
+      val rowsEx = f.stats.flatMap(DeltaInterop.statsNumRecords)
+        .map(n => DeltaLite.RowsPseudoCol ->
+          (Option(n.toString), Option(n.toString))).toMap
+      val ex = (dataEx ++ partEx ++ rowsEx).toSeq.sortBy(_._1)
       Row(i.toLong - ds.tailAdds.size, "f", f.path,
         primary.map(_._1).orNull, primary.map(_._2).orNull,
         statsKey.filter(_ => primary.isDefined).orNull,
@@ -4948,6 +5015,30 @@ class DeltaLite(val spark: SparkSession, val root: String,
     */
   def vacuum(retainVersions: Int = 1): Seq[String] = {
     val doomed = vacuumCandidates(retainVersions)
+    // EXPORTED-LOG HAZARD: an exportToDelta() publishes a `_delta_log`
+    // whose latest version references the CURRENT live files — our own
+    // retention then moves on (rewrites/overwrites), and a vacuum that
+    // reclaims a file the exported log still lists would silently
+    // break every external Delta reader of that export. Refuse loudly
+    // (naming the doomed-but-exported files) unless the caller either
+    // re-exported first — exportToDelta() diffs the removes, after
+    // which nothing doomed stays referenced — or explicitly opted into
+    // breaking the export via spark.graft.vacuum.breakExport=true.
+    if (doomed.nonEmpty &&
+      fs.exists(new Path(rootPath, "_delta_log")) &&
+      !spark.conf.getOption("spark.graft.vacuum.breakExport")
+        .exists(_.trim.equalsIgnoreCase("true"))) {
+      val exported = DeltaInterop.snapshot(spark, rootPath.toString)
+        .files.map(f => norm(f.path)).toSet
+      val exposed = doomed.filter(p => exported(norm(p)))
+      if (exposed.nonEmpty) throw new IllegalStateException(
+        s"vacuum at $root would reclaim ${exposed.size} file(s) the " +
+          s"exported _delta_log still references (e.g. " +
+          s"${exposed.take(3).mkString(", ")}) — external Delta " +
+          "readers of the export would break. Run exportToDelta() " +
+          "first (the re-export diffs the removes), or set " +
+          "spark.graft.vacuum.breakExport=true to proceed anyway")
+    }
     // past the threshold the per-file deletes fan out to executors —
     // a million-file reclaim must not be a million serial driver
     // round-trips; same doomed set, same return value either way
@@ -5506,6 +5597,43 @@ class DeltaLite(val spark: SparkSession, val root: String,
     }
   }
 
+  /** COUNT(*) from METADATA alone: the sum of the live files'
+    * recorded [[DeltaLite.RowsPseudoCol]] row counts — O(entries),
+    * zero data files opened, the same short-circuit a Delta reader
+    * takes from numRecords stats. None (never a wrong number) when
+    * any live file predates row-count recording (rewrite via
+    * compact()/upsert re-records it) or when live DELETION VECTORS
+    * mask rows (the physical counts would overcount). The sidecar /
+    * checkpointed path answers from ONE aggregate over the entries
+    * parquet — no driver materialization of the live set.
+    */
+  def rowCount(): Option[Long] = {
+    val cs = commits()
+    if (cs.isEmpty) return None
+    if (liveDvFiles(cs).nonEmpty) return None
+    incrementalEntriesDf(cs.last.version, forScan = true) match {
+      case Some(edf) =>
+        import org.apache.spark.sql.functions.{array_position, element_at,
+          sum => fsum, count => fcount}
+        val pos = array_position(col("extra_cols"),
+          DeltaLite.RowsPseudoCol)
+        val n = element_at(col("extra_mins"), pos.cast("int")).cast("long")
+        val r = edf.filter(col("kind") === "f")
+          .agg(fcount(lit(1)).as("files"),
+            fcount(n).as("counted"), fsum(n).as("total")).head()
+        if (r.getLong(0) == r.getLong(1) && !r.isNullAt(2))
+          Some(r.getLong(2))
+        else None
+      case None =>
+        val counts = liveEntries(cs).map(_.extra
+          .get(DeltaLite.RowsPseudoCol).flatMap(_._1)
+          .flatMap(s => scala.util.Try(s.toLong).toOption))
+        if (counts.nonEmpty && counts.forall(_.isDefined))
+          Some(counts.flatten.sum)
+        else None
+    }
+  }
+
   /** (path, min, max) of the live files — stats present only when
     * recorded for THIS table's statsKey (metadata for scan
     * integration and layout audits).
@@ -5803,6 +5931,16 @@ object DeltaLite {
     */
   private[graft] val PartValsInLogProp = "graft.partition.valuesInLog"
 
+  /** Reserved EXTRA-stats pseudo-column carrying each file's exact row
+    * count as the degenerate range [n, n]. Riding the existing extra
+    * machinery keeps the commit format unchanged (pre-rev builds parse
+    * it as just another recorded stats name — inert for pruning, never
+    * a refusal), while rowCount()/export get O(metadata) counts.
+    * Recording is skipped for the (outlandish) schema that names a
+    * real `__rows` column, so the pseudo-range can never shadow one.
+    */
+  private[graft] val RowsPseudoCol = "__rows"
+
   /** Directory-name prefix of the hive-layout partition dirs: the
     * write duplicates each partition column under this prefix for
     * `partitionBy`, so the data files keep their full physical schema
@@ -5992,12 +6130,19 @@ object DeltaLite {
               case _ => c -> (None: Option[String], None: Option[String])
             }
           }.toMap
+        // numRecords carries as the reserved __rows extra — rowCount()
+        // and re-export answer COUNT(*) from metadata immediately
+        val rowsEx: Map[String, (Option[String], Option[String])] =
+          f.stats.flatMap(DeltaInterop.statsNumRecords).map(n =>
+            DeltaLite.RowsPseudoCol ->
+              (Some(n.toString): Option[String],
+                Some(n.toString): Option[String])).toMap
         val extras = (statsKey match {
           case Some(k) => ranges - k
           case None => ranges
         }).map { case (c, (mn, mx)) =>
           c -> (Some(mn): Option[String], Some(mx): Option[String])
-        } ++ partExtras
+        } ++ partExtras ++ rowsEx
         (f.path,
           primary.map(_._1), primary.map(_._2),
           statsKey.filter(_ => primary.isDefined),

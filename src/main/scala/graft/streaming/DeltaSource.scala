@@ -189,21 +189,12 @@ class DeltaLiteSource(spark: SparkSession, root: String,
             "renamed or dropped after the stream started; restart the " +
             "query to pick up the new schema, or pass ignoreChanges=true " +
             "to keep serving the captured one")
-        val files = table.appendFilesBetween(from, version(end),
-          ignoreChanges, ignoreDeletes)
-        if (files.isEmpty)
-          spark.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-        else if (mapping.isEmpty)
-          spark.read.schema(schema).parquet(files: _*)
-        else {
-          val phys = StructType(tableSchema.fields.map(f =>
-            f.copy(name = mapping.getOrElse(f.name, f.name))))
-          spark.read.schema(phys).parquet(files: _*)
-            .select(tableSchema.fields.map(f =>
-              org.apache.spark.sql.functions.col(mapping.getOrElse(f.name, f.name))
-                .as(f.name)).toIndexedSeq: _*)
-        }
+        // decoded in DeltaLite: the captured schema/mapping resolve
+        // stable physical ids, and a partitioned Delta adoption's
+        // byte-less v0 commit streams with its partition columns
+        // INJECTED from the log (no compact() prerequisite)
+        table.readAppendsBetween(from, version(end), ignoreChanges,
+          ignoreDeletes, tableSchema, mapping)
       }
     Bridge.streamingDataFrame(spark, batch.queryExecution.toRdd, schema)
   }

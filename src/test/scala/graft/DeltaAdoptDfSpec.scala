@@ -181,7 +181,9 @@ class DeltaAdoptDfSpec extends SparkSpec {
         s"east's file must survive a west-range upsert: $before -> $after")
       assert(t.read().count() == 9)
     } finally spark.conf.unset("spark.graft.adopt.sidecarThreshold")
-    // %-encoded checkpoint path -> the DF route declines, fold adopts
+    // %-encoded checkpoint path -> the DF route now RESOLVES it in
+    // the relabel columns (url_decode with a +-preserving pre-encode)
+    // and stays DF-native
     val dir2 = tmp("dl-dfq-src")
     val (f2, sz2) = {
       val stage = tmp("dl-dfq-stage")
@@ -214,8 +216,37 @@ class DeltaAdoptDfSpec extends SparkSpec {
     spark.conf.set("spark.graft.adopt.sidecarThreshold", "1")
     try {
       val t2 = DeltaLite.convertFromDelta(spark, dir2, tmp("dl-dfq-root"))
+      assert(t2.jsonEntriesRendered.get() == 0,
+        "a %-encoded path must no longer decline the DF route")
       assert(t2.read().count() == 1,
-        "the %-encoded layout must still adopt through the fold")
+        "the %-encoded layout must adopt DF-natively")
+      assert(t2.liveFiles() == Seq(s"$dir2/$f2"),
+        s"decoded path diverged: ${t2.liveFiles()}")
+    } finally spark.conf.unset("spark.graft.adopt.sidecarThreshold")
+    // ABSOLUTE-URI checkpoint path (external file) also stays DF-native
+    val dir3 = tmp("dl-dfa-src")
+    val rows3 = Seq(
+      Row(null, null, Row(1, 2)),
+      Row(null, Row("dfa-fixture", schemaString2, Seq.empty[String],
+        Map.empty[String, String]), null),
+      Row(Row(s"file:$dir2/$f2", Map.empty[String, String], sz2, 0L,
+        true, null), null, null))
+    val log3 = new java.io.File(dir3, "_delta_log"); log3.mkdirs()
+    val cpStage3 = tmp("dl-dfa-cp")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows3, 1), cpT)
+      .coalesce(1).write.mode("overwrite").parquet(cpStage3)
+    val part3 = new java.io.File(cpStage3).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part3.toPath, new java.io.File(log3,
+      f"${0L}%020d.checkpoint.parquet").toPath)
+    java.nio.file.Files.write(new java.io.File(log3,
+      f"${0L}%020d.json").toPath, "\n".getBytes("UTF-8"))
+    spark.conf.set("spark.graft.adopt.sidecarThreshold", "1")
+    try {
+      val t3 = DeltaLite.convertFromDelta(spark, dir3, tmp("dl-dfa-root"))
+      assert(t3.jsonEntriesRendered.get() == 0,
+        "an absolute-URI path must no longer decline the DF route")
+      assert(t3.read().count() == 1)
     } finally spark.conf.unset("spark.graft.adopt.sidecarThreshold")
   }
 

@@ -142,6 +142,36 @@ class DeltaExportSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
 
+  test("vacuum refuses while the exported log references doomed files; re-export (or the break flag) unblocks") {
+    val root = tmp("dl-export-vac")
+    val t = new DeltaLite(spark, root, Some("k"))
+    t.append((1L to 10L).map(k => (k, s"a$k")).toDF("k", "v").coalesce(1))
+    t.exportToDelta()
+    // the rewrite dooms the exported file at retention 1
+    t.upsert(Seq((5L, "updated")).toDF("k", "v"), "k")
+    val e = intercept[IllegalStateException](t.vacuum(1))
+    assert(e.getMessage.contains("exported _delta_log") &&
+      e.getMessage.contains("exportToDelta"), e.getMessage)
+    // nothing was reclaimed: the export's readers still see v0 intact
+    assert(DeltaInterop.readDelta(spark, root, versionAsOf = Some(0L))
+      .count() == 10)
+    // re-export diffs the removes — vacuum then reclaims cleanly
+    t.exportToDelta()
+    val reclaimed = t.vacuum(1)
+    assert(reclaimed.nonEmpty, "re-export must unblock the vacuum")
+    assert(DeltaInterop.readDelta(spark, root).count() == 10)
+    // the explicit break flag opts into breaking the export instead
+    val root2 = tmp("dl-export-vac2")
+    val t2 = new DeltaLite(spark, root2, Some("k"))
+    t2.append((1L to 5L).map(k => (k, s"x$k")).toDF("k", "v").coalesce(1))
+    t2.exportToDelta()
+    t2.upsert(Seq((2L, "u")).toDF("k", "v"), "k")
+    spark.conf.set("spark.graft.vacuum.breakExport", "true")
+    try assert(t2.vacuum(1).nonEmpty,
+      "the break flag must let the vacuum proceed")
+    finally spark.conf.unset("spark.graft.vacuum.breakExport")
+  }
+
   test("timestamp_ntz export gates the protocol to (3,7) with the feature named; base tables stay (1,2)") {
     // ntz is a Delta TABLE FEATURE: publishing it under protocol(1,2)
     // is non-compliant and a strict reader may reject or misread the

@@ -206,25 +206,68 @@ class DeltaLitePartitionedAdoptionSpec extends SparkSpec {
     assert(cgot == tgot, "clone must read identically (flag carried)")
   }
 
-  test("per-commit leaf reads refuse loudly across the byte-less adoption commit") {
+  test("per-commit leaf reads INJECT across the byte-less adoption commit — tail, CDF and incremental read serve real partition columns from v0") {
     val (dir, _) = partitionedSource()
     val t = DeltaLite.convertFromDelta(spark, dir, tmp("dl-part-root7"))
     t.append(Seq((21L, "n21", "north")).toDF("k", "v", "region"))
-    val e1 = intercept[IllegalStateException](t.readAppendsSince(-1))
-    assert(e1.getMessage.contains("adoption commit"), e1.getMessage)
-    val e2 = intercept[IllegalStateException](t.changesBetween(-1, 0))
-    assert(e2.getMessage.contains("adoption commit"), e2.getMessage)
-    // above the adoption commit the tail serves normally
-    val tail = t.readAppendsSince(0)
-    assert(tail.count() == 1 &&
-      tail.select("region").head().getString(0) == "north")
-    // compact() materializes the bytes: the whole live set becomes
-    // native files and a snapshot read needs no injection fallback
+    // the incremental read spans the byte-less v0: its files decode
+    // with the log-recorded partition values injected, not NULLs
+    val tail = t.readAppendsSince(-1)
+    assert(tail.count() == 21)
+    assert(tail.filter(col("region").isNull).count() == 0,
+      "byte-less files must inject, never serve NULL partitions")
+    assert(tail.filter(col("region") === "east").count() == 10)
+    assert(tail.filter(col("_commit_version") === 1).count() == 1)
+    // the change feed over v0 emits the adopted rows as inserts with
+    // their injected partition values
+    val cdf = t.changesBetween(-1, 0)
+    assert(cdf.count() == 20 &&
+      cdf.filter(col("region") === "west").count() == 10)
+    // a merge-on-read DELETE of adopted rows: the feed materializes
+    // the deleted rows' CONTENT from byte-less files, injected
+    t.deleteWhere(col("k") === 3L)
+    val del = t.changesBetween(1, t.latestVersion.get)
+      .filter(col("_change_type") === "delete").collect()
+    assert(del.length == 1 && del.head.getAs[String]("region") == "east",
+      s"deleted-row decode must inject: ${del.toSeq}")
+    // compact() still materializes the bytes for a fully-native layout
     t.compact(targetBytes = 1L << 30, minFiles = 2)
     assert(t.liveFiles().forall(p => !p.contains("/region=")),
       "compact must fold adopted files into native layout")
-    assert(t.read().count() == 21 &&
-      t.read().filter(col("region") === "east").count() == 10)
+    assert(t.read().count() == 20 &&
+      t.read().filter(col("region") === "east").count() == 9)
+  }
+
+  test("DeltaLiteSource tails an adopted partitioned table FROM v0 — no compact() prerequisite, exactly-once across restart") {
+    val (dir, _) = partitionedSource()
+    val root = tmp("dl-part-stream")
+    val t = DeltaLite.convertFromDelta(spark, dir, root)
+    val ckpt = tmp("dl-part-stream-ckpt")
+    val outDir = tmp("dl-part-stream-out")
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("delta-lite")
+        .option("path", root).load()
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", outDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val got0 = spark.read.parquet(outDir)
+    assert(got0.count() == 20,
+      s"the adopted v0 snapshot must stream: ${got0.count()}")
+    assert(got0.filter(col("region").isNull).count() == 0 &&
+      got0.filter(col("region") === "east").count() == 10,
+      "streamed rows must carry injected partition values")
+    // restart after a new append: exactly-once, only the delta lands
+    t.append(Seq((21L, "n21", "north")).toDF("k", "v", "region"))
+    runOnce()
+    val got1 = spark.read.parquet(outDir)
+    assert(got1.count() == 21, s"restart must deliver exactly the new " +
+      s"append: ${got1.count()}")
+    assert(got1.filter(col("region") === "north").count() == 1)
   }
 
   test("a checkpointed adopted table prunes through the LAZY partitioned index") {
