@@ -1137,7 +1137,13 @@ class DeltaLite(val spark: SparkSession, val root: String,
         validateChain(-1, t)
         t
     }
-    val lastReset = fullTail.lastIndexWhere(_.mode == "overwrite")
+    // reset anchors: an overwrite IS the whole live set at its
+    // version; so is a SIDECAR-BACKED v0 append (the DF-native
+    // adoption commit — nothing precedes version 0), which makes a
+    // freshly-adopted million-file table lazily-scannable from its
+    // very first read instead of waiting for the first checkpoint
+    val lastReset = fullTail.lastIndexWhere(c => c.mode == "overwrite" ||
+      (c.mode == "append" && c.version == 0 && c.entriesRef.isDefined))
     // no v2 base and no reset anchor: everything is tail-inline — the
     // driver fold is strictly cheaper than a DF pipeline
     if (lastReset < 0 && prevOpt.isEmpty) return None
