@@ -84,6 +84,12 @@ object DeltaDv {
         v = v * 85 + d
         j += 1
       }
+      // a 5-char group encodes at most 2^32-1; a larger value is a
+      // corrupt encoding — refuse at the boundary instead of silently
+      // truncating into a plausible-looking wrong payload
+      require(v <= 0xffffffffL,
+        s"Z85 group '${s.substring(i, i + 5)}' exceeds 32 bits — " +
+          "corrupt encoding")
       var k = 0
       while (k < 4) {
         out(i / 5 * 4 + k) = ((v >>> (8 * (3 - k))) & 0xff).toByte

@@ -672,24 +672,30 @@ object DeltaInterop {
     // declining to the driver fold:
     //  - Delta action paths are URI-encoded; url_decode is form
     //    decoding ("+" -> space), so literal "+" pre-encodes to %2B
-    //    first — the decode is then byte-identical to URI decoding;
-    //  - a scheme'd path stays VERBATIM (the driver keeps absolute
-    //    URIs encoded; Hadoop Path decodes at open), its `pathn`
-    //    strips scheme+authority and decodes (norm's form);
+    //    first — the decode is then byte-identical to URI decoding.
+    //    An INVALID escape (a '%' not followed by two hex digits)
+    //    falls back to the RAW path, mirroring the driver's
+    //    URISyntaxException fallback (a sloppy writer's un-encoded
+    //    path adopts verbatim instead of failing the relabel job);
+    //  - a scheme'd path stays VERBATIM on BOTH columns modulo the
+    //    scheme/authority strip: the driver keeps absolute URIs
+    //    encoded and norm() (Hadoop Path) never url-decodes the path
+    //    component, so decoding here would diverge from the tail
+    //    exclusion set's normP and resurrect removed files;
     //  - a decoded path starting "/" is already absolute;
     //  - anything else resolves under the table root.
     import org.apache.spark.sql.functions.{url_decode, regexp_replace,
       when => cWhen}
     val rawP = col("add.path")
-    val decodedP = url_decode(regexp_replace(rawP, "\\+", "%2B"))
+    val validEsc = !rawP.rlike("%(?![0-9A-Fa-f]{2})")
+    val decodedP = cWhen(validEsc,
+      url_decode(regexp_replace(rawP, "\\+", "%2B"))).otherwise(rawP)
     val hasScheme = rawP.rlike("^[a-zA-Z][a-zA-Z0-9+.\\-]*:")
     val pathCol = cWhen(hasScheme, rawP)
       .when(decodedP.startsWith("/"), decodedP)
       .otherwise(concat(lit(prefix), decodedP))
     val pathnCol = cWhen(hasScheme,
-        url_decode(regexp_replace(
-          regexp_replace(rawP, DeltaDv.SchemeAuthorityRe, ""),
-          "\\+", "%2B")))
+        regexp_replace(rawP, DeltaDv.SchemeAuthorityRe, ""))
       .when(decodedP.startsWith("/"), decodedP)
       .otherwise(concat(lit(normPrefix), decodedP))
     var live = adds0.select(
@@ -977,6 +983,22 @@ object DeltaInterop {
       f.dv.map(d => (DeltaDv.canonPath(f.path), d)))
     if (dvd.isEmpty) rel
     else {
+      // broadcast guard — the merge-on-read bargain is O(deleted)
+      // read-side memory, and every descriptor DECLARES its
+      // cardinality, so the budget check is free. Past it, fail
+      // LOUDLY (like DeltaLite.dvBroadcastGuarded) instead of OOMing
+      // executors mid-broadcast; the workaround is a source-side
+      // OPTIMIZE or adopt + materializeDeletes.
+      val totalDeleted = dvd.map(_._2.cardinality).sum
+      val maxRows = spark.conf
+        .getOption("spark.graft.readdelta.maxDvRows")
+        .map(_.trim.toLong).getOrElse(50000000L)
+      if (totalDeleted > maxRows) throw new IllegalStateException(
+        s"$tableDir carries $totalDeleted deletion-vector rows — " +
+          s"beyond the broadcast budget ($maxRows; " +
+          "spark.graft.readdelta.maxDvRows). OPTIMIZE the source to " +
+          "materialize its deletes, or adopt it (convertFromDelta) " +
+          "and run materializeDeletes()")
       val dvRows = DeltaDv.sidecarRows(spark, tableDir, dvd,
         org.apache.spark.sql.graftbridge.Bridge.shippableHadoopConf(spark))
       rel

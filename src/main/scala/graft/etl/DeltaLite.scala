@@ -1990,7 +1990,12 @@ class DeltaLite(val spark: SparkSession, val root: String,
     // sidecars, not table rows) and for a schema naming a real __rows
     // column (the pseudo-range must never shadow one). For files
     // written before this rev the count is absent until a rewrite
-    // (compact/upsert/optimize) re-records them.
+    // (compact/upsert/optimize) re-records them. COST: on a table with
+    // stats keys this is free (same job, one more agg); a stats-less
+    // table pays one count-only read-back of the just-written files —
+    // zero columns materialize (parquet answers count(1) from row-group
+    // metadata), so the job is footer-level I/O, the price of every
+    // future COUNT(*)/export short-circuiting to metadata.
     val recordRows = mode != "delete" &&
       !df.schema.fieldNames.contains(DeltaLite.RowsPseudoCol)
     val stats: Map[String, Map[String, (Option[String], Option[String])]] =
@@ -5616,21 +5621,32 @@ class DeltaLite(val spark: SparkSession, val root: String,
   def rowCount(): Option[Long] = {
     val cs = commits()
     if (cs.isEmpty) return None
-    if (liveDvFiles(cs).nonEmpty) return None
     incrementalEntriesDf(cs.last.version, forScan = true) match {
       case Some(edf) =>
+        // DV presence comes from the SAME aggregate (kind "d" rows) —
+        // a liveDvFiles() check here would force entriesRef commits'
+        // lazy DV sets and driver-materialize the entries parquet,
+        // the very cost this branch exists to avoid
         import org.apache.spark.sql.functions.{array_position, element_at,
           sum => fsum, count => fcount}
         val pos = array_position(col("extra_cols"),
           DeltaLite.RowsPseudoCol)
-        val n = element_at(col("extra_mins"), pos.cast("int")).cast("long")
-        val r = edf.filter(col("kind") === "f")
-          .agg(fcount(lit(1)).as("files"),
-            fcount(n).as("counted"), fsum(n).as("total")).head()
-        if (r.getLong(0) == r.getLong(1) && !r.isNullAt(2))
+        // pos 0 = no recorded count; element_at(_, 0) throws under
+        // ANSI, so gate it (the recordedRangeCols rule)
+        val n = when(col("kind") === "f" && pos > 0,
+          element_at(col("extra_mins"), pos.cast("int"))).cast("long")
+        val r = edf.agg(
+          fsum(when(col("kind") === "f", 1L).otherwise(0L)).as("files"),
+          fcount(n).as("counted"), fsum(n).as("total"),
+          fsum(when(col("kind") === "d", 1L).otherwise(0L)).as("dvs"))
+          .head()
+        if (!r.isNullAt(3) && r.getLong(3) > 0L) None
+        else if (!r.isNullAt(0) && r.getLong(0) == r.getLong(1) &&
+          !r.isNullAt(2))
           Some(r.getLong(2))
         else None
       case None =>
+        if (liveDvFiles(cs).nonEmpty) return None
         val counts = liveEntries(cs).map(_.extra
           .get(DeltaLite.RowsPseudoCol).flatMap(_._1)
           .flatMap(s => scala.util.Try(s.toLong).toOption))

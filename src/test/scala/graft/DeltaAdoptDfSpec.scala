@@ -330,4 +330,104 @@ class DeltaAdoptDfSpec extends SparkSpec {
       s"driver rows for one partition's listing: $collected")
     assert(secs < 120, s"100k-file adoption took ${secs}s")
   }
+
+  test("tail removes of %-encoded absolute-URI adds EXCLUDE on the DF route; invalid escapes fall back to the raw path") {
+    // the driver's exclusion set keeps absolute-URI %-escapes LITERAL
+    // (Hadoop Path never url-decodes), so the DF route's pathn must
+    // too — a decoded twin would miss the anti-join and resurrect the
+    // removed file
+    val dir = tmp("dl-dfu-src")
+    val stage = tmp("dl-dfu-stage")
+    Seq((1L, "x")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    val p0 = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val ext = tmp("dl-dfu-ext")
+    // external file whose name needs %-encoding, plus a keeper
+    java.nio.file.Files.copy(p0.toPath,
+      new java.io.File(ext, "a b.parquet").toPath)
+    java.nio.file.Files.copy(p0.toPath,
+      new java.io.File(dir, "keep.parquet").toPath)
+    val gonePath = s"file:$ext/a%20b.parquet"
+    val schemaString = org.apache.spark.sql.types.StructType.fromDDL(
+      "k bigint, v string").json
+    val cpT = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("add",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "path string, partitionValues map<string,string>, " +
+            "size long, modificationTime long, dataChange boolean")),
+      org.apache.spark.sql.types.StructField("metaData",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "id string, schemaString string, " +
+            "partitionColumns array<string>, " +
+            "configuration map<string,string>"))))
+    val rows = Seq(
+      Row(Row(gonePath, Map.empty[String, String], p0.length(), 0L,
+        true), null),
+      Row(Row("keep.parquet", Map.empty[String, String], p0.length(),
+        0L, true), null),
+      Row(null, Row("dfu", schemaString, Seq.empty[String],
+        Map.empty[String, String])))
+    val log = new java.io.File(dir, "_delta_log"); log.mkdirs()
+    val cpStage = tmp("dl-dfu-cp")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpT)
+      .coalesce(1).write.mode("overwrite").parquet(cpStage)
+    val cpPart = new java.io.File(cpStage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(cpPart.toPath, new java.io.File(log,
+      f"${0L}%020d.checkpoint.parquet").toPath)
+    java.nio.file.Files.write(new java.io.File(log,
+      f"${0L}%020d.json").toPath, "\n".getBytes("UTF-8"))
+    // v1 tail REMOVES the %-encoded external add
+    java.nio.file.Files.write(new java.io.File(log,
+      f"${1L}%020d.json").toPath,
+      (s"""{"remove":{"path":"$gonePath","deletionTimestamp":1,""" +
+        """"dataChange":true}}""" + "\n").getBytes("UTF-8"))
+    spark.conf.set("spark.graft.adopt.sidecarThreshold", "1")
+    try {
+      val t = DeltaLite.convertFromDelta(spark, dir, tmp("dl-dfu-root"))
+      assert(t.jsonEntriesRendered.get() == 0, "must take the DF route")
+      assert(t.liveFiles().map(p =>
+        new org.apache.hadoop.fs.Path(p).getName) == Seq("keep.parquet"),
+        s"the removed %-encoded add resurrected: ${t.liveFiles()}")
+      assert(t.read().count() == 1)
+      // fold parity on the same source
+      spark.conf.set("spark.graft.adopt.sidecarThreshold",
+        Int.MaxValue.toString)
+      val fold = DeltaLite.convertFromDelta(spark, dir,
+        tmp("dl-dfu-fold"))
+      assert(fold.liveFiles().map(p =>
+        new org.apache.hadoop.fs.Path(p).getName) == Seq("keep.parquet"))
+    } finally spark.conf.unset("spark.graft.adopt.sidecarThreshold")
+    // INVALID %-escape: a sloppy writer's un-encoded path adopts
+    // verbatim (the driver's URISyntaxException fallback) instead of
+    // failing the relabel job
+    val dir2 = tmp("dl-dfi-src")
+    java.nio.file.Files.copy(p0.toPath,
+      new java.io.File(dir2, "report 100%.parquet").toPath)
+    val rows2 = Seq(
+      Row(Row("report 100%.parquet", Map.empty[String, String],
+        p0.length(), 0L, true), null),
+      Row(null, Row("dfi", schemaString, Seq.empty[String],
+        Map.empty[String, String])))
+    val log2 = new java.io.File(dir2, "_delta_log"); log2.mkdirs()
+    val cpStage2 = tmp("dl-dfi-cp")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows2, 1), cpT)
+      .coalesce(1).write.mode("overwrite").parquet(cpStage2)
+    val cpPart2 = new java.io.File(cpStage2).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(cpPart2.toPath, new java.io.File(log2,
+      f"${0L}%020d.checkpoint.parquet").toPath)
+    java.nio.file.Files.write(new java.io.File(log2,
+      f"${0L}%020d.json").toPath, "\n".getBytes("UTF-8"))
+    spark.conf.set("spark.graft.adopt.sidecarThreshold", "1")
+    try {
+      val t2 = DeltaLite.convertFromDelta(spark, dir2,
+        tmp("dl-dfi-root"))
+      assert(t2.read().count() == 1,
+        "an un-encoded literal-% path must adopt verbatim")
+      assert(t2.liveFiles().head.endsWith("report 100%.parquet"),
+        t2.liveFiles().toString)
+    } finally spark.conf.unset("spark.graft.adopt.sidecarThreshold")
+  }
 }

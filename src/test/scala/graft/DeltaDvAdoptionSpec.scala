@@ -37,6 +37,11 @@ class DeltaDvAdoptionSpec extends SparkSpec {
     intercept[IllegalArgumentException](DeltaDv.z85Encode(new Array[Byte](3)))
     intercept[IllegalArgumentException](DeltaDv.z85Decode("abcd"))
     intercept[IllegalArgumentException](DeltaDv.z85Decode("abcd"))
+    // a 5-char group worth more than 2^32-1 is corrupt — refused at
+    // the boundary, never silently truncated into plausible bytes
+    val eOver = intercept[IllegalArgumentException](
+      DeltaDv.z85Decode("#####"))
+    assert(eOver.getMessage.contains("32 bits"), eOver.getMessage)
   }
 
   test("RoaringBitmapArray round-trips positions across 2^32 stripes; wrong magic refuses") {

@@ -89,6 +89,61 @@ class FileRowCountsSpec extends SparkSpec {
     assert(snap2.files.flatMap(_.stats).forall(_.contains("numRecords")))
   }
 
+  test("rowCount on a lazy-path table whose entries carry extras but NO recorded count answers None (no ANSI element_at crash)") {
+    // a DF-route adopted source with k-stats but no numRecords: the
+    // v0 sidecar's rows have extra_cols = ["k"] and no "__rows" —
+    // array_position yields 0 and an unguarded element_at would throw
+    // INVALID_INDEX_OF_ZERO under ANSI instead of answering None
+    val dir = tmp("rows-lazy-src")
+    val stage = tmp("rows-lazy-stage")
+    Seq((1L, "x"), (2L, "y")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(dir, part.getName).toPath)
+    val schemaString = org.apache.spark.sql.types.StructType.fromDDL(
+      "k bigint, v string").json
+    val cpT = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("add",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "path string, partitionValues map<string,string>, size long, " +
+            "modificationTime long, dataChange boolean, stats string")),
+      org.apache.spark.sql.types.StructField("metaData",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "id string, schemaString string, " +
+            "partitionColumns array<string>, " +
+            "configuration map<string,string>"))))
+    val rows = Seq(
+      org.apache.spark.sql.Row(
+        org.apache.spark.sql.Row(part.getName,
+          Map.empty[String, String], part.length(), 0L, true,
+          """{"minValues":{"k":1},"maxValues":{"k":2}}"""), null),
+      org.apache.spark.sql.Row(null,
+        org.apache.spark.sql.Row("rows-lazy", schemaString,
+          Seq.empty[String], Map.empty[String, String])))
+    val log = new java.io.File(dir, "_delta_log"); log.mkdirs()
+    val cpStage = tmp("rows-lazy-cp")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), cpT)
+      .coalesce(1).write.mode("overwrite").parquet(cpStage)
+    val cpPart = new java.io.File(cpStage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(cpPart.toPath, new java.io.File(log,
+      f"${0L}%020d.checkpoint.parquet").toPath)
+    java.nio.file.Files.write(new java.io.File(log,
+      f"${0L}%020d.json").toPath, "\n".getBytes("UTF-8"))
+    spark.conf.set("spark.graft.adopt.sidecarThreshold", "1")
+    try {
+      val t = DeltaLite.convertFromDelta(spark, dir,
+        tmp("rows-lazy-root"), statsKey = Some("k"))
+      assert(t.jsonEntriesRendered.get() == 0, "must take the DF route")
+      assert(t.rowCount().isEmpty,
+        "no recorded counts -> None, never a crash or a wrong number")
+      assert(t.read().count() == 2)
+    } finally spark.conf.unset("spark.graft.adopt.sidecarThreshold")
+  }
+
   test("the __rows pseudo-column never shadows a real column of that name") {
     val t = new DeltaLite(spark, tmp("rows-shadow"))
     t.append(Seq((1L, 5L), (2L, 6L)).toDF("k", "__rows"))
