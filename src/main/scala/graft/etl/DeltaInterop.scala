@@ -460,15 +460,15 @@ object DeltaInterop {
     * Returns None — caller falls back to the driver replay — when the
     * layout has no checkpoint at the target, or when exactness would
     * need per-row driver logic the DataFrame route does not express:
-    * more DV'd files than descriptors the driver should hold, or a
-    * column-mapped source (per-column relabel translation stays on
-    * the driver route). Path resolution — %-encoded, absolute-URI,
-    * absolute-posix — is fully expressed in the relabel columns, so
-    * no path SHAPE declines the route. Every refusal [[snapshot]]
-    * makes (reader features, torn checkpoints, broken chains,
-    * malformed mapping) is made here too; DV descriptors collect
-    * driver-side (bounded) while their positions decode distributed
-    * at adoption.
+    * more DV'd files than descriptors the driver should hold. Path
+    * resolution — %-encoded, absolute-URI, absolute-posix — and
+    * COLUMN-MAPPED stats/partitionValues (resolved by physical name,
+    * stamped, recorded logical) are fully expressed in the relabel
+    * columns, so neither path shape nor mapping declines the route.
+    * Every refusal [[snapshot]] makes (reader features, torn
+    * checkpoints, broken chains, malformed mapping) is made here too;
+    * DV descriptors collect driver-side (bounded) while their
+    * positions decode distributed at adoption.
     */
   private[etl] final case class DfSnapshot(version: Long,
       schema: StructType, partitionColumns: Seq[String],
@@ -478,7 +478,12 @@ object DeltaInterop {
       // live deletion vectors by absolute file path: DV'd files stay
       // IN the ckptAdds live set (they are live files), their
       // descriptors ride driver-side (bounded — see the route gate)
-      dvAdds: Seq[(String, DeltaDv.Descriptor)] = Nil)
+      dvAdds: Seq[(String, DeltaDv.Descriptor)] = Nil,
+      // logical→physical mapping (empty = unmapped): `schema` and the
+      // tailAdds' partitionValues keys are LOGICAL; the ckptAdds DF's
+      // `stats`/`pvals` columns keep the source's PHYSICAL keys for
+      // the relabel job to resolve
+      colMapping: Map[String, String] = Map.empty)
 
   private[etl] def snapshotDf(spark: SparkSession, tableDir: String,
       versionAsOf: Option[Long] = None): Option[DfSnapshot] = {
@@ -655,12 +660,13 @@ object DeltaInterop {
     val schemaStr = schemaJson.getOrElse(sys.error(
       s"no metaData action found replaying $tableDir to $target — " +
         "cannot determine the schema"))
-    // column-mapped sources decline to the driver replay: the stats /
-    // partitionValues relabel would need per-column physical→logical
-    // translation this DF route does not express yet
-    if (configuration.getOrElse("delta.columnMapping.mode", "none")
-      != "none") return None
-    val schema = DataType.fromJson(schemaStr).asInstanceOf[StructType]
+    val schema0 = DataType.fromJson(schemaStr).asInstanceOf[StructType]
+    // column mapping extracts here exactly like the driver route; the
+    // relabel columns downstream resolve stats/partitionValues by the
+    // PHYSICAL names and stamp them, so mapped sources stay DF-native
+    val (schema, colMapping) =
+      extractColumnMapping(tableDir, configuration, schema0)
+    val physToLog = colMapping.map(_.swap)
     val prefix = tableDir.stripSuffix("/") + "/"
     // scheme-normalized twin of each path (the entries' `pathn`
     // column semantics), computed as a driver-side prefix concat
@@ -729,7 +735,16 @@ object DeltaInterop {
     val tailAdds = {
       val b = Seq.newBuilder[AddFile]
       val it = tail.values().iterator()
-      while (it.hasNext) b += it.next()
+      while (it.hasNext) {
+        val f = it.next()
+        // tail partitionValues keys translate to LOGICAL like the
+        // driver route's (the ckptAdds DF keeps raw physical keys —
+        // the relabel job resolves those itself)
+        b += (if (colMapping.isEmpty) f
+        else f.copy(partitionValues = f.partitionValues.map {
+          case (k, v) => physToLog.getOrElse(k, k) -> v
+        }))
+      }
       b.result()
     }
     // live DVs = checkpoint descriptors whose file the tail did not
@@ -740,7 +755,7 @@ object DeltaInterop {
       ckptDvs.filterNot { case (abs, _) => excludedN(normP(abs)) } ++
         tailAdds.flatMap(f => f.dv.map(d => (f.path, d)))
     Some(DfSnapshot(target, schema, partitionCols, configuration,
-      live, tailAdds, dvAdds))
+      live, tailAdds, dvAdds, colMapping))
   }
 
   /** Per-column (min, max) ranges adoptable from a Delta add action's

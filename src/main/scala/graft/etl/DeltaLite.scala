@@ -4511,6 +4511,13 @@ class DeltaLite(val spark: SparkSession, val root: String,
       monotonically_increasing_id, when}
     val sch = ds.schema
     val parts = ds.partitionColumns
+    // COLUMN MAPPING: the ckptAdds DF's stats/pvals keep the source's
+    // PHYSICAL keys — the relabel resolves by physical name and stamps
+    // it, recording LOGICAL labels (the same entry shape the driver
+    // route and restats write)
+    val srcMapping = ds.colMapping
+    def physOf(l: String): String = srcMapping.getOrElse(l, l)
+    val physToLog = srcMapping.map(_.swap)
     val statsT = StructType(Seq(
       StructField("numRecords", LongType),
       StructField("minValues", MapType(StringType, StringType)),
@@ -4536,8 +4543,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
     // per-column encoded (min, max) pair, mirroring adoptableRanges'
     // type gate
     def bounds(f: StructField): Option[(Column, Column)] = {
-      val rawMn = parsed.getField("minValues").getItem(f.name)
-      val rawMx = parsed.getField("maxValues").getItem(f.name)
+      val rawMn = parsed.getField("minValues").getItem(physOf(f.name))
+      val rawMx = parsed.getField("maxValues").getItem(physOf(f.name))
       f.dataType match {
         case LongType | IntegerType | ShortType | ByteType |
              DoubleType | FloatType | StringType | DateType =>
@@ -4580,6 +4587,12 @@ class DeltaLite(val spark: SparkSession, val root: String,
       concat(dataParts ++ rowsPart ++ partParts: _*)
     }
     val pm = primaryF.map(boundPair)
+    // partitionValues keys are PHYSICAL under column mapping; a
+    // logical-keyed writer still resolves through the fallback
+    def pval(c: String): Column =
+      if (physOf(c) == c) col("pvals").getItem(c)
+      else coalesce(col("pvals").getItem(physOf(c)),
+        col("pvals").getItem(c))
     val entriesDf = ds.ckptAdds.select(
       col("path"), col("pathn"), col("size"),
       pm.map(_._1).getOrElse(lit(null).cast("string")).as("__mn"),
@@ -4587,13 +4600,13 @@ class DeltaLite(val spark: SparkSession, val root: String,
       // the primary-applicability flag materializes HERE — the second
       // select below no longer sees the raw `stats` column
       primaryF.map(present).getOrElse(lit(false)).as("__ok"),
-      arr(f => boundPair(f)._1, c => col("pvals").getItem(c),
+      arr(f => boundPair(f)._1, c => pval(c),
         numRec.cast("string")).as("extra_mins"),
-      arr(f => boundPair(f)._2, c => col("pvals").getItem(c),
+      arr(f => boundPair(f)._2, c => pval(c),
         numRec.cast("string")).as("extra_maxs"),
       arr(f => lit(f.name), c => lit(c),
         lit(DeltaLite.RowsPseudoCol)).as("extra_cols"),
-      arr(f => lit(f.name), c => lit(c),
+      arr(f => lit(physOf(f.name)), c => lit(physOf(c)),
         lit(DeltaLite.RowsPseudoCol)).as("extra_phys"))
     val ordered = entriesDf.orderBy(col("path"))
       .select(
@@ -4606,7 +4619,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
         col("size"),
         col("extra_cols"), col("extra_mins"), col("extra_maxs"),
         col("pathn"),
-        when(col("__ok"), lit(statsKey.orNull)).cast("string")
+        when(col("__ok"), lit(statsKey.map(physOf).orNull)).cast("string")
           .as("key_phys"),
         col("extra_phys"))
     // bounded JSON-tail survivors ride as driver rows with NEGATIVE
@@ -4614,10 +4627,17 @@ class DeltaLite(val spark: SparkSession, val root: String,
     // ANY partition count (mono ids embed partitionId << 33, so a
     // fixed positive offset could collide past 2^17 partitions)
     val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val physNamedSch =
+      if (srcMapping.isEmpty) sch
+      else StructType(sch.fields.map(f => f.copy(name = physOf(f.name))))
     val tailRows = ds.tailAdds.zipWithIndex.map { case (f, i) =>
+      // stats keys are PHYSICAL under mapping — resolve through the
+      // physical-named schema and record logical (like the driver)
       val ranges = (f.stats
-        .map(DeltaInterop.adoptableRanges(_, sch, tz))
-        .getOrElse(Map.empty) -- parts)
+        .map(DeltaInterop.adoptableRanges(_, physNamedSch, tz))
+        .getOrElse(Map.empty)
+        .map { case (k, r) => physToLog.getOrElse(k, k) -> r }
+        -- parts)
       val primary = statsKey.filterNot(parts.contains).flatMap(ranges.get)
       val dataEx = (statsKey match {
         case Some(k) => ranges - k
@@ -4639,8 +4659,8 @@ class DeltaLite(val spark: SparkSession, val root: String,
         f.size.map(java.lang.Long.valueOf).orNull,
         ex.map(_._1), ex.map(_._2._1.orNull), ex.map(_._2._2.orNull),
         norm(f.path),
-        statsKey.filter(_ => primary.isDefined).orNull,
-        ex.map(_._1))
+        statsKey.filter(_ => primary.isDefined).map(physOf).orNull,
+        ex.map(t => physOf(t._1)))
     }
     val allEntries =
       if (tailRows.isEmpty) ordered
@@ -4667,7 +4687,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
     val nTotal = nCkpt + ds.tailAdds.size
     writeCountMarker(dir, nTotal + dvPaths.size)
     publish(Commit(0, "append", sch.json, removed = Nil, files = Nil,
-      None, None, dvs = Nil, colmap = Some(Map.empty),
+      None, None, dvs = Nil, colmap = Some(srcMapping),
       checks = Some(Map.empty), parts = Some(parts),
       props = if (props.isEmpty) None else Some(props),
       entriesRef = Some(name),

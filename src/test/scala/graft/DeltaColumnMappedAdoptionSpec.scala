@@ -239,4 +239,90 @@ class DeltaColumnMappedAdoptionSpec extends SparkSpec {
     assert(got == (6L to 9L).toSet,
       s"adopted mapped partition filter diverged: $got")
   }
+
+  test("a checkpoint-backed MAPPED source adopts DF-NATIVELY: physical stats/partitionValues resolve in the relabel, fold parity") {
+    val dir = tmp("cm-df-src")
+    // data files carry only col-1 bytes; partition col-2 in the log
+    def land(range: Range): (String, Long) = {
+      val stage = s"$dir-stage-${range.head}"
+      range.map(k => Tuple1(k.toLong)).toDF("col-1").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dir, part.getName)
+      java.nio.file.Files.createDirectories(dst.toPath.getParent)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      (part.getName, dst.length())
+    }
+    val (fE, sE) = land(1 to 5)
+    val (fW, sW) = land(6 to 9)
+    val schema = StructType(Seq(
+      mappedField("k", LongType, 1, "col-1"),
+      mappedField("region", StringType, 2, "col-2")))
+    val cpT = StructType(Seq(
+      StructField("add", StructType.fromDDL(
+        "path string, partitionValues map<string,string>, size long, " +
+          "modificationTime long, dataChange boolean, stats string")),
+      StructField("metaData", StructType.fromDDL(
+        "id string, schemaString string, " +
+          "partitionColumns array<string>, " +
+          "configuration map<string,string>"))))
+    // PHYSICAL-keyed stats and partitionValues, as delta writes them
+    def addRow(n: String, sz: Long, region: String, lo: Long,
+        hi: Long): org.apache.spark.sql.Row =
+      org.apache.spark.sql.Row(org.apache.spark.sql.Row(n,
+        Map("col-2" -> region), sz, 0L, true,
+        s"""{"numRecords":${hi - lo + 1},""" +
+          s""""minValues":{"col-1":$lo},"maxValues":{"col-1":$hi}}"""),
+        null)
+    val rows = Seq(
+      addRow(fE, sE, "east", 1L, 5L),
+      addRow(fW, sW, "west", 6L, 9L),
+      org.apache.spark.sql.Row(null, org.apache.spark.sql.Row(
+        "cm-df", schema.json, Seq("region"),
+        Map("delta.columnMapping.mode" -> "name"))))
+    val log = new java.io.File(dir, "_delta_log"); log.mkdirs()
+    val cpStage = tmp("cm-df-cp")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpT)
+      .coalesce(1).write.mode("overwrite").parquet(cpStage)
+    val cpPart = new java.io.File(cpStage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(cpPart.toPath, new java.io.File(log,
+      f"${0L}%020d.checkpoint.parquet").toPath)
+    java.nio.file.Files.write(new java.io.File(log,
+      f"${0L}%020d.json").toPath, "\n".getBytes("UTF-8"))
+    spark.conf.set("spark.graft.adopt.sidecarThreshold", "1")
+    try {
+      val t = DeltaLite.convertFromDelta(spark, dir, tmp("cm-df-root"),
+        statsKey = Some("k"))
+      assert(t.jsonEntriesRendered.get() == 0,
+        "a mapped source must stay DF-native")
+      assert(t.columnMapping ==
+        Map("k" -> "col-1", "region" -> "col-2"))
+      val got = t.read().collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == (1L to 9L).map(k =>
+        k -> (if (k <= 5) "east" else "west")).toMap,
+        s"DF-native mapped adoption diverged: $got")
+      // adopted physical-keyed stats prune a point upsert; the
+      // injected partition column filters
+      val before = t.liveFiles().toSet
+      t.upsert(Seq((8L, "west")).toDF("k", "region"), "k")
+      assert((before intersect t.liveFiles().toSet).size == 1,
+        "mapped DF-route stats must prune the upsert")
+      assert(t.read().filter(col("region") === "east").count() == 5)
+      // numRecords carried through the mapped relabel
+      assert(t.rowCount() == Some(9L))
+      // fold parity on the same source
+      spark.conf.set("spark.graft.adopt.sidecarThreshold",
+        Int.MaxValue.toString)
+      val fold = DeltaLite.convertFromDelta(spark, dir,
+        tmp("cm-df-fold"), statsKey = Some("k"))
+      assert(fold.read().collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap ==
+        (1L to 9L).map(k =>
+          k -> (if (k <= 5) "east" else "west")).toMap)
+      assert(fold.columnMapping == t.columnMapping)
+    } finally spark.conf.unset("spark.graft.adopt.sidecarThreshold")
+  }
 }
