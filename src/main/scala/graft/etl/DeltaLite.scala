@@ -5386,11 +5386,22 @@ class DeltaLite(val spark: SparkSession, val root: String,
       s"'$k' is a partition column of $root whose values live in the " +
         "log (adopted Delta layout) — its per-file ranges are already " +
         "exact; analyze data columns only"))
+    // fresh per-file ROW COUNTS ride the same analyze scan (free) and
+    // re-record the reserved __rows extra in REPLACE mode — without
+    // this a multi-key ANALYZE would WIPE previously recorded counts,
+    // and an adopted stat-less file could never gain one without a
+    // rewrite. Merge mode passes extras through (an existing count
+    // stays valid — restats never changes rows).
+    val recordRows = replaceExtra &&
+      !sch.fieldNames.contains(DeltaLite.RowsPseudoCol)
     val aggs = keys.flatMap { k =>
       val physK = mapping.getOrElse(k, k)
       Seq(fmin(col(physK)).cast("string").as(s"mn_$k"),
         fmax(col(physK)).cast("string").as(s"mx_$k"))
-    }
+    } ++ (if (recordRows)
+      Seq(org.apache.spark.sql.functions.count(lit(1))
+        .cast("string").as("rows_n"))
+    else Nil)
     val scanSchema = StructType(physSchema(sch, mapping).fields
       .filterNot(f => injected &&
         partsL.map(c => mapping.getOrElse(c, c)).contains(f.name)))
@@ -5412,15 +5423,19 @@ class DeltaLite(val spark: SparkSession, val root: String,
           val rows = statRows(paths)
           // per-file stats, normalized-path keyed, as a DF for the join
           val statSchema = StructType(
-            StructField("__sp", StringType, nullable = false) +:
+            (StructField("__sp", StringType, nullable = false) +:
               keys.flatMap(k => Seq(
                 StructField(s"__mn_$k", StringType, nullable = true),
-                StructField(s"__mx_$k", StringType, nullable = true))))
+                StructField(s"__mx_$k", StringType, nullable = true)))) ++
+              (if (recordRows)
+                Seq(StructField("__rows_n", StringType, nullable = true))
+              else Nil))
           val sdf = spark.createDataFrame(
             spark.sparkContext.parallelize(rows.toSeq.map { r =>
-              Row.fromSeq(norm(r.getString(0)) +:
+              Row.fromSeq((norm(r.getString(0)) +:
                 keys.flatMap(k => Seq(r.getAs[String](s"mn_$k"),
-                  r.getAs[String](s"mx_$k"))))
+                  r.getAs[String](s"mx_$k")))) ++
+                (if (recordRows) Seq(r.getAs[String]("rows_n")) else Nil))
             }, math.max(1, math.min(rows.length / entriesPerPart + 1, 256))),
             statSchema)
           val sortedKeys = keys.sorted
@@ -5439,11 +5454,17 @@ class DeltaLite(val spark: SparkSession, val root: String,
           }
           val emptyArr = array().cast("array<string>")
           def withKept(fresh: Column,
-              keptOf: ((String, String, Column)) => Column): Column =
-            if (partKept.isEmpty) fresh
-            else concat((fresh +: partKept.map { t =>
+              keptOf: ((String, String, Column)) => Column,
+              rowsOf: Column): Column = {
+            val rowsPart =
+              if (!recordRows) Nil
+              else Seq(when(col("__rows_n").isNotNull, array(rowsOf))
+                .otherwise(emptyArr))
+            val all = (fresh +: partKept.map { t =>
               when(t._3 > 0, array(keptOf(t))).otherwise(emptyArr)
-            }): _*)
+            }) ++ rowsPart
+            if (all.size == 1) all.head else concat(all: _*)
+          }
           val relabeled = fdf.join(sdf, col("pathn") === col("__sp"), "left")
             .select(col("idx"), col("kind"), col("path"),
               col(s"__mn_${keys.head}").as("min"),
@@ -5452,17 +5473,20 @@ class DeltaLite(val spark: SparkSession, val root: String,
               col("size"),
               (if (replaceExtra)
                 withKept(org.apache.spark.sql.functions.array(
-                  sortedKeys.map(lit(_)): _*), t => lit(t._1))
+                  sortedKeys.map(lit(_)): _*), t => lit(t._1),
+                  lit(DeltaLite.RowsPseudoCol))
               else col("extra_cols")).as("extra_cols"),
               (if (replaceExtra)
                 withKept(org.apache.spark.sql.functions.array(
                   sortedKeys.map(k => col(s"__mn_$k")): _*),
-                  t => element_at(col("extra_mins"), t._3.cast("int")))
+                  t => element_at(col("extra_mins"), t._3.cast("int")),
+                  col("__rows_n"))
               else col("extra_mins")).as("extra_mins"),
               (if (replaceExtra)
                 withKept(org.apache.spark.sql.functions.array(
                   sortedKeys.map(k => col(s"__mx_$k")): _*),
-                  t => element_at(col("extra_maxs"), t._3.cast("int")))
+                  t => element_at(col("extra_maxs"), t._3.cast("int")),
+                  col("__rows_n"))
               else col("extra_maxs")).as("extra_maxs"),
               col("pathn"),
               // physstats: a fresh analyze stamps every recorded
@@ -5472,7 +5496,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
               (if (replaceExtra)
                 withKept(org.apache.spark.sql.functions.array(
                   sortedKeys.map(k => lit(mapping.getOrElse(k, k))): _*),
-                  t => lit(t._2))
+                  t => lit(t._2), lit(DeltaLite.RowsPseudoCol))
               else col("extra_phys")).as("extra_phys"))
           if (paths.length >= commitSidecarThreshold) {
             // big table: relabeled entries land as a sidecar directly
@@ -5499,10 +5523,13 @@ class DeltaLite(val spark: SparkSession, val root: String,
         val rows = statRows(live.map(_.path))
         val stats: Map[String, Map[String, (Option[String], Option[String])]] =
           rows.map { r =>
-            norm(r.getString(0)) -> keys.map { k =>
+            norm(r.getString(0)) -> (keys.map { k =>
               k -> (Option(r.getAs[String](s"mn_$k")),
                 Option(r.getAs[String](s"mx_$k")))
-            }.toMap
+            }.toMap ++ (if (recordRows) {
+              val n = Option(r.getAs[String]("rows_n"))
+              Map(DeltaLite.RowsPseudoCol -> (n, n))
+            } else Map.empty))
           }.toMap
         val entries = live.map { f =>
           val perCol = stats.getOrElse(norm(f.path),

@@ -44,6 +44,15 @@ class FileRowCountsSpec extends SparkSpec {
     val tc = DeltaLite.convert(spark, src, tmp("rows-conv-root"))
     assert(tc.rowCount().isEmpty,
       "pre-existing files lack counts until restats/compact")
+    // replace-mode ANALYZE records fresh counts from its own scan —
+    // zero-copy adopted files gain metadata COUNT(*) without a rewrite
+    tc.restats(Seq("k"))
+    assert(tc.rowCount() == Some(9L),
+      "restats must record row counts for adopted files")
+    // single-key (merge-mode) restats PRESERVES the recorded counts
+    tc.restats("k")
+    assert(tc.rowCount() == Some(9L),
+      "merge-mode restats must not wipe recorded counts")
     tc.compact(targetBytes = 1L << 30)
     assert(tc.liveFiles().size == 1, "compact must rewrite the files")
     assert(tc.rowCount() == Some(9L))
