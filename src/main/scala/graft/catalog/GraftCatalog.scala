@@ -596,7 +596,7 @@ object GraftCatalog {
     "zorder", "zorder_by", "analyze", "checkpoint", "clean_log", "add_constraint",
     "drop_constraint", "history", "detail", "copy_into", "table_changes",
     "optimize_where", "vacuum_orphans", "clone", "vacuum_dry_run", "fsck",
-    "convert", "convert_from_delta", "export_to_delta")
+    "convert", "convert_from_delta", "export_to_delta", "row_count")
 
   /** Register the catalog + extensions-equivalent state on a live
     * session (catalog lookup is lazy per name, so runtime conf works).
@@ -806,6 +806,13 @@ class GraftProcedure(pname: String, catalog: GraftCatalog)
           .map(v => s"compacted at v$v").getOrElse("noop")
       case "vacuum_orphans" =>
         s"removed ${t.vacuumOrphans().size} orphan dirs"
+      case "row_count" =>
+        // COUNT(*) from metadata alone (the recorded per-file counts)
+        // — honest "unknown" when any live file predates recording or
+        // deletion vectors mask rows, never a wrong number
+        t.rowCount().map(n => s"$n rows (from metadata)").getOrElse(
+          "unknown (some live files lack recorded counts or deletion " +
+            "vectors mask rows — ANALYZE or OPTIMIZE records them)")
       case "clone" =>
         // target is db.table in THIS catalog: the clone lands as a
         // new named table at the warehouse layout

@@ -2033,8 +2033,18 @@ class DeltaLite(val spark: SparkSession, val root: String,
       val perCol = stats.getOrElse(norm(p.toString),
         Map.empty[String, (Option[String], Option[String])])
       val s = primary.flatMap(perCol.get).getOrElse((None, None))
-      val ex = perCol.filter { case (k, _) =>
+      val ex0 = perCol.filter { case (k, _) =>
         extraKeys.contains(k) || k == DeltaLite.RowsPseudoCol }
+      // a data file ABSENT from the grouped agg contributed no rows —
+      // the count job ran over every file whenever recordRows, so
+      // absence IS a zero count (an empty part file — a CREATE's
+      // schema-only v0, a tiny partitioned write — must not turn the
+      // whole table's metadata COUNT(*) off forever)
+      val ex =
+        if (recordRows && !ex0.contains(DeltaLite.RowsPseudoCol))
+          ex0 + (DeltaLite.RowsPseudoCol ->
+            (Some("0"): Option[String], Some("0"): Option[String]))
+        else ex0
       FileEntry(p.toString, s._1, s._2, statsColUsed,
         extra = ex,
         size = fileSizes.get(p.toString),
@@ -5660,10 +5670,13 @@ class DeltaLite(val spark: SparkSession, val root: String,
     * zero data files opened, the same short-circuit a Delta reader
     * takes from numRecords stats. None (never a wrong number) when
     * any live file predates row-count recording (rewrite via
-    * compact()/upsert re-records it) or when live DELETION VECTORS
-    * mask rows (the physical counts would overcount). The sidecar /
-    * checkpointed path answers from ONE aggregate over the entries
-    * parquet — no driver materialization of the live set.
+    * compact()/upsert — or a replace-mode restats — records it) or
+    * when DELETION VECTORS still MASK a live file (the physical
+    * counts would overcount); a stale sidecar whose files were all
+    * rewritten away (post-compact) does not block — checked with one
+    * O(deleted) read only when DVs exist. The sidecar / checkpointed
+    * path answers from ONE aggregate over the entries parquet — no
+    * driver materialization of the live set.
     */
   def rowCount(): Option[Long] = {
     val cs = commits()
@@ -5687,14 +5700,34 @@ class DeltaLite(val spark: SparkSession, val root: String,
           fcount(n).as("counted"), fsum(n).as("total"),
           fsum(when(col("kind") === "d", 1L).otherwise(0L)).as("dvs"))
           .head()
-        if (!r.isNullAt(3) && r.getLong(3) > 0L) None
-        else if (!r.isNullAt(0) && r.getLong(0) == r.getLong(1) &&
+        val dvSidecars = if (r.isNullAt(3)) 0L else r.getLong(3)
+        // live DV sidecars only block when they still MASK a live file
+        // — after a compact/upsert folded the deletes into rewrites,
+        // the stale sidecars reference removed paths and the fresh
+        // counts are exact. One O(deleted) read, only when DVs exist.
+        if (dvSidecars > 0L) {
+          val dvPaths = edf.filter(col("kind") === "d")
+            .select(col("path")).collect().map(_.getString(0)).toSeq
+          val masking = dvDf(dvPaths).select(col("__file")).distinct()
+            .join(edf.filter(col("kind") === "f").select(col("pathn")),
+              col("__file") === col("pathn"), "left_semi").count()
+          if (masking > 0L) return None
+        }
+        if (!r.isNullAt(0) && r.getLong(0) == r.getLong(1) &&
           !r.isNullAt(2))
           Some(r.getLong(2))
         else None
       case None =>
-        if (liveDvFiles(cs).nonEmpty) return None
-        val counts = liveEntries(cs).map(_.extra
+        val live = liveEntries(cs)
+        val dvs = liveDvFiles(cs)
+        if (dvs.nonEmpty) {
+          // same staleness rule as the lazy branch, driver-side
+          val liveN = live.map(f => norm(f.path)).toSet
+          val masking = dvDf(dvs).select(col("__file")).distinct()
+            .collect().map(_.getString(0)).exists(liveN)
+          if (masking) return None
+        }
+        val counts = live.map(_.extra
           .get(DeltaLite.RowsPseudoCol).flatMap(_._1)
           .flatMap(s => scala.util.Try(s.toLong).toOption))
         if (counts.nonEmpty && counts.forall(_.isDefined))

@@ -228,6 +228,25 @@ class GraftCatalogSpec extends SparkSpec {
     assert(new DeltaLite(spark, side).read().count() == 3)
   }
 
+  test("CALL row_count answers COUNT(*) from metadata; honest unknown under DVs") {
+    wh
+    spark.sql("CREATE TABLE graft.gold.rc (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.gold.rc VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val r = spark.sql("CALL graft.system.row_count('gold.rc')")
+      .head().getString(0)
+    assert(r == "3 rows (from metadata)", r)
+    // a DELETE leaves deletion vectors live -> honest unknown
+    spark.sql("DELETE FROM graft.gold.rc WHERE k = 2")
+    val r2 = spark.sql("CALL graft.system.row_count('gold.rc')")
+      .head().getString(0)
+    assert(r2.startsWith("unknown"), r2)
+    // OPTIMIZE folds the DVs and re-records counts
+    spark.sql("CALL graft.system.optimize('gold.rc')")
+    val r3 = spark.sql("CALL graft.system.row_count('gold.rc')")
+      .head().getString(0)
+    assert(r3 == "2 rows (from metadata)", r3)
+  }
+
   test("DELETE FROM routes to the deletion-vector path; TRUNCATE keeps history") {
     wh
     spark.sql("CREATE TABLE graft.gold.del (k BIGINT, v STRING)")
