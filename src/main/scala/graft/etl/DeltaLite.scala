@@ -4316,13 +4316,41 @@ class DeltaLite(val spark: SparkSession, val root: String,
       s"$root uses column mapping — its files carry physical names a " +
         "Delta reader resolving the exported schemaString would miss; " +
         "rewrite through deepCloneTo first")
-    val dvsLive = liveDvFiles(all)
-    require(dvsLive.isEmpty,
-      s"$root has live deletion vectors — an exported add would " +
-        "resurrect their rows for Delta readers; run " +
-        "materializeDeletes() first")
     val parts = partsAt(all)
     val live = liveEntries(all)
+    // LIVE DELETION VECTORS export as REAL Delta DVs (the full
+    // merge-on-read circle — adoption decodes them, export encodes
+    // them): the (file, pos) sidecar rows group per live file, each
+    // file's positions serialize into a portable RoaringBitmapArray
+    // ON THE EXECUTORS (the driver holds compressed bitmaps only, the
+    // same O(deleted) class the read-side broadcast guard bounds), and
+    // ONE `deletion_vector_<uuid>.bin` under the root carries every
+    // mask at its own offset ("u" storage, empty prefix). Each export
+    // with live DVs writes a fresh .bin (old ones linger inert until
+    // swept — a .bin is never referenced by our own log). Stale DV
+    // rows referencing rewritten-away files are dropped here exactly
+    // like the read path drops them.
+    val dvsLive = liveDvFiles(all)
+    val liveNorm = live.map(f => norm(f.path)).toSet
+    val dvPayloads: Seq[(String, Array[Byte], Long)] =
+      if (dvsLive.isEmpty) Nil
+      else {
+        import spark.implicits._
+        dvDf(dvsLive)
+          .groupBy(col("__file"))
+          .agg(org.apache.spark.sql.functions.sort_array(
+            org.apache.spark.sql.functions.collect_set(col("__pos")))
+            .as("ps"))
+          .as[(String, Seq[Long])]
+          .map { case (f, ps) =>
+            (f, DeltaDv.serializeBitmapArray(ps.toArray), ps.size.toLong)
+          }
+          .collect()
+          .filter { case (f, _, _) => liveNorm(f) }
+          .sortBy(_._1).toSeq
+      }
+    val dvCards: Map[String, Long] =
+      dvPayloads.map(t => t._1 -> t._3).toMap
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val rp = norm(rootPath.toString) + "/"
     // the path an action records: RELATIVE URI-encoded under the root
@@ -4360,6 +4388,10 @@ class DeltaLite(val spark: SparkSession, val root: String,
       if (ranges.isEmpty && nRecs.isEmpty) return None
       val root2 = mapper.createObjectNode()
       nRecs.foreach(n => root2.put("numRecords", n))
+      // a masked file's stats describe its PHYSICAL rows (deleted
+      // included) — declare the bounds wide, the delta convention
+      if (dvCards.contains(norm(f.path)))
+        root2.put("tightBounds", false)
       val mns = root2.putObject("minValues")
       val mxs = root2.putObject("maxValues")
       var any = nRecs.isDefined
@@ -4414,10 +4446,41 @@ class DeltaLite(val spark: SparkSession, val root: String,
       if (any) Some(mapper.writeValueAsString(root2)) else None
     }
     val partPhysE = parts // mapping is identity here (checked above)
+    // the .bin materializes LAZILY, once the diff below emits the
+    // first descriptor-bearing add — an export whose masks are all
+    // unchanged re-publishes nothing and writes no new .bin (the
+    // prior export's file stays referenced and on disk)
+    lazy val dvBin: (java.util.UUID, Map[String, (Int, Int, Long)]) = {
+      val (bin, offsets) =
+        DeltaDv.frameDvFile(dvPayloads.map(_._2).toIndexedSeq)
+      val uuid = java.util.UUID.randomUUID()
+      val binPath = new Path(rootPath, s"deletion_vector_$uuid.bin")
+      val os0 = fs.create(binPath, false)
+      try os0.write(bin) finally os0.close()
+      (uuid, dvPayloads.zip(offsets).map { case ((f, payload, card), off) =>
+        f -> (off, payload.length, card)
+      }.toMap)
+    }
+    def dvSlot(n: String): (java.util.UUID, Int, Int, Long) = {
+      val (uuid, m) = dvBin
+      val (off, size, card) = m(n)
+      (uuid, off, size, card)
+    }
     def addAction(f: FileEntry): String = {
       val root2 = mapper.createObjectNode()
       val a = root2.putObject("add")
       a.put("path", actionPath(f.path))
+      // live mask -> a real Delta DV descriptor ("u" storage into the
+      // per-export .bin; written lazily once a referencing add exists)
+      if (dvCards.contains(norm(f.path))) {
+        val (uuid, off, size, card) = dvSlot(norm(f.path))
+        val d = a.putObject("deletionVector")
+        d.put("storageType", "u")
+        d.put("pathOrInlineDv", DeltaDv.encodeUuidPath(uuid))
+        d.put("offset", off)
+        d.put("sizeInBytes", size)
+        d.put("cardinality", card)
+      }
       val pv = a.putObject("partitionValues")
       if (parts.nonEmpty) {
         val vals = entryPartVals(f, parts, partPhysE)
@@ -4476,22 +4539,43 @@ class DeltaLite(val spark: SparkSession, val root: String,
         case m: MapType => hasNtz(m.keyType) || hasNtz(m.valueType)
         case _ => false
       }
-      if (hasNtz(sch))
-        line("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-          """"readerFeatures":["timestampNtz"],""" +
-          """"writerFeatures":["timestampNtz"]}}""")
-      else
+      // deletionVectors stays declared while ANY version of the log
+      // carries a DV'd add (the protocol action governs the whole
+      // table, and a reader may replay older versions)
+      val feats = (if (hasNtz(sch)) Seq("timestampNtz") else Nil) ++
+        (if (dvCards.nonEmpty ||
+          prior.exists(_.files.exists(_.dv.isDefined)))
+          Seq("deletionVectors") else Nil)
+      if (feats.nonEmpty) {
+        val fl = feats.sorted.map("\"" + _ + "\"").mkString(",")
+        line(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          s""""readerFeatures":[$fl],"writerFeatures":[$fl]}}""")
+      } else
         line("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
       line(meta)
       priorLive.foreach { case (n, ap) =>
         if (!nowLive.contains(n)) line(removeAction(ap))
       }
+      // re-ADD a carried file whenever its MASK changed since the
+      // prior export: a fresh delete re-publishes the add with its
+      // descriptor, a materialize re-publishes without one (clearing
+      // it — latest add wins in every Delta replay, ours included).
+      // Mask change compares CARDINALITY: our deletes mask only
+      // still-visible rows, so a file's mask can only GROW between
+      // exports (clears change presence, caught too) — equal
+      // cardinality therefore means an identical mask.
+      val priorCard: Map[String, Long] = prior.toSeq.flatMap(_.files)
+        .flatMap(f => f.dv.map(d => norm(f.path) -> d.cardinality)).toMap
       live.foreach { f =>
-        if (!priorLive.contains(norm(f.path))) line(addAction(f))
+        val n = norm(f.path)
+        if (!priorLive.contains(n) ||
+          dvCards.get(n) != priorCard.get(n))
+          line(addAction(f))
       }
     } finally os.close()
     nextV
   }
+
 
   // deep-clone bootstrap: constraints registered before the first
   // commit exists (addCheckConstraint needs a table; these ride the

@@ -10,8 +10,9 @@ import java.nio.file.Files
   * fixtures, and [[DeltaLite.convertFromDelta]] lands a source's
   * deletion vectors as its OWN merge-on-read sidecars — deleted rows
   * stay gone through read / readIndexed / upsert / export, on both
-  * replay routes. Modern Databricks runtimes write DVs by default, so
-  * this is the migration path for freshly-created source tables.
+  * replay routes (and export publishes live masks back as REAL Delta
+  * DVs). Modern Databricks runtimes write DVs by default, so this is
+  * the migration path for freshly-created source tables.
   */
 class DeltaDvAdoptionSpec extends SparkSpec {
   import spark.implicits._
@@ -150,7 +151,7 @@ class DeltaDvAdoptionSpec extends SparkSpec {
     (fa, fb)
   }
 
-  test("a DV-bearing Delta table adopts with the deleted rows GONE through read/readIndexed/upsert; export refuses until materialized") {
+  test("a DV-bearing Delta table adopts with the deleted rows GONE through read/readIndexed/upsert; export round-trips the masks") {
     val dir = tmp("dv-adopt-src")
     dvFixture(dir)
     // readDelta (the read-only path) already masks
@@ -171,17 +172,14 @@ class DeltaDvAdoptionSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(afterUp.keySet == expect && afterUp(5L) == "updated",
       s"upsert resurrected masked rows: ${afterUp.keySet -- expect}")
-    // honest export: live adopted DVs refuse until materialized
-    val e = intercept[IllegalArgumentException](t.exportToDelta())
-    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
-    // the stat-less upsert above already rewrote (and folded) every
-    // DV'd file, so materialize has nothing left to rewrite — it only
-    // retires the stale sidecars (returns None) and export unblocks
-    t.materializeDeletes()
+    // EXPORT with live DVs: the masks publish as REAL Delta DVs (the
+    // full circle — the upsert above already folded most, any
+    // remaining mask exports as a descriptor) and our own Delta
+    // reader serves the identical row set
     t.exportToDelta()
     val re = DeltaInterop.readDelta(spark, t.root)
       .select("k").collect().map(_.getLong(0)).toSet
-    assert(re == expect, "materialize+export round trip diverged")
+    assert(re == expect, "DV export round trip diverged")
   }
 
   test("tail DV semantics: a re-add with a DV masks, a later re-add without one clears — latest add wins") {

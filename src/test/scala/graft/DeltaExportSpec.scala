@@ -9,8 +9,9 @@ import java.nio.file.Files
   * write side of zero-copy Delta interop. The round-trip oracle is our
   * own reader: [[DeltaInterop.snapshot]] replays the exported log and
   * must see exactly the live set; [[DeltaLite.convertFromDelta]]
-  * re-adopts it skip-ready (stats carried). Non-goals (snapshot
-  * export, no DVs, no column mapping) refuse loudly.
+  * re-adopts it skip-ready (stats carried). Live deletion vectors
+  * export as REAL Delta DVs; snapshot export and column mapping stay
+  * loud non-goals.
   */
 class DeltaExportSpec extends SparkSpec {
   import spark.implicits._
@@ -207,16 +208,56 @@ class DeltaExportSpec extends SparkSpec {
       p2.contains("\"minWriterVersion\":2"), p2)
   }
 
-  test("non-goals refuse loudly: live DVs, column mapping") {
+  test("live deletion vectors EXPORT as real Delta DVs: descriptors + .bin, growth re-adds, materialize clears") {
     val rootD = tmp("dl-export-dv")
     val tD = new DeltaLite(spark, rootD)
-    tD.append((1L to 10L).map(k => (k, s"a$k")).toDF("k", "v"))
+    tD.append((1L to 10L).map(k => (k, s"a$k")).toDF("k", "v").coalesce(1))
     tD.deleteWhere(col("k") === 3L)
-    val eD = intercept[IllegalArgumentException](tD.exportToDelta())
-    assert(eD.getMessage.contains("deletion vectors"), eD.getMessage)
+    // v0 export publishes the mask as a "u"-storage descriptor into a
+    // .bin under the root, protocol gated to deletionVectors
+    assert(tD.exportToDelta() == 0L)
+    val snapD = DeltaInterop.snapshot(spark, rootD)
+    val masked = snapD.files.filter(_.dv.isDefined)
+    assert(masked.size == 1 && masked.head.dv.get.cardinality == 1L,
+      s"expected one masked add: ${snapD.files}")
+    assert(masked.head.dv.get.storageType == "u")
+    assert(new java.io.File(rootD).listFiles().exists(
+      _.getName.matches("deletion_vector_.*\\.bin")),
+      "the .bin must land under the table root")
+    assert(DeltaInterop.readDelta(spark, rootD)
+      .select("k").collect().map(_.getLong(0)).toSet ==
+      ((1L to 10L).toSet - 3L))
+    // the stats declare wide bounds on the masked file
+    assert(masked.head.stats.exists(_.contains("\"tightBounds\":false")),
+      masked.head.stats.toString)
+    // mask GROWTH re-exports the add with the bigger descriptor
+    tD.deleteWhere(col("k") === 7L)
+    assert(tD.exportToDelta() == 1L)
+    val snapD2 = DeltaInterop.snapshot(spark, rootD)
+    assert(snapD2.files.flatMap(_.dv).map(_.cardinality) == Seq(2L),
+      snapD2.files.flatMap(_.dv).toString)
+    assert(DeltaInterop.readDelta(spark, rootD)
+      .select("k").collect().map(_.getLong(0)).toSet ==
+      ((1L to 10L).toSet -- Set(3L, 7L)))
+    // an export with UNCHANGED masks re-publishes nothing DV'd and
+    // writes no new .bin
+    val binsBefore = new java.io.File(rootD).listFiles()
+      .count(_.getName.endsWith(".bin"))
+    assert(tD.exportToDelta() == 2L)
+    assert(new java.io.File(rootD).listFiles()
+      .count(_.getName.endsWith(".bin")) == binsBefore,
+      "unchanged masks must not write a fresh .bin")
+    // materialize folds the deletes; the next export re-adds WITHOUT
+    // descriptors (clearing) and readers see the same rows
     tD.materializeDeletes()
-    assert(tD.exportToDelta() == 0L) // after materialize it exports
-    assert(DeltaInterop.readDelta(spark, rootD).count() == 9)
+    assert(tD.exportToDelta() == 3L)
+    assert(DeltaInterop.snapshot(spark, rootD).files
+      .forall(_.dv.isEmpty), "materialize must clear exported DVs")
+    assert(DeltaInterop.readDelta(spark, rootD).count() == 8)
+    // and the full adopt-back circle serves the masked set
+    val reD = DeltaLite.convertFromDelta(spark, rootD,
+      tmp("dl-export-dv-re"))
+    assert(reD.read().count() == 8)
 
     val rootC = tmp("dl-export-cm")
     val tC = new DeltaLite(spark, rootC)
