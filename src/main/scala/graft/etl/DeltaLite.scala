@@ -4301,7 +4301,21 @@ class DeltaLite(val spark: SparkSession, val root: String,
     * live deletion vectors refuse (run [[materializeDeletes]] first);
     * CHECK constraints do not carry (re-declare them Delta-side).
     */
-  def exportToDelta(): Long = {
+  def exportToDelta(): Long = exportToDelta(checkpoint = false)
+
+  /** As [[exportToDelta]]; `checkpoint = true` additionally writes a
+    * CLASSIC Delta checkpoint parquet for the published version
+    * (`<v>.checkpoint.parquet` — one row per live add plus the
+    * metaData/protocol rows) and the `_last_checkpoint` pointer, so
+    * external readers open the exported table O(1) instead of
+    * replaying every JSON version — and our own re-adoption takes the
+    * DF-NATIVE route (snapshotDf anchors on exactly this layout).
+    * The JSON versions below stay valid history; a reader may clean
+    * them per Delta's own log-retention rules once the checkpoint
+    * covers them. Driver cost is O(live) rows — the same class as the
+    * JSON action stream the export already writes.
+    */
+  def exportToDelta(checkpoint: Boolean): Long = {
     // RETENTION CONTRACT: the exported log references the CURRENT live
     // files by absolute path. After later rewrites, RE-EXPORT BEFORE
     // VACUUM — vacuum refuses (naming the files) when the latest
@@ -4524,30 +4538,30 @@ class DeltaLite(val spark: SparkSession, val root: String,
     // JSON text (inherent to the Delta log format) without ever
     // holding it all as one driver string
     val os = fs.create(out, false)
+    // timestamp_ntz is a Delta TABLE FEATURE: a schemaString carrying
+    // it under the base protocol(1,2) is non-compliant and a strict
+    // reader may reject or misread the column — gate the protocol up
+    // to (3,7) with the feature named in BOTH lists (the shape
+    // delta-spark publishes). The adoption path accepts ntz sources,
+    // so the adopt → export round trip needs this to stay compliant.
+    // deletionVectors stays declared while ANY version of the log
+    // carries a DV'd add (the protocol action governs the whole
+    // table, and a reader may replay older versions).
+    def hasNtz(dt: DataType): Boolean = dt match {
+      case TimestampNTZType => true
+      case s: StructType => s.fields.exists(f => hasNtz(f.dataType))
+      case a: ArrayType => hasNtz(a.elementType)
+      case m: MapType => hasNtz(m.keyType) || hasNtz(m.valueType)
+      case _ => false
+    }
+    val feats = ((if (hasNtz(sch)) Seq("timestampNtz") else Nil) ++
+      (if (dvCards.nonEmpty ||
+        prior.exists(_.files.exists(_.dv.isDefined)))
+        Seq("deletionVectors") else Nil)).sorted
     try {
       def line(s: String): Unit = os.write((s + "\n").getBytes("UTF-8"))
-      // timestamp_ntz is a Delta TABLE FEATURE: a schemaString carrying
-      // it under the base protocol(1,2) is non-compliant and a strict
-      // reader may reject or misread the column — gate the protocol up
-      // to (3,7) with the feature named in BOTH lists (the shape
-      // delta-spark publishes). The adoption path accepts ntz sources,
-      // so the adopt → export round trip needs this to stay compliant.
-      def hasNtz(dt: DataType): Boolean = dt match {
-        case TimestampNTZType => true
-        case s: StructType => s.fields.exists(f => hasNtz(f.dataType))
-        case a: ArrayType => hasNtz(a.elementType)
-        case m: MapType => hasNtz(m.keyType) || hasNtz(m.valueType)
-        case _ => false
-      }
-      // deletionVectors stays declared while ANY version of the log
-      // carries a DV'd add (the protocol action governs the whole
-      // table, and a reader may replay older versions)
-      val feats = (if (hasNtz(sch)) Seq("timestampNtz") else Nil) ++
-        (if (dvCards.nonEmpty ||
-          prior.exists(_.files.exists(_.dv.isDefined)))
-          Seq("deletionVectors") else Nil)
       if (feats.nonEmpty) {
-        val fl = feats.sorted.map("\"" + _ + "\"").mkString(",")
+        val fl = feats.map("\"" + _ + "\"").mkString(",")
         line(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
           s""""readerFeatures":[$fl],"writerFeatures":[$fl]}}""")
       } else
@@ -4573,6 +4587,90 @@ class DeltaLite(val spark: SparkSession, val root: String,
           line(addAction(f))
       }
     } finally os.close()
+    if (checkpoint) {
+      val dvT = StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
+        StructField("cardinality", LongType)))
+      val addT = StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues",
+          MapType(StringType, StringType, valueContainsNull = true)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("stats", StringType),
+        StructField("deletionVector", dvT)))
+      val metaT = StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns",
+          ArrayType(StringType, containsNull = false)),
+        StructField("configuration",
+          MapType(StringType, StringType))))
+      val protoT = StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures",
+          ArrayType(StringType, containsNull = false)),
+        StructField("writerFeatures",
+          ArrayType(StringType, containsNull = false))))
+      val cpT = StructType(Seq(
+        StructField("add", addT), StructField("metaData", metaT),
+        StructField("protocol", protoT)))
+      val protoRow: Row =
+        if (feats.nonEmpty) Row(3, 7, feats, feats)
+        else Row(1, 2, null, null)
+      val metaRow = Row(s"graft-export-${norm(rootPath.toString).hashCode}",
+        Row("parquet"), sch.json, parts, Map.empty[String, String])
+      val addRows = live.map { f =>
+        val n = norm(f.path)
+        val pv: Map[String, String] =
+          if (parts.isEmpty) Map.empty
+          else {
+            val vals = entryPartVals(f, parts, partPhysE)
+            parts.map(c => c -> vals.get(c).orNull).toMap
+          }
+        val dvRowV: Row =
+          if (!dvCards.contains(n)) null
+          else {
+            val (uuid, off, size, card) = dvSlot(n)
+            Row("u", DeltaDv.encodeUuidPath(uuid), off, size, card)
+          }
+        Row(Row(actionPath(f.path), pv,
+          f.size.getOrElse(fs.getFileStatus(new Path(f.path)).getLen),
+          0L, true, statsJson(f).orNull, dvRowV), null, null)
+      }
+      val allRows: Seq[Row] =
+        Seq(Row(null, metaRow, null), Row(null, null, protoRow)) ++ addRows
+      val stage = new Path(rootPath,
+        s"_cp_export_${java.util.UUID.randomUUID().toString.take(8)}")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(allRows,
+          math.max(1, math.min(allRows.size / entriesPerPart + 1, 64))),
+        cpT).write.mode(SaveMode.ErrorIfExists).parquet(stage.toString)
+      val partsF = fs.listStatus(stage)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+      if (partsF.length == 1)
+        require(fs.rename(partsF.head.getPath,
+          new Path(logDirD, f"$nextV%020d.checkpoint.parquet")),
+          "checkpoint rename refused")
+      else partsF.zipWithIndex.foreach { case (st, i) =>
+        require(fs.rename(st.getPath, new Path(logDirD,
+          f"$nextV%020d.checkpoint.${i + 1}%010d.${partsF.length}%010d" +
+            ".parquet")), "checkpoint part rename refused")
+      }
+      fs.delete(stage, true)
+      val lc = fs.create(new Path(logDirD, "_last_checkpoint"), true)
+      try lc.write(
+        s"""{"version":$nextV,"size":${allRows.size}}""".getBytes("UTF-8"))
+      finally lc.close()
+    }
     nextV
   }
 

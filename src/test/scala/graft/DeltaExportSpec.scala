@@ -208,6 +208,54 @@ class DeltaExportSpec extends SparkSpec {
       p2.contains("\"minWriterVersion\":2"), p2)
   }
 
+  test("CHECKPOINTED export: classic checkpoint parquet + _last_checkpoint; replay survives JSON cleanup; re-adoption goes DF-native") {
+    val root = tmp("dl-export-ckpt")
+    val t = new DeltaLite(spark, root, Some("k"))
+    t.append((1L to 10L).map(k => (k, s"a$k")).toDF("k", "v").coalesce(1))
+    t.append((11L to 20L).map(k => (k, s"b$k")).toDF("k", "v").coalesce(1))
+    t.exportToDelta() // v0 plain
+    t.deleteWhere(col("k") === 3L)
+    val v1 = t.exportToDelta(checkpoint = true)
+    assert(v1 == 1L)
+    val logD = new java.io.File(s"$root/_delta_log")
+    assert(logD.listFiles().exists(
+      _.getName == f"${1L}%020d.checkpoint.parquet"),
+      logD.listFiles().map(_.getName).toSeq.toString)
+    val lc = scala.io.Source.fromFile(new java.io.File(logD,
+      "_last_checkpoint"))
+    try assert(lc.getLines().mkString.contains("\"version\":1"))
+    finally lc.close()
+    // the checkpoint carries the FULL state: adds + stats + the DV
+    // descriptor; replay serves it even with every JSON version GONE
+    // (a Delta reader's log cleanup)
+    Seq(0L, 1L).foreach { v =>
+      new java.io.File(logD, f"$v%020d.json").delete()
+    }
+    val snap = DeltaInterop.snapshot(spark, root)
+    assert(snap.version == 1L && snap.files.size == 2)
+    assert(snap.files.count(_.dv.isDefined) == 1,
+      "the DV descriptor must ride the checkpoint")
+    assert(DeltaInterop.readDelta(spark, root)
+      .select("k").collect().map(_.getLong(0)).toSet ==
+      ((1L to 20L).toSet - 3L))
+    // re-adoption anchors on exactly this layout and stays DF-NATIVE
+    spark.conf.set("spark.graft.adopt.sidecarThreshold", "1")
+    try {
+      val re = DeltaLite.convertFromDelta(spark, root,
+        tmp("dl-export-ckpt-re"), statsKey = Some("k"))
+      assert(re.jsonEntriesRendered.get() <= 2,
+        s"checkpointed export must re-adopt DF-natively, rendered " +
+          s"${re.jsonEntriesRendered.get()}")
+      assert(re.read().select("k").collect().map(_.getLong(0)).toSet ==
+        ((1L to 20L).toSet - 3L), "DF-native re-adoption diverged")
+      // checkpoint stats carried: a point upsert prunes file-granular
+      val before = re.liveFiles().toSet
+      re.upsert(Seq((15L, "updated")).toDF("k", "v"), "k")
+      assert((before intersect re.liveFiles().toSet).size == 1,
+        "checkpointed stats must prune the re-adopted upsert")
+    } finally spark.conf.unset("spark.graft.adopt.sidecarThreshold")
+  }
+
   test("live deletion vectors EXPORT as real Delta DVs: descriptors + .bin, growth re-adds, materialize clears") {
     val rootD = tmp("dl-export-dv")
     val tD = new DeltaLite(spark, rootD)
