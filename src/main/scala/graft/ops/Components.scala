@@ -59,13 +59,16 @@ object Components {
         .agg(min(col("dst_label")).as("nbr_label"))
       // carry the changed flag inside the round's output so convergence
       // is a filter-count on the checkpointed table, not an extra join
+      // LAZY checkpoint: the convergence count below materializes the
+      // checkpoint blocks as it runs — same truncation, one job per
+      // round instead of two (the Bfs.levelsImpl pattern)
       val next = labels.join(nbrMin, Seq("v"), "left")
         .select(col("v"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("next_label"),
           (coalesce(col("nbr_label"), col("label")) < col("label"))
             .as("changed"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val changed = next.filter(col("changed")).count()
       labels = next.select(col("v"), col("next_label").as("label"))
       converged = changed == 0

@@ -128,17 +128,24 @@ object Dedup {
       col("id").as("id_a"), col("signature").as("sig_a"))
     val b = banded.select(col("band"), col("bandkey"),
       col("id").as("id_b"), col("signature").as("sig_b"))
-    val cand = a.join(b, Seq("band", "bandkey"))
+    // Score and threshold-filter BEFORE the pair dedup (guide §2.3):
+    // est_jaccard is a deterministic function of the two signatures, so
+    // every band-duplicate of a pair carries the same value and the
+    // dedup output is unchanged — but the dropDuplicates exchange now
+    // moves (id, id, double) rows for NEAR-DUP pairs only, instead of
+    // every candidate occurrence dragging two numPerm-long signature
+    // arrays through the shuffle. The estimate is recomputed per band
+    // occurrence (≤ bands codegen'd folds per pair) — map-side CPU
+    // traded for an order of magnitude fewer shuffle bytes.
+    a.join(b, Seq("band", "bandkey"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
-      .dropDuplicates("id_a", "id_b")
-
-    cand.withColumn("est_jaccard",
-      aggregate(zip_with(col("sig_a"), col("sig_b"),
-        (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, v) => acc + v).cast("double") / numPerm)
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numPerm)
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** First 60 bits of md5(s) as a non-negative long — the same
@@ -205,16 +212,18 @@ object Dedup {
       col("id").as("id_a"), col("signature").as("sig_a"))
     val b = banded.select(col("band"), col("bandkey"),
       col("id").as("id_b"), col("signature").as("sig_b"))
+    // score + threshold before the dedup exchange — same rewrite as
+    // [[minhashPairs]] (deterministic per-pair estimate, so the output
+    // set and values are identical; only the shuffle shrinks)
     a.join(b, Seq("band", "bandkey"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
-      .dropDuplicates("id_a", "id_b")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / numPerm)
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
+      .dropDuplicates("id_a", "id_b")
   }
 
   // ---------------------------------------------------------------- SimHash
@@ -284,12 +293,16 @@ object Dedup {
       col("id").as("id_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("chunk"), col("chunkval"),
       col("id").as("id_b"), col("simhash").as("sh_b"))
+    // verify + filter before the dedup exchange (same rewrite as
+    // [[minhashPairs]]): the hamming distance is deterministic per
+    // pair, so dedup-after-filter yields the identical output while
+    // the exchange carries only pairs that PASS the distance bound
     a.join(b, Seq("chunk", "chunkval"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= hamMax)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   // ----------------------------------------------------- exact n-gram Jaccard
@@ -362,11 +375,18 @@ object Dedup {
       col("id").as("id_a"), col("v").as("v_a"))
     val b = bucketed.select(col("table"), col("bucket"),
       col("id").as("id_b"), col("v").as("v_b"))
+    // exact-cosine verify + threshold before the dedup exchange (same
+    // rewrite as [[minhashPairs]]): the cosine is deterministic per
+    // pair, so scoring each table-occurrence (≤ tables dim-length
+    // folds) and deduping the few ABOVE-threshold survivors yields the
+    // identical output — while the dropDuplicates exchange carries
+    // (id, id, double) rows instead of dragging both dim-sized vectors
+    // of every candidate occurrence through the shuffle
     a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+      .dropDuplicates("id_a", "id_b")
   }
 }

@@ -735,13 +735,18 @@ object Hnsw {
         }
       }
     }
+    // ONE exchange instead of dedup-then-window: duplicate (query,
+    // neighbor) occurrences tie exactly in (cosine, neighbor_id) — the
+    // same id always carries the same vector — so dense_rank equals
+    // row_number over the deduped rows; dedup runs on the ≤ k·shards
+    // survivors only
     val raw = spark.createDataset(probed)
       .toDF("query_id", "neighbor_id", "cosine")
-      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy($"query_id")
       .orderBy($"cosine".desc, $"neighbor_id")
-    raw.withColumn("rank", row_number().over(w).cast("long"))
+    raw.withColumn("rank", dense_rank().over(w).cast("long"))
       .filter($"rank" <= k)
+      .dropDuplicates("query_id", "neighbor_id")
       .select($"query_id", $"rank", $"neighbor_id", $"cosine")
   }
 
@@ -766,17 +771,19 @@ object Hnsw {
         }
       }
       .toDF("query_id", "neighbor_id", "cosine")
-      // duplicate ids can enter the index (an append re-inserting an
-      // existing id routes by hash and lands a copy in some shard);
-      // without this a neighbor could hold two top-k slots — match
-      // Similarity.bruteForceTopK's dropDuplicates output contract.
-      // Copies of one id carry the same vector, so cosine agrees and
-      // dedup on the pair is exact.
-      .dropDuplicates("query_id", "neighbor_id")
+    // duplicate ids can enter the index (an append re-inserting an
+    // existing id routes by hash and lands a copy in some shard);
+    // without dedup a neighbor could hold two top-k slots — match
+    // Similarity.bruteForceTopK's dropDuplicates output contract.
+    // Copies of one id carry the same vector, so duplicate rows tie
+    // EXACTLY in (cosine, neighbor_id): dense_rank equals row_number
+    // over the deduped rows, and the residual dropDuplicates runs on
+    // the ≤ k·dup survivors — one candidate-volume exchange, not two
     val w = Window.partitionBy($"query_id")
       .orderBy($"cosine".desc, $"neighbor_id")
-    raw.withColumn("rank", row_number().over(w).cast("long"))
+    raw.withColumn("rank", dense_rank().over(w).cast("long"))
       .filter($"rank" <= k)
+      .dropDuplicates("query_id", "neighbor_id")
       .select($"query_id", $"rank", $"neighbor_id", $"cosine")
   }
 }

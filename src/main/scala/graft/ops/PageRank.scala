@@ -54,9 +54,18 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val base = Scale * 15 / 100 / n
+    // Unlike Components (whose round references the previous round's
+    // table SEVERAL times, growing the plan 3^rounds without
+    // truncation), each PageRank round references `pr` exactly ONCE —
+    // the plan grows LINEARLY in `iters`. So lineage only needs
+    // truncating every few rounds, and the whole chain between
+    // checkpoints materializes in ONE job instead of one eager
+    // checkpoint job per round (the per-round jobs were pure overhead
+    // at bench scale; at cluster scale fewer barriers also lets AQE
+    // pipeline the per-round stages). Integer arithmetic makes the
+    // result bit-identical regardless of checkpoint placement.
     var pr = nodes.withColumn("pr", lit(Scale / n))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val inflow = eo
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
@@ -67,8 +76,11 @@ object PageRank {
         .select(col("node"),
           (lit(base) + expr("coalesce(inflow, 0L) * 85 div 100"))
             .as("pr"))
-        .localCheckpoint(true)
+      if (i % 4 == 0 && i < iters) pr = pr.localCheckpoint(true)
     }
+    // materialize the final ranks BEFORE dropping the caches the plan
+    // reads — callers receive a truncated, cache-independent table
+    pr = pr.localCheckpoint(true)
     e.unpersist(false)
     eo.unpersist(false)
     nodes.unpersist(false)

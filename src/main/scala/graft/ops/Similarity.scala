@@ -165,15 +165,10 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       posexplode(nearest_centroids(col(vecCol), centroids, nprobe))
         .as(Seq("probe", "cluster")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    c.join(broadcast(q), Seq("cluster"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+    // rankCandidates scores map-side and drops the vectors before the
+    // only shuffle — a candidate appears once per (query, cell) probe,
+    // so the dedup semantics are unchanged
+    rankCandidates(c.join(broadcast(q), Seq("cluster")), k)
   }
 
   /** Materialized IVF index: the trained centroid model + the corpus
@@ -246,17 +241,11 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       posexplode(nearest_centroids(col(vecCol), centroids, nprobe))
         .as(Seq("probe", "cluster")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    cells.withColumnRenamed(idCol, "neighbor_id")
-      .withColumnRenamed(vecCol, "cv")
-      .join(broadcast(q), Seq("cluster"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+    // same map-side-score tail as ivfTopK (see rankCandidates)
+    rankCandidates(
+      cells.withColumnRenamed(idCol, "neighbor_id")
+        .withColumnRenamed(vecCol, "cv")
+        .join(broadcast(q), Seq("cluster")), k)
   }
 
   /** Multi-table LSH approximate top-k: queries probe their bucket in
@@ -289,19 +278,36 @@ object Similarity {
     rankCandidates(a.join(b, Seq("table", "bucket")), k)
   }
 
-  /** Shared tail of the LSH paths: dedupe (query, neighbor) candidates
-    * arriving from multiple tables, score exact cosine, keep top-k per
-    * query. Expects columns query_id/qv/neighbor_id/cv.
+  /** Shared tail of the LSH/IVF paths: score exact cosine, keep top-k
+    * per query, dedupe (query, neighbor) candidates arriving from
+    * multiple tables. Expects columns query_id/qv/neighbor_id/cv.
+    *
+    * Order of operations is deliberate (guide §2.3 "shuffle fewer
+    * bytes"): the cosine is computed MAP-SIDE in the join-output stage
+    * and the vector payloads dropped right there, so the only
+    * full-candidate-volume exchange (the per-query window) carries
+    * (id, id, double) rows, not two dim-sized arrays per row. A pair
+    * seen in t tables is scored t times instead of once — a codegen'd
+    * dim-length fold per extra occurrence, orders of magnitude cheaper
+    * than shuffling its 2×dim doubles. `dense_rank` over
+    * (cosine DESC, neighbor_id) equals `row_number` over the DEDUPED
+    * candidates: duplicate occurrences tie exactly (same deterministic
+    * cosine, same neighbor), distinct neighbors never tie (id
+    * tiebreak) — so ranks are identical and the residual
+    * dropDuplicates runs on the ≤ k·tables surviving rows per query,
+    * not the full candidate volume (one narrow exchange instead of a
+    * payload-wide dedup exchange plus a window exchange).
     */
   private def rankCandidates(joined: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     joined
       .filter(col("neighbor_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+      .withColumn("rank", dense_rank().over(w).cast("long"))
       .filter(col("rank") <= k)
+      .dropDuplicates("query_id", "neighbor_id")
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
@@ -463,10 +469,14 @@ object Similarity {
     val tgt = tgtCorpus.select(col(idCol).as("matched_id"), col(vecCol).as("cv"))
     val wFwd = Window.partitionBy(col("query_id"))
       .orderBy(col("cm").desc, col("matched_id"))
-    // forward: each query's pool of nearest target vectors, quantized
+    // forward: each query's pool of nearest target vectors, quantized.
+    // qv is consumed by the map-side cosine and dropped BEFORE the
+    // per-query window exchange — the only full |tgt|×|queries|-volume
+    // shuffle then carries one vector per row, not two (guide §2.3)
     val fwd = tgt.join(q)
       .withColumn("cm", round(cosine(col("qv"), col("cv")) * lit(1e6))
         .cast("long"))
+      .select(col("query_id"), col("matched_id"), col("cv"), col("cm"))
       .withColumn("frank", row_number().over(wFwd).cast("long"))
       .filter(col("frank") <= math.max(k, pool))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

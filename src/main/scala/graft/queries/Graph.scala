@@ -47,8 +47,13 @@ object Graph {
   private[graft] def coSupplyEdges(s: SparkSession, dir: String,
       keepHex: String = "10"): DataFrame = {
     import s.implicits._
-    val ps = Tables.lineitem(s, dir)
+    // the distinct (part, supplier) table feeds BOTH sides of the pair
+    // self-join — persist it so the lineitem scan + distinct exchange
+    // run once, not once per side (the un-persisted plan re-scanned
+    // parquet and re-aggregated for the broadcast side; guide §2.4)
+    val ps = graft.ops.Dedup.tracked(Tables.lineitem(s, dir)
       .select($"l_partkey".as("p"), $"l_suppkey".as("sk")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK))
     ps.as("a").join(ps.as("b"), $"a.p" === $"b.p" && $"a.sk" < $"b.sk")
       .select($"a.sk".as("u"), $"b.sk".as("v")).distinct()
       .filter(substring(md5(concat_ws(",", $"u", $"v")), 1, 2) < keepHex)
@@ -87,7 +92,13 @@ object Graph {
     val e = graft.ops.Dedup.tracked(
       coSupplyEdges(s, dir, keepHex).persist(StorageLevel.MEMORY_AND_DISK))
     val und = e.select($"u", $"v").unionAll(e.select($"v".as("u"), $"u".as("v")))
-    val deg = und.groupBy($"u".as("n")).agg(count(lit(1)).as("d"))
+    // the degree table feeds THREE consumers (both rank-join sides and
+    // the wedge-count aggregate) — persist it so the union + aggregate
+    // over the edge cache runs once, not three times (guide §2.4); it
+    // is O(nodes) rows, the smallest table in the query
+    val deg = graft.ops.Dedup.tracked(
+      und.groupBy($"u".as("n")).agg(count(lit(1)).as("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val ranked = e
       .join(deg.select($"n".as("n1"), $"d".as("d1")), $"u" === $"n1")
       .join(deg.select($"n".as("n2"), $"d".as("d2")), $"v" === $"n2")

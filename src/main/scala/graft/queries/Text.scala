@@ -312,8 +312,15 @@ object Text {
     */
   def dedupLines(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val lines = Tables.documents(s, dir)
+    // the sentence stream feeds the per-sentence counts AND the
+    // score-back join — persist so the split+posexplode runs once
+    // (probe, 3 alternating reps: 0.9 s persisted vs 1.2 s not — the
+    // map-only explode has no per-consumer pruning to lose, unlike the
+    // aggregate subtrees of tfidf/bm25/pmi where persisting measured
+    // SLOWER and was left out)
+    val lines = graft.ops.Dedup.tracked(Tables.documents(s, dir)
       .select($"doc_id", posexplode(split($"text", "\\. ")).as(Seq("pos", "line")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val counts = lines.groupBy($"line")
       .agg(countDistinct($"doc_id").as("n_docs"))
     // the per-sentence counts are corpus-sized — pin a sort-merge join
@@ -395,6 +402,8 @@ object Text {
     val docs = Tables.documents(s, dir)
       .select($"doc_id", split($"text", " ").as("toks"))
       .filter(size($"toks") >= 8)
+    // the gram table feeds both join sides; measured NOT worth
+    // persisting (probe: 1.9 s unpersisted vs 2.3 s persisted, 3 reps)
     val grams = docs.select($"doc_id", explode(
         transform(sequence(lit(0), size($"toks") - 8),
           i => concat_ws(" ", slice($"toks", i + 1, lit(8))))).as("g"))
@@ -418,18 +427,31 @@ object Text {
     */
   def gopherRepetition(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir)
-    val lineStats = docs
-      .select($"doc_id", explode(split($"text", "\\. ")).as("line"))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_lines"),
-        countDistinct($"line").as("n_uniq_lines"))
-    val wordStats = docs
-      .select($"doc_id", explode(split($"text", " ")).as("w"))
-      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("cnt"))
-      .groupBy($"doc_id")
-      .agg(max($"cnt").as("top_cnt"), sum($"cnt").as("n_words"))
-    lineStats.join(wordStats, "doc_id")
+    // Every statistic is a function of ONE document, so nothing needs
+    // an explode + groupBy round trip: line counts come from the split
+    // array directly, and the top word count equals the longest equal
+    // run in the SORTED token array (max multiset count ⟺ max run
+    // length) — one codegen'd fold per row. The former two
+    // explode→aggregate passes + join (three exchanges) reduce to a
+    // map-only scan + the output sort (guide §2.4: remove shuffles
+    // outright). Values are identical: counts are the same integers,
+    // and the two ratios divide the same integers in the same order.
+    val lines = split($"text", "\\. ")
+    val toks = split($"text", " ")
+    Tables.documents(s, dir)
+      .filter($"text".isNotNull)
+      .select($"doc_id",
+        size(lines).cast("long").as("n_lines"),
+        size(array_distinct(lines)).cast("long").as("n_uniq_lines"),
+        size(toks).cast("long").as("n_words"),
+        expr("""aggregate(
+            array_sort(split(text, ' ')),
+            named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+            (a, x) -> named_struct(
+              'prev', x,
+              'run', IF(x <=> a.prev, a.run + 1L, 1L),
+              'best', GREATEST(a.best, IF(x <=> a.prev, a.run + 1L, 1L))),
+            a -> a.best)""").as("top_cnt"))
       .select($"doc_id", $"n_lines",
         (($"n_lines" - $"n_uniq_lines").cast("double") / $"n_lines")
           .as("dup_line_frac"),
@@ -473,6 +495,10 @@ object Text {
     // dl rides along the explode (first() per doc-term group), so no
     // doc-keyed self-join of two corpus-derived tables is needed — the
     // only shuffles are the (doc,term) partial-agg and two broadcasts
+    // tf feeds two consumers; measured NOT worth persisting (probe:
+    // 0.9 s unpersisted vs 1.5 s persisted, 3 reps — the recomputed df
+    // branch prunes to the term column, cheaper than a cache round
+    // trip of the full aggregate)
     val tf = docs
       .select($"doc_id", size(split($"text", " ")).cast("long").as("dl0"),
         explode(split($"text", " ")).as("term"))
@@ -570,6 +596,11 @@ object Text {
     import s.implicits._
     val docs = maxDocs.foldLeft(Tables.documents(s, dir))(
       (d, cap) => d.filter($"doc_id" < cap))
+    // tf feeds three consumers; measured NOT worth persisting (probe:
+    // 1.3 s unpersisted vs 2.2 s persisted, 3 reps) — each recompute is
+    // column-pruned to what its consumer needs (n reads doc_id only,
+    // df reads token only), which beats materializing the full
+    // aggregate into cache once
     val tf = docs
       .select($"doc_id", explode(split($"text", " ")).as("token"))
       .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
@@ -934,6 +965,10 @@ object Text {
     */
   def bigramNll(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // bg feeds the LM build and the score-back join; measured NOT
+    // worth persisting (bench-neutral, and the LM branch's recompute
+    // prunes doc_id away — the same per-consumer-pruning win that made
+    // persisting tfidf/bm25/pmi slower)
     val bg = Tables.documents(s, dir)
       .select($"doc_id", split($"text", " ").as("a"))
       .where(size($"a") >= 2)
@@ -967,6 +1002,10 @@ object Text {
     */
   def cooccurPmi(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // dt/df_/vt are multi-referenced but measured NOT worth persisting
+    // (probe: 2.0 s unpersisted vs 2.7 s persisted, 3 reps) — each
+    // recompute is column-pruned to its consumer's needs, which beats
+    // materializing the full tables into cache
     val dt = Tables.documents(s, dir)
       .select($"doc_id", explode(split($"text", " ")).as("token")).distinct()
     val df_ = dt.groupBy($"token").agg(count(lit(1)).as("df")).where($"df" >= 25)
@@ -1003,8 +1042,13 @@ object Text {
     */
   def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tok = Tables.documents(s, dir)
+    // the token stream feeds both per-doc counts and first-appearance
+    // vocabulary — persist so the split+explode scan runs once (probe,
+    // 3 alternating reps: 1.2 s persisted vs 1.6 s not; both consumers
+    // read both columns, so no pruning is lost by caching)
+    val tok = graft.ops.Dedup.tracked(Tables.documents(s, dir)
       .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cnt = tok.groupBy($"doc_id").agg(count(lit(1)).as("n_tok"))
     val newc = tok.groupBy($"token").agg(min($"doc_id").as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n_new"))
