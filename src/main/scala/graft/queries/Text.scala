@@ -43,9 +43,16 @@ object Text {
     */
   def qualityLearned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // projected-count form of qualityScore — identical values, small
+    // analyzed tree (see TextAnalysis.markerCountFromTokens scaladoc)
     val docs = Tables.documents(s, dir)
-      .select($"doc_id", TA.wsTokenCount($"text").as("x"),
-        round(TA.qualityScore($"text", $"n_chars") * lit(1e6))
+      .withColumn("__toks", TA.tokens($"text"))
+      .withColumn("__ntok", TA.wsTokenCount($"text"))
+      .select($"doc_id", $"__ntok".as("x"),
+        round(TA.qualityFromCounts($"__ntok",
+          TA.markerCountFromTokens($"__toks", TA.QualityStopwords),
+          TA.punctCount($"text"), TA.upperCount($"text"), $"n_chars")
+          * lit(1e6))
           .cast("long").as("y"))
     val stats = docs.agg(
       count(lit(1)).as("n"),
@@ -68,18 +75,34 @@ object Text {
 
   def quality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // projected-count form of qualityScore — identical values, small
+    // analyzed tree (see TextAnalysis.markerCountFromTokens scaladoc)
     Tables.documents(s, dir)
-      .select($"doc_id", TA.wsTokenCount($"text").as("ws_tokens"),
-        TA.qualityScore($"text", $"n_chars").as("quality"))
+      .withColumn("__toks", TA.tokens($"text"))
+      .withColumn("__ntok", TA.wsTokenCount($"text"))
+      .select($"doc_id", $"__ntok".as("ws_tokens"),
+        TA.qualityFromCounts($"__ntok",
+          TA.markerCountFromTokens($"__toks", TA.QualityStopwords),
+          TA.punctCount($"text"), TA.upperCount($"text"), $"n_chars")
+          .as("quality"))
       .orderBy($"doc_id")
   }
 
   def langid(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val scores = TA.langScores($"text")
-    Tables.documents(s, dir)
-      .select(Seq($"doc_id", $"lang", TA.langPredict($"text").as("pred")) ++
-        scores.map { case (l, c) => c.as(s"s_$l") }: _*)
+    // per-language scores PROJECTED once and the argmax assembled from
+    // the columns — identical values to the inline langPredict, but
+    // the marker counts evaluate once per row and the analyzed tree
+    // stays small (see TextAnalysis.markerCountFromTokens scaladoc)
+    val scored = TA.LangMarkers.foldLeft(
+        Tables.documents(s, dir).withColumn("__toks", TA.tokens($"text"))) {
+      case (d, (l, ws)) =>
+        d.withColumn(s"s_$l", TA.markerCountFromTokens($"__toks", ws))
+    }
+    scored.select(Seq($"doc_id", $"lang",
+        TA.langPredictFromScores(
+          TA.LangMarkers.map { case (l, _) => l -> col(s"s_$l") }).as("pred")) ++
+        TA.LangMarkers.map { case (l, _) => col(s"s_$l") }: _*)
       .orderBy($"doc_id")
   }
 
