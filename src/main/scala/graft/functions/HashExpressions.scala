@@ -323,6 +323,65 @@ case class HashBucketCounts(child: Expression, numBuckets: Int)
     copy(child = newChild)
 }
 
+/** xxhash64 of EVERY w-char sliding window of a string, in one pass —
+  * the stride-1 gram hasher of the exact-substring dedup tiers.
+  * Element i is BIT-IDENTICAL to `xxhash64(substring(text, i+1, w))`
+  * (Spark's xxhash64 hashes the UTF-8 bytes with seed 42; substring
+  * slices at char boundaries), but where the expression-tree form pays
+  * O(i) char scanning per position (UTF8String.substringSQL walks from
+  * the string start) plus a string + struct allocation per gram, this
+  * walks the char starts ONCE and hashes each byte window in place —
+  * O(len·w) total, zero per-gram allocation. Pair with `posexplode`
+  * for (position, hash) rows. Strings shorter than w yield an empty
+  * array (callers filter `length >= w` anyway).
+  */
+case class CharGramXxHashes(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  require(w >= 1, "window must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val nBytes = s.numBytes
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    // one forward pass collects char start offsets
+    var nChars = 0
+    var b = 0
+    val starts = new Array[Int](nBytes + 1)
+    while (b < nBytes) {
+      starts(nChars) = b
+      b += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + b))
+      nChars += 1
+    }
+    starts(nChars) = nBytes
+    val m = nChars - w + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val s0 = starts(i)
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + s0, starts(i + w) - s0, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("chargram", this, classOf[CharGramXxHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   /** Column API for [[MinHashSignature]]; input: array<long> of 31-bit
     * positive shingle hashes.
@@ -351,4 +410,8 @@ object HashFunctions {
   def linear_minhash(hashes: Column, as: Array[Long], bs: Array[Long],
       prime: Long): Column =
     Bridge.column(LinearMinHash(Bridge.expression(hashes), as, bs, prime))
+
+  /** Column API for [[CharGramXxHashes]]; input: string. */
+  def char_gram_hashes(text: Column, w: Int): Column =
+    Bridge.column(CharGramXxHashes(Bridge.expression(text), w))
 }

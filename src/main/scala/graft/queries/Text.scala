@@ -791,13 +791,15 @@ object Text {
     // only has to agree on DUPLICATE SETS, which any collision-free
     // hashing does (xxhash64 collision odds over |corpus| grams are
     // ~1e-6 at 5M grams — the md5 string would shuffle 4× the bytes
-    // for the same answer)
+    // for the same answer). Gram generation is ONE native pass
+    // (CharGramXxHashes — bit-identical values to the former
+    // xxhash64(substring) transform, which paid O(position) char
+    // scanning plus a string+struct allocation per gram and was the
+    // measured majority of this query: 1.8 s of 3.0 s at sf0.1);
+    // posexplode supplies the positions the struct used to carry.
     val hashed = docs.where(length($"text") >= w).select($"doc_id",
-      explode(expr(
-        s"transform(sequence(0, length(text) - $w), " +
-          s"i -> named_struct('s', i, 'h', xxhash64(substring(text, i + 1, $w))))"))
-        .as("g"))
-      .select($"doc_id", $"g.s".as("s"), $"g.h".as("h"))
+      posexplode(graft.functions.HashFunctions.char_gram_hashes($"text", w))
+        .as(Seq("s", "h")))
     // duplicated gram (≥2 distinct docs) ⟺ min(doc) ≠ max(doc) over
     // the h partition: ONE shuffle of the gram stream, one gram
     // generation, and no data-dependent duplicated-set join the
@@ -897,12 +899,12 @@ object Text {
     import org.apache.spark.sql.expressions.Window
     val w = 40
     val docs = docs0.select($"doc_id", $"text")
+    // one-pass native gram hashing — see exactDupSpansOn (bit-identical
+    // hash values, O(position)-substring scan and per-gram allocations
+    // removed)
     val hashed = docs.where(length($"text") >= w).select($"doc_id",
-      explode(expr(
-        s"transform(sequence(0, length(text) - $w), " +
-          s"i -> named_struct('s', i, 'h', xxhash64(substring(text, i + 1, $w))))"))
-        .as("sp"))
-      .select($"doc_id", $"sp.s".as("s"), $"sp.h".as("h"))
+      posexplode(graft.functions.HashFunctions.char_gram_hashes($"text", w))
+        .as(Seq("s", "h")))
     // duplicated window (≥2 distinct docs) ⟺ min(doc) ≠ max(doc) over
     // the h partition — no duplicated-set join to mis-broadcast at
     // corpus scale (see dupSpansOn), one shuffle, one hash generation

@@ -47,6 +47,32 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(dd == dexact, s"$dd vs $dexact")
   }
 
+  test("char_gram_hashes is bit-identical to xxhash64(substring) at every position") {
+    import spark.implicits._
+    import graft.functions.HashFunctions
+    // multibyte chars included: the native pass must slice at CHAR
+    // boundaries exactly like substring() does, not at byte offsets
+    val rows = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "ab",                       // shorter than the window → empty
+      "abcd",                     // exactly the window
+      "héllo wörld — naïve façade ünïcödé padding here",
+      "日本語のテキストでもバイト境界が正しいこと確認する文")
+    val w = 4
+    val df = rows.toDF("text")
+    val got = df.select(HashFunctions.char_gram_hashes($"text", w).as("a"))
+      .collect().map(_.getSeq[Long](0))
+    val want = df.select(org.apache.spark.sql.functions.expr(
+        s"CASE WHEN length(text) >= $w THEN transform(" +
+          s"sequence(0, length(text) - $w), " +
+          s"i -> xxhash64(substring(text, i + 1, $w))) " +
+          "ELSE array() END").as("a"))
+      .collect().map(_.getSeq[Long](0))
+    got.zip(want).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g == e, s"row $i: $g vs $e")
+    }
+  }
+
   test("sql functions agree with the column API") {
     GraftExtensions.registerFunctions(spark)
     Tables.documents(spark, sf).createOrReplaceTempView("docs_v2")
