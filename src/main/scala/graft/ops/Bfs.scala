@@ -33,21 +33,31 @@ object Bfs {
     * The visited set is a union of per-round checkpoints — linear
     * lineage, never re-materialized whole.
     *
-    * Round batching: each materialization round expands TWO levels —
-    * level d from the counted frontier, level d+1 from level d's plan
+    * Round batching: each materialization round expands AS MANY levels
+    * as the provable frontier bound allows — level d from the counted
+    * frontier, each further level from the previous level's plan
     * fragment inside the same job (its dedup exchange is written once
-    * and reused by its three consumers) — then checkpoints and counts
-    * once. Halves the per-round checkpoint + count + planning
-    * overhead that dominates an iterative operator at bench SF while
-    * leaving the per-level plan shape (broadcast expansion over the
-    * never-shuffled adjacency) unchanged. The second level's frontier
-    * size is unknown mid-job, so its broadcast is gated by a PROVABLE
-    * bound, not a growth guess: level d's row count is at most
-    * (level d−1 count) × maxDegree, with maxDegree computed exactly
-    * ONCE from the persisted adjacency. A hub vertex raises maxDegree
-    * and simply disables batching — the round falls back to
-    * single-level steps with exact counts, never a blind broadcast
-    * that could blow the driver on a super-hub expansion.
+    * and reused by its consumers) — then checkpoints and counts once.
+    * The per-round checkpoint + count + planning overhead dominates an
+    * iterative operator at bench SF, so fewer materialization rounds
+    * is the lever; the per-level plan shape (broadcast expansion over
+    * the never-shuffled adjacency) is unchanged. A mid-batch level's
+    * frontier size is unknown when the job is planned, so its
+    * broadcast is gated by a PROVABLE bound, not a growth guess:
+    * level d's row count is at most (level d−1 bound) × maxDegree,
+    * with maxDegree computed exactly ONCE from the persisted
+    * adjacency. A hub vertex raises maxDegree and simply shortens the
+    * batch — the round falls back toward single-level steps with
+    * exact counts, never a blind broadcast that could blow the driver
+    * on a super-hub expansion.
+    *
+    * The visited-set anti-join broadcasts too while the EXACT visited
+    * row count (maintained from each round's materialized count) fits
+    * the same cap — without the hint the checkpointed visited table
+    * has no stats, Catalyst assumes it enormous, and every level pays
+    * a full sort-merge anti-join (two exchanges + sorts) against a
+    * table that local mode knows is tiny. Past the cap it falls back
+    * to the shuffled anti-join, the correct shape for a 100 TB graph.
     */
   def levels(edges: DataFrame, aCol: String, bCol: String, source: Long,
       maxDepth: Int, broadcastFrontierMax: Long = 4L << 20): DataFrame =
@@ -85,20 +95,28 @@ object Bfs {
       .union(edges.select(col(bCol).as("u"), col(aCol).as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    var visitedCount = 1L
     def expand(frontier: DataFrame, bcast: Boolean, visited: DataFrame,
         lvl: Long): DataFrame = {
-      // fresh attribute for the frontier key: the batched second level
+      // fresh attribute for the frontier key: a batched deeper level
       // feeds a fragment of `und` itself back in, and an unrenamed
       // column would make the frontier⋈adjacency join self-ambiguous
       val f0 = frontier.select($"node".as("__bfs_f"))
       val f = if (bcast) broadcast(f0) else f0
+      // broadcast the visited side of the anti-join while its EXACT
+      // row count (from the rounds' materialized counts) fits the cap
+      // — the checkpointed table has no stats, so without the hint
+      // every level pays a sort-merge anti-join against a table local
+      // mode knows is tiny
+      val vis = if (visitedCount <= broadcastFrontierMax) broadcast(visited)
+                else visited
       // name-based references: the left side exposes only __bfs_f, so
       // u/v resolve to the adjacency unambiguously (und(...) dataset
       // references would trip the self-join detector here)
       f.join(und, $"__bfs_f" === $"u")
         .select($"v".as("node"))
         .dropDuplicates("node")
-        .join(visited, Seq("node"), "left_anti")
+        .join(vis, Seq("node"), "left_anti")
         .select($"node", lit(lvl).as("lvl"))
     }
 
@@ -107,9 +125,9 @@ object Bfs {
     var frontierSize = 1L
     var depth = 0
     val dbg = sys.env.contains("GRAFT_BFS_DEBUG")
-    // exact one-time degree bound for the batched level's broadcast:
-    // |level d| ≤ |level d−1| × maxDeg, so broadcasting level d's
-    // frontier mid-job is safe iff frontierSize × maxDeg fits the cap.
+    // exact one-time degree bound for the batched levels' broadcasts:
+    // |level d| ≤ |level d−1 bound| × maxDeg, so broadcasting level
+    // d's frontier mid-job is safe iff the running bound fits the cap.
     // Evaluated lazily (only if a round qualifies for batching) over
     // the already-persisted adjacency — one tiny aggregate, once.
     lazy val maxDeg: Long = {
@@ -122,20 +140,37 @@ object Bfs {
       depth += 1
       val bc = frontierSize <= broadcastFrontierMax
       val lvl1 = expand(frontier, bc, visited, depth.toLong)
+      // batch further levels into the SAME materialization while the
+      // provable bound keeps every mid-batch frontier broadcastable:
+      // bound(level d+k) = frontierSize × maxDeg^k, never a guess.
+      // Each batched level excludes visited (inside expand) plus the
+      // union of the batch's earlier levels via one anti-join.
+      // Batch at most ONE extra level into the same materialization
+      // (two per round): each batched level references the previous
+      // level's un-materialized fragment ~3× (frontier, exclusion,
+      // union), so fragment re-execution grows 3^k with batch depth —
+      // a 4-level batch was probed at 9–27 s/round vs ~2.5 s for the
+      // 2-level round it replaced (r15 probe; ReuseExchange does not
+      // recover a fragment referenced through a broadcast). Two levels
+      // is the measured optimum. The second level's frontier size is
+      // unknown mid-job, so its broadcast is gated by the PROVABLE
+      // bound frontierSize × maxDeg, never a growth guess.
       val pair = depth < maxDepth && bc &&
         frontierSize <= broadcastFrontierMax / maxDeg
       val next =
-        if (!pair) lvl1.localCheckpoint(eagerCkpt)
+        (if (!pair) lvl1
         else {
           depth += 1
           // level d+1 from level d's fragment: the exclusion set is
-          // visited ∪ lvl1 (nodes at distance ≤ d); lvl1's dedup
-          // exchange serves all three references via ReuseExchange
+          // visited ∪ lvl1 (nodes at distance ≤ d); lvl1 stays
+          // UN-hinted here so its dedup exchange serves all three
+          // references via ReuseExchange (a broadcast hint would
+          // re-execute the fragment per reference — probed slower)
           val f1 = lvl1.select($"node")
           val lvl2 = expand(f1, bcast = true, visited, depth.toLong)
             .join(f1, Seq("node"), "left_anti")
-          lvl1.unionAll(lvl2).localCheckpoint(eagerCkpt)
-        }
+          lvl1.unionAll(lvl2)
+        }).localCheckpoint(eagerCkpt)
       // one tiny job: the count action below materializes the (lazy)
       // checkpoint blocks AND folds total rows + the deepest level's
       // rows (the next frontier) together — later references replay
@@ -146,6 +181,7 @@ object Bfs {
         (r.getLong(0), r.getLong(1))
       }
       if (total > 0) visited = visited.unionAll(next)
+      visitedCount += total
       frontier = next.filter($"lvl" === depth.toLong).select($"node")
       frontierSize = lastCount
       if (dbg) println(f"[bfs] depth=$depth total=$total last=$lastCount " +

@@ -31,34 +31,53 @@ object Components {
     * @param pairs two-column DataFrame of undirected edges
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 20,
+      broadcastLabelsMax: Long = 4L << 20): DataFrame = {
     // no distinct: min() tolerates duplicate edges, and the dedup
-    // shuffle would cost more than the duplicates do
+    // shuffle would cost more than the duplicates do. Partitioned by
+    // `dst` BEFORE the persist: every round's propagation join keys on
+    // dst, and the cached partitioning satisfies the join's required
+    // distribution — one exchange of the edge list at build time
+    // instead of one per round (guide §2.4; matters on the shuffled
+    // fallback path below — the broadcast path never shuffles edges).
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Labels start as self. Each round MUST truncate lineage (eager
-    // localCheckpoint): the round's plan references the previous
-    // round's several times, so without truncation the logical plan
-    // grows ~3^rounds and analysis alone kills the driver — the
-    // standard iterative-DataFrame failure mode (GraphX/GraphFrames
-    // checkpoint for the same reason). Blocks are freed by the
-    // context cleaner when the previous round's DF goes out of scope.
+    // Labels start as self. Each round MUST truncate lineage (lazy
+    // localCheckpoint materialized by the convergence count): the
+    // round's plan references the previous round's several times, so
+    // without truncation the logical plan grows ~3^rounds and analysis
+    // alone kills the driver — the standard iterative-DataFrame
+    // failure mode (GraphX/GraphFrames checkpoint for the same
+    // reason). Blocks are freed by the context cleaner when the
+    // previous round's DF goes out of scope.
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
       .localCheckpoint(true)
+    // exact vertex count, once (the label table's cardinality is
+    // CONSTANT across rounds): while it fits the cap, both per-round
+    // label joins broadcast — the checkpointed label table has no
+    // stats, so without the hint every round pays two sort-merge
+    // joins' worth of exchanges against a table whose size is known.
+    // Past the cap the rounds fall back to shuffled joins over the
+    // pre-partitioned edge cache, the correct 100 TB shape.
+    val nVertices = labels.count()
+    val bcastLabels = nVertices <= broadcastLabelsMax
 
     // one min-label propagation step: (v, label) → (v, next_label,
     // changed) — the changed flag rides inside the output so
     // convergence is a filter-count on the checkpointed table, not an
     // extra join
     def step(lbl: DataFrame): DataFrame = {
+      val lblDst = lbl.withColumnRenamed("v", "dst")
+        .withColumnRenamed("label", "dst_label")
       val nbrMin = edges
-        .join(lbl.withColumnRenamed("v", "dst")
-          .withColumnRenamed("label", "dst_label"), Seq("dst"))
+        .join(if (bcastLabels) broadcast(lblDst) else lblDst, Seq("dst"))
         .groupBy(col("src").as("v"))
         .agg(min(col("dst_label")).as("nbr_label"))
-      lbl.join(nbrMin, Seq("v"), "left")
+      lbl.join(if (bcastLabels) broadcast(nbrMin) else nbrMin,
+          Seq("v"), "left")
         .select(col("v"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("next_label"),
@@ -67,7 +86,9 @@ object Components {
     }
     var round = 0
     var converged = false
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
     while (!converged && round < maxRounds) {
+      val t0 = System.nanoTime()
       // ONE step per action. (A two-steps-per-action batch was A/B
       // probed and is SLOWER — 3.6 s vs 2.5 s on the dedup_clusters
       // pair set — the doubled per-action plan plus the extra no-op
@@ -80,6 +101,8 @@ object Components {
       labels = next.select(col("v"), col("next_label").as("label"))
       converged = changed == 0
       round += 1
+      if (dbg) println(f"[cc] round=$round changed=$changed " +
+        f"took ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     edges.unpersist(false)
     if (!converged)

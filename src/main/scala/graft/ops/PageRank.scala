@@ -37,7 +37,8 @@ object PageRank {
     *
     * @param edges DataFrame with `src` and `dst` columns (directed)
     */
-  def run(edges: DataFrame, iters: Int): DataFrame = {
+  def run(edges: DataFrame, iters: Int,
+      broadcastRanksMax: Long = 4L << 20): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
@@ -46,6 +47,13 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // bounded model state: one scalar
     require(n > 0, "PageRank needs a non-empty graph")
+    // rank/inflow tables carry exactly ≤ n rows every iteration — n is
+    // already counted exactly, so while it fits the cap both per-round
+    // joins broadcast the node-scale side and the persisted edge table
+    // never shuffles (without the hint the checkpointed rank table has
+    // no stats and every iteration pays sort-merge exchanges over the
+    // edge list). Past the cap: shuffled joins, the 100 TB shape.
+    val bcastRanks = n <= broadcastRanksMax
     val outdeg = e.groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg"))
     // static per-edge side: (dst, src, outdeg) — computed once, cached
@@ -66,13 +74,15 @@ object PageRank {
     // result bit-identical regardless of checkpoint placement.
     var pr = nodes.withColumn("pr", lit(Scale / n))
     for (i <- 1 to iters) {
+      val prSrc = pr.withColumnRenamed("node", "src")
       val inflow = eo
-        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .join(if (bcastRanks) broadcast(prSrc) else prSrc, Seq("src"))
         .select(col("dst").as("node"),
           expr("pr div outdeg").as("contrib"))
         .groupBy(col("node"))
         .agg(sum(col("contrib")).as("inflow"))
-      pr = nodes.join(inflow, Seq("node"), "left")
+      pr = nodes.join(if (bcastRanks) broadcast(inflow) else inflow,
+          Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr("coalesce(inflow, 0L) * 85 div 100"))
             .as("pr"))
