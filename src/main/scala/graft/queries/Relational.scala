@@ -222,15 +222,35 @@ object Relational {
       .orderBy($"c_nationkey".asc_nulls_first, $"c_mktsegment".asc_nulls_first)
   }
 
-  /** Exact + approximate distinct aggregation over the fact table. */
+  /** Exact + approximate distinct aggregation over the fact table.
+    *
+    * Shape: one single-distinct aggregate per distinct column, joined
+    * on the group key, instead of the multi-distinct form. TWO
+    * countDistincts in one aggregate force an Expand — every fact row
+    * replicated once per distinct set (×3 with the plain count)
+    * through the first exchange — while each single-distinct aggregate
+    * plans as a plain two-phase aggregate over a 2-column scan whose
+    * map-side partial dedups before the shuffle (guide §2.3/§6; the
+    * r15 Expand purge, same values row for row). The joins after
+    * aggregation carry ≤ |distinct flags| rows; null-safe equality
+    * keeps a hypothetical NULL group exactly as the multi-distinct
+    * form would.
+    */
   def qDistinctAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, dir)
-      .groupBy($"l_returnflag")
-      .agg(
-        countDistinct($"l_orderkey").as("n_orders"),
-        countDistinct($"l_partkey").as("n_parts"),
-        count(lit(1)).as("n_rows"))
+    val li = Tables.lineitem(s, dir)
+    val dOrders = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("n_orders"))
+    val dParts = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("n_parts"))
+      .withColumnRenamed("l_returnflag", "__rf_p")
+    val nRows = li.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumnRenamed("l_returnflag", "__rf_n")
+    dOrders
+      .join(dParts, $"l_returnflag" <=> $"__rf_p")
+      .join(nRows, $"l_returnflag" <=> $"__rf_n")
+      .select($"l_returnflag", $"n_orders", $"n_parts", $"n_rows")
       .orderBy($"l_returnflag")
   }
 
@@ -1001,17 +1021,31 @@ object Relational {
     */
   def qProfile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, dir).agg(
+    // THREE countDistincts in one aggregate force an Expand: every
+    // fact row is replicated ×4 (one replica per distinct set + one
+    // for the plain aggregates) through the first exchange, keyed on
+    // the 3-column distinct tuple. Split instead into one plain
+    // single-pass aggregate plus one single-distinct aggregate per
+    // column: each plans Expand-free over a scan pruned to its one
+    // column, with map-side partial dedup before the shuffle (guide
+    // §2.3/§6; r15 Expand purge). The cross joins combine four 1-row
+    // results — same values, same schema, same order.
+    val li = Tables.lineitem(s, dir)
+    val base = li.agg(
       count(lit(1)).as("n_rows"),
-      countDistinct($"l_orderkey").as("n_orders"),
-      countDistinct($"l_partkey").as("n_parts"),
-      countDistinct($"l_suppkey").as("n_suppliers"),
       sum(when($"l_returnflag".isNull, 1L).otherwise(0L)).as("n_null_flag"),
       min($"l_quantity").as("min_qty"),
       max($"l_quantity").as("max_qty"),
       (dsum($"l_quantity") / count(lit(1))).as("avg_qty"),
       min($"l_shipdate").cast("date").as("min_shipdate"),
       max($"l_shipdate").cast("date").as("max_shipdate"))
+    base
+      .crossJoin(li.agg(countDistinct($"l_orderkey").as("n_orders")))
+      .crossJoin(li.agg(countDistinct($"l_partkey").as("n_parts")))
+      .crossJoin(li.agg(countDistinct($"l_suppkey").as("n_suppliers")))
+      .select($"n_rows", $"n_orders", $"n_parts", $"n_suppliers",
+        $"n_null_flag", $"min_qty", $"max_qty", $"avg_qty",
+        $"min_shipdate", $"max_shipdate")
   }
 
   /** Navigation windows: first/last/nth order value per customer over
