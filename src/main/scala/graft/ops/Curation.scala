@@ -46,10 +46,20 @@ object Curation {
     // LogicalRDD instead of re-ANALYZING the annotate+filter+window
     // tree per consumer (driver-side planning was a visible slice of
     // the pipeline's wall time; same trade as RunningSum.twoLevel —
-    // recompute-on-failure given up, blocks free on GC)
+    // recompute-on-failure given up, blocks free on GC).
+    // The checkpoint CARRIES the annotate stage's token array (TokCol):
+    // the LSH signature and Jaccard-verify stages consume it instead
+    // of each re-running the regex normalize+split over the survivors
+    // (guide §2.4 — bigger blocks traded for two fewer full tokenize
+    // passes; values identical, it is the same expression un-recomputed)
     val exact = Dedup.truncated(exactPlan)
-    nearDedup(exact, textCol, idCol, jaccard, lshThreshold)
+    nearDedup(exact, textCol, idCol, jaccard, lshThreshold,
+      toksCol = Some(TokCol)).drop(TokCol)
   }
+
+  /** Internal token-array column textStages projects once and the
+    * dedup stages reuse (annotate already tokenizes every doc). */
+  private val TokCol = "__toks"
 
   /** LEARNED quality filter, general tier (the DCLM/fastText-style
     * classifier a curation pipeline trains on "good corpus vs crawl"
@@ -164,13 +174,15 @@ object Curation {
     // ~1.2 s of driver-side planning per execution at ANY data size
     // (ProbeAnnotate: 1.3 s at 5k docs vs 1.8 s at 50k). Values are
     // bit-identical — the same folds over the same counts.
-    val toks = "__ta_toks"
+    val toks = TokCol
     val scoreCol = (l: String) => s"__ta_s_$l"
     val scored = TextAnalysis.LangMarkers.foldLeft(
         docs.withColumn(toks, TextAnalysis.tokens(col(textCol)))) {
       case (d, (l, ws)) => d.withColumn(scoreCol(l),
         TextAnalysis.markerCountFromTokens(col(toks), ws))
     }
+    // the token array SURVIVES into the output (dropped by callers
+    // after the dedup stages consume it — see [[curate]]/[[TokCol]])
     val annotated = scored
       .withColumn("__ta_ntok", TextAnalysis.wsTokenCount(col(textCol)))
       .withColumn("__ta_stop", TextAnalysis.markerCountFromTokens(
@@ -183,7 +195,7 @@ object Curation {
         TextAnalysis.upperCount(col(textCol)),
         length(col(textCol)).cast("long")))
       .withColumn("n_tokens", col("__ta_ntok"))
-      .drop((Seq(toks, "__ta_ntok", "__ta_stop") ++
+      .drop((Seq("__ta_ntok", "__ta_stop") ++
         TextAnalysis.LangMarkers.map(m => scoreCol(m._1))): _*)
     val filtered = annotated
       .filter(col("lang_pred").isin(langs: _*) && col("quality") >= minQuality)
@@ -194,10 +206,12 @@ object Curation {
     * larger id of every verified pair (survivors never appear as id_b).
     */
   private def nearDedup(exact: DataFrame, textCol: String, idCol: String,
-      jaccard: Double, lshThreshold: Double): DataFrame = {
+      jaccard: Double, lshThreshold: Double,
+      toksCol: Option[String] = None): DataFrame = {
     val cands = Dedup.minhashPairs(exact, textCol, idCol,
-      threshold = lshThreshold)
-    val verified = Dedup.ngramJaccard(exact, cands, textCol, idCol)
+      threshold = lshThreshold, toksCol = toksCol)
+    val verified = Dedup.ngramJaccard(exact, cands, textCol, idCol,
+        toksCol = toksCol)
       .filter(col("jaccard") >= jaccard)
     val losers = verified.select(col("id_b").as(idCol)).distinct()
     exact.join(losers, Seq(idCol), "left_anti")
@@ -304,7 +318,8 @@ object Curation {
     // re-running the annotate/filter scans per consumer
     val exact = exactPlan.persist(StorageLevel.MEMORY_AND_DISK)
     try CurationReport(docs.count(), filtered.count(), exact.count(),
-      nearDedup(exact, textCol, idCol, jaccard, lshThreshold).count())
+      nearDedup(exact, textCol, idCol, jaccard, lshThreshold,
+        toksCol = Some(TokCol)).count())
     finally { exact.unpersist(false); () }
   }
 }

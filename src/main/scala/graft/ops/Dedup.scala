@@ -83,11 +83,20 @@ object Dedup {
     * intermediate is projected to its own column so Catalyst keeps it
     * materialized once per row (multi-referenced aliases don't
     * collapse).
+    *
+    * `toksCol`: name of an already-projected token-array column
+    * (`TextAnalysis.tokens(textCol)` values) — a composed pipeline
+    * that tokenized upstream (curate's annotate stage) passes it so
+    * the regex normalize+split doesn't run a second full-corpus pass
+    * here (guide §2.4 shared-subtree reuse; identical values by
+    * construction).
     */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
-      nGram: Int = 3, numPerm: Int = 64, seed: Long = 7L): DataFrame = {
+      nGram: Int = 3, numPerm: Int = 64, seed: Long = 7L,
+      toksCol: Option[String] = None): DataFrame = {
     docs
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), toksCol.map(col)
+        .getOrElse(TextAnalysis.tokens(col(textCol))).as("__toks"))
       // distinct 31-bit shingle hashes, no string materialization
       .select(col(idCol),
         graft.functions.HashFunctions.ngram_hashes(col("__toks"), nGram,
@@ -104,7 +113,8 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, textCol: String, idCol: String,
       nGram: Int = 3, numPerm: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5, seed: Long = 7L): DataFrame = {
+      threshold: Double = 0.5, seed: Long = 7L,
+      toksCol: Option[String] = None): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val rowsPerBand = numPerm / bands
     // The signature table feeds both sides of the bucket self-join (and
@@ -112,7 +122,7 @@ object Dedup {
     // full shingle→hash→64-min-agg subtree once per reference — the
     // standard LSH pattern (cf. Spark MLlib LSH) is to materialize it.
     val sigs = tracked(
-      minhashSignatures(docs, textCol, idCol, nGram, numPerm, seed)
+      minhashSignatures(docs, textCol, idCol, nGram, numPerm, seed, toksCol)
         .persist(StorageLevel.MEMORY_AND_DISK))
 
     val bandKeys = (0 until bands).map { b =>
@@ -312,7 +322,8 @@ object Dedup {
     * per-pair recomputation of full sets.
     */
   def ngramJaccard(docs: DataFrame, candidates: DataFrame, textCol: String,
-      idCol: String, nGram: Int = 3): DataFrame = {
+      idCol: String, nGram: Int = 3,
+      toksCol: Option[String] = None): DataFrame = {
     val cand = tracked(candidates.persist(StorageLevel.MEMORY_AND_DISK))
     // Only docs that appear in some candidate pair need shingles: the
     // candidate set is a near-dup fraction of the corpus, so pruning
@@ -327,7 +338,8 @@ object Dedup {
     // re-executes once per reference
     val sh = tracked(docs
       .join(candIds, col(idCol) === col("__cid"), "left_semi")
-      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol).as("id"), toksCol.map(col)
+        .getOrElse(TextAnalysis.tokens(col(textCol))).as("__toks"))
       .select(col("id"),
         explode(graft.functions.HashFunctions.ngram_hashes(col("__toks"), nGram,
           mod31 = false)).as("sh"))
