@@ -340,6 +340,19 @@ case class CharGramXxHashes(child: Expression, w: Int)
 
   require(w >= 1, "window must be positive")
 
+  // internal-only expression (no SQL registration), but a typed
+  // contract still turns a mis-wired non-string child into an
+  // analysis-time error instead of a runtime ClassCastException
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"char_gram_hashes expects a string child, got $other")
+    }
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
@@ -382,6 +395,179 @@ case class CharGramXxHashes(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** DISTINCT md5-60-bit hashes of the word n-grams of a token array, in
+  * one pass — the fused form of
+  * `array_distinct(md5_long60_array(ngramsFromTokens(toks, n), mod))`.
+  * Each gram's bytes (tokens joined by a single space) are assembled
+  * into one reused buffer and digested directly: no gram STRING array
+  * is ever materialized, no per-gram slice/concat_ws allocation, one
+  * MessageDigest per row. Hash values are bit-identical to the HOF
+  * chain (same join bytes, same substring(md5,1,15) bit extraction,
+  * same mod fold); the distinct SET is identical but sorted ascending
+  * instead of first-occurrence order — every consumer (linear_minhash
+  * min fold, simhash64 votes over the distinct set) is order-
+  * insensitive, and the order-insensitivity is part of this
+  * expression's contract (spec'd in SqlFunctionsSpec).
+  * `numTok < n` mirrors ngramsFromTokens: ONE gram joining all tokens.
+  */
+case class WordGramMd5Long60(child: Expression, n: Int, mod: Long)
+    extends UnaryExpression {
+
+  require(n >= 1, "gram width must be positive")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_gram_md5_long60 expects array<string> tokens, got $other")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  def compute(arr: ArrayData): ArrayData = {
+    val numTok = arr.numElements()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // token bytes once; gram bytes assembled into one growing buffer
+    val toks = new Array[Array[Byte]](numTok)
+    var i = 0
+    while (i < numTok) { toks(i) = arr.getUTF8String(i).getBytes; i += 1 }
+    val win = math.min(n, math.max(numTok, 1))
+    val m = math.max(numTok - win + 1, 1) // numTok < n → one join-all gram
+    var buf = new Array[Byte](64)
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var len = 0
+      var j = 0
+      while (j < win && i + j < numTok) {
+        val t = toks(i + j)
+        if (len + t.length + 1 > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2,
+            len + t.length + 1))
+        if (j > 0) { buf(len) = ' '; len += 1 }
+        System.arraycopy(t, 0, buf, len, t.length)
+        len += t.length
+        j += 1
+      }
+      md.reset()
+      md.update(buf, 0, len)
+      val d = md.digest()
+      // first 15 hex chars = bytes 0..6 + high nibble of byte 7 —
+      // exactly the Md5Long60Array extraction
+      var v = 0L
+      j = 0
+      while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      v = (v << 4) | ((d(7) >> 4) & 0xfL)
+      out(i) = if (mod > 0) v % mod else v
+      i += 1
+    }
+    // distinct by value (sorted — consumers are order-insensitive)
+    java.util.Arrays.sort(out)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wgmd560", this, classOf[WordGramMd5Long60].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** md5 hex strings of every word n-gram of a token array, IN POSITION
+  * ORDER — the winnowing fingerprint gram hasher. Element i is
+  * bit-identical to `md5(concat_ws(' ', slice(toks, i + 1, n)))` (the
+  * 32-char lowercase hex rendering both engines produce) but assembled
+  * from the token bytes in one reused buffer: no per-gram slice array,
+  * no concat string, no hex-format interpretation per element. Fewer
+  * than n tokens → empty array (callers guard `size >= n`, matching
+  * the HOF form's sequence() domain).
+  */
+case class WordGramMd5Hex(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, "gram width must be positive")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_gram_md5_hex expects array<string> tokens, got $other")
+    }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  private val HexChars = "0123456789abcdef".getBytes
+
+  def compute(arr: ArrayData): ArrayData = {
+    val numTok = arr.numElements()
+    val m = numTok - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val toks = new Array[Array[Byte]](numTok)
+    var i = 0
+    while (i < numTok) { toks(i) = arr.getUTF8String(i).getBytes; i += 1 }
+    var buf = new Array[Byte](64)
+    val out = new Array[Any](m)
+    i = 0
+    while (i < m) {
+      var len = 0
+      var j = 0
+      while (j < n) {
+        val t = toks(i + j)
+        if (len + t.length + 1 > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2,
+            len + t.length + 1))
+        if (j > 0) { buf(len) = ' '; len += 1 }
+        System.arraycopy(t, 0, buf, len, t.length)
+        len += t.length
+        j += 1
+      }
+      md.reset()
+      md.update(buf, 0, len)
+      val d = md.digest()
+      val hex = new Array[Byte](32)
+      j = 0
+      while (j < 16) {
+        hex(2 * j) = HexChars((d(j) >> 4) & 0xf)
+        hex(2 * j + 1) = HexChars(d(j) & 0xf)
+        j += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromBytes(hex)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wgmd5hex", this, classOf[WordGramMd5Hex].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   /** Column API for [[MinHashSignature]]; input: array<long> of 31-bit
     * positive shingle hashes.
@@ -414,4 +600,12 @@ object HashFunctions {
   /** Column API for [[CharGramXxHashes]]; input: string. */
   def char_gram_hashes(text: Column, w: Int): Column =
     Bridge.column(CharGramXxHashes(Bridge.expression(text), w))
+
+  /** Column API for [[WordGramMd5Long60]]; input: array<string> tokens. */
+  def word_gram_md5_long60(tokens: Column, n: Int, mod: Long = 0L): Column =
+    Bridge.column(WordGramMd5Long60(Bridge.expression(tokens), n, mod))
+
+  /** Column API for [[WordGramMd5Hex]]; input: array<string> tokens. */
+  def word_gram_md5_hex(tokens: Column, n: Int): Column =
+    Bridge.column(WordGramMd5Hex(Bridge.expression(tokens), n))
 }

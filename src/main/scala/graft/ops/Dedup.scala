@@ -193,14 +193,14 @@ object Dedup {
     val sigs = tracked(docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
-        TextAnalysis.ngramsFromTokens(col("__toks"), nGram).as("__sh"))
-      .select(col(idCol),
-        // native md5→60-bit chain + one-loop linear minhash: the SAME
-        // values as the conv(substring(md5...)) / array_min(transform)
-        // HOF chain the oracle re-derives, ~an order of magnitude less
-        // per-row interpretation overhead
-        array_distinct(graft.functions.HashFunctions.md5_long60_array(
-          col("__sh"), mod = Prime)).as("__x"))
+        // fused native gram→md5→60-bit→distinct: no shingle-string
+        // array materialized at all (the transform/slice/concat_ws
+        // chain allocated one string per gram position); hash VALUES
+        // bit-identical to the conv(substring(md5...)) chain the
+        // oracle re-derives, distinct set identical (sorted — the
+        // linear_minhash min fold is order-insensitive)
+        graft.functions.HashFunctions.word_gram_md5_long60(
+          col("__toks"), nGram, mod = Prime).as("__x"))
       .select(col(idCol), {
         val as = Array.tabulate(numPerm)(i =>
           (md5Long60((2 * i).toString) % (Prime - 1)) + 1)
@@ -276,10 +276,10 @@ object Dedup {
     docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
-        TextAnalysis.ngramsFromTokens(col("__toks"), nGram).as("__sh"))
-      .select(col(idCol),
-        array_distinct(graft.functions.HashFunctions.md5_long60_array(
-          col("__sh"))).as("__h"))
+        // fused gram→md5→distinct (see minhashMd5Pairs) — simhash64's
+        // per-bit votes over the distinct set are order-insensitive
+        graft.functions.HashFunctions.word_gram_md5_long60(
+          col("__toks"), nGram).as("__h"))
       .select(col(idCol),
         graft.functions.HashFunctions.simhash64(col("__h")).as("simhash"))
   }

@@ -954,13 +954,16 @@ object Text {
   def winnowFp(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    // native one-pass gram-md5 (WordGramMd5Hex): element i is
+    // bit-identical to md5(concat_ws(' ', slice(a, i+1, 3))) but with
+    // no per-gram slice/concat/hex-format allocation; posexplode
+    // supplies the position the named_struct carried before
     val kg = Tables.documents(s, dir)
       .select($"doc_id", split($"text", " ").as("a"))
       .where(size($"a") >= 3)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(0, size(a) - 3), i -> named_struct('pos', i, " +
-          "'h', md5(concat_ws(' ', slice(a, i + 1, 3)))))")).as("kg"))
-      .select($"doc_id", $"kg.pos".as("pos"), $"kg.h".as("h"))
+      .select($"doc_id", posexplode(
+        graft.functions.HashFunctions.word_gram_md5_hex($"a", 3))
+        .as(Seq("pos", "h")))
     val win = Window.partitionBy($"doc_id").orderBy($"pos").rowsBetween(-3, 0)
     val fp = kg.withColumn("mh", min($"h").over(win)).where($"pos" >= 3)
       .select($"doc_id", $"mh").distinct()

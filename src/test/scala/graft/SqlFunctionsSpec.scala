@@ -73,6 +73,62 @@ class SqlFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("word_gram_md5_long60 equals the HOF md5 chain as a sorted distinct set") {
+    import spark.implicits._
+    import graft.functions.HashFunctions
+    val rows = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "one two",                       // fewer tokens than n → join-all gram
+      "solo",                          // single token
+      "",                              // empty string → one "" token after split
+      "dup dup dup dup dup",           // repeated grams → distinct collapses
+      "héllo wörld naïve façade ünïcödé")
+    val n = 3
+    val prime = 2147483647L
+    val df = rows.toDF("text")
+      .select(split($"text", " ").as("a"))
+    for (mod <- Seq(0L, prime)) {
+      val got = df.select(HashFunctions.word_gram_md5_long60($"a", n, mod).as("x"))
+        .collect().map(_.getSeq[Long](0))
+      val modSql = if (mod > 0) s" % ${mod}L" else ""
+      val want = df.select(expr(
+          s"array_sort(array_distinct(transform(" +
+            s"CASE WHEN size(a) < $n THEN array(concat_ws(' ', a)) " +
+            s"ELSE transform(sequence(0, size(a) - $n), " +
+            s"i -> concat_ws(' ', slice(a, i + 1, $n))) END, " +
+            s"s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)$modSql)))").as("x"))
+        .collect().map(_.getSeq[Long](0))
+      got.zip(want).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(g == e, s"mod=$mod row $i: $g vs $e")
+      }
+    }
+  }
+
+  test("word_gram_md5_hex is bit-identical to md5(concat_ws(slice)) per position") {
+    import spark.implicits._
+    import graft.functions.HashFunctions
+    val rows = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b c",                          // exactly n tokens → one gram
+      "héllo wörld naïve façade ünïcödé boundary test")
+    val n = 3
+    val df = rows.toDF("text").select(split($"text", " ").as("a"))
+    val got = df.select(HashFunctions.word_gram_md5_hex($"a", n).as("x"))
+      .collect().map(_.getSeq[String](0))
+    val want = df.select(expr(
+        s"transform(sequence(0, size(a) - $n), " +
+          s"i -> md5(concat_ws(' ', slice(a, i + 1, $n))))").as("x"))
+      .collect().map(_.getSeq[String](0))
+    got.zip(want).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g == e, s"row $i: $g vs $e")
+    }
+    // fewer than n tokens → empty (the callers' size >= n guard domain)
+    val short = Seq("one two").toDF("text").select(split($"text", " ").as("a"))
+      .select(HashFunctions.word_gram_md5_hex($"a", n).as("x"))
+      .collect().head.getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
   test("sql functions agree with the column API") {
     GraftExtensions.registerFunctions(spark)
     Tables.documents(spark, sf).createOrReplaceTempView("docs_v2")
