@@ -2,7 +2,7 @@ package graft.etl
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, input_file_name, lit, regexp_replace, when, max => fmax, min => fmin}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, input_file_name, lit, regexp_replace, sum, when, max => fmax, min => fmin}
 import org.apache.spark.sql.types._
 
 import java.nio.charset.StandardCharsets
@@ -3244,8 +3244,23 @@ class DeltaLite(val spark: SparkSession, val root: String,
     // join — the appendChecked hazard)
     val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      require(src.groupBy(keys.map(col).toIndexedSeq: _*).count()
-          .filter(col("count") > 1).limit(1).count() == 0,
+      // ONE pass over the pinned batch serves the dup-key check, the
+      // row count, and the per-key pruning bounds — these were three
+      // separate jobs (groupBy-count, count, agg) over the same
+      // persisted rows, and the per-statement job constant is the
+      // dominant warm MERGE cost at dim scale (guide §2.6): the
+      // grouped counts re-aggregate to total rows + max multiplicity,
+      // and min/max of each key over the groups equals min/max over
+      // the rows (nulls ignored by min/max either way)
+      val statAggs = Seq(sum(col("__n")).as("__rows"),
+          fmax(col("__n")).as("__mxn")) ++
+        keys.flatMap(k => Seq(fmin(col(k)).cast("string"),
+          fmax(col(k)).cast("string")))
+      val statRow = src.groupBy(keys.map(col).toIndexedSeq: _*)
+        .agg(count(lit(1)).as("__n"))
+        .agg(statAggs.head, statAggs.tail: _*)
+        .collect()(0)
+      require(statRow.isNullAt(1) || statRow.getLong(1) <= 1,
         s"merge source has duplicate values of key(s) ${keys.mkString(", ")}")
       // a first merge defines the table schema FROM the source — pass
       // only real table columns here (extra op/CDC columns are
@@ -3253,14 +3268,17 @@ class DeltaLite(val spark: SparkSession, val root: String,
       if (latestVersion.isEmpty)
         return commit(src.as("s").filter(insOnly), "append", txn = txn)
       val sch = schema.get
-      val srcRows = src.count()
+      val srcRows = if (statRow.isNullAt(0)) 0L else statRow.getLong(0)
       // an empty batch is a no-op — unless a BY SOURCE clause makes
       // every unmatched target row (here: all of them) addressable
       if (srcRows == 0 && !hasBySource) return latestVersion.get
       val (touched: Seq[String], dvPaths: Seq[String]) =
         if (hasBySource) allLivePaths() // any row anywhere may be unmatched
         else {
-          val bounds = batchBounds(src, keys)
+          // the batchBounds slice of the fused stat row (same
+          // stringified min/max per key, same column order)
+          val bounds = org.apache.spark.sql.Row.fromSeq(
+            (2 until statRow.length).map(statRow.get))
           // an all-NULL key column means equality can match nothing →
           // pure-insert path, never a table rewrite
           if (keys.indices.exists(i => bounds.isNullAt(2 * i)))
@@ -3289,37 +3307,49 @@ class DeltaLite(val spark: SparkSession, val root: String,
       val doBsUpdate = !matched && !doBsDelete &&
         lit(bySourceUpdateSet.isDefined) &&
         coalesce(bySourceUpdateWhen.getOrElse(lit(true)), lit(false))
-      val fromTarget = joined
-        .filter((matched && !doDelete && !doUpdate) ||
-          (!matched && !doBsDelete && !doBsUpdate))
-        .select(sch.fieldNames.map(f => col(s"t.$f")).toSeq: _*)
+      // ONE pass over the broadcast join serves every target-derived
+      // row (copies, updates, BY SOURCE updates): each output column
+      // is a when-chain picking the clause's expression, instead of
+      // the 2–3 filter branches union'd together that re-executed the
+      // join (and re-scanned the touched files) once per branch.
+      // Per-branch values are unchanged — the same clause expressions
+      // evaluate under the same mutually-exclusive conditions. Inserts
+      // keep their own anti join: folding them in would need a FULL
+      // OUTER join, which cannot broadcast (no BHJ support) and would
+      // shuffle-sort the whole touched-file side at corpus scale —
+      // two broadcast joins over two scans beat one SMJ over one.
+      // applyGenerated now covers the copy branch too: recomputing a
+      // committed row's generated column is the identity (the
+      // updateWhere invariant), so values are unchanged.
       // star form updates take the whole source row; assignment form
       // evaluates each SET expression in the joined (t, s) scope and
-      // keeps the TARGET value for unassigned columns (SQL UPDATE SET)
-      val updated = applyGenerated(joined.filter(doUpdate)
+      // keeps the TARGET value for unassigned columns (SQL UPDATE SET);
+      // BY SOURCE updates see only the target row (the s side is
+      // all-NULL by construction)
+      def updExpr(f: org.apache.spark.sql.types.StructField): Column =
+        updateSet match {
+          case Some(m) => m.toMap.get(f.name)
+            .map(_.cast(f.dataType))
+            .getOrElse(col(s"t.${f.name}"))
+          case None =>
+            // star form: a generated column absent from the source
+            // keeps the target value and recomputes below
+            if (!src.schema.fieldNames.contains(f.name))
+              col(s"t.${f.name}")
+            else col(s"s.${f.name}")
+        }
+      def bsExpr(f: org.apache.spark.sql.types.StructField): Column =
+        bySourceUpdateSet.flatMap(_.toMap.get(f.name))
+          .map(_.cast(f.dataType))
+          .getOrElse(col(s"t.${f.name}"))
+      val targetDerived = applyGenerated(joined
+        .filter(!doDelete && !doBsDelete)
         .select(sch.fields.map { f =>
-          updateSet match {
-            case Some(m) => m.toMap.get(f.name)
-              .map(_.cast(f.dataType).as(f.name))
-              .getOrElse(col(s"t.${f.name}").as(f.name))
-            case None =>
-              // star form: a generated column absent from the source
-              // keeps the target value and recomputes below
-              if (!src.schema.fieldNames.contains(f.name))
-                col(s"t.${f.name}").as(f.name)
-              else col(s"s.${f.name}").as(f.name)
-          }
+          when(doUpdate, updExpr(f))
+            .when(doBsUpdate, bsExpr(f))
+            .otherwise(col(s"t.${f.name}"))
+            .as(f.name)
         }.toIndexedSeq: _*), sch)
-      // BY SOURCE updates see only the target row (assignments and
-      // conditions over t.*; the s side is all-NULL by construction)
-      val bsUpdated = bySourceUpdateSet.map { m =>
-        val bm = m.toMap
-        applyGenerated(joined.filter(doBsUpdate)
-          .select(sch.fields.map { f =>
-            bm.get(f.name).map(_.cast(f.dataType).as(f.name))
-              .getOrElse(col(s"t.${f.name}").as(f.name))
-          }.toIndexedSeq: _*), sch)
-      }
       // expression-form anti join keeps the s alias intact for the
       // insert projections (a using-column join would strip it)
       val antiCond = keys.map(k =>
@@ -3330,8 +3360,7 @@ class DeltaLite(val spark: SparkSession, val root: String,
             col(k).as(s"__graft_mk_$k")).toIndexedSeq: _*),
             antiCond, "left_anti")
           .filter(coalesce(insOnly, lit(false))), sch)
-      val out = (Seq(fromTarget, updated) ++ bsUpdated.toSeq :+ inserted)
-        .reduce(_ unionByName _)
+      val out = targetDerived.unionByName(inserted)
       // change-data sidecar (enableChangeDataFeed property): pre/post
       // images of every row this merge touches, written BEFORE the
       // commit record that references them — O(changed rows) extra
@@ -3343,6 +3372,17 @@ class DeltaLite(val spark: SparkSession, val root: String,
           def tagged(df: DataFrame, t: String) =
             df.withColumn("_change_type", lit(t))
           val tCols = sch.fieldNames.map(f => col(s"t.$f")).toIndexedSeq
+          // postimage branches re-derived from the same join (CDC-only
+          // cost, paid only on CDF tables — identical values to the
+          // pre-fusion per-branch frames)
+          val updated = applyGenerated(joined.filter(doUpdate)
+            .select(sch.fields.map(f =>
+              updExpr(f).as(f.name)).toIndexedSeq: _*), sch)
+          val bsUpdated = bySourceUpdateSet.map { _ =>
+            applyGenerated(joined.filter(doBsUpdate)
+              .select(sch.fields.map(f =>
+                bsExpr(f).as(f.name)).toIndexedSeq: _*), sch)
+          }
           val pre = Seq(
             tagged(joined.filter(doDelete).select(tCols: _*), "delete"),
             tagged(joined.filter(doUpdate).select(tCols: _*),

@@ -17,6 +17,20 @@ object ProbeDml {
       val t0 = System.nanoTime(); f
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    // per-job timing (submit→end wall clock) for one statement
+    val jobLog = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int)]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobLog.put(js.jobId, (js.time, js.stageInfos.map(_.numTasks).sum))
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(jobLog.get(je.jobId)).foreach { case (t0, ntasks) =>
+            println(f"[job] id=${je.jobId} ${(je.time - t0) / 1e3}%.2fs tasks=$ntasks")
+          }
+        }
+      })
     val s: SparkSession = spark
     s.conf.set("spark.sql.catalog.graft",
       classOf[graft.catalog.GraftCatalog].getName)
