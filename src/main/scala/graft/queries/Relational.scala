@@ -463,20 +463,33 @@ object Relational {
   }
 
   /** INTERSECT / EXCEPT set operations: customers active in both 1995
-    * and 1996, and 1995-only customers. Spark plans these as
-    * aggregate+semi/anti joins — no materialized distinct union.
+    * and 1996, and 1995-only customers.
+    *
+    * Shape: ONE scan of orders (date-pruned to the two years) with a
+    * per-customer flag aggregation deriving the cohort, instead of the
+    * literal intersect/except form that scanned orders four times and
+    * ran two broadcast semi/anti joins (guide §2.4 — the r15 rewrite;
+    * plan went 4 scans + 2 joins + 5 aggregates → 1 scan + 2
+    * aggregates). Set-identical: INTERSECT = distinct custkeys with
+    * activity in both years, EXCEPT = distinct custkeys with 1995 but
+    * no 1996 activity — exactly the max-flag predicates per distinct
+    * custkey (NULL custkeys group as one key, matching set-op
+    * null-safe equality); only-1996 customers get a NULL cohort and
+    * are filtered, like rows absent from both set results.
     */
   def qIntersectExcept(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def activeIn(year: Int) = Tables.orders(s, dir)
-      .filter($"o_orderdate" >= ts(s"$year-01-01 00:00:00") &&
-        $"o_orderdate" < ts(s"${year + 1}-01-01 00:00:00"))
-      .select($"o_custkey")
-    val both = activeIn(1995).intersect(activeIn(1996))
-      .withColumn("cohort", lit("both"))
-    val only95 = activeIn(1995).except(activeIn(1996))
-      .withColumn("cohort", lit("only_1995"))
-    both.unionByName(only95)
+    Tables.orders(s, dir)
+      .filter($"o_orderdate" >= ts("1995-01-01 00:00:00") &&
+        $"o_orderdate" < ts("1997-01-01 00:00:00"))
+      .select($"o_custkey",
+        ($"o_orderdate" < ts("1996-01-01 00:00:00")).as("__in95"))
+      .groupBy($"o_custkey")
+      .agg(max(when($"__in95", 1).otherwise(0)).as("__h95"),
+        max(when(!$"__in95", 1).otherwise(0)).as("__h96"))
+      .select(when($"__h95" === 1 && $"__h96" === 1, "both")
+        .when($"__h95" === 1, "only_1995").as("cohort"))
+      .filter($"cohort".isNotNull)
       .groupBy($"cohort").agg(count(lit(1)).as("n_customers"))
       .orderBy($"cohort")
   }
