@@ -200,7 +200,10 @@ object Stats {
       .select(date_trunc("day", $"ts").as("day"), $"user_id")
       .distinct()
       .persist())
-    val dau = ud.groupBy($"day").agg(countDistinct($"user_id").as("dau"))
+    // ud is the DISTINCT (day, user) pair set, so per-day users are
+    // already unique — plain count equals countDistinct row for row
+    // and drops the distinct-aggregate's extra exchange (guide §2.3)
+    val dau = ud.groupBy($"day").agg(count(lit(1)).as("dau"))
     val wau = ud
       .select(explode(sequence(lit(0), lit(6))).as("off"), $"day", $"user_id")
       .select(($"day" + expr("INTERVAL '1' DAY") * $"off").as("day"), $"user_id")
