@@ -368,8 +368,25 @@ object Hnsw {
       .select($"shard", $"graph", $"incoming")
       .as[(Int, Array[Byte], Seq[(Long, Array[Float])])]
       .map { case (shard, graphBytes, incoming) =>
-        val g = insertAll(Option(graphBytes).map(deserialize),
-          incoming.toArray, m, efConstruction)
+        val baseG = Option(graphBytes).map(deserialize)
+        // same-vector invariant: a re-appended id must carry the SAME
+        // vector — the probe path dedups duplicate (query, neighbor)
+        // rows via dense_rank over EXACT cosine ties, which only holds
+        // when every copy of an id scores identically. An id arriving
+        // with a changed vector would silently gap ranks downstream;
+        // refuse it loudly here instead (update = delete + re-add).
+        baseG.foreach { g =>
+          val pos = g.ids.zipWithIndex.toMap
+          incoming.foreach { case (id, v) =>
+            pos.get(id).foreach { i =>
+              require(java.util.Arrays.equals(g.vecs(i), v),
+                s"id $id re-appended to shard $shard with a different " +
+                  "vector — duplicate copies must tie exactly for the " +
+                  "probe-side dedup; delete and rebuild to update a vector")
+            }
+          }
+        }
+        val g = insertAll(baseG, incoming.toArray, m, efConstruction)
         (shard, g.ids.length.toLong, serialize(g))
       }
       .toDF("shard", "n", "graph")

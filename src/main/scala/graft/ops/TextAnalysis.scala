@@ -25,12 +25,13 @@ object TextAnalysis {
   /** Whitespace token count (regex-trimmed so tabs/newlines at the
     * edges don't produce phantom empty tokens; empty or whitespace-only
     * text counts 0, not the 1 that `split("")` = `[""]` would give).
+    * Native since r15: one byte loop counting the maximal non-`\s`
+    * runs — the identical count ([[graft.functions.WsTokenCount]],
+    * bit-identity spec'd) without the regex strip+split's per-row
+    * string rewrites.
     */
-  def wsTokenCount(text: Column): Column = {
-    val stripped = regexp_replace(text, "^\\s+|\\s+$", "")
-    when(stripped === "", lit(0L))
-      .otherwise(size(split(stripped, "\\s+")).cast("long"))
-  }
+  def wsTokenCount(text: Column): Column =
+    graft.functions.TextFunctions.ws_token_count(text)
 
   /** BPE-ish token count: word runs + single non-word-non-space chars —
     * the pre-merge token stream a byte-pair encoder would start from.
@@ -38,11 +39,15 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0))).cast("long")
 
+  // native ASCII-class char counts (r15): same values as
+  // size(regexp_extract_all(...)) — both classes are pure-ASCII in
+  // Java's default regex mode — without materializing a match array
+  // per row (bit-identity spec'd in SqlFunctionsSpec)
   def punctCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("\\p{Punct}"), lit(0))).cast("long")
+    graft.functions.TextFunctions.punct_count(text)
 
   def upperCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Z]"), lit(0))).cast("long")
+    graft.functions.TextFunctions.upper_count(text)
 
   /** Count of tokens present in `words`. Tokenizes via [[normalize]]
     * (collapse ALL whitespace runs, then split) so the numerator uses
@@ -51,7 +56,7 @@ object TextAnalysis {
     * skew every marker-based ratio.
     */
   def markerCount(text: Column, words: Seq[String]): Column =
-    size(filter(split(normalize(text), " "),
+    size(filter(tokens(text),
       x => x.isin(words.map(_.asInstanceOf[Any]): _*))).cast("long")
 
   /** Composite quality score in [0,1]: stopword share up, punctuation
@@ -141,10 +146,15 @@ object TextAnalysis {
 
   /** Normalized whitespace tokens. Project this to its own column
     * before feeding `ngramsFromTokens` — a multiply-referenced alias is
-    * NOT collapsed by Catalyst, so the regex normalize+split runs once
-    * per row instead of once per n-gram element.
+    * NOT collapsed by Catalyst, so the tokenize runs once per row
+    * instead of once per n-gram element. Native since r15: lowercase
+    * once and slice the non-`\s` runs
+    * ([[graft.functions.NormalizedTokens]], bit-identity spec'd
+    * against `split(normalize(text), " ")` incl. the empty → [""]
+    * case) instead of regex-rewriting every string twice.
     */
-  def tokens(text: Column): Column = split(normalize(text), " ")
+  def tokens(text: Column): Column =
+    graft.functions.TextFunctions.normalized_tokens(text)
 
   /** Word n-grams from a (materialized) token array column. */
   def ngramsFromTokens(toks: Column, n: Int): Column =

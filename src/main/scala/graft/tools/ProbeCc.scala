@@ -5,9 +5,9 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** Dev-only A/B: single-step-per-action (historical) vs
-  * two-steps-per-action (shipped) connected-components loop,
-  * alternating reps in one JVM.
+/** Dev-only A/B: single-step-per-action (SHIPPED — Components.scala's
+  * loop) vs two-steps-per-action (the REJECTED batch variant, measured
+  * slower: 3.6 vs 2.5 s), alternating reps in one JVM.
   */
 object ProbeCc {
   def main(args: Array[String]): Unit = {

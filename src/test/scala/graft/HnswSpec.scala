@@ -107,6 +107,22 @@ class HnswSpec extends SparkSpec {
     }
   }
 
+  test("re-appending an existing id with a DIFFERENT vector refuses loudly") {
+    import org.apache.spark.sql.functions._
+    val idx = Hnsw.buildShardedIndex(corpus, "vec_id", "embedding",
+      shards = 4, m = 8, efConstruction = 64)
+    // perturb one existing id's vector — the same-vector invariant the
+    // probe-side dense_rank dedup relies on must be enforced at append
+    val changed = corpus.filter("vec_id = 7")
+      .withColumn("embedding", transform(col("embedding"), x => x + lit(1.0f)))
+    val e = intercept[org.apache.spark.SparkException] {
+      Hnsw.appendToShardedIndex(idx, changed, "vec_id", "embedding",
+        shards = 4, m = 8, efConstruction = 64).collect()
+    }
+    assert(e.getMessage.contains("different") ||
+      Option(e.getCause).exists(_.getMessage.contains("different")))
+  }
+
   test("probe dedups duplicate ids: re-appending an existing id never yields two top-k slots") {
     val idx = Hnsw.buildShardedIndex(corpus, "vec_id", "embedding",
       shards = 4, m = 8, efConstruction = 64)

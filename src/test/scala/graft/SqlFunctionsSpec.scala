@@ -129,6 +129,42 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("native text stats are bit-identical to the regex chains") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val rows = Seq(
+      "The quick, brown FOX jumps!  Over the lazy dog?",
+      "",                                  // empty
+      " \t\n ",                            // whitespace-only
+      "\tleading tab and trailing\n",      // edge whitespace
+      "one",                               // single token
+      "a  b\t\tc\nd",                      // mixed separators
+      "Héllo WÖRLD — naïve FAÇADE ünïcödé İstanbul ÅNGSTRÖM",
+      "日本語 テキスト 混在 ASCII Punct!?",
+      "semi;colons: and (parens) [brackets] {braces} <angles> @at #hash")
+    val df = rows.toDF("text")
+    def check(name: String, got: org.apache.spark.sql.Column,
+        want: org.apache.spark.sql.Column): Unit = {
+      val g = df.select(got.cast("string").as("v")).collect().map(_.getString(0))
+      val w = df.select(want.cast("string").as("v")).collect().map(_.getString(0))
+      g.zip(w).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(a == b, s"$name row $i (${rows(i).take(30)}...): $a vs $b")
+      }
+    }
+    check("punct", TextFunctions.punct_count($"text"),
+      size(regexp_extract_all($"text", lit("\\p{Punct}"), lit(0))).cast("long"))
+    check("upper", TextFunctions.upper_count($"text"),
+      size(regexp_extract_all($"text", lit("[A-Z]"), lit(0))).cast("long"))
+    check("wstok", TextFunctions.ws_token_count($"text"), {
+      val stripped = regexp_replace($"text", "^\\s+|\\s+$", "")
+      when(stripped === "", lit(0L))
+        .otherwise(size(split(stripped, "\\s+")).cast("long"))
+    })
+    check("tokens", TextFunctions.normalized_tokens($"text").cast("string"),
+      split(trim(regexp_replace(lower($"text"), "\\s+", " ")), " ")
+        .cast("string"))
+  }
+
   test("sql functions agree with the column API") {
     GraftExtensions.registerFunctions(spark)
     Tables.documents(spark, sf).createOrReplaceTempView("docs_v2")
