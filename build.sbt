@@ -28,3 +28,41 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 ) ++ sys.env.get("GRAFT_EXTRA_JAVA_OPTS").map(_.split(" ").toSeq).getOrElse(Seq.empty)
+
+// The suite is latency-bound, not throughput-bound: one forked JVM ran
+// every suite sequentially on a shared local[8] session (~28 min wall)
+// while the box idled. The four long-runner suites (the three
+// DeltaLiteModelWalks shards and DeltaLiteCheckpointSpec — each a chain
+// of hundreds of tiny commits) get their OWN forked JVM and run in
+// parallel with the main group; every other suite stays together in one
+// JVM, preserving the shared-session economics AND the existing
+// serialization of suites that touch shared fixed paths (MarginMining /
+// EntryContract's index+catalog dirs). Isolation between groups is by
+// process, so nothing about test semantics changes — only the schedule.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value
+  val forkOpts = ForkOptions().withRunJVMOptions(opts.toVector)
+  val solo = Set(
+    "graft.DeltaLiteModelSpec",
+    "graft.DeltaLiteModelWalksBSpec",
+    "graft.DeltaLiteModelWalksCSpec",
+    "graft.DeltaLiteCheckpointSpec",
+    "graft.CrossProcessOccSpec",
+    "graft.CurationSpec",
+    // next tier of long runners, audited free of shared fixed paths /
+    // session-catalog names (suites that DO share them — EntryContract,
+    // MarginMining, GraftCatalog, DeltaSource — stay serialized in main)
+    "graft.StreamingSpec",
+    "graft.PlanAuditSpec",
+    "graft.DeltaLiteMaintenanceDfSpec",
+    "graft.DeltaLiteSidecarSpec")
+  val (lone, rest) = tests.partition(t => solo(t.name))
+  lone.map(t => Tests.Group(t.name, Seq(t), Tests.SubProcess(forkOpts))) :+
+    Tests.Group("main", rest, Tests.SubProcess(forkOpts))
+}
+// allow several forked test JVMs to actually run concurrently (each a
+// local[8] session on the 32-core box; 4 concurrent keeps CPU sane)
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 5),
+  Tags.limitAll(8))
